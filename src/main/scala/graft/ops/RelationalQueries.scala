@@ -1,0 +1,347 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The declared relational query corpus (SURVEY.md §2.12): one query per
+  * relational inventory row, each with a DuckDB oracle. Conventions for
+  * cross-engine hash parity:
+  *   - integer outputs cast to BIGINT on both sides,
+  *   - double aggregates `round(x, 2..6)` on both sides,
+  *   - every ORDER BY / LIMIT / window has a full deterministic tiebreak,
+  *   - timestamps never returned raw (formatted or reduced to year).
+  *
+  * Scale notes are inline per query: what shuffles, what broadcasts, what
+  * the plan looks like at 100 TB.
+  */
+object RelationalQueries {
+
+  /** P1 — row filter by ID set as a left-semi join (daxos read.py:201-207
+    * boolean-mask subsetting). At scale the id set is a table, not an
+    * in-memory collection: semi-join lets AQE pick broadcast when the ids
+    * are small and shuffled-hash otherwise; an `isin` literal list would
+    * serialize the ids into the plan.
+    */
+  val p1 = QueryDef.sql(
+    "p1_semi_join_filter",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)""".stripMargin) {
+    (s, d) =>
+      val ids = Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.customer(s, d)
+        .join(ids, Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** P3 — SNP-name-style normalization: take the token before the first
+    * separator (daxos read.py:211 `split('_')[0]`). Pure projection —
+    * stays in whole-stage codegen, no shuffle.
+    */
+  val p3 = QueryDef.sql(
+    "p3_string_split",
+    """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+      |       split_part(p_type, ' ', 1) AS type_head
+      |FROM part""".stripMargin) {
+    (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey").cast("long").as("p_partkey"),
+        split(col("p_type"), " ").getItem(0).as("type_head"))
+  }
+
+  /** P4 — conditional recode driven by a global max (daxos read.py:91-96:
+    * PLINK 1/2 phenotype → 0/1 iff max==2). The max is a scalar aggregate
+    * collected to the driver (k=1 value — legal driver collect), then
+    * folded into the plan as a literal so the recode itself is codegen'd.
+    */
+  val p4 = QueryDef.sql(
+    "p4_conditional_recode",
+    """SELECT CAST(CASE WHEN (SELECT max(l_linenumber) FROM lineitem) = 2
+      |            THEN l_linenumber - 1 ELSE l_linenumber END AS BIGINT) AS code,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin) {
+    (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val mx = li.agg(max(col("l_linenumber"))).head().getInt(0)
+      val recoded = if (mx == 2) col("l_linenumber") - 1 else col("l_linenumber")
+      li.select(recoded.cast("long").as("code"))
+        .groupBy("code").agg(count(lit(1)).as("n"))
+  }
+
+  /** P5 — NaN-aware aggregation (daxos crossvalidate.py:133-139 drops NaN
+    * labels before scoring). Filter reaches the parquet scan as an IsNotNull
+    * pushed filter; isnan stays in the codegen'd filter stage.
+    */
+  val p5 = QueryDef.sql(
+    "p5_nan_aware_agg",
+    """SELECT count(*) AS n_valid, round(avg(value), 2) AS avg_value
+      |FROM events WHERE value IS NOT NULL AND NOT isnan(value)""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .filter(col("value").isNotNull && !isnan(col("value")))
+        .agg(count(lit(1)).as("n_valid"), round(avg(col("value")), 2).as("avg_value"))
+  }
+
+  /** J1/J2 — inner equi-join + grouped rollup (daxos scoring.py:182
+    * predictions⋈covariates). The dimension side is explicitly
+    * `broadcast()`: at 100 TB the fact (orders) streams map-side against a
+    * broadcast customer hash — zero shuffle for the join; only the final
+    * 5-group aggregate shuffles (partial agg map-side first).
+    */
+  val j1 = QueryDef.sql(
+    "j1_broadcast_inner_join",
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1""".stripMargin) {
+    (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+  }
+
+  /** J3 — anti-join split (daxos split_ids.py:50-51: test = IIDs not in
+    * train). Same broadcast-ability as J1; left-anti preserves the left
+    * schema untouched.
+    */
+  val j3 = QueryDef.sql(
+    "j3_anti_join_split",
+    """SELECT c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) {
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey")
+  }
+
+  /** J5 — positional zip via row_number (daxos cv.py:135 attaches IIDs to a
+    * positional prediction vector). Top-k first (TakeOrderedAndProject — no
+    * global sort), then the window runs over k rows only. Never rank an
+    * unbounded table with an empty-partition window.
+    */
+  val j5 = QueryDef.sql(
+    "j5_positional_zip",
+    """WITH c AS (SELECT CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS pos,
+      |                  c_custkey
+      |           FROM (SELECT * FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10)),
+      |     p AS (SELECT CAST(row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS pos,
+      |                  s_suppkey
+      |           FROM (SELECT * FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT 10))
+      |SELECT c.pos AS pos, c.c_custkey, p.s_suppkey
+      |FROM c JOIN p ON c.pos = p.pos""".stripMargin) {
+    (s, d) =>
+      def ranked(df: DataFrame, ord: Seq[String], key: String): DataFrame = {
+        val sorted = df.orderBy(col(ord.head).desc, col(ord(1)).asc).limit(10)
+        sorted.select(
+          row_number().over(Window.orderBy(col(ord.head).desc, col(ord(1)).asc))
+            .cast("long").as("pos"),
+          col(key))
+      }
+      val c = ranked(Tables.customer(s, d), Seq("c_acctbal", "c_custkey"), "c_custkey")
+      val p = ranked(Tables.supplier(s, d), Seq("s_acctbal", "s_suppkey"), "s_suppkey")
+      c.join(p, Seq("pos"), "inner").select("pos", "c_custkey", "s_suppkey")
+  }
+
+  /** U1 — vertical concat round-trip (daxos read.py:62 chunk concatenate):
+    * split orders by predicate, re-union, aggregate. Union is a no-shuffle
+    * plan node; both branches scan the same parquet with disjoint pushed
+    * filters.
+    */
+  val u1 = QueryDef.sql(
+    "u1_union_roundtrip",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1""".stripMargin) {
+    (s, d) =>
+      val o = Tables.orders(s, d)
+      val cut = "1995-01-01"
+      val early = o.filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+      val late = o.filter(col("o_orderdate") >= lit(cut).cast("timestamp"))
+      early.unionByName(late)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+  }
+
+  /** U4 — set difference (daxos boruta.py:58 setdiff1d on feature ids):
+    * brands that never ship large sizes. EXCEPT = Spark's ExceptDistinct;
+    * on the small distinct sets this broadcasts.
+    */
+  val u4 = QueryDef.sql(
+    "u4_except_difference",
+    """SELECT p_brand FROM part
+      |EXCEPT
+      |SELECT p_brand FROM part WHERE p_size > 40""".stripMargin) {
+    (s, d) =>
+      val p = Tables.part(s, d)
+      p.select("p_brand").except(p.filter(col("p_size") > 40).select("p_brand"))
+  }
+
+  /** A1/O1 — the TPC-H-Q1-shaped grouped aggregate (daxos
+    * crossvalidate.py:289-292 grouped mean over the CV grid). Headline
+    * bench query: single scan, map-side partial agg, 4-row result. At
+    * 100 TB this is scan-bound — the filter and the 7 needed columns are
+    * pushed to parquet (verify via PushedFilters/ReadSchema in explain).
+    */
+  val a1 = QueryDef.sql(
+    "a1_grouped_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2)        AS sum_qty,
+      |       round(sum(l_extendedprice), 2)   AS sum_base,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+      |       round(avg(l_quantity), 2)        AS avg_qty,
+      |       round(avg(l_extendedprice), 2)   AS avg_price,
+      |       count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY 1, 2""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 2).as("avg_price"),
+          count(lit(1)).as("n"))
+  }
+
+  /** O1/O2 — sort + top-1 (daxos crossvalidate.py:308-316 best HP combo).
+    * orderBy().limit(1) plans as TakeOrderedAndProject — a per-partition
+    * top-k + driver merge, not a global sort.
+    */
+  val o2 = QueryDef.sql(
+    "o2_best_group_top1",
+    """SELECT l_returnflag, l_linestatus, round(avg(l_extendedprice), 2) AS avg_price
+      |FROM lineitem GROUP BY 1, 2
+      |ORDER BY avg_price DESC, l_returnflag, l_linestatus LIMIT 1""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(avg(col("l_extendedprice")), 2).as("avg_price"))
+        .orderBy(col("avg_price").desc, col("l_returnflag").asc, col("l_linestatus").asc)
+        .limit(1)
+  }
+
+  /** A4 — exact percentiles (daxos boruta.py:34 shadow-importance
+    * percentile). Exact `percentile` (not approx) for oracle parity; the
+    * reference's vectors are p-sized (~1e5), where exact is cheap. At
+    * 100 TB row counts switch to percentile_approx and the oracle check is
+    * tolerance-based.
+    */
+  val a4 = QueryDef.sql(
+    "a4_percentile",
+    """SELECT round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+      |       round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+      |       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+      |FROM lineitem""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d).agg(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.50)), 2).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 2).as("p75"))
+  }
+
+  /** A5 — grouped median (daxos boruta.py:45-46 median over iteration
+    * history). Computed as the DISCRETE lower-middle value via a
+    * partitioned window rather than interpolating `median()`: Spark's
+    * `a+(b-a)*0.5` vs DuckDB's `(a+b)/2` differ in the last double bit,
+    * and averaged middles can land exactly on a `round` half-boundary.
+    * The discrete form returns a raw stored value — bit-identical across
+    * engines — and shuffles once on the group key like the native agg.
+    */
+  val a5 = QueryDef.sql(
+    "a5_grouped_median",
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |         CAST(row_number() OVER (PARTITION BY l_returnflag
+      |           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+      |         count(*) OVER (PARTITION BY l_returnflag) AS cnt
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_extendedprice AS med_price, cnt AS n
+      |FROM r
+      |WHERE rn = floor((cnt + 1) / 2.0)""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      val wc = Window.partitionBy("l_returnflag")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          row_number().over(w).cast("long").as("rn"),
+          count(lit(1)).over(wc).as("cnt"))
+        .filter(col("rn") === floor((col("cnt") + 1) / 2.0))
+        .select(col("l_returnflag"), col("l_extendedprice").as("med_price"),
+          col("cnt").as("n"))
+  }
+
+  /** A13 — frequency/QC aggregate with a HAVING gate (plink2 `--maf 0.05`
+    * delegated QC, Snakefile:73-104): avg(dosage)/2-style per-key frequency
+    * + threshold filter. Partial agg map-side; HAVING is a post-agg filter.
+    */
+  val a13 = QueryDef.sql(
+    "a13_freq_having",
+    """SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+      |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+      |FROM lineitem GROUP BY 1
+      |HAVING sum(l_quantity) >= 25 * count(*) AND count(*) >= 3""".stripMargin) {
+    (s, d) =>
+      // HAVING in multiply form (sum >= 25*n, not avg >= 25): the sum of
+      // integral quantities is exact in double, so the comparison — and
+      // the returned checksum — is bit-identical across engines, where a
+      // rounded avg can land on a round-half boundary.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").cast("long").as("l_partkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .filter(col("sum_qty") >= lit(25) * col("n") && col("n") >= 3)
+  }
+
+  /** O5 — ranking within groups (daxos boruta.py:122-125 per-iteration
+    * rankdata). Window partitioned by nation — shuffles once on the
+    * partition key, sorts within partitions; no global sort.
+    */
+  val o5 = QueryDef.sql(
+    "o5_window_rank",
+    """SELECT * FROM (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey,
+      |         CAST(rank() OVER (PARTITION BY c_nationkey
+      |                           ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+      |  FROM customer) t
+      |WHERE rnk <= 3""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nationkey"), col("c_custkey"),
+          rank().over(w).cast("long").as("rnk"))
+        .filter(col("rnk") <= 3)
+  }
+
+  /** 2.10 — the scalar-function surface (abs/exp/sqrt/isclose analog) in
+    * one deterministic row. */
+  val scalars = QueryDef.sql(
+    "scalar_functions",
+    """SELECT round(sqrt(avg(l_quantity)), 6) AS sqrt_avg_qty,
+      |       round(abs(min(l_discount) - 0.05), 6) AS abs_probe,
+      |       round(exp(max(l_discount)), 6) AS exp_probe,
+      |       CAST(max(CASE WHEN abs(l_tax - 0.04) < 1e-9 THEN 1 ELSE 0 END) AS BIGINT) AS isclose_hit
+      |FROM lineitem""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d).agg(
+        round(sqrt(avg(col("l_quantity"))), 6).as("sqrt_avg_qty"),
+        round(abs(min(col("l_discount")) - 0.05), 6).as("abs_probe"),
+        round(exp(max(col("l_discount"))), 6).as("exp_probe"),
+        max(when(abs(col("l_tax") - 0.04) < 1e-9, 1).otherwise(0)).cast("long").as("isclose_hit"))
+  }
+
+  def all: Seq[QueryDef] = Seq(
+    p1, p3, p4, p5, j1, j3, j5, u1, u4, a1, o2, a4, a5, a13, o5, scalars)
+}
