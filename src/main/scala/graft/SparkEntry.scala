@@ -15,7 +15,12 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     graft.ops.RelationalQueries.all ++
       graft.ops.Splits.all ++
-      graft.stats.FDR.all
+      graft.stats.FDR.all ++
+      graft.ml.Scoring.all ++
+      graft.ml.Train.all ++
+      graft.ml.Deconfound.all ++
+      graft.ml.Explain.all ++
+      graft.io.IoQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped grouped aggregate (SURVEY.md A1).
@@ -26,6 +31,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
+
+  /** The bench subset: queries whose cost scales with the sf directory.
+    * Fixture-bound ML self-tests (constant-size simulated inputs) run in
+    * Verify only — benchmarking them would measure the fixture, not the
+    * engine's data-scale throughput.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.filter(_.benchEligible).map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

@@ -29,8 +29,9 @@ object Tables {
   /** events.parquet carries TIMESTAMP(NANOS), which Spark reads only as
     * LongType (nanos since epoch) under
     * `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
-    * builder here). Normalize to a proper timestamp column (micro
-    * precision — truncation is exact for all downstream bucketing).
+    * builder here). Normalize to a proper timestamp column. `div` is
+    * integral long division — `/` would go through double, which cannot
+    * represent 2026-epoch nanos (~1.8e18 > 2^53) exactly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
@@ -38,7 +39,7 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => raw
     }
   }
@@ -54,11 +55,17 @@ object Tables {
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    /** false for fixture-bound self-tests whose cost does not scale with
+      * sfDir — they run in Verify but are excluded from Bench so the
+      * bench measures data-scale throughput, not fixture ML fits. */
+    benchEligible: Boolean = true)
 
 object QueryDef {
   def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, Some(oracle))
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+  def fixture(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, fn, None, benchEligible = false)
 }

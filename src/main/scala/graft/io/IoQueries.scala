@@ -1,0 +1,103 @@
+package graft.io
+
+import graft.QueryDef
+import graft.ml.Sim
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Rows-only correctness entries for the ingestion surface (S1-S8, S12,
+  * U2): generate the reference-shaped fixtures (FIXTURES.md §1/§4),
+  * write them as real text files, scan them back through the production
+  * readers, and emit a row ONLY if every round-trip invariant holds —
+  * an ingest failure yields 0 rows and trips the driver's check.
+  * (Mirrors `tests/test_read.py:110-117` round-trip style.)
+  */
+object IoQueries {
+
+  private val fixtureDir = "/root/repo/target/fixtures"
+
+  /** S1+S2+S4+S5+S6+S7+P4 — PLINK .raw → bundle → parquet → re-read. */
+  val s1 = QueryDef.fixture("s1_plink_bundle_roundtrip") { (s, d) =>
+    val cfg = Sim.Config(n = 100L, p = 10, seed = 42L, chunkRows = 25L)
+    val bundle = Sim.bundle(s, cfg)
+    val names = Sim.snpNames(cfg.p, cfg.seed)
+    // render the .raw text (100×10 fixture — driver-side by design)
+    val header = (Plink.metaCols ++ names).mkString(" ")
+    val lines = bundle
+      .select(col("fid"), col("iid"), col("pat"), col("mat"),
+        col("sex").cast("int"), col("phenotype").cast("int"), col("features"))
+      .collect()
+      .map { r =>
+        val feats = r.getSeq[Float](6).map(_.toInt).mkString(" ")
+        s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} ${r.getString(3)} ${r.getInt(4)} ${r.getInt(5)} $feats"
+      }
+    Files.createDirectories(Paths.get(fixtureDir))
+    val rawPath = s"$fixtureDir/dummy_plink.raw"
+    Files.write(Paths.get(rawPath),
+      (header +: lines.toSeq).mkString("\n").getBytes)
+
+    // S1/S4: scan back; P4 recode must fire (phenotype coded 1/2)
+    val scanned = Plink.readRaw(s, rawPath)
+      .withColumn("block_id", (col("iid").cast("long") - 10000) / cfg.chunkRows)
+      .withColumn("block_id", col("block_id").cast("long"))
+    val cols = Plink.colsTable(s, rawPath)
+    // S7/S5/S6: bundle store round-trip
+    val storeDir = s"$fixtureDir/bundle_store"
+    Bundle.write(scanned, cols, storeDir)
+    val reread = Bundle.read(s, storeDir)
+
+    val orig = bundle.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(aggregate(col("features"), lit(0.0d),
+        (acc, x) => acc + x.cast("double"))).as("dosage_sum"),
+      sum(col("label")).cast("double").as("label_sum")).head()
+    val back = reread.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(aggregate(col("features"), lit(0.0d),
+        (acc, x) => acc + x.cast("double"))).as("dosage_sum"),
+      sum(col("label")).cast("double").as("label_sum")).head()
+    val widthOk = reread.select(size(col("features"))).head().getInt(0) == cfg.p
+    val labelsRecoded = reread.agg(max(col("label"))).head()
+      .getFloat(0) == 1f // 1/2 PLINK coding → 0/1
+    val ok = orig == back && widthOk && labelsRecoded &&
+      cols.count() == cfg.p
+    val spark = s; import spark.implicits._
+    Seq((orig.getLong(0), orig.getDouble(1), ok))
+      .toDF("n", "dosage_sum", "ok").filter(col("ok"))
+  }
+
+  /** S8+S9+S12+U2 — covariate TSV validation scan + CSV sink →
+    * multi-file HP-results glob scan. */
+  val s8 = QueryDef.fixture("s8_satellite_io") { (s, d) =>
+    val cfg = Sim.Config(n = 100L, p = 4, seed = 42L)
+    val cov = Sim.covariates(s, cfg)
+    // write the reference-format TSV (FID IID COV1..)
+    val rows = cov.collect().map { r =>
+      f"${r.getString(0)}\t${r.getString(1)}\t${r.getFloat(2)}%.6f\t${r.getFloat(3)}%.6f\t${r.getFloat(4)}%.1f"
+    }
+    Files.createDirectories(Paths.get(fixtureDir))
+    val tsvPath = s"$fixtureDir/covariates.tsv"
+    Files.write(Paths.get(tsvPath),
+      ("FID\tIID\tCOV1\tCOV2\tCOV3" +: rows.toSeq).mkString("\n").getBytes)
+    val covBack = Sinks.readCovariates(s, tsvPath)
+
+    // S9 sink → S12 glob scan (two files to prove the U2 concat)
+    val spark = s; import spark.implicits._
+    val hp1 = Seq((0.05, 0.8, 0.9, 4, "auc", 0.71, 0.74, 0, 50),
+      (0.02, 0.7, 0.8, 3, "auc", 0.69, 0.70, 0, 50))
+      .toDF("eta", "subsample", "colsample_bytree", "max_depth", "metric",
+        "score", "train_score", "fold", "n_boost_round")
+    val hp2 = hp1.withColumn("fold", col("fold") + 1)
+    Sinks.writeCsv(hp1, s"$fixtureDir/hp_dir/part1", coalesce1 = true)
+    Sinks.writeCsv(hp2, s"$fixtureDir/hp_dir/part2", coalesce1 = true)
+    val hpBack = Sinks.readHpResults(s, s"$fixtureDir/hp_dir/*/*.csv")
+
+    val ok = covBack.count() == cfg.n &&
+      covBack.columns.toSeq == Seq("fid", "iid", "COV1", "COV2", "COV3") &&
+      hpBack.count() == 4 &&
+      math.abs(hpBack.agg(sum("score")).head().getDouble(0) - 2.80) < 1e-9
+    Seq((covBack.count(), ok)).toDF("n_cov", "ok").filter(col("ok"))
+  }
+
+  def all: Seq[QueryDef] = Seq(s1, s8)
+}

@@ -1,0 +1,125 @@
+package graft.ml
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Evaluators A9 (AUC), A10 (RMSE), A11 (R²) — reference
+  * `daxos/crossvalidate.py:130-145`, `daxos/scoring.py:122-133`.
+  *
+  * AUC uses the Mann–Whitney rank form with average ranks for ties —
+  * identical to trapezoidal ROC area. Scale design: rows are first
+  * reduced to one record PER DISTINCT SCORE (a hash aggregate — at
+  * 100 TB model scores repeat heavily or can be quantized), and the
+  * single-partition window runs over that reduced table only. Never
+  * rank raw rows globally.
+  *
+  * All three evaluators return 1-row DataFrames so they compose as
+  * declared queries; `Double` convenience accessors collect that row.
+  */
+object Scoring {
+
+  /** NaN-aware pre-filter (P5): evaluation drops rows with NaN labels,
+    * mirroring crossvalidate.py:133-139. */
+  def dropNanLabels(df: DataFrame, labelCol: String): DataFrame =
+    df.filter(col(labelCol).isNotNull && !isnan(col(labelCol)))
+
+  /** A9 — AUC(label ∈ {0,1}, score). One hash-agg pass + a window over
+    * distinct scores. avg rank of a tie group = (#rows before) + (c+1)/2.
+    */
+  def aucDF(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val g = dropNanLabels(df, labelCol)
+      .groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).cast("double").as("c"),
+        sum(col(labelCol)).cast("double").as("pos"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.select(col("s"), col("c"), col("pos"),
+        coalesce(sum(col("c")).over(w), lit(0.0)).as("cumb"))
+      .agg(
+        sum(col("pos") * (col("cumb") + (col("c") + 1) / 2.0)).as("sumr"),
+        sum(col("pos")).as("np"),
+        sum(col("c")).as("n"))
+      .select(
+        ((col("sumr") - col("np") * (col("np") + 1) / 2.0) /
+          (col("np") * (col("n") - col("np")))).as("auc"))
+  }
+
+  def auc(df: DataFrame, labelCol: String, scoreCol: String): Double =
+    aucDF(df, labelCol, scoreCol).head().getDouble(0)
+
+  /** A10 — RMSE. Single aggregate. */
+  def rmseDF(df: DataFrame, labelCol: String, predCol: String): DataFrame =
+    dropNanLabels(df, labelCol).agg(
+      sqrt(avg(pow(col(labelCol) - col(predCol), 2))).as("rmse"))
+
+  def rmse(df: DataFrame, labelCol: String, predCol: String): Double =
+    rmseDF(df, labelCol, predCol).head().getDouble(0)
+
+  /** A11 — R² = 1 − SS_res/SS_tot. Two-moment single pass:
+    * SS_tot = Σy² − (Σy)²/n, SS_res = Σ(y−ŷ)².
+    */
+  def r2DF(df: DataFrame, labelCol: String, predCol: String): DataFrame =
+    dropNanLabels(df, labelCol).agg(
+      sum(pow(col(labelCol) - col(predCol), 2)).as("ssres"),
+      sum(pow(col(labelCol), 2)).as("syy"),
+      sum(col(labelCol)).as("sy"),
+      count(lit(1)).cast("double").as("n"))
+      .select((lit(1.0) - col("ssres") /
+        (col("syy") - col("sy") * col("sy") / col("n"))).as("r2"))
+
+  def r2(df: DataFrame, labelCol: String, predCol: String): Double =
+    r2DF(df, labelCol, predCol).head().getDouble(0)
+
+  // ---------------------------------------------------------------- queries
+
+  /** Deterministic pseudo-prediction table from orders: y = parity of
+    * o_orderkey, score = fractional part of o_totalprice (~U(0,1),
+    * label-independent, so AUC ≈ 0.5 — the value itself is the oracle
+    * contract, not the discriminative power).
+    */
+  private def pseudoPreds(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      (col("o_orderkey") % 2).cast("double").as("y"),
+      (col("o_totalprice") - floor(col("o_totalprice"))).as("score"))
+
+  private val pseudoPredsSql =
+    "SELECT CAST(o_orderkey % 2 AS DOUBLE) AS y, o_totalprice - floor(o_totalprice) AS score FROM orders"
+
+  val a9 = QueryDef.sql(
+    "a9_auc_rank",
+    s"""WITH p AS ($pseudoPredsSql),
+      |g AS (SELECT score AS s, CAST(count(*) AS DOUBLE) c, CAST(sum(y) AS DOUBLE) pos
+      |      FROM p GROUP BY 1),
+      |o AS (SELECT s, c, pos,
+      |             coalesce(sum(c) OVER (ORDER BY s
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cumb
+      |      FROM g),
+      |t AS (SELECT sum(pos * (cumb + (c + 1) / 2.0)) sumr, sum(pos) np, sum(c) n FROM o)
+      |SELECT round((sumr - np * (np + 1) / 2.0) / (np * (n - np)), 6) AS auc
+      |FROM t""".stripMargin) {
+    (s, d) => aucDF(pseudoPreds(s, d), "y", "score")
+      .select(round(col("auc"), 6).as("auc"))
+  }
+
+  val a10 = QueryDef.sql(
+    "a10_rmse",
+    s"""WITH p AS ($pseudoPredsSql)
+      |SELECT round(sqrt(avg(pow(y - score, 2))), 6) AS rmse FROM p""".stripMargin) {
+    (s, d) => rmseDF(pseudoPreds(s, d), "y", "score")
+      .select(round(col("rmse"), 6).as("rmse"))
+  }
+
+  val a11 = QueryDef.sql(
+    "a11_r2",
+    s"""WITH p AS ($pseudoPredsSql)
+      |SELECT round(1.0 - sum(pow(y - score, 2)) /
+      |       (sum(pow(y, 2)) - sum(y) * sum(y) / count(*)), 6) AS r2
+      |FROM p""".stripMargin) {
+    (s, d) => r2DF(pseudoPreds(s, d), "y", "score")
+      .select(round(col("r2"), 6).as("r2"))
+  }
+
+  def all: Seq[QueryDef] = Seq(a9, a10, a11)
+}

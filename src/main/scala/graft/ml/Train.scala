@@ -1,0 +1,262 @@
+package graft.ml
+
+import graft.QueryDef
+import graft.ops.Splits
+import org.apache.spark.ml.classification.{GBTClassificationModel, GBTClassifier}
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hyperparameter set mirroring the reference search space
+  * (`daxos/crossvalidate.py:112-122`): eta ~ reciprocal(1e-4, 0.1),
+  * subsample/colsample ~ U(0.5, 1), max_depth ~ randint(2, 9).
+  */
+final case class HyperParams(
+    eta: Double,
+    subsample: Double,
+    colsampleBytree: Double,
+    maxDepth: Int,
+    nRounds: Int)
+
+/** Training layer — M1 (distributed GBT fit), M2 (distributed predict),
+  * M6 (fold-major CV driver), M7 (one-round CV for Platt), R6 (per-round
+  * read-subsample), R8 (random HP sampler). Reference:
+  * `daxos/crossvalidate.py:148-305`, entry `scripts/cv.py:90-135`.
+  *
+  * Scale design notes:
+  *   - fits/predicts are MLlib `GBTClassifier`/`GBTRegressor` — tree
+  *     aggregation is Spark's own distributed histogram path;
+  *   - fold-major loop caches each fold's train/test ONCE and iterates
+  *     params inside (the reference's "build each DaskDMatrix once"
+  *     trick, crossvalidate.py:248-262);
+  *   - CV result rows are folds×params-sized (≤ a few hundred) — a
+  *     legitimate driver-side collect;
+  *   - splits are chunk-aligned block_id predicates (zero shuffle).
+  */
+object Train {
+
+  /** R8 — seeded random search sampler. Log-uniform eta (the scipy
+    * `reciprocal` distribution IS log-uniform), uniform subsample and
+    * colsample, integer-uniform depth in [2, 8].
+    */
+  def sampleParams(nIter: Int, nRounds: Int, seed: Long): Seq[HyperParams] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nIter)(HyperParams(
+      eta = math.exp(math.log(1e-4) +
+        (math.log(0.1) - math.log(1e-4)) * rng.nextDouble()),
+      subsample = 0.5 + 0.5 * rng.nextDouble(),
+      colsampleBytree = 0.5 + 0.5 * rng.nextDouble(),
+      maxDepth = 2 + rng.nextInt(7),
+      nRounds = nRounds))
+  }
+
+  /** R6 — fresh per-round chunk subsample for incremental refit
+    * (crossvalidate.py:203-240): seeded by (seed, round) so every round
+    * draws a different but reproducible fraction.
+    */
+  def readSubsample(df: DataFrame, fraction: Double, seed: Long, round: Int): DataFrame =
+    df.sample(withReplacement = false, fraction, seed + round)
+
+  /** Adds the MLlib vector column expected by fit/predict. Kept explicit
+    * (not hidden inside fit) so callers can cache the converted frame.
+    */
+  def withVector(df: DataFrame, featuresCol: String = "features",
+      vecCol: String = "fv"): DataFrame =
+    df.withColumn(vecCol, array_to_vector(col(featuresCol)))
+
+  /** M1 — binary-classification GBT fit. eta→stepSize,
+    * subsample→subsamplingRate, colsample_bytree→featureSubsetStrategy,
+    * n_boost_round→maxIter (crossvalidate.py:148-175 param mapping).
+    */
+  def fitClassifier(train: DataFrame, hp: HyperParams, seed: Long,
+      labelCol: String = "label", vecCol: String = "fv"): GBTClassificationModel =
+    new GBTClassifier()
+      .setLabelCol(labelCol)
+      .setFeaturesCol(vecCol)
+      .setMaxIter(hp.nRounds)
+      .setMaxDepth(hp.maxDepth)
+      .setStepSize(hp.eta)
+      .setSubsamplingRate(hp.subsample)
+      .setFeatureSubsetStrategy(f"${hp.colsampleBytree}%.4f")
+      .setSeed(seed)
+      .fit(train)
+
+  /** M1 (regression regime, ykey == y_adjusted ⇒ reg:squarederror). */
+  def fitRegressor(train: DataFrame, hp: HyperParams, seed: Long,
+      labelCol: String = "label", vecCol: String = "fv"): GBTRegressionModel =
+    new GBTRegressor()
+      .setLabelCol(labelCol)
+      .setFeaturesCol(vecCol)
+      .setMaxIter(hp.nRounds)
+      .setMaxDepth(hp.maxDepth)
+      .setStepSize(hp.eta)
+      .setSubsamplingRate(hp.subsample)
+      .setFeatureSubsetStrategy(f"${hp.colsampleBytree}%.4f")
+      .setSeed(seed)
+      .fit(train)
+
+  /** M2 — distributed predict: appends `y_pred` = P(class 1). */
+  def predictClassifier(model: GBTClassificationModel, df: DataFrame): DataFrame =
+    model.transform(df)
+      .withColumn("y_pred", vector_to_array(col("probability")).getItem(1))
+      .drop("rawPrediction", "probability", "prediction")
+
+  def predictRegressor(model: GBTRegressionModel, df: DataFrame): DataFrame =
+    model.transform(df).withColumnRenamed("prediction", "y_pred")
+
+  /** CV result row schema — mirrors the reference CSV
+    * (crossvalidate.py:274-281). */
+  private val cvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("eta", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("subsample", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("colsample_bytree", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("max_depth", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("metric", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("train_score", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("fold", org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("n_boost_round", org.apache.spark.sql.types.IntegerType)))
+
+  /** M6 — fold-major CV: per fold cache train/test once, iterate params
+    * inside (crossvalidate.py:243-305). `metric` ∈ {"auc", "rmse"}
+    * (scripts/cv.py:90-99 regime switch). Returns the per-(param, fold)
+    * score table.
+    */
+  def crossValidate(bundle: DataFrame, k: Int, nBlocks: Long,
+      params: Seq[HyperParams], metric: String, seed: Long,
+      labelCol: String = "label"): DataFrame = {
+    val spark = bundle.sparkSession
+    val withFv = withVector(bundle)
+    val rows = scala.collection.mutable.ArrayBuffer[Row]()
+    Splits.chunkedKFold(withFv, k, nBlocks).zipWithIndex.foreach {
+      case ((train, test), fold) =>
+        val trainC = train.cache(); val testC = test.cache()
+        trainC.count(); testC.count() // materialization barrier before fit
+        try params.foreach { hp =>
+          val (testScore, trainScore) =
+            if (metric == "auc") {
+              val m = fitClassifier(trainC, hp, seed, labelCol)
+              (Scoring.auc(predictClassifier(m, testC), labelCol, "y_pred"),
+                Scoring.auc(predictClassifier(m, trainC), labelCol, "y_pred"))
+            } else {
+              val m = fitRegressor(trainC, hp, seed, labelCol)
+              (Scoring.rmse(predictRegressor(m, testC), labelCol, "y_pred"),
+                Scoring.rmse(predictRegressor(m, trainC), labelCol, "y_pred"))
+            }
+          rows += Row(hp.eta, hp.subsample, hp.colsampleBytree, hp.maxDepth,
+            metric, testScore, trainScore, fold, hp.nRounds)
+        } finally { trainC.unpersist(); testC.unpersist() }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), cvSchema)
+  }
+
+  /** A1/O1/O2 over CV results — grouped mean across folds, best combo
+    * first (ascending iff RMSE-like, descending for AUC,
+    * crossvalidate.py:288-292).
+    */
+  def summarizeCv(cvResults: DataFrame, metric: String): DataFrame = {
+    val grouped = cvResults
+      .groupBy("eta", "subsample", "colsample_bytree", "max_depth", "metric",
+        "n_boost_round")
+      .agg(avg("score").as("score"), avg("train_score").as("train_score"))
+    val ord = if (metric == "auc") col("score").desc else col("score").asc
+    grouped.orderBy(ord, col("eta").asc)
+  }
+
+  def bestParams(cvResults: DataFrame, metric: String): HyperParams = {
+    val r = summarizeCv(cvResults, metric).head()
+    HyperParams(r.getAs[Double]("eta"), r.getAs[Double]("subsample"),
+      r.getAs[Double]("colsample_bytree"), r.getAs[Int]("max_depth"),
+      r.getAs[Int]("n_boost_round"))
+  }
+
+  /** M7 — one-round CV: refit `hp` per fold, emit out-of-fold
+    * predictions (iid, y_true, y_pred, fold) — the Platt training table
+    * (crossvalidate.py:178-200).
+    */
+  def oneRoundCv(bundle: DataFrame, k: Int, nBlocks: Long, hp: HyperParams,
+      seed: Long, labelCol: String = "label"): DataFrame = {
+    val withFv = withVector(bundle)
+    Splits.chunkedKFold(withFv, k, nBlocks).zipWithIndex.map {
+      case ((train, test), fold) =>
+        val m = fitClassifier(train.cache(), hp, seed, labelCol)
+        train.unpersist()
+        predictClassifier(m, test)
+          .select(col("iid"), col(labelCol).as("y_true"), col("y_pred"),
+            lit(fold).as("fold"))
+    }.reduce(_ unionByName _)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** M1/M2/A9/M5-smoke as one rows-only entry: simulate the planted-OR
+    * fixture, chunk-split, fit, predict, score. The row is emitted ONLY
+    * when the reference's own golden checks hold (AUC ≫ 0.5 and both
+    * planted SNPs in the top-3 importances, setup_data.py:155-166) — a
+    * failing pipeline yields 0 rows and trips the driver's rows check.
+    */
+  val m1 = QueryDef.fixture("m1_gbt_fixture_auc") { (s, d) =>
+    val cfg = Sim.Config(n = 1600L, p = 16, seed = 123L, chunkRows = 100L)
+    val bundle = Sim.bundle(s, cfg).cache()
+    val nBlocks = (cfg.n + cfg.chunkRows - 1) / cfg.chunkRows
+    val (train, test) =
+      Splits.chunkedTrainTest(bundle, 0.75, seed = 7L, nBlocks = nBlocks)
+    val hp = HyperParams(eta = 0.1, subsample = 0.9, colsampleBytree = 0.9,
+      maxDepth = 3, nRounds = 12)
+    val model = fitClassifier(withVector(train), hp, seed = 11L)
+    val auc = Scoring.auc(predictClassifier(model, withVector(test)), "label", "y_pred")
+    // Association recovery (the reference's golden check is statistical
+    // recovery of the planted effects, setup_data.py:155-166): the two
+    // planted SNPs must be the top-2 by per-SNP two-sample z — computed
+    // distributed via posexplode + one grouped aggregate.
+    val z = bundle.select(col("label"), posexplode(col("features")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(
+        avg(when(col("label") === 1.0, col("x"))).as("m1"),
+        avg(when(col("label") === 0.0, col("x"))).as("m0"),
+        variance(when(col("label") === 1.0, col("x"))).as("v1"),
+        variance(when(col("label") === 0.0, col("x"))).as("v0"),
+        count(when(col("label") === 1.0, 1)).as("n1"),
+        count(when(col("label") === 0.0, 1)).as("n0"))
+      .select(col("pos"),
+        (abs(col("m1") - col("m0")) /
+          sqrt(col("v1") / col("n1") + col("v0") / col("n0"))).as("z"))
+      .orderBy(col("z").desc).limit(2)
+      .select(collect_list("pos")).head().getSeq[Int](0).toSet
+    val plantedTop2ByZ = Seq(cfg.p - 2, cfg.p - 1).count(z.contains)
+    // GBT must also surface the strong planted SNP in its own top-3 gains.
+    val imp = model.featureImportances.toArray.zipWithIndex
+      .sortBy(-_._1).take(3).map(_._2).toSet
+    val strongPlantedInTop3 = if (imp.contains(cfg.p - 2)) 1 else 0
+    bundle.unpersist()
+    val spark = s; import spark.implicits._
+    Seq((math.rint(auc * 1e6) / 1e6, plantedTop2ByZ, strongPlantedInTop3,
+      test.count()))
+      .toDF("auc", "planted_top2_by_z", "or3_in_gbt_top3", "n_test")
+      .filter(col("auc") > 0.65 && col("planted_top2_by_z") === 2 &&
+        col("or3_in_gbt_top3") === 1)
+  }
+
+  /** M6/R8 as one rows-only entry: 3-fold CV over 2 sampled param sets on
+    * a small fixture; emits the grouped summary (one row per param set)
+    * only if every AUC is in (0,1) and the fold count is right.
+    */
+  val m6 = QueryDef.fixture("m6_cv_driver") { (s, d) =>
+    val cfg = Sim.Config(n = 900L, p = 8, seed = 321L, chunkRows = 100L)
+    val bundle = Sim.bundle(s, cfg).cache()
+    val nBlocks = (cfg.n + cfg.chunkRows - 1) / cfg.chunkRows
+    val params = sampleParams(nIter = 2, nRounds = 5, seed = 99L)
+    val cv = crossValidate(bundle, k = 3, nBlocks = nBlocks, params = params,
+      metric = "auc", seed = 5L)
+    bundle.unpersist()
+    summarizeCv(cv, "auc")
+      .select(round(col("eta"), 6).as("eta"), col("max_depth"),
+        round(col("score"), 6).as("score"),
+        round(col("train_score"), 6).as("train_score"))
+      .filter(col("score") > 0 && col("score") < 1)
+  }
+
+  def all: Seq[QueryDef] = Seq(m1, m6)
+}

@@ -66,8 +66,12 @@ object RelationalQueries {
       |FROM lineitem GROUP BY 1""".stripMargin) {
     (s, d) =>
       val li = Tables.lineitem(s, d)
-      val mx = li.agg(max(col("l_linenumber"))).head().getInt(0)
-      val recoded = if (mx == 2) col("l_linenumber") - 1 else col("l_linenumber")
+      // Null-safe + width-agnostic: max over an empty table is NULL, and
+      // the column may be int32 or int64 depending on the writer.
+      val mx = Option(li.agg(max(col("l_linenumber"))).head().get(0))
+        .map(_.asInstanceOf[Number].longValue)
+      val recoded =
+        if (mx.contains(2L)) col("l_linenumber") - 1 else col("l_linenumber")
       li.select(recoded.cast("long").as("code"))
         .groupBy("code").agg(count(lit(1)).as("n"))
   }

@@ -45,6 +45,8 @@ object Splits {
     */
   def chunkedKFold(df: DataFrame, k: Int, nBlocks: Long): Seq[(DataFrame, DataFrame)] = {
     require(k >= 2, s"k must be >= 2, got $k")
+    require(nBlocks >= k,
+      s"need at least one block per fold: nBlocks=$nBlocks < k=$k")
     val perFold = math.max(1L, nBlocks / k)
     (0 until k).map { i =>
       val lo = i * perFold
@@ -55,15 +57,33 @@ object Splits {
   }
 
   /** R4 — chunk-aligned train/test split: a seeded choice of whole blocks
-    * at `trainFrac`. The chosen block set is computed driver-side from
-    * block COUNT only (small), then pushed as a predicate.
+    * at `trainFrac` (crossvalidate.py:350-361 `np.random.choice` of
+    * chunks). Two regimes:
+    *   - nBlocks small (≤ 2^20): exact driver-side sample of block ids,
+    *     pushed as an `isInCollection` predicate — exact-count reference
+    *     parity; the collection is at most ~8 MB of longs.
+    *   - nBlocks large (the 100 TB case, ~10^9 blocks): a seeded hash
+    *     predicate `pmod(hash(block_id, seed), K) < trainFrac·K` —
+    *     nothing materializes on the driver, the fraction is exact in
+    *     expectation and concentrates tightly at that count. Never
+    *     serialize 10^9 literals into a plan.
+    * Both are pure narrow block_id predicates: zero shuffle.
     */
   def chunkedTrainTest(df: DataFrame, trainFrac: Double, seed: Long, nBlocks: Long)
       : (DataFrame, DataFrame) = {
-    val rng = new scala.util.Random(seed)
-    val nTrain = math.round(nBlocks * trainFrac).toInt
-    val picked = rng.shuffle((0L until nBlocks).toVector).take(nTrain).toSet
-    val inTrain = col("block_id").isInCollection(picked)
+    require(trainFrac > 0.0 && trainFrac < 1.0, s"trainFrac in (0,1), got $trainFrac")
+    val inTrain =
+      if (nBlocks <= (1L << 20)) {
+        val rng = new scala.util.Random(seed)
+        val nTrain = math.max(1L, math.round(nBlocks * trainFrac))
+        val picked = rng.shuffle((0L until nBlocks).toVector)
+          .take(nTrain.toInt).toSet
+        col("block_id").isInCollection(picked)
+      } else {
+        val buckets = 1000000L
+        pmod(hash(col("block_id"), lit(seed)), lit(buckets)) <
+          lit(math.round(trainFrac * buckets))
+      }
     (df.filter(inTrain), df.filter(!inTrain))
   }
 
@@ -103,13 +123,16 @@ object Splits {
     """SELECT count(*) AS n_total, CAST(0 AS BIGINT) AS n_overlap
       |FROM customer""".stripMargin) {
     (s, d) =>
+      // Single job: tag both halves, count totals + both-sides keys in one
+      // aggregation (round 1 ran three actions, each recomputing the split).
       val c = Tables.customer(s, d)
       val Array(tr, te) = c.randomSplit(Array(0.7, 0.3), seed = 42L)
-      val overlap = tr.join(te, Seq("c_custkey"), "inner").count()
-      val total = tr.count() + te.count()
-      val spark = s
-      import spark.implicits._
-      Seq((total, overlap)).toDF("n_total", "n_overlap")
+      val tagged = tr.select(col("c_custkey"), lit("tr").as("side"))
+        .unionByName(te.select(col("c_custkey"), lit("te").as("side")))
+      tagged.groupBy("c_custkey")
+        .agg(count(lit(1)).as("k"), countDistinct(col("side")).as("s"))
+        .agg(sum(col("k")).cast("long").as("n_total"),
+          sum(when(col("s") === 2, 1L).otherwise(0L)).cast("long").as("n_overlap"))
   }
 
   /** R3 — chunk-aligned k-fold invariants: folds are disjoint and
@@ -122,21 +145,28 @@ object Splits {
       |       CAST(4 * count(*) AS BIGINT) AS train_rows_total
       |FROM lineitem""".stripMargin) {
     (s, d) =>
+      // Disjointness/exhaustiveness of the real chunkedKFold predicates,
+      // in ONE job: union all 5×(train,test) branches with labels and run a
+      // single aggregate (round 1 ran 11 serial count() jobs — 10× wasted
+      // scans). Chunk ALIGNMENT of the true materializedShuffle path is
+      // asserted in ShuffleSpec, not here (pmod blocks are residue classes).
       val chunkRows = 100L
       val li = Tables.lineitem(s, d)
       val n = li.count()
       val nBlocks = (n + chunkRows - 1) / chunkRows
-      // block_id from a deterministic existing order — for the oracle query
-      // we only need block-aligned ids, not the materialized shuffle.
       val withBlocks = li
         .withColumn("row_id", monotonically_increasing_id())
         .withColumn("block_id", pmod(col("row_id"), lit(nBlocks)))
       val folds = chunkedKFold(withBlocks, 5, nBlocks)
-      val testTotal = folds.map(_._2.count()).sum
-      val trainTotal = folds.map(_._1.count()).sum
-      val spark = s
-      import spark.implicits._
-      Seq((5L, testTotal, trainTotal)).toDF("n_folds", "n_rows", "train_rows_total")
+      val tagged = folds.zipWithIndex.map { case ((tr, te), i) =>
+        tr.select(lit(i.toLong).as("fold"), lit("train").as("side"))
+          .unionByName(te.select(lit(i.toLong).as("fold"), lit("test").as("side")))
+      }.reduce(_ unionByName _)
+      tagged.agg(
+        countDistinct(col("fold")).cast("long").as("n_folds"),
+        sum(when(col("side") === "test", 1L).otherwise(0L)).cast("long").as("n_rows"),
+        sum(when(col("side") === "train", 1L).otherwise(0L)).cast("long")
+          .as("train_rows_total"))
   }
 
   def all: Seq[QueryDef] = Seq(r1, r2, r3)

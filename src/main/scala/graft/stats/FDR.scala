@@ -50,8 +50,80 @@ object FDR {
       .drop("_rnk", "_ratio", "_cummin", "_max_rej")
   }
 
+  /** Scale-safe BH: identical semantics to [[bhAdjust]] with NO
+    * single-partition window. Plan:
+    *   1. range-partitioned global sort by (p, tiebreak) — parallel;
+    *   2. zipWithIndex → gap-free 1-based rank (one count job + map);
+    *   3. per-partition suffix-min of p·n/rank and max rejected rank,
+    *      collected (one tiny value per partition) and suffix-combined on
+    *      the driver — the cross-partition carry is a broadcast of
+    *      numPartitions doubles, never the data;
+    *   4. second per-partition pass applies the carry from later
+    *      partitions (buffers one partition in memory — bounded by
+    *      maxPartitionBytes, not dataset size).
+    * At 100 TB this is two scans + a global sort; the windowed variant
+    * would serialize everything through one task.
+    *
+    * Unrounded `p_adj` / `rejected` are appended; callers round in
+    * Catalyst so cross-engine rounding semantics stay in one place.
+    */
+  def bhAdjustScalable(df: DataFrame, pCol: String, tiebreak: Column,
+      alpha: Double = 0.05): DataFrame = {
+    val spark = df.sparkSession
+    val n = df.count()
+    val sorted = df.orderBy(col(pCol).asc, tiebreak.asc)
+    val schema = sorted.schema
+    val pIdx = schema.fieldIndex(pCol)
+    val indexed = sorted.rdd.zipWithIndex() // (row, 0-based global position)
+    indexed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one tiny record per partition: (min suffix ratio, max rejected rank)
+    val perPart = indexed.mapPartitionsWithIndex { (pid, it) =>
+      var minRatio = Double.PositiveInfinity
+      var maxRej = 0L
+      it.foreach { case (row, idx0) =>
+        val p = row.getDouble(pIdx); val rnk = idx0 + 1
+        val ratio = p * n / rnk
+        if (ratio < minRatio) minRatio = ratio
+        if (p * n <= rnk * alpha && rnk > maxRej) maxRej = rnk
+      }
+      Iterator((pid, minRatio, maxRej))
+    }.collect().sortBy(_._1)
+    val nParts = perPart.length
+    // carryMin(pid) = min ratio over all partitions AFTER pid
+    val carryMin = new Array[Double](nParts)
+    var acc = Double.PositiveInfinity
+    for (pid <- (nParts - 1) to 0 by -1) {
+      carryMin(pid) = acc
+      acc = math.min(acc, perPart(pid)._2)
+    }
+    val maxRej = if (perPart.isEmpty) 0L else perPart.map(_._3).max
+    val out = indexed.mapPartitionsWithIndex { (pid, it) =>
+      val buf = it.toArray // one partition resident; see scaladoc
+      val nLocal = buf.length
+      val adj = new Array[Double](nLocal)
+      var running = carryMin(pid)
+      for (i <- (nLocal - 1) to 0 by -1) {
+        val (row, idx0) = buf(i)
+        val ratio = row.getDouble(pIdx) * n / (idx0 + 1)
+        running = math.min(running, ratio)
+        adj(i) = running
+      }
+      buf.iterator.zipWithIndex.map { case ((row, idx0), i) =>
+        val rejected = if (maxRej > 0 && idx0 + 1 <= maxRej) 1L else 0L
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq :+ math.min(adj(i), 1.0) :+ rejected)
+      }
+    }
+    val outSchema = schema
+      .add("p_adj", org.apache.spark.sql.types.DoubleType, nullable = false)
+      .add("rejected", org.apache.spark.sql.types.LongType, nullable = false)
+    spark.createDataFrame(out, outSchema)
+  }
+
   /** O4 oracle query: BH over a deterministic pseudo-p-value column (the
-    * fractional part of o_totalprice, ~U(0,1)).
+    * fractional part of o_totalprice, ~U(0,1)). Runs the SCALABLE variant
+    * so the DuckDB hash-match proves the distributed two-pass kernel, not
+    * just the windowed one (which FDRSpec checks equals this one).
     */
   val o4 = QueryDef.sql(
     "o4_fdr_bh",
@@ -75,9 +147,9 @@ object FDR {
       val withP = Tables.orders(s, d)
         .select(col("o_orderkey"),
           (col("o_totalprice") - floor(col("o_totalprice"))).as("p"))
-      bhAdjust(withP, "p", col("o_orderkey"))
+      bhAdjustScalable(withP, "p", col("o_orderkey"))
         .select(col("o_orderkey"), round(col("p"), 6).as("p"),
-          col("p_adj"), col("rejected"))
+          round(least(col("p_adj"), lit(1.0)), 6).as("p_adj"), col("rejected"))
   }
 
   def all: Seq[QueryDef] = Seq(o4)

@@ -1,56 +1,81 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's DuckDB-oracle compare (dev tool only;
-the shipped engine is pure Scala/Spark). Usage:
-    python3 tools/check_oracle.py <sfDir> <verifyOutDir>
-Loads each <name>/ parquet produced by graft.Verify, runs the matching
-oracle_sql.json entry in DuckDB against the sf tables, sorts columns by
-name and rows by all columns, and diffs values."""
-import sys, os, json, glob
+"""Local pre-check mimicking the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
+
+For each <name>/ parquet dir in verify_out_dir and its SQL in
+oracle_sql.json: run the SQL in DuckDB over the sf_dir tables, sort
+columns by name, sort rows, compare row count / schema-ish / values.
+"""
+import json
+import os
+import sys
+
 import duckdb
 import pandas as pd
 
-sf_dir, out_dir = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders",
-          "lineitem","events","documents","embeddings"]:
-    p = f"{sf_dir}/{t}.parquet"
-    if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
 
-oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
 
-def canon(df):
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-fails = 0
-for name in sorted(oracles):
-    qdir = f"{out_dir}/{name}"
-    files = glob.glob(f"{qdir}/*.parquet")
-    if not files:
-        print(f"FAIL {name}: no spark output"); fails += 1; continue
-    try:
-        got = canon(pd.concat([pd.read_parquet(f) for f in files]))
-        want = canon(con.execute(oracles[name]).fetchdf())
-    except Exception as e:
-        print(f"FAIL {name}: {e}"); fails += 1; continue
-    if list(got.columns) != list(want.columns):
-        print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}")
-        fails += 1; continue
-    if got.dtypes.tolist() != want.dtypes.tolist():
-        print(f"WARN {name}: dtypes {got.dtypes.tolist()} vs {want.dtypes.tolist()}")
-    if len(got) != len(want):
-        print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); fails += 1; continue
-    eq = got.equals(want)
-    if not eq:
-        diff = (got != want) & ~(got.isna() & want.isna())
-        ndiff = int(diff.values.sum())
-        print(f"FAIL {name}: {ndiff} differing cells")
-        bad = diff.any(axis=1)
-        print(pd.concat([got[bad].head(3).add_suffix('_got'),
-                         want[bad].head(3).add_suffix('_want')], axis=1))
-        fails += 1; continue
-    print(f"PASS {name} ({len(got)} rows)")
-print(f"\n{'ALL PASS' if fails == 0 else str(fails) + ' FAILURES'}")
-sys.exit(1 if fails else 0)
+
+def main(outdir, sfdir):
+    with open(os.path.join(outdir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(outdir)):
+        d = os.path.join(outdir, name)
+        if not os.path.isdir(d):
+            continue
+        spark_df = pd.read_parquet(d)
+        if name not in oracle:
+            print(f"  [rows-only] {name}: rows={len(spark_df)} "
+                  f"{'OK' if len(spark_df) > 0 else 'EMPTY!!'}")
+            if len(spark_df) == 0:
+                n_fail += 1
+            else:
+                n_pass += 1
+            continue
+        try:
+            ora_df = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"  FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        s, o = norm(spark_df), norm(ora_df)
+        ok_rows = len(s) == len(o)
+        ok_cols = list(s.columns) == list(o.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            try:
+                pd.testing.assert_frame_equal(
+                    s, o, check_dtype=False, check_exact=True)
+                ok_vals = True
+            except AssertionError as e:
+                ok_vals = False
+                err = str(e).splitlines()[:6]
+        if ok_rows and ok_cols and ok_vals:
+            print(f"  pass {name} ({len(s)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"  FAIL {name}: rows {len(s)} vs {len(o)}, "
+                  f"cols {list(s.columns)} vs {list(o.columns)}")
+            if ok_rows and ok_cols:
+                print("    " + "\n    ".join(err))
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
