@@ -20,6 +20,8 @@ object SparkEntry {
       graft.ml.Train.all ++
       graft.ml.Deconfound.all ++
       graft.ml.Explain.all ++
+      graft.ml.Pipeline.all ++
+      graft.ml.Boruta.all ++
       graft.io.IoQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,284 @@
+package graft.ml
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline layer — M8 (incremental refit), M9 (two-stage "shap refit" +
+  * used-column pruning), M10 (Platt scaling), M11 (covariate-adjusted
+  * scoring). Reference `scripts/refit.py:32-109`, `daxos/scale.py:8-30`,
+  * `daxos/scoring.py:15-135`, `daxos/crossvalidate.py:203-240`.
+  */
+object Pipeline {
+
+  // -------------------------------------------------------------- M10 Platt
+
+  /** M10 — Platt scaling: unregularized logistic fit of the binary label
+    * on the single out-of-fold prediction column (scale.py:8-30,
+    * sklearn `LogisticRegression(penalty=None)` ⇒ regParam = 0).
+    * Returns (A, B) of sigmoid(A·x + B).
+    */
+  def fitPlatt(oof: DataFrame, labelCol: String = "y_true",
+      predCol: String = "y_pred"): (Double, Double) = {
+    val data = oof.select(col(labelCol).cast("double").as("label"),
+      array_to_vector(array(col(predCol).cast("double"))).as("pfv"))
+    val m = new LogisticRegression()
+      .setLabelCol("label").setFeaturesCol("pfv")
+      .setRegParam(0.0).setStandardization(false)
+      .fit(data)
+    (m.coefficients(0), m.intercept)
+  }
+
+  /** Apply at predict time (predict.py:153-159): adds
+    * `y_pred_platt_scaled` = sigmoid(A·y_pred + B) — a codegen'd column
+    * expression, no model object shipped.
+    */
+  def applyPlatt(preds: DataFrame, ab: (Double, Double),
+      predCol: String = "y_pred"): DataFrame =
+    preds.withColumn("y_pred_platt_scaled",
+      lit(1.0) / (lit(1.0) + exp(-(lit(ab._1) * col(predCol) + lit(ab._2)))))
+
+  // ---------------------------------------------------- M11 adjusted scoring
+
+  /** M11 — covariate-adjusted AUC (scoring.py:15-135, OLS regime): fit
+    * y_pred ~ covars by OLS on the joined table (J2), score
+    * AUC(y_true, y_pred − fitted) and R²(fitted). The RF regime of the
+    * reference is the same shape with `RandomForestRegressor`; OLS is
+    * the default and the paper's headline metric.
+    *
+    * Returns a 1-row DataFrame (auc_adj, r2_fit). `roundResid` rounds
+    * residuals before ranking so the AUC grouping is stable across
+    * engines (oracle parity) — semantically a no-op at 1e-6.
+    */
+  def adjustedScore(preds: DataFrame, covCols: Seq[String],
+      labelCol: String = "y_true", predCol: String = "y_pred",
+      roundResid: Int = 6): DataFrame = {
+    val beta = Deconfound.labelBetas(preds, covCols, predCol)
+    val fit = covCols.zipWithIndex.foldLeft(lit(beta(0))) { case (acc, (c, i)) =>
+      acc + col(c) * beta(i + 1)
+    }
+    val withResid = preds
+      .withColumn("_fitted", fit)
+      .withColumn("_resid", round(col(predCol) - col("_fitted"), roundResid))
+    val auc = Scoring.aucDF(withResid, labelCol, "_resid")
+    val r2 = Scoring.r2DF(withResid, predCol, "_fitted")
+    auc.crossJoin(r2)
+  }
+
+  // ------------------------------------------------------ M8 incremental fit
+
+  /** M8 — incremental (out-of-core style) boosting: continue from an
+    * existing tree list, `treesPerRound` new trees per round, each round
+    * on a FRESH chunk-subsample (R6), with the accumulated ensemble's
+    * margin recomputed distributed per round
+    * (crossvalidate.py:203-240). MLlib's GBT cannot warm-start, so the
+    * boosting loop is explicit: per round, fit a regression tree to the
+    * logistic pseudo-residuals (y − σ(margin)) and append it with
+    * weight `eta`. Checkpointing = the growing FlatTree list, which is
+    * exactly what [[Explain]] consumes.
+    */
+  final case class IncrementalModel(
+      baseMargin: Double,
+      trees: Vector[Explain.FlatTree],
+      weights: Vector[Double]) {
+    def predictCol(df: DataFrame, featuresCol: String = "features"): DataFrame = {
+      val spark = df.sparkSession
+      val bcT = spark.sparkContext.broadcast(trees.toArray)
+      val bcW = spark.sparkContext.broadcast(weights.toArray)
+      val bm = baseMargin
+      val marginUdf = udf { (feats: Seq[Float]) =>
+        val x = new Array[Double](feats.length)
+        var i = 0
+        while (i < x.length) { x(i) = feats(i).toDouble; i += 1 }
+        bm + Explain.margin(bcT.value, bcW.value, x)
+      }
+      df.withColumn("margin", marginUdf(col(featuresCol)))
+        .withColumn("y_pred", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
+    }
+  }
+
+  def fitIncremental(bundle: DataFrame, rounds: Int, treesPerRound: Int,
+      subsampleFrac: Double, eta: Double, maxDepth: Int, seed: Long,
+      start: Option[IncrementalModel] = None,
+      labelCol: String = "label"): IncrementalModel = {
+    val pBar = bundle.agg(avg(col(labelCol))).head().getDouble(0)
+    val base = math.log(pBar / (1.0 - pBar))
+    var model = start.getOrElse(IncrementalModel(base, Vector.empty, Vector.empty))
+    for (r <- 0 until rounds) {
+      // R6: fresh seeded subsample per round
+      val sample = Train.readSubsample(bundle, subsampleFrac, seed, r)
+      val withResid = model.predictCol(sample, "features")
+        .withColumn("_resid", col(labelCol) - col("y_pred"))
+        .withColumn("fv", array_to_vector(col("features")))
+        .cache()
+      withResid.count()
+      var stage = 0
+      var m = model
+      while (stage < treesPerRound) {
+        val tree = new org.apache.spark.ml.regression.DecisionTreeRegressor()
+          .setLabelCol("_resid").setFeaturesCol("fv")
+          .setMaxDepth(maxDepth).setSeed(seed + r * 131 + stage)
+          .fit(withResid)
+        m = IncrementalModel(m.baseMargin,
+          m.trees :+ Explain.flatten(tree.rootNode), m.weights :+ eta)
+        stage += 1
+      }
+      withResid.unpersist()
+      model = m
+    }
+    model
+  }
+
+  // --------------------------------------------------------- M9 shap refit
+
+  /** M9 — two-stage refit (refit.py:62-90): fit on all p, keep only
+    * predictors the trees actually split on, refit on the reduced
+    * feature space. Returns (usedPositions, prunedModel, prunedBundle).
+    * The array slice runs as one codegen'd projection; the parquet scan
+    * of the second fit reads the same rows (column pruning happens at
+    * the array level since features are one physical column).
+    */
+  def usedFeatures(model: org.apache.spark.ml.classification.GBTClassificationModel): Seq[Int] = {
+    val flat = Explain.flattenModel(model.trees)
+    flat.flatMap(_.feature.filter(_ >= 0)).distinct.sorted
+  }
+
+  def sliceFeatures(df: DataFrame, keep: Seq[Int],
+      featuresCol: String = "features"): DataFrame = {
+    val arr = array(keep.map(i => col(featuresCol).getItem(i)): _*)
+    df.withColumn(featuresCol, arr)
+  }
+
+  def shapRefit(bundle: DataFrame, hp: HyperParams, seed: Long)
+      : (Seq[Int], org.apache.spark.ml.classification.GBTClassificationModel) = {
+    val m1 = Train.fitClassifier(Train.withVector(bundle), hp, seed)
+    val used = usedFeatures(m1)
+    val pruned = sliceFeatures(bundle, used)
+    val m2 = Train.fitClassifier(Train.withVector(pruned), hp, seed + 1)
+    (used, m2)
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** M7+M10 rows-only entry: out-of-fold CV predictions → Platt fit →
+    * apply. Platt is strictly monotone (A > 0 for any positively
+    * associated predictor), so scaled AUC must equal raw AUC exactly —
+    * a sharp invariant; also checks calibration moved the mean toward
+    * the base rate.
+    */
+  val m10 = QueryDef.fixture("m10_platt_scaling") { (s, d) =>
+    val cfg = Sim.Config(n = 900L, p = 8, seed = 55L, chunkRows = 100L)
+    val bundle = Sim.bundle(s, cfg).cache()
+    val nBlocks = (cfg.n + cfg.chunkRows - 1) / cfg.chunkRows
+    val hp = HyperParams(0.1, 0.9, 1.0, 3, 8)
+    val oof = Train.oneRoundCv(bundle, k = 3, nBlocks = nBlocks, hp = hp, seed = 9L)
+      .cache()
+    val ab = fitPlatt(oof)
+    val scaled = applyPlatt(oof, ab).cache()
+    val aucRaw = Scoring.auc(scaled, "y_true", "y_pred")
+    val aucPlatt = Scoring.auc(scaled, "y_true", "y_pred_platt_scaled")
+    val inRange = scaled.agg(
+      min(col("y_pred_platt_scaled")).as("mn"),
+      max(col("y_pred_platt_scaled")).as("mx")).head()
+    scaled.unpersist(); oof.unpersist(); bundle.unpersist()
+    val spark = s; import spark.implicits._
+    Seq((math.rint(aucRaw * 1e9) / 1e9, math.rint(aucPlatt * 1e9) / 1e9,
+      ab._1, inRange.getDouble(0), inRange.getDouble(1)))
+      .toDF("auc_raw", "auc_platt", "platt_a", "p_min", "p_max")
+      .filter(col("auc_raw") === col("auc_platt") && col("platt_a") > 0 &&
+        col("p_min") >= 0 && col("p_max") <= 1)
+  }
+
+  /** M11 oracle — covariate-adjusted AUC on a deterministic
+    * pseudo-prediction table: both engines fit their own k=1 OLS of
+    * score ~ covar, rank the rounded residuals, and must agree on the
+    * adjusted AUC and the fit R² to 6 decimals.
+    */
+  val m11 = QueryDef.sql(
+    "m11_adjusted_auc",
+    """WITH p AS (SELECT CAST(o_orderkey % 2 AS DOUBLE) AS y,
+      |                  o_totalprice - floor(o_totalprice) AS sc,
+      |                  CAST(o_orderkey % 97 AS DOUBLE) AS c1
+      |           FROM orders),
+      |b AS (SELECT regr_intercept(sc, c1) b0, regr_slope(sc, c1) b1 FROM p),
+      |r AS (SELECT y, sc, (b.b0 + b.b1 * c1) AS fitted,
+      |             round(sc - (b.b0 + b.b1 * c1), 6) AS resid
+      |      FROM p, b),
+      |g AS (SELECT resid AS s, CAST(count(*) AS DOUBLE) c, CAST(sum(y) AS DOUBLE) pos
+      |      FROM r GROUP BY 1),
+      |o AS (SELECT s, c, pos,
+      |             coalesce(sum(c) OVER (ORDER BY s
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cumb
+      |      FROM g),
+      |t AS (SELECT sum(pos * (cumb + (c + 1) / 2.0)) sumr, sum(pos) np, sum(c) n FROM o),
+      |q AS (SELECT 1.0 - sum(pow(sc - fitted, 2)) /
+      |             (sum(pow(sc, 2)) - sum(sc) * sum(sc) / count(*)) AS r2 FROM r)
+      |SELECT round((sumr - np * (np + 1) / 2.0) / (np * (n - np)), 6) AS auc,
+      |       round(q.r2, 6) AS r2
+      |FROM t, q""".stripMargin) {
+    (s, d) =>
+      val preds = Tables.orders(s, d).select(
+        (col("o_orderkey") % 2).cast("double").as("y_true"),
+        (col("o_totalprice") - floor(col("o_totalprice"))).as("y_pred"),
+        (col("o_orderkey") % 97).cast("double").as("c1"))
+      adjustedScore(preds, Seq("c1"))
+        .select(round(col("auc"), 6).as("auc"), round(col("r2"), 6).as("r2"))
+  }
+
+  /** M8 rows-only entry: 3 incremental rounds × 2 trees on fresh
+    * subsamples must discriminate (AUC > 0.6) and strictly improve on
+    * the base-rate predictor; a fourth warm-start round from the saved
+    * state must not degrade AUC by more than noise.
+    */
+  val m8 = QueryDef.fixture("m8_incremental_refit") { (s, d) =>
+    val cfg = Sim.Config(n = 1000L, p = 10, seed = 31L, chunkRows = 100L)
+    val bundle = Sim.bundle(s, cfg).cache()
+    val m3rounds = fitIncremental(bundle, rounds = 3, treesPerRound = 2,
+      subsampleFrac = 0.7, eta = 0.3, maxDepth = 3, seed = 13L)
+    val auc3 = Scoring.auc(m3rounds.predictCol(bundle), "label", "y_pred")
+    // warm start: one more round continuing from the checkpointed state
+    val m4rounds = fitIncremental(bundle, rounds = 1, treesPerRound = 2,
+      subsampleFrac = 0.7, eta = 0.3, maxDepth = 3, seed = 41L,
+      start = Some(m3rounds))
+    val auc4 = Scoring.auc(m4rounds.predictCol(bundle), "label", "y_pred")
+    bundle.unpersist()
+    val spark = s; import spark.implicits._
+    Seq((math.rint(auc3 * 1e6) / 1e6, math.rint(auc4 * 1e6) / 1e6,
+      m4rounds.trees.length))
+      .toDF("auc_3_rounds", "auc_4_rounds", "n_trees")
+      .filter(col("auc_3_rounds") > 0.6 && col("auc_4_rounds") > col("auc_3_rounds") - 0.05 &&
+        col("n_trees") === 8)
+  }
+
+  /** M9+S11 rows-only entry: two-stage refit prunes to the used feature
+    * set; the pruned model round-trips through save/load with identical
+    * predictions.
+    */
+  val m9 = QueryDef.fixture("m9_shap_refit_model_io") { (s, d) =>
+    val cfg = Sim.Config(n = 800L, p = 14, seed = 19L, chunkRows = 100L)
+    val bundle = Sim.bundle(s, cfg).cache()
+    val hp = HyperParams(0.15, 0.9, 0.7, 3, 8)
+    val (used, m2) = shapRefit(bundle, hp, seed = 23L)
+    val pruned = Train.withVector(sliceFeatures(bundle, used)).cache()
+    val aucPruned = Scoring.auc(Train.predictClassifier(m2, pruned), "label", "y_pred")
+    // S11 round-trip
+    val path = "/root/repo/target/fixtures/gbt_model"
+    graft.io.Sinks.saveModel(m2, path)
+    val loaded = graft.io.Sinks.loadModel(s, path)
+    val predA = Train.predictClassifier(m2, pruned)
+      .agg(sum(col("y_pred"))).head().getDouble(0)
+    val predB = Train.predictClassifier(loaded, pruned)
+      .agg(sum(col("y_pred"))).head().getDouble(0)
+    pruned.unpersist(); bundle.unpersist()
+    val spark = s; import spark.implicits._
+    Seq((used.length, cfg.p, math.rint(aucPruned * 1e6) / 1e6,
+      loaded.trees.length, predA == predB))
+      .toDF("n_used", "p", "auc_pruned", "n_trees", "io_exact")
+      .filter(col("n_used") <= col("p") && col("n_used") > 0 &&
+        col("auc_pruned") > 0.6 && col("io_exact"))
+  }
+
+  def all: Seq[QueryDef] = Seq(m10, m11, m8, m9)
+}
