@@ -22,7 +22,11 @@ object SparkEntry {
       graft.ml.Explain.all ++
       graft.ml.Pipeline.all ++
       graft.ml.Boruta.all ++
-      graft.io.IoQueries.all
+      graft.io.IoQueries.all ++
+      graft.llm.TextAnalysis.all ++
+      graft.llm.Dedup.all ++
+      graft.llm.Similarity.all ++
+      graft.llm.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped grouped aggregate (SURVEY.md A1).

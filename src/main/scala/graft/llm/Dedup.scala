@@ -1,0 +1,209 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`: exact (content-hash
+  * groupBy), MinHash+LSH banded near-dup (shingle → signature → band →
+  * bucket join → exact-Jaccard verify), SimHash, and n-gram Jaccard
+  * verification.
+  *
+  * Scale design — the non-negotiables at 100 TB:
+  *   - NEVER all-pairs: candidates come only from LSH band-bucket
+  *     equality joins (a shuffle on band hash, linear in data + bucket
+  *     collisions), then the exact-Jaccard verify runs on candidates
+  *     only.
+  *   - signatures/shingles are per-row array expressions (codegen, no
+  *     UDF, no shuffle until the band explode).
+  *   - exact dedup is one hash aggregate on md5(text) — the canonical
+  *     map-side-combinable groupBy.
+  */
+object Dedup {
+
+  /** Distinct token-3-gram shingles per document (as strings for exact
+    * verification, hashed on demand for signatures). */
+  def shingles(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    when(size(toks) < 3, array(textCol)).otherwise(
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3))))))
+  }
+
+  /** MinHash signature: nHashes independent min-hashes, h_i(s) =
+    * xxhash64(shingle, i). One array expression, no shuffle. */
+  def minhashSignature(shinglesCol: Column, nHashes: Int): Column =
+    transform(sequence(lit(0), lit(nHashes - 1)),
+      i => aggregate(shinglesCol, lit(Long.MaxValue),
+        (acc, sh) => least(acc, xxhash64(sh, i))))
+
+  /** LSH candidate pairs: band the signature (bands × rowsPerBand =
+    * nHashes), hash each band, self-join on (band index, band hash).
+    * Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    */
+  def lshCandidates(docs: DataFrame, idCol: String, nHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = nHashes / bands
+    val banded = docs.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
+          .as(Seq("band", "band_hash")))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs on the true shingle
+    * sets (the n-gram-Jaccard operator; also the LSH verify stage). */
+  def verifyJaccard(candidates: DataFrame, docsWithShingles: DataFrame,
+      idCol: String): DataFrame = {
+    val sh = docsWithShingles.select(col(idCol), col("sh"))
+    candidates
+      .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("n_inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: pairs with exact Jaccard ≥
+    * `threshold`. With 32 hashes / 16 bands, a true pair at j = 0.9 is
+    * missed with probability (1 − 0.81)^16 ≈ 3e-12 — recall is
+    * effectively exact, which the oracle's brute-force SQL verifies.
+    */
+  def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, nHashes: Int = 32, bands: Int = 16): DataFrame = {
+    val withSh = docs
+      .select(col(idCol), shingles(col(textCol)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), nHashes))
+      .cache()
+    val cands = lshCandidates(withSh, idCol, nHashes, bands)
+    verifyJaccard(cands, withSh, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash: 48-bit signature from md5-derived token hashes — each bit
+    * is the sign of the Σ(±1) vote over tokens. Near-dup iff hamming
+    * distance small. Pure expressions; bucketable by signature prefix
+    * for the scale path. 48 bits (12 md5 hex chars) keeps every hash
+    * inside double's 2^53 exact-integer range so the per-bit extraction
+    * `floor(h / 2^b) & 1` is exact in codegen arithmetic (the Scala
+    * `shiftleft`/`shiftright` helpers only take literal bit counts, not
+    * a lambda-bound column).
+    */
+  val simhashBits = 48
+
+  def simhash(textCol: Column): Column = {
+    val toks = split(lower(textCol), " ")
+    val tokHash = (t: Column) => conv(substring(md5(t), 1, 12), 16, 10).cast("long")
+    val hashes = transform(toks, tokHash)
+    val bitOf = (h: Column, b: Column) =>
+      (h / pow(lit(2.0), b)).cast("long").bitwiseAND(1)
+    aggregate(
+      sequence(lit(0), lit(simhashBits - 1)),
+      lit(0L),
+      (acc, b) => acc + when(
+        aggregate(hashes, lit(0L),
+          (s, h) => s + when(bitOf(h, b) === 1, 1L).otherwise(-1L)) > 0,
+        pow(lit(2.0), b).cast("long")).otherwise(0L))
+  }
+
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---------------------------------------------------------------- queries
+
+  /** Exact dedup oracle — union the corpus with a re-keyed copy of
+    * itself (deterministic planted duplicates), group by content hash,
+    * report duplicate groups. One hash aggregate; at 100 TB this is the
+    * standard map-side-combine dedup scan.
+    */
+  val exact = QueryDef.sql(
+    "d1_exact_dedup",
+    """WITH u AS (SELECT doc_id, text FROM documents
+      |           UNION ALL
+      |           SELECT doc_id + 1000000, text FROM documents),
+      |g AS (SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keeper
+      |      FROM u GROUP BY 1)
+      |SELECT count(*) AS n_groups,
+      |       CAST(sum(n) AS BIGINT) AS n_docs,
+      |       CAST(sum(n - 1) AS BIGINT) AS n_removable,
+      |       CAST(sum(keeper) AS BIGINT) AS keeper_checksum
+      |FROM g WHERE n > 1""".stripMargin) {
+    (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val u = docs.unionByName(
+        docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      u.groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .filter(col("n") > 1)
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n")).cast("long").as("n_docs"),
+          sum(col("n") - 1).cast("long").as("n_removable"),
+          sum(col("keeper")).cast("long").as("keeper_checksum"))
+  }
+
+  /** MinHash-LSH near-dup oracle — the DuckDB side brute-forces exact
+    * Jaccard over ALL pairs (fine at oracle scale); the Spark side goes
+    * through LSH banding + verify. A hash match proves the LSH path
+    * loses no pair at j ≥ 0.9.
+    */
+  val minhash = QueryDef.sql(
+    "d2_minhash_lsh",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tri AS (SELECT doc_id,
+      |               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |                    ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |               END AS sh
+      |        FROM toks),
+      |shd AS (SELECT doc_id, unnest(sh) AS s FROM tri),
+      |cnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ix
+      |          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       round(ix * 1.0 / (ca.c + cb.c - ix), 6) AS jaccard
+      |FROM inter
+      |JOIN cnt ca ON doc_a = ca.doc_id
+      |JOIN cnt cb ON doc_b = cb.doc_id
+      |WHERE ix * 1.0 / (ca.c + cb.c - ix) >= 0.9""".stripMargin) {
+    (s, d) =>
+      minhashDedup(Tables.documents(s, d), "doc_id", "text", threshold = 0.9)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash rows-only entry: exact duplicates (re-keyed copy) must have
+    * hamming distance 0, and the corpus's high-Jaccard near-dup pairs
+    * must sit within a small hamming radius while random pairs average
+    * ~30 bits.
+    */
+  val simhashQ = QueryDef.fixture("d3_simhash") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), simhash(col("text")).as("sh64"))
+      .cache()
+    // exact-dup construction: identical text ⇒ identical simhash
+    val selfPairs = docs.select(col("doc_id"), col("sh64").as("a"))
+      .join(docs.select(col("doc_id"), col("sh64").as("b")), "doc_id")
+      .agg(max(hammingDist(col("a"), col("b"))).as("max_self_dist")).head()
+    // near-dups found by minhash: simhash should agree they're close
+    val near = minhashDedup(Tables.documents(s, d), "doc_id", "text", 0.9)
+    val nearDist = near
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh64").as("a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh64").as("b")), "doc_b")
+      .agg(max(hammingDist(col("a"), col("b"))).as("max_near"),
+        count(lit(1)).as("n_near")).head()
+    docs.unpersist()
+    val spark = s; import spark.implicits._
+    Seq((selfPairs.getInt(0), nearDist.getInt(0), nearDist.getLong(1)))
+      .toDF("max_self_dist", "max_near_dist", "n_near_pairs")
+      .filter(col("max_self_dist") === 0 && col("max_near_dist") <= 16 &&
+        col("n_near_pairs") > 0)
+  }
+
+  def all: Seq[QueryDef] = Seq(exact, minhash, simhashQ)
+}

@@ -1,0 +1,164 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table: language-ID (stopword-hit heuristic), quality
+  * scoring (length/punct/stopword ratios), token counting (whitespace +
+  * regex word tokens), and document fingerprinting (min-hash-1 over
+  * token 3-gram shingles).
+  *
+  * All four are pure column expressions — whole-stage codegen, no
+  * shuffle, no UDFs — so at 100 TB they run at parquet-scan speed and
+  * the only cost is the scan itself. Every operator has a DuckDB oracle
+  * computing the SAME deterministic definition, so the hash match
+  * proves computation parity (the synthetic corpus's `lang` labels are
+  * unrelated to its text, so linguistic accuracy is not testable here).
+  */
+object TextAnalysis {
+
+  /** Stopword sets for the hit-count heuristic (tiny on purpose: the
+    * operator contract is the scoring pipeline, not lexicon size). */
+  val stops: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  def tokensCol(text: Column): Column = split(lower(text), " ")
+
+  private def hitCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Language-ID: argmax of stopword hits with deterministic tiebreak
+    * en > es > de > und(etermined). */
+  def langIdCols(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    df.withColumn("en_hits", hitCount(toks, stops("en")))
+      .withColumn("es_hits", hitCount(toks, stops("es")))
+      .withColumn("de_hits", hitCount(toks, stops("de")))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+          col("en_hits") > 0, "en")
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") > 0, "es")
+          .when(col("de_hits") > 0, "de")
+          .otherwise("und"))
+  }
+
+  /** Quality metrics + a fixed-weight score in [0,1]-ish range:
+    * length, token stats, punctuation / alpha / stopword ratios. */
+  def qualityCols(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokensCol(t)
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_word_tokens", regexp_count(lower(t), lit("[a-z]+")).cast("long"))
+      .withColumn("avg_token_len",
+        (length(t) - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio",
+        length(regexp_replace(t, "[^.!?,;:]", "")).cast("double") / length(t))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(lower(t), "[^a-z]", "")).cast("double") / length(t))
+      .withColumn("stop_ratio",
+        hitCount(toks, stops("en")).cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        least(lit(1.0),
+          col("alpha_ratio") * 0.5 + col("stop_ratio") * 2.0 +
+            when(col("n_tokens") >= 20 && col("n_tokens") <= 1000, 0.3)
+              .otherwise(0.0)))
+  }
+
+  /** Fingerprint: lexicographic min of md5 over token 3-gram shingles —
+    * a 1-permutation MinHash usable as a cheap near-dup prefilter key.
+    * Falls back to md5(text) for <3-token documents.
+    */
+  def fingerprintCol(textCol: Column): Column = {
+    val toks = split(textCol, " ")
+    when(size(toks) < 3, md5(textCol)).otherwise(
+      array_min(transform(sequence(lit(1), size(toks) - 2),
+        i => md5(concat_ws(" ", slice(toks, i, lit(3)))))))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  val langId = QueryDef.sql(
+    "t1_lang_id",
+    """WITH t AS (SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+      |h AS (SELECT lang,
+      |        len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS en_hits,
+      |        len(list_filter(toks, x -> x IN ('el','la','de','y','que'))) AS es_hits,
+      |        len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS de_hits
+      |      FROM t),
+      |p AS (SELECT lang,
+      |        CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+      |             WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+      |             WHEN de_hits > 0 THEN 'de'
+      |             ELSE 'und' END AS lang_pred
+      |      FROM h)
+      |SELECT lang_pred, count(*) AS n,
+      |       CAST(sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_label_match
+      |FROM p GROUP BY 1""".stripMargin) {
+    (s, d) =>
+      langIdCols(Tables.documents(s, d))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L))
+            .cast("long").as("n_label_match"))
+  }
+
+  val quality = QueryDef.sql(
+    "t2_quality_score",
+    """WITH q AS (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |         len(string_split(lower(text), ' ')) AS n_tokens,
+      |         len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word_tokens,
+      |         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / length(text) AS punct_ratio,
+      |         length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
+      |         len(list_filter(string_split(lower(text), ' '),
+      |             x -> x IN ('the','a','of','and','to'))) * 1.0
+      |           / len(string_split(lower(text), ' ')) AS stop_ratio
+      |  FROM documents)
+      |SELECT count(*) AS n,
+      |       CAST(sum(n_tokens) AS BIGINT) AS tok_sum,
+      |       CAST(sum(n_word_tokens) AS BIGINT) AS word_tok_sum,
+      |       round(avg(punct_ratio), 6) AS avg_punct,
+      |       round(avg(alpha_ratio), 6) AS avg_alpha,
+      |       round(avg(least(1.0, alpha_ratio * 0.5 + stop_ratio * 2.0 +
+      |             CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.3 ELSE 0 END)), 6)
+      |         AS avg_quality
+      |FROM q""".stripMargin) {
+    (s, d) =>
+      qualityCols(Tables.documents(s, d))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_tokens")).cast("long").as("tok_sum"),
+          sum(col("n_word_tokens")).cast("long").as("word_tok_sum"),
+          round(avg(col("punct_ratio")), 6).as("avg_punct"),
+          round(avg(col("alpha_ratio")), 6).as("avg_alpha"),
+          round(avg(col("quality_score")), 6).as("avg_quality"))
+  }
+
+  val fingerprint = QueryDef.sql(
+    "t3_fingerprint",
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) < 3 THEN md5(text)
+      |         ELSE list_min(list_transform(
+      |                range(1, len(string_split(text, ' ')) - 1),
+      |                i -> md5(string_split(text, ' ')[i] || ' ' ||
+      |                         string_split(text, ' ')[i+1] || ' ' ||
+      |                         string_split(text, ' ')[i+2])))
+      |    END AS fp
+      |  FROM documents)
+      |SELECT count(DISTINCT fp) AS n_distinct_fp, count(*) AS n,
+      |       min(fp) AS min_fp, max(fp) AS max_fp
+      |FROM f""".stripMargin) {
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(fingerprintCol(col("text")).as("fp"))
+        .agg(countDistinct(col("fp")).as("n_distinct_fp"),
+          count(lit(1)).as("n"),
+          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+  }
+
+  def all: Seq[QueryDef] = Seq(langId, quality, fingerprint)
+}
