@@ -1,0 +1,84 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+
+  test("shingles: 3-gram sets, short-text fallback") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "x y")).toDF("id", "text")
+    val got = df.select(col("id"), Dedup.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got(1L) == Set("a b c", "b c d"))
+    assert(got(2L) == Set("x y"))
+  }
+
+  test("minhash: identical texts collide on full signature; near-dups mostly") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again"),
+      (3L, "completely different words entirely here nothing shared at all ok"))
+      .toDF("id", "text")
+    val sig = df.select(col("id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text")), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("minhashDedup finds planted exact duplicates, skips unrelated") {
+    import spark.implicits._
+    val docs = (1 to 40).map { i =>
+      (i.toLong, (1 to 12).map(j => s"w${(i * 7 + j * 13) % 97}").mkString(" "))
+    }
+    val withDup = docs ++ Seq((100L, docs(4)._2), (101L, docs(9)._2))
+    val pairs = Dedup.minhashDedup(withDup.toDF("doc_id", "text"),
+      "doc_id", "text", threshold = 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5L, 100L)))
+    assert(pairs.contains((10L, 101L)))
+    assert(pairs.size == 2)
+  }
+
+  test("simhash: identical text distance 0, disjoint text large distance") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("id", "text")
+    val sh = df.select(col("id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    val d13 = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(d13 > 5, s"disjoint texts should differ, hamming=$d13")
+  }
+
+  test("cosine expression matches hand computation") {
+    import spark.implicits._
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    val want = 32.0 / (math.sqrt(14) * math.sqrt(77))
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("fingerprint equals min shingle md5") {
+    import spark.implicits._
+    val df = Seq(Tuple1("a b c d")).toDF("text")
+    val got = df.select(TextAnalysis.fingerprintCol(col("text"))).head().getString(0)
+    val want = Seq("a b c", "b c d")
+      .map(s => java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString).min
+    assert(got == want)
+  }
+
+  test("lang-id prefers the language with most stopword hits") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat of the house and a dog"),
+      (2L, "el perro de la casa y que bien"),
+      (3L, "zzz qqq www")).toDF("id", "text")
+    val got = TextAnalysis.langIdCols(df).select("id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+}

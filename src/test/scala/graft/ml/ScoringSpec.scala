@@ -1,0 +1,55 @@
+package graft.ml
+
+import graft.SparkSpec
+
+/** Evaluators vs hand-computed values, including AUC tie handling. */
+class ScoringSpec extends SparkSpec {
+
+  test("AUC: perfect, random-ish, and tied scores") {
+    import spark.implicits._
+    // perfect separation
+    val perfect = Seq((0.0, 0.1), (0.0, 0.2), (1.0, 0.8), (1.0, 0.9))
+      .toDF("y", "s")
+    assert(math.abs(Scoring.auc(perfect, "y", "s") - 1.0) < 1e-12)
+    // hand-computed with ties: y = (0,1,0,1), s = (.5,.5,.2,.8)
+    // ranks ascending: .2→1, .5,.5→avg 2.5, .8→4
+    // sum pos ranks = 2.5 + 4 = 6.5; AUC = (6.5 - 2*3/2)/(2*2) = 0.875
+    val tied = Seq((0.0, 0.5), (1.0, 0.5), (0.0, 0.2), (1.0, 0.8)).toDF("y", "s")
+    assert(math.abs(Scoring.auc(tied, "y", "s") - 0.875) < 1e-12)
+    // all-same score ⇒ AUC 0.5
+    val flat = Seq((0.0, 0.3), (1.0, 0.3), (0.0, 0.3), (1.0, 0.3)).toDF("y", "s")
+    assert(math.abs(Scoring.auc(flat, "y", "s") - 0.5) < 1e-12)
+  }
+
+  test("AUC drops NaN labels (P5)") {
+    import spark.implicits._
+    val df = Seq((0.0, 0.1), (1.0, 0.9), (Double.NaN, 0.99)).toDF("y", "s")
+    assert(math.abs(Scoring.auc(df, "y", "s") - 1.0) < 1e-12)
+  }
+
+  test("RMSE and R² hand values") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0), (3.0, 3.0), (5.0, 4.0)).toDF("y", "p")
+    // errors: -1, 0, 1 → rmse = sqrt(2/3)
+    assert(math.abs(Scoring.rmse(df, "y", "p") - math.sqrt(2.0 / 3)) < 1e-12)
+    // ss_res = 2; ss_tot = (1-3)^2+(3-3)^2+(5-3)^2 = 8 → r2 = 0.75
+    assert(math.abs(Scoring.r2(df, "y", "p") - 0.75) < 1e-12)
+  }
+
+  test("HP sampler: seeded determinism and ranges") {
+    val a = Train.sampleParams(50, 100, seed = 4L)
+    val b = Train.sampleParams(50, 100, seed = 4L)
+    assert(a == b)
+    a.foreach { hp =>
+      assert(hp.eta >= 1e-4 && hp.eta <= 0.1)
+      assert(hp.subsample >= 0.5 && hp.subsample <= 1.0)
+      assert(hp.colsampleBytree >= 0.5 && hp.colsampleBytree <= 1.0)
+      assert(hp.maxDepth >= 2 && hp.maxDepth <= 8)
+      assert(hp.nRounds == 100)
+    }
+    // log-uniform: median should be near geometric mean sqrt(1e-4*0.1)≈3.2e-3
+    val etas = Train.sampleParams(2000, 1, seed = 8L).map(_.eta).sorted
+    val med = etas(1000)
+    assert(med > 1e-3 && med < 1e-2)
+  }
+}
