@@ -26,7 +26,8 @@ object SparkEntry {
       graft.llm.TextAnalysis.all ++
       graft.llm.Dedup.all ++
       graft.llm.Similarity.all ++
-      graft.llm.Multimodal.all
+      graft.llm.Multimodal.all ++
+      graft.streaming.Streams.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped grouped aggregate (SURVEY.md A1).

@@ -245,6 +245,206 @@ object Explain {
     spark.createDataFrame(out, outSchema)
   }
 
+  // ------------------------------------------------- M4 SHAP interactions
+
+  /** Conditioned TreeSHAP: like [[shapTree]], but splits on `condFeat`
+    * are resolved without entering the path — hot-branch-only when
+    * `condPresent`, cover-weighted average of both children otherwise
+    * (the conditioning device of the SHAP-interaction construction).
+    * `q` carries the conditioning weight product.
+    */
+  private def shapTreeConditioned(t: FlatTree, x: Array[Double],
+      phi: Array[Double], w: Double, condFeat: Int, condPresent: Boolean): Unit = {
+
+    def extend(mF: Array[Int], mZ: Array[Double], mO: Array[Double],
+        mW: Array[Double], len: Int, pz: Double, po: Double, pi: Int): Unit = {
+      mF(len) = pi; mZ(len) = pz; mO(len) = po
+      mW(len) = if (len == 0) 1.0 else 0.0
+      var i = len - 1
+      while (i >= 0) {
+        mW(i + 1) += po * mW(i) * (i + 1).toDouble / (len + 1)
+        mW(i) = pz * mW(i) * (len - i).toDouble / (len + 1)
+        i -= 1
+      }
+    }
+
+    def unwoundSum(mZ: Array[Double], mO: Array[Double], mW: Array[Double],
+        l: Int, i: Int): Double = {
+      val one = mO(i - 1); val zero = mZ(i - 1)
+      var total = 0.0
+      if (one != 0) {
+        var n = mW(l - 1)
+        var j = l - 1
+        while (j >= 1) {
+          val tmp = n * l / (j * one)
+          total += tmp
+          n = mW(j - 1) - tmp * zero * (l - j).toDouble / l
+          j -= 1
+        }
+      } else {
+        var j = l - 1
+        while (j >= 1) {
+          total += mW(j - 1) * l / (zero * (l - j))
+          j -= 1
+        }
+      }
+      total
+    }
+
+    def unwind(mF: Array[Int], mZ: Array[Double], mO: Array[Double],
+        mW: Array[Double], l: Int, i: Int): Int = {
+      val one = mO(i - 1); val zero = mZ(i - 1)
+      var n = mW(l - 1)
+      if (one != 0) {
+        var j = l - 1
+        while (j >= 1) {
+          val t2 = mW(j - 1)
+          mW(j - 1) = n * l / (j * one)
+          n = t2 - mW(j - 1) * zero * (l - j).toDouble / l
+          j -= 1
+        }
+      } else {
+        var j = l - 1
+        while (j >= 1) {
+          mW(j - 1) = mW(j - 1) * l / (zero * (l - j))
+          j -= 1
+        }
+      }
+      var j = i - 1
+      while (j < l - 1) {
+        mF(j) = mF(j + 1); mZ(j) = mZ(j + 1); mO(j) = mO(j + 1)
+        j += 1
+      }
+      l - 1
+    }
+
+    def recurse(node: Int, mF0: Array[Int], mZ0: Array[Double],
+        mO0: Array[Double], mW0: Array[Double], len: Int,
+        pz: Double, po: Double, pi: Int, q: Double): Unit = {
+      if (t.feature(node) == condFeat && t.feature(node) != -1) {
+        // conditioning feature: resolve, do NOT extend the path
+        if (condPresent) {
+          val hot = if (x(condFeat) <= t.threshold(node)) t.left(node) else t.right(node)
+          recurse(hot, mF0, mZ0, mO0, mW0, len, pz, po, pi, q)
+        } else {
+          val rj = t.cover(node)
+          recurse(t.left(node), mF0, mZ0, mO0, mW0, len, pz, po, pi,
+            q * t.cover(t.left(node)) / rj)
+          recurse(t.right(node), mF0, mZ0, mO0, mW0, len, pz, po, pi,
+            q * t.cover(t.right(node)) / rj)
+        }
+        return
+      }
+      val cap = len + 1
+      val mF = java.util.Arrays.copyOf(mF0, cap)
+      val mZ = java.util.Arrays.copyOf(mZ0, cap)
+      val mO = java.util.Arrays.copyOf(mO0, cap)
+      val mW = java.util.Arrays.copyOf(mW0, cap)
+      extend(mF, mZ, mO, mW, len, pz, po, pi)
+      val l = len + 1
+      if (t.feature(node) == -1) {
+        // feature contributions only — the conditioned bias is added by
+        // the caller via condExpected
+        var i = 2
+        while (i <= l) {
+          phi(mF(i - 1)) += w * q * unwoundSum(mZ, mO, mW, l, i) *
+            (mO(i - 1) - mZ(i - 1)) * t.value(node)
+          i += 1
+        }
+      } else {
+        val d = t.feature(node)
+        val (hot, cold) =
+          if (x(d) <= t.threshold(node)) (t.left(node), t.right(node))
+          else (t.right(node), t.left(node))
+        var iz = 1.0; var io = 1.0
+        var k = -1
+        var i = 0
+        while (i < l && k == -1) {
+          if (mF(i) == d) k = i
+          i += 1
+        }
+        var curLen = l
+        if (k >= 0) {
+          iz = mZ(k); io = mO(k)
+          curLen = unwind(mF, mZ, mO, mW, l, k + 1)
+        }
+        val rj = t.cover(node)
+        recurse(hot, mF, mZ, mO, mW, curLen, iz * t.cover(hot) / rj, io, d, q)
+        recurse(cold, mF, mZ, mO, mW, curLen, iz * t.cover(cold) / rj, 0.0, d, q)
+      }
+    }
+
+    recurse(0, new Array[Int](0), new Array[Double](0), new Array[Double](0),
+      new Array[Double](0), 0, 1.0, 1.0, -1, 1.0)
+  }
+
+  /** Conditioned expectation E[T | condFeat present/absent] for the bias
+    * row of the interaction matrix. */
+  private def condExpected(t: FlatTree, x: Array[Double], condFeat: Int,
+      condPresent: Boolean): Double = {
+    def g(n: Int, q: Double): Double =
+      if (t.feature(n) == -1) q * t.value(n)
+      else if (t.feature(n) == condFeat && condPresent) {
+        val hot = if (x(condFeat) <= t.threshold(n)) t.left(n) else t.right(n)
+        g(hot, q)
+      } else {
+        val rj = t.cover(n)
+        g(t.left(n), q * t.cover(t.left(n)) / rj) +
+          g(t.right(n), q * t.cover(t.right(n)) / rj)
+      }
+    g(0, 1.0)
+  }
+
+  /** M4 — SHAP interaction values (explain.py:95, gated off by default
+    * like the reference's run_shap_inter): for one row, the (p+1)×(p+1)
+    * symmetric matrix with φ_ij = [φ_j^{i present} − φ_j^{i absent}]/2,
+    * diagonal φ_ii = φ_i − Σ_{j≠i} φ_ij, bias row/col absorbing the
+    * remainder so every row sums to the corresponding SHAP value.
+    * O(p²·tree-depth²·leaves) per row — use on explicitly small p.
+    */
+  def shapInteractionsRow(trees: Array[FlatTree], weights: Array[Double],
+      x: Array[Double], p: Int): Array[Array[Double]] = {
+    val phi = new Array[Double](p + 1)
+    var m = 0
+    while (m < trees.length) { shapTree(trees(m), x, phi, weights(m)); m += 1 }
+    val inter = Array.ofDim[Double](p + 1, p + 1)
+    var i = 0
+    while (i < p) {
+      val phiOn = new Array[Double](p + 1)
+      val phiOff = new Array[Double](p + 1)
+      m = 0
+      while (m < trees.length) {
+        shapTreeConditioned(trees(m), x, phiOn, weights(m), i, condPresent = true)
+        phiOn(p) += weights(m) * condExpected(trees(m), x, i, condPresent = true)
+        shapTreeConditioned(trees(m), x, phiOff, weights(m), i, condPresent = false)
+        phiOff(p) += weights(m) * condExpected(trees(m), x, i, condPresent = false)
+        m += 1
+      }
+      var j = 0
+      while (j <= p) {
+        if (j != i) inter(i)(j) = (phiOn(j) - phiOff(j)) / 2.0
+        j += 1
+      }
+      i += 1
+    }
+    // symmetrize bias column, fill diagonal so rows sum to φ_i
+    var j = 0
+    while (j <= p) { inter(p)(j) = inter(j)(p); j += 1 }
+    i = 0
+    while (i < p) {
+      var off = 0.0
+      var j2 = 0
+      while (j2 <= p) { if (j2 != i) off += inter(i)(j2); j2 += 1 }
+      inter(i)(i) = phi(i) - off
+      i += 1
+    }
+    var offB = 0.0
+    i = 0
+    while (i < p) { offB += inter(p)(i); i += 1 }
+    inter(p)(p) = phi(p) - offB
+    inter
+  }
+
   /** M5 — XGBoost-convention importances from tree traversal
     * (explain.py:46-60): weight = #splits on the feature, total_gain /
     * total_cover = sums over those splits, gain / cover = their means.
@@ -310,5 +510,34 @@ object Explain {
         col("planted_in_shap_top2") === 2)
   }
 
-  def all: Seq[QueryDef] = Seq(m3)
+  /** M4 rows-only entry (gated-off-by-default op, exercised at tiny p):
+    * interaction symmetry φ_ij = φ_ji must EMERGE (it is a theorem of
+    * the construction, computed from independent conditionings), and
+    * the full matrix must sum to the margin.
+    */
+  val m4 = QueryDef.fixture("m4_shap_interactions") { (s, d) =>
+    val cfg = Sim.Config(n = 400L, p = 6, seed = 88L, chunkRows = 100L)
+    val bundle = Sim.bundle(s, cfg)
+    val hp = HyperParams(0.2, 1.0, 1.0, 3, 5)
+    val model = Train.fitClassifier(Train.withVector(bundle), hp, 29L)
+    val flat = flattenModel(model.trees)
+    val ws = model.treeWeights
+    val rows = bundle.select("features").take(10)
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var maxAsym = 0.0
+    var maxSumErr = 0.0
+    rows.foreach { x =>
+      val inter = shapInteractionsRow(flat, ws, x, cfg.p)
+      for (i <- 0 until cfg.p; j <- 0 until cfg.p if i != j)
+        maxAsym = math.max(maxAsym, math.abs(inter(i)(j) - inter(j)(i)))
+      val total = inter.map(_.sum).sum
+      maxSumErr = math.max(maxSumErr, math.abs(total - margin(flat, ws, x)))
+    }
+    val spark = s; import spark.implicits._
+    Seq((maxAsym, maxSumErr, rows.length))
+      .toDF("max_asymmetry", "max_sum_err", "n_rows")
+      .filter(col("max_asymmetry") < 1e-9 && col("max_sum_err") < 1e-9)
+  }
+
+  def all: Seq[QueryDef] = Seq(m3, m4)
 }

@@ -346,6 +346,95 @@ object RelationalQueries {
         max(when(abs(col("l_tax") - 0.04) < 1e-9, 1).otherwise(0)).cast("long").as("isclose_hit"))
   }
 
+  /** O3 — top-n display (daxos explain.py:58-59 head of sorted
+    * importances): TakeOrderedAndProject, full deterministic tiebreak.
+    */
+  val o3 = QueryDef.sql(
+    "o3_top_n",
+    """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_brand,
+      |       round(p_retailprice, 2) AS price
+      |FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 5""".stripMargin) {
+    (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey").cast("long").as("p_partkey"), col("p_brand"),
+          round(col("p_retailprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("p_partkey").asc)
+        .limit(5)
+  }
+
+  /** U3 — horizontal concat (daxos boruta.py:193 shadow hstack,
+    * scoring.py:201-203 adjusted-column append): array concat is a
+    * per-row codegen op, never a join — the right mapping of hstack
+    * onto the row-bundle layout.
+    */
+  val u3 = QueryDef.sql(
+    "u3_horizontal_concat",
+    """WITH h AS (SELECT [l_quantity, l_discount] || [l_tax] AS v FROM lineitem)
+      |SELECT count(*) AS n, CAST(min(len(v)) AS BIGINT) AS min_w,
+      |       CAST(max(len(v)) AS BIGINT) AS max_w,
+      |       round(sum(v[1] + v[2] + v[3]), 2) AS checksum
+      |FROM h""".stripMargin) {
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(concat(array(col("l_quantity"), col("l_discount")),
+          array(col("l_tax"))).as("v"))
+        .agg(count(lit(1)).as("n"),
+          min(size(col("v"))).cast("long").as("min_w"),
+          max(size(col("v"))).cast("long").as("max_w"),
+          round(sum(col("v").getItem(0) + col("v").getItem(1) +
+            col("v").getItem(2)), 2).as("checksum"))
+  }
+
+  /** E1 — event-time hourly bucketing over the nanos-backed events
+    * table: end-to-end proof of the ts nanos→micros integral-division
+    * normalization (Tables.events). Buckets formatted as strings so the
+    * cross-engine hash never touches raw timestamp encodings.
+    */
+  val e1 = QueryDef.sql(
+    "e1_event_time_buckets",
+    """SELECT event_type,
+      |       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+      |       count(*) AS n,
+      |       round(sum(CASE WHEN NOT isnan(value) THEN value END), 2) AS val_sum
+      |FROM events GROUP BY 1, 2""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(when(!isnan(col("value")), col("value"))), 2).as("val_sum"))
+  }
+
+  /** P2 — column projection by NAME set through the cols side table
+    * (daxos read.py:210-215, explain.py:21-31): names → positions
+    * (tiny driver collect of the cols table), then one codegen'd array
+    * slice; cols metadata re-derived to match. Fixture-checked: the
+    * projected dosage checksum must equal the direct per-position sum.
+    */
+  val p2 = QueryDef.fixture("p2_project_by_name") { (s, d) =>
+    val cfg = graft.ml.Sim.Config(n = 400L, p = 12, seed = 99L, chunkRows = 100L)
+    val bundle = graft.ml.Sim.bundle(s, cfg)
+    val colsDf = graft.ml.Sim.cols(s, cfg)
+    val keepNames = Seq("rs7412_T", "rs429358_C") // planted pair, by NAME
+    val pos = colsDf.filter(col("snp").isInCollection(keepNames))
+      .orderBy("pos").collect().map(_.getInt(0))
+    val projected = bundle.withColumn("features",
+      array(pos.map(i => col("features").getItem(i)): _*))
+    val newCols = pos.zipWithIndex.map { case (old, nw) => (nw, old) }
+    val direct = bundle.agg(
+      sum(col("features").getItem(pos(0)) + col("features").getItem(pos(1))))
+      .head().getDouble(0)
+    val viaProj = projected
+      .agg(sum(col("features").getItem(0) + col("features").getItem(1)))
+      .head().getDouble(0)
+    val widthOk = projected.select(max(size(col("features")))).head().getInt(0) == 2
+    val spark = s; import spark.implicits._
+    Seq((pos.length, direct, viaProj == direct && widthOk && newCols.length == 2))
+      .toDF("n_kept", "checksum", "ok").filter(col("ok"))
+  }
+
   def all: Seq[QueryDef] = Seq(
-    p1, p3, p4, p5, j1, j3, j5, u1, u4, a1, o2, a4, a5, a13, o5, scalars)
+    p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, a1, o2, o3, a4, a5, a13, o5,
+    e1, scalars)
 }

@@ -1,0 +1,139 @@
+package graft.streaming
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension (SURVEY §2.8: the reference is
+  * batch-only; this is the engine's optional streaming surface over the
+  * `events` table shape): watermarked tumbling-window aggregation and
+  * custom state via `mapGroupsWithState`.
+  *
+  * Correctness contract: a streaming windowed aggregate fed the whole
+  * table must equal the equivalent batch aggregate — asserted by the
+  * declared entry below using a MemoryStream (the standard in-process
+  * source; swap for kafka/files in production — the query graph is
+  * identical).
+  *
+  * Scale notes: watermark bounds state (late rows beyond 1h are
+  * dropped); the shuffle is on (window, event_type) — the same hash
+  * partitioning a batch groupBy would use; state lives in the state
+  * store, sized by active windows × key cardinality, not history.
+  */
+object Streams {
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Tumbling 1h windowed count+sum with a 1h watermark. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(when(!isnan(col("value")), col("value"))), 2).as("val_sum"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("val_sum"))
+
+  /** Custom per-key state (M-alike for streams): running per-user event
+    * count + max value via mapGroupsWithState.
+    */
+  def userRunningState(spark: SparkSession, events: org.apache.spark.sql.Dataset[Ev])
+      : DataFrame = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Ev], state: GroupState[(Long, Double)]) =>
+          val (c0, m0) = state.getOption.getOrElse((0L, Double.NegativeInfinity))
+          var c = c0; var m = m0
+          it.foreach { e =>
+            c += 1
+            if (!e.value.isNaN && e.value > m) m = e.value
+          }
+          state.update((c, m))
+          (user, c, m)
+      }.toDF("user_id", "n_events", "max_value")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** Streaming-vs-batch equivalence: feed the whole events table through
+    * a MemoryStream in 3 chunks; the streaming windowed aggregate
+    * (complete mode) must match the batch aggregate exactly. Emits the
+    * match summary row only on exact equality.
+    */
+  val st1 = QueryDef.fixture("st1_stream_window_agg") { (s, d) =>
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Ev].collect()
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val streamed = windowedAgg(mem.toDF())
+    val q = streamed.writeStream
+      .format("memory").queryName("st1_out").outputMode(OutputMode.Complete())
+      .start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally { /* stop below after reading */ }
+    val streamedOut = s.table("st1_out")
+      .select("bucket", "event_type", "n", "val_sum").collect().toSet
+    q.stop()
+    val batchOut = windowedAggBatch(Tables.events(s, d)).collect().toSet
+    Seq((streamedOut.size.toLong, batchOut.size.toLong, streamedOut == batchOut))
+      .toDF("n_stream_rows", "n_batch_rows", "exact_match")
+      .filter(col("exact_match") && col("n_stream_rows") > 0)
+  }
+
+  /** The batch twin of windowedAgg (same expressions, no watermark). */
+  def windowedAggBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(when(!isnan(col("value")), col("value"))), 2).as("val_sum"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("val_sum"))
+
+  /** mapGroupsWithState vs batch groupBy equivalence on final state. */
+  val st2 = QueryDef.fixture("st2_stream_stateful") { (s, d) =>
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Ev].collect()
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = userRunningState(s, mem.toDS()).writeStream
+      .format("memory").queryName("st2_out").outputMode(OutputMode.Update())
+      .start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally {}
+    // last update per user = final state
+    val fin = s.table("st2_out").groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"), max(col("max_value")).as("max_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    val batch = Tables.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        // all-NaN users: align with the stream side's -Inf initial state
+        coalesce(max(when(!isnan(col("value")), col("value"))),
+          lit(Double.NegativeInfinity)).as("max_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Seq((fin.size.toLong, fin == batch))
+      .toDF("n_users", "exact_match")
+      .filter(col("exact_match") && col("n_users") > 0)
+  }
+
+  def all: Seq[QueryDef] = Seq(st1, st2)
+}
