@@ -22,9 +22,22 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the session before timing anything: scheduler, codegen,
+    // shuffle, and the noop committer all initialize here instead of
+    // inside whichever query happens to run first.
+    try {
+      spark.range(1000).selectExpr("sum(id) as s").write
+        .format("noop").mode("overwrite").save()
+      SparkEntry.queries.get("a1_grouped_agg").foreach { fn =>
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+    } catch { case _: Throwable => () }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.benchQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // collect the previous query's garbage OUTSIDE the timed window so
+      // per-query numbers aren't polluted by a neighbor's allocation debt
+      System.gc()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

