@@ -36,6 +36,14 @@ object IoQueries {
     Files.write(Paths.get(rawPath),
       (header +: lines.toSeq).mkString("\n").getBytes)
 
+    // S3: .fam companion file (first 6 columns, no header)
+    val famPath = s"$fixtureDir/dummy_plink.fam"
+    Files.write(Paths.get(famPath),
+      lines.map(_.split(" ").take(6).mkString(" ")).mkString("\n").getBytes)
+    val fam = Plink.readFam(s, famPath)
+    val famOk = fam.count() == cfg.n &&
+      fam.columns.toSeq == Seq("fid", "iid", "pat", "mat", "sex", "phenotype")
+
     // S1/S4: scan back; P4 recode must fire (phenotype coded 1/2)
     val scanned = Plink.readRaw(s, rawPath)
       .withColumn("block_id", (col("iid").cast("long") - 10000) / cfg.chunkRows)
@@ -60,7 +68,7 @@ object IoQueries {
     val labelsRecoded = reread.agg(max(col("label"))).head()
       .getFloat(0) == 1f // 1/2 PLINK coding → 0/1
     val ok = orig == back && widthOk && labelsRecoded &&
-      cols.count() == cfg.p
+      cols.count() == cfg.p && famOk
     val spark = s; import spark.implicits._
     Seq((orig.getLong(0), orig.getDouble(1), ok))
       .toDF("n", "dosage_sum", "ok").filter(col("ok"))

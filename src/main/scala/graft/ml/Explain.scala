@@ -494,6 +494,16 @@ object Explain {
     val model = Train.fitClassifier(Train.withVector(train), hp, 17L)
     val flat = flattenModel(model.trees)
     val shap = shapContributions(test, flat, model.treeWeights, cfg.p).cache()
+    // S10 — SHAP array sink: the (n, p+1) contribs tensor as a parquet
+    // Array[Double] column (the Zarr replacement, explain.py:75)
+    val shapSink = "/root/repo/target/fixtures/shap_sink"
+    shap.select(col("iid"), col("shap"), col("margin"))
+      .write.mode("overwrite").parquet(shapSink)
+    val sinkOk = {
+      val back = s.read.parquet(shapSink)
+      back.count() == shap.count() &&
+        back.select(max(size(col("shap")))).head().getInt(0) == cfg.p + 1
+    }
     // additivity: Σφ (incl. bias) must equal the ensemble margin per row
     val addErr = shap.select(
       max(abs(aggregate(col("shap"), lit(0.0), (a, v) => a + v) - col("margin")))
@@ -504,10 +514,10 @@ object Explain {
     val plantedTop2 = Seq(cfg.p - 2, cfg.p - 1).count(top2.contains)
     shap.unpersist(); bundle.unpersist()
     val spark = s; import spark.implicits._
-    Seq((addErr, plantedTop2))
-      .toDF("max_additivity_err", "planted_in_shap_top2")
+    Seq((addErr, plantedTop2, sinkOk))
+      .toDF("max_additivity_err", "planted_in_shap_top2", "sink_ok")
       .filter(col("max_additivity_err") < 1e-6 &&
-        col("planted_in_shap_top2") === 2)
+        col("planted_in_shap_top2") === 2 && col("sink_ok"))
   }
 
   /** M4 rows-only entry (gated-off-by-default op, exercised at tiny p):

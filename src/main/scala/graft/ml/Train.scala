@@ -245,8 +245,12 @@ object Train {
     */
   val m6 = QueryDef.fixture("m6_cv_driver") { (s, d) =>
     val cfg = Sim.Config(n = 900L, p = 8, seed = 321L, chunkRows = 100L)
-    val bundle = Sim.bundle(s, cfg).cache()
-    val nBlocks = (cfg.n + cfg.chunkRows - 1) / cfg.chunkRows
+    val full = Sim.bundle(s, cfg)
+    // R5 — CV head-subsample (valid because the store is pre-shuffled):
+    // HP search runs on the first 6 of 9 blocks, crossvalidate.py:398-404
+    val bundle = Splits.headSubsample(full, nRows = 600L, chunkRows = cfg.chunkRows)
+      .cache()
+    val nBlocks = 6L
     val params = sampleParams(nIter = 2, nRounds = 5, seed = 99L)
     val cv = crossValidate(bundle, k = 3, nBlocks = nBlocks, params = params,
       metric = "auc", seed = 5L)
