@@ -1,0 +1,191 @@
+package graft.cli
+
+import graft.io.{Bundle, Plink, Sinks}
+import graft.ml._
+import graft.ops.Splits
+import graft.util.Config
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's four entry points, mirroring the reference's CLI surface
+  * (SURVEY §3): Ingest (the preprocessing Snakefile DAG collapsed into
+  * one job chain), Cv (`scripts/cv.py`), Refit (`scripts/refit.py`),
+  * Predict (`scripts/predict.py`). A daxos user maps each script
+  * invocation 1:1 onto one of these mains.
+  *
+  * Args are `--key value` pairs; see each main's `usage`.
+  */
+object Cli {
+
+  def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  def session(name: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .appName(name)
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** CLI mains own their session's lifecycle EXCEPT when embedded in a
+    * host that shares one (tests set `graft.cli.keepSession`). */
+  def stop(spark: SparkSession): Unit =
+    if (!sys.props.get("graft.cli.keepSession").contains("true")) spark.stop()
+}
+
+/** Entry point #0 — ingest (preprocessing DAG, Snakefile:73-430): PLINK
+  * `.raw` → recode → one-time materialized shuffle → optional covariate
+  * join + deconfounding (features_adj / label_adj) → bundle store.
+  */
+object Ingest {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parseArgs(args)
+    val raw = a("raw")
+    val out = Config.normalizePath(a("out"))
+    val chunkRows = a.getOrElse("chunk-rows", "100").toLong
+    val seed = a.getOrElse("seed", "42").toLong
+    val spark = Cli.session("graft-ingest")
+    val scanned = Plink.readRaw(spark, raw)
+    val cols = Plink.colsTable(spark, raw)
+    val p = cols.count().toInt
+    // R1: the ONLY global shuffle of the pipeline, materialized once
+    var bundle = Splits.materializedShuffle(scanned, seed, chunkRows)
+    a.get("covariates").foreach { covPath =>
+      val cov = Sinks.readCovariates(spark, covPath)
+      val covCols = cov.columns.filterNot(Seq("fid", "iid").contains).toSeq
+      // J1: covariates become columns of the same row bundle
+      bundle = bundle.join(broadcast(cov.drop("fid")), Seq("iid"), "inner")
+      val betas = Deconfound.massOlsBetas(bundle, covCols, "features", p)
+      val betaY = Deconfound.labelBetas(bundle, covCols, "label")
+      bundle = Deconfound.residualizeFeatures(bundle, covCols, "features", betas)
+      bundle = Deconfound.residualizeLabel(bundle, covCols, "label", betaY)
+    }
+    Bundle.write(bundle, cols, out)
+    println(s"ingested ${bundle.count()} rows x $p SNPs -> $out")
+    Cli.stop(spark)
+  }
+}
+
+/** `scripts/cv.py` — hyperparameter-search CV (SURVEY §3.1). */
+object Cv {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parseArgs(args)
+    val spark = Cli.session("graft-cv")
+    val bundleDir = a("bundle")
+    val out = a("out")
+    val metric = a.getOrElse("metric", "auc")
+    val labelCol = a.getOrElse("ykey", "label") // y_adjusted ⇒ rmse regime
+    val k = a.getOrElse("k", "3").toInt
+    val nIter = a.getOrElse("n-iter", "10").toInt
+    val nRounds = a.getOrElse("n-rounds", "50").toInt
+    val seed = a.getOrElse("seed", "42").toLong
+    val chunkRows = a.getOrElse("chunk-rows", "100").toLong
+    val full = Bundle.read(spark, bundleDir)
+    val sub = a.get("cv-subsample").map(n =>
+      Splits.headSubsample(full, n.toLong, chunkRows)).getOrElse(full)
+    val nBlocks = sub.agg(max("block_id")).head().getLong(0) + 1
+    val params = Train.sampleParams(nIter, nRounds, seed)
+    val cv = Train.crossValidate(sub, k, nBlocks, params, metric, seed, labelCol)
+    Sinks.writeCsv(cv, s"$out/cv_results", coalesce1 = true)
+    Sinks.writeCsv(Train.summarizeCv(cv, metric).limit(1),
+      s"$out/best_params", coalesce1 = true)
+    println(s"cv done: ${params.size} param sets x $k folds -> $out")
+    Cli.stop(spark)
+  }
+}
+
+/** `scripts/refit.py` — full-data two-stage refit + explanation
+  * (SURVEY §3.2). */
+object Refit {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parseArgs(args)
+    val spark = Cli.session("graft-refit")
+    val bundleDir = a("bundle")
+    val out = a("out")
+    val seed = a.getOrElse("seed", "42").toLong
+    val labelCol = a.getOrElse("ykey", "label")
+    val runShap = a.get("run-shap").forall(Config.parseBool)
+    val bundle = Bundle.read(spark, bundleDir).cache()
+    val cols = Bundle.readCols(spark, bundleDir)
+    val snpNames = cols.orderBy("pos").collect().map(_.getString(1)).toSeq
+    // best params from the CV results CSV (single file or glob, S12)
+    val hpDf = Sinks.readHpResults(spark, a("hp-results"))
+    val hp0 = Train.bestParams(hpDf, a.getOrElse("metric", "auc"))
+    val hp = a.get("n-booster-override")
+      .map(n => hp0.copy(nRounds = n.toInt)).getOrElse(hp0)
+    // fit #1 on all p, prune to used predictors, fit #2 (M9)
+    val (used, model) = Pipeline.shapRefit(bundle, hp, seed)
+    Sinks.saveModel(model, s"$out/model")
+    val spark2 = spark; import spark2.implicits._
+    Sinks.writeCsv(used.map(snpNames).toDF("predictors"),
+      s"$out/used_cols", coalesce1 = true)
+    val flat = Explain.flattenModel(model.trees)
+    val usedNames = used.map(snpNames)
+    var imp = Explain.importances(flat, usedNames, spark)
+    val pruned = Pipeline.sliceFeatures(bundle, used)
+    if (runShap) {
+      val shap = Explain.shapContributions(
+        pruned, flat, model.treeWeights, used.length)
+      shap.select(col("iid"), col("shap"), col("margin"))
+        .write.mode("overwrite").parquet(s"$out/shap")
+      imp = imp.join(
+        Explain.meanAbsShap(shap, used.length)
+          .join(usedNames.zipWithIndex.map { case (n, i) => (i, n) }
+            .toDF("pos", "predictors"), "pos")
+          .select(col("predictors"), col("shap_mean_abs")),
+        Seq("predictors"), "left")
+    }
+    Sinks.writeCsv(imp.orderBy(desc("total_gain")), s"$out/importances",
+      coalesce1 = true)
+    // Platt from one-round CV out-of-fold predictions (M7 + M10)
+    val nBlocks = bundle.agg(max("block_id")).head().getLong(0) + 1
+    val oof = Train.oneRoundCv(bundle, k = 3, nBlocks = nBlocks, hp = hp,
+      seed = seed, labelCol = labelCol)
+    val (pa, pb) = Pipeline.fitPlatt(oof)
+    Sinks.writeCsv(Seq((pa, pb)).toDF("platt_a", "platt_b"),
+      s"$out/platt", coalesce1 = true)
+    bundle.unpersist()
+    println(s"refit done: ${used.length} used predictors -> $out")
+    Cli.stop(spark)
+  }
+}
+
+/** `scripts/predict.py` — score a held-out bundle (SURVEY §3.3). */
+object Predict {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parseArgs(args)
+    val spark = Cli.session("graft-predict")
+    val out = a("out")
+    val test = Bundle.read(spark, a("bundle"))
+    val cols = Bundle.readCols(spark, a("bundle"))
+    val snpNames = cols.orderBy("pos").collect().map(_.getString(1)).toSeq
+    val model = Sinks.loadModel(spark, s"${a("model-dir")}/model")
+    // column-align to the model's used feature set (predict.py:124-134)
+    val usedNames = spark.read.option("header", "true")
+      .csv(s"${a("model-dir")}/used_cols")
+      .collect().map(_.getString(0)).toSeq
+    val pos = usedNames.map(snpNames.indexOf)
+    require(!pos.contains(-1), "test bundle lacks model predictors")
+    val aligned = Train.withVector(Pipeline.sliceFeatures(test, pos))
+    var preds = Train.predictClassifier(model, aligned)
+      .select(col("iid"), col("label").as("y_true"), col("y_pred"))
+    val plattRow = spark.read.option("header", "true")
+      .csv(s"${a("model-dir")}/platt").head()
+    preds = Pipeline.applyPlatt(preds,
+      (plattRow.getString(0).toDouble, plattRow.getString(1).toDouble))
+    Sinks.writeCsv(preds, s"$out/predictions", coalesce1 = true)
+    val auc = Scoring.auc(preds, "y_true", "y_pred")
+    println(f"predict done: AUC=$auc%.4f -> $out")
+    Cli.stop(spark)
+  }
+}

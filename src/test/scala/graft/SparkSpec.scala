@@ -4,8 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local SparkSession for the whole test run (JVM-wide —
-  * Spark session startup dominates test wall-time otherwise). */
+  * Spark session startup dominates test wall-time otherwise). The
+  * `graft.cli.keepSession` property stops CLI mains under test from
+  * tearing it down.
+  */
 object TestSpark {
+  sys.props("graft.cli.keepSession") = "true"
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
