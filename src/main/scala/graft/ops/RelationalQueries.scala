@@ -308,7 +308,7 @@ object RelationalQueries {
     // range exchange are reused by both passes (recomputing the narrow
     // post-shuffle sort is cheaper than ser/de-ing every row to storage)
     val rdd = sorted.rdd
-    {
+    locally {
       // pass 1: (partition, group) → count
       val segCounts = rdd.mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap[String, Long]()
