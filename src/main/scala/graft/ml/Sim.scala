@@ -102,6 +102,13 @@ object Sim {
         col("label_i").cast("float").as("label"),
         geno(col("id"), col("label_i")).as("features"),
         (col("id") / cfg.chunkRows).cast("long").as("block_id"))
+      // Pin the physical layout: fixture golden gates (GBT fits, shadow
+      // permutations) must not depend on the session's core count, and
+      // spark.range's default parallelism would otherwise leak into tree
+      // fits via data placement. 8 range partitions by iid (zero-padded
+      // numeric strings ⇒ lexical = numeric order), rows sorted within.
+      .repartitionByRange(8, col("iid"))
+      .sortWithinPartitions(col("iid"))
   }
 
   /** Covariate fixture (FIXTURES.md §4): FID/IID + 2 gaussians N(0,0.1) +
