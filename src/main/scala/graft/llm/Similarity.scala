@@ -23,10 +23,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** cos(a, b) as a column expression (double accumulation over float
-    * inputs, sequential order — matches DuckDB's list_cosine_similarity
-    * evaluation for oracle parity). */
-  def cosine(a: Column, b: Column): Column = {
+  /** cos(a, b): the native codegen'd Catalyst expression (double
+    * accumulation over float inputs, sequential order — matches DuckDB's
+    * DOUBLE[] list_cosine_similarity for oracle parity). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.CosineSimilarity.cosineFast(a, b)
+
+  /** Higher-order-function formulation — identical math, interpreted
+    * eval; kept as the parity witness for the native expression
+    * (TextDedupSpec asserts exact equality). */
+  def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))

@@ -62,6 +62,32 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(got - want) < 1e-12)
   }
 
+  test("native codegen cosine == HOF cosine bit-for-bit on random vectors") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val rows = Seq.fill(50)((Array.fill(64)(rng.nextFloat() - 0.5f),
+      Array.fill(64)(rng.nextFloat() - 0.5f)))
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+      Similarity.cosine(col("a"), col("b")).as("fast"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("cosine_sim usable from SQL after registration") {
+    val s2 = spark
+    graft.expressions.CosineSimilarity.register(s2)
+    import s2.implicits._
+    val df = Seq((Array(3f, 4f), Array(3f, 4f)), (Array(1f, 0f), Array(0f, 1f)))
+      .toDF("a", "b")
+    df.createOrReplaceTempView("cos_t")
+    try {
+      val v = s2.sql("SELECT round(cosine_sim(a, b), 9) AS c FROM cos_t ORDER BY c")
+        .collect().map(_.getDouble(0))
+      assert(v.sameElements(Array(0.0, 1.0)))
+    } finally { s2.catalog.dropTempView("cos_t") }
+  }
+
   test("fingerprint equals min shingle md5") {
     import spark.implicits._
     val df = Seq(Tuple1("a b c d")).toDF("text")
