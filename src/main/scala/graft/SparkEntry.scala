@@ -15,6 +15,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     graft.ops.RelationalQueries.all ++
       graft.ops.Splits.all ++
+      graft.ops.Skew.all ++
       graft.stats.FDR.all ++
       graft.ml.Scoring.all ++
       graft.ml.Train.all ++

@@ -143,6 +143,81 @@ object Dedup {
 
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over the near-dup pair graph → (doc_id,
+    * cluster = min reachable id). Iterative min-label propagation to a
+    * fixpoint; dedup pair graphs have tiny diameters (duplicate groups),
+    * so this converges in a few joins over the PAIR set — corpus-scale
+    * data never enters the loop.
+    */
+  def nearDupClusters(pairs: DataFrame, driverLimit: Long = 10000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val cached = pairs.select(col("doc_a"), col("doc_b")).cache()
+    val nPairs = cached.count()
+    if (nPairs <= driverLimit) {
+      // verified dup pairs are a tiny fraction of the corpus — union-find
+      // on the driver beats a multi-job propagation loop by a wide
+      // margin (pairs ≤ 10M longs ≈ 160 MB, still driver-safe).
+      val es = cached.collect().map(r => (r.getLong(0), r.getLong(1)))
+      cached.unpersist()
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      import spark.implicits._
+      parent.keys.toSeq.map(id => (id, find(id))).toDF("doc_id", "cluster")
+    } else distributedClusters(cached)
+  }
+
+  /** Fixpoint min-label propagation for pair graphs too large for the
+    * driver. */
+  private def distributedClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("lbl"))
+      .select(col("id"), least(col("lbl"), col("id")).as("lbl"))
+      .cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("lbl").as("lbl")).cache()
+      next.count()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
+
+  /** The dedup APPLY step: keep one document per near-dup cluster (the
+    * min id), pass non-duplicated documents through untouched. */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val clusters = nearDupClusters(
+      minhashDedup(docs, idCol, textCol, threshold))
+    docs.join(
+      clusters.filter(col("doc_id") =!= col("cluster"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Exact dedup oracle — union the corpus with a re-keyed copy of
@@ -233,5 +308,55 @@ object Dedup {
         col("n_near_pairs") > 0)
   }
 
-  def all: Seq[QueryDef] = Seq(exact, minhash, simhashQ)
+  /** Cluster resolution oracle: both engines build the ≥0.9-Jaccard
+    * pair graph over the corpus's natural near-dup pairs and reduce
+    * each connected component to its min-id keeper. The oracle
+    * propagates min labels 3 hops (near-dup group diameters here are
+    * ≤ 2; the Spark side iterates to an actual fixpoint), then both
+    * report the same cluster summary.
+    */
+  val clusters = QueryDef.sql(
+    "d4_near_dup_clusters",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tri AS (SELECT doc_id,
+      |               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |                    ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |               END AS sh
+      |        FROM toks),
+      |shd AS (SELECT doc_id, unnest(sh) AS s FROM tri),
+      |cnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS ix
+      |          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |prs AS (SELECT pa, pb FROM inter
+      |        JOIN cnt ca ON pa = ca.doc_id JOIN cnt cb ON pb = cb.doc_id
+      |        WHERE ix * 1.0 / (ca.c + cb.c - ix) >= 0.9),
+      |e AS (SELECT pa AS src, pb AS dst FROM prs
+      |      UNION ALL SELECT pb, pa FROM prs),
+      |l1 AS (SELECT src AS id, least(src, min(dst)) AS lbl FROM e GROUP BY src),
+      |l2 AS (SELECT e.src AS id, least(min(la.lbl), min(lb.lbl)) AS lbl
+      |       FROM e JOIN l1 la ON la.id = e.src JOIN l1 lb ON lb.id = e.dst
+      |       GROUP BY e.src),
+      |l3 AS (SELECT e.src AS id, least(min(la.lbl), min(lb.lbl)) AS lbl
+      |       FROM e JOIN l2 la ON la.id = e.src JOIN l2 lb ON lb.id = e.dst
+      |       GROUP BY e.src)
+      |SELECT count(*) AS n_clustered_docs,
+      |       CAST(count(DISTINCT lbl) AS BIGINT) AS n_clusters,
+      |       CAST(count(*) - count(DISTINCT lbl) AS BIGINT) AS n_removable,
+      |       CAST(sum(lbl) AS BIGINT) AS label_checksum
+      |FROM l3""".stripMargin) {
+    (s, d) =>
+      // natural corpus only: the planted near-dup pairs (j ≥ 0.9) give a
+      // nonzero cluster set without the d1-style doubled-corpus cost
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val cl = nearDupClusters(minhashDedup(docs, "doc_id", "text", 0.9))
+      cl.agg(count(lit(1)).as("n_clustered_docs"),
+        countDistinct(col("cluster")).cast("long").as("n_clusters"),
+        (count(lit(1)) - countDistinct(col("cluster"))).cast("long")
+          .as("n_removable"),
+        sum(col("cluster")).cast("long").as("label_checksum"))
+  }
+
+  def all: Seq[QueryDef] = Seq(exact, minhash, simhashQ, clusters)
 }

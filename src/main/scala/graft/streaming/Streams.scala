@@ -135,5 +135,35 @@ object Streams {
       .filter(col("exact_match") && col("n_users") > 0)
   }
 
-  def all: Seq[QueryDef] = Seq(st1, st2)
+  /** Streaming exact dedup (the LLM-pipeline pattern as a stream):
+    * dropDuplicates on the content hash across micro-batches — state
+    * keyed by hash — must reduce the duplicated feed to exactly the
+    * batch-distinct count.
+    */
+  val st3 = QueryDef.fixture("st3_stream_dedup") { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val feed = docs ++ docs.map { case (id, t) => (id + 1000000, t) }
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val deduped = mem.toDF().toDF("doc_id", "text")
+      .withColumn("h", md5(col("text")))
+      .dropDuplicates("h")
+    val q = deduped.writeStream
+      .format("memory").queryName("st3_out").outputMode(OutputMode.Append())
+      .start()
+    feed.grouped(math.max(1, feed.length / 4)).foreach { chunk =>
+      mem.addData(chunk.toSeq)
+      q.processAllAvailable()
+    }
+    val got = s.table("st3_out").count()
+    q.stop()
+    val want = Tables.documents(s, d).select(md5(col("text"))).distinct().count()
+    Seq((got, want)).toDF("n_stream_distinct", "n_batch_distinct")
+      .filter(col("n_stream_distinct") === col("n_batch_distinct") &&
+        col("n_stream_distinct") > 0)
+  }
+
+  def all: Seq[QueryDef] = Seq(st1, st2, st3)
 }

@@ -98,6 +98,33 @@ class TextDedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("near-dup clustering: driver union-find == distributed propagation") {
+    import spark.implicits._
+    // two chains and one isolated pair: {1,2,3,4}, {10,11}, {20,21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L),
+      (21L, 22L)).toDF("doc_a", "doc_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = toMap(Dedup.nearDupClusters(pairs))
+    val dist = toMap(Dedup.nearDupClusters(pairs, driverLimit = 0L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(fast == want)
+    assert(dist == want)
+  }
+
+  test("dropNearDuplicates keeps one doc per duplicate group") {
+    import spark.implicits._
+    val docs = (1 to 20).map(i =>
+      (i.toLong, (1 to 12).map(j => s"t${(i * 11 + j * 17) % 89}").mkString(" ")))
+    val withDups = docs ++ Seq((100L, docs(2)._2), (101L, docs(2)._2))
+    val kept = Dedup.dropNearDuplicates(withDups.toDF("doc_id", "text"),
+      "doc_id", "text", 0.9)
+    assert(kept.count() == 20) // 22 docs − 2 extra copies
+    assert(kept.filter(col("doc_id") === 3L).count() == 1) // keeper = min id
+    assert(kept.filter(col("doc_id").isin(100L, 101L)).count() == 0)
+  }
+
   test("lang-id prefers the language with most stopword hits") {
     import spark.implicits._
     val df = Seq((1L, "the cat of the house and a dog"),
