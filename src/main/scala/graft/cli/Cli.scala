@@ -17,10 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Cli {
 
-  def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+  def parseArgs(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"arguments must be --key value pairs, got: ${args.mkString(" ")}")
+    args.grouped(2).map {
+      case Array(k, v) =>
+        require(k.startsWith("--"),
+          s"expected a --key, got '$k' (full args: ${args.mkString(" ")})")
+        require(!v.startsWith("--"),
+          s"flag '$k' is missing its value (followed by '$v')")
+        k.drop(2) -> v
     }.toMap
+  }
 
   def session(name: String): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -14,7 +14,7 @@ import java.nio.file.{Files, Paths}
   */
 object IoQueries {
 
-  private val fixtureDir = "/root/repo/target/fixtures"
+  private val fixtureDir = graft.util.Fixtures.dir
 
   /** S1+S2+S4+S5+S6+S7+P4 — PLINK .raw → bundle → parquet → re-read. */
   val s1 = QueryDef.fixture("s1_plink_bundle_roundtrip") { (s, d) =>

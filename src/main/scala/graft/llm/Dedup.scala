@@ -50,6 +50,9 @@ object Dedup {
     */
   def lshCandidates(docs: DataFrame, idCol: String, nHashes: Int,
       bands: Int): DataFrame = {
+    require(bands >= 1 && bands <= nHashes && nHashes % bands == 0,
+      s"bands must divide nHashes: bands=$bands, nHashes=$nHashes " +
+        "(bands > nHashes would make every band hash identical — all-pairs)")
     val rowsPerBand = nHashes / bands
     val banded = docs.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -178,8 +181,10 @@ object Dedup {
   }
 
   /** Fixpoint min-label propagation for pair graphs too large for the
-    * driver. */
-  private def distributedClusters(pairs: DataFrame): DataFrame = {
+    * driver. FAILS LOUDLY on non-convergence — a silently truncated
+    * propagation would split one duplicate group into several keepers.
+    */
+  private def distributedClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -189,7 +194,7 @@ object Dedup {
       .cache()
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxIters) {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lbl"))
@@ -202,8 +207,17 @@ object Dedup {
       labels = next
       iter += 1
     }
-    edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    if (!converged) {
+      edges.unpersist(); labels.unpersist(); pairs.unpersist()
+      throw new IllegalStateException(
+        s"cluster propagation did not converge in $maxIters iterations " +
+          "(pair-graph diameter too large) — raise maxIters")
+    }
+    // pin the result independently of the loop caches, then release them
+    val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .localCheckpoint(eager = true)
+    edges.unpersist(); labels.unpersist(); pairs.unpersist()
+    out
   }
 
   /** The dedup APPLY step: keep one document per near-dup cluster (the
@@ -289,9 +303,16 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), simhash(col("text")).as("sh64"))
       .cache()
-    // exact-dup construction: identical text ⇒ identical simhash
-    val selfPairs = docs.select(col("doc_id"), col("sh64").as("a"))
-      .join(docs.select(col("doc_id"), col("sh64").as("b")), "doc_id")
+    // exact-dup construction: a RE-KEYED copy with identical text must
+    // produce an identical signature (two independent evaluations — a
+    // self-join on doc_id would compare each row with itself, vacuous)
+    val copy = Tables.documents(s, d)
+      .select((col("doc_id") + 1000000).as("copy_id"), col("text"))
+      .select(col("copy_id"), simhash(col("text")).as("b"))
+    val selfPairs = docs
+      .select(col("doc_id"), (col("doc_id") + 1000000).as("copy_id"),
+        col("sh64").as("a"))
+      .join(copy, "copy_id")
       .agg(max(hammingDist(col("a"), col("b"))).as("max_self_dist")).head()
     // near-dups found by minhash: simhash should agree they're close
     val near = minhashDedup(Tables.documents(s, d), "doc_id", "text", 0.9)

@@ -103,46 +103,55 @@ object Deconfound {
       seqOp = (acc, row) => {
         val c = new Array[Double](k)
         c(0) = 1.0
+        var covOk = true
         var t = 0
         while (t < cIdx.length) {
-          c(t + 1) = (row.get(cIdx(t)) match {
+          val v: Double = row.get(cIdx(t)) match {
+            case null => Double.NaN
             case f: java.lang.Float => f.toDouble
             case dd: java.lang.Double => dd.doubleValue()
             case n: java.lang.Number => n.doubleValue()
-          }): Double
+          }
+          if (java.lang.Double.isNaN(v)) covOk = false
+          c(t + 1) = v
           t += 1
         }
-        // CᵀC over all rows
-        var a = 0
-        while (a < k) {
-          var b = 0
-          while (b < k) { acc.ctc(a * k + b) += c(a) * c(b); b += 1 }
-          a += 1
-        }
-        val feats = row.getSeq[Any](fIdx)
-        var j = 0
-        val it = feats.iterator
-        while (it.hasNext) {
-          val x: Double = it.next() match {
-            case f: java.lang.Float => f.toDouble
-            case dd: java.lang.Double => dd.doubleValue()
-            case null => Double.NaN
-            case n: java.lang.Number => n.doubleValue()
+        // a row with a missing/NaN covariate contributes to NO fit (the
+        // reference validates covariates upstream; here it degrades to a
+        // row drop instead of poisoning every accumulator with NaN)
+        if (covOk) {
+          // CᵀC over all valid rows
+          var a = 0
+          while (a < k) {
+            var b = 0
+            while (b < k) { acc.ctc(a * k + b) += c(a) * c(b); b += 1 }
+            a += 1
           }
-          if (java.lang.Double.isNaN(x)) {
-            // P6: row drops out of column j's fit only
-            val corr = acc.nanCorr.getOrElseUpdate(j, new Array[Double](k * k))
-            var a2 = 0
-            while (a2 < k) {
-              var b2 = 0
-              while (b2 < k) { corr(a2 * k + b2) += c(a2) * c(b2); b2 += 1 }
-              a2 += 1
+          val feats = row.getSeq[Any](fIdx)
+          var j = 0
+          val it = feats.iterator
+          while (it.hasNext) {
+            val x: Double = it.next() match {
+              case f: java.lang.Float => f.toDouble
+              case dd: java.lang.Double => dd.doubleValue()
+              case null => Double.NaN
+              case n: java.lang.Number => n.doubleValue()
             }
-          } else {
-            var a2 = 0
-            while (a2 < k) { acc.ctx(a2 * p + j) += c(a2) * x; a2 += 1 }
+            if (java.lang.Double.isNaN(x)) {
+              // P6: row drops out of column j's fit only
+              val corr = acc.nanCorr.getOrElseUpdate(j, new Array[Double](k * k))
+              var a2 = 0
+              while (a2 < k) {
+                var b2 = 0
+                while (b2 < k) { corr(a2 * k + b2) += c(a2) * c(b2); b2 += 1 }
+                a2 += 1
+              }
+            } else {
+              var a2 = 0
+              while (a2 < k) { acc.ctx(a2 * p + j) += c(a2) * x; a2 += 1 }
+            }
+            j += 1
           }
-          j += 1
         }
         acc
       },
@@ -205,14 +214,20 @@ object Deconfound {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(betas)
     val k = betas.length
-    val resid = udf { (feats: Seq[Float], covs: Seq[Double]) =>
+    val resid = udf { (feats: Seq[Float], covs: Seq[java.lang.Double]) =>
       val b = bc.value
       val p = feats.length
       val c = new Array[Double](k)
       c(0) = 1.0
+      var covOk = true
       var t = 1
-      while (t < k) { c(t) = covs(t - 1); t += 1 }
-      Array.tabulate(p) { j =>
+      while (t < k) {
+        val v = covs(t - 1)
+        if (v == null || v.isNaN) covOk = false else c(t) = v.doubleValue()
+        t += 1
+      }
+      if (!covOk) Array.fill(p)(Float.NaN) // can't residualize this row
+      else Array.tabulate(p) { j =>
         val x = feats(j)
         if (java.lang.Float.isNaN(x)) Float.NaN
         else {

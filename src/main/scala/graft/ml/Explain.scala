@@ -496,7 +496,7 @@ object Explain {
     val shap = shapContributions(test, flat, model.treeWeights, cfg.p).cache()
     // S10 — SHAP array sink: the (n, p+1) contribs tensor as a parquet
     // Array[Double] column (the Zarr replacement, explain.py:75)
-    val shapSink = "/root/repo/target/fixtures/shap_sink"
+    val shapSink = graft.util.Fixtures.dir + "/shap_sink"
     shap.select(col("iid"), col("shap"), col("margin"))
       .write.mode("overwrite").parquet(shapSink)
     val sinkOk = {

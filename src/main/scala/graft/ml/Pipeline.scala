@@ -264,7 +264,7 @@ object Pipeline {
     val pruned = Train.withVector(sliceFeatures(bundle, used)).cache()
     val aucPruned = Scoring.auc(Train.predictClassifier(m2, pruned), "label", "y_pred")
     // S11 round-trip
-    val path = "/root/repo/target/fixtures/gbt_model"
+    val path = graft.util.Fixtures.dir + "/gbt_model"
     graft.io.Sinks.saveModel(m2, path)
     val loaded = graft.io.Sinks.loadModel(s, path)
     val predA = Train.predictClassifier(m2, pruned)

@@ -78,9 +78,15 @@ object Train {
       .setMaxDepth(hp.maxDepth)
       .setStepSize(hp.eta)
       .setSubsamplingRate(hp.subsample)
-      .setFeatureSubsetStrategy(f"${hp.colsampleBytree}%.4f")
+      .setFeatureSubsetStrategy(colsampleStr(hp.colsampleBytree))
       .setSeed(seed)
       .fit(train)
+
+  /** Locale-independent decimal: the f-interpolator uses the default
+    * locale, and "0,9000" under a comma-decimal locale is rejected by
+    * setFeatureSubsetStrategy. */
+  private def colsampleStr(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
 
   /** M1 (regression regime, ykey == y_adjusted ⇒ reg:squarederror). */
   def fitRegressor(train: DataFrame, hp: HyperParams, seed: Long,
@@ -92,7 +98,7 @@ object Train {
       .setMaxDepth(hp.maxDepth)
       .setStepSize(hp.eta)
       .setSubsamplingRate(hp.subsample)
-      .setFeatureSubsetStrategy(f"${hp.colsampleBytree}%.4f")
+      .setFeatureSubsetStrategy(colsampleStr(hp.colsampleBytree))
       .setSeed(seed)
       .fit(train)
 

@@ -74,8 +74,12 @@ object Splits {
     require(trainFrac > 0.0 && trainFrac < 1.0, s"trainFrac in (0,1), got $trainFrac")
     val inTrain =
       if (nBlocks <= (1L << 20)) {
+        require(nBlocks >= 2, s"need >= 2 blocks to split, got $nBlocks")
         val rng = new scala.util.Random(seed)
-        val nTrain = math.max(1L, math.round(nBlocks * trainFrac))
+        // clamp to [1, nBlocks-1]: round() at extreme fractions would
+        // otherwise leave one side silently empty
+        val nTrain = math.min(nBlocks - 1,
+          math.max(1L, math.round(nBlocks * trainFrac)))
         val picked = rng.shuffle((0L until nBlocks).toVector)
           .take(nTrain.toInt).toSet
         col("block_id").isInCollection(picked)

@@ -77,15 +77,15 @@ object Streams {
     val q = streamed.writeStream
       .format("memory").queryName("st1_out").outputMode(OutputMode.Complete())
       .start()
-    try {
-      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
-        mem.addData(chunk.toSeq)
-        q.processAllAvailable()
-      }
-    } finally { /* stop below after reading */ }
-    val streamedOut = s.table("st1_out")
-      .select("bucket", "event_type", "n", "val_sum").collect().toSet
-    q.stop()
+    val streamedOut =
+      try {
+        rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        s.table("st1_out")
+          .select("bucket", "event_type", "n", "val_sum").collect().toSet
+      } finally q.stop() // always release the query + sink registration
     val batchOut = windowedAggBatch(Tables.events(s, d)).collect().toSet
     Seq((streamedOut.size.toLong, batchOut.size.toLong, streamedOut == batchOut))
       .toDF("n_stream_rows", "n_batch_rows", "exact_match")
@@ -113,17 +113,18 @@ object Streams {
     val q = userRunningState(s, mem.toDS()).writeStream
       .format("memory").queryName("st2_out").outputMode(OutputMode.Update())
       .start()
-    try {
-      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
-        mem.addData(chunk.toSeq)
-        q.processAllAvailable()
-      }
-    } finally {}
     // last update per user = final state
-    val fin = s.table("st2_out").groupBy("user_id")
-      .agg(max(col("n_events")).as("n_events"), max(col("max_value")).as("max_value"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    q.stop()
+    val fin =
+      try {
+        rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        s.table("st2_out").groupBy("user_id")
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("max_value")).as("max_value"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      } finally q.stop()
     val batch = Tables.events(s, d).groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         // all-NaN users: align with the stream side's -Inf initial state
@@ -153,12 +154,14 @@ object Streams {
     val q = deduped.writeStream
       .format("memory").queryName("st3_out").outputMode(OutputMode.Append())
       .start()
-    feed.grouped(math.max(1, feed.length / 4)).foreach { chunk =>
-      mem.addData(chunk.toSeq)
-      q.processAllAvailable()
-    }
-    val got = s.table("st3_out").count()
-    q.stop()
+    val got =
+      try {
+        feed.grouped(math.max(1, feed.length / 4)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        s.table("st3_out").count()
+      } finally q.stop()
     val want = Tables.documents(s, d).select(md5(col("text"))).distinct().count()
     Seq((got, want)).toDF("n_stream_distinct", "n_batch_distinct")
       .filter(col("n_stream_distinct") === col("n_batch_distinct") &&

@@ -13,7 +13,7 @@ import java.nio.file.{Files, Paths}
   */
 class E2ESpec extends SparkSpec {
 
-  private val dir = "/root/repo/target/fixtures/e2e"
+  private val dir = graft.util.Fixtures.dir + "/e2e"
 
   test("ingest -> cv -> refit -> predict") {
     val s = spark
