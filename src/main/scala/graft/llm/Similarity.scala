@@ -180,6 +180,49 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** IVF-style ANN (the other scale path of the mandate): a KMeans
+    * coarse quantizer (spark.ml) assigns every corpus vector to a cell;
+    * a query probes only its `nProbe` nearest centroids and scores
+    * candidates within those cells. Centroids are a driver-side k×dim
+    * array (tiny) folded into the probe expression; the corpus shuffle
+    * is one groupBy-free equi-join on cell id.
+    */
+  def ivfTop1(queries: DataFrame, corpus: DataFrame, nCells: Int = 16,
+      nProbe: Int = 4, seed: Long = 7L): DataFrame = {
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("fv").setPredictionCol("cell")
+    val corpusFv = corpus.withColumn("fv",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
+    val model = km.fit(corpusFv)
+    val cells = model.transform(corpusFv)
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cell"))
+    val centroids = model.clusterCenters.map(_.toArray)
+    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
+    val nP = nProbe
+    val probeCells = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      val d2 = cs.indices.map { c =>
+        var s = 0.0
+        var j = 0
+        val cj = cs(c)
+        while (j < cj.length) {
+          val diff = v(j) - cj(j); s += diff * diff; j += 1
+        }
+        (s, c)
+      }
+      d2.sortBy(_._1).take(nP).map(_._2).toArray
+    }
+    val probed = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        explode(probeCells(col("embedding"))).as("cell"))
+    val cands = probed.join(cells, "cell")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    cands.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("qid"), col("nid"), col("sim"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Brute-force exact top-1 oracle vs DuckDB list_cosine_similarity.
@@ -262,5 +305,29 @@ object Similarity {
           .cast("long").as("pair_checksum"))
   }
 
-  def all: Seq[QueryDef] = Seq(brute, ann, nearDup)
+  /** IVF ANN rows-only entry: recall@1 vs brute force on the probe set.
+    * With 16 cells / 4 probes on the near-isotropic corpus the query's
+    * true neighbor sits in a probed cell most of the time; gate ≥ 0.6
+    * (cells are Voronoi — neighbors across unprobed cell boundaries are
+    * the known IVF failure mode, tuned via nProbe at scale).
+    */
+  val ivf = QueryDef.fixture("v4_ann_ivf_recall") { (s, d) =>
+    val emb = Tables.embeddings(s, d).cache()
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = bruteForceTop1(queries, emb)
+      .select(col("qid"), col("nid").as("nid_exact"))
+    val approx = ivfTop1(queries, emb)
+      .select(col("qid"), col("nid").as("nid_ivf"))
+    val joined = exact.join(approx, Seq("qid"), "left").cache()
+    val nQ = joined.count().toDouble
+    val hits = joined.filter(col("nid_exact") === col("nid_ivf")).count().toDouble
+    val recall = hits / nQ
+    joined.unpersist(); emb.unpersist()
+    val spark = s; import spark.implicits._
+    Seq((math.rint(recall * 1e4) / 1e4, nQ.toLong))
+      .toDF("recall_at_1", "n_queries")
+      .filter(col("recall_at_1") >= 0.6 && col("n_queries") > 0)
+  }
+
+  def all: Seq[QueryDef] = Seq(brute, ann, nearDup, ivf)
 }

@@ -44,6 +44,26 @@ class DeconfoundSpec extends SparkSpec {
     assert(math.abs(b(0)(1) - 4.0) < 1e-3 && math.abs(b(1)(1) + 1.0) < 1e-3)
   }
 
+  test("null/NaN covariates: rows drop from the fit instead of crashing") {
+    import spark.implicits._
+    // clean rows follow y = 1 + 2c exactly; poison rows carry a null
+    // covariate and a WRONG relationship that must not leak into betas
+    val clean = (1 to 100).map { i =>
+      val c = i * 0.1
+      (Array((1.0 + 2.0 * c).toFloat), Some(c))
+    }
+    val poison = (1 to 20).map(_ => (Array(999f), None: Option[Double]))
+    val df = (clean ++ poison).toDF("features", "c")
+      .select(col("features"), col("c").cast("double").as("c"))
+    val b = Deconfound.massOlsBetas(df, Seq("c"), "features", p = 1)
+    assert(math.abs(b(0)(0) - 1.0) < 1e-3 && math.abs(b(1)(0) - 2.0) < 1e-3)
+    // residualize: null-covariate rows become NaN, clean rows near zero
+    val out = Deconfound.residualizeFeatures(df, Seq("c"), "features", b)
+      .select(col("features_adj").getItem(0)).collect().map(_.getFloat(0))
+    assert(out.count(_.isNaN) == 20)
+    assert(out.filterNot(_.isNaN).forall(v => math.abs(v) < 1e-3))
+  }
+
   test("residualizeFeatures: exact fit ⇒ zero residuals, NaN preserved") {
     import spark.implicits._
     val rows = (1 to 100).map { i =>
