@@ -47,24 +47,46 @@ object Dedup {
   /** LSH candidate pairs: band the signature (bands × rowsPerBand =
     * nHashes), hash each band, self-join on (band index, band hash).
     * Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    *
+    * Hot-bucket bound: a bucket of size m emits m(m−1)/2 pairs, so ONE
+    * pathological bucket (boilerplate-heavy corpus — crawl headers,
+    * license blocks) would go quadratic. Buckets larger than
+    * `maxBucketSize` instead emit a sorted id-CHAIN (m−1 consecutive
+    * pairs): linear work, and for the dedup use the bucket's true
+    * duplicates stay one connected component (each chain link
+    * verifies), so cluster resolution loses nothing. Only the explicit
+    * pair LISTING inside an oversized bucket is thinned — the price of
+    * bounded work, and other bands can still surface any thinned pair.
+    * The bucket-size count and the chain lag() share the self-join's
+    * (band, band_hash) hash partitioning, so the cap adds no shuffle
+    * (the exchange is computed once and reused for both join sides).
     */
   def lshCandidates(docs: DataFrame, idCol: String, nHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int, maxBucketSize: Int = 2000): DataFrame = {
     require(bands >= 1 && bands <= nHashes && nHashes % bands == 0,
       s"bands must divide nHashes: bands=$bands, nHashes=$nHashes " +
         "(bands > nHashes would make every band hash identical — all-pairs)")
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2: $maxBucketSize")
     val rowsPerBand = nHashes / bands
     val banded = docs.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
           .as(Seq("band", "band_hash")))
-    banded.alias("a")
-      .join(banded.alias("b"),
+    val bucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val sized = banded.withColumn("bsz", count(lit(1)).over(bucket))
+    val small = sized.filter(col("bsz") <= maxBucketSize)
+    val allPairs = small.alias("a")
+      .join(small.alias("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
+    val chained = sized.filter(col("bsz") > maxBucketSize)
+      .withColumn("prev", lag(col(idCol), 1).over(bucket.orderBy(col(idCol))))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("doc_a"), col(idCol).as("doc_b"))
+    allPairs.unionByName(chained).distinct()
   }
 
   /** Exact Jaccard verification of candidate pairs on the true shingle
@@ -109,12 +131,27 @@ object Dedup {
   }
 
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, nHashes: Int = 32, bands: Int = 16): DataFrame = {
-    // No cache: each frame below feeds one plan subtree; nothing stays
-    // pinned in executor storage after the query (100 TB hygiene).
+      threshold: Double, nHashes: Int = 32, bands: Int = 16,
+      maxBucketSize: Int = 2000): DataFrame = {
     val sigDf = minhashSignatures(docs, idCol, textCol, nHashes)
-    val withSh = docs.select(col(idCol), shingles(col(textCol)).as("sh"))
-    val cands = lshCandidates(sigDf, idCol, nHashes, bands)
+    // Candidate pairs are ids-only and a tiny fraction of the corpus;
+    // materialize them ONCE (localCheckpoint, not cache — nothing left
+    // pinned in executor storage under a live reference after the
+    // query) so the id-prune and the verify join don't each recompute
+    // the LSH self-join.
+    val cands = lshCandidates(sigDf, idCol, nHashes, bands, maxBucketSize)
+      .localCheckpoint(eager = true)
+    val candIds = cands.select(col("doc_a").as(idCol))
+      .unionByName(cands.select(col("doc_b").as(idCol))).distinct()
+    // Shingle ONLY candidate docs (semi-join prune): the round-2 plan
+    // re-shingled the whole corpus for the verify stage — verify cost
+    // now scales with |candidates|, not |corpus|. Shingles are carried
+    // as xxhash64 longs, not strings: array_intersect on longs, and
+    // Jaccard is unchanged (64-bit collisions within one pair's
+    // shingle sets are ~2⁻⁶⁴-improbable).
+    val withSh = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        transform(shingles(col(textCol)), s => xxhash64(s)).as("sh"))
     verifyJaccard(cands, withSh, idCol).filter(col("jaccard") >= threshold)
   }
 

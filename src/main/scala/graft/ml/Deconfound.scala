@@ -275,13 +275,16 @@ object Deconfound {
           col("l_extendedprice").cast("double").as("x"))
       val betas = massOlsBetas(li, Seq("x"), "features", p = 2)
       val spark = s; import spark.implicits._
-      // slope is ~1e-6-scale; report ×1000 so round(…,6) keeps real digits
+      // slope is ~1e-6-scale; report ×1000 so round(…,6) keeps real
+      // digits. Round via Catalyst (BigDecimal HALF_UP) to match
+      // DuckDB's round — math.rint is HALF_EVEN and would flip the
+      // hash on a beta landing exactly on a half-boundary.
       Seq(
-        (0L, math.rint(betas(0)(0) * 1e6) / 1e6,
-          math.rint(betas(1)(0) * 1000 * 1e6) / 1e6),
-        (1L, math.rint(betas(0)(1) * 1e6) / 1e6,
-          math.rint(betas(1)(1) * 1000 * 1e6) / 1e6))
+        (0L, betas(0)(0), betas(1)(0) * 1000),
+        (1L, betas(0)(1), betas(1)(1) * 1000))
         .toDF("pos", "beta0", "beta1_x1k")
+        .select(col("pos"), round(col("beta0"), 6).as("beta0"),
+          round(col("beta1_x1k"), 6).as("beta1_x1k"))
   }
 
   /** M13 oracle — residualize l_quantity on l_extendedprice; both engines

@@ -3,17 +3,22 @@ package graft.ml
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Evaluators A9 (AUC), A10 (RMSE), A11 (R²) — reference
   * `daxos/crossvalidate.py:130-145`, `daxos/scoring.py:122-133`.
   *
   * AUC uses the Mann–Whitney rank form with average ranks for ties —
   * identical to trapezoidal ROC area. Scale design: rows are first
-  * reduced to one record PER DISTINCT SCORE (a hash aggregate — at
-  * 100 TB model scores repeat heavily or can be quantized), and the
-  * single-partition window runs over that reduced table only. Never
-  * rank raw rows globally.
+  * reduced to one record PER DISTINCT SCORE (a hash aggregate with
+  * map-side combine), then the cumulative rank is computed by a
+  * range-partitioned parallel sort plus a two-pass prefix-sum (the
+  * same carry pattern as [[graft.stats.FDR.bhAdjustScalable]]): pass 1
+  * emits one count per partition, the driver prefix-sums that tiny
+  * array, pass 2 applies the carry per partition. No stage ever
+  * serializes the score table through a single task — model scores
+  * are continuous, so "distinct scores" is ~n and a global window
+  * here would be the hot-path scale-killer (every CV fold × param
+  * scores through AUC twice).
   *
   * All three evaluators return 1-row DataFrames so they compose as
   * declared queries; `Double` convenience accessors collect that row.
@@ -25,25 +30,53 @@ object Scoring {
   def dropNanLabels(df: DataFrame, labelCol: String): DataFrame =
     df.filter(col(labelCol).isNotNull && !isnan(col(labelCol)))
 
-  /** A9 — AUC(label ∈ {0,1}, score). One hash-agg pass + a window over
-    * distinct scores. avg rank of a tie group = (#rows before) + (c+1)/2.
+  /** A9 — AUC(label ∈ {0,1}, score). One hash-agg pass to distinct
+    * scores, then a range-partitioned sort + two-pass distributed
+    * prefix-sum. avg rank of a tie group = (#rows before) + (c+1)/2.
+    *
+    * Pass 1 collects ONE double per partition (the partition's row
+    * count); pass 2 accumulates the Mann–Whitney partials with the
+    * driver-computed carry and collects one triple per partition.
+    * Both passes re-read the sort's shuffle files (no persist — the
+    * deterministic sort stage is skipped on the second job, and
+    * pinning the score table would poison later queries' memory).
+    * The term order matches the oracle's ascending-score window, so
+    * the double arithmetic is sequence-identical to DuckDB's.
     */
   def aucDF(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val spark = df.sparkSession
     val g = dropNanLabels(df, labelCol)
       .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).cast("double").as("c"),
         sum(col(labelCol)).cast("double").as("pos"))
-    val w = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    g.select(col("s"), col("c"), col("pos"),
-        coalesce(sum(col("c")).over(w), lit(0.0)).as("cumb"))
-      .agg(
-        sum(col("pos") * (col("cumb") + (col("c") + 1) / 2.0)).as("sumr"),
-        sum(col("pos")).as("np"),
-        sum(col("c")).as("n"))
-      .select(
-        ((col("sumr") - col("np") * (col("np") + 1) / 2.0) /
-          (col("np") * (col("n") - col("np")))).as("auc"))
+    val sorted = g.orderBy(col("s")) // range-partitioned parallel sort
+    val cIdx = sorted.schema.fieldIndex("c")
+    val posIdx = sorted.schema.fieldIndex("pos")
+    val rdd = sorted.rdd
+    // pass 1: rows-per-partition — one tiny record each
+    val partCounts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var sumC = 0.0
+      it.foreach(r => sumC += r.getDouble(cIdx))
+      Iterator((pid, sumC))
+    }.collect().sortBy(_._1).map(_._2)
+    // carry(pid) = #rows in partitions strictly before pid
+    val carry = partCounts.scanLeft(0.0)(_ + _)
+    // pass 2: per-partition Mann–Whitney partials under the carry
+    val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cumb = carry(pid)
+      var sumr = 0.0; var np = 0.0; var n = 0.0
+      it.foreach { r =>
+        val c = r.getDouble(cIdx); val pos = r.getDouble(posIdx)
+        sumr += pos * (cumb + (c + 1) / 2.0)
+        np += pos; n += c; cumb += c
+      }
+      Iterator((pid, sumr, np, n))
+    }.collect().sortBy(_._1)
+    var sumr = 0.0; var np = 0.0; var n = 0.0
+    partials.foreach { case (_, sr, p, c) => sumr += sr; np += p; n += c }
+    val auc = (sumr - np * (np + 1) / 2.0) / (np * (n - np))
+    import spark.implicits._
+    Seq(auc).toDF("auc")
   }
 
   def auc(df: DataFrame, labelCol: String, scoreCol: String): Double =

@@ -74,8 +74,13 @@ object FDR {
     val sorted = df.orderBy(col(pCol).asc, tiebreak.asc)
     val schema = sorted.schema
     val pIdx = schema.fieldIndex(pCol)
-    val indexed = sorted.rdd.zipWithIndex() // (row, 0-based global position)
-    indexed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (row, 0-based global position). NOT persisted: zipWithIndex's
+    // eager offsets job materializes the sort's shuffle files, so the
+    // two downstream jobs (per-partition summary collect; final output)
+    // skip the sort stage and re-run only the cheap map — persisting
+    // here pinned the whole sorted dataset in executor storage for the
+    // rest of the session (round-2 leak).
+    val indexed = sorted.rdd.zipWithIndex()
     // one tiny record per partition: (min suffix ratio, max rejected rank)
     val perPart = indexed.mapPartitionsWithIndex { (pid, it) =>
       var minRatio = Double.PositiveInfinity

@@ -42,6 +42,34 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.size == 2)
   }
 
+  test("lshCandidates hot-bucket cap: chained linearly, clusters survive") {
+    import spark.implicits._
+    // 30 identical boilerplate docs collide in ONE bucket per band
+    // (> cap 10); uncapped that is 435 pairs/band — capped it must be
+    // the 29-link id-chain. An unrelated planted dup pair in normal
+    // (small) buckets must be untouched by the cap.
+    val boiler = (1 to 30).map(i =>
+      (i.toLong, "common boilerplate header text repeated across the crawl corpus"))
+    val others = (100 to 120).map(i =>
+      (i.toLong, (1 to 12).map(j => s"u${(i * 5 + j * 19) % 83}").mkString(" ")))
+    val docs = (boiler ++ others ++ Seq((200L, others.head._2)))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 32)
+    val capped = Dedup.lshCandidates(sigs, "doc_id", 32, 16, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val boilerPairs = capped.filter(p => p._1 <= 30L && p._2 <= 30L)
+    assert(boilerPairs == (1L to 29L).map(i => (i, i + 1)).toSet,
+      s"expected linear chain, got ${boilerPairs.size} pairs")
+    assert(capped.contains((100L, 200L)))
+    // end-to-end: chain links all verify at jaccard 1.0, so cluster
+    // resolution still reduces the boilerplate group to one keeper
+    val clusters = Dedup.nearDupClusters(
+        Dedup.minhashDedup(docs, "doc_id", "text", 0.9, maxBucketSize = 10))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 30L).foreach(i => assert(clusters(i) == 1L))
+    assert(clusters(200L) == 100L)
+  }
+
   test("simhash: identical text distance 0, disjoint text large distance") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta epsilon zeta"),
