@@ -168,23 +168,32 @@ object Refit {
   }
 }
 
-/** `scripts/predict.py` — score a held-out bundle (SURVEY §3.3). */
+/** `scripts/predict.py` — score a held-out bundle (SURVEY §3.3).
+  * Always writes test-set importances (predict.py:165-172 runs
+  * `collect_importances` unconditionally); `--run-shap true` adds the
+  * per-row SHAP parquet, `--run-shap-inter true` the interaction
+  * tensor — both default false like the reference flags.
+  */
 object Predict {
   def main(args: Array[String]): Unit = {
     val a = Cli.parseArgs(args)
     val spark = Cli.session("graft-predict")
     val out = a("out")
+    val runShap = a.get("run-shap").exists(Config.parseBool)
+    val runShapInter = a.get("run-shap-inter").exists(Config.parseBool)
     val test = Bundle.read(spark, a("bundle"))
     val cols = Bundle.readCols(spark, a("bundle"))
     val snpNames = cols.orderBy("pos").collect().map(_.getString(1)).toSeq
     val model = Sinks.loadModel(spark, s"${a("model-dir")}/model")
-    // column-align to the model's used feature set (predict.py:124-134)
+    // column-align to the model's used feature set (predict.py:124-134);
+    // name → position map, NOT per-name indexOf (O(used) vs O(used·p))
     val usedNames = spark.read.option("header", "true")
       .csv(s"${a("model-dir")}/used_cols")
       .collect().map(_.getString(0)).toSeq
-    val pos = usedNames.map(snpNames.indexOf)
+    val posByName = snpNames.zipWithIndex.toMap
+    val pos = usedNames.map(n => posByName.getOrElse(n, -1))
     require(!pos.contains(-1), "test bundle lacks model predictors")
-    val aligned = Train.withVector(Pipeline.sliceFeatures(test, pos))
+    val aligned = Train.withVector(Pipeline.sliceFeatures(test, pos)).cache()
     var preds = Train.predictClassifier(model, aligned)
       .select(col("iid"), col("label").as("y_true"), col("y_pred"))
     val plattRow = spark.read.option("header", "true")
@@ -193,6 +202,30 @@ object Predict {
       (plattRow.getString(0).toDouble, plattRow.getString(1).toDouble))
     Sinks.writeCsv(preds, s"$out/predictions", coalesce1 = true)
     val auc = Scoring.auc(preds, "y_true", "y_pred")
+    // test-set explanation (same block shape as Refit, reference
+    // predict.py:165-172)
+    val spark2 = spark; import spark2.implicits._
+    val flat = Explain.flattenModel(model.trees)
+    var imp = Explain.importances(flat, usedNames, spark)
+    if (runShap) {
+      val shap = Explain.shapContributions(
+        aligned, flat, model.treeWeights, usedNames.length)
+      shap.select(col("iid"), col("shap"), col("margin"))
+        .write.mode("overwrite").parquet(s"$out/shap")
+      imp = imp.join(
+        Explain.meanAbsShap(shap, usedNames.length)
+          .join(usedNames.zipWithIndex.map { case (n, i) => (i, n) }
+            .toDF("pos", "predictors"), "pos")
+          .select(col("predictors"), col("shap_mean_abs")),
+        Seq("predictors"), "left")
+    }
+    Sinks.writeCsv(imp.orderBy(desc("total_gain")), s"$out/importances",
+      coalesce1 = true)
+    if (runShapInter)
+      Explain.shapInteractionsAll(
+          aligned, flat, model.treeWeights, usedNames.length)
+        .write.mode("overwrite").parquet(s"$out/shap_interactions")
+    aligned.unpersist()
     println(f"predict done: AUC=$auc%.4f -> $out")
     Cli.stop(spark)
   }

@@ -27,10 +27,25 @@ object Bundle {
   def bundleDir(dir: String): String = s"$dir/bundle"
   def colsDir(dir: String): String = s"$dir/cols"
 
-  /** S7 — write bundle + cols. */
-  def write(bundle: DataFrame, cols: DataFrame, dir: String): Unit = {
+  /** S7 — write bundle + cols. `validate` re-reads the written files
+    * and requires every features array to have the same width — the
+    * write-once full check (a ragged bundle from a partial write or
+    * schema drift would otherwise surface deep inside a kernel; the
+    * fast one-row check in [[read]] cannot catch it). One column-pruned
+    * scan of the fresh files, paid once at ingest.
+    */
+  def write(bundle: DataFrame, cols: DataFrame, dir: String,
+      validate: Boolean = true): Unit = {
     bundle.write.mode("overwrite").parquet(bundleDir(dir))
     cols.coalesce(1).write.mode("overwrite").parquet(colsDir(dir))
+    if (validate) {
+      val mm = bundle.sparkSession.read.parquet(bundleDir(dir))
+        .agg(min(size(col("features"))).as("mn"),
+          max(size(col("features"))).as("mx")).head()
+      require(mm.getInt(0) == mm.getInt(1),
+        s"ragged features widths in written bundle at $dir: " +
+          s"min=${mm.getInt(0)} max=${mm.getInt(1)}")
+    }
   }
 
   /** S6 — the cols side table. */

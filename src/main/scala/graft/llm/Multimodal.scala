@@ -10,21 +10,178 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample operators running as
   * per-partition batch kernels.
   *
-  * The image/audio codec libraries are not present in this environment,
-  * so THE DECODE STEP IS A STUB: `decodeStub` produces a deterministic
-  * fake "decoded frame" from the payload bytes (clearly marked below).
-  * Everything AROUND the stub — the schema contract, the binary column
-  * flow, the mapPartitions batch shape, partition-local processing with
-  * zero driver involvement — is real, tested, and is exactly what a
-  * real codec would plug into (swap `decodeStub` for the JNI/codec
-  * call; in PySpark this partition kernel is the `mapInPandas` batch
-  * function).
+  * Decoding goes through a pluggable [[Codec]] chain. Two REAL
+  * pure-JVM codecs ship: uncompressed 24-bit BMP (pixels out as RGB)
+  * and PCM-16 WAV (raw sample bytes out). Payloads no codec claims
+  * fall back to `decodeStub` — a deterministic fake "decoded frame"
+  * from the raw bytes (the compressed-format codecs, JPEG/MP3/H.264,
+  * are external libraries this environment doesn't ship; a real
+  * deployment registers them as further [[Codec]]s). The schema
+  * contract, binary column flow, and mapPartitions batch shape are
+  * identical for real and fallback paths (in PySpark this partition
+  * kernel is the `mapInPandas` batch function).
   *
   * Scale: payloads never leave their partition; feature extraction is
   * a streaming per-row kernel; `maxPartitionBytes` governs batch sizing
   * exactly as for any other parquet binary column.
   */
 object Multimodal {
+
+  /** A decoded frame: RGB pixels (BMP), PCM sample bytes (WAV), or the
+    * raw payload (stub fallback). `width`/`height` are pixels for
+    * images, (frames-per-channel, 1) for audio. */
+  final case class Decoded(kind: String, width: Int, height: Int,
+      channels: Int, data: Array[Byte])
+
+  /** Pluggable byte-payload decoder. Implementations must be cheap to
+    * `sniff` (magic bytes only) and total — `decode` returns None on
+    * malformed input rather than throwing (a 100 TB crawl WILL contain
+    * truncated files; one bad payload must not kill the stage). */
+  trait Codec extends Serializable {
+    def name: String
+    def sniff(payload: Array[Byte]): Boolean
+    def decode(payload: Array[Byte]): Option[Decoded]
+  }
+
+  private def u16le(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+  private def i32le(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8) |
+      ((p(o + 2) & 0xFF) << 16) | ((p(o + 3) & 0xFF) << 24)
+
+  /** Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB): rows are
+    * 4-byte padded, stored bottom-up unless height < 0. Emits row-major
+    * top-down RGB (BMP stores BGR). Public format spec; no library. */
+  object BmpCodec extends Codec {
+    val name = "bmp"
+    def sniff(p: Array[Byte]): Boolean =
+      p.length > 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte
+    def decode(p: Array[Byte]): Option[Decoded] =
+      try {
+        val off = i32le(p, 10); val w = i32le(p, 18); val hRaw = i32le(p, 22)
+        val bpp = u16le(p, 28); val comp = i32le(p, 30)
+        val h = math.abs(hRaw)
+        val rowSize = ((w * 3 + 3) / 4) * 4
+        if (bpp != 24 || comp != 0 || w <= 0 || hRaw == 0 ||
+            off < 54 || off.toLong + rowSize.toLong * h > p.length) None
+        else {
+          val topDown = hRaw < 0
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            val src = off + (if (topDown) y else h - 1 - y) * rowSize
+            var x = 0
+            while (x < w) {
+              val si = src + x * 3; val di = (y * w + x) * 3
+              out(di) = p(si + 2); out(di + 1) = p(si + 1); out(di + 2) = p(si)
+              x += 1
+            }
+            y += 1
+          }
+          Some(Decoded(name, w, h, 3, out))
+        }
+      } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** PCM-16 WAV (RIFF/WAVE, format tag 1): walks the chunk list for
+    * `fmt ` and `data`. Emits the raw little-endian PCM bytes;
+    * width = frames per channel. Public format spec; no library. */
+  object WavCodec extends Codec {
+    val name = "wav"
+    def sniff(p: Array[Byte]): Boolean =
+      p.length > 44 &&
+        p(0) == 'R'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte &&
+        p(3) == 'F'.toByte && p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
+        p(10) == 'V'.toByte && p(11) == 'E'.toByte
+    def decode(p: Array[Byte]): Option[Decoded] =
+      try {
+        var off = 12
+        var channels = 0; var bits = 0; var fmtOk = false
+        var data: Array[Byte] = null
+        while (off + 8 <= p.length && (data == null || !fmtOk)) {
+          val id = new String(p, off, 4, "US-ASCII")
+          val sz = i32le(p, off + 4)
+          if (sz < 0 || off + 8 + sz > p.length) { off = p.length }
+          else {
+            if (id == "fmt ") {
+              fmtOk = u16le(p, off + 8) == 1 // PCM
+              channels = u16le(p, off + 10)
+              bits = u16le(p, off + 22)
+            } else if (id == "data") {
+              data = java.util.Arrays.copyOfRange(p, off + 8, off + 8 + sz)
+            }
+            off += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
+        }
+        if (!fmtOk || bits != 16 || channels < 1 || data == null) None
+        else Some(Decoded(name, data.length / (2 * channels), 1, channels, data))
+      } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Codec chain, sniffed in order; first claimer decodes. */
+  val codecs: Seq[Codec] = Seq(BmpCodec, WavCodec)
+
+  /** Decode through the codec chain; stub fallback for unclaimed or
+    * malformed payloads. Total — never throws on bad bytes. */
+  def decodeAny(payload: Array[Byte]): Decoded =
+    codecs.find(_.sniff(payload)).flatMap(_.decode(payload))
+      .getOrElse(Decoded("stub", payload.length, 1, 1, payload))
+
+  // ------------------------------------------------- fixture encoders
+
+  /** Tiny BMP writer for fixtures/tests: row-major top-down RGB in,
+    * bottom-up 24-bit BMP bytes out. */
+  def encodeBmp24(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3, "rgb must be w*h*3 bytes")
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowSize * h
+    val out = new Array[Byte](size)
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      put16(o, v & 0xFFFF); put16(o + 2, v >>> 16)
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    put32(2, size); put32(10, 54); put32(14, 40)
+    put32(18, w); put32(22, h); put16(26, 1); put16(28, 24); put32(30, 0)
+    put32(34, rowSize * h)
+    var y = 0
+    while (y < h) {
+      val dst = 54 + (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val si = (y * w + x) * 3; val di = dst + x * 3
+        out(di) = rgb(si + 2); out(di + 1) = rgb(si + 1); out(di + 2) = rgb(si)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Tiny PCM-16 WAV writer for fixtures/tests. */
+  def encodeWavPcm16(channels: Int, sampleRate: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = v.toByte; out(o + 1) = (v >> 8).toByte
+    }
+    def put32(o: Int, v: Int): Unit = {
+      put16(o, v & 0xFFFF); put16(o + 2, v >>> 16)
+    }
+    def putStr(o: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, o)
+    putStr(0, "RIFF"); put32(4, 36 + dataLen); putStr(8, "WAVE")
+    putStr(12, "fmt "); put32(16, 16); put16(20, 1); put16(22, channels)
+    put32(24, sampleRate); put32(28, sampleRate * channels * 2)
+    put16(32, channels * 2); put16(34, 16)
+    putStr(36, "data"); put32(40, dataLen)
+    var i = 0
+    while (i < samples.length) { put16(44 + i * 2, samples(i).toInt); i += 1 }
+    out
+  }
 
   /** The multimodal schema contract: payload + typed metadata. */
   val assetSchema: StructType = StructType(Seq(
@@ -51,34 +208,39 @@ object Multimodal {
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
         .as("meta"))
 
-  /** ??? REAL CODEC GOES HERE ??? — deterministic fake decode: "pixels"
-    * are the payload bytes. Signature and batch flow match a real
-    * decoder (bytes → fixed-size frame). */
-  private def decodeStub(payload: Array[Byte], targetLen: Int): Array[Byte] = {
+  /** Truncate/zero-pad a decoded frame to a fixed byte budget (the
+    * "resize" of this pipeline — real pixel resampling is a further
+    * per-partition kernel on the decoded RGB). */
+  private def fitFrame(decoded: Array[Byte], targetLen: Int): Array[Byte] = {
     val out = new Array[Byte](targetLen)
     var i = 0
     while (i < targetLen) {
-      out(i) = if (i < payload.length) payload(i) else 0
+      out(i) = if (i < decoded.length) decoded(i) else 0
       i += 1
     }
     out
   }
 
-  /** Resize (truncate/zero-pad the decoded frame to `targetBytes`) +
-    * feature-extract (16-bin byte histogram, L1-normalized) as ONE
-    * per-partition pass over the binary column. Adds `frame` (binary)
-    * and `features` (array<double>, length 16).
+  /** Decode (codec chain, stub fallback) + resize (truncate/zero-pad to
+    * `targetBytes`) + feature-extract (16-bin byte histogram,
+    * L1-normalized) as ONE per-partition pass over the binary column.
+    * Adds `decoded_format`/`decoded_width`/`decoded_height` (what the
+    * codec saw), `frame` (binary) and `features` (array<double>, 16).
     */
   def decodeAndFeaturize(assets: DataFrame, targetBytes: Int = 256): DataFrame = {
     val spark = assets.sparkSession
     val pIdx = assets.schema.fieldIndex("payload")
     val outSchema = assets.schema
+      .add("decoded_format", StringType)
+      .add("decoded_width", IntegerType)
+      .add("decoded_height", IntegerType)
       .add("frame", BinaryType)
       .add("features", ArrayType(DoubleType, containsNull = false))
     val out = assets.rdd.mapPartitions { it =>
       it.map { row =>
         val payload = row.getAs[Array[Byte]](pIdx)
-        val frame = decodeStub(payload, targetBytes)
+        val dec = decodeAny(payload)
+        val frame = fitFrame(dec.data, targetBytes)
         val hist = new Array[Double](16)
         var i = 0
         while (i < frame.length) {
@@ -90,7 +252,8 @@ object Multimodal {
         while (i < 16) { s += hist(i); i += 1 }
         i = 0
         while (i < 16) { hist(i) /= s; i += 1 }
-        Row.fromSeq(row.toSeq :+ frame :+ hist.toSeq)
+        Row.fromSeq(row.toSeq :+ dec.kind :+ dec.width :+ dec.height :+
+          frame :+ hist.toSeq)
       }
     }
     spark.createDataFrame(out, outSchema)
@@ -123,7 +286,9 @@ object Multimodal {
   /** Rows-only entry: schema contract + decode/featurize batch shape.
     * Checks: every row produces a frame of exactly targetBytes, a
     * 16-bin unit-sum histogram; determinism (two runs, same checksum);
-    * metadata consistent with payload length.
+    * metadata consistent with payload length; and the REAL codec path —
+    * a generated 24-bit BMP and PCM-16 WAV must decode with correct
+    * dimensions while garbage falls back to the stub without error.
     */
   val mm = QueryDef.fixture("mm1_multimodal_pipeline") { (s, d) =>
     val assets = assetsFromDocuments(Tables.documents(s, d)).cache()
@@ -142,11 +307,29 @@ object Multimodal {
       .head().getLong(0)
     assets.unpersist(); feat.unpersist()
     val spark = s; import spark.implicits._
+    // real-codec gate: planted BMP (5×3 RGB) + WAV (64 stereo samples →
+    // 32 frames) + garbage, through the SAME distributed kernel
+    val planted = Seq(
+      (1L, encodeBmp24(5, 3, Array.tabulate(45)(i => (i * 7).toByte))),
+      (2L, encodeWavPcm16(2, 8000, Array.tabulate(64)(i => (i * 33).toShort))),
+      (3L, Array.tabulate(20)(i => (255 - i).toByte)))
+      .toDF("asset_id", "payload")
+      .withColumn("meta", struct(lit("planted").as("format"),
+        lit(0).as("width"), lit(0).as("height"),
+        length(col("payload")).cast("long").as("n_bytes")))
+    val dec = decodeAndFeaturize(planted, 64)
+      .select("asset_id", "decoded_format", "decoded_width", "decoded_height")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3)))
+      .toMap
+    val codecOk = dec(1L) == (("bmp", 5, 3)) && dec(2L) == (("wav", 32, 1)) &&
+      dec(3L)._1 == "stub"
     Seq((stats.getLong(0), stats.getLong(1), stats.getLong(2),
-      stats.getDouble(3), stats.getLong(4), cks1 == cks2))
-      .toDF("n", "bad_frames", "bad_feats", "max_hist_err", "bad_meta", "deterministic")
+      stats.getDouble(3), stats.getLong(4), cks1 == cks2, codecOk))
+      .toDF("n", "bad_frames", "bad_feats", "max_hist_err", "bad_meta",
+        "deterministic", "codec_ok")
       .filter(col("n") > 0 && col("bad_frames") === 0 && col("bad_feats") === 0 &&
-        col("max_hist_err") < 1e-9 && col("bad_meta") === 0 && col("deterministic"))
+        col("max_hist_err") < 1e-9 && col("bad_meta") === 0 &&
+        col("deterministic") && col("codec_ok"))
   }
 
   def all: Seq[QueryDef] = Seq(mm)

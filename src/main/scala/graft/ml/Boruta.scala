@@ -27,6 +27,14 @@ object Boruta {
     * equivalent for association-breaking because the store is globally
     * pre-shuffled (R1). Shadows are min-padded to ≥5 columns by cycling
     * (boruta.py:193-195).
+    *
+    * MEMORY: this kernel materializes each partition (`it.toArray`)
+    * plus an n×nShadow shadow matrix — roughly 3× the partition's
+    * feature footprint resident at once. That is deliberate and safe
+    * here because Boruta always runs on the bounded CV subsample
+    * (boruta.py fits on ≤ cv_subsample rows, see [[borutaShap]]), never
+    * the full store; if a full-corpus variant is ever needed, permute
+    * in two passes (index pass + gather pass) instead of buffering.
     */
   def withShadows(df: DataFrame, p: Int, seed: Long,
       featuresCol: String = "features", outCol: String = "features_sh"): DataFrame = {

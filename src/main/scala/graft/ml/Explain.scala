@@ -445,6 +445,47 @@ object Explain {
     inter
   }
 
+  /** M4 sink — distributed materialization of the (n, p+1, p+1)
+    * interaction tensor (the reference writes it to Zarr,
+    * explain.py:95-99; here it is a parquet Array[Double] column,
+    * row-major-flattened (p+1)² per row, iid-keyed). A mapPartitions
+    * over [[shapInteractionsRow]] with broadcast trees — embarrassingly
+    * parallel, no shuffle; gated off by default exactly like the
+    * reference because the kernel is O(p²·depth²·leaves) per row.
+    */
+  def shapInteractionsAll(df: DataFrame, trees: Array[FlatTree],
+      weights: Array[Double], p: Int, featuresCol: String = "features",
+      idCol: String = "iid"): DataFrame = {
+    val spark = df.sparkSession
+    val bcT = spark.sparkContext.broadcast(trees)
+    val bcW = spark.sparkContext.broadcast(weights)
+    val fIdx = df.schema.fieldIndex(featuresCol)
+    val iIdx = df.schema.fieldIndex(idCol)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(iIdx),
+      org.apache.spark.sql.types.StructField("inter",
+        ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val out = df.rdd.mapPartitions { it =>
+      val ts = bcT.value; val ws = bcW.value
+      it.map { row =>
+        val x = row.getSeq[Any](fIdx).iterator.map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.doubleValue()
+          case n: java.lang.Number => n.doubleValue()
+        }.toArray
+        val inter = shapInteractionsRow(ts, ws, x, p)
+        val flatRow = new Array[Double]((p + 1) * (p + 1))
+        var i = 0
+        while (i <= p) {
+          System.arraycopy(inter(i), 0, flatRow, i * (p + 1), p + 1)
+          i += 1
+        }
+        Row(row.get(iIdx), flatRow.toSeq)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
   /** M5 — XGBoost-convention importances from tree traversal
     * (explain.py:46-60): weight = #splits on the feature, total_gain /
     * total_cover = sums over those splits, gain / cover = their means.
@@ -543,10 +584,30 @@ object Explain {
       val total = inter.map(_.sum).sum
       maxSumErr = math.max(maxSumErr, math.abs(total - margin(flat, ws, x)))
     }
+    // distributed tensor sink round-trip: every flattened (p+1)² row
+    // read back from parquet must sum to that row's ensemble margin
+    val interSink = graft.util.Fixtures.dir + "/inter_sink"
+    shapInteractionsAll(bundle, flat, ws, cfg.p)
+      .write.mode("overwrite").parquet(interSink)
+    val back = s.read.parquet(interSink)
+    val sinkN = back.count()
+    val sinkWidthOk = back.select(max(size(col("inter")))).head().getInt(0) ==
+      (cfg.p + 1) * (cfg.p + 1) &&
+      back.select(min(size(col("inter")))).head().getInt(0) ==
+        (cfg.p + 1) * (cfg.p + 1)
+    val margins = shapContributions(bundle, flat, ws, cfg.p)
+    val sinkSumErr = back
+      .select(col("iid"),
+        aggregate(col("inter"), lit(0.0), (a, v) => a + v).as("tsum"))
+      .join(margins.select(col("iid"), col("margin")), "iid")
+      .agg(max(abs(col("tsum") - col("margin")))).head().getDouble(0)
     val spark = s; import spark.implicits._
-    Seq((maxAsym, maxSumErr, rows.length))
-      .toDF("max_asymmetry", "max_sum_err", "n_rows")
-      .filter(col("max_asymmetry") < 1e-9 && col("max_sum_err") < 1e-9)
+    Seq((maxAsym, maxSumErr, rows.length, sinkN, sinkWidthOk, sinkSumErr))
+      .toDF("max_asymmetry", "max_sum_err", "n_rows", "sink_n",
+        "sink_width_ok", "sink_sum_err")
+      .filter(col("max_asymmetry") < 1e-9 && col("max_sum_err") < 1e-9 &&
+        col("sink_n") === 400 && col("sink_width_ok") &&
+        col("sink_sum_err") < 1e-6)
   }
 
   def all: Seq[QueryDef] = Seq(m3, m4)

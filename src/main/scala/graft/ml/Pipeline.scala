@@ -44,9 +44,9 @@ object Pipeline {
 
   /** M11 — covariate-adjusted AUC (scoring.py:15-135, OLS regime): fit
     * y_pred ~ covars by OLS on the joined table (J2), score
-    * AUC(y_true, y_pred − fitted) and R²(fitted). The RF regime of the
-    * reference is the same shape with `RandomForestRegressor`; OLS is
-    * the default and the paper's headline metric.
+    * AUC(y_true, y_pred − fitted) and R²(fitted). OLS is the default
+    * and the paper's headline metric; the RF regime is
+    * [[adjustedScoreRf]].
     *
     * Returns a 1-row DataFrame (auc_adj, r2_fit). `roundResid` rounds
     * residuals before ranking so the AUC grouping is stable across
@@ -61,6 +61,69 @@ object Pipeline {
     }
     val withResid = preds
       .withColumn("_fitted", fit)
+      .withColumn("_resid", round(col(predCol) - col("_fitted"), roundResid))
+    val auc = Scoring.aucDF(withResid, labelCol, "_resid")
+    val r2 = Scoring.r2DF(withResid, predCol, "_fitted")
+    auc.crossJoin(r2)
+  }
+
+  /** M11, RF regime (scoring.py:15-67 `fit_rf`): randomized 5-fold HP
+    * search for a RandomForestRegressor of y_pred ~ covars on a
+    * ~`nSubsample`-row subsample (the reference's RandomizedSearchCV on
+    * 5000 rows), refit with the best params on the FULL table (the RF
+    * fit itself is MLlib-distributed), then AUC(y_true, y_pred − fitted)
+    * like the OLS regime. Sampled HP shapes mirror the reference's
+    * distributions: maxDepth skewed-binomial median ~4, min split size
+    * median ~3, feature subset 3–8 (clamped to |covars|).
+    *
+    * Scale: the search runs 5 × nIter fits on a bounded subsample
+    * (driver-cheap); only the single final refit and its predict touch
+    * the full table, both distributed. The subsample uses
+    * `sample(fraction).limit(n)` — never a global sort by rand.
+    */
+  def adjustedScoreRf(preds: DataFrame, covCols: Seq[String],
+      labelCol: String = "y_true", predCol: String = "y_pred",
+      nTrees: Int = 100, nIter: Int = 10, nSubsample: Int = 5000,
+      seed: Long = 7L, roundResid: Int = 6): DataFrame = {
+    import org.apache.spark.ml.evaluation.RegressionEvaluator
+    import org.apache.spark.ml.param.ParamMap
+    import org.apache.spark.ml.regression.RandomForestRegressor
+    import org.apache.spark.ml.tuning.CrossValidator
+    val assembler = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(covCols.toArray).setOutputCol("_covfv")
+    val full = assembler.transform(
+      preds.select((Seq(labelCol, predCol) ++ covCols).map(col): _*))
+    val nRows = full.count()
+    val sub =
+      if (nRows <= nSubsample) full
+      else full.sample(withReplacement = false,
+        math.min(1.0, nSubsample * 1.2 / nRows), seed).limit(nSubsample)
+    val rf = new RandomForestRegressor()
+      .setLabelCol(predCol).setFeaturesCol("_covfv")
+      .setNumTrees(nTrees).setSeed(seed)
+    val rng = new scala.util.Random(seed)
+    // triangular draws ≈ the reference's skewed nbinom shapes
+    val grid: Array[ParamMap] = Array.tabulate(nIter) { _ =>
+      val maxDepth = 2 + rng.nextInt(4) + rng.nextInt(4) // 2..8, median ~5
+      val minPerNode = 2 + math.min(rng.nextInt(3), rng.nextInt(3)) // 2..4, median ~3
+      val maxFeat = math.min(covCols.size, 3 + rng.nextInt(6)) // 3..8 clamped
+      new ParamMap().put(rf.maxDepth, maxDepth)
+        .put(rf.minInstancesPerNode, minPerNode)
+        .put(rf.featureSubsetStrategy, maxFeat.toString)
+    }
+    val cv = new CrossValidator()
+      .setEstimator(rf)
+      .setEvaluator(new RegressionEvaluator()
+        .setLabelCol(predCol).setPredictionCol("prediction").setMetricName("rmse"))
+      .setEstimatorParamMaps(grid).setNumFolds(5).setSeed(seed)
+      .setParallelism(4)
+    val searched = cv.fit(sub)
+    // refit on the FULL table with the best params (reference refits
+    // outside the search rather than reusing the subsample model)
+    val bestIdx = searched.avgMetrics.zipWithIndex.minBy(_._1)._2
+    val finalModel = rf.copy(grid(bestIdx)).fit(full)
+    val withResid = finalModel.transform(full)
+      .withColumnRenamed("prediction", "_fitted")
       .withColumn("_resid", round(col(predCol) - col("_fitted"), roundResid))
     val auc = Scoring.aucDF(withResid, labelCol, "_resid")
     val r2 = Scoring.r2DF(withResid, predCol, "_fitted")
@@ -99,10 +162,49 @@ object Pipeline {
     }
   }
 
+  /** S11/M8 persistence — the growing FlatTree list as ONE parquet
+    * (crossvalidate.py:218-236 saves/loads the booster every round so a
+    * long refit can resume after a failure). One row per tree carrying
+    * its flattened arrays + weight; a sentinel row (idx = −1) always
+    * carries `base_margin` so the empty model round-trips too. Trees
+    * are broadcast-sized, so the driver-side collect on load is the
+    * same data the predict path ships anyway.
+    */
+  def saveIncremental(model: IncrementalModel, path: String,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+    val sentinel = (-1, 0.0, model.baseMargin, Array.empty[Int],
+      Array.empty[Double], Array.empty[Int], Array.empty[Int],
+      Array.empty[Double], Array.empty[Double], Array.empty[Double], 0.0)
+    val rows = sentinel +: model.trees.toList.zipWithIndex.map { case (t, i) =>
+      (i, model.weights(i), model.baseMargin, t.feature, t.threshold,
+        t.left, t.right, t.value, t.cover, t.gain, t.expected)
+    }
+    rows.toDF("idx", "weight", "base_margin", "feature", "threshold",
+        "left", "right", "value", "cover", "gain", "expected")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadIncremental(spark: SparkSession, path: String): IncrementalModel = {
+    val rows = spark.read.parquet(path).orderBy("idx").collect()
+    require(rows.nonEmpty && rows.head.getInt(0) == -1,
+      s"not an incremental-model checkpoint (no sentinel row): $path")
+    val trees = rows.tail.map { r =>
+      Explain.FlatTree(
+        r.getSeq[Int](3).toArray, r.getSeq[Double](4).toArray,
+        r.getSeq[Int](5).toArray, r.getSeq[Int](6).toArray,
+        r.getSeq[Double](7).toArray, r.getSeq[Double](8).toArray,
+        r.getSeq[Double](9).toArray, r.getDouble(10))
+    }.toVector
+    IncrementalModel(rows.head.getDouble(2), trees,
+      rows.tail.map(_.getDouble(1)).toVector)
+  }
+
   def fitIncremental(bundle: DataFrame, rounds: Int, treesPerRound: Int,
       subsampleFrac: Double, eta: Double, maxDepth: Int, seed: Long,
       start: Option[IncrementalModel] = None,
-      labelCol: String = "label"): IncrementalModel = {
+      labelCol: String = "label",
+      checkpointDir: Option[String] = None): IncrementalModel = {
     val pBar = bundle.agg(avg(col(labelCol))).head().getDouble(0)
     val base = math.log(pBar / (1.0 - pBar))
     var model = start.getOrElse(IncrementalModel(base, Vector.empty, Vector.empty))
@@ -127,6 +229,9 @@ object Pipeline {
       }
       withResid.unpersist()
       model = m
+      // reference checkpoints the booster every round (resume point)
+      checkpointDir.foreach(dir =>
+        saveIncremental(model, dir, bundle.sparkSession))
     }
     model
   }
@@ -227,6 +332,35 @@ object Pipeline {
         .select(round(col("auc"), 6).as("auc"), round(col("r2"), 6).as("r2"))
   }
 
+  /** M11-RF rows-only entry: a deterministic prediction table where the
+    * covariate acts through a linear term PLUS a 3-period sawtooth
+    * (uncorrelated with the linear term over the uniform covariate) —
+    * OLS removes only the linear share, the RF regime captures the
+    * sawtooth too, so auc_raw < auc_ols_adj < auc_rf_adj must hold.
+    * (scoring.py's two regimes on nonlinear covariate effects behave
+    * exactly this way.)
+    */
+  val m11rf = QueryDef.fixture("m11_rf_adjusted_auc") { (s, d) =>
+    val base = s.range(2000).select(
+      (col("id") % 2).cast("double").as("y_true"),
+      ((col("id") % 101).cast("double") / 101.0).as("c1"),
+      (pmod(xxhash64(col("id")), lit(1000)).cast("double") / 1000.0).as("_u"))
+    val preds = base.withColumn("y_pred",
+      col("y_true") * 0.25 + col("c1") * 1.5 +
+        (col("c1") * 3.0 % 1.0 - 0.5) + col("_u") * 0.3)
+      .select("y_true", "y_pred", "c1")
+    val aucRaw = Scoring.auc(preds, "y_true", "y_pred")
+    val aucOls = adjustedScore(preds, Seq("c1")).head().getDouble(0)
+    val aucRf = adjustedScoreRf(preds, Seq("c1"), nTrees = 20, nIter = 4,
+      nSubsample = 1500, seed = 11L).head().getDouble(0)
+    val spark = s; import spark.implicits._
+    Seq((math.rint(aucRaw * 1e6) / 1e6, math.rint(aucOls * 1e6) / 1e6,
+      math.rint(aucRf * 1e6) / 1e6))
+      .toDF("auc_raw", "auc_ols_adj", "auc_rf_adj")
+      .filter(col("auc_ols_adj") > col("auc_raw") + 0.02 &&
+        col("auc_rf_adj") > col("auc_ols_adj") + 0.02)
+  }
+
   /** M8 rows-only entry: 3 incremental rounds × 2 trees on fresh
     * subsamples must discriminate (AUC > 0.6) and strictly improve on
     * the base-rate predictor; a fourth warm-start round from the saved
@@ -235,21 +369,33 @@ object Pipeline {
   val m8 = QueryDef.fixture("m8_incremental_refit") { (s, d) =>
     val cfg = Sim.Config(n = 1000L, p = 10, seed = 31L, chunkRows = 100L)
     val bundle = Sim.bundle(s, cfg).cache()
+    val ckpt = graft.util.Fixtures.dir + "/incremental_ckpt"
     val m3rounds = fitIncremental(bundle, rounds = 3, treesPerRound = 2,
-      subsampleFrac = 0.7, eta = 0.3, maxDepth = 3, seed = 13L)
+      subsampleFrac = 0.7, eta = 0.3, maxDepth = 3, seed = 13L,
+      checkpointDir = Some(ckpt))
     val auc3 = Scoring.auc(m3rounds.predictCol(bundle), "label", "y_pred")
-    // warm start: one more round continuing from the checkpointed state
+    // warm start: one more round continuing from the in-memory state
     val m4rounds = fitIncremental(bundle, rounds = 1, treesPerRound = 2,
       subsampleFrac = 0.7, eta = 0.3, maxDepth = 3, seed = 41L,
       start = Some(m3rounds))
     val auc4 = Scoring.auc(m4rounds.predictCol(bundle), "label", "y_pred")
+    // resume path: reload the round-3 checkpoint from disk and run the
+    // SAME round 4 — predictions must match the in-memory continuation
+    // exactly (bit-equal sum over the corpus)
+    val resumed = fitIncremental(bundle, rounds = 1, treesPerRound = 2,
+      subsampleFrac = 0.7, eta = 0.3, maxDepth = 3, seed = 41L,
+      start = Some(loadIncremental(s, ckpt)))
+    val sumMem = m4rounds.predictCol(bundle)
+      .agg(sum(col("y_pred"))).head().getDouble(0)
+    val sumRes = resumed.predictCol(bundle)
+      .agg(sum(col("y_pred"))).head().getDouble(0)
     bundle.unpersist()
     val spark = s; import spark.implicits._
     Seq((math.rint(auc3 * 1e6) / 1e6, math.rint(auc4 * 1e6) / 1e6,
-      m4rounds.trees.length))
-      .toDF("auc_3_rounds", "auc_4_rounds", "n_trees")
+      m4rounds.trees.length, sumMem == sumRes))
+      .toDF("auc_3_rounds", "auc_4_rounds", "n_trees", "resume_exact")
       .filter(col("auc_3_rounds") > 0.6 && col("auc_4_rounds") > col("auc_3_rounds") - 0.05 &&
-        col("n_trees") === 8)
+        col("n_trees") === 8 && col("resume_exact"))
   }
 
   /** M9+S11 rows-only entry: two-stage refit prunes to the used feature
@@ -280,5 +426,5 @@ object Pipeline {
         col("auc_pruned") > 0.6 && col("io_exact"))
   }
 
-  def all: Seq[QueryDef] = Seq(m10, m11, m8, m9)
+  def all: Seq[QueryDef] = Seq(m10, m11, m11rf, m8, m9)
 }

@@ -11,23 +11,29 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted equi-join: the big (skewed) side gets a seeded salt in
+  /** Salted equi-join: the big (skewed) side gets a salt in
     * [0, factor); the small side is exploded `factor`× so every
     * (key, salt) pair exists. The hot key's rows spread over `factor`
     * reducers instead of one. Inner join only (outer variants need
     * null-side handling — add when needed).
     *
-    * Salt is derived from a hash of the WHOLE row's key + a per-row
-    * seeded draw (`pmod(hash(key, monotonically... ))` would break
-    * determinism — use rand(seed) which is per-row deterministic given
-    * partition layout, or better: hash of stable row identity). Here:
-    * a seeded rand, documented as layout-stable for a pinned store.
+    * Salt assignment: when `stableIdCols` names a row-unique identity
+    * (a primary key), the salt is `pmod(hash(ids…, seed), factor)` —
+    * fully deterministic under repartitioning, task retries, and store
+    * rewrites. Without one, it falls back to `rand(seed)`, which is
+    * per-row deterministic only for a pinned partition layout. The id
+    * columns must vary WITHIN a join key (salting by hash(key) alone
+    * would put the whole hot key in one salt bucket again).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-      factor: Int, seed: Long = 42L): DataFrame = {
+      factor: Int, seed: Long = 42L,
+      stableIdCols: Seq[String] = Nil): DataFrame = {
     require(factor >= 2, s"salt factor must be >= 2, got $factor")
-    val saltedBig = big.withColumn("_salt",
-      (rand(seed) * factor).cast("int"))
+    val salt =
+      if (stableIdCols.nonEmpty)
+        pmod(hash((stableIdCols.map(col) :+ lit(seed)): _*), lit(factor))
+      else (rand(seed) * factor).cast("int")
+    val saltedBig = big.withColumn("_salt", salt)
     val saltedSmall = small.withColumn("_salt",
       explode(sequence(lit(0), lit(factor - 1))))
     saltedBig.join(saltedSmall, Seq(key, "_salt"), "inner").drop("_salt")

@@ -49,7 +49,8 @@ class E2ESpec extends SparkSpec {
       "--hp-results", s"$dir/cv/cv_results/*.csv",
       "--out", s"$dir/refit", "--run-shap", "true", "--seed", "11"))
     Predict.main(Array("--bundle", s"$dir/store",
-      "--model-dir", s"$dir/refit", "--out", s"$dir/pred"))
+      "--model-dir", s"$dir/refit", "--out", s"$dir/pred",
+      "--run-shap", "true", "--run-shap-inter", "true"))
 
     val s2 = spark // revive after the mains stopped their sessions
     // bundle got the adjusted columns
@@ -66,6 +67,16 @@ class E2ESpec extends SparkSpec {
     val imp = s2.read.option("header", "true").csv(s"$dir/refit/importances")
     assert(imp.columns.contains("shap_mean_abs"))
     assert(s2.read.parquet(s"$dir/refit/shap").count() == cfg.n)
+    // predict-time explanation artifacts (predict.py:165-172): test-set
+    // importances always; SHAP + interaction tensor behind the flags
+    val pImp = s2.read.option("header", "true").csv(s"$dir/pred/importances")
+    assert(pImp.count() > 0 && pImp.columns.contains("shap_mean_abs"))
+    assert(s2.read.parquet(s"$dir/pred/shap").count() == cfg.n)
+    val pInter = s2.read.parquet(s"$dir/pred/shap_interactions")
+    assert(pInter.count() == cfg.n)
+    val usedN = used.count().toInt
+    assert(pInter.select(max(size(col("inter")))).head().getInt(0) ==
+      (usedN + 1) * (usedN + 1))
     // predictions discriminate and Platt stays in [0, 1]
     val preds = s2.read.option("header", "true").csv(s"$dir/pred/predictions")
       .select(col("y_true").cast("double"), col("y_pred").cast("double"),

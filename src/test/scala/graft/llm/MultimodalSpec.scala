@@ -1,0 +1,63 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pure-JVM codec round-trips and the decode kernel's fallback
+  * behavior (the multimodal plumbing's real-decoder path).
+  */
+class MultimodalSpec extends SparkSpec {
+  import Multimodal._
+
+  test("BMP 24-bit round-trip is pixel-exact (padded row width)") {
+    // w=5 → rowSize 16 with 1 pad byte: exercises the padding path
+    val rgb = Array.tabulate(5 * 3 * 3)(i => ((i * 11 + 3) % 256).toByte)
+    val bytes = encodeBmp24(5, 3, rgb)
+    val dec = BmpCodec.decode(bytes).get
+    assert(dec.kind == "bmp" && dec.width == 5 && dec.height == 3 &&
+      dec.channels == 3)
+    assert(dec.data.sameElements(rgb))
+  }
+
+  test("WAV PCM-16 round-trip is sample-exact") {
+    val samples = Array.tabulate[Short](128)(i => ((i * 257) - 9000).toShort)
+    val bytes = encodeWavPcm16(2, 44100, samples)
+    val dec = WavCodec.decode(bytes).get
+    assert(dec.kind == "wav" && dec.width == 64 && dec.channels == 2)
+    val back = Array.tabulate[Short](128)(i =>
+      ((dec.data(2 * i) & 0xFF) | (dec.data(2 * i + 1) << 8)).toShort)
+    assert(back.sameElements(samples))
+  }
+
+  test("malformed payloads fall back to stub, never throw") {
+    // truncated BMP: valid magic + header, payload cut short
+    val full = encodeBmp24(4, 4, new Array[Byte](48))
+    val truncated = java.util.Arrays.copyOf(full, 56)
+    assert(BmpCodec.sniff(truncated) && BmpCodec.decode(truncated).isEmpty)
+    assert(decodeAny(truncated).kind == "stub")
+    // WAV with a non-PCM format tag
+    val wav = encodeWavPcm16(1, 8000, new Array[Short](32))
+    wav(20) = 3 // IEEE float tag
+    assert(WavCodec.decode(wav).isEmpty && decodeAny(wav).kind == "stub")
+    // arbitrary junk
+    assert(decodeAny(Array[Byte](1, 2, 3)).kind == "stub")
+  }
+
+  test("decodeAndFeaturize routes BMP/WAV/junk through one kernel") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, encodeBmp24(6, 2, Array.tabulate(36)(i => i.toByte))),
+      (2L, encodeWavPcm16(1, 8000, Array.tabulate(20)(i => i.toShort))),
+      (3L, "plain text payload".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+      .withColumn("meta", struct(lit("t").as("format"), lit(0).as("width"),
+        lit(0).as("height"), length(col("payload")).cast("long").as("n_bytes")))
+    val got = Multimodal.decodeAndFeaturize(planted, targetBytes = 32)
+      .select("asset_id", "decoded_format", "decoded_width", "decoded_height")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got(1L) == (("bmp", 6, 2)))
+    assert(got(2L) == (("wav", 20, 1)))
+    assert(got(3L)._1 == "stub")
+  }
+}

@@ -36,6 +36,31 @@ class ScoringSpec extends SparkSpec {
     assert(math.abs(Scoring.r2(df, "y", "p") - 0.75) < 1e-12)
   }
 
+  test("RF-adjusted AUC recovers nonlinear covariate share (M11 RF regime)") {
+    import org.apache.spark.sql.functions._
+    // covariate acts via linear + 3-period sawtooth share (sawtooth is
+    // uncorrelated with c1 over its uniform support): OLS removes only
+    // the linear part, RF captures the sawtooth too → strict AUC
+    // ordering with wide margins (numerically: raw≈0.61, ols≈0.72,
+    // ideal nonlinear adjust≈0.98)
+    val base = spark.range(1200).select(
+      (col("id") % 2).cast("double").as("y_true"),
+      ((col("id") % 101).cast("double") / 101.0).as("c1"),
+      (pmod(xxhash64(col("id")), lit(1000)).cast("double") / 1000.0).as("_u"))
+    val preds = base.withColumn("y_pred",
+      col("y_true") * 0.25 + col("c1") * 1.5 +
+        (col("c1") * 3.0 % 1.0 - 0.5) + col("_u") * 0.3)
+      .select("y_true", "y_pred", "c1")
+    val aucRaw = Scoring.auc(preds, "y_true", "y_pred")
+    val aucOls = Pipeline.adjustedScore(preds, Seq("c1")).head().getDouble(0)
+    val rfRow = Pipeline.adjustedScoreRf(preds, Seq("c1"), nTrees = 10,
+      nIter = 2, nSubsample = 800, seed = 5L).head()
+    val aucRf = rfRow.getDouble(0)
+    assert(aucOls > aucRaw + 0.02, s"ols=$aucOls raw=$aucRaw")
+    assert(aucRf > aucOls + 0.02, s"rf=$aucRf ols=$aucOls")
+    assert(aucRf <= 1.0 && rfRow.getDouble(1) <= 1.0) // r2 of fit sane
+  }
+
   test("HP sampler: seeded determinism and ranges") {
     val a = Train.sampleParams(50, 100, seed = 4L)
     val b = Train.sampleParams(50, 100, seed = 4L)
