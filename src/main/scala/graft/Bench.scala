@@ -34,7 +34,13 @@ object Bench {
     } catch { case _: Throwable => () }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.benchQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=d2_minhash_lsh,d4_… times
+    // just those queries; unset (the driver's mode) runs everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // collect the previous query's garbage OUTSIDE the timed window so
       // per-query numbers aren't polluted by a neighbor's allocation debt
       System.gc()

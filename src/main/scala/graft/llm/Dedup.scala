@@ -109,25 +109,86 @@ object Dedup {
     * missed with probability (1 − 0.81)^16 ≈ 3e-12 — recall is
     * effectively exact, which the oracle's brute-force SQL verifies.
     */
-  /** Relational minhash signatures: explode shingle hashes once, then
-    * ONE groupBy with nHashes `min` aggregates (map-side combinable —
-    * the shuffle carries nHashes longs per doc, not the shingles).
-    * This deliberately avoids the nested higher-order-function form:
-    * referencing the shingle array from nHashes lambda aggregates
-    * inlines (and re-evaluates) the whole shingle pipeline per hash in
-    * the expression tree — measured 13× slower at sf0.1.
+  /** Corpus-scale minhash signatures as a partition-local primitive
+    * kernel: ZERO shuffle — each task scans its documents once and
+    * emits (id, sig) directly.
+    *
+    * Two prior shapes measured slower at sf0.1: nested HOF lambdas
+    * (re-inline the shingle pipeline per hash — 13×), and
+    * explode + groupBy(id) with 32 min aggregates (the former champion;
+    * its cost is not the hashing but the per-shingle-row hash-agg
+    * update machinery — a multiply-add hash family instead of
+    * `xxhash64(h, i)` measured ~6% SLOWER end-to-end, so the arithmetic
+    * was never the bottleneck).
+    *
+    * The kernel exploits byte-slice identity: `split` on a single-space
+    * regex followed by `concat_ws(" ", window)` reproduces the ORIGINAL
+    * byte sequence (empty tokens from consecutive spaces round-trip),
+    * so every 3-token shingle string is a contiguous UTF-8 slice of the
+    * text. We therefore hash slices of the raw bytes in place —
+    * `XXH64.hashUnsafeBytes(seed=42)` — which is bit-identical to
+    * `xxhash64(shingle_string)`, and remix per draw exactly like the
+    * HOF form: `xxhash64(h, i) = hashLong(i, hashLong(h, 42))`. Same
+    * hash family as [[minhashSignature]], asserted in TextDedupSpec.
+    * `array_distinct` is dropped: min over a multiset equals min over
+    * its set. At 100 TB this is the shape that matters — signature cost
+    * is a pure scan-local pass with no exchange at all.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       nHashes: Int): DataFrame = {
-    val exploded = docs
-      .select(col(idCol), explode(shingles(col(textCol))).as("s"))
-      .select(col(idCol), xxhash64(col("s")).as("h"))
-    val mins = (0 until nHashes).map(i =>
-      min(xxhash64(col("h"), lit(i))).as(s"_s$i"))
-    exploded.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        array((0 until nHashes).map(i => col(s"_s$i")): _*).as("sig"))
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = nHashes
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), encode(col(textCol), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val sig = new Array[Long](n)
+        // token START offsets (0 and every position after a space);
+        // grown geometrically, reused across rows
+        var starts = new Array[Int](256)
+        it.map { case (id, bytes) =>
+          java.util.Arrays.fill(sig, Long.MaxValue)
+          val len = bytes.length
+          var nToks = 1
+          starts(0) = 0
+          var p = 0
+          while (p < len) {
+            if (bytes(p) == ' '.toByte) {
+              if (nToks == starts.length) starts = java.util.Arrays.copyOf(starts, nToks * 2)
+              starts(nToks) = p + 1
+              nToks += 1
+            }
+            p += 1
+          }
+          def mixInto(h0: Long): Unit = {
+            val base = XXH64.hashLong(h0, 42L)
+            var i = 0
+            while (i < n) {
+              // the draw index is an INT in the expression forms
+              // (sequence/lit produce IntegerType), so remix via hashInt
+              val v = XXH64.hashInt(i, base)
+              if (v < sig(i)) sig(i) = v
+              i += 1
+            }
+          }
+          if (nToks < 3) {
+            mixInto(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, len, 42L))
+          } else {
+            var w = 0
+            while (w <= nToks - 3) {
+              val s0 = starts(w)
+              val end = if (w + 3 < nToks) starts(w + 3) - 2 else len - 1
+              mixInto(XXH64.hashUnsafeBytes(
+                bytes, Platform.BYTE_ARRAY_OFFSET + s0, end - s0 + 1, 42L))
+              w += 1
+            }
+          }
+          (id, sig.clone())
+        }
+      }.toDF(idCol, "sig")
   }
 
   def minhashDedup(docs: DataFrame, idCol: String, textCol: String,

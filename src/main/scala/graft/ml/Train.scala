@@ -68,6 +68,16 @@ object Train {
   /** M1 — binary-classification GBT fit. eta→stepSize,
     * subsample→subsamplingRate, colsample_bytree→featureSubsetStrategy,
     * n_boost_round→maxIter (crossvalidate.py:148-175 param mapping).
+    *
+    * SEMANTIC DEVIATION (documented, not fixable without a custom
+    * tree learner): XGBoost's `colsample_bytree` draws the feature
+    * subset once PER TREE (crossvalidate.py:114,159); MLlib's
+    * `featureSubsetStrategy` re-draws PER SPLIT CANDIDATE SET. The
+    * marginal inclusion probability per tree is the same, but per-node
+    * resampling decorrelates splits more aggressively — fitted models
+    * and HP-search optima are statistically similar, not identical.
+    * Compare HP-search results across engines at the metric level, not
+    * tree-by-tree.
     */
   def fitClassifier(train: DataFrame, hp: HyperParams, seed: Long,
       labelCol: String = "label", vecCol: String = "fv"): GBTClassificationModel =

@@ -27,6 +27,27 @@ class TextDedupSpec extends SparkSpec {
     assert(sig(1L) != sig(3L))
   }
 
+  test("kernel minhashSignatures == HOF minhashSignature (same hash family)") {
+    import spark.implicits._
+    // edge shapes the byte-slice kernel must round-trip exactly like
+    // split+concat_ws: consecutive spaces (empty tokens), a trailing
+    // space, short text, empty text, multi-byte UTF-8
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a  b c d"),
+      (3L, "a b c "),
+      (4L, "x y"),
+      (5L, ""),
+      (6L, "naïve café δοκιμή text ünïcode here ok fine")).toDF("doc_id", "text")
+    val hof = df.select(col("doc_id"),
+      Dedup.minhashSignature(Dedup.shingles(col("text")), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kernel = Dedup.minhashSignatures(df, "doc_id", "text", 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(kernel.keySet == hof.keySet)
+    kernel.foreach { case (id, sig) => assert(sig == hof(id), s"doc $id") }
+  }
+
   test("minhashDedup finds planted exact duplicates, skips unrelated") {
     import spark.implicits._
     val docs = (1 to 40).map { i =>
