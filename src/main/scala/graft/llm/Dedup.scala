@@ -146,23 +146,13 @@ object Dedup {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val sig = new Array[Long](n)
-        // token START offsets (0 and every position after a space);
-        // grown geometrically, reused across rows
+        // token-start buffer grown geometrically, reused across rows
         var starts = new Array[Int](256)
         it.map { case (id, bytes) =>
           java.util.Arrays.fill(sig, Long.MaxValue)
           val len = bytes.length
-          var nToks = 1
-          starts(0) = 0
-          var p = 0
-          while (p < len) {
-            if (bytes(p) == ' '.toByte) {
-              if (nToks == starts.length) starts = java.util.Arrays.copyOf(starts, nToks * 2)
-              starts(nToks) = p + 1
-              nToks += 1
-            }
-            p += 1
-          }
+          val (st, nToks) = ByteSliceText.tokenStarts(bytes, starts)
+          starts = st
           def mixInto(h0: Long): Unit = {
             val base = XXH64.hashLong(h0, 42L)
             var i = 0

@@ -79,6 +79,62 @@ object TextAnalysis {
         i => md5(concat_ws(" ", slice(toks, i, lit(3)))))))
   }
 
+  /** Corpus-scale fingerprints as a partition-local byte-slice kernel
+    * (same shape as Dedup.minhashSignatures, see [[ByteSliceText]]):
+    * every 3-token shingle string is a contiguous UTF-8 slice of the
+    * text, so MD5 runs over raw byte ranges in place — no shingle
+    * strings, no interpreted higher-order transform (HOF lambdas never
+    * whole-stage-codegen, so [[fingerprintCol]] pays per-element
+    * interpretation + string building in the scan hot path). The min
+    * is taken over the 16 digest BYTES unsigned-lexicographically,
+    * which equals the hex-string ordering (byte→two-hex-chars is
+    * monotone), then hex-encoded once per doc. Bit-identical to
+    * [[fingerprintCol]]; asserted in TextDedupSpec.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), encode(col(textCol), "UTF-8"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexFmt = java.util.HexFormat.of()
+        var starts = new Array[Int](256)
+        def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+          var i = 0
+          while (i < 16) {
+            val d = (a(i) & 0xff) - (b(i) & 0xff)
+            if (d != 0) return d < 0
+            i += 1
+          }
+          false
+        }
+        it.map { case (id, bytes) =>
+          val len = bytes.length
+          val (st, nToks) = ByteSliceText.tokenStarts(bytes, starts)
+          starts = st
+          var min: Array[Byte] = null
+          def consider(off: Int, sliceLen: Int): Unit = {
+            md.reset(); md.update(bytes, off, sliceLen)
+            val d = md.digest()
+            if (min == null || less(d, min)) min = d
+          }
+          if (nToks < 3) consider(0, len)
+          else {
+            var w = 0
+            while (w <= nToks - 3) {
+              val s0 = starts(w)
+              val end = if (w + 3 < nToks) starts(w + 3) - 2 else len - 1
+              consider(s0, end - s0 + 1)
+              w += 1
+            }
+          }
+          (id, hexFmt.formatHex(min))
+        }
+      }.toDF(idCol, "fp")
+  }
+
   // ---------------------------------------------------------------- queries
 
   val langId = QueryDef.sql(
@@ -153,8 +209,7 @@ object TextAnalysis {
       |       min(fp) AS min_fp, max(fp) AS max_fp
       |FROM f""".stripMargin) {
     (s, d) =>
-      Tables.documents(s, d)
-        .select(fingerprintCol(col("text")).as("fp"))
+      fingerprints(Tables.documents(s, d), "doc_id", "text")
         .agg(countDistinct(col("fp")).as("n_distinct_fp"),
           count(lit(1)).as("n"),
           min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))

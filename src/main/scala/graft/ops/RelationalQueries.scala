@@ -142,11 +142,23 @@ object RelationalQueries {
       |FROM c JOIN p ON c.pos = p.pos""".stripMargin) {
     (s, d) =>
       def ranked(df: DataFrame, ord: Seq[String], key: String): DataFrame = {
-        val sorted = df.orderBy(col(ord.head).desc, col(ord(1)).asc).limit(10)
-        sorted.select(
-          row_number().over(Window.orderBy(col(ord.head).desc, col(ord(1)).asc))
-            .cast("long").as("pos"),
-          col(key))
+        // top-k first (TakeOrderedAndProject — no global sort), then
+        // positions via zipWithIndex over the already-sorted result:
+        // the same pattern as Splits.materializedShuffle (R1), with no
+        // empty-partition window anywhere in the plan. zipWithIndex
+        // numbers rows in partition order, which for a sorted frame IS
+        // the sort order.
+        val sorted = df.orderBy(col(ord.head).desc, col(ord(1)).asc)
+          .limit(10).select(col(key))
+        val spark = df.sparkSession
+        val out = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          sorted.schema.head))
+        spark.createDataFrame(
+          sorted.rdd.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row(i + 1L, r.get(0)) },
+          out)
       }
       val c = ranked(Tables.customer(s, d), Seq("c_acctbal", "c_custkey"), "c_custkey")
       val p = ranked(Tables.supplier(s, d), Seq("s_acctbal", "s_suppkey"), "s_suppkey")

@@ -147,6 +147,23 @@ class TextDedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("kernel fingerprints == expression fingerprintCol") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a  b c d"),
+      (3L, "a b c "),
+      (4L, "x y"),
+      (5L, ""),
+      (6L, "naïve café δοκιμή text ünïcode here ok fine")).toDF("doc_id", "text")
+    val expr = df.select(col("doc_id"),
+      TextAnalysis.fingerprintCol(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kernel = TextAnalysis.fingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kernel == expr)
+  }
+
   test("near-dup clustering: driver union-find == distributed propagation") {
     import spark.implicits._
     // two chains and one isolated pair: {1,2,3,4}, {10,11}, {20,21,22}
