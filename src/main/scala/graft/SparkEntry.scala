@@ -25,6 +25,7 @@ object SparkEntry {
       graft.ml.Boruta.all ++
       graft.io.IoQueries.all ++
       graft.llm.TextAnalysis.all ++
+      graft.llm.Curation.all ++
       graft.llm.Dedup.all ++
       graft.llm.Similarity.all ++
       graft.llm.Multimodal.all ++

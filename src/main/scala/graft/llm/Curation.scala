@@ -1,0 +1,83 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-curation pipeline — the composed shape a
+  * training-data run actually executes, as ONE declarative plan:
+  *
+  *   exact dedup (keep min-id per content hash)
+  *     → quality scoring + language ID (pure expression columns)
+  *       → filter (quality ≥ 0.8, identified language)
+  *         → token-budget report
+  *
+  * Every stage reuses the already-gated operators (d1's hash-agg dedup,
+  * t1/t2's scoring columns, t4's BPE-ish count), so this query gates the
+  * COMPOSITION: column dependencies across stages, filter pushdown
+  * through the semi-join, and one shuffle total (the dedup groupBy —
+  * scoring/filtering/counting are all scan-local expressions).
+  *
+  * At 100 TB: the dedup keeper aggregate is map-side combinable on
+  * md5(text); everything downstream is narrow. This is the plan shape
+  * to copy for a real curation run (swap the quality threshold and the
+  * near-dup stage in as needed — Dedup.dropNearDuplicates composes the
+  * same way).
+  */
+object Curation {
+
+  val pipeline = QueryDef.sql(
+    "c1_corpus_curation",
+    """WITH u AS (SELECT doc_id, text FROM documents
+      |           UNION ALL
+      |           SELECT doc_id + 1000000, text FROM documents),
+      |k AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY md5(text)),
+      |d AS (SELECT u.doc_id, u.text FROM u JOIN k USING (doc_id)),
+      |q AS (SELECT doc_id, text,
+      |        len(string_split(lower(text), ' ')) AS n_tokens,
+      |        length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0
+      |          / length(text) AS alpha_ratio,
+      |        len(list_filter(string_split(lower(text), ' '),
+      |            x -> x IN ('the','a','of','and','to'))) AS en_hits,
+      |        len(list_filter(string_split(lower(text), ' '),
+      |            x -> x IN ('el','la','de','y','que'))) AS es_hits,
+      |        len(list_filter(string_split(lower(text), ' '),
+      |            x -> x IN ('der','die','und','das','ist'))) AS de_hits
+      |      FROM d),
+      |s AS (SELECT *,
+      |        least(1.0, alpha_ratio * 0.5
+      |                   + en_hits * 1.0 / n_tokens * 2.0
+      |                   + CASE WHEN n_tokens BETWEEN 20 AND 1000
+      |                          THEN 0.3 ELSE 0 END) AS quality_score,
+      |        CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+      |             WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+      |             WHEN de_hits > 0 THEN 'de'
+      |             ELSE 'und' END AS lang_pred
+      |      FROM q)
+      |SELECT count(*) AS n_kept,
+      |       CAST(sum(n_tokens) AS BIGINT) AS ws_tokens,
+      |       CAST(sum(len(regexp_extract_all(text,
+      |              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+      |       round(avg(quality_score), 6) AS avg_quality
+      |FROM s
+      |WHERE quality_score >= 0.8 AND lang_pred <> 'und'""".stripMargin) {
+    (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // deterministic planted duplicates (same construction as d1) so
+      // the dedup stage does real work at every scale factor
+      val u = docs.unionByName(
+        docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val keepers = u.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = u.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+      val scored = TextAnalysis.langIdCols(
+        TextAnalysis.qualityCols(deduped))
+      scored
+        .filter(col("quality_score") >= 0.8 && col("lang_pred") =!= "und")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).cast("long").as("ws_tokens"),
+          sum(TextAnalysis.bpeTokenCount(col("text"))).cast("long").as("bpe_tokens"),
+          round(avg(col("quality_score")), 6).as("avg_quality"))
+  }
+
+  def all: Seq[QueryDef] = Seq(pipeline)
+}

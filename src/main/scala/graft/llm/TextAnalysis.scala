@@ -28,16 +28,26 @@ object TextAnalysis {
 
   def tokensCol(text: Column): Column = split(lower(text), " ")
 
-  private def hitCount(tokens: Column, words: Seq[String]): Column =
-    size(filter(tokens, t => words.map(w => t === w).reduce(_ || _)))
+  /** Occurrences of `words` as whole space-delimited tokens of the
+    * LOWERCASED text. Counted with a codegen'd `regexp_count` — the
+    * equivalent `size(filter(tokens, ...))` HOF is interpreted
+    * (CodegenFallback) and re-evaluates the split per language after
+    * project collapse, which made stopword counting the dominant cost
+    * of t1/t2/c1. The `(^| )word(?=$| )` shape consumes the LEFT
+    * separator only, so adjacent stopwords ("a a the") all count;
+    * token-equality parity with the HOF form is pinned by the DuckDB
+    * list_filter oracles (t1/t2/c1 hash gates) and TextDedupSpec.
+    */
+  private def hitCount(lowerText: Column, words: Seq[String]): Column =
+    regexp_count(lowerText, lit(s"(^| )(${words.mkString("|")})(?=$$| )"))
 
   /** Language-ID: argmax of stopword hits with deterministic tiebreak
     * en > es > de > und(etermined). */
   def langIdCols(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = tokensCol(col(textCol))
-    df.withColumn("en_hits", hitCount(toks, stops("en")))
-      .withColumn("es_hits", hitCount(toks, stops("es")))
-      .withColumn("de_hits", hitCount(toks, stops("de")))
+    val lt = lower(col(textCol))
+    df.withColumn("en_hits", hitCount(lt, stops("en")))
+      .withColumn("es_hits", hitCount(lt, stops("es")))
+      .withColumn("de_hits", hitCount(lt, stops("de")))
       .withColumn("lang_pred",
         when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
           col("en_hits") > 0, "en")
@@ -60,7 +70,7 @@ object TextAnalysis {
       .withColumn("alpha_ratio",
         length(regexp_replace(lower(t), "[^a-z]", "")).cast("double") / length(t))
       .withColumn("stop_ratio",
-        hitCount(toks, stops("en")).cast("double") / col("n_tokens"))
+        hitCount(lower(t), stops("en")).cast("double") / col("n_tokens"))
       .withColumn("quality_score",
         least(lit(1.0),
           col("alpha_ratio") * 0.5 + col("stop_ratio") * 2.0 +
@@ -215,5 +225,43 @@ object TextAnalysis {
           min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
   }
 
-  def all: Seq[QueryDef] = Seq(langId, quality, fingerprint)
+  /** BPE-ish pre-tokenizer pattern (GPT-2-style classes, simplified to
+    * a dialect-neutral regex both Java and RE2 read identically):
+    * letter runs | digit runs | single non-alnum non-space symbols.
+    * Counting these approximates a subword tokenizer's input segmenting
+    * — the "token budget" number a training-data pipeline reports —
+    * without a vocab. */
+  val bpeTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def bpeTokenCount(textCol: Column): Column =
+    regexp_count(textCol, lit(bpeTokenPattern)).cast("long")
+
+  /** T4 — corpus token budget: whitespace tokens vs BPE-ish tokens,
+    * per-doc mean and max. Pure codegen'd regexp over the scan — the
+    * canonical "how many training tokens is this corpus" pass.
+    */
+  val tokenBudget = QueryDef.sql(
+    "t4_token_budget",
+    """WITH t AS (
+      |  SELECT len(string_split(text, ' ')) AS ws,
+      |         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe
+      |  FROM documents)
+      |SELECT count(*) AS n_docs,
+      |       CAST(sum(ws) AS BIGINT) AS ws_tok_sum,
+      |       CAST(sum(bpe) AS BIGINT) AS bpe_tok_sum,
+      |       round(avg(bpe), 6) AS avg_bpe_per_doc,
+      |       CAST(max(bpe) AS BIGINT) AS max_bpe
+      |FROM t""".stripMargin) {
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(size(split(col("text"), " ")).cast("long").as("ws"),
+          bpeTokenCount(col("text")).as("bpe"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).cast("long").as("ws_tok_sum"),
+          sum(col("bpe")).cast("long").as("bpe_tok_sum"),
+          round(avg(col("bpe")), 6).as("avg_bpe_per_doc"),
+          max(col("bpe")).cast("long").as("max_bpe"))
+  }
+
+  def all: Seq[QueryDef] = Seq(langId, quality, fingerprint, tokenBudget)
 }
