@@ -382,39 +382,28 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** SimHash rows-only entry: exact duplicates (re-keyed copy) must have
-    * hamming distance 0, and the corpus's high-Jaccard near-dup pairs
-    * must sit within a small hamming radius while random pairs average
-    * ~30 bits.
+  /** SimHash oracle: DuckDB independently recomputes every per-doc
+    * 48-bit signature from md5 token hashes (hex-slice → bigint, per-bit
+    * ±1 vote, vote>0 sets the bit) and the driver hash-compares the full
+    * (doc_id, sh) table — a cross-engine bit-for-bit check of the whole
+    * signature kernel. The near-dup semantics (exact copy ⇒ distance 0,
+    * high-Jaccard ⇒ small hamming radius) are asserted in TextDedupSpec.
     */
-  val simhashQ = QueryDef.fixture("d3_simhash") { (s, d) =>
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), simhash(col("text")).as("sh64"))
-      .cache()
-    // exact-dup construction: a RE-KEYED copy with identical text must
-    // produce an identical signature (two independent evaluations — a
-    // self-join on doc_id would compare each row with itself, vacuous)
-    val copy = Tables.documents(s, d)
-      .select((col("doc_id") + 1000000).as("copy_id"), col("text"))
-      .select(col("copy_id"), simhash(col("text")).as("b"))
-    val selfPairs = docs
-      .select(col("doc_id"), (col("doc_id") + 1000000).as("copy_id"),
-        col("sh64").as("a"))
-      .join(copy, "copy_id")
-      .agg(max(hammingDist(col("a"), col("b"))).as("max_self_dist")).head()
-    // near-dups found by minhash: simhash should agree they're close
-    val near = minhashDedup(Tables.documents(s, d), "doc_id", "text", 0.9)
-    val nearDist = near
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh64").as("a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh64").as("b")), "doc_b")
-      .agg(max(hammingDist(col("a"), col("b"))).as("max_near"),
-        count(lit(1)).as("n_near")).head()
-    docs.unpersist()
-    val spark = s; import spark.implicits._
-    Seq((selfPairs.getInt(0), nearDist.getInt(0), nearDist.getLong(1)))
-      .toDF("max_self_dist", "max_near_dist", "n_near_pairs")
-      .filter(col("max_self_dist") === 0 && col("max_near_dist") <= 16 &&
-        col("n_near_pairs") > 0)
+  val simhashQ = QueryDef.sql(
+    "d3_simhash",
+    """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |           FROM documents WHERE text IS NOT NULL),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,12))::BIGINT AS h FROM t),
+      |v AS (SELECT doc_id, b.b AS b,
+      |             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |      FROM h CROSS JOIN (SELECT unnest(range(48)) AS b) b
+      |      GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |               SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+      |        FROM v GROUP BY doc_id)
+      |SELECT doc_id, sh FROM sig""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), simhash(col("text")).as("sh"))
   }
 
   /** Cluster resolution oracle: both engines build the ≥0.9-Jaccard

@@ -103,6 +103,17 @@ class TextDedupSpec extends SparkSpec {
     assert(d13 > 5, s"disjoint texts should differ, hamming=$d13")
   }
 
+  test("simhash: near-dup text sits in a small hamming radius") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base.replace("tok7", "changed") // one token of 40 edited
+    val df = Seq((1L, base), (2L, near)).toDF("id", "text")
+    val sh = df.select(col("id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    assert(d <= 16, s"near-dup should be within 16/48 bits, hamming=$d")
+  }
+
   test("cosine expression matches hand computation") {
     import spark.implicits._
     val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
