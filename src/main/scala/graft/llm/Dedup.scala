@@ -232,6 +232,54 @@ object Dedup {
         pow(lit(2.0), b).cast("long")).otherwise(0L))
   }
 
+  /** Kernel form of [[simhash]]: bit-identical signatures at 1/48th the
+    * hash cost. The HOF form's outer `aggregate` over the 48 bit draws
+    * inlines the `transform(toks, md5)` expression into its lambda body,
+    * so Catalyst re-evaluates every token's md5 once PER BIT; here each
+    * token is digested exactly once and its 48 vote updates are plain
+    * long arithmetic. `lower` stays a Catalyst expression upstream so
+    * locale/Unicode lowercase semantics match the expression form (and
+    * the DuckDB oracle) exactly. Equality with [[simhash]] is asserted
+    * in TextDedupSpec.
+    */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), lower(col(textCol)))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val votes = new Array[Int](simhashBits)
+        it.map { case (id, text) =>
+          java.util.Arrays.fill(votes, 0)
+          // limit -1: Spark's split keeps trailing empty tokens; Java's
+          // default limit 0 would drop them and flip signatures
+          val toks = text.split(" ", -1)
+          var t = 0
+          while (t < toks.length) {
+            md.reset()
+            val d = md.digest(
+              toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // first 12 hex chars of the digest = first 6 bytes, big-endian
+            var h = 0L
+            var i = 0
+            while (i < 6) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+            var b = 0
+            while (b < simhashBits) {
+              votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+              b += 1
+            }
+            t += 1
+          }
+          var sh = 0L
+          var b = 0
+          while (b < simhashBits) { if (votes(b) > 0) sh |= (1L << b); b += 1 }
+          (id, sh)
+        }
+      }.toDF(idCol, "sh")
+  }
+
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Connected components over the near-dup pair graph → (doc_id,
@@ -402,8 +450,7 @@ object Dedup {
       |               SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
       |        FROM v GROUP BY doc_id)
       |SELECT doc_id, sh FROM sig""".stripMargin) { (s, d) =>
-    Tables.documents(s, d).filter(col("text").isNotNull)
-      .select(col("doc_id"), simhash(col("text")).as("sh"))
+    simhashSignatures(Tables.documents(s, d), "doc_id", "text")
   }
 
   /** Cluster resolution oracle: both engines build the ≥0.9-Jaccard

@@ -103,6 +103,21 @@ class TextDedupSpec extends SparkSpec {
     assert(d13 > 5, s"disjoint texts should differ, hamming=$d13")
   }
 
+  test("simhash kernel is bit-identical to the expression form") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta  gamma"),           // consecutive spaces → empty token
+      (2L, ""),                            // empty text → one empty token
+      (3L, "MiXeD Case ÜNICODE tøkens"),   // lowercase path
+      (4L, "trailing space "),             // trailing empty token
+      (5L, (1 to 200).map(i => s"w$i").mkString(" "))).toDF("id", "text")
+    val expr = df.select(col("id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kern = Dedup.simhashSignatures(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expr == kern)
+  }
+
   test("simhash: near-dup text sits in a small hamming radius") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
