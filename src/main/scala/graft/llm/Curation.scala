@@ -66,9 +66,13 @@ object Curation {
       // the dedup stage does real work at every scale factor
       val u = docs.unionByName(
         docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
-      val keepers = u.groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val deduped = u.join(keepers.select("doc_id"), Seq("doc_id"), "left_semi")
+      // keeper row in ONE map-side-combinable aggregate: rows in an md5
+      // group carry identical text, so max(text) IS the group's text and
+      // the keeper (min doc_id, text) needs no join back — one shuffle
+      // of the corpus instead of an agg plus a corpus-wide semi-join
+      val deduped = u.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), max(col("text")).as("text"))
+        .drop("h")
       val scored = TextAnalysis.langIdCols(
         TextAnalysis.qualityCols(deduped))
       scored
