@@ -103,6 +103,52 @@ class TextDedupSpec extends SparkSpec {
     assert(d13 > 5, s"disjoint texts should differ, hamming=$d13")
   }
 
+  test("shingleHashes kernel == sorted distinct xxhash64 of expression shingles") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "two tokens"),
+      (3L, "a  b c d"),        // consecutive spaces → empty token
+      (4L, "x y z x y z x y z")) // repeated shingles → dedup
+      .toDF("doc_id", "text")
+    val expr = df.select(col("doc_id"),
+        sort_array(array_distinct(transform(
+          Dedup.shingles(col("text")), s => xxhash64(s)))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val kern = Dedup.shingleHashes(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(expr == kern)
+  }
+
+  test("ngramJaccardDedup matches brute-force all-pairs exactly") {
+    import spark.implicits._
+    val a = (1 to 40).map(i => s"w$i").mkString(" ")
+    val rows = Seq(
+      1L -> a,
+      2L -> a,                              // exact dup
+      3L -> a.replace("w7 ", "changed "),   // one token of 40 edited
+      4L -> (1 to 40).map(i => s"z$i").mkString(" "), // disjoint
+      5L -> "short text only")              // <3 tokens fallback
+    val docs = rows.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardDedup(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same gram definition (token 3-gram shingles)
+    def grams(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set(t)
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val want = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      inter = grams(ta).intersect(grams(tb)).size.toDouble
+      j = inter / (grams(ta).size + grams(tb).size - inter)
+      if j >= 0.8
+    } yield (ia, ib)).toSet
+    assert(got == want)
+    assert(want.contains((1L, 2L)) && want.contains((1L, 3L)))
+    assert(!want.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("simhash kernel is bit-identical to the expression form") {
     import spark.implicits._
     val df = Seq(
