@@ -325,12 +325,11 @@ object Dedup {
     // Shingle ONLY candidate docs (semi-join prune): the round-2 plan
     // re-shingled the whole corpus for the verify stage — verify cost
     // now scales with |candidates|, not |corpus|. Shingles are carried
-    // as xxhash64 longs, not strings: array_intersect on longs, and
-    // Jaccard is unchanged (64-bit collisions within one pair's
-    // shingle sets are ~2⁻⁶⁴-improbable).
-    val withSh = docs.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol),
-        transform(shingles(col(textCol)), s => xxhash64(s)).as("sh"))
+    // as xxhash64 longs, not strings (array_intersect on longs;
+    // 64-bit collisions within one pair: ~2⁻⁶⁴), computed by the same
+    // byte-slice kernel as the signature and prefix-filter paths.
+    val withSh = shingleHashes(
+      docs.join(candIds, Seq(idCol), "left_semi"), idCol, textCol)
     verifyJaccard(cands, withSh, idCol).filter(col("jaccard") >= threshold)
   }
 
