@@ -40,18 +40,30 @@ object Similarity {
     dot / (na * nb)
   }
 
-  /** Brute-force top-1 neighbor for each query vector (excluding self):
-    * deterministic choice on (rounded cosine desc, neighbor id asc).
-    */
-  def bruteForceTop1(queries: DataFrame, corpus: DataFrame): DataFrame = {
-    val joined = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .crossJoin(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+  /** Deterministic top-k per query over scored (qid, nid, sim) rows:
+    * (rounded cosine desc, neighbor id asc) is a total order, so ranks
+    * are cross-engine reproducible. The window partitions by qid —
+    * per-query groups are corpus-bounded candidate sets, never the
+    * corpus itself. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    joined.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("qid"), col("nid"), col("sim"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
+
+  /** Brute-force top-k neighbors for each query vector (excluding
+    * self): the exact baseline the ANN paths are measured against.
+    * Intended for bounded probe sets — the cross join is |Q|×|corpus|.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    topKPerQuery(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .crossJoin(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("sim", round(cosine(col("qv"), col("nv")), 6)), k)
+
+  def bruteForceTop1(queries: DataFrame, corpus: DataFrame): DataFrame =
+    bruteForceTopK(queries, corpus, 1).drop("rank")
 
   /** Seeded Rademacher (±1) hyperplane signs: bit b of the sketch is
     * sign(plane_b · v). The plane matrix (bands·bitsPerBand × dim) is
@@ -133,8 +145,8 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: candidates share ≥1 band bucket; exact cosine on
-    * candidates; top-1 per query among candidates. */
-  def lshTop1(queries: DataFrame, corpus: DataFrame, bands: Int = 16,
+    * candidates; top-k per query among candidates. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bands: Int = 16,
       bitsPerBand: Int = 4, seed: Int = 7): DataFrame = {
     // candidate dedup runs on (id, id) ONLY — distinct-ing rows that
     // carry the vectors would shuffle and compare the arrays themselves;
@@ -148,10 +160,12 @@ object Similarity {
       .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")), "qid")
       .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")), "nid")
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    cands.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("qid"), col("nid"), col("sim"))
+    topKPerQuery(cands, k)
   }
+
+  def lshTop1(queries: DataFrame, corpus: DataFrame, bands: Int = 16,
+      bitsPerBand: Int = 4, seed: Int = 7): DataFrame =
+    lshTopK(queries, corpus, 1, bands, bitsPerBand, seed).drop("rank")
 
   /** Embedding near-dup pairs (cos ≥ threshold ~0.99) via the LSH
     * bucket path: candidates share ≥1 band bucket, then exact cosine.
@@ -187,7 +201,7 @@ object Similarity {
     * array (tiny) folded into the probe expression; the corpus shuffle
     * is one groupBy-free equi-join on cell id.
     */
-  def ivfTop1(queries: DataFrame, corpus: DataFrame, nCells: Int = 16,
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 16,
       nProbe: Int = 4, seed: Long = 7L): DataFrame = {
     val km = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(seed).setFeaturesCol("fv").setPredictionCol("cell")
@@ -218,10 +232,12 @@ object Similarity {
     val cands = probed.join(cells, "cell")
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
-    cands.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("qid"), col("nid"), col("sim"))
+    topKPerQuery(cands, k)
   }
+
+  def ivfTop1(queries: DataFrame, corpus: DataFrame, nCells: Int = 16,
+      nProbe: Int = 4, seed: Long = 7L): DataFrame =
+    ivfTopK(queries, corpus, 1, nCells, nProbe, seed).drop("rank")
 
   // ---------------------------------------------------------------- queries
 
@@ -329,5 +345,28 @@ object Similarity {
       .filter(col("recall_at_1") >= 0.6 && col("n_queries") > 0)
   }
 
-  def all: Seq[QueryDef] = Seq(brute, ann, nearDup, ivf)
+  /** Brute-force top-3 oracle: the same probe set as v1 with full
+    * per-rank parity — DuckDB recomputes every (qid, rank, nid, sim)
+    * row, so rank assignment and the deterministic tiebreak are
+    * cross-engine checked beyond rank 1.
+    */
+  val bruteK = QueryDef.sql(
+    "v5_cosine_topk",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |s AS (SELECT qid, e.vec_id AS nid,
+      |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+      |      FROM q, embeddings e WHERE e.vec_id != qid),
+      |r AS (SELECT qid, nid, sim,
+      |             row_number() OVER (PARTITION BY qid
+      |                                ORDER BY sim DESC, nid) AS rank
+      |      FROM s)
+      |SELECT qid, CAST(rank AS INT) AS rank, nid, sim
+      |FROM r WHERE rank <= 3""".stripMargin) {
+    (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      bruteForceTopK(emb.filter(col("vec_id") % 50 === 0), emb, 3)
+  }
+
+  def all: Seq[QueryDef] = Seq(brute, bruteK, ann, nearDup, ivf)
 }
