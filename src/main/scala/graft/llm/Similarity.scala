@@ -194,6 +194,23 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Embedding-cosine near-dup DEDUP: resolve the ≥threshold pair graph
+    * to connected components ([[graft.llm.Dedup.nearDupClusters]] —
+    * driver union-find with a distributed min-label fallback) and keep
+    * each component's min-id vector — the embedding analog of the token
+    * path's `dropNearDuplicates`, completing the mandate's dedup family
+    * for the vector modality.
+    */
+  def dropEmbeddingNearDups(emb: DataFrame, threshold: Double,
+      bands: Int = 20, bitsPerBand: Int = 12, seed: Int = 7): DataFrame = {
+    val pairs = nearDupPairs(emb, threshold, bands, bitsPerBand, seed)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val losers = graft.llm.Dedup.nearDupClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("vec_id"))
+    emb.join(losers, Seq("vec_id"), "left_anti")
+  }
+
   /** IVF-style ANN (the other scale path of the mandate): a KMeans
     * coarse quantizer (spark.ml) assigns every corpus vector to a cell;
     * a query probes only its `nProbe` nearest centroids and scores
@@ -368,5 +385,38 @@ object Similarity {
       bruteForceTopK(emb.filter(col("vec_id") % 50 === 0), emb, 3)
   }
 
-  def all: Seq[QueryDef] = Seq(brute, bruteK, ann, nearDup, ivf)
+  /** Embedding dedup oracle: same planted-duplicate construction as v3
+    * (corpus ∪ re-keyed copy), reduced to keepers. DuckDB brute-forces
+    * the ≥0.99 pair graph and propagates min labels one hop (planted
+    * components are pairs — diameter 1; the Spark side iterates to a
+    * true fixpoint regardless), then both report the kept-set summary.
+    */
+  val embDedup = QueryDef.sql(
+    "v6_embedding_dedup",
+    """WITH u AS (SELECT vec_id, embedding FROM embeddings
+      |           UNION ALL
+      |           SELECT vec_id + 1000000, embedding FROM embeddings),
+      |p AS (SELECT a.vec_id AS ida, b.vec_id AS idb
+      |      FROM u a, u b
+      |      WHERE a.vec_id < b.vec_id
+      |        AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |              CAST(b.embedding AS DOUBLE[])), 6) >= 0.99),
+      |e AS (SELECT ida AS src, idb AS dst FROM p
+      |      UNION ALL SELECT idb, ida FROM p),
+      |l1 AS (SELECT src AS id, least(min(dst), src) AS lbl FROM e GROUP BY src),
+      |lbl AS (SELECT u.vec_id AS id, coalesce(l1.lbl, u.vec_id) AS lbl
+      |        FROM u LEFT JOIN l1 ON l1.id = u.vec_id),
+      |kept AS (SELECT id FROM lbl WHERE id = lbl)
+      |SELECT count(*) AS n_kept, CAST(sum(id) AS BIGINT) AS kept_checksum
+      |FROM kept""".stripMargin) {
+    (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val u = emb.unionByName(
+        emb.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      dropEmbeddingNearDups(u, threshold = 0.99)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("vec_id")).cast("long").as("kept_checksum"))
+  }
+
+  def all: Seq[QueryDef] = Seq(brute, bruteK, ann, nearDup, embDedup, ivf)
 }
