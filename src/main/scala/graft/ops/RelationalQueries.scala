@@ -501,6 +501,54 @@ object RelationalQueries {
           round(sum(when(!isnan(col("value")), col("value"))), 2).as("val_sum"))
   }
 
+  /** E2 — sessionization: split each user's event stream into sessions
+    * at >30-minute gaps (lag → new-session flag → running sum as the
+    * session index), then aggregate per-session and corpus-wide. The
+    * windows partition by user_id — bounded per-user groups, the same
+    * scale shape as o5's grouped rank; nothing global. All-integer
+    * output (micros arithmetic) so the cross-engine hash is exact:
+    * `unix_micros(timestamp_micros(ns div 1000))` here equals DuckDB's
+    * `epoch_us` of the same parquet (both truncate nanos → micros).
+    */
+  val e2 = QueryDef.sql(
+    "e2_sessionize",
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us
+      |           FROM events WHERE ts IS NOT NULL),
+      |x AS (SELECT user_id, event_id, us,
+      |             CASE WHEN lag(us) OVER w IS NULL
+      |                    OR us - lag(us) OVER w > 1800000000 THEN 1
+      |                  ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |y AS (SELECT user_id, us,
+      |             SUM(new_sess) OVER (PARTITION BY user_id
+      |                                 ORDER BY us, event_id) AS sess_idx
+      |      FROM x),
+      |s AS (SELECT user_id, sess_idx, count(*) AS n_events,
+      |             max(us) - min(us) AS dur_us
+      |      FROM y GROUP BY 1, 2)
+      |SELECT count(*) AS n_sessions,
+      |       CAST(sum(n_events) AS BIGINT) AS n_events,
+      |       CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+      |       CAST(max(n_events) AS BIGINT) AS max_sess_events
+      |FROM s""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val e = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val flagged = e.withColumn("new_sess",
+        when(lag(col("us"), 1).over(w).isNull ||
+          col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
+      val indexed = flagged.withColumn("sess_idx",
+        sum(col("new_sess")).over(w))
+      indexed.groupBy("user_id", "sess_idx")
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("us")) - min(col("us"))).as("dur_us"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"),
+          sum(col("dur_us")).cast("long").as("total_dur_us"),
+          max(col("n_events")).cast("long").as("max_sess_events"))
+  }
+
   /** P2 — column projection by NAME set through the cols side table
     * (daxos read.py:210-215, explain.py:21-31): names → positions
     * (tiny driver collect of the cols table), then one codegen'd array
@@ -531,5 +579,5 @@ object RelationalQueries {
 
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, a1, o2, o3, a4, a5, a13, o5,
-    e1, scalars)
+    e1, e2, scalars)
 }
