@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of join — for each left row, the LATEST right row of the same key
+  * with right ts ≤ left ts. Spark has no native as-of join (it is the
+  * canonical "operator the engine lacks"); a range-condition join would
+  * explode to |left|×|right-per-key| before filtering. This is the
+  * scale-safe distributed formulation:
+  *
+  *   tag and union both inputs → ONE shuffle on the key → per-key
+  *   ordered running `last(struct(right cols), ignoreNulls)` → keep
+  *   left rows.
+  *
+  * The right row travels as a single struct so the fill is atomic —
+  * per-column fills could mix rows when a right column is legitimately
+  * null. At equal timestamps right sorts before left, so a right row
+  * AT the left timestamp matches (ties inclusive, matching DuckDB's
+  * `ASOF JOIN ... ON l.ts >= r.ts`). Deterministic when the right side
+  * is unique per (key, ts) — the standard as-of precondition; dedupe
+  * upstream if violated.
+  *
+  * At 100 TB: cost is one hash exchange of left+right on the key and a
+  * per-key sort — the same shape as any windowed op here (o5, e2);
+  * per-key groups bound the sort, nothing global, no driver state.
+  */
+object AsofJoin {
+
+  /** Output = every left column plus each non-key right column as
+    * `asof_<name>` (null where the key has no right row at or before
+    * the left timestamp). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, prefix: String = "asof_"): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one equality key")
+    val lCols = left.columns.toSeq
+    val rCarry = right.columns.toSeq.filterNot(keys.contains)
+    require(rCarry.contains(rightTs), s"right ts column $rightTs must not be a key")
+    val rStructType = StructType(rCarry.map(c => right.schema(c)))
+    val lSchema = left.schema
+    val leftSide = left.select(
+      lCols.map(col) ++ Seq(
+        lit(null).cast(rStructType).as("__r"),
+        col(leftTs).as("__ts"), lit(1).as("__left")): _*)
+    val rightSide = right.select(
+      lCols.map(c =>
+        if (keys.contains(c)) col(c)
+        else lit(null).cast(lSchema(c).dataType).as(c)) ++ Seq(
+        struct(rCarry.map(col): _*).as("__r"),
+        col(rightTs).as("__ts"), lit(0).as("__left")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    leftSide.unionByName(rightSide)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__left") === 1)
+      .select(lCols.map(col) ++
+        rCarry.map(c => col(s"__r.$c").as(prefix + c)): _*)
+  }
+
+  /** J6 — every event as-of joined to the user's most recent purchase
+    * (at or before the event). DuckDB's native ASOF LEFT JOIN is the
+    * oracle, so match rate, row identity (checksum), and lag sums are
+    * cross-engine checked. All-integer micros arithmetic — exact hash.
+    */
+  val j6 = QueryDef.sql(
+    "j6_asof_join",
+    """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us
+      |           FROM events WHERE ts IS NOT NULL),
+      |r AS (SELECT user_id, event_id AS rid, epoch_us(ts) AS rus
+      |      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+      |SELECT count(*) AS n_events,
+      |       CAST(sum(CASE WHEN rid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_matched,
+      |       CAST(coalesce(sum(rid), 0) AS BIGINT) AS matched_checksum,
+      |       CAST(coalesce(sum(us - rus), 0) AS BIGINT) AS total_lag_us
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.us >= r.rus""".stripMargin) {
+    (s, d) =>
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      val l = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("rid"),
+          unix_micros(col("ts")).as("rus"))
+      asofJoin(l, r, Seq("user_id"), "us", "rus")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("asof_rid").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_matched"),
+          coalesce(sum(col("asof_rid")), lit(0L))
+            .cast("long").as("matched_checksum"),
+          coalesce(sum(col("us") - col("asof_rus")), lit(0L))
+            .cast("long").as("total_lag_us"))
+  }
+
+  def all: Seq[QueryDef] = Seq(j6)
+}
