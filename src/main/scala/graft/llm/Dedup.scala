@@ -662,5 +662,54 @@ object Dedup {
         sum(col("cluster")).cast("long").as("label_checksum"))
   }
 
-  def all: Seq[QueryDef] = Seq(exact, minhash, simhashQ, ngramJaccardQ, clusters)
+  /** End-to-end dedup oracle: the full pipeline OUTPUT (which docs
+    * survive) is hash-compared, not just pairs or cluster labels —
+    * DuckDB brute-forces the ≥0.9 pair graph over the planted-dup
+    * corpus, propagates min labels 3 hops (component diameters here
+    * ≤ 2), and keeps label==id docs; Spark runs dropNearDuplicates
+    * (LSH → verify → union-find → anti-join).
+    */
+  val dropQ = QueryDef.sql(
+    "d6_drop_near_dups",
+    """WITH u AS (SELECT doc_id, text FROM documents
+      |           UNION ALL
+      |           SELECT doc_id + 1000000, text FROM documents),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM u),
+      |tri AS (SELECT doc_id,
+      |               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |                    ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |               END AS sh
+      |        FROM toks),
+      |shd AS (SELECT doc_id, unnest(sh) AS s FROM tri),
+      |cnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS ix
+      |          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |prs AS (SELECT pa, pb FROM inter
+      |        JOIN cnt ca ON pa = ca.doc_id JOIN cnt cb ON pb = cb.doc_id
+      |        WHERE ix * 1.0 / (ca.c + cb.c - ix) >= 0.9),
+      |e AS (SELECT pa AS src, pb AS dst FROM prs
+      |      UNION ALL SELECT pb, pa FROM prs),
+      |l1 AS (SELECT src AS id, least(src, min(dst)) AS lbl FROM e GROUP BY src),
+      |l2 AS (SELECT e.src AS id, least(min(la.lbl), min(lb.lbl)) AS lbl
+      |       FROM e JOIN l1 la ON la.id = e.src JOIN l1 lb ON lb.id = e.dst
+      |       GROUP BY e.src),
+      |l3 AS (SELECT e.src AS id, least(min(la.lbl), min(lb.lbl)) AS lbl
+      |       FROM e JOIN l2 la ON la.id = e.src JOIN l2 lb ON lb.id = e.dst
+      |       GROUP BY e.src),
+      |dropped AS (SELECT id FROM l3 WHERE id <> lbl)
+      |SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_checksum
+      |FROM u WHERE doc_id NOT IN (SELECT id FROM dropped)""".stripMargin) {
+    (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val u = docs.unionByName(
+        docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      dropNearDuplicates(u, "doc_id", "text", threshold = 0.9)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("kept_checksum"))
+  }
+
+  def all: Seq[QueryDef] =
+    Seq(exact, minhash, simhashQ, ngramJaccardQ, clusters, dropQ)
 }

@@ -168,5 +168,46 @@ object Streams {
         col("n_stream_distinct") > 0)
   }
 
-  def all: Seq[QueryDef] = Seq(st1, st2, st3)
+  /** Watermark late-data semantics in APPEND mode — the contract a
+    * production streaming pipeline actually relies on: a window is
+    * emitted once the watermark passes its end, and a row arriving
+    * after that is DROPPED, not merged. Timeline: hour-00/01 events →
+    * an 05:00 event advances the watermark to 04:00, flushing both
+    * windows → a late hour-00 row (value 100) must vanish without a
+    * trace → a final advance flushes hour-05. Emits the summary row
+    * only when the late row provably did not reach any output.
+    */
+  val st4 = QueryDef.fixture("st4_stream_late_drop") { (s, d) =>
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ev(id: Long, t: String, v: Double): Ev =
+      Ev(id, java.sql.Timestamp.valueOf(t), 1L, "click", v)
+    val mem = MemoryStream[Ev]
+    val q = windowedAgg(mem.toDF()).writeStream
+      .format("memory").queryName("st4_out").outputMode(OutputMode.Append())
+      .start()
+    val rows =
+      try {
+        mem.addData(ev(1, "2024-01-01 00:10:00", 1.0),
+          ev(2, "2024-01-01 01:10:00", 2.0))
+        q.processAllAvailable()
+        mem.addData(ev(3, "2024-01-01 05:00:00", 3.0)) // wm → 04:00, flush 00+01
+        q.processAllAvailable()
+        mem.addData(ev(4, "2024-01-01 00:20:00", 100.0)) // LATE: beyond wm
+        q.processAllAvailable()
+        mem.addData(ev(5, "2024-01-01 07:00:00", 5.0)) // wm → 06:00, flush 05
+        q.processAllAvailable()
+        s.table("st4_out").select("bucket", "n", "val_sum")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+      } finally q.stop()
+    val hour00Clean = rows.contains(("2024-01-01 00:00:00", 1L, 1.0))
+    val noLateValue = !rows.exists(_._3 >= 100.0)
+    Seq((rows.size.toLong, hour00Clean, noLateValue))
+      .toDF("n_windows_emitted", "hour00_excludes_late", "late_value_absent")
+      .filter(col("hour00_excludes_late") && col("late_value_absent") &&
+        col("n_windows_emitted") === 3)
+  }
+
+  def all: Seq[QueryDef] = Seq(st1, st2, st3, st4)
 }
