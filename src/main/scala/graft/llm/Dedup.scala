@@ -156,20 +156,27 @@ object Dedup {
     val g = base.select(col(idCol), explode(col("sh")).as("gram"))
     val sz = base.select(col(idCol), size(col("sh")).as("set_sz"))
     val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    // FLOAT-BOUNDARY CARE in both prune bounds: 0.8d > 4/5 exactly, so
+    // at set sizes where t·|A| is an exact integer the unadjusted
+    // ceil(t·|A|) lands one too HIGH (shorter prefix than the AllPairs
+    // bound → a provable miss), and t·|B| can exceed an exactly-t-ratio
+    // sibling size (size filter drops a true boundary pair). The 1e-9
+    // slack errs toward a superset — extra candidates are verified
+    // exactly downstream, missed ones are gone forever.
     val ranked = g.join(dfreq, "gram")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("df"), col("gram"))))
       .join(sz, Seq(idCol))
       .filter(col("rk") <=
-        col("set_sz") - ceil(lit(threshold) * col("set_sz")) + 1)
+        col("set_sz") - ceil(lit(threshold) * col("set_sz") - 1e-9) + 1)
       .select(col(idCol), col("gram"), col("set_sz"))
     // candidate pairs are ids-only and tiny; materialize once for the
     // verify join (same pattern as minhashDedup)
     val cands = ranked.alias("x").join(ranked.alias("y"),
         col("x.gram") === col("y.gram") &&
           col(s"x.$idCol") < col(s"y.$idCol") &&
-          col("x.set_sz") >= lit(threshold) * col("y.set_sz") &&
-          col("y.set_sz") >= lit(threshold) * col("x.set_sz"))
+          col("x.set_sz") >= lit(threshold) * col("y.set_sz") - 1e-9 &&
+          col("y.set_sz") >= lit(threshold) * col("x.set_sz") - 1e-9)
       .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
       .distinct()
       .localCheckpoint(eager = true)

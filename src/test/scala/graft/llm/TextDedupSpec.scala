@@ -103,6 +103,22 @@ class TextDedupSpec extends SparkSpec {
     assert(d13 > 5, s"disjoint texts should differ, hamming=$d13")
   }
 
+  test("ngramJaccard prefix bound survives exact-threshold boundaries") {
+    import spark.implicits._
+    // A ⊂ B with |A|=40, |B|=50 → J = 40/50 = 0.8 EXACTLY, and t·|sz|
+    // is an exact integer for both docs. 0.8d > 4/5, so an unslacked
+    // ceil(t·sz) computes 33/41 instead of 32/40 — prefixes shrink to
+    // {1..8} and {41..50}, which do not intersect, and the true pair
+    // is silently lost. The 1e-9 slack keeps gram 1 in both prefixes.
+    val grams = Seq((1L, (1L to 40L).toArray), (2L, (1L to 50L).toArray))
+      .toDF("doc_id", "sh")
+    val got = Dedup.ngramJaccardOnGrams(grams, "doc_id", 0.8)
+      .select("doc_a", "doc_b", "jaccard").collect()
+    assert(got.length == 1, s"boundary pair lost: ${got.mkString(",")}")
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L)
+    assert(math.abs(got(0).getDouble(2) - 0.8) < 1e-12)
+  }
+
   test("shingleHashes kernel == sorted distinct xxhash64 of expression shingles") {
     import spark.implicits._
     val df = Seq(
