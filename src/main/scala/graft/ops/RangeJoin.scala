@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join — left points joined to right intervals that
+  * contain them, with key equality. A naive range-condition join cannot
+  * hash-partition on the range predicate, so Spark would fall back to a
+  * broadcast-nested-loop (or explode |left|×|right-per-key| before
+  * filtering). The scale-safe classic instead BUCKETIZES the axis:
+  *
+  *   left point → its bucket (`pt div width`); right interval → the
+  *   buckets it covers (`sequence(lo div width, hi div width)`, a
+  *   bounded explode when width ≈ max interval span) → hash equi-join
+  *   on (keys, bucket) → exact containment filter.
+  *
+  * Each (left, right) match meets in EXACTLY one bucket (the left
+  * point's), so no dedup pass is needed. Cost: one hash exchange of
+  * each side on (keys, bucket), right amplified by ≤
+  * span/width + 1 rows. Integral `div` keeps bucket math exact for
+  * epoch-scale longs (double division would round near 2^53).
+  * Truncating `div` equals floor only for non-negative axes — use a
+  * shifted axis for negative domains.
+  */
+object RangeJoin {
+
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      ptCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(keys.nonEmpty, "range join needs at least one equality key")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val lB = left.withColumn("__bucket", expr(s"$ptCol div $bucketWidth"))
+    val rB = right.withColumn("__bucket",
+      explode(sequence(expr(s"$loCol div $bucketWidth"),
+        expr(s"$hiCol div $bucketWidth"))))
+    lB.join(rB, keys :+ "__bucket")
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+
+  /** J7 — every event joined to the same user's purchase windows
+    * (±5 minutes around each purchase). The oracle is DuckDB's plain
+    * inequality join, so the bucketized plan's match set is proven
+    * identical to the unbounded-range semantics. All-integer output.
+    */
+  val j7 = QueryDef.sql(
+    "j7_range_join",
+    """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us
+      |           FROM events WHERE ts IS NOT NULL),
+      |r AS (SELECT user_id, event_id AS rid,
+      |             epoch_us(ts) - 300000000 AS lo,
+      |             epoch_us(ts) + 300000000 AS hi
+      |      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+      |SELECT count(*) AS n_pairs,
+      |       CAST(coalesce(sum(l.event_id + r.rid), 0) AS BIGINT)
+      |         AS pair_checksum
+      |FROM l JOIN r
+      |  ON l.user_id = r.user_id AND l.us BETWEEN r.lo AND r.hi""".stripMargin) {
+    (s, d) =>
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      val l = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("rid"),
+          (unix_micros(col("ts")) - 300000000L).as("lo"),
+          (unix_micros(col("ts")) + 300000000L).as("hi"))
+      rangeJoin(l, r, Seq("user_id"), "us", "lo", "hi",
+          bucketWidth = 600000000L) // 10 min buckets: ≤ 2 per interval
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("event_id") + col("rid")), lit(0L))
+            .cast("long").as("pair_checksum"))
+  }
+
+  def all: Seq[QueryDef] = Seq(j7)
+}
