@@ -203,8 +203,12 @@ object Similarity {
     */
   def dropEmbeddingNearDups(emb: DataFrame, threshold: Double,
       bands: Int = 20, bitsPerBand: Int = 12, seed: Int = 7): DataFrame = {
+    // cast to long: nearDupClusters' driver union-find reads ids with
+    // getLong, and sketchBands preserves the source vec_id type (an
+    // int32-typed store would otherwise ClassCastException there)
     val pairs = nearDupPairs(emb, threshold, bands, bitsPerBand, seed)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .select(col("id_a").cast("long").as("doc_a"),
+        col("id_b").cast("long").as("doc_b"))
     val losers = graft.llm.Dedup.nearDupClusters(pairs)
       .filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id").as("vec_id"))
@@ -387,9 +391,11 @@ object Similarity {
 
   /** Embedding dedup oracle: same planted-duplicate construction as v3
     * (corpus ∪ re-keyed copy), reduced to keepers. DuckDB brute-forces
-    * the ≥0.99 pair graph and propagates min labels one hop (planted
-    * components are pairs — diameter 1; the Spark side iterates to a
-    * true fixpoint regardless), then both report the kept-set summary.
+    * the ≥0.99 pair graph and propagates min labels THREE hops (same
+    * insurance margin as d4/d6 — covers chained natural near-dups up
+    * to diameter 3, though planted components here are diameter-1
+    * pairs; the Spark side iterates to a true fixpoint regardless),
+    * then both report the kept-set summary.
     */
   val embDedup = QueryDef.sql(
     "v6_embedding_dedup",
@@ -403,9 +409,15 @@ object Similarity {
       |              CAST(b.embedding AS DOUBLE[])), 6) >= 0.99),
       |e AS (SELECT ida AS src, idb AS dst FROM p
       |      UNION ALL SELECT idb, ida FROM p),
-      |l1 AS (SELECT src AS id, least(min(dst), src) AS lbl FROM e GROUP BY src),
-      |lbl AS (SELECT u.vec_id AS id, coalesce(l1.lbl, u.vec_id) AS lbl
-      |        FROM u LEFT JOIN l1 ON l1.id = u.vec_id),
+      |l1 AS (SELECT src AS id, least(src, min(dst)) AS lbl FROM e GROUP BY src),
+      |l2 AS (SELECT e.src AS id, least(min(la.lbl), min(lb.lbl)) AS lbl
+      |       FROM e JOIN l1 la ON la.id = e.src JOIN l1 lb ON lb.id = e.dst
+      |       GROUP BY e.src),
+      |l3 AS (SELECT e.src AS id, least(min(la.lbl), min(lb.lbl)) AS lbl
+      |       FROM e JOIN l2 la ON la.id = e.src JOIN l2 lb ON lb.id = e.dst
+      |       GROUP BY e.src),
+      |lbl AS (SELECT u.vec_id AS id, coalesce(l3.lbl, u.vec_id) AS lbl
+      |        FROM u LEFT JOIN l3 ON l3.id = u.vec_id),
       |kept AS (SELECT id FROM lbl WHERE id = lbl)
       |SELECT count(*) AS n_kept, CAST(sum(id) AS BIGINT) AS kept_checksum
       |FROM kept""".stripMargin) {

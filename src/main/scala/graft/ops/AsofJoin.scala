@@ -38,7 +38,12 @@ object AsofJoin {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
     val lCols = left.columns.toSeq
     val rCarry = right.columns.toSeq.filterNot(keys.contains)
-    require(rCarry.contains(rightTs), s"right ts column $rightTs must not be a key")
+    require(right.columns.contains(rightTs),
+      s"right ts column $rightTs not found in right (${right.columns.mkString(", ")})")
+    require(!keys.contains(rightTs), s"right ts column $rightTs must not be a key")
+    val collisions = rCarry.filter(lCols.contains)
+    require(collisions.isEmpty,
+      s"non-key right columns collide with left columns: ${collisions.mkString(", ")} — rename before joining")
     val rStructType = StructType(rCarry.map(c => right.schema(c)))
     val lSchema = left.schema
     val leftSide = left.select(
@@ -65,13 +70,18 @@ object AsofJoin {
     * (at or before the event). DuckDB's native ASOF LEFT JOIN is the
     * oracle, so match rate, row identity (checksum), and lag sums are
     * cross-engine checked. All-integer micros arithmetic — exact hash.
+    * The purchase side is deduped to one row per (user, ts) keeping
+    * max event_id — the as-of uniqueness precondition, enforced here
+    * rather than assumed (today's corpus has no such duplicates, but a
+    * tie would otherwise make both engines pick arbitrary winners).
     */
   val j6 = QueryDef.sql(
     "j6_asof_join",
     """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us
       |           FROM events WHERE ts IS NOT NULL),
-      |r AS (SELECT user_id, event_id AS rid, epoch_us(ts) AS rus
-      |      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+      |r AS (SELECT user_id, max(event_id) AS rid, epoch_us(ts) AS rus
+      |      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+      |      GROUP BY user_id, epoch_us(ts))
       |SELECT count(*) AS n_events,
       |       CAST(sum(CASE WHEN rid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
       |         AS n_matched,
@@ -84,8 +94,9 @@ object AsofJoin {
       val l = ev.select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"))
       val r = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id").as("rid"),
-          unix_micros(col("ts")).as("rus"))
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("rus"))
+        .agg(max(col("event_id")).as("rid"))
+        .select(col("user_id"), col("rid"), col("rus"))
       asofJoin(l, r, Seq("user_id"), "us", "rus")
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("asof_rid").isNotNull, 1L).otherwise(0L))

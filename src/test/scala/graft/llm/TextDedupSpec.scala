@@ -103,6 +103,43 @@ class TextDedupSpec extends SparkSpec {
     assert(d13 > 5, s"disjoint texts should differ, hamming=$d13")
   }
 
+  test("simhash: corpus near-dup pairs sit within hamming 16 (data-scale gate)") {
+    // restores the property the old d3 fixture asserted before d3 became
+    // a signature-recomputation oracle: on the REAL corpus, every
+    // minhash-found >=0.9-Jaccard pair must also be close in simhash
+    // space — a locality regression passes the bit-for-bit oracle (both
+    // engines recompute the same formula) but not this gate.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val near = Dedup.minhashDedup(docs, "doc_id", "text", 0.9)
+    val sh = Dedup.simhashSignatures(docs, "doc_id", "text")
+    val dists = near
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("b")), "doc_b")
+      .select(Dedup.hammingDist(col("a"), col("b")).as("d"))
+      .collect().map(_.getInt(0))
+    assert(dists.nonEmpty, "corpus should contain natural near-dup pairs")
+    assert(dists.max <= 16, s"near-dup pair at hamming ${dists.max} > 16")
+  }
+
+  test("charNgrams: char-gram family through the same Jaccard join") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefghij"),
+      (2L, "abcdefghij"),   // exact dup at char level
+      (3L, "abcdefghiX"),   // one char changed
+      (4L, "zz"),           // shorter than n → whole-text gram
+      (5L, "zz"))
+      .toDF("doc_id", "text")
+    val grams = docs.select(col("doc_id"),
+      transform(Dedup.charNgrams(col("text"), 5), g => xxhash64(g)).as("sh"))
+    val got = Dedup.ngramJaccardOnGrams(grams, "doc_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1-2 share all 6 grams (j=1); 4-5 share the whole-text gram (j=1);
+    // 1-3 and 2-3 share only 1 of 11 grams (j~0.09) and must be absent
+    assert(got == Set((1L, 2L), (4L, 5L)))
+  }
+
   test("ngramJaccard prefix bound survives exact-threshold boundaries") {
     import spark.implicits._
     // A ⊂ B with |A|=40, |B|=50 → J = 40/50 = 0.8 EXACTLY, and t·|sz|
