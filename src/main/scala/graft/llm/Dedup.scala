@@ -66,12 +66,21 @@ object Dedup {
     require(bands >= 1 && bands <= nHashes && nHashes % bands == 0,
       s"bands must divide nHashes: bands=$bands, nHashes=$nHashes " +
         "(bands > nHashes would make every band hash identical — all-pairs)")
-    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2: $maxBucketSize")
     val rowsPerBand = nHashes / bands
     val banded = docs.select(col(idCol),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)))
           .as(Seq("band", "band_hash")))
+    bucketCandidates(banded, idCol, maxBucketSize)
+  }
+
+  /** Candidate pairs from any (idCol, band, band_hash) bucket frame —
+    * the capped self-join shared by the MinHash-LSH and SimHash band
+    * paths (the hot-bucket chain mechanics are documented on
+    * [[lshCandidates]]). */
+  private def bucketCandidates(banded: DataFrame, idCol: String,
+      maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2: $maxBucketSize")
     val bucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_hash"))
     val sized = banded.withColumn("bsz", count(lit(1)).over(bucket))
@@ -416,6 +425,43 @@ object Dedup {
 
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup PAIRS within `maxHamming` bits — the signature's
+    * dedup operator (Manku et al., WWW'07, the public simhash-dedup
+    * construction). EXACT recall by pigeonhole: split the 48-bit
+    * signature into `bands` equal slices; a pair differing in ≤
+    * bands−1 bits must agree exactly on ≥1 slice, so candidates come
+    * from a (band, slice-value) equi-join — never all-pairs — and the
+    * exact hamming check runs on candidates only. Requires
+    * maxHamming ≤ bands−1 for the guarantee. Signatures are two longs
+    * per pair at verify time (no arrays shipped); the banded join
+    * reuses the LSH hot-bucket cap, which bounds work on signature-
+    * dense corpora at the documented cost of thinning pair LISTINGS
+    * inside oversized buckets.
+    */
+  def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4,
+      maxBucketSize: Int = 2000): DataFrame = {
+    require(simhashBits % bands == 0, s"bands must divide $simhashBits: $bands")
+    require(maxHamming <= bands - 1,
+      s"pigeonhole guarantee needs maxHamming <= bands-1: $maxHamming vs $bands")
+    val bits = simhashBits / bands
+    val mask = (1L << bits) - 1
+    // signatures are 16 bytes/doc — materialize once for banding + verify
+    val sig = simhashSignatures(docs, idCol, textCol)
+      .localCheckpoint(eager = true)
+    val banded = sig.select(col(idCol), posexplode(
+        array((0 until bands).map(b =>
+          shiftright(col("sh"), b * bits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "band_hash")))
+    val cands = bucketCandidates(banded, idCol, maxBucketSize)
+    cands
+      .join(sig.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sig.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("hamming", hammingDist(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+  }
+
   /** Connected components over the near-dup pair graph → (doc_id,
     * cluster = min reachable id). Iterative min-label propagation to a
     * fixpoint; dedup pair graphs have tiny diameters (duplicate groups),
@@ -717,6 +763,31 @@ object Dedup {
           sum(col("doc_id")).cast("long").as("kept_checksum"))
   }
 
+  /** SimHash-dedup oracle: DuckDB brute-forces ALL-PAIRS hamming over
+    * independently recomputed signatures, so the hash match proves the
+    * banded pigeonhole plan finds every pair within the radius and
+    * fabricates none.
+    */
+  val simhashDedupQ = QueryDef.sql(
+    "d7_simhash_dedup",
+    """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |           FROM documents WHERE text IS NOT NULL),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,12))::BIGINT AS h FROM t),
+      |v AS (SELECT doc_id, b.b AS b,
+      |             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |      FROM h CROSS JOIN (SELECT unnest(range(48)) AS b) b
+      |      GROUP BY 1, 2),
+      |sig AS (SELECT doc_id,
+      |               SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
+      |        FROM v GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin) {
+    (s, d) =>
+      simhashDedup(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+  }
+
   def all: Seq[QueryDef] =
-    Seq(exact, minhash, simhashQ, ngramJaccardQ, clusters, dropQ)
+    Seq(exact, minhash, simhashQ, simhashDedupQ, ngramJaccardQ, clusters, dropQ)
 }

@@ -122,6 +122,29 @@ class TextDedupSpec extends SparkSpec {
     assert(dists.max <= 16, s"near-dup pair at hamming ${dists.max} > 16")
   }
 
+  test("simhashDedup: banded pigeonhole finds exactly the brute-force pairs") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                          // hamming 0
+      (3L, base.replace("tok9 ", "edit ")), // small edit → small hamming
+      (4L, (1 to 60).map(i => s"zzz$i").mkString(" ")), // far away
+      (5L, "tiny")).toDF("doc_id", "text")
+    val got = Dedup.simhashDedup(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the signatures themselves
+    val sig = Dedup.simhashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      hd = java.lang.Long.bitCount(sig(a) ^ sig(b)).toLong
+      if hd <= 3
+    } yield (a, b, hd)).toSet
+    assert(got == want)
+    assert(want.contains((1L, 2L, 0L))) // exact dup must be present
+  }
+
   test("charNgrams: char-gram family through the same Jaccard join") {
     import spark.implicits._
     val docs = Seq(
