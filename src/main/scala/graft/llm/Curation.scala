@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus-curation pipeline — the composed shape a
@@ -24,6 +25,87 @@ import org.apache.spark.sql.functions._
   * same way).
   */
 object Curation {
+
+  /** Token-budget sampling — the data-MIXING primitive: keep, per
+    * group (language/domain), the deterministic hash-ordered prefix of
+    * documents whose cumulative token count stays within `budget`.
+    * Ordering by a content-independent hash rank makes the kept set a
+    * reproducible unbiased sample; the SQL-equivalent semantics are
+    * `WHERE sum(tokens) OVER (PARTITION BY group ORDER BY rank) <=
+    * budget`.
+    *
+    * A per-group window would serialize each group (languages are FEW
+    * and HUGE — the opposite of o5's bounded-group assumption), so
+    * this reuses the two-pass distributed prefix-sum shape proven in
+    * `Scoring.aucDF`/`FDR.bhAdjustScalable`: range-partitioned sort on
+    * (group, rank), pass 1 collects one tiny per-partition per-group
+    * token total, the driver scans them into carries, pass 2 walks
+    * each partition with its carry and keeps rows while the running
+    * group total fits. Both passes re-read the deterministic sort's
+    * shuffle files; nothing group-sized ever sits in one task and
+    * driver state is O(partitions × groups).
+    */
+  def sampleToTokenBudget(docs: DataFrame, groupCol: String,
+      tokensCol: String, rankCol: String, idCol: String,
+      budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val sorted = docs.orderBy(col(groupCol), col(rankCol), col(idCol))
+    val schema = sorted.schema
+    val gi = schema.fieldIndex(groupCol)
+    val ti = schema.fieldIndex(tokensCol)
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+      it.foreach { r =>
+        val g = r.getString(gi)
+        m(g) = m.getOrElse(g, 0L) + r.getLong(ti)
+      }
+      Iterator((pid, m.toVector))
+    }.collect().sortBy(_._1).map(_._2)
+    // carry(pid)(group) = tokens of that group in partitions before pid
+    val carries = partSums.scanLeft(Map.empty[String, Long]) { (acc, part) =>
+      part.foldLeft(acc) { case (a, (g, s)) => a.updated(g, a.getOrElse(g, 0L) + s) }
+    }
+    val bc = spark.sparkContext.broadcast(carries)
+    val kept = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val cum = scala.collection.mutable.HashMap[String, Long](bc.value(pid).toSeq: _*)
+      it.filter { r =>
+        val g = r.getString(gi)
+        val c = cum.getOrElse(g, 0L) + r.getLong(ti)
+        cum(g) = c // over-budget rows still advance the running total
+        c <= budget
+      }
+    }
+    spark.createDataFrame(kept, schema)
+  }
+
+  /** C2 — per-language token-budget sample: the oracle recomputes the
+    * same hash-ordered cumulative window in DuckDB, so the kept-set
+    * summary proves the two-pass prefix sum equals the windowed
+    * semantics exactly (md5 of the id string is the shared
+    * deterministic rank).
+    */
+  val budgetSample = QueryDef.sql(
+    "c2_budget_sample",
+    """WITH t AS (SELECT doc_id, lang,
+      |                  len(string_split(text, ' ')) AS toks,
+      |                  md5(CAST(doc_id AS VARCHAR)) AS rk
+      |           FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT *, SUM(toks) OVER (PARTITION BY lang
+      |                                ORDER BY rk, doc_id) AS cum
+      |      FROM t)
+      |SELECT lang, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tok_sum
+      |FROM c WHERE cum <= 2000 GROUP BY lang""".stripMargin) {
+    (s, d) =>
+      val t = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          md5(col("doc_id").cast("string")).as("rk"))
+      sampleToTokenBudget(t, "lang", "toks", "rk", "doc_id", budget = 2000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast("long").as("tok_sum"))
+  }
 
   val pipeline = QueryDef.sql(
     "c1_corpus_curation",
@@ -83,5 +165,5 @@ object Curation {
           round(avg(col("quality_score")), 6).as("avg_quality"))
   }
 
-  def all: Seq[QueryDef] = Seq(pipeline)
+  def all: Seq[QueryDef] = Seq(pipeline, budgetSample)
 }
