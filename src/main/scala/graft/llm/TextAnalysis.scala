@@ -145,6 +145,53 @@ object TextAnalysis {
       }.toDF(idCol, "fp")
   }
 
+  /** Rabin–Karp ROLLING-hash fingerprint: polynomial hash of every
+    * 16-codepoint window, maintained with the O(1) update
+    * h ← (h·B + c_in − c_out·B^K) mod M, so a document of n codepoints
+    * costs O(n) regardless of window count — the rolling-hash
+    * construction the content-defined-chunking / dedup literature uses
+    * (vs [[fingerprintCol]]'s per-shingle md5, which re-hashes every
+    * window from scratch). Fingerprint = min window hash (1-permutation
+    * MinHash over windows). M = 2³¹−1, B = 131: every intermediate fits
+    * long arithmetic in both engines, and the t5 oracle recomputes each
+    * window NON-rolling (Σ c_j·B^{K−1−j} mod M over codepoints via
+    * DuckDB `unicode(substr)`), so the hash match proves the rolling
+    * update equals the windowed definition on every document.
+    * Documents shorter than the window hash their full codepoint
+    * sequence.
+    */
+  val rollM: Long = (1L << 31) - 1
+  val rollB: Long = 131L
+  val rollWindow: Int = 16
+
+  def rollingFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val K = rollWindow
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // B^K mod M — the removal factor for the codepoint leaving the window
+        val bK = { var p = 1L; var i = 0; while (i < K) { p = p * rollB % rollM; i += 1 }; p }
+        it.map { case (id, text) =>
+          val cps = text.codePoints().toArray
+          val n = cps.length
+          var h = 0L
+          var best = Long.MaxValue
+          var j = 0
+          while (j < n) {
+            h = (h * rollB + cps(j) % rollM) % rollM
+            if (j >= K) h = ((h - cps(j - K) % rollM * bK % rollM) % rollM + rollM) % rollM
+            if (j >= K - 1) { if (h < best) best = h }
+            j += 1
+          }
+          if (n < K) best = h // short doc: hash of the whole sequence
+          (id, best)
+        }
+      }.toDF(idCol, "fp")
+  }
+
   // ---------------------------------------------------------------- queries
 
   val langId = QueryDef.sql(
@@ -263,5 +310,39 @@ object TextAnalysis {
           max(col("bpe")).cast("long").as("max_bpe"))
   }
 
-  def all: Seq[QueryDef] = Seq(langId, quality, fingerprint, tokenBudget)
+  /** T5 — per-doc rolling-hash fingerprint, full-table oracle: DuckDB
+    * recomputes every window hash from its closed-form definition (no
+    * rolling update), so the match proves the O(1)-update recurrence
+    * correct on every document, short-text fallback included.
+    */
+  val rollingFp: QueryDef = {
+    // pows(j) = B^(K-1-j) mod M, folded into the oracle SQL as a literal
+    val pows = new Array[Long](rollWindow)
+    pows(rollWindow - 1) = 1
+    var j = rollWindow - 2
+    while (j >= 0) { pows(j) = pows(j + 1) * rollB % rollM; j -= 1 }
+    val pl = pows.mkString("[", ",", "]")
+    val (m, k) = (rollM, rollWindow)
+    QueryDef.sql(
+      "t5_rolling_fingerprint",
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n
+         |           FROM documents WHERE text IS NOT NULL),
+         |w AS (SELECT doc_id,
+         |        CASE WHEN n < $k THEN
+         |          [coalesce(list_sum(list_transform(range(1, n + 1),
+         |             i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT) % $m
+         |                  * ($pl)[$k - (n - i)] % $m)), 0) % $m]
+         |        ELSE
+         |          list_transform(range(1, n - ${k - 2}),
+         |            s -> list_sum(list_transform(range(0, $k),
+         |                   j -> CAST(unicode(substr(text, CAST(s + j AS INT), 1)) AS BIGINT) % $m
+         |                        * ($pl)[j + 1] % $m)) % $m)
+         |        END AS hs
+         |      FROM t)
+         |SELECT doc_id, list_min(hs) AS fp FROM w""".stripMargin) {
+      (s, d) => rollingFingerprints(Tables.documents(s, d), "doc_id", "text")
+    }
+  }
+
+  def all: Seq[QueryDef] = Seq(langId, quality, fingerprint, tokenBudget, rollingFp)
 }

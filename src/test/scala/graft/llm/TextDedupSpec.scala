@@ -145,6 +145,33 @@ class TextDedupSpec extends SparkSpec {
     assert(want.contains((1L, 2L, 0L))) // exact dup must be present
   }
 
+  test("rolling fingerprint == brute-force windowed polynomial hash") {
+    import spark.implicits._
+    val M = TextAnalysis.rollM; val B = TextAnalysis.rollB
+    val K = TextAnalysis.rollWindow
+    val texts = Seq(
+      (1L, "a rolling hash fingerprint over sliding windows of text"),
+      (2L, "short"),                       // < K codepoints
+      (3L, "exactly sixteen!!"),           // near window length
+      (4L, "汉字文本混合 with ünïcode codepoints here"),
+      (5L, "aaaaaaaaaaaaaaaaaaaaaaaa"))    // repeated → many equal windows
+    val got = TextAnalysis.rollingFingerprints(texts.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def brute(t: String): Long = {
+      val cps = t.codePoints().toArray
+      val n = cps.length
+      def hw(s: Int, len: Int): Long = {
+        var h = 0L; var j = 0
+        while (j < len) { h = (h * B + cps(s + j) % M) % M; j += 1 }
+        h
+      }
+      if (n < K) hw(0, n)
+      else (0 to n - K).map(s => hw(s, K)).min
+    }
+    texts.foreach { case (id, t) => assert(got(id) == brute(t), s"doc $id") }
+  }
+
   test("charNgrams: char-gram family through the same Jaccard join") {
     import spark.implicits._
     val docs = Seq(
