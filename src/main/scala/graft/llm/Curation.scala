@@ -54,11 +54,16 @@ object Curation {
     val gi = schema.fieldIndex(groupCol)
     val ti = schema.fieldIndex(tokensCol)
     val rdd = sorted.rdd
+    // numeric-widening reads: an IntegerType tokens column (the natural
+    // size() output) or non-string group keys must not ClassCastException
+    def tokensOf(r: org.apache.spark.sql.Row): Long =
+      r.get(ti).asInstanceOf[Number].longValue
+    def groupOf(r: org.apache.spark.sql.Row): String = String.valueOf(r.get(gi))
     val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap[String, Long]()
       it.foreach { r =>
-        val g = r.getString(gi)
-        m(g) = m.getOrElse(g, 0L) + r.getLong(ti)
+        val g = groupOf(r)
+        m(g) = m.getOrElse(g, 0L) + tokensOf(r)
       }
       Iterator((pid, m.toVector))
     }.collect().sortBy(_._1).map(_._2)
@@ -70,8 +75,8 @@ object Curation {
     val kept = rdd.mapPartitionsWithIndex { (pid, it) =>
       val cum = scala.collection.mutable.HashMap[String, Long](bc.value(pid).toSeq: _*)
       it.filter { r =>
-        val g = r.getString(gi)
-        val c = cum.getOrElse(g, 0L) + r.getLong(ti)
+        val g = groupOf(r)
+        val c = cum.getOrElse(g, 0L) + tokensOf(r)
         cum(g) = c // over-budget rows still advance the running total
         c <= budget
       }

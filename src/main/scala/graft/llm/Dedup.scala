@@ -427,31 +427,45 @@ object Dedup {
 
   /** SimHash near-dup PAIRS within `maxHamming` bits — the signature's
     * dedup operator (Manku et al., WWW'07, the public simhash-dedup
-    * construction). EXACT recall by pigeonhole: split the 48-bit
-    * signature into `bands` equal slices; a pair differing in ≤
-    * bands−1 bits must agree exactly on ≥1 slice, so candidates come
-    * from a (band, slice-value) equi-join — never all-pairs — and the
-    * exact hamming check runs on candidates only. Requires
-    * maxHamming ≤ bands−1 for the guarantee. Signatures are two longs
-    * per pair at verify time (no arrays shipped); the banded join
-    * reuses the LSH hot-bucket cap, which bounds work on signature-
-    * dense corpora at the documented cost of thinning pair LISTINGS
-    * inside oversized buckets.
+    * construction). EXACT recall by pigeonhole over MULTI-SLICE keys:
+    * split the 48-bit signature into `bands` equal slices; a pair
+    * differing in ≤ maxHamming bits has its differing bits inside ≤
+    * maxHamming slices, so it agrees exactly on ≥ bands − maxHamming
+    * slices — hence on at least one (bands − maxHamming)-subset of
+    * slices. Keying every such subset (C(bands, bands−maxHamming)
+    * tables; the concatenated slices fit one long) makes candidates a
+    * provable superset, never all-pairs. The default 6 bands × 8 bits
+    * at radius 3 gives C(6,3)=20 keys of 24 bits per doc — single-
+    * slice 12-bit keys (4 bands) saturate on signature-dense corpora
+    * (buckets grow linearly with docs; measured 549/5000 already at
+    * sf0.1), while 24-bit combo keys are ~4000× finer. The exact
+    * hamming check then runs on candidates only, two longs per pair.
+    * The hot-bucket cap remains as a backstop for pathological
+    * signature mass points; while no bucket exceeds it (true at the
+    * gated scales) recall is exact, and past it pair LISTINGS inside
+    * an oversized bucket thin to a linear chain as documented on
+    * [[lshCandidates]].
     */
   def simhashDedup(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bands: Int = 4,
+      maxHamming: Int = 3, bands: Int = 6,
       maxBucketSize: Int = 2000): DataFrame = {
     require(simhashBits % bands == 0, s"bands must divide $simhashBits: $bands")
     require(maxHamming <= bands - 1,
       s"pigeonhole guarantee needs maxHamming <= bands-1: $maxHamming vs $bands")
     val bits = simhashBits / bands
     val mask = (1L << bits) - 1
+    val comboSize = bands - maxHamming
+    require(comboSize * bits <= 63, s"combo key must fit a long: $comboSize x $bits bits")
+    val combos = (0 until bands).combinations(comboSize).toSeq
     // signatures are 16 bytes/doc — materialize once for banding + verify
     val sig = simhashSignatures(docs, idCol, textCol)
       .localCheckpoint(eager = true)
+    def sliceOf(b: Int): Column =
+      shiftright(col("sh"), b * bits).bitwiseAND(lit(mask))
     val banded = sig.select(col(idCol), posexplode(
-        array((0 until bands).map(b =>
-          shiftright(col("sh"), b * bits).bitwiseAND(lit(mask))): _*))
+        array(combos.map(c =>
+          c.foldLeft(lit(0L))((acc, b) =>
+            shiftleft(acc, bits).bitwiseOR(sliceOf(b)))): _*))
         .as(Seq("band", "band_hash")))
     val cands = bucketCandidates(banded, idCol, maxBucketSize)
     cands
@@ -610,16 +624,14 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** SimHash oracle: DuckDB independently recomputes every per-doc
-    * 48-bit signature from md5 token hashes (hex-slice → bigint, per-bit
-    * ±1 vote, vote>0 sets the bit) and the driver hash-compares the full
-    * (doc_id, sh) table — a cross-engine bit-for-bit check of the whole
-    * signature kernel. The near-dup semantics (exact copy ⇒ distance 0,
-    * high-Jaccard ⇒ small hamming radius) are asserted in TextDedupSpec.
+  /** Shared oracle CTE: DuckDB's independent recomputation of every
+    * per-doc 48-bit simhash from md5 token hashes (hex-slice → bigint,
+    * per-bit ±1 vote, vote>0 sets the bit). Interpolated into BOTH the
+    * d3 and d7 oracles so a semantic change to the signature cannot
+    * leave one gate validating stale semantics.
     */
-  val simhashQ = QueryDef.sql(
-    "d3_simhash",
-    """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  private val simhashSigCte: String =
+    """t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
       |           FROM documents WHERE text IS NOT NULL),
       |h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,12))::BIGINT AS h FROM t),
       |v AS (SELECT doc_id, b.b AS b,
@@ -628,8 +640,17 @@ object Dedup {
       |      GROUP BY 1, 2),
       |sig AS (SELECT doc_id,
       |               SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
-      |        FROM v GROUP BY doc_id)
-      |SELECT doc_id, sh FROM sig""".stripMargin) { (s, d) =>
+      |        FROM v GROUP BY doc_id)""".stripMargin
+
+  /** SimHash oracle: the driver hash-compares the full (doc_id, sh)
+    * table against [[simhashSigCte]] — a cross-engine bit-for-bit check
+    * of the whole signature kernel. The near-dup semantics (exact copy
+    * ⇒ distance 0, high-Jaccard ⇒ small hamming radius) are asserted in
+    * TextDedupSpec.
+    */
+  val simhashQ = QueryDef.sql(
+    "d3_simhash",
+    s"WITH $simhashSigCte\nSELECT doc_id, sh FROM sig") { (s, d) =>
     simhashSignatures(Tables.documents(s, d), "doc_id", "text")
   }
 
@@ -770,20 +791,11 @@ object Dedup {
     */
   val simhashDedupQ = QueryDef.sql(
     "d7_simhash_dedup",
-    """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-      |           FROM documents WHERE text IS NOT NULL),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(tok),1,12))::BIGINT AS h FROM t),
-      |v AS (SELECT doc_id, b.b AS b,
-      |             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-      |      FROM h CROSS JOIN (SELECT unnest(range(48)) AS b) b
-      |      GROUP BY 1, 2),
-      |sig AS (SELECT doc_id,
-      |               SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sh
-      |        FROM v GROUP BY doc_id)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin) {
+    s"""WITH $simhashSigCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin) {
     (s, d) =>
       simhashDedup(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
   }

@@ -41,9 +41,11 @@ object AsofJoin {
     require(right.columns.contains(rightTs),
       s"right ts column $rightTs not found in right (${right.columns.mkString(", ")})")
     require(!keys.contains(rightTs), s"right ts column $rightTs must not be a key")
-    val collisions = rCarry.filter(lCols.contains)
+    val collisions = rCarry.filter(lCols.contains) ++
+      rCarry.map(prefix + _).filter(lCols.contains) // chained-asof outputs
     require(collisions.isEmpty,
-      s"non-key right columns collide with left columns: ${collisions.mkString(", ")} — rename before joining")
+      s"right columns collide with left columns (raw or $prefix-prefixed): " +
+        s"${collisions.distinct.mkString(", ")} — rename before joining")
     val rStructType = StructType(rCarry.map(c => right.schema(c)))
     val lSchema = left.schema
     val leftSide = left.select(

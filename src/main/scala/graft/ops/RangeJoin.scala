@@ -30,6 +30,13 @@ object RangeJoin {
       bucketWidth: Long): DataFrame = {
     require(keys.nonEmpty, "range join needs at least one equality key")
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val collisions =
+      left.columns.filterNot(keys.contains).intersect(right.columns.filterNot(keys.contains))
+    require(collisions.isEmpty,
+      s"non-key columns present on both sides would be ambiguous after the " +
+        s"join: ${collisions.mkString(", ")} — rename before joining")
+    require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
+      "__bucket is reserved by rangeJoin")
     val lB = left.withColumn("__bucket", expr(s"$ptCol div $bucketWidth"))
     val rB = right.withColumn("__bucket",
       explode(sequence(expr(s"$loCol div $bucketWidth"),
