@@ -39,12 +39,18 @@ object Bundle {
     bundle.write.mode("overwrite").parquet(bundleDir(dir))
     cols.coalesce(1).write.mode("overwrite").parquet(colsDir(dir))
     if (validate) {
+      // size(null array) is -1, min/max over zero rows is null: both must
+      // fail with a clear message, not an opaque NPE on getInt.
       val mm = bundle.sparkSession.read.parquet(bundleDir(dir))
-        .agg(min(size(col("features"))).as("mn"),
+        .agg(count(lit(1)).as("n"),
+          min(size(col("features"))).as("mn"),
           max(size(col("features"))).as("mx")).head()
-      require(mm.getInt(0) == mm.getInt(1),
+      require(mm.getLong(0) > 0, s"empty bundle written at $dir")
+      require(!mm.isNullAt(1) && mm.getInt(1) >= 0,
+        s"null features arrays in written bundle at $dir")
+      require(mm.getInt(1) == mm.getInt(2),
         s"ragged features widths in written bundle at $dir: " +
-          s"min=${mm.getInt(0)} max=${mm.getInt(1)}")
+          s"min=${mm.getInt(1)} max=${mm.getInt(2)}")
     }
   }
 

@@ -52,11 +52,13 @@ object Dedup {
     * pathological bucket (boilerplate-heavy corpus — crawl headers,
     * license blocks) would go quadratic. Buckets larger than
     * `maxBucketSize` instead emit a sorted id-CHAIN (m−1 consecutive
-    * pairs): linear work, and for the dedup use the bucket's true
-    * duplicates stay one connected component (each chain link
-    * verifies), so cluster resolution loses nothing. Only the explicit
-    * pair LISTING inside an oversized bucket is thinned — the price of
-    * bounded work, and other bands can still surface any thinned pair.
+    * pairs): linear work. Recall past the cap is BEST-EFFORT: a bucket
+    * is a single-band collision, so id-adjacent chain links need not be
+    * true near-dups — a link that fails exact-Jaccard verification can
+    * split the bucket's duplicate group, and a pair lost that way is
+    * recovered only if another band (or another chain link path)
+    * surfaces it. That is the price of bounded work on a pathological
+    * bucket; the uncapped path (bsz ≤ maxBucketSize) remains exact.
     * The bucket-size count and the chain lag() share the self-join's
     * (band, band_hash) hash partitioning, so the cap adds no shuffle
     * (the exchange is computed once and reused for both join sides).
@@ -203,6 +205,7 @@ object Dedup {
     * only (explode / array_intersect are order-free).
     */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.util.Ids.requireLongCompatible(docs, idCol, "shingleHashes")
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.Platform
     val spark = docs.sparkSession
@@ -280,6 +283,7 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       nHashes: Int): DataFrame = {
+    graft.util.Ids.requireLongCompatible(docs, idCol, "minhashSignatures")
     import org.apache.spark.sql.catalyst.expressions.XXH64
     import org.apache.spark.unsafe.Platform
     val spark = docs.sparkSession
@@ -386,6 +390,7 @@ object Dedup {
     * in TextDedupSpec.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.util.Ids.requireLongCompatible(docs, idCol, "simhashSignatures")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(col(textCol).isNotNull)

@@ -60,16 +60,22 @@ object Multimodal {
       try {
         val off = i32le(p, 10); val w = i32le(p, 18); val hRaw = i32le(p, 22)
         val bpp = u16le(p, 28); val comp = i32le(p, 30)
-        val h = math.abs(hRaw)
-        val rowSize = ((w * 3 + 3) / 4) * 4
+        val h = math.abs(hRaw.toLong)
+        // All size arithmetic in Long: a forged header with w or h near
+        // Int.MaxValue must fail the bound check, not overflow past it.
+        val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
+        val outLen = w.toLong * h * 3
         if (bpp != 24 || comp != 0 || w <= 0 || hRaw == 0 ||
-            off < 54 || off.toLong + rowSize.toLong * h > p.length) None
+            hRaw == Int.MinValue || off < 54 || outLen > Int.MaxValue ||
+            off.toLong + rowSizeL * h > p.length) None
         else {
+          val rowSize = rowSizeL.toInt
+          val hh = h.toInt
           val topDown = hRaw < 0
-          val out = new Array[Byte](w * h * 3)
+          val out = new Array[Byte](outLen.toInt)
           var y = 0
-          while (y < h) {
-            val src = off + (if (topDown) y else h - 1 - y) * rowSize
+          while (y < hh) {
+            val src = off + (if (topDown) y else hh - 1 - y) * rowSize
             var x = 0
             while (x < w) {
               val si = src + x * 3; val di = (y * w + x) * 3
@@ -78,9 +84,9 @@ object Multimodal {
             }
             y += 1
           }
-          Some(Decoded(name, w, h, 3, out))
+          Some(Decoded(name, w, hh, 3, out))
         }
-      } catch { case _: IndexOutOfBoundsException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** PCM-16 WAV (RIFF/WAVE, format tag 1): walks the chunk list for
@@ -95,27 +101,30 @@ object Multimodal {
         p(10) == 'V'.toByte && p(11) == 'E'.toByte
     def decode(p: Array[Byte]): Option[Decoded] =
       try {
-        var off = 12
+        // Walk offsets in Long: a forged chunk size near Int.MaxValue
+        // must fail the bound check, not overflow `off + 8 + sz` negative.
+        var off = 12L
         var channels = 0; var bits = 0; var fmtOk = false
         var data: Array[Byte] = null
         while (off + 8 <= p.length && (data == null || !fmtOk)) {
-          val id = new String(p, off, 4, "US-ASCII")
-          val sz = i32le(p, off + 4)
-          if (sz < 0 || off + 8 + sz > p.length) { off = p.length }
+          val o = off.toInt
+          val id = new String(p, o, 4, "US-ASCII")
+          val sz = i32le(p, o + 4)
+          if (sz < 0 || off + 8 + sz > p.length) { off = p.length.toLong }
           else {
             if (id == "fmt ") {
-              fmtOk = u16le(p, off + 8) == 1 // PCM
-              channels = u16le(p, off + 10)
-              bits = u16le(p, off + 22)
+              fmtOk = u16le(p, o + 8) == 1 // PCM
+              channels = u16le(p, o + 10)
+              bits = u16le(p, o + 22)
             } else if (id == "data") {
-              data = java.util.Arrays.copyOfRange(p, off + 8, off + 8 + sz)
+              data = java.util.Arrays.copyOfRange(p, o + 8, o + 8 + sz)
             }
-            off += 8 + sz + (sz & 1) // chunks are word-aligned
+            off += 8L + sz + (sz & 1) // chunks are word-aligned
           }
         }
         if (!fmtOk || bits != 16 || channels < 1 || data == null) None
         else Some(Decoded(name, data.length / (2 * channels), 1, channels, data))
-      } catch { case _: IndexOutOfBoundsException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Codec chain, sniffed in order; first claimer decodes. */

@@ -102,6 +102,7 @@ object TextAnalysis {
     * [[fingerprintCol]]; asserted in TextDedupSpec.
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.util.Ids.requireLongCompatible(docs, idCol, "fingerprints")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.filter(col(textCol).isNotNull)
@@ -165,6 +166,7 @@ object TextAnalysis {
   val rollWindow: Int = 16
 
   def rollingFingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.util.Ids.requireLongCompatible(docs, idCol, "rollingFingerprints")
     val spark = docs.sparkSession
     import spark.implicits._
     val K = rollWindow
@@ -339,7 +341,7 @@ object TextAnalysis {
          |                        * ($pl)[j + 1] % $m)) % $m)
          |        END AS hs
          |      FROM t)
-         |SELECT doc_id, list_min(hs) AS fp FROM w""".stripMargin) {
+         |SELECT doc_id, CAST(list_min(hs) AS BIGINT) AS fp FROM w""".stripMargin) {
       (s, d) => rollingFingerprints(Tables.documents(s, d), "doc_id", "text")
     }
   }

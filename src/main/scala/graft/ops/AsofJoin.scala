@@ -46,13 +46,21 @@ object AsofJoin {
     require(collisions.isEmpty,
       s"right columns collide with left columns (raw or $prefix-prefixed): " +
         s"${collisions.distinct.mkString(", ")} — rename before joining")
+    val reserved = Seq("__r", "__ts", "__left")
+    val reservedHits = (lCols ++ right.columns).filter(reserved.contains)
+    require(reservedHits.isEmpty,
+      s"reserved as-of working columns present in an input: " +
+        s"${reservedHits.distinct.mkString(", ")} — rename before joining")
     val rStructType = StructType(rCarry.map(c => right.schema(c)))
     val lSchema = left.schema
+    // A null right ts must never match (ASOF semantics): nulls-first
+    // ascending would otherwise make it the running fill for early rows.
+    val rightClean = right.filter(col(rightTs).isNotNull)
     val leftSide = left.select(
       lCols.map(col) ++ Seq(
         lit(null).cast(rStructType).as("__r"),
         col(leftTs).as("__ts"), lit(1).as("__left")): _*)
-    val rightSide = right.select(
+    val rightSide = rightClean.select(
       lCols.map(c =>
         if (keys.contains(c)) col(c)
         else lit(null).cast(lSchema(c).dataType).as(c)) ++ Seq(
