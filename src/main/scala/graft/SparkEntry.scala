@@ -29,6 +29,7 @@ object SparkEntry {
       graft.llm.TextAnalysis.all ++
       graft.llm.Curation.all ++
       graft.llm.Dedup.all ++
+      graft.llm.Contamination.all ++
       graft.llm.Similarity.all ++
       graft.llm.Multimodal.all ++
       graft.streaming.Streams.all

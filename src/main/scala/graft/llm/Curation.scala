@@ -170,5 +170,62 @@ object Curation {
           round(avg(col("quality_score")), 6).as("avg_quality"))
   }
 
-  def all: Seq[QueryDef] = Seq(pipeline, budgetSample)
+  /** Deterministic per-group sampling + repetition — the data-MIXING
+    * primitive complementary to [[sampleToTokenBudget]]: each source
+    * gets a sampling rate (downweight) and an epoch count (upweight by
+    * integer repetition), and membership is decided by a content-
+    * independent md5-derived hash of the id, so the mix is exactly
+    * reproducible on any cluster, any partitioning — no `rand()`.
+    * This is the "mixture weights" step of corpus assembly (sample
+    * common-crawl down, repeat wikipedia 3 epochs).
+    *
+    * Scale: the per-group config is a handful of rows (broadcast
+    * join), the keep-filter is a pure expression on the scan, and the
+    * repetition is `explode(sequence(1, epochs))` — a narrow per-row
+    * fan-out with no shuffle. One aggregate at the end.
+    */
+  def hashPct(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(idCol.cast("string")), 1, 6), 16, 10).cast("long") % 100
+
+  val sourceMix = QueryDef.sql(
+    "c3_source_mix",
+    """WITH cfg AS (
+      |  SELECT source,
+      |         ('0x' || substr(md5(source), 1, 6))::BIGINT % 50 + 25 AS rate_pct,
+      |         1 + ('0x' || substr(md5(source), 1, 6))::BIGINT % 3 AS epochs
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |kept AS (
+      |  SELECT d.doc_id, d.source, cfg.epochs,
+      |         len(string_split(d.text, ' ')) AS toks
+      |  FROM documents d JOIN cfg USING (source)
+      |  WHERE d.text IS NOT NULL
+      |    AND ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6))::BIGINT % 100
+      |        < cfg.rate_pct),
+      |mixed AS (SELECT kept.*, unnest(range(epochs)) AS epoch FROM kept)
+      |SELECT source,
+      |       CAST(min(epochs) AS BIGINT) AS epochs,
+      |       count(DISTINCT doc_id) AS n_docs,
+      |       count(*) AS n_rows,
+      |       CAST(sum(toks) AS BIGINT) AS tok_sum
+      |FROM mixed GROUP BY source""".stripMargin) {
+    (s, d) =>
+      val srcHash = conv(substring(md5(col("source")), 1, 6), 16, 10).cast("long")
+      val cfg = Tables.documents(s, d).select("source").distinct()
+        .select(col("source"),
+          (srcHash % 50 + 25).as("rate_pct"),
+          (srcHash % 3 + 1).as("epochs"))
+      val kept = Tables.documents(s, d).filter(col("text").isNotNull)
+        .join(broadcast(cfg), "source")
+        .filter(hashPct(col("doc_id")) < col("rate_pct"))
+        .select(col("doc_id"), col("source"), col("epochs"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+      kept.withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
+        .groupBy("source")
+        .agg(min(col("epochs")).cast("long").as("epochs"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_rows"),
+          sum(col("toks")).cast("long").as("tok_sum"))
+  }
+
+  def all: Seq[QueryDef] = Seq(pipeline, budgetSample, sourceMix)
 }

@@ -346,5 +346,151 @@ object TextAnalysis {
     }
   }
 
-  def all: Seq[QueryDef] = Seq(langId, quality, fingerprint, tokenBudget, rollingFp)
+  /** T6 — repetition metrics (the Gopher-rules quality family): per-doc
+    * duplicate-2-gram fraction (1 − distinct/total) and most-frequent-
+    * 2-gram fraction (mode count / total). Repetitive boilerplate and
+    * degenerate generations score high on both; real pipelines drop
+    * docs above a threshold.
+    *
+    * Plan shape: explode 2-grams WITH duplicates → groupBy (doc, gram)
+    * count (map-side combinable) → per-doc max/sum/count → corpus
+    * aggregate. Every shuffle is keyed by doc or (doc, gram) — linear,
+    * no windows, no driver state; the same explode+agg shape that beat
+    * HOF lambdas 13× in the minhash path.
+    */
+  /** Per-doc repetition metrics: (id, dup2_frac, top2_frac) for every
+    * doc with ≥ 2 tokens. dup2_frac = 1 − distinct/total 2-grams;
+    * top2_frac = mode-2-gram count / total. */
+  def repetitionMetrics(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = docs
+      .filter(col(textCol).isNotNull && size(toks) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", slice(toks, i, lit(2))))).as("gram"))
+    grams.groupBy(idCol, "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol)
+      .agg((lit(1.0) - count(lit(1)).cast("double") / sum(col("cnt")))
+        .as("dup2_frac"),
+        (max(col("cnt")).cast("double") / sum(col("cnt"))).as("top2_frac"))
+  }
+
+  val repetition = QueryDef.sql(
+    "t6_repetition",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id,
+      |             unnest(list_transform(range(1, len(toks)),
+      |                    i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |      FROM t WHERE len(toks) >= 2),
+      |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+      |p AS (SELECT doc_id,
+      |             1.0 - CAST(count(*) AS DOUBLE) / sum(cnt) AS dup2_frac,
+      |             CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top2_frac
+      |      FROM c GROUP BY doc_id)
+      |SELECT count(*) AS n_docs,
+      |       round(avg(dup2_frac), 6) AS avg_dup2,
+      |       round(max(dup2_frac), 6) AS max_dup2,
+      |       round(avg(top2_frac), 6) AS avg_top2,
+      |       CAST(sum(CASE WHEN dup2_frac > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_flagged
+      |FROM p""".stripMargin) {
+    (s, d) =>
+      repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
+        .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("dup2_frac")), 6).as("avg_dup2"),
+        round(max(col("dup2_frac")), 6).as("max_dup2"),
+        round(avg(col("top2_frac")), 6).as("avg_top2"),
+        sum(when(col("dup2_frac") > 0.05, 1L).otherwise(0L)).cast("long")
+          .as("n_flagged"))
+  }
+
+  // PII patterns — ASCII-only constructs (\b, \d, literal classes) that
+  // Java regex (Spark) and RE2 (DuckDB) read identically.
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+  val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails → phones → IPs in that order (order matters: an IP
+    * inside an already-redacted span must not double-fire). */
+  def redactPii(textCol: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(textCol, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+
+  /** T7 — PII detection + redaction: regex find/replace for emails,
+    * phone-shaped numbers and IPv4s — the scrubbing pass every
+    * training-data pipeline runs. Pure codegen'd regexp expressions
+    * over the scan (no shuffle until the final aggregate). The corpus
+    * has no organic PII, so the query PLANTS deterministic PII derived
+    * from doc_id with the same expression in both engines — the oracle
+    * then proves detection counts and the redacted-text checksum match
+    * cross-engine on every row.
+    */
+  val piiRedact = QueryDef.sql(
+    "t7_pii_redact",
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |           text || ' contact u' || doc_id || '@mail.example.com now'
+      |         WHEN doc_id % 3 = 1 THEN
+      |           text || ' call 555-' ||
+      |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |           ' from 10.1.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+      |         ELSE text END AS pii_text
+      |  FROM documents WHERE text IS NOT NULL),
+      |r AS (SELECT doc_id, pii_text,
+      |        len(regexp_extract_all(pii_text, '$emailRe')) AS emails,
+      |        len(regexp_extract_all(pii_text, '$phoneRe')) AS phones,
+      |        len(regexp_extract_all(pii_text, '$ipRe')) AS ips,
+      |        regexp_replace(regexp_replace(regexp_replace(pii_text,
+      |          '$emailRe', '<EMAIL>', 'g'),
+      |          '$phoneRe', '<PHONE>', 'g'),
+      |          '$ipRe', '<IP>', 'g') AS redacted
+      |      FROM t)
+      |SELECT count(*) AS n_docs,
+      |       CAST(sum(emails) AS BIGINT) AS n_emails,
+      |       CAST(sum(phones) AS BIGINT) AS n_phones,
+      |       CAST(sum(ips) AS BIGINT) AS n_ips,
+      |       CAST(sum(CASE WHEN emails + phones + ips > 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_pii_docs,
+      |       CAST(sum(length(redacted)) AS BIGINT) AS redacted_len,
+      |       CAST(sum(CASE WHEN contains(redacted, '@')
+      |                       OR len(regexp_extract_all(redacted, '$phoneRe')) > 0
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_residual
+      |FROM r""".stripMargin) {
+    (s, d) =>
+      val pii = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact u"), col("doc_id").cast("string"),
+          lit("@mail.example.com now")))
+        .when(col("doc_id") % 3 === 1,
+          concat(col("text"), lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" from 10.1."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string"))
+        )
+        .otherwise(col("text"))
+      val r = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), pii.as("pii_text"))
+        .withColumn("emails", regexp_count(col("pii_text"), lit(emailRe)))
+        .withColumn("phones", regexp_count(col("pii_text"), lit(phoneRe)))
+        .withColumn("ips", regexp_count(col("pii_text"), lit(ipRe)))
+        .withColumn("redacted", redactPii(col("pii_text")))
+      r.agg(count(lit(1)).as("n_docs"),
+        sum(col("emails")).cast("long").as("n_emails"),
+        sum(col("phones")).cast("long").as("n_phones"),
+        sum(col("ips")).cast("long").as("n_ips"),
+        sum(when(col("emails") + col("phones") + col("ips") > 0, 1L)
+          .otherwise(0L)).cast("long").as("n_pii_docs"),
+        sum(length(col("redacted"))).cast("long").as("redacted_len"),
+        sum(when(col("redacted").contains("@") ||
+          regexp_count(col("redacted"), lit(phoneRe)) > 0, 1L).otherwise(0L))
+          .cast("long").as("n_residual"))
+  }
+
+  def all: Seq[QueryDef] =
+    Seq(langId, quality, fingerprint, tokenBudget, rollingFp, repetition, piiRedact)
 }

@@ -549,6 +549,64 @@ object RelationalQueries {
           max(col("n_events")).cast("long").as("max_sess_events"))
   }
 
+  /** E5 — semi-structured JSON extraction: pull typed fields out of the
+    * events `props` JSON column and aggregate — the "schema-on-read"
+    * path every event pipeline needs. `get_json_object` is a codegen'd
+    * expression evaluated in the scan (for a fixed wide schema,
+    * `from_json` with an explicit StructType amortizes the parse across
+    * fields); no shuffle until the group-by.
+    */
+  val e5 = QueryDef.sql(
+    "e5_json_extract",
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS k_sum,
+      |       round(avg(CAST(props->>'k' AS INT)), 6) AS k_avg,
+      |       CAST(max(CAST(props->>'k' AS INT)) AS BIGINT) AS k_max
+      |FROM events WHERE props IS NOT NULL
+      |GROUP BY event_type""".stripMargin) {
+    (s, d) =>
+      Tables.events(s, d).filter(col("props").isNotNull)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("k_sum"),
+          round(avg(col("k")), 6).as("k_avg"),
+          max(col("k")).cast("long").as("k_max"))
+  }
+
+  /** K1 — sketch accuracy gate: HyperLogLog++ distinct count and the
+    * approximate-percentile sketch against their exact counterparts,
+    * self-gated on relative error. At 100 TB the sketches ARE the
+    * answer (exact distinct/percentile need a full shuffle or sort;
+    * HLL and the quantile sketch are one-pass, map-side mergeable,
+    * constant memory) — this query pins their error inside the bound
+    * the pipeline relies on (rows-only: filter drops the row, and the
+    * driver flags, if a bound fails). The exact percentile here uses
+    * the same distributed-sort operator a4 gates.
+    */
+  val k1 = QueryDef.rowsOnly("k1_sketch_accuracy") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val row = li.agg(
+      countDistinct(col("l_orderkey")).as("exact_distinct"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("hll_distinct"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+        .as("approx_p50")).head()
+    val exactP50 = exactQuantilesSorted(
+      li.select(col("l_extendedprice").as("v")), "v", Seq(0.5)).head
+    val (ed, hd, ap) =
+      (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val distinctErr = math.abs(hd - ed).toDouble / ed
+    val p50Err = math.abs(ap - exactP50) / math.max(math.abs(exactP50), 1e-9)
+    val spark = s; import spark.implicits._
+    Seq((ed, hd, round6(distinctErr), ap, exactP50, round6(p50Err)))
+      .toDF("exact_distinct", "hll_distinct", "distinct_rel_err",
+        "approx_p50", "exact_p50", "p50_rel_err")
+      .filter(col("distinct_rel_err") < 0.05 && col("p50_rel_err") < 0.01)
+  }
+
+  private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
   /** P2 — column projection by NAME set through the cols side table
     * (daxos read.py:210-215, explain.py:21-31): names → positions
     * (tiny driver collect of the cols table), then one codegen'd array
@@ -579,5 +637,5 @@ object RelationalQueries {
 
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, a1, o2, o3, a4, a5, a13, o5,
-    e1, e2, scalars)
+    e1, e2, e5, k1, scalars)
 }
