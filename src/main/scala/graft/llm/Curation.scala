@@ -45,43 +45,83 @@ object Curation {
     * shuffle files; nothing group-sized ever sits in one task and
     * driver state is O(partitions × groups).
     */
-  def sampleToTokenBudget(docs: DataFrame, groupCol: String,
-      tokensCol: String, rankCol: String, idCol: String,
-      budget: Long): DataFrame = {
+  /** Append an INCLUSIVE per-group running sum of `valueCol` as `cum`
+    * (long), with rows ordered by (group, rank, id) — the distributed
+    * equivalent of `SUM(v) OVER (PARTITION BY g ORDER BY rank, id)`.
+    * Shared engine for [[sampleToTokenBudget]] and [[packSequences]]:
+    * range-partitioned sort, pass 1 collects one tiny per-partition
+    * per-group total, the driver scans them into carries, pass 2 walks
+    * each partition with its carry. A per-group window would serialize
+    * each group through one task (groups here are FEW and HUGE —
+    * languages, sources); this keeps parallelism = shuffle partitions
+    * and driver state O(partitions × groups).
+    */
+  def withGroupedPrefixSum(docs: DataFrame, groupCol: String,
+      valueCol: String, rankCol: String, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     val sorted = docs.orderBy(col(groupCol), col(rankCol), col(idCol))
     val schema = sorted.schema
     val gi = schema.fieldIndex(groupCol)
-    val ti = schema.fieldIndex(tokensCol)
+    val ti = schema.fieldIndex(valueCol)
     val rdd = sorted.rdd
-    // numeric-widening reads: an IntegerType tokens column (the natural
+    // numeric-widening reads: an IntegerType value column (the natural
     // size() output) or non-string group keys must not ClassCastException
-    def tokensOf(r: org.apache.spark.sql.Row): Long =
+    def valueOf(r: org.apache.spark.sql.Row): Long =
       r.get(ti).asInstanceOf[Number].longValue
     def groupOf(r: org.apache.spark.sql.Row): String = String.valueOf(r.get(gi))
     val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
       val m = scala.collection.mutable.LinkedHashMap[String, Long]()
       it.foreach { r =>
         val g = groupOf(r)
-        m(g) = m.getOrElse(g, 0L) + tokensOf(r)
+        m(g) = m.getOrElse(g, 0L) + valueOf(r)
       }
       Iterator((pid, m.toVector))
     }.collect().sortBy(_._1).map(_._2)
-    // carry(pid)(group) = tokens of that group in partitions before pid
+    // carry(pid)(group) = value total of that group in partitions before pid
     val carries = partSums.scanLeft(Map.empty[String, Long]) { (acc, part) =>
       part.foldLeft(acc) { case (a, (g, s)) => a.updated(g, a.getOrElse(g, 0L) + s) }
     }
     val bc = spark.sparkContext.broadcast(carries)
-    val kept = rdd.mapPartitionsWithIndex { (pid, it) =>
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       val cum = scala.collection.mutable.HashMap[String, Long](bc.value(pid).toSeq: _*)
-      it.filter { r =>
+      it.map { r =>
         val g = groupOf(r)
-        val c = cum.getOrElse(g, 0L) + tokensOf(r)
-        cum(g) = c // over-budget rows still advance the running total
-        c <= budget
+        val c = cum.getOrElse(g, 0L) + valueOf(r)
+        cum(g) = c
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c)
       }
     }
-    spark.createDataFrame(kept, schema)
+    spark.createDataFrame(out,
+      schema.add("cum", org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
+  def sampleToTokenBudget(docs: DataFrame, groupCol: String,
+      tokensCol: String, rankCol: String, idCol: String,
+      budget: Long): DataFrame =
+    withGroupedPrefixSum(docs, groupCol, tokensCol, rankCol, idCol)
+      .filter(col("cum") <= budget).drop("cum")
+
+  /** Sequence packing — concatenate each group's token stream (in
+    * deterministic hash-rank order) and cut it into fixed `seqLen`
+    * training sequences. Each doc is assigned the pack containing its
+    * FIRST token (`floor(start / seqLen)`); docs whose span crosses a
+    * pack boundary are the ones a trainer would split across sequences
+    * (or shift, under a no-split policy) — their count is the packing
+    * quality metric. Pure expressions over the prefix sum; no extra
+    * shuffle beyond [[withGroupedPrefixSum]]'s sort.
+    */
+  def packSequences(docs: DataFrame, groupCol: String, tokensCol: String,
+      rankCol: String, idCol: String, seqLen: Long): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1: $seqLen")
+    // `div` is integral long division — `/` would round-trip through
+    // double, which cannot represent corpus-scale cumulative token
+    // counts (> 2^53) exactly.
+    withGroupedPrefixSum(docs, groupCol, tokensCol, rankCol, idCol)
+      .withColumn("pack_id",
+        expr(s"(cum - `$tokensCol`) div ${seqLen}L"))
+      .withColumn("crosses_boundary",
+        col(tokensCol) > 0 &&
+          expr(s"(cum - 1L) div ${seqLen}L") =!= col("pack_id"))
   }
 
   /** C2 — per-language token-budget sample: the oracle recomputes the
@@ -227,5 +267,43 @@ object Curation {
           sum(col("toks")).cast("long").as("tok_sum"))
   }
 
-  def all: Seq[QueryDef] = Seq(pipeline, budgetSample, sourceMix)
+  /** C4 — per-source sequence packing at 512 tokens: the oracle
+    * recomputes pack assignment from a windowed cumulative sum, so the
+    * hash match proves the two-pass distributed prefix sum + integral
+    * pack arithmetic equals the windowed definition on every doc.
+    */
+  val packing = QueryDef.sql(
+    "c4_sequence_packing",
+    """WITH t AS (SELECT doc_id, source,
+      |                  len(string_split(text, ' ')) AS toks,
+      |                  md5(CAST(doc_id AS VARCHAR)) AS rk
+      |           FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT *, SUM(toks) OVER (PARTITION BY source
+      |                                ORDER BY rk, doc_id) AS cum
+      |      FROM t),
+      |p AS (SELECT source, doc_id, toks,
+      |             (cum - toks) // 512 AS pack_id,
+      |             CASE WHEN toks > 0 AND (cum - 1) // 512 <> (cum - toks) // 512
+      |                  THEN 1 ELSE 0 END AS crosses
+      |      FROM c)
+      |SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT pack_id) AS n_packs,
+      |       CAST(sum(crosses) AS BIGINT) AS n_crossers,
+      |       CAST(sum(toks) AS BIGINT) AS tok_sum
+      |FROM p GROUP BY source""".stripMargin) {
+    (s, d) =>
+      val t = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("toks"),
+          md5(col("doc_id").cast("string")).as("rk"))
+      packSequences(t, "source", "toks", "rk", "doc_id", seqLen = 512L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("pack_id")).as("n_packs"),
+          sum(when(col("crosses_boundary"), 1L).otherwise(0L)).cast("long")
+            .as("n_crossers"),
+          sum(col("toks")).cast("long").as("tok_sum"))
+  }
+
+  def all: Seq[QueryDef] = Seq(pipeline, budgetSample, sourceMix, packing)
 }

@@ -491,6 +491,69 @@ object TextAnalysis {
           .cast("long").as("n_residual"))
   }
 
+  /** T8 — TF-IDF corpus statistics + per-doc characteristic term: the
+    * vocabulary/document-frequency pass every corpus analysis starts
+    * with. The per-doc "top term" is ranked by (tf DESC, df ASC, term
+    * ASC) — an all-integer ordering (most frequent, then rarest, then
+    * lexicographic) chosen over ranking by the float tf·idf product,
+    * whose 1-ulp ln() differences across engines could flip near-ties;
+    * avg idf is float but aggregate-rounded. Plan: explode terms →
+    * (doc, term) tf agg → term df agg (both map-side combinable) → a
+    * per-doc window (bounded groups: tokens per doc) for the argmax.
+    * The md5-derived checksum over every doc's top term pins per-doc
+    * argmax parity cross-engine, not just the corpus totals.
+    */
+  val tfidf = QueryDef.sql(
+    "t8_tfidf_top_terms",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |             FROM documents WHERE text IS NOT NULL),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+      |top AS (SELECT doc_id, term,
+      |               row_number() OVER (PARTITION BY doc_id
+      |                                  ORDER BY tf.tf DESC, df.df ASC, term ASC)
+      |                 AS rn
+      |        FROM tf JOIN df USING (term)),
+      |vocab AS (SELECT count(*) AS vocab_size, max(df) AS max_df,
+      |                 min(term) FILTER (WHERE df = (SELECT max(df) FROM df))
+      |                   AS top_df_term,
+      |                 round(avg(ln((SELECT n_docs FROM n) * 1.0 / df)), 6)
+      |                   AS avg_idf
+      |          FROM df)
+      |SELECT (SELECT n_docs FROM n) AS n_docs,
+      |       CAST(vocab_size AS BIGINT) AS vocab_size,
+      |       CAST(max_df AS BIGINT) AS max_df,
+      |       top_df_term,
+      |       avg_idf,
+      |       (SELECT CAST(sum(('0x' || substr(md5(term), 1, 12))::BIGINT)
+      |               AS BIGINT) FROM top WHERE rn = 1) AS top_term_checksum
+      |FROM vocab""".stripMargin) {
+    (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      val nDocs = docs.count()
+      val tf = docs
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      val topChecksum = tf.join(df, "term")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .agg(sum(conv(substring(md5(col("term")), 1, 12), 16, 10).cast("long"))
+          .cast("long")).head().getLong(0)
+      val maxDf = df.agg(max(col("df"))).head().getLong(0)
+      df.agg(
+        lit(nDocs).as("n_docs"),
+        count(lit(1)).as("vocab_size"),
+        max(col("df")).cast("long").as("max_df"),
+        min(when(col("df") === maxDf, col("term"))).as("top_df_term"),
+        round(avg(log(lit(nDocs.toDouble) / col("df"))), 6).as("avg_idf"),
+        lit(topChecksum).as("top_term_checksum"))
+  }
+
   def all: Seq[QueryDef] =
-    Seq(langId, quality, fingerprint, tokenBudget, rollingFp, repetition, piiRedact)
+    Seq(langId, quality, fingerprint, tokenBudget, rollingFp, repetition,
+      piiRedact, tfidf)
 }

@@ -209,5 +209,64 @@ object Streams {
         col("n_windows_emitted") === 3)
   }
 
-  def all: Seq[QueryDef] = Seq(st1, st2, st3, st4)
+  /** Per-user session aggregation on a 30-minute inactivity gap via the
+    * native `session_window` (the streaming twin of the batch e2
+    * sessionization): state is merged session ranges per user, bounded
+    * by the watermark. */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("user_id"), col("n_events"))
+
+  /** ST5 — streaming session windows equal the batch session_window on
+    * the same feed. Append mode only emits sessions the watermark has
+    * closed, so the feed is ts-ordered (a real stream's arrival order)
+    * and ends with a far-future sentinel event that pushes the
+    * watermark past every real session; the sentinel's own session is
+    * excluded from the compare on both sides.
+    */
+  val st5 = QueryDef.fixture("st5_stream_session_window") { (s, d) =>
+    import s.implicits._
+    val rows = Tables.events(s, d).filter(col("ts").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    val sentinel = Ev(-1L,
+      new java.sql.Timestamp(rows.last.ts.getTime + 30L * 24 * 3600 * 1000),
+      -1L, "sentinel", 0.0)
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = sessionAgg(mem.toDF()).writeStream
+      .format("memory").queryName("st5_out").outputMode(OutputMode.Append())
+      .start()
+    val streamed =
+      try {
+        rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        mem.addData(sentinel)
+        q.processAllAvailable()
+        s.table("st5_out").filter(col("user_id") =!= -1L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+      } finally q.stop()
+    val batch = Tables.events(s, d).filter(col("ts").isNotNull)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    Seq((streamed.size.toLong, batch.size.toLong, streamed == batch))
+      .toDF("n_stream_sessions", "n_batch_sessions", "exact_match")
+      .filter(col("exact_match") && col("n_stream_sessions") > 0)
+  }
+
+  def all: Seq[QueryDef] = Seq(st1, st2, st3, st4, st5)
 }

@@ -68,6 +68,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(a.nonEmpty && a.size < 200) // a real subsample, not all/none
   }
 
+  test("sequence packing: hand-computed pack ids and boundary crossers") {
+    val s = spark; import s.implicits._
+    // one group, rank = id: toks 300, 300, 500, 100 → cum 300, 600, 1100, 1200
+    // seqLen 512: starts 0, 300, 600, 1100 → packs 0, 0, 1, 2
+    // ends(cum-1) 299, 599, 1099, 1199 → end packs 0, 1, 2, 2 → crossers: doc 2, 3
+    val df = Seq((1L, "g", 300L), (2L, "g", 300L), (3L, "g", 500L), (4L, "g", 100L))
+      .toDF("doc_id", "grp", "toks")
+      .withColumn("rk", col("doc_id"))
+    val out = Curation.packSequences(df, "grp", "toks", "rk", "doc_id", 512L)
+      .orderBy("doc_id")
+      .select("doc_id", "cum", "pack_id", "crosses_boundary").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq == Seq((1L, 300L, 0L, false), (2L, 600L, 0L, true),
+        (3L, 1100L, 1L, true), (4L, 1200L, 2L, false)))
+  }
+
+  test("prefix sum isolates groups and matches a window cumsum") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a", 10L), (2L, "b", 5L), (3L, "a", 7L), (4L, "b", 2L))
+      .toDF("doc_id", "grp", "v").withColumn("rk", col("doc_id"))
+    val cum = Curation.withGroupedPrefixSum(df, "grp", "v", "rk", "doc_id")
+      .orderBy("doc_id").select("doc_id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cum == Seq((1L, 10L), (2L, 5L), (3L, 17L), (4L, 7L)))
+  }
+
   test("byte-slice kernels reject non-integral id columns loudly") {
     val s = spark; import s.implicits._
     val bad = Seq(("uuid-1", "some text here")).toDF("doc_id", "text")
