@@ -3,18 +3,26 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Diagnostic main behind PLANS.md: prints the formatted physical plan
-  * of each named query (all data-scale queries when none are named).
+  * of each named query.
   *
-  *   runMain graft.ExplainDump <sfDir> [name ...]
+  *   runMain graft.ExplainDump <sfDir> name [name ...]
   *
-  * Plans only — nothing is executed, so fixture/driver-action queries
-  * that materialize eagerly inside their builder are skipped unless
-  * named explicitly.
+  * NOTE: building a query CAN run Spark jobs — several builders take
+  * driver actions (counts, two-pass prefix sums, collected checksums)
+  * before returning their final frame, and for those the printed plan
+  * is only the tail after the last action. Names are therefore
+  * required (no implicit run-everything), and the cost of a dump is
+  * the cost of building exactly the queries you asked for.
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = args.drop(1).toSeq
+    require(names.nonEmpty,
+      "usage: ExplainDump <sfDir> name [name ...] — known names:\n  " +
+        SparkEntry.registry.map(_.name).sorted.mkString("\n  "))
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,10 +33,7 @@ object ExplainDump {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val targets =
-      if (names.nonEmpty) names
-      else SparkEntry.registry.filter(_.benchEligible).map(_.name)
-    targets.foreach { name =>
+    names.foreach { name =>
       println(s"\n================ $name ================")
       try {
         val df = SparkEntry.queries(name)(spark, sfDir)

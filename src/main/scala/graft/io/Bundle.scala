@@ -39,18 +39,21 @@ object Bundle {
     bundle.write.mode("overwrite").parquet(bundleDir(dir))
     cols.coalesce(1).write.mode("overwrite").parquet(colsDir(dir))
     if (validate) {
-      // size(null array) is -1, min/max over zero rows is null: both must
-      // fail with a clear message, not an opaque NPE on getInt.
+      // size(null) is NULL under ANSI and min/max SKIP nulls, so null
+      // arrays need their own count — min/max alone would validate a
+      // bundle where only some rows are null. Empty bundles and ragged
+      // widths must likewise fail with a clear message, not an NPE.
       val mm = bundle.sparkSession.read.parquet(bundleDir(dir))
         .agg(count(lit(1)).as("n"),
+          sum(when(col("features").isNull, 1L).otherwise(0L)).as("nulls"),
           min(size(col("features"))).as("mn"),
           max(size(col("features"))).as("mx")).head()
       require(mm.getLong(0) > 0, s"empty bundle written at $dir")
-      require(!mm.isNullAt(1) && mm.getInt(1) >= 0,
-        s"null features arrays in written bundle at $dir")
-      require(mm.getInt(1) == mm.getInt(2),
+      require(mm.getLong(1) == 0,
+        s"${mm.getLong(1)} null features arrays in written bundle at $dir")
+      require(mm.getInt(2) == mm.getInt(3),
         s"ragged features widths in written bundle at $dir: " +
-          s"min=${mm.getInt(1)} max=${mm.getInt(2)}")
+          s"min=${mm.getInt(2)} max=${mm.getInt(3)}")
     }
   }
 

@@ -81,8 +81,11 @@ object Contamination {
       val bench = docs.filter(col("doc_id") % 23 === 0)
       val corpus = docs.filter(col("doc_id") % 23 =!= 0)
       val cont = contaminatedIds(corpus, bench, "doc_id", "text", n = 4)
-      val nBench = bench.count()
-      val nCorpus = corpus.count()
+      // both side counts in one conditional aggregate — not two scans
+      val counts = docs.agg(
+        sum(when(col("doc_id") % 23 === 0, 1L).otherwise(0L)),
+        sum(when(col("doc_id") % 23 =!= 0, 1L).otherwise(0L))).head()
+      val (nBench, nCorpus) = (counts.getLong(0), counts.getLong(1))
       cont.agg(
         lit(nBench).as("n_bench"),
         count(lit(1)).as("n_contaminated"),

@@ -58,6 +58,8 @@ object Curation {
     */
   def withGroupedPrefixSum(docs: DataFrame, groupCol: String,
       valueCol: String, rankCol: String, idCol: String): DataFrame = {
+    require(!docs.columns.contains("cum"),
+      "input already has a 'cum' column — rename it before the prefix sum")
     val spark = docs.sparkSession
     val sorted = docs.orderBy(col(groupCol), col(rankCol), col(idCol))
     val schema = sorted.schema
@@ -113,6 +115,9 @@ object Curation {
   def packSequences(docs: DataFrame, groupCol: String, tokensCol: String,
       rankCol: String, idCol: String, seqLen: Long): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1: $seqLen")
+    val reserved = Seq("pack_id", "crosses_boundary").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"input already has ${reserved.mkString(", ")} — rename before packing")
     // `div` is integral long division — `/` would round-trip through
     // double, which cannot represent corpus-scale cumulative token
     // counts (> 2^53) exactly.

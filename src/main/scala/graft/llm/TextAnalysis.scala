@@ -530,27 +530,37 @@ object TextAnalysis {
       |               AS BIGINT) FROM top WHERE rn = 1) AS top_term_checksum
       |FROM vocab""".stripMargin) {
     (s, d) =>
+      val spark = s; import spark.implicits._
       val docs = Tables.documents(s, d).filter(col("text").isNotNull)
       val nDocs = docs.count()
       val tf = docs
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // df is vocab-sized — cache it so the checksum join and the two
+      // vocab aggregates below don't each re-run the corpus explode +
+      // double groupBy (the only corpus-sized pass left is the tf
+      // lineage feeding the checksum join).
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-      val topChecksum = tf.join(df, "term")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .agg(sum(conv(substring(md5(col("term")), 1, 12), 16, 10).cast("long"))
-          .cast("long")).head().getLong(0)
-      val maxDf = df.agg(max(col("df"))).head().getLong(0)
-      df.agg(
-        lit(nDocs).as("n_docs"),
-        count(lit(1)).as("vocab_size"),
-        max(col("df")).cast("long").as("max_df"),
-        min(when(col("df") === maxDf, col("term"))).as("top_df_term"),
-        round(avg(log(lit(nDocs.toDouble) / col("df"))), 6).as("avg_idf"),
-        lit(topChecksum).as("top_term_checksum"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+        val topChecksum = tf.join(df, "term")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .agg(sum(conv(substring(md5(col("term")), 1, 12), 16, 10).cast("long"))
+            .cast("long")).head().getLong(0)
+        val maxDf = df.agg(max(col("df"))).head().getLong(0)
+        val v = df.agg(
+          count(lit(1)).as("vocab_size"),
+          min(when(col("df") === maxDf, col("term"))).as("top_df_term"),
+          round(avg(log(lit(nDocs.toDouble) / col("df"))), 6).as("avg_idf"))
+          .head()
+        Seq((nDocs, v.getLong(0), maxDf, v.getString(1), v.getDouble(2),
+          topChecksum))
+          .toDF("n_docs", "vocab_size", "max_df", "top_df_term", "avg_idf",
+            "top_term_checksum")
+      } finally df.unpersist()
   }
 
   def all: Seq[QueryDef] =
