@@ -15,6 +15,7 @@ object SparkEntry {
   def registry: Seq[QueryDef] =
     graft.ops.RelationalQueries.all ++
       graft.ops.AsofJoin.all ++
+      graft.plans.AsofJoinNative.all ++
       graft.ops.RangeJoin.all ++
       graft.ops.Splits.all ++
       graft.ops.Skew.all ++

@@ -20,6 +20,13 @@ object GraftFunctionRegistry {
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** DataFrame over a hand-built LogicalPlan (`Dataset.ofRows` is
+    * private[sql]) — the entry point for custom logical nodes planned
+    * by an injected strategy. */
+  def dataFrame(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

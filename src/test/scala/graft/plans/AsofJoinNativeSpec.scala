@@ -1,0 +1,86 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ops.AsofJoin
+import org.apache.spark.sql.functions._
+
+/** The native merge-join as-of operator must agree exactly with the
+  * composed union+window formulation, and must actually plan through
+  * AsofJoinExec with catalyst-inserted exchanges/sorts.
+  */
+class AsofJoinNativeSpec extends SparkSpec {
+
+  private def randomCase(seed: Long) = {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val left = (1 to 400).map { i =>
+      (rnd.nextInt(8).toLong, i.toLong, rnd.nextInt(1000).toLong)
+    }.toDF("k", "lid", "lts")
+    // unique (k, ts) right side — the as-of determinism precondition
+    val right = rnd.shuffle((1 to 200).toList).zipWithIndex.map {
+      case (v, i) => (i % 10L, (v * 7 % 997).toLong, v.toLong)
+    }.distinct.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      .toDF("k", "rts", "payload")
+    (left, right)
+  }
+
+  test("native == composed on random keys, ties, and missing matches") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val (left, right) = randomCase(seed)
+      val native = AsofJoinNative
+        .asofJoinNative(left, right, Seq("k"), "lts", "rts")
+        .select("k", "lid", "lts", "asof_rts", "asof_payload")
+        .collect().map(_.toSeq).toSet
+      val composed = AsofJoin
+        .asofJoin(left, right, Seq("k"), "lts", "rts")
+        .select("k", "lid", "lts", "asof_rts", "asof_payload")
+        .collect().map(_.toSeq).toSet
+      assert(native == composed, s"seed $seed diverged")
+    }
+  }
+
+  test("hand case: inclusive ties, per-key isolation, null right ts dropped") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 3L, 10L), (3L, 4L, 99L))
+      .toDF("k", "lid", "lts")
+    val right = Seq((1L, Some(10L), 100L), (1L, Some(15L), 150L),
+      (2L, Some(9L), 200L), (3L, None, 999L))
+      .toDF("k", "rts", "payload")
+    val out = AsofJoinNative
+      .asofJoinNative(left, right, Seq("k"), "lts", "rts")
+      .orderBy("lid")
+      .select("lid", "asof_rts", "asof_payload")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    // lid 1: tie at ts=10 matches (inclusive); lid 2: latest ≤ 20 is 15;
+    // lid 3: key 2's own 9 ≤ 10 row (no cross-key leak); lid 4: the only
+    // key-3 right row has a null ts — dropped, no match.
+    assert(out.toSeq == Seq((1L, 10L, 100L), (2L, 15L, 150L),
+      (3L, 9L, 200L), (4L, -1L, -1L)))
+  }
+
+  test("plans through AsofJoinExec with clustered exchanges") {
+    val (left, right) = randomCase(7L)
+    val df = AsofJoinNative.asofJoinNative(left, right, Seq("k"), "lts", "rts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"native exec missing from plan:\n$plan")
+    // EnsureRequirements must have inserted hash exchanges + sorts
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Sort"), plan)
+  }
+
+  test("rejects non-long timestamps and missing columns loudly") {
+    val s = spark; import s.implicits._
+    val l = Seq((1L, 1.5)).toDF("k", "lts")
+    val r = Seq((1L, 2L)).toDF("k", "rts")
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoinNative.asofJoinNative(l, r, Seq("k"), "lts", "rts")
+    }
+    assert(e1.getMessage.contains("must be long"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoinNative.asofJoinNative(r, r, Seq("k"), "nope", "rts")
+    }
+    assert(e2.getMessage.contains("no column"))
+  }
+}
