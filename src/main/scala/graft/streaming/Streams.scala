@@ -268,5 +268,44 @@ object Streams {
       .filter(col("exact_match") && col("n_stream_sessions") > 0)
   }
 
-  def all: Seq[QueryDef] = Seq(st1, st2, st3, st4, st5)
+  /** ST6 — stream-static enrichment join: a stream of events joined to
+    * a STATIC dimension (per-user first-seen event id, derived from the
+    * same table) — the canonical lookup-enrichment every streaming
+    * pipeline runs. The static side is a bounded DataFrame, so Spark
+    * broadcasts it per micro-batch with no streaming state at all;
+    * output must equal the equivalent batch join.
+    */
+  val st6 = QueryDef.fixture("st6_stream_static_join") { (s, d) =>
+    import s.implicits._
+    val dim = Tables.events(s, d).groupBy("user_id")
+      .agg(min(col("event_id")).as("first_event_id"))
+    val rows = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Ev].collect()
+    implicit val sq = s.sqlContext
+    val mem = MemoryStream[Ev]
+    val joined = mem.toDF().join(dim, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("first_event_id"))
+    val q = joined.writeStream
+      .format("memory").queryName("st6_out").outputMode(OutputMode.Append())
+      .start()
+    val streamed =
+      try {
+        rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+          mem.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        s.table("st6_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      } finally q.stop()
+    val batch = Tables.events(s, d).join(dim, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("first_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Seq((streamed.size.toLong, streamed == batch))
+      .toDF("n_rows", "exact_match")
+      .filter(col("exact_match") && col("n_rows") > 0)
+  }
+
+  def all: Seq[QueryDef] = Seq(st1, st2, st3, st4, st5, st6)
 }

@@ -70,6 +70,30 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(plan.contains("Sort"), plan)
   }
 
+  test("pre-partitioned inputs join with NO new exchange (bucketed-store path)") {
+    val (left, right) = randomCase(11L)
+    // repartition on the key: outputPartitioning = HashPartitioning(k)
+    // already satisfies ClusteredDistribution(k), so EnsureRequirements
+    // must insert only the (key, ts) sorts — the zero-shuffle join a
+    // bucketed 100 TB store gets for free.
+    val lp = left.repartition(col("k"))
+    val rp = right.repartition(col("k"))
+    val df = AsofJoinNative.asofJoinNative(lp, rp, Seq("k"), "lts", "rts")
+    val plan = df.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // the two repartition() calls themselves are exchanges; the JOIN
+    // must not add more
+    assert(nExchanges == 2, s"expected only the input repartitions:\n$plan")
+    assert(plan.contains("AsofJoin"), plan)
+    // and the result still matches the composed operator
+    val native = df.select("k", "lid", "lts", "asof_payload")
+      .collect().map(_.toSeq).toSet
+    val composed = AsofJoin.asofJoin(left, right, Seq("k"), "lts", "rts")
+      .select("k", "lid", "lts", "asof_payload")
+      .collect().map(_.toSeq).toSet
+    assert(native == composed)
+  }
+
   test("rejects non-long timestamps and missing columns loudly") {
     val s = spark; import s.implicits._
     val l = Seq((1L, 1.5)).toDF("k", "lts")
