@@ -310,5 +310,134 @@ object Curation {
           sum(col("toks")).cast("long").as("tok_sum"))
   }
 
-  def all: Seq[QueryDef] = Seq(pipeline, budgetSample, sourceMix, packing)
+  /** Per-domain document cap — the anti-domination curation rule (keep
+    * at most `cap` docs per domain so one crawl host cannot dominate
+    * the mix), selected in deterministic hash order so the kept set is
+    * a reproducible unbiased sample.
+    *
+    * Scale: exact per-group top-K through [[graft.ops.TopKSmallest]] —
+    * a bounded-buffer Aggregator riding two-phase hash aggregation, so
+    * map-side partials hold ≤cap entries and the shuffle moves ≤cap
+    * rows per (domain, map task). The `row_number` window the oracle
+    * uses would serialize each domain through ONE task — domains are
+    * few and huge at corpus scale, the exact shape windows break on.
+    */
+  def capPerDomain(docs: DataFrame, domainCol: String, idCol: String,
+      payloadCol: String, cap: Int): DataFrame = {
+    val topk = udaf(new graft.ops.TopKSmallest(cap),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    docs
+      .select(col(domainCol),
+        md5(col(idCol).cast("string")).as("__rk"),
+        col(idCol).cast("long").as("__id"),
+        col(payloadCol).cast("long").as("__pl"))
+      .groupBy(domainCol)
+      .agg(topk(col("__rk"), col("__id"), col("__pl")).as("__kept"))
+      .select(col(domainCol), explode(col("__kept")).as("__e"))
+      .select(col(domainCol), col("__e._2").as(idCol), col("__e._3").as(payloadCol))
+  }
+
+  /** C5 — cap each source at 10 docs; the oracle recomputes the kept
+    * set with the windowed `row_number` definition, so the hash match
+    * proves the bounded-buffer aggregate equals window semantics on
+    * every (domain, doc).
+    */
+  val domainCap = QueryDef.sql(
+    "c5_domain_cap",
+    """WITH t AS (SELECT source, doc_id,
+      |                  len(string_split(text, ' ')) AS toks,
+      |                  md5(CAST(doc_id AS VARCHAR)) AS rk
+      |           FROM documents WHERE text IS NOT NULL),
+      |k AS (SELECT * FROM t
+      |      QUALIFY row_number() OVER (PARTITION BY source
+      |                                 ORDER BY rk, doc_id) <= 10)
+      |SELECT source, count(*) AS n_kept,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+      |       CAST(sum(toks) AS BIGINT) AS tok_sum
+      |FROM k GROUP BY source""".stripMargin) {
+    (s, d) =>
+      val t = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+      capPerDomain(t, "source", "doc_id", "toks", cap = 10)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_checksum"),
+          sum(col("toks")).cast("long").as("tok_sum"))
+  }
+
+  /** Token-window chunking — cut each document into `chunkSize`-token
+    * chunks overlapping by `overlap` tokens (context-window prep for
+    * training / retrieval indexing). Chunk starts are 0, step, 2·step…
+    * with step = chunkSize − overlap, generated while start ≤
+    * n − overlap − 1 (so a doc shorter than one window still yields
+    * exactly one chunk and no tail chunk is fully contained in its
+    * predecessor). Pure scan-local expressions: `sequence` + `explode`
+    * + array `slice` — no shuffle, no per-doc state; at 100 TB this is
+    * scan-bound with a bounded ≤chunkSize/step-× row fan-out.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1: $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap vs $chunkSize")
+    val step = chunkSize - overlap
+    val reserved = Seq("chunk_id", "chunk_toks", "chunk_text")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"input already has ${reserved.mkString(", ")} — rename before chunking")
+    docs
+      .filter(col(textCol).isNotNull)
+      .withColumn("__w", split(col(textCol), " "))
+      .withColumn("__n", size(col("__w")))
+      .withColumn("__st", explode(
+        sequence(lit(0), greatest(lit(0), col("__n") - overlap - 1), lit(step))))
+      .select(docs.columns.map(col) ++ Seq(
+        expr(s"__st div $step").cast("long").as("chunk_id"),
+        least(lit(chunkSize), col("__n") - col("__st")).cast("long")
+          .as("chunk_toks"),
+        concat_ws(" ", slice(col("__w"), col("__st") + 1, lit(chunkSize)))
+          .as("chunk_text")): _*)
+  }
+
+  /** C6 — 64-token chunks, 16-token overlap, per-source roll-up. The
+    * md5-prefix checksum over `chunk_text` pins the actual chunk
+    * CONTENT (boundaries and word order), not just the counts, against
+    * the oracle's list-slice recomputation.
+    */
+  val chunking = QueryDef.sql(
+    "c6_chunking",
+    """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+      |                  len(string_split(text, ' ')) AS n
+      |           FROM documents WHERE text IS NOT NULL),
+      |s AS (SELECT doc_id, source, n, w,
+      |             unnest(range(0, greatest(0, n - 16 - 1) + 1, 48)) AS st
+      |      FROM t),
+      |c AS (SELECT doc_id, source,
+      |             least(64, n - st) AS chunk_toks,
+      |             array_to_string(list_slice(w, st + 1, st + 64), ' ')
+      |               AS chunk_text
+      |      FROM s)
+      |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+      |       CAST(sum(chunk_toks) AS BIGINT) AS tok_sum,
+      |       CAST(sum(('0x' || substr(md5(chunk_text), 1, 6))::BIGINT)
+      |            AS BIGINT) AS chunk_checksum
+      |FROM c GROUP BY source""".stripMargin) {
+    (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      chunkDocuments(docs, "doc_id", "text", chunkSize = 64, overlap = 16)
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("chunk_toks")).cast("long").as("tok_sum"),
+          sum(conv(substring(md5(col("chunk_text")), 1, 6), 16, 10)
+            .cast("long")).cast("long").as("chunk_checksum"))
+  }
+
+  def all: Seq[QueryDef] =
+    Seq(pipeline, budgetSample, sourceMix, packing, domainCap, chunking)
 }

@@ -102,4 +102,60 @@ class CurationOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("integral id column"))
   }
+
+  test("capPerDomain equals the row_number-window definition") {
+    val s = spark; import s.implicits._
+    // 3 domains x uneven sizes, spread over many partitions so partial
+    // buffers genuinely merge across map tasks
+    val df = (1L to 200L).map { i =>
+      (i, s"dom${(i % 3)}", i * 10)
+    }.toDF("doc_id", "domain", "toks").repartition(16)
+    val capped = Curation.capPerDomain(df, "domain", "doc_id", "toks", cap = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val expected = df
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .select(col("domain"), col("doc_id"), col("toks"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped == expected)
+    assert(capped.size == 21)
+  }
+
+  test("capPerDomain keeps whole domains smaller than the cap") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "small", 5L), (2L, "small", 6L))
+      .toDF("doc_id", "domain", "toks")
+    val kept = Curation.capPerDomain(df, "domain", "doc_id", "toks", cap = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("chunkDocuments covers every token with the declared overlap") {
+    val s = spark; import s.implicits._
+    val text = (1 to 103).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "short doc"), (3L, "")).toDF("doc_id", "text")
+    val chunks = Curation.chunkDocuments(df, "doc_id", "text",
+      chunkSize = 10, overlap = 3)
+    val c1 = chunks.filter(col("doc_id") === 1L)
+      .orderBy("chunk_id").collect()
+    // starts 0,7,14,...: last start is the largest multiple of 7 <= 99
+    val starts = c1.map(_.getLong(c1.head.fieldIndex("chunk_id")) * 7)
+    assert(starts.head == 0L && starts.last == 98L)
+    // consecutive chunks overlap by exactly 3 tokens; union covers 1..103
+    val texts = c1.map(_.getString(c1.head.fieldIndex("chunk_text")))
+    texts.sliding(2).foreach { case Array(a, b) =>
+      assert(a.split(" ").takeRight(3).sameElements(b.split(" ").take(3)))
+    case _ => ()
+    }
+    assert(texts.last.split(" ").last == "w103")
+    assert(c1.map(_.getLong(c1.head.fieldIndex("chunk_toks"))).sum ==
+      103L + (c1.length - 1) * 3)
+    // a doc shorter than one window yields exactly one full-doc chunk
+    val c2 = chunks.filter(col("doc_id") === 2L).collect()
+    assert(c2.length == 1 && c2.head.getString(c2.head.fieldIndex("chunk_text")) == "short doc")
+    // empty text still yields one (empty) chunk, not zero rows
+    assert(chunks.filter(col("doc_id") === 3L).count() == 1L)
+  }
 }
