@@ -638,7 +638,72 @@ object RelationalQueries {
       .toDF("n_kept", "checksum", "ok").filter(col("ok"))
   }
 
+  /** Robust per-group outlier detection: median/MAD (median absolute
+    * deviation), the heavy-tail-safe alternative to mean/stddev z-scores
+    * — one extreme value moves a mean but not a median, so MAD flags
+    * outliers without being dragged by them (the quality-filter shape a
+    * curation pipeline wants for doc-length / score distributions).
+    *
+    * Two passes of the scale-safe [[groupedDiscreteMedian]] (value
+    * median, then deviation median) — parallelism stays at shuffle
+    * partitions for both, never one-task-per-group; the k-group median
+    * frames broadcast back. Deviations and the k·MAD fence are exact
+    * IEEE arithmetic on both engines, so the counts are oracle-exact.
+    */
+  def groupedMadOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      tiebreaks: Seq[String], k: Double): DataFrame = {
+    val med = groupedDiscreteMedian(df, groupCol, valueCol, tiebreaks)
+      .select(col(groupCol), col("med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("dev", abs(col(valueCol) - col("med")))
+    val mad = groupedDiscreteMedian(
+      dev.select((groupCol +: "dev" +: tiebreaks).map(col): _*),
+      groupCol, "dev", tiebreaks)
+      .select(col(groupCol), col("med").as("mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(groupCol)
+      .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("dev") > col("mad") * k, 1L).otherwise(0L))
+          .cast("long").as("n_outliers"))
+  }
+
+  /** A14 — the oracle recomputes both discrete medians with the a5
+    * row_number construction and the same tiebreaks, so the hash match
+    * pins median selection, the deviation join, AND the fence counts.
+    */
+  val a14 = QueryDef.sql(
+    "a14_mad_outliers",
+    """WITH r AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+      |                  l_orderkey, l_linenumber,
+      |                  row_number() OVER (PARTITION BY l_returnflag
+      |                    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |                  count(*) OVER (PARTITION BY l_returnflag) AS cnt
+      |           FROM lineitem),
+      |m AS (SELECT g, v AS med FROM r WHERE rn = floor((cnt + 1) / 2.0)),
+      |d AS (SELECT r.g, abs(r.v - m.med) AS dev, r.l_orderkey,
+      |             r.l_linenumber, m.med
+      |      FROM r JOIN m USING (g)),
+      |r2 AS (SELECT g, med, dev,
+      |              row_number() OVER (PARTITION BY g
+      |                ORDER BY dev, l_orderkey, l_linenumber) AS rn,
+      |              count(*) OVER (PARTITION BY g) AS cnt
+      |       FROM d),
+      |mad AS (SELECT g, dev AS mad FROM r2 WHERE rn = floor((cnt + 1) / 2.0))
+      |SELECT d.g AS l_returnflag, any_value(d.med) AS med,
+      |       any_value(mad.mad) AS mad, count(*) AS n,
+      |       CAST(sum(CASE WHEN d.dev > 1.5 * mad.mad THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_outliers
+      |FROM d JOIN mad USING (g) GROUP BY d.g""".stripMargin) {
+    (s, d) =>
+      groupedMadOutliers(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        "l_returnflag", "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"), k = 1.5)
+  }
+
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, a1, o2, o3, a4, a5, a13, o5,
-    e1, e2, e5, k1, scalars)
+    e1, e2, e5, k1, a14, scalars)
 }

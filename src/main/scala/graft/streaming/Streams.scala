@@ -307,5 +307,70 @@ object Streams {
       .filter(col("exact_match") && col("n_rows") > 0)
   }
 
-  def all: Seq[QueryDef] = Seq(st1, st2, st3, st4, st5, st6)
+  /** ST7 — stream-stream inner join: click→purchase attribution (a
+    * purchase joins every click by the same user in the preceding 30
+    * minutes). BOTH sides are unbounded, so this exercises Spark's
+    * symmetric-hash stream-stream join: each side buffers rows in the
+    * state store, and the event-time RANGE condition plus the
+    * watermarks is what lets the engine evict state — without them the
+    * buffers grow forever. Output must equal the identical batch join.
+    *
+    * At 100 TB/day this is the shape to keep: state is bounded by
+    * (watermark delay + range span) × arrival rate, keyed by user —
+    * the join condition must carry the time bound or state is
+    * unbounded by construction.
+    */
+  val st7 = QueryDef.fixture("st7_stream_stream_join") { (s, d) =>
+    import s.implicits._
+    val rows = Tables.events(s, d).filter(col("ts").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Ev].collect().sortBy(_.ts.getTime)
+    implicit val sq = s.sqlContext
+    val memClicks = MemoryStream[Ev]
+    val memBuys = MemoryStream[Ev]
+    val clicks = memClicks.toDF().filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val buys = memBuys.toDF().filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+        col("ts").as("buy_ts"))
+    val joined = clicks.join(buys,
+      col("user_id") === col("buy_user") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("buy_id"))
+    val q = joined.writeStream
+      .format("memory").queryName("st7_out").outputMode(OutputMode.Append())
+      .start()
+    val streamed =
+      try {
+        rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+          memClicks.addData(chunk.toSeq)
+          memBuys.addData(chunk.toSeq)
+          q.processAllAvailable()
+        }
+        s.table("st7_out").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+    val batch = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
+            col("ts").as("buy_ts")),
+        col("user_id") === col("buy_user") &&
+          col("buy_ts") >= col("click_ts") &&
+          col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("buy_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq((streamed.size.toLong, streamed == batch))
+      .toDF("n_pairs", "exact_match")
+      .filter(col("exact_match") && col("n_pairs") > 0)
+  }
+
+  def all: Seq[QueryDef] = Seq(st1, st2, st3, st4, st5, st6, st7)
 }
