@@ -563,7 +563,112 @@ object TextAnalysis {
       } finally df.unpersist()
   }
 
+  /** Per-doc DEFLATE compression ratio — the model-free redundancy
+    * signal several curation recipes filter on (degenerate/boilerplate
+    * text compresses far better than natural prose; near-random text
+    * barely compresses). Partition-local kernel with ONE reused
+    * `Deflater` per task (level 6, zlib defaults — deterministic for a
+    * given input, so the ratio is reproducible across runs/partitioning);
+    * allocating a fresh deflater per row would dominate the cost.
+    * Carries `carryCol` through so the caller can group without a
+    * corpus-sized join back.
+    */
+  def compressionRatios(docs: DataFrame, idCol: String, textCol: String,
+      carryCol: String): DataFrame = {
+    graft.util.Ids.requireLongCompatible(docs, idCol, "compressionRatios")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(carryCol).cast("string"),
+        encode(col(textCol), "UTF-8"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        var out = new Array[Byte](1 << 16)
+        it.map { case (id, carry, bytes) =>
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var n = 0
+          while (!deflater.finished()) {
+            if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+            n += deflater.deflate(out, n, out.length - n)
+          }
+          val ratio =
+            if (bytes.length == 0) 1.0 else n.toDouble / bytes.length
+          (id, carry, bytes.length.toLong, n.toLong, ratio)
+        }
+      }.toDF(idCol, carryCol, "raw_len", "comp_len", "ratio")
+  }
+
+  /** T10 — rows-only golden gate with a PLANTED separation invariant:
+    * a degenerate doc (one word repeated) must compress strictly better
+    * than every natural corpus doc, and corpus ratios must sit inside
+    * (0, 1.2) (tiny stored-block overhead can exceed 1.0 on
+    * incompressible inputs, never 1.2 at these lengths).
+    */
+  val compression = QueryDef.rowsOnly("t10_compression_ratio") { (s, d) =>
+    val spark = s; import spark.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      col("text"))
+    val planted = Seq((-1L, "__planted", ("spam " * 400).trim))
+      .toDF("doc_id", "source", "text")
+    val r = compressionRatios(docs.unionByName(planted),
+      "doc_id", "text", "source").cache()
+    try {
+      val corpus = r.filter(col("doc_id") >= 0)
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("ratio")), 6).as("avg_ratio"),
+          round(min(col("ratio")), 6).as("min_ratio"),
+          round(max(col("ratio")), 6).as("max_ratio")).head()
+      val plantedRatio = r.filter(col("doc_id") === -1L)
+        .head().getDouble(4)
+      Seq((corpus.getLong(0), corpus.getDouble(1), corpus.getDouble(2),
+          corpus.getDouble(3), math.rint(plantedRatio * 1e6) / 1e6))
+        .toDF("n_docs", "avg_ratio", "min_ratio", "max_ratio", "planted_ratio")
+        .filter(col("n_docs") > 0 &&
+          col("planted_ratio") < col("min_ratio") &&
+          col("min_ratio") > 0.0 && col("max_ratio") < 1.2)
+    } finally r.unpersist()
+  }
+
+  /** T9 — inverted index (term → posting stats): the retrieval-side
+    * build a corpus engine owes its users. `posexplode` keeps token
+    * positions (0-based; the oracle's `generate_subscripts` is 1-based,
+    * aligned with −1), and every aggregate is a map-side-combinable
+    * (term)-keyed hash agg — vocabulary is the key space, so no window,
+    * no skewed single task. The position checksum pins posting-list
+    * CONTENT (doc, position) exactly, not just counts.
+    */
+  val postings = QueryDef.sql(
+    "t9_inverted_index",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL),
+      |p AS (SELECT doc_id, unnest(w) AS term,
+      |             generate_subscripts(w, 1) - 1 AS pos
+      |      FROM t)
+      |SELECT term,
+      |       count(DISTINCT doc_id) AS df,
+      |       count(*) AS tf,
+      |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+      |       CAST(max(doc_id) AS BIGINT) AS max_doc,
+      |       CAST(sum(doc_id * 131 + pos) AS BIGINT) AS posting_checksum
+      |FROM p GROUP BY term HAVING count(DISTINCT doc_id) >= 2""".stripMargin) {
+    (s, d) =>
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), posexplode(tokensCol(col("text")))
+          .as(Seq("pos", "term")))
+        .groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf"),
+          min(col("doc_id")).cast("long").as("min_doc"),
+          max(col("doc_id")).cast("long").as("max_doc"),
+          sum(col("doc_id") * 131 + col("pos")).cast("long")
+            .as("posting_checksum"))
+        .filter(col("df") >= 2)
+  }
+
   def all: Seq[QueryDef] =
     Seq(langId, quality, fingerprint, tokenBudget, rollingFp, repetition,
-      piiRedact, tfidf)
+      piiRedact, tfidf, postings, compression)
 }

@@ -132,6 +132,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("compressionRatios: degenerate text compresses below prose, deterministic") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "a", "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "a", "the quick brown fox jumps over one lazy dog near riverbanks"),
+      (3L, "b", "")).toDF("doc_id", "source", "text")
+    val r = TextAnalysis.compressionRatios(df, "doc_id", "text", "source")
+      .orderBy("doc_id").collect()
+    val ratios = r.map(_.getDouble(4))
+    assert(ratios(0) < ratios(1)) // repetition compresses better
+    assert(ratios(2) == 1.0) // empty doc: defined, not NaN/zero-div
+    assert(r.map(_.getString(1)).toSeq == Seq("a", "a", "b")) // carry col
+    // deterministic across a second evaluation (fresh kernel instances)
+    val again = TextAnalysis.compressionRatios(df, "doc_id", "text", "source")
+      .orderBy("doc_id").collect().map(_.getDouble(4))
+    assert(ratios.sameElements(again))
+  }
+
   test("chunkDocuments covers every token with the declared overlap") {
     val s = spark; import s.implicits._
     val text = (1 to 103).map(i => s"w$i").mkString(" ")
