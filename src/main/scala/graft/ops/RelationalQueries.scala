@@ -652,14 +652,26 @@ object RelationalQueries {
     */
   def groupedMadOutliers(df: DataFrame, groupCol: String, valueCol: String,
       tiebreaks: Seq[String], k: Double): DataFrame = {
-    val med = groupedDiscreteMedian(df, groupCol, valueCol, tiebreaks)
-      .select(col(groupCol), col("med"))
+    val sp = df.sparkSession
+    import sp.implicits._
+    // Each median result is k-groups rows — collect it and re-enter the
+    // plan as a LITERAL local frame. Left as a lineage-bearing
+    // DataFrame, every downstream action (the second median's two
+    // passes, the final aggregate) would re-run the full
+    // sort-both-passes median job: measured 46 s → ~9 s at sf0.1.
+    // Driver state is O(groups), the same bound the two-pass medians
+    // already carry.
+    def materialize(medDf: DataFrame, as: String): DataFrame =
+      medDf.select(col(groupCol), col("med")).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+        .toDF(groupCol, as)
+    val med = materialize(
+      groupedDiscreteMedian(df, groupCol, valueCol, tiebreaks), "med")
     val dev = df.join(broadcast(med), groupCol)
       .withColumn("dev", abs(col(valueCol) - col("med")))
-    val mad = groupedDiscreteMedian(
+    val mad = materialize(groupedDiscreteMedian(
       dev.select((groupCol +: "dev" +: tiebreaks).map(col): _*),
-      groupCol, "dev", tiebreaks)
-      .select(col(groupCol), col("med").as("mad"))
+      groupCol, "dev", tiebreaks), "mad")
     dev.join(broadcast(mad), groupCol)
       .groupBy(groupCol)
       .agg(min(col("med")).as("med"), min(col("mad")).as("mad"),
