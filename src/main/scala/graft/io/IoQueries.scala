@@ -107,31 +107,36 @@ object IoQueries {
     Seq((covBack.count(), ok)).toDF("n_cov", "ok").filter(col("ok"))
   }
 
-  /** S9b — JSONL corpus round-trip: newline-delimited JSON is the
-    * de-facto interchange format for LLM training corpora, so the
-    * engine must write and re-read it losslessly. The re-read passes
-    * the EXPLICIT schema — at 100 TB, schema inference would burn a
-    * full extra scan before the first real job; never infer on big
-    * corpora. Gate: count + id/char checksums and a content hash sum
-    * must survive parquet → JSONL → DataFrame exactly.
+  /** Corpus round-trip through an interchange format: write the
+    * documents table, re-read it with the EXPLICIT schema — at 100 TB,
+    * schema inference would burn a full extra scan before the first
+    * real job; never infer on big corpora. Gate: count + id/char
+    * checksums and a content hash sum must survive exactly.
     */
-  val s9 = QueryDef.rowsOnly("s9_jsonl_roundtrip") { (s, d) =>
-    val docs = graft.Tables.documents(s, d)
-    val out = s"$fixtureDir/jsonl_docs"
-    docs.write.mode("overwrite").json(out)
-    val back = s.read.schema(docs.schema).json(out)
-    def summary(df: org.apache.spark.sql.DataFrame) = df.agg(
-      count(lit(1)).cast("long").as("n"),
-      sum(col("doc_id")).cast("long").as("id_sum"),
-      sum(col("n_chars")).cast("long").as("char_sum"),
-      sum(conv(substring(md5(concat_ws("", col("text"), col("lang"),
-        col("source"))), 1, 12), 16, 10).cast("long")).as("content_sum")).head()
-    val (orig, rt) = (summary(docs), summary(back))
-    val spark = s; import spark.implicits._
-    Seq((orig.getLong(0), orig == rt))
-      .toDF("n_docs", "roundtrip_ok")
-      .filter(col("roundtrip_ok") && col("n_docs") > 0)
-  }
+  private def roundtrip(name: String, format: String): QueryDef =
+    QueryDef.rowsOnly(name) { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      val out = s"$fixtureDir/${format}_docs"
+      docs.write.mode("overwrite").format(format).save(out)
+      val back = s.read.schema(docs.schema).format(format).load(out)
+      def summary(df: org.apache.spark.sql.DataFrame) = df.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_chars")).cast("long").as("char_sum"),
+        sum(conv(substring(md5(concat_ws("", col("text"), col("lang"),
+          col("source"))), 1, 12), 16, 10).cast("long")).as("content_sum")).head()
+      val (orig, rt) = (summary(docs), summary(back))
+      val spark = s; import spark.implicits._
+      Seq((orig.getLong(0), orig == rt))
+        .toDF("n_docs", "roundtrip_ok")
+        .filter(col("roundtrip_ok") && col("n_docs") > 0)
+    }
 
-  def all: Seq[QueryDef] = Seq(s1, s8, s9)
+  /** S9b — JSONL, the de-facto LLM-corpus interchange format. */
+  val s9 = roundtrip("s9_jsonl_roundtrip", "json")
+
+  /** S10 — ORC, the other columnar format big corpora arrive in. */
+  val s10 = roundtrip("s10_orc_roundtrip", "orc")
+
+  def all: Seq[QueryDef] = Seq(s1, s8, s9, s10)
 }
