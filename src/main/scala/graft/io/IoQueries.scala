@@ -138,5 +138,82 @@ object IoQueries {
   /** S10 — ORC, the other columnar format big corpora arrive in. */
   val s10 = roundtrip("s10_orc_roundtrip", "orc")
 
-  def all: Seq[QueryDef] = Seq(s1, s8, s9, s10)
+  /** S11 — hive-partitioned corpus write + partition-pruned re-read:
+    * the layout decision that makes 100 TB queryable. A read filtered
+    * to one `lang` must prune at the PARTITION level (the filter shows
+    * up in the scan's PartitionFilters, so non-matching directories
+    * are never listed into tasks — zero bytes read from them), not as
+    * a post-scan row filter. Gate: pruning visible in the plan AND
+    * per-partition counts survive the round-trip.
+    */
+  val s11 = QueryDef.rowsOnly("s11_partitioned_write") { (s, d) =>
+    val docs = graft.Tables.documents(s, d)
+    val out = s"$fixtureDir/part_docs"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    val back = s.read.parquet(out)
+    val en = back.filter(col("lang") === "en")
+    val planStr = en.queryExecution.executedPlan.toString
+    val pruned = planStr.contains("PartitionFilters") &&
+      planStr.replaceAll("#\\d+", "").contains("(lang = en)")
+    val nEn = en.count()
+    val nEnOrig = docs.filter(col("lang") === "en").count()
+    val nAll = back.count()
+    val nAllOrig = docs.count()
+    val spark = s; import spark.implicits._
+    Seq((nEn, nAll, pruned))
+      .toDF("n_en", "n_total", "pruned")
+      .filter(col("pruned") && col("n_en") === nEnOrig &&
+        col("n_total") === nAllOrig && col("n_en") > 0)
+  }
+
+  /** S12 — dynamic-partition-overwrite upsert: re-land ONE partition of
+    * a partitioned table without touching the others. `partitionOverwriteMode
+    * =dynamic` + `mode(Overwrite)` replaces ONLY partitions present in
+    * the incoming frame — the production shape for re-crawling one
+    * day/lang of a 100 TB corpus (static overwrite would truncate the
+    * whole table; append would duplicate). Gate: every file in the
+    * untouched partitions is byte-identical (same name, size, mtime),
+    * the target partition's content is the NEW version, and total
+    * counts reconcile.
+    */
+  val s12 = QueryDef.rowsOnly("s12_partition_upsert") { (s, d) =>
+    val docs = graft.Tables.documents(s, d)
+    val out = s"$fixtureDir/upsert_docs"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(out))
+        .filter(f => f.getName.startsWith("part-"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified()))
+        .toMap
+    }
+    val before = fileState()
+    // recrawl of the `en` slice: text re-extracted (suffix marks v2)
+    val recrawl = docs.filter(col("lang") === "en")
+      .withColumn("text", concat(col("text"), lit(" v2")))
+    recrawl.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("lang").parquet(out)
+    val after = fileState()
+    val enPrefix = s"${new java.io.File(out).getAbsolutePath}/lang=en/"
+    val beforeOther = before.view.filterKeys(!_.startsWith(enPrefix)).toMap
+    val afterOther = after.view.filterKeys(!_.startsWith(enPrefix)).toMap
+    val othersUntouched = beforeOther == afterOther && beforeOther.nonEmpty
+    val back = s.read.parquet(out)
+    val nEnV2 = back.filter(col("lang") === "en" &&
+      col("text").endsWith(" v2")).count()
+    val nEn = back.filter(col("lang") === "en").count()
+    val nEnOrig = docs.filter(col("lang") === "en").count()
+    val nTotal = back.count()
+    val spark = s; import spark.implicits._
+    Seq((nEnV2, nTotal, othersUntouched))
+      .toDF("n_en_v2", "n_total", "others_untouched")
+      .filter(col("others_untouched") &&
+        col("n_en_v2") === nEnOrig && col("n_en_v2") === nEn &&
+        col("n_total") === docs.count() && col("n_en_v2") > 0)
+  }
+
+  def all: Seq[QueryDef] = Seq(s1, s8, s9, s10, s11, s12)
 }

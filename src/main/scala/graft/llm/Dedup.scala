@@ -805,6 +805,122 @@ object Dedup {
       simhashDedup(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
   }
 
+  /** INCREMENTAL dedup: drop each doc of a NEW batch that near-dups
+    * (exact n-gram Jaccard ≥ `threshold`) any existing-corpus doc or
+    * any smaller-id batch doc — WITHOUT ever pairing the corpus
+    * against itself. This is the production ingest shape: the corpus
+    * is already deduped; re-checking its internal pairs on every
+    * batch would be O(corpus²) forever.
+    *
+    * Plan shape at 100 TB: the batch's prefix-gram table is tiny (a
+    * day's crawl) and BROADCASTS; the corpus side streams through one
+    * scan → explode → prefix filter → broadcast-hash-join probe. No
+    * corpus-corpus candidate is ever generated (the probe side is
+    * batch-only), and the only corpus-sized aggregate is the gram-df
+    * table — which a production deployment maintains incrementally as
+    * a side table rather than recomputing (recomputed here; any
+    * CONSISTENT global gram order keeps the AllPairs prefix bound
+    * exact, df order just maximizes pruning). Verification fetches
+    * shingle sets for candidate ids only (left-semi into the kernel
+    * scan).
+    *
+    * Requires all batch ids > all corpus ids (ingest sequence ids do
+    * this for free); enforced with a cheap agg.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gramsC = shingleHashes(corpus, idCol, textCol)
+    val gramsB = shingleHashes(batch, idCol, textCol).localCheckpoint(eager = true)
+    val bounds = gramsC.agg(max(col(idCol))).head()
+    val bBounds = gramsB.agg(min(col(idCol))).head()
+    require(bounds.isNullAt(0) || bBounds.isNullAt(0) ||
+      bounds.getLong(0) < bBounds.getLong(0),
+      "incrementalDedup needs all batch ids > all corpus ids " +
+        s"(corpus max ${bounds.get(0)}, batch min ${bBounds.get(0)})")
+    val gramsAll = gramsC.unionByName(gramsB)
+    val g = gramsAll.select(col(idCol), explode(col("sh")).as("gram"))
+    val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    // same float-boundary slack as ngramJaccardOnGrams (see there)
+    def ranked(grams: DataFrame): DataFrame =
+      grams.select(col(idCol), explode(col("sh")).as("gram"))
+        .join(dfreq, "gram")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("df"), col("gram"))))
+        .join(grams.select(col(idCol), size(col("sh")).as("set_sz")), Seq(idCol))
+        .filter(col("rk") <=
+          col("set_sz") - ceil(lit(threshold) * col("set_sz") - 1e-9) + 1)
+        .select(col(idCol), col("gram"), col("set_sz"))
+    val probe = broadcast(ranked(gramsB).alias("y"))
+    val cands = ranked(gramsAll).alias("x").join(probe,
+        col("x.gram") === col("y.gram") &&
+          col(s"x.$idCol") < col(s"y.$idCol") &&
+          col("x.set_sz") >= lit(threshold) * col("y.set_sz") - 1e-9 &&
+          col("y.set_sz") >= lit(threshold) * col("x.set_sz") - 1e-9)
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    val candIds = cands.select(col("doc_a").as(idCol))
+      .unionByName(cands.select(col("doc_b").as(idCol))).distinct()
+    val sets = gramsAll.join(candIds, Seq(idCol), "left_semi")
+    val drops = verifyJaccard(cands, sets, idCol)
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_b").as(idCol)).distinct()
+    batch.select(col(idCol)).join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental-ingest oracle: corpus = docs with id % 3 ≠ 0 (already
+    * deduped in-place for the test's purposes); batch = the id % 3 = 0
+    * docs re-keyed +2,000,000 (genuinely new) plus re-crawls of corpus
+    * docs with id % 5 = 0 re-keyed +3,000,000 (guaranteed dups).
+    * DuckDB brute-forces the full ≥0.9 pair graph over corpus ∪ batch;
+    * because every batch id exceeds every corpus id, "batch doc pairs
+    * with any smaller id" is exactly `pb ∈ batch` on (pa < pb) pairs —
+    * the same greedy keep-first policy the Spark side implements
+    * without ever generating a corpus-corpus pair.
+    */
+  val incrementalQ = QueryDef.sql(
+    "d9_incremental_dedup",
+    """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+      |batch AS (SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      |          WHERE doc_id % 3 = 0
+      |          UNION ALL
+      |          SELECT doc_id + 3000000, text FROM documents
+      |          WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0),
+      |u AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |         FROM u WHERE text IS NOT NULL),
+      |tri AS (SELECT doc_id,
+      |               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |                    ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |               END AS sh
+      |        FROM toks),
+      |shd AS (SELECT doc_id, unnest(sh) AS s FROM tri),
+      |cnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS ix
+      |          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |prs AS (SELECT pa, pb FROM inter
+      |        JOIN cnt ca ON pa = ca.doc_id JOIN cnt cb ON pb = cb.doc_id
+      |        WHERE ix * 1.0 / (ca.c + cb.c - ix) >= 0.9),
+      |drops AS (SELECT DISTINCT pb AS id FROM prs WHERE pb >= 2000000)
+      |SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_checksum
+      |FROM batch WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin) {
+    (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+        .unionByName(
+          docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+      incrementalDedup(corpus, batch, "doc_id", "text", threshold = 0.9)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("kept_checksum"))
+  }
+
   def all: Seq[QueryDef] =
-    Seq(exact, minhash, simhashQ, simhashDedupQ, ngramJaccardQ, clusters, dropQ)
+    Seq(exact, minhash, simhashQ, simhashDedupQ, ngramJaccardQ, clusters,
+      dropQ, incrementalQ)
 }

@@ -668,7 +668,49 @@ object TextAnalysis {
         .filter(col("df") >= 2)
   }
 
+  /** T11 — heavy hitters: exact top-20 tokens (oracle-compared), with
+    * the mergeable Count-Min-Sketch path validated against them as the
+    * in-query golden gate. At 100 TB the exact token aggregate
+    * shuffles the whole vocabulary; the CMS is the scale path — a
+    * fixed-width mergeable summary built map-side (partial→final
+    * `count_min_sketch` aggregate, ONE small binary crosses the
+    * shuffle) that answers point frequencies within ±ε·N. The gate
+    * enforces the sketch's one-sided guarantee on every returned
+    * hitter: est ≥ exact (never undercounts) and est ≤ exact + ε·N
+    * (ε = 0.01; deterministic seed, so this is stable, not flaky).
+    */
+  val heavyHitters = QueryDef.sql(
+    "t11_heavy_hitters",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+      |            FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT token, count(*) AS cnt FROM tok
+      |      WHERE token <> '' GROUP BY token)
+      |SELECT token, cnt FROM c
+      |ORDER BY cnt DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(20)
+    val eps = 0.01
+    val sketchRow = toks.agg(
+      count_min_sketch(col("token"), lit(eps), lit(0.99), lit(42))
+        .as("cms"), count(lit(1)).as("n")).head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchRow.getAs[Array[Byte]]("cms")))
+    val n = sketchRow.getAs[Long]("n")
+    val top = exact.collect()
+    val bound = eps * n
+    val ok = top.nonEmpty && top.forall { r =>
+      val est = cms.estimateCount(r.getAs[String]("token"))
+      val cnt = r.getAs[Long]("cnt")
+      est >= cnt && est <= cnt + bound
+    }
+    exact.filter(lit(ok))
+  }
+
   def all: Seq[QueryDef] =
     Seq(langId, quality, fingerprint, tokenBudget, rollingFp, repetition,
-      piiRedact, tfidf, postings, compression)
+      piiRedact, tfidf, postings, compression, heavyHitters)
 }

@@ -372,5 +372,70 @@ object Streams {
       .filter(col("exact_match") && col("n_pairs") > 0)
   }
 
-  def all: Seq[QueryDef] = Seq(st1, st2, st3, st4, st5, st6, st7)
+  /** ST8 — checkpointed exactly-once recovery over a FILE source: run a
+    * stream over batch-1 files into a parquet sink with a checkpoint,
+    * stop it, drop batch-2 files in, restart from the SAME checkpoint
+    * and sink. The restarted query must process ONLY the new files
+    * (the checkpoint's source offsets record batch 1 as committed) —
+    * the sink must end up with each event exactly once: no duplicates
+    * after the restart, and nothing missing. Without the checkpoint a
+    * restart would re-ingest batch 1 — duplicated training docs at
+    * scale. This is the operational contract of every production
+    * ingest stream. (Memory sink can't recover from a checkpoint; the
+    * file sink is the recovery-capable production shape.)
+    */
+  val st8 = QueryDef.fixture("st8_stream_checkpoint_recovery") { (s, d) =>
+    import s.implicits._
+    val base = graft.util.Fixtures.dir + "/st8"
+    val srcDir = new java.io.File(s"$base/src")
+    val ckptDir = s"$base/ckpt"
+    val outDir = s"$base/out"
+    // fresh fixture dirs per run (stale checkpoints would skip batch 1)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    srcDir.mkdirs()
+    val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val half1 = ev.filter(col("event_id") % 2 === 0)
+    val half2 = ev.filter(col("event_id") % 2 =!= 0)
+    def addFiles(df: org.apache.spark.sql.DataFrame, tmp: String): Unit = {
+      df.coalesce(2).write.mode("overwrite").json(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .foreach { f =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(srcDir, f.getName).toPath)
+        }
+    }
+    val schema = ev.schema
+    def runOnce(): Seq[Long] = {
+      val q = s.readStream.schema(schema).json(srcDir.toString)
+        .writeStream.format("parquet")
+        .outputMode(OutputMode.Append())
+        .option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.read.parquet(outDir).select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+    }
+    addFiles(half1, s"$base/tmp1")
+    val ids1 = runOnce()
+    addFiles(half2, s"$base/tmp2")
+    val idsAll = runOnce()
+    val allIds = ev.select("event_id").collect().map(_.getLong(0)).toSet
+    val half1Ids = half1.select("event_id").collect().map(_.getLong(0)).toSet
+    val firstRunExact = ids1.toSet == half1Ids && ids1.size == half1Ids.size
+    val noDups = idsAll.size == idsAll.toSet.size
+    val complete = idsAll.toSet == allIds
+    Seq((ids1.size.toLong, (idsAll.size - ids1.size).toLong,
+        firstRunExact && noDups && complete))
+      .toDF("n_run1", "n_run2", "exactly_once")
+      .filter(col("exactly_once") && col("n_run1") > 0 && col("n_run2") > 0)
+  }
+
+  def all: Seq[QueryDef] = Seq(st1, st2, st3, st4, st5, st6, st7, st8)
 }
