@@ -19,6 +19,8 @@ object SparkEntry {
       graft.ops.RangeJoin.all ++
       graft.ops.Splits.all ++
       graft.ops.Skew.all ++
+      graft.ops.Cdc.all ++
+      graft.ops.BloomJoin.all ++
       graft.stats.FDR.all ++
       graft.ml.Scoring.all ++
       graft.ml.Train.all ++

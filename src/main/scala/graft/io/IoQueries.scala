@@ -215,5 +215,84 @@ object IoQueries {
         col("n_total") === docs.count() && col("n_en_v2") > 0)
   }
 
-  def all: Seq[QueryDef] = Seq(s1, s8, s9, s10, s11, s12)
+  /** S13 — small-file compaction: the table-maintenance pass every
+    * long-lived 100 TB corpus needs. Streaming/incremental ingest
+    * leaves thousands of tiny files per partition; every later query
+    * then pays per-file open/footer costs and the scheduler drowns in
+    * splits. Compaction = read partition-parallel, `repartition` on
+    * the partition key to target-size outputs, rewrite. Gate: the
+    * compacted table has materially fewer files AND byte-identical
+    * content (count + id/char checksums match the fragmented
+    * original). `maxRecordsPerFile` bounds file size from above;
+    * repartition(1 per lang here — sf-sized) bounds the count from
+    * below. In production the repartition factor is
+    * ceil(partition_bytes / target_file_bytes) per partition.
+    */
+  val s13 = QueryDef.rowsOnly("s13_compaction") { (s, d) =>
+    val docs = graft.Tables.documents(s, d)
+    val frag = s"$fixtureDir/frag_docs"
+    val compact = s"$fixtureDir/compact_docs"
+    // simulate a drip-fed table: many tiny files inside each partition
+    docs.repartition(32).write.mode("overwrite")
+      .partitionBy("lang").parquet(frag)
+    def nFiles(dir: String): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.startsWith("part-"))
+    }
+    val before = nFiles(frag)
+    val fragDf = s.read.parquet(frag)
+    fragDf.repartition(col("lang"))
+      .write.mode("overwrite").option("maxRecordsPerFile", 2000000)
+      .partitionBy("lang").parquet(compact)
+    val after = nFiles(compact)
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(col("doc_id")), sum(col("n_chars"))).head()
+    val (a, b) = (sig(fragDf), sig(s.read.parquet(compact)))
+    val spark = s; import spark.implicits._
+    Seq((before, after, a == b))
+      .toDF("files_before", "files_after", "content_identical")
+      .filter(col("content_identical") && col("files_after") * 4 <= col("files_before") &&
+        col("files_after") > 0)
+  }
+
+  /** S14 — range-clustered layout: write the corpus range-partitioned +
+    * sorted on a scan predicate column so parquet min/max stats make
+    * selective reads touch FEW FILES. At 100 TB clustering is what
+    * turns "filter n_chars BETWEEN a AND b" from a full scan into a
+    * handful of file reads — partition pruning handles the partition
+    * key (s11), clustering handles everything else. Gate: a selective
+    * range filter over the clustered table reads ≤ 1/4 of the files
+    * (measured via input_file_name, i.e. files that actually produced
+    * rows post row-group skipping), while the same filter over an
+    * unclustered (hash-shuffled) copy touches ALL of them; counts
+    * match between both reads.
+    */
+  val s14 = QueryDef.rowsOnly("s14_clustered_layout") { (s, d) =>
+    val docs = graft.Tables.documents(s, d)
+    val clustered = s"$fixtureDir/clustered_docs"
+    val unclustered = s"$fixtureDir/unclustered_docs"
+    val nf = 16
+    docs.repartitionByRange(nf, col("n_chars"))
+      .sortWithinPartitions("n_chars")
+      .write.mode("overwrite").parquet(clustered)
+    docs.repartition(nf, col("doc_id"))
+      .write.mode("overwrite").parquet(unclustered)
+    val lo = 100L; val hi = 150L
+    def touched(dir: String): (Long, Long) = {
+      val hit = s.read.parquet(dir)
+        .filter(col("n_chars").between(lo, hi))
+        .select(input_file_name().as("f"), col("doc_id"))
+      (hit.select("f").distinct().count(), hit.count())
+    }
+    val (filesC, nC) = touched(clustered)
+    val (filesU, nU) = touched(unclustered)
+    val spark = s; import spark.implicits._
+    Seq((filesC, filesU, nC))
+      .toDF("files_clustered", "files_unclustered", "n_rows")
+      .filter(col("n_rows") === nU && col("n_rows") > 0 &&
+        col("files_clustered") * 4 <= col("files_unclustered"))
+  }
+
+  def all: Seq[QueryDef] = Seq(s1, s8, s9, s10, s11, s12, s13, s14)
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter semi-join reduction: probe a compact dim-side key
+  * sketch on the fact scan BEFORE the join's exchange, so fact rows
+  * that cannot match never enter the shuffle.
+  *
+  * At 100 TB this is the difference between shuffling the whole fact
+  * table into a semi-join and shuffling only the ~selectivity fraction
+  * that can match: the bloom filter is a few MB for tens of millions
+  * of dim keys (built with one dim-side aggregate), ships to every
+  * executor once, and is consulted per-row inside the scan stage —
+  * whole-stage-codegen'd around the UDF call, no exchange added.
+  * False positives (rate `fpp`) are removed by the real join that
+  * follows, so the RESULT is exactly the semi-join — the bloom only
+  * prunes, never decides. (Spark's own runtime bloom-filter join
+  * inserts the same shape automatically when statistics allow; this
+  * operator is the explicit form for when they don't — e.g. a dim
+  * side produced by an opaque upstream stage.)
+  */
+object BloomJoin {
+
+  /** Fact rows whose `factKey` passes a bloom built from `dimKey`,
+    * then exactly semi-joined. `fpp` trades sketch size for prune
+    * precision. The dim side is scanned twice (once to size + build
+    * the sketch, once for the exact join) — dim is the SMALL side by
+    * contract, the win is never scanning excess FACT rows into the
+    * exchange.
+    */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, fpp: Double = 0.01): DataFrame = {
+    val nDim = dim.select(dimKey).distinct().count()
+    require(nDim > 0, "bloomSemiJoin: empty dim side")
+    val bloom = dim.stat.bloomFilter(dimKey, nDim, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    fact.filter(mightContain(col(factKey)))
+      .join(dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey),
+        "left_semi")
+  }
+
+  /** Oracle: plain semi-join aggregate — the bloom must be invisible
+    * in the result. The in-query gate asserts the prune is REAL: the
+    * bloom passes at most (match-fraction + 2·fpp) of fact rows, i.e.
+    * materially fewer than all of them for a selective dim.
+    */
+  val p6 = QueryDef.sql(
+    "p6_bloom_semi_join",
+    """SELECT l_returnflag,
+      |       count(*) AS n_rows,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    val fact = Tables.load(s, d, "lineitem")
+    val dim = Tables.load(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val joined = bloomSemiJoin(fact, dim, "l_orderkey", "o_orderkey")
+    // gate: the bloom prefilter must prune. Key-column-only scans —
+    // both counts are column-pruned and cheap relative to the join.
+    val nFact = fact.select("l_orderkey").count()
+    val nDim = dim.select("o_orderkey").distinct().count()
+    val bloom = dim.stat.bloomFilter("o_orderkey", nDim, 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mc = udf((k: java.lang.Long) =>
+      k != null && bc.value.mightContainLong(k))
+    val nPass = fact.select("l_orderkey").filter(mc(col("l_orderkey"))).count()
+    val nMatch = joined.count()
+    require(nPass <= nMatch + (0.02 * nFact).toLong && nPass < nFact,
+      s"bloom prune ineffective: $nPass of $nFact passed, $nMatch true matches")
+    joined.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
+  def all: Seq[QueryDef] = Seq(p6)
+}

@@ -715,7 +715,41 @@ object RelationalQueries {
         Seq("l_orderkey", "l_linenumber"), k = 1.5)
   }
 
+  /** A15 — pivot/unpivot round-trip. Pivot with an EXPLICIT value list
+    * (`pivot(col, values)`): at 100 TB letting Spark discover pivot
+    * values costs a full distinct scan before planning AND risks
+    * blowing the column limit on a high-cardinality key; pinning the
+    * values keeps it one pass (a single partial→final aggregate with
+    * `count(CASE WHEN …)` legs — exactly the oracle's conditional-agg
+    * plan, no extra shuffle vs a plain groupBy). The unpivot (`stack`)
+    * restores long form scan-locally; the query returns the round-trip
+    * so the oracle checks pivot AND unpivot in one comparison.
+    */
+  val a15 = QueryDef.sql(
+    "a15_pivot_unpivot",
+    """WITH piv AS (
+      |  SELECT lang,
+      |         count(CASE WHEN source = 'src0' THEN 1 END) AS src0,
+      |         count(CASE WHEN source = 'src1' THEN 1 END) AS src1,
+      |         count(CASE WHEN source = 'src2' THEN 1 END) AS src2,
+      |         count(CASE WHEN source = 'src3' THEN 1 END) AS src3
+      |  FROM documents WHERE lang IS NOT NULL GROUP BY lang)
+      |SELECT lang, src AS source, n_docs FROM (
+      |  SELECT lang, 'src0' AS src, src0 AS n_docs FROM piv
+      |  UNION ALL SELECT lang, 'src1', src1 FROM piv
+      |  UNION ALL SELECT lang, 'src2', src2 FROM piv
+      |  UNION ALL SELECT lang, 'src3', src3 FROM piv) u
+      |WHERE n_docs > 0""".stripMargin) { (s, d) =>
+    val srcs = Seq("src0", "src1", "src2", "src3")
+    val piv = Tables.documents(s, d).filter(col("lang").isNotNull)
+      .groupBy("lang").pivot("source", srcs).agg(count(lit(1)))
+    piv.select(col("lang"), expr(
+        s"stack(${srcs.size}, " +
+          srcs.map(v => s"'$v', `$v`").mkString(", ") + ") as (source, n_docs)"))
+      .filter(col("n_docs") > 0)
+  }
+
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, a1, o2, o3, a4, a5, a13, o5,
-    e1, e2, e5, k1, a14, scalars)
+    e1, e2, e5, k1, a14, a15, scalars)
 }
