@@ -508,6 +508,41 @@ object Similarity {
         col("mean_abs_err") <= scales.max / 2 && col("n_queries") > 0)
   }
 
+  /** V8 — per-group embedding centroids: mean vector per label via
+    * posexplode → (label, dim)-keyed partial→final average. The
+    * relational form is the scale path: nothing but (label, dim, sum,
+    * count) partials cross the shuffle — labels × dims rows total,
+    * independent of corpus size — where a collect-and-average would
+    * ship every vector to the driver. Floats widen to double BEFORE
+    * summation (per-dim float accumulation loses ~3 digits at 1e8
+    * rows). This is the centroid step IVF training runs per
+    * iteration, exposed as its own operator for corpus analytics
+    * (per-source drift, per-label means for whitening).
+    */
+  val centroids = QueryDef.sql(
+    "v8_label_centroids",
+    """WITH e AS (
+      |  SELECT label,
+      |         generate_subscripts(embedding, 1) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS v
+      |  FROM embeddings),
+      |c AS (SELECT label, dim, avg(v) AS m FROM e GROUP BY label, dim)
+      |SELECT CAST(label AS BIGINT) AS label,
+      |       count(*) AS n_dims,
+      |       round(sum(abs(m)), 4) AS centroid_l1
+      |FROM c GROUP BY label""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(col("label"), (col("dim0") + 1).as("dim"),
+        col("v").cast("double").as("v"))
+    e.groupBy("label", "dim").agg(avg(col("v")).as("m"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_dims"),
+        round(sum(abs(col("m"))), 4).as("centroid_l1"))
+      .select(col("label").cast("long").as("label"), col("n_dims"),
+        col("centroid_l1"))
+  }
+
   def all: Seq[QueryDef] =
-    Seq(brute, bruteK, ann, nearDup, embDedup, ivf, quantized)
+    Seq(brute, bruteK, ann, nearDup, embDedup, ivf, quantized, centroids)
 }

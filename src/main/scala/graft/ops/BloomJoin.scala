@@ -61,15 +61,18 @@ object BloomJoin {
     val dim = Tables.load(s, d, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
     val joined = bloomSemiJoin(fact, dim, "l_orderkey", "o_orderkey")
-    // gate: the bloom prefilter must prune. Key-column-only scans —
-    // both counts are column-pruned and cheap relative to the join.
-    val nFact = fact.select("l_orderkey").count()
+    // gate: the bloom prefilter must prune. ONE key-column-only scan
+    // computes total and pass counts together (column-pruned, cheap
+    // relative to the join).
     val nDim = dim.select("o_orderkey").distinct().count()
     val bloom = dim.stat.bloomFilter("o_orderkey", nDim, 0.01)
     val bc = s.sparkContext.broadcast(bloom)
     val mc = udf((k: java.lang.Long) =>
       k != null && bc.value.mightContainLong(k))
-    val nPass = fact.select("l_orderkey").filter(mc(col("l_orderkey"))).count()
+    val gateRow = fact.select("l_orderkey")
+      .agg(count(lit(1)).as("n"),
+        sum(when(mc(col("l_orderkey")), 1L).otherwise(0L)).as("p")).head()
+    val (nFact, nPass) = (gateRow.getLong(0), gateRow.getLong(1))
     val nMatch = joined.count()
     require(nPass <= nMatch + (0.02 * nFact).toLong && nPass < nFact,
       s"bloom prune ineffective: $nPass of $nFact passed, $nMatch true matches")

@@ -749,7 +749,70 @@ object RelationalQueries {
       .filter(col("n_docs") > 0)
   }
 
+  /** A16 — ROLLUP hierarchy aggregate: detail + per-flag subtotal +
+    * grand total in ONE pass. Spark expands rollup grouping sets
+    * inside a single partial→final aggregate (an Expand node feeding
+    * one exchange) — at 100 TB that is one shuffle instead of the
+    * three a UNION-of-aggregates would pay, and the Expand multiplies
+    * rows AFTER map-side partial aggregation has collapsed them.
+    * grouping_id disambiguates subtotal rows from genuine nulls;
+    * null grouping keys are coalesced to 'ALL' on both sides so the
+    * driver's column-sorted hash sees identical values.
+    */
+  val a16 = QueryDef.sql(
+    "a16_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       GROUPING(l_returnflag, l_linestatus) AS gid,
+      |       count(*) AS n,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid").cast("long").as("gid"), col("n"), col("sum_qty"))
+  }
+
+  /** J9 — TPC-H-Q3-shaped star join: selective dim (one mktsegment of
+    * customer) BROADCAST into orders, the result broadcast again into
+    * the lineitem scan — the fact table never shuffles. At 100 TB the
+    * fact side dominates; the explicit broadcast() hints pin the plan
+    * even when dim statistics are missing (fresh tables, no ANALYZE).
+    * The only exchange left is the final few-group aggregate's —
+    * after map-side partial aggregation has collapsed the fact rows
+    * to (groups × tasks) partials.
+    */
+  val j9 = QueryDef.sql(
+    "j9_star_join",
+    """SELECT o_orderpriority,
+      |       count(*) AS n,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    val cust = Tables.load(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.load(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val dim = broadcast(ord.join(broadcast(cust),
+      col("o_custkey") === col("c_custkey")))
+    li.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, a1, o2, o3, a4, a5, a13, o5,
-    e1, e2, e5, k1, a14, a15, scalars)
+    e1, e2, e5, k1, a14, a15, a16, j9, scalars)
 }

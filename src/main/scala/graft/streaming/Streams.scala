@@ -437,5 +437,71 @@ object Streams {
       .filter(col("exactly_once") && col("n_run1") > 0 && col("n_run2") > 0)
   }
 
-  def all: Seq[QueryDef] = Seq(st1, st2, st3, st4, st5, st6, st7, st8)
+  /** ST9 — idempotent foreachBatch sink: the production pattern for
+    * streaming into a partitioned table when the built-in file sink's
+    * append-only contract isn't enough (upserts, compaction, dynamic
+    * overwrite). foreachBatch hands each micro-batch to arbitrary
+    * batch-DataFrame code; exactly-once then rests on that code being
+    * IDEMPOTENT per (batch content), because a recovering stream MAY
+    * redeliver the last uncommitted batch. Here the sink writes each
+    * batch's event_type partitions via dynamic partition overwrite —
+    * replaying a batch rewrites the same partitions to the same
+    * content instead of duplicating rows (append would double them).
+    * The pattern requires batch boundaries aligned with partition
+    * boundaries (a batch = one ingest day/source — here: one batch,
+    * whole table); a partition split across batches would be
+    * truncated to the last batch's slice.
+    * Gate: after the stream finishes, REPLAY the last batch through
+    * the very same sink function; the table's count and checksum must
+    * be unchanged, and must equal the batch-computed expectation.
+    */
+  val st9 = QueryDef.fixture("st9_foreachbatch_upsert") { (s, d) =>
+    import s.implicits._
+    val base = graft.util.Fixtures.dir + "/st9"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(base))
+    val outDir = s"$base/table"
+    val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+    // the idempotent sink: per-batch dynamic partition overwrite.
+    // Redelivery is replayed from captured rows, not the micro-batch
+    // DataFrame — after the stream stops, a batch frame's lineage
+    // points at a dead incremental source.
+    var lastRows: Seq[(Long, String, Double)] = Nil
+    def sink(batch: DataFrame, batchId: Long): Unit = {
+      lastRows = batch.collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      batch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(outDir)
+    }
+    val stream = MemoryStream[(Long, String, Double)](s)
+    stream.addData(ev.collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))))
+    val q = stream.toDF().toDF("event_id", "event_type", "value")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch(sink _)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def state(): (Long, Long) = {
+      val r = s.read.parquet(outDir)
+        .agg(count(lit(1)), sum(col("event_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val after1 = state()
+    // simulate redelivery of the final batch after a recovery
+    sink(lastRows.toDF("event_id", "event_type", "value"), -1L)
+    val after2 = state()
+    val expRow = ev.agg(count(lit(1)), sum(col("event_id"))).head()
+    val expected = (expRow.getLong(0), expRow.getLong(1))
+    Seq((after1._1, after2._1, after1 == expected && after2 == expected))
+      .toDF("n_after_stream", "n_after_replay", "idempotent")
+      .filter(col("idempotent") && col("n_after_stream") > 0)
+  }
+
+  def all: Seq[QueryDef] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9)
 }
