@@ -920,7 +920,55 @@ object Dedup {
           sum(col("doc_id")).cast("long").as("kept_checksum"))
   }
 
+  /** Edit-distance (Levenshtein ≤ maxDist) pair join with EXACT-recall
+    * length blocking: |len(a) − len(b)| > d implies distance > d, so
+    * joining length-bucket b against buckets b−d..b+d (via a bounded
+    * explode on one side) loses no true pair — the only candidates
+    * ever materialized are same-/near-length ones. The levenshtein
+    * verify runs on candidates only. Length blocking alone is a weak
+    * prune on a corpus where many docs share a length; at 100 TB
+    * compose it with an approximate candidate source (the LSH/SimHash
+    * band joins in this file) and use this operator as the exact
+    * verify — the join shape is identical, only the candidate
+    * generator changes.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, keyCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    val a = docs.select(col(idCol).as("doc_a"), col(keyCol).as("key_a"),
+      length(col(keyCol)).as("len_a"))
+    val b = docs.select(col(idCol).as("doc_b"), col(keyCol).as("key_b"),
+      explode(sequence(length(col(keyCol)) - maxDist,
+        length(col(keyCol)) + maxDist)).as("len_a"))
+    a.join(b, Seq("len_a"))
+      .filter(col("doc_a") < col("doc_b") &&
+        levenshtein(col("key_a"), col("key_b")) <= maxDist)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("key_a"), col("key_b")).cast("long").as("dist"))
+  }
+
+  /** d10 oracle: brute-force levenshtein over all pairs (with the same
+    * length prune, which DuckDB needs for tractability and which is
+    * recall-lossless — see [[editDistancePairs]]). Keys are 30-char
+    * text prefixes: long enough that a ≤2 edit distance means a real
+    * near-duplicate head, short enough for the O(k²) DP cell cost.
+    */
+  val editDistQ = QueryDef.sql(
+    "d10_edit_distance_pairs",
+    """WITH s AS (SELECT doc_id, substr(text, 1, 30) AS p
+      |           FROM documents WHERE text IS NOT NULL)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+      |FROM s a JOIN s b
+      |  ON a.doc_id < b.doc_id
+      | AND abs(len(a.p) - len(b.p)) <= 2
+      | AND levenshtein(a.p, b.p) <= 2""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), substring(col("text"), 1, 30).as("p"))
+    editDistancePairs(docs, "doc_id", "p", maxDist = 2)
+  }
+
   def all: Seq[QueryDef] =
     Seq(exact, minhash, simhashQ, simhashDedupQ, ngramJaccardQ, clusters,
-      dropQ, incrementalQ)
+      dropQ, incrementalQ, editDistQ)
 }

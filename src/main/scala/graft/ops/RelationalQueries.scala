@@ -812,7 +812,50 @@ object RelationalQueries {
           .as("revenue"))
   }
 
+  /** E6 — rolling time-range window: per-user trailing-1-hour event
+    * count and value sum (`RANGE BETWEEN 1h PRECEDING AND CURRENT
+    * ROW` over event time). The window partitions by user_id — state
+    * is one user's in-range frame, parallelism is the user count, no
+    * global ordering anywhere; this is the bounded-memory shape that
+    * survives 100 TB of events (a global ORDER BY ts window would
+    * single-task). All-integer rolling stats (floor(value) with an
+    * explicit NaN guard) so the per-row values hash identically
+    * cross-engine; the query then rolls 60k per-event results into
+    * one checksum row so the comparison is O(1) regardless of sf.
+    */
+  val e6 = QueryDef.sql(
+    "e6_rolling_window",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t,
+      |         CASE WHEN NOT isnan(value) THEN CAST(floor(value) AS BIGINT)
+      |              ELSE 0 END AS v
+      |  FROM events WHERE ts IS NOT NULL),
+      |r AS (
+      |  SELECT user_id,
+      |         count(*) OVER w AS roll_n,
+      |         sum(v) OVER w AS roll_v
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t
+      |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+      |SELECT count(*) AS n_events,
+      |       CAST(sum(roll_n) AS BIGINT) AS sum_roll_n,
+      |       CAST(max(roll_n) AS BIGINT) AS max_roll_n,
+      |       CAST(sum(roll_v) AS BIGINT) AS sum_roll_v
+      |FROM r""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        when(!isnan(col("value")), floor(col("value")).cast("long"))
+          .otherwise(0L).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    e.select(count(lit(1)).over(w).as("roll_n"), sum(col("v")).over(w).as("roll_v"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("roll_n")).cast("long").as("sum_roll_n"),
+        max(col("roll_n")).cast("long").as("max_roll_n"),
+        sum(col("roll_v")).cast("long").as("sum_roll_v"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, a1, o2, o3, a4, a5, a13, o5,
-    e1, e2, e5, k1, a14, a15, a16, j9, scalars)
+    e1, e2, e5, e6, k1, a14, a15, a16, j9, scalars)
 }
