@@ -830,14 +830,20 @@ object Dedup {
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val gramsC = shingleHashes(corpus, idCol, textCol)
-    val gramsB = shingleHashes(batch, idCol, textCol).localCheckpoint(eager = true)
-    val bounds = gramsC.agg(max(col(idCol))).head()
-    val bBounds = gramsB.agg(min(col(idCol))).head()
+    // id-bound check on the RAW frames (no shingling), then shingle the
+    // corpus exactly ONCE: the gram frame feeds dfreq, the ranked main
+    // side, and the verify sets — without the checkpoint each consumer
+    // would re-scan and re-shingle the whole corpus (3× the dominant
+    // cost). Blocks go to MEMORY_AND_DISK; at extreme scale swap for a
+    // reliable checkpoint dir — the plan shape is unchanged.
+    val bounds = corpus.agg(max(col(idCol)).cast("long")).head()
+    val bBounds = batch.agg(min(col(idCol)).cast("long")).head()
     require(bounds.isNullAt(0) || bBounds.isNullAt(0) ||
       bounds.getLong(0) < bBounds.getLong(0),
       "incrementalDedup needs all batch ids > all corpus ids " +
         s"(corpus max ${bounds.get(0)}, batch min ${bBounds.get(0)})")
+    val gramsC = shingleHashes(corpus, idCol, textCol).localCheckpoint(eager = true)
+    val gramsB = shingleHashes(batch, idCol, textCol).localCheckpoint(eager = true)
     val gramsAll = gramsC.unionByName(gramsB)
     val g = gramsAll.select(col(idCol), explode(col("sh")).as("gram"))
     val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
