@@ -438,6 +438,58 @@ object Curation {
             .cast("long")).cast("long").as("chunk_checksum"))
   }
 
+  /** C8 — curriculum phase assignment: bucket the corpus into ordered
+    * training phases by a difficulty proxy (length here; quality score
+    * in production — same shape). The WRONG plan at 100 TB is
+    * `ntile(4) OVER (ORDER BY difficulty)` — a global-order window,
+    * one task sorts the corpus. The scale plan: exact quartile
+    * BOUNDARIES via the range-partitioned sort-select
+    * ([[graft.ops.RelationalQueries.exactQuantilesSorted]] — 6 rows
+    * reach the driver), then phase assignment is a scan-local CASE
+    * against three broadcast literals. Boundaries are Catalyst-rounded
+    * to 2 decimals on BOTH engines before comparison, so the
+    * phase-edge tie policy (`<=`) is bit-identical cross-engine.
+    * Unlike ntile, value ties land in ONE phase (no arbitrary split
+    * of equal-difficulty docs across phases) — phase sizes are
+    * near-equal, not forced-equal; the oracle checks the real sizes.
+    */
+  val curriculum = QueryDef.sql(
+    "c8_curriculum_phases",
+    """WITH b AS (SELECT round(quantile_cont(n_chars, 0.25), 2) AS b1,
+      |                  round(quantile_cont(n_chars, 0.50), 2) AS b2,
+      |                  round(quantile_cont(n_chars, 0.75), 2) AS b3
+      |           FROM documents),
+      |p AS (SELECT CAST(CASE WHEN n_chars <= b1 THEN 0
+      |                       WHEN n_chars <= b2 THEN 1
+      |                       WHEN n_chars <= b3 THEN 2
+      |                       ELSE 3 END AS BIGINT) AS phase,
+      |             n_chars, doc_id
+      |      FROM documents, b)
+      |SELECT phase, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM p GROUP BY phase""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val Seq(q1, q2, q3) = graft.ops.RelationalQueries
+      .exactQuantilesSorted(docs, "n_chars", Seq(0.25, 0.50, 0.75))
+    // Catalyst round for HALF_UP parity with the oracle's round()
+    val spark = s; import spark.implicits._
+    val Seq(b1, b2, b3) = Seq(q1, q2, q3).map { q =>
+      Seq(q).toDF("q").select(round(col("q"), 2)).head().getDouble(0)
+    }
+    docs.select(
+        when(col("n_chars") <= b1, 0)
+          .when(col("n_chars") <= b2, 1)
+          .when(col("n_chars") <= b3, 2)
+          .otherwise(3).cast("long").as("phase"),
+        col("n_chars"), col("doc_id"))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("chars"),
+        sum(col("doc_id")).cast("long").as("id_checksum"))
+  }
+
   def all: Seq[QueryDef] =
-    Seq(pipeline, budgetSample, sourceMix, packing, domainCap, chunking)
+    Seq(pipeline, budgetSample, sourceMix, packing, domainCap, chunking,
+      curriculum)
 }

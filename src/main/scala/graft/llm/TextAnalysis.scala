@@ -710,7 +710,54 @@ object TextAnalysis {
     exact.filter(lit(ok))
   }
 
+  /** T12 — per-source top terms: the GROUPED heavy-hitters problem.
+    * Global top-k (t11) has a sketch answer; per-group top-k at 100 TB
+    * must avoid the row_number window (one task per source — sources
+    * are few and huge). Two map-side-combinable aggregates instead:
+    * (source, token) → cnt (vocabulary-keyed, no skew pin), then
+    * per-source TOP-k through the bounded-buffer [[graft.ops
+    * .TopKSmallest]] aggregate — ≤k entries per (source, map task)
+    * cross the shuffle, independent of source size. Count-descending
+    * order rides the aggregator's ascending (rank, id) contract by
+    * embedding (10¹² − cnt, token) in the rank string; ties break on
+    * token, same as the oracle's ORDER BY cnt DESC, token.
+    */
+  val perSourceTopTerms = QueryDef.sql(
+    "t12_per_source_top_terms",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+      |             FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT source, token, count(*) AS cnt FROM tok
+      |      WHERE token <> '' GROUP BY source, token),
+      |k AS (SELECT * FROM c
+      |      QUALIFY row_number() OVER (PARTITION BY source
+      |                                 ORDER BY cnt DESC, token) <= 5)
+      |SELECT source, token, cnt FROM k""".stripMargin) { (s, d) =>
+    val counts = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val topk = udaf(new graft.ops.TopKSmallest(5),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    counts
+      .select(col("source"),
+        concat(lpad((lit(1000000000000L) - col("cnt")).cast("string"), 13, "0"),
+          lit("|"), col("token")).as("__rk"),
+        lit(0L).as("__id"), col("cnt").as("__pl"))
+      .groupBy("source")
+      .agg(topk(col("__rk"), col("__id"), col("__pl")).as("__kept"))
+      .select(col("source"), explode(col("__kept")).as("__e"))
+      .select(col("source"),
+        // token = everything after the 13-digit pad + '|' (position 15;
+        // substring_index would mis-split tokens containing '|')
+        col("__e._1").substr(lit(15), length(col("__e._1"))).as("token"),
+        col("__e._3").as("cnt"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(langId, quality, fingerprint, tokenBudget, rollingFp, repetition,
-      piiRedact, tfidf, postings, compression, heavyHitters)
+      piiRedact, tfidf, postings, compression, heavyHitters, perSourceTopTerms)
 }

@@ -855,7 +855,38 @@ object RelationalQueries {
         sum(col("roll_v")).cast("long").as("sum_roll_v"))
   }
 
+  /** J10 — null-safe equality join (`<=>` / IS NOT DISTINCT FROM):
+    * null keys MATCH each other instead of silently dropping, the
+    * semantics every "join on a derived, possibly-null key" pipeline
+    * step needs (a plain equi-join makes null-keyed rows vanish — a
+    * data-loss bug that only shows at scale when someone audits
+    * counts). Derived key: event_type with 'click' nulled out, so the
+    * null group genuinely exists in both inputs. `<=>` keys still
+    * hash-partition normally (nulls co-locate in one partition — a
+    * null-heavy corpus would salt them like any hot key).
+    */
+  val j10 = QueryDef.sql(
+    "j10_null_safe_join",
+    """WITH a AS (SELECT nullif(event_type, 'click') AS k, count(*) AS n_a
+      |           FROM events GROUP BY 1),
+      |b AS (SELECT nullif(event_type, 'click') AS k,
+      |             CAST(sum(user_id % 97) AS BIGINT) AS chk_b
+      |      FROM events GROUP BY 1)
+      |SELECT coalesce(a.k, '<null>') AS k, n_a, chk_b
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(nullif(col("event_type"), lit("click")).as("k"),
+        col("user_id"))
+    val a = ev.groupBy("k").agg(count(lit(1)).as("n_a"))
+    val b = ev.groupBy("k")
+      .agg(sum(col("user_id") % 97).cast("long").as("chk_b"))
+      .withColumnRenamed("k", "kb")
+    a.join(b, col("k") <=> col("kb"))
+      .select(coalesce(col("k"), lit("<null>")).as("k"),
+        col("n_a"), col("chk_b"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, a1, o2, o3, a4, a5, a13, o5,
-    e1, e2, e5, e6, k1, a14, a15, a16, j9, scalars)
+    e1, e2, e5, e6, k1, a14, a15, a16, j9, j10, scalars)
 }
