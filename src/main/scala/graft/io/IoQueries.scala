@@ -180,15 +180,11 @@ object IoQueries {
     val docs = graft.Tables.documents(s, d)
     val out = s"$fixtureDir/upsert_docs"
     docs.write.mode("overwrite").partitionBy("lang").parquet(out)
-    def fileState(): Map[String, (Long, Long)] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-        else Seq(f)
-      walk(new java.io.File(out))
+    def fileState(): Map[String, (Long, Long)] =
+      graft.util.Fs.walkFiles(new java.io.File(out))
         .filter(f => f.getName.startsWith("part-"))
         .map(f => f.getAbsolutePath -> (f.length(), f.lastModified()))
         .toMap
-    }
     val before = fileState()
     // recrawl of the `en` slice: text re-extracted (suffix marks v2)
     val recrawl = docs.filter(col("lang") === "en")
@@ -235,11 +231,9 @@ object IoQueries {
     // simulate a drip-fed table: many tiny files inside each partition
     docs.repartition(32).write.mode("overwrite")
       .partitionBy("lang").parquet(frag)
-    def nFiles(dir: String): Long = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(dir)).count(_.getName.startsWith("part-"))
-    }
+    def nFiles(dir: String): Long =
+      graft.util.Fs.walkFiles(new java.io.File(dir))
+        .count(_.getName.startsWith("part-")).toLong
     val before = nFiles(frag)
     val fragDf = s.read.parquet(frag)
     fragDf.repartition(col("lang"))

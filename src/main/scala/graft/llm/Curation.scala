@@ -473,10 +473,12 @@ object Curation {
     val Seq(q1, q2, q3) = graft.ops.RelationalQueries
       .exactQuantilesSorted(docs, "n_chars", Seq(0.25, 0.50, 0.75))
     // Catalyst round for HALF_UP parity with the oracle's round()
+    // (one local frame, one job — the a4 idiom)
     val spark = s; import spark.implicits._
-    val Seq(b1, b2, b3) = Seq(q1, q2, q3).map { q =>
-      Seq(q).toDF("q").select(round(col("q"), 2)).head().getDouble(0)
-    }
+    val bRow = Seq((q1, q2, q3)).toDF("q1", "q2", "q3")
+      .select(round(col("q1"), 2), round(col("q2"), 2), round(col("q3"), 2))
+      .head()
+    val (b1, b2, b3) = (bRow.getDouble(0), bRow.getDouble(1), bRow.getDouble(2))
     docs.select(
         when(col("n_chars") <= b1, 0)
           .when(col("n_chars") <= b2, 1)

@@ -915,6 +915,12 @@ object Dedup {
       |FROM batch WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin) {
     (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // the +2M/+3M re-keying is only collision-free while ids stay
+      // below 1M; past that the id-bound require inside
+      // incrementalDedup may not trip, so guard here explicitly
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      require(mx < 1000000L,
+        s"d9 fixture re-keying assumes doc_id < 1e6, got max $mx")
       val corpus = docs.filter(col("doc_id") % 3 =!= 0)
       val batch = docs.filter(col("doc_id") % 3 === 0)
         .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
@@ -947,10 +953,12 @@ object Dedup {
       explode(sequence(length(col(keyCol)) - maxDist,
         length(col(keyCol)) + maxDist)).as("len_a"))
     a.join(b, Seq("len_a"))
-      .filter(col("doc_a") < col("doc_b") &&
-        levenshtein(col("key_a"), col("key_b")) <= maxDist)
-      .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("key_a"), col("key_b")).cast("long").as("dist"))
+      .filter(col("doc_a") < col("doc_b"))
+      // one DP evaluation per candidate — Filter/Project don't share
+      // subexpressions, so compute the distance once and filter on it
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
   /** d10 oracle: brute-force levenshtein over all pairs (with the same

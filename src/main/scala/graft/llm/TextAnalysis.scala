@@ -707,7 +707,11 @@ object TextAnalysis {
       val cnt = r.getAs[Long]("cnt")
       est >= cnt && est <= cnt + bound
     }
-    exact.filter(lit(ok))
+    // the 20-row result is already in driver memory — returning the
+    // `exact` plan would re-scan and re-aggregate the whole corpus
+    val spark = s; import spark.implicits._
+    top.toSeq.map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt")))
+      .toDF("token", "cnt").filter(lit(ok))
   }
 
   /** T12 — per-source top terms: the GROUPED heavy-hitters problem.
@@ -719,8 +723,10 @@ object TextAnalysis {
     * .TopKSmallest]] aggregate — ≤k entries per (source, map task)
     * cross the shuffle, independent of source size. Count-descending
     * order rides the aggregator's ascending (rank, id) contract by
-    * embedding (10¹² − cnt, token) in the rank string; ties break on
-    * token, same as the oracle's ORDER BY cnt DESC, token.
+    * embedding (10¹⁸ − cnt, token) in the rank string (a count above
+    * 10¹⁸ would overflow long arithmetic well before breaking the
+    * pad); ties break on token, same as the oracle's ORDER BY cnt
+    * DESC, token.
     */
   val perSourceTopTerms = QueryDef.sql(
     "t12_per_source_top_terms",
@@ -744,16 +750,16 @@ object TextAnalysis {
         org.apache.spark.sql.Encoders.scalaLong))
     counts
       .select(col("source"),
-        concat(lpad((lit(1000000000000L) - col("cnt")).cast("string"), 13, "0"),
+        concat(lpad((lit(1000000000000000000L) - col("cnt")).cast("string"), 19, "0"),
           lit("|"), col("token")).as("__rk"),
         lit(0L).as("__id"), col("cnt").as("__pl"))
       .groupBy("source")
       .agg(topk(col("__rk"), col("__id"), col("__pl")).as("__kept"))
       .select(col("source"), explode(col("__kept")).as("__e"))
       .select(col("source"),
-        // token = everything after the 13-digit pad + '|' (position 15;
+        // token = everything after the 19-digit pad + '|' (position 21;
         // substring_index would mis-split tokens containing '|')
-        col("__e._1").substr(lit(15), length(col("__e._1"))).as("token"),
+        col("__e._1").substr(lit(21), length(col("__e._1"))).as("token"),
         col("__e._3").as("cnt"))
   }
 

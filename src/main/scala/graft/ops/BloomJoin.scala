@@ -30,16 +30,43 @@ object BloomJoin {
     * contract, the win is never scanning excess FACT rows into the
     * exchange.
     */
-  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, fpp: Double = 0.01): DataFrame = {
+  /** Build the dim-side key sketch plus its broadcast probe predicate
+    * (shared by [[bloomSemiJoin]] and callers that want to audit the
+    * prune with the SAME sketch instead of building a second one).
+    * Long keys only — the probe is `mightContainLong`; a non-bigint
+    * key would be silently null-coerced by the UDF boundary and prune
+    * EVERYTHING, so the type is required loudly.
+    */
+  def bloomProbe(dim: DataFrame, dimKey: String,
+      fpp: Double): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+    require(dim.schema(dimKey).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"bloomProbe needs a bigint key, got " +
+        s"${dim.schema(dimKey).dataType.simpleString} for $dimKey")
     val nDim = dim.select(dimKey).distinct().count()
     require(nDim > 0, "bloomSemiJoin: empty dim side")
     val bloom = dim.stat.bloomFilter(dimKey, nDim, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bloom)
+    val bc = dim.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((k: java.lang.Long) =>
       k != null && bc.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey)))
-      .join(dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey),
+    (c: org.apache.spark.sql.Column) => mightContain(c)
+  }
+
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, fpp: Double = 0.01): DataFrame = {
+    require(factKey != dimKey,
+      s"fact and dim key columns must have distinct names (both '$factKey')" +
+        " — alias one side")
+    require(fact.schema(factKey).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"bloomSemiJoin needs a bigint fact key, got " +
+        s"${fact.schema(factKey).dataType.simpleString} for $factKey")
+    val probe = bloomProbe(dim, dimKey, fpp)
+    // no distinct() on the semi-join's right side: left_semi results
+    // are unaffected by duplicate right keys, the exchange would be
+    // pure cost
+    fact.filter(probe(col(factKey)))
+      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey),
         "left_semi")
   }
 
@@ -60,18 +87,15 @@ object BloomJoin {
     val fact = Tables.load(s, d, "lineitem")
     val dim = Tables.load(s, d, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
-    val joined = bloomSemiJoin(fact, dim, "l_orderkey", "o_orderkey")
-    // gate: the bloom prefilter must prune. ONE key-column-only scan
-    // computes total and pass counts together (column-pruned, cheap
-    // relative to the join).
-    val nDim = dim.select("o_orderkey").distinct().count()
-    val bloom = dim.stat.bloomFilter("o_orderkey", nDim, 0.01)
-    val bc = s.sparkContext.broadcast(bloom)
-    val mc = udf((k: java.lang.Long) =>
-      k != null && bc.value.mightContainLong(k))
+    // ONE sketch serves both the join and the gate; the gate's
+    // key-column-only scan computes total and pass counts together.
+    val probe = bloomProbe(dim, "o_orderkey", fpp = 0.01)
+    val joined = fact.filter(probe(col("l_orderkey")))
+      .join(dim.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
     val gateRow = fact.select("l_orderkey")
       .agg(count(lit(1)).as("n"),
-        sum(when(mc(col("l_orderkey")), 1L).otherwise(0L)).as("p")).head()
+        sum(when(probe(col("l_orderkey")), 1L).otherwise(0L)).as("p")).head()
     val (nFact, nPass) = (gateRow.getLong(0), gateRow.getLong(1))
     val nMatch = joined.count()
     require(nPass <= nMatch + (0.02 * nFact).toLong && nPass < nFact,

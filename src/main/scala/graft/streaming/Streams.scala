@@ -391,11 +391,7 @@ object Streams {
     val ckptDir = s"$base/ckpt"
     val outDir = s"$base/out"
     // fresh fixture dirs per run (stale checkpoints would skip batch 1)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(base))
+    graft.util.Fs.rmRecursive(new java.io.File(base))
     srcDir.mkdirs()
     val ev = Tables.events(s, d).filter(col("ts").isNotNull)
       .select(col("event_id"), col("user_id"), col("event_type"))
@@ -458,11 +454,7 @@ object Streams {
   val st9 = QueryDef.fixture("st9_foreachbatch_upsert") { (s, d) =>
     import s.implicits._
     val base = graft.util.Fixtures.dir + "/st9"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(base))
+    graft.util.Fs.rmRecursive(new java.io.File(base))
     val outDir = s"$base/table"
     val ev = Tables.events(s, d).filter(col("ts").isNotNull)
       .select(col("event_id"), col("event_type"), col("value"))
