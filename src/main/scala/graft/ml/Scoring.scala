@@ -82,6 +82,54 @@ object Scoring {
   def auc(df: DataFrame, labelCol: String, scoreCol: String): Double =
     aucDF(df, labelCol, scoreCol).head().getDouble(0)
 
+  /** A17 — average precision (area under the precision-recall curve,
+    * step-wise with tie groups): AP = Σ_g pos_g · TP_g/(TP_g+FP_g) / P
+    * over distinct scores g in DESCENDING order, cumulative counts
+    * inclusive of the tie group. Same scale shape as [[aucDF]]: hash
+    * aggregate to distinct scores, range-partitioned descending sort,
+    * two passes (per-partition counts → carry → partials) with one
+    * small record per partition collected each pass — never a
+    * single-task window over the score table. Preferred over ROC-AUC
+    * when positives are rare (quality classifiers over a 100 TB
+    * corpus): ROC-AUC saturates under class imbalance, PR-AUC does
+    * not.
+    */
+  def prAucDF(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val g = dropNanLabels(df, labelCol)
+      .groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).cast("double").as("c"),
+        sum(col(labelCol)).cast("double").as("pos"))
+    val sorted = g.orderBy(col("s").desc)
+    val cIdx = sorted.schema.fieldIndex("c")
+    val posIdx = sorted.schema.fieldIndex("pos")
+    val rdd = sorted.rdd
+    // pass 1: per-partition (rows, positives) — one tiny record each
+    val partCounts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var sumC = 0.0; var sumPos = 0.0
+      it.foreach { r => sumC += r.getDouble(cIdx); sumPos += r.getDouble(posIdx) }
+      Iterator((pid, sumC, sumPos))
+    }.collect().sortBy(_._1)
+    val carryN = partCounts.map(_._2).scanLeft(0.0)(_ + _)
+    val carryP = partCounts.map(_._3).scanLeft(0.0)(_ + _)
+    // pass 2: AP partials under the (rows, positives) carries
+    val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cumN = carryN(pid); var cumP = carryP(pid)
+      var ap = 0.0
+      it.foreach { r =>
+        val c = r.getDouble(cIdx); val pos = r.getDouble(posIdx)
+        cumN += c; cumP += pos
+        if (pos > 0) ap += pos * (cumP / cumN) // precision at this threshold
+      }
+      Iterator((pid, ap))
+    }.collect().sortBy(_._1)
+    val totalPos = carryP.last // scanLeft's final element = grand total
+    require(totalPos > 0, "prAucDF: no positive labels")
+    val ap = partials.map(_._2).sum / totalPos
+    import spark.implicits._
+    Seq(ap).toDF("pr_auc")
+  }
+
   /** A10 — RMSE. Single aggregate. */
   def rmseDF(df: DataFrame, labelCol: String, predCol: String): DataFrame =
     dropNanLabels(df, labelCol).agg(
@@ -136,6 +184,26 @@ object Scoring {
       .select(round(col("auc"), 6).as("auc"))
   }
 
+  /** PR-AUC over the same pseudo-prediction table as a9 (label-
+    * independent scores → AP ≈ prevalence ≈ 0.5; the exact value is
+    * the oracle contract). DuckDB replays the step-wise tie-grouped
+    * definition with an inclusive running-count window.
+    */
+  val a17 = QueryDef.sql(
+    "a17_pr_auc",
+    s"""WITH p AS ($pseudoPredsSql),
+      |g AS (SELECT score AS s, CAST(count(*) AS DOUBLE) c, CAST(sum(y) AS DOUBLE) pos
+      |      FROM p GROUP BY 1),
+      |o AS (SELECT pos,
+      |             sum(c) OVER (ORDER BY s DESC) AS tpfp,
+      |             sum(pos) OVER (ORDER BY s DESC) AS tp
+      |      FROM g)
+      |SELECT round(sum(pos * tp / tpfp) / (SELECT sum(y) FROM p), 6) AS pr_auc
+      |FROM o WHERE pos > 0""".stripMargin) {
+    (s, d) => prAucDF(pseudoPreds(s, d), "y", "score")
+      .select(round(col("pr_auc"), 6).as("pr_auc"))
+  }
+
   val a10 = QueryDef.sql(
     "a10_rmse",
     s"""WITH p AS ($pseudoPredsSql)
@@ -154,5 +222,5 @@ object Scoring {
       .select(round(col("r2"), 6).as("r2"))
   }
 
-  def all: Seq[QueryDef] = Seq(a9, a10, a11)
+  def all: Seq[QueryDef] = Seq(a9, a17, a10, a11)
 }

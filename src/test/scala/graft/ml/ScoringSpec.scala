@@ -27,6 +27,25 @@ class ScoringSpec extends SparkSpec {
     assert(math.abs(Scoring.auc(df, "y", "s") - 1.0) < 1e-12)
   }
 
+  test("PR-AUC: perfect, tied, and rare-positive hand values") {
+    import spark.implicits._
+    def ap(df: org.apache.spark.sql.DataFrame): Double =
+      Scoring.prAucDF(df, "y", "s").head().getDouble(0)
+    // perfect ranking → AP 1.0
+    val perfect = Seq((0.0, 0.1), (0.0, 0.2), (1.0, 0.8), (1.0, 0.9))
+      .toDF("y", "s")
+    assert(math.abs(ap(perfect) - 1.0) < 1e-12)
+    // hand-computed with a tie group: y=(1,0,1,0), s=(.9,.9,.5,.2)
+    // desc groups: s=.9 (c=2,pos=1): P=1/2, term=1·0.5
+    //              s=.5 (c=1,pos=1): P=2/3, term=1·(2/3)
+    // AP = (0.5 + 2/3) / 2 = 7/12
+    val tied = Seq((1.0, 0.9), (0.0, 0.9), (1.0, 0.5), (0.0, 0.2)).toDF("y", "s")
+    assert(math.abs(ap(tied) - 7.0 / 12) < 1e-12)
+    // one positive ranked 3rd of 4 → AP = 1/3
+    val rare = Seq((0.0, 0.9), (0.0, 0.8), (1.0, 0.5), (0.0, 0.2)).toDF("y", "s")
+    assert(math.abs(ap(rare) - 1.0 / 3) < 1e-12)
+  }
+
   test("RMSE and R² hand values") {
     import spark.implicits._
     val df = Seq((1.0, 2.0), (3.0, 3.0), (5.0, 4.0)).toDF("y", "p")
