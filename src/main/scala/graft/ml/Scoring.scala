@@ -204,6 +204,31 @@ object Scoring {
       .select(round(col("pr_auc"), 6).as("pr_auc"))
   }
 
+  /** A18 — calibration (reliability) bins: equal-width score bins →
+    * (n, positives, mean label). ONE hash aggregate, map-side
+    * combinable, 10 rows out — the trivially-scalable diagnostic that
+    * pairs with Platt scaling (M10): a calibrated model has
+    * mean_label ≈ bin midpoint. Mean label is one division of two
+    * exact integer counts, so the value is bit-deterministic
+    * cross-engine (no float-sum ordering anywhere).
+    */
+  val a18 = QueryDef.sql(
+    "a18_calibration_bins",
+    s"""WITH p AS ($pseudoPredsSql),
+      |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, y
+      |      FROM p)
+      |SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+      |       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS mean_label
+      |FROM b GROUP BY bin""".stripMargin) {
+    (s, d) => pseudoPreds(s, d)
+      .select(least(floor(col("score") * 10).cast("long"), lit(9L)).as("bin"),
+        col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("mean_label"))
+  }
+
   val a10 = QueryDef.sql(
     "a10_rmse",
     s"""WITH p AS ($pseudoPredsSql)
@@ -222,5 +247,5 @@ object Scoring {
       .select(round(col("r2"), 6).as("r2"))
   }
 
-  def all: Seq[QueryDef] = Seq(a9, a17, a10, a11)
+  def all: Seq[QueryDef] = Seq(a9, a17, a18, a10, a11)
 }
