@@ -933,31 +933,71 @@ object Dedup {
   }
 
   /** Edit-distance (Levenshtein ≤ maxDist) pair join with EXACT-recall
-    * length blocking: |len(a) − len(b)| > d implies distance > d, so
-    * joining length-bucket b against buckets b−d..b+d (via a bounded
-    * explode on one side) loses no true pair — the only candidates
-    * ever materialized are same-/near-length ones. The levenshtein
-    * verify runs on candidates only. Length blocking alone is a weak
-    * prune on a corpus where many docs share a length; at 100 TB
-    * compose it with an approximate candidate source (the LSH/SimHash
-    * band joins in this file) and use this operator as the exact
-    * verify — the join shape is identical, only the candidate
-    * generator changes.
+    * SEGMENT blocking (the PassJoin scheme — Li, Deng, Feng, VLDB'11;
+    * public algorithm): split each length-l key into d+1 contiguous
+    * segments; ≤d edits can touch at most d of them, so for any true
+    * pair one segment of A survives VERBATIM in B, shifted by at most
+    * d positions. Candidates therefore come from an equi-join on
+    * (build-length, segment-index, segment-content): the build side
+    * emits its d+1 segments, the probe side emits every substring
+    * that could equal a segment of a length-l build key for
+    * l ∈ [m−d, m+d] (bounded (2d+1)²(d+1) keys per key — constants,
+    * not data). Length-only blocking is NOT enough: a corpus of
+    * fixed-width keys (30-char prefixes — everything is length 30)
+    * degenerates it to all-pairs, which is exactly the O(n²) this
+    * operator must never do. Segment content is a highly-selective
+    * join key at any corpus size; the levenshtein DP runs once per
+    * candidate pair, and the pigeonhole argument keeps recall exact.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, keyCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
-    val a = docs.select(col(idCol).as("doc_a"), col(keyCol).as("key_a"),
-      length(col(keyCol)).as("len_a"))
-    val b = docs.select(col(idCol).as("doc_b"), col(keyCol).as("key_b"),
-      explode(sequence(length(col(keyCol)) - maxDist,
-        length(col(keyCol)) + maxDist)).as("len_a"))
-    a.join(b, Seq("len_a"))
-      .filter(col("doc_a") < col("doc_b"))
-      // one DP evaluation per candidate — Filter/Project don't share
-      // subexpressions, so compute the distance once and filter on it
+    val d = maxDist
+    val k = d + 1 // segments per key
+    // canonical segmentation of a length-l key: (k - l%k) segments of
+    // floor(l/k) chars, then l%k segments one char longer
+    def segLen(l: Column, i: Column): Column =
+      (l / k).cast("int") + when(i >= lit(k) - l % k, 1).otherwise(0)
+    def segStart(l: Column, i: Column): Column =
+      lit(1) + i * (l / k).cast("int") +
+        greatest(i - (lit(k) - l % k), lit(0))
+    val keyed = docs.select(col(idCol).as("id"), col(keyCol).as("key"),
+      length(col(keyCol)).as("m"))
+    val build = keyed.select(col("id"), col("key"), col("m").as("l"),
+        explode(transform(sequence(lit(0), lit(d)), i =>
+          struct(i.as("i"),
+            col("key").substr(segStart(col("m"), i), segLen(col("m"), i))
+              .as("seg")))).as("s"))
+      .select(col("id"), col("key"), col("l"),
+        col("s.i").as("i"), col("s.seg").as("seg"))
+    // probe: for each candidate build length l and segment i, every
+    // start within the ±d shift window — deduped per key before the join
+    val probe = keyed.select(col("id"), col("key"), col("m"),
+        explode(array_distinct(flatten(flatten(
+          transform(sequence(col("m") - d, col("m") + d), l =>
+            transform(sequence(lit(0), lit(d)), i =>
+              filter(
+                transform(sequence(lit(-d), lit(d)), shift =>
+                  struct(l.as("l"), i.as("i"),
+                    (segStart(l, i) + shift).as("start"),
+                    segLen(l, i).as("slen"))),
+                st => st("l") >= 1 && st("start") >= 1 &&
+                  st("start") + st("slen") - 1 <= col("m")))))))).as("s"))
+      .select(col("id"), col("key"), col("m"),
+        col("s.l").as("l"), col("s.i").as("i"),
+        col("key").substr(col("s.start"), col("s.slen")).as("seg"))
+    val cands = build.alias("a")
+      .join(probe.alias("b"),
+        col("a.l") === col("b.l") && col("a.i") === col("b.i") &&
+          col("a.seg") === col("b.seg") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.key").as("key_a"), col("b.key").as("key_b"))
+      .distinct()
+    // one DP evaluation per candidate — Filter/Project don't share
+    // subexpressions, so compute the distance once and filter on it
+    cands
       .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .filter(col("dist") <= d)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 

@@ -366,6 +366,45 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.filter(col("doc_id").isin(100L, 101L)).count() == 0)
   }
 
+  test("editDistancePairs: PassJoin blocking == brute force, incl. shifts") {
+    import spark.implicits._
+    // adversarial set for segment blocking: front deletion shifts ALL
+    // segments, double front-insert shifts the other way, edits in two
+    // different segments, fixed-width keys (degenerate for length-only
+    // blocking), short keys below the segment count, exact duplicates
+    val docs = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz0123"),
+      (2L, "bcdefghijklmnopqrstuvwxyz0123"),   // delete 'a' (front) → d=1
+      (3L, "XYabcdefghijklmnopqrstuvwxyz0123"), // insert 2 at front → d=2
+      (4L, "abcdefghiQklmnopqrsTuvwxyz0123"),  // subs in 2 segments → d=2
+      (5L, "abcdefghijklmnopqrstuvwxyz0123"),  // exact dup of 1 → d=0
+      (6L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),  // same length, far away
+      (7L, "ab"), (8L, "ba"), (9L, "a"),       // keys shorter than d+1 segs
+      (10L, "completely different text here"))
+      .toDF("id", "p")
+    val got = Dedup.editDistancePairs(docs, "id", "p", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force on the driver
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0
+      })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = (for {
+      (ia, ka) <- rows; (ib, kb) <- rows if ia < ib
+      d = lev(ka, kb) if d <= 2
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == want, s"got $got want $want")
+    assert(want.contains((1L, 2L, 1L)) && want.contains((1L, 3L, 2L)) &&
+      want.contains((1L, 4L, 2L)) && want.contains((1L, 5L, 0L)) &&
+      want.contains((7L, 8L, 2L))) // the set is non-trivial
+  }
+
   test("lang-id prefers the language with most stopword hits") {
     import spark.implicits._
     val df = Seq((1L, "the cat of the house and a dog"),
