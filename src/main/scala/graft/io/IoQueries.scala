@@ -288,5 +288,70 @@ object IoQueries {
         col("files_clustered") * 4 <= col("files_unclustered"))
   }
 
-  def all: Seq[QueryDef] = Seq(s1, s8, s9, s10, s11, s12, s13, s14)
+  /** Morton (Z-order) interleave of two pre-scaled bucket ids, each in
+    * [0, 2^bits): bit b of x lands at position 2b, bit b of y at 2b+1.
+    * Pure fold expression — codegen'd, scan-local.
+    */
+  def mortonKey(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b))
+        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }
+
+  /** S15 — Z-order clustered layout: ONE physical sort order that
+    * serves selective scans on TWO columns. Linear clustering (s14)
+    * is perfect for its sort column and USELESS for any other — a
+    * doc_id filter over an n_chars-sorted table touches every file.
+    * Z-order interleaves the bits of both dimensions so any file's
+    * z-range covers a bounded rectangle of (n_chars, doc_id) space: a
+    * 2D-fraction-f single-dim band touches ~√f of the files instead
+    * of all of them — the table-format trick (Delta/Iceberg OPTIMIZE
+    * ZORDER) every multi-tenant 100 TB corpus relies on, here as a
+    * plain repartitionByRange on the morton key. Gate: against the
+    * linear layout, the doc_id band must go from touching ALL files
+    * to at most half; the n_chars band must stay ≤ half too (z-order
+    * trades a little single-column locality for serving both).
+    */
+  val s15 = QueryDef.rowsOnly("s15_zorder_layout") { (s, d) =>
+    val docs = graft.Tables.documents(s, d)
+    val nf = 64
+    val bits = 10
+    val stats = docs.agg(max(col("n_chars")), max(col("doc_id"))).head()
+    val (maxC, maxId) = (stats.getLong(0), stats.getLong(1))
+    def scaled(c: org.apache.spark.sql.Column, mx: Long) =
+      least(floor(c * (1 << bits) / (mx + 1)).cast("long"), lit((1 << bits) - 1L))
+    val z = docs.withColumn("__z",
+      mortonKey(scaled(col("n_chars"), maxC), scaled(col("doc_id"), maxId), bits))
+    val zDir = s"$fixtureDir/zorder_docs"
+    val linDir = s"$fixtureDir/linear_docs"
+    z.repartitionByRange(nf, col("__z")).sortWithinPartitions("__z")
+      .drop("__z").write.mode("overwrite").parquet(zDir)
+    docs.repartitionByRange(nf, col("n_chars")).sortWithinPartitions("n_chars")
+      .write.mode("overwrite").parquet(linDir)
+    // two selective single-dimension bands (~10% each)
+    val cPred = col("n_chars").between(100L, 150L)
+    val idPred = col("doc_id").between(maxId / 2, maxId / 2 + maxId / 10)
+    def touched(dir: String, p: org.apache.spark.sql.Column): Long =
+      s.read.parquet(dir).filter(p)
+        .select(input_file_name()).distinct().count()
+    val zC = touched(zDir, cPred); val zId = touched(zDir, idPred)
+    val linC = touched(linDir, cPred); val linId = touched(linDir, idPred)
+    val nTotal = graft.util.Fs.walkFiles(new java.io.File(zDir))
+      .count(_.getName.startsWith("part-")).toLong
+    val spark = s; import spark.implicits._
+    // gates: the doc_id band must touch ≤ half of what it touches on
+    // the linear layout, and BOTH bands must stay under half of ALL
+    // files — one sort order serving two dimensions
+    Seq((zC, zId, linC, linId, nTotal))
+      .toDF("z_nchars_files", "z_docid_files", "lin_nchars_files",
+        "lin_docid_files", "n_files")
+      .filter(col("z_docid_files") * 2 <= col("lin_docid_files") &&
+        col("z_nchars_files") * 2 <= col("n_files") &&
+        col("z_docid_files") * 2 <= col("n_files") &&
+        col("z_nchars_files") > 0 && col("z_docid_files") > 0)
+  }
+
+  def all: Seq[QueryDef] = Seq(s1, s8, s9, s10, s11, s12, s13, s14, s15)
 }
