@@ -79,5 +79,76 @@ object RangeJoin {
             .cast("long").as("pair_checksum"))
   }
 
-  def all: Seq[QueryDef] = Seq(j7)
+  /** Interval-OVERLAP join: pairs whose intervals intersect
+    * (loL ≤ hiR ∧ loR ≤ hiL), with key equality — the session-vs-
+    * session / outage-vs-deploy shape rangeJoin's point-in-interval
+    * form can't express. Same bucketization; both sides explode to
+    * their covered buckets. An overlapping pair shares MANY buckets,
+    * so emission is pinned to ONE canonical bucket — the bucket of
+    * the overlap's start, max(loL, loR), which both sides necessarily
+    * cover — making each match emit exactly once WITHOUT a distinct
+    * pass (the dedup shuffle a naive bucket join would need).
+    */
+  def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      loL: String, hiL: String, loR: String, hiR: String,
+      bucketWidth: Long): DataFrame = {
+    require(keys.nonEmpty, "overlap join needs at least one equality key")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val collisions =
+      left.columns.filterNot(keys.contains).intersect(right.columns.filterNot(keys.contains))
+    require(collisions.isEmpty,
+      s"non-key columns present on both sides would be ambiguous after the " +
+        s"join: ${collisions.mkString(", ")} — rename before joining")
+    require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
+      "__bucket is reserved by overlapJoin")
+    val lB = left.withColumn("__bucket",
+      explode(sequence(expr(s"$loL div $bucketWidth"), expr(s"$hiL div $bucketWidth"))))
+    val rB = right.withColumn("__bucket",
+      explode(sequence(expr(s"$loR div $bucketWidth"), expr(s"$hiR div $bucketWidth"))))
+    lB.join(rB, keys :+ "__bucket")
+      .filter(col(loL) <= col(hiR) && col(loR) <= col(hiL) &&
+        col("__bucket") === expr(s"greatest($loL, $loR) div $bucketWidth"))
+      .drop("__bucket")
+  }
+
+  /** J11 — click windows ([ts, ts+5 min]) overlapping the same user's
+    * purchase windows ([ts−2 min, ts+3 min]); DuckDB replays the plain
+    * overlap inequality join, proving the canonical-bucket emission is
+    * exactly-once.
+    */
+  val j11 = QueryDef.sql(
+    "j11_interval_overlap_join",
+    """WITH l AS (SELECT user_id, event_id AS lid, epoch_us(ts) AS lo_l,
+      |                  epoch_us(ts) + 300000000 AS hi_l
+      |           FROM events WHERE event_type = 'click' AND ts IS NOT NULL),
+      |r AS (SELECT user_id, event_id AS rid,
+      |             epoch_us(ts) - 120000000 AS lo_r,
+      |             epoch_us(ts) + 180000000 AS hi_r
+      |      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+      |SELECT count(*) AS n_pairs,
+      |       CAST(coalesce(sum(l.lid + r.rid), 0) AS BIGINT) AS pair_checksum,
+      |       CAST(coalesce(sum(greatest(l.lo_l, r.lo_r) % 1000000007), 0)
+      |            AS BIGINT) AS start_checksum
+      |FROM l JOIN r ON l.user_id = r.user_id
+      |  AND l.lo_l <= r.hi_r AND r.lo_r <= l.hi_l""".stripMargin) {
+    (s, d) =>
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("lid"),
+          unix_micros(col("ts")).as("lo_l"),
+          (unix_micros(col("ts")) + 300000000L).as("hi_l"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("rid"),
+          (unix_micros(col("ts")) - 120000000L).as("lo_r"),
+          (unix_micros(col("ts")) + 180000000L).as("hi_r"))
+      overlapJoin(l, r, Seq("user_id"), "lo_l", "hi_l", "lo_r", "hi_r",
+          bucketWidth = 600000000L) // 10 min: ≤ 2 buckets per interval
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("lid") + col("rid")), lit(0L))
+            .cast("long").as("pair_checksum"),
+          coalesce(sum(greatest(col("lo_l"), col("lo_r")) % 1000000007L),
+            lit(0L)).cast("long").as("start_checksum"))
+  }
+
+  def all: Seq[QueryDef] = Seq(j7, j11)
 }

@@ -32,4 +32,26 @@ class RangeJoinSpec extends SparkSpec {
       .count()
     assert(n == 3)
   }
+
+  test("overlapJoin: touch, containment, disjoint, multi-bucket dedup") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, 100L, 200L, "a1"),  // overlaps r1 (150-250), touches r2 at 200
+      (1L, 500L, 2000L, "a2"), // spans many buckets; contains r3
+      (1L, 3000L, 3010L, "a3"),// disjoint from everything
+      (2L, 150L, 250L, "a4"))  // key 2: no right intervals
+      .toDF("k", "lo_l", "hi_l", "ltag")
+    val r = Seq(
+      (1L, 150L, 250L, "b1"),
+      (1L, 200L, 300L, "b2"),  // touches a1 exactly at 200 → inclusive
+      (1L, 900L, 1000L, "b3")) // strictly inside a2 (shares buckets 9-10)
+      .toDF("k", "lo_r", "hi_r", "rtag")
+    val got = RangeJoin.overlapJoin(l, r, Seq("k"),
+        "lo_l", "hi_l", "lo_r", "hi_r", bucketWidth = 100L)
+      .select(col("ltag"), col("rtag")).collect()
+      .map(x => (x.getString(0), x.getString(1)))
+    // exactly-once per overlapping pair, even when many buckets shared
+    assert(got.length == got.toSet.size, s"duplicate emissions: ${got.toList}")
+    assert(got.toSet == Set(("a1", "b1"), ("a1", "b2"), ("a2", "b3")))
+  }
 }
