@@ -994,10 +994,13 @@ object Dedup {
         col("a.key").as("key_a"), col("b.key").as("key_b"))
       .distinct()
     // one DP evaluation per candidate — Filter/Project don't share
-    // subexpressions, so compute the distance once and filter on it
+    // subexpressions, so compute the distance once and filter on it.
+    // The THRESHOLD form of the builtin runs the banded O(d·n) DP with
+    // early exit (−1 past the bound) instead of the full O(n²) table.
     cands
-      .withColumn("dist", levenshtein(col("key_a"), col("key_b")).cast("long"))
-      .filter(col("dist") <= d)
+      .withColumn("dist",
+        levenshtein(col("key_a"), col("key_b"), d).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("dist"))
   }
 
