@@ -199,6 +199,22 @@ object RelationalQueries {
       p.select("p_brand").except(p.filter(col("p_size") > 40).select("p_brand"))
   }
 
+  /** U7 — INTERSECT (distinct semantics): the remaining set operation
+    * next to u1's UNION and u4's EXCEPT. Spark plans `.intersect` as a
+    * distinct + left-semi hash join — on small distinct key sets both
+    * sides broadcast, like u4.
+    */
+  val u7 = QueryDef.sql(
+    "u7_intersect",
+    """SELECT p_brand FROM part WHERE p_size <= 25
+      |INTERSECT
+      |SELECT p_brand FROM part WHERE p_size > 15""".stripMargin) {
+    (s, d) =>
+      val p = Tables.part(s, d)
+      p.filter(col("p_size") <= 25).select("p_brand")
+        .intersect(p.filter(col("p_size") > 15).select("p_brand"))
+  }
+
   /** A1/O1 — the TPC-H-Q1-shaped grouped aggregate (daxos
     * crossvalidate.py:289-292 grouped mean over the CV grid). Headline
     * bench query: single scan, map-side partial agg, 4-row result. At
@@ -887,6 +903,6 @@ object RelationalQueries {
   }
 
   def all: Seq[QueryDef] = Seq(
-    p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, a1, o2, o3, a4, a5, a13, o5,
-    e1, e2, e5, e6, k1, a14, a15, a16, j9, j10, scalars)
+    p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, u7, a1, o2, o3, a4, a5, a13,
+    o5, e1, e2, e5, e6, k1, a14, a15, a16, j9, j10, scalars)
 }
