@@ -43,18 +43,24 @@ object Curation {
     * each partition with its carry and keeps rows while the running
     * group total fits. Both passes re-read the deterministic sort's
     * shuffle files; nothing group-sized ever sits in one task and
-    * driver state is O(partitions × groups).
+    * driver state is O(partitions) — one boundary-group carry each.
     */
   /** Append an INCLUSIVE per-group running sum of `valueCol` as `cum`
     * (long), with rows ordered by (group, rank, id) — the distributed
     * equivalent of `SUM(v) OVER (PARTITION BY g ORDER BY rank, id)`.
     * Shared engine for [[sampleToTokenBudget]] and [[packSequences]]:
     * range-partitioned sort, pass 1 collects one tiny per-partition
-    * per-group total, the driver scans them into carries, pass 2 walks
+    * BOUNDARY summary, the driver folds them into carries, pass 2 walks
     * each partition with its carry. A per-group window would serialize
     * each group through one task (groups here are FEW and HUGE —
-    * languages, sources); this keeps parallelism = shuffle partitions
-    * and driver state O(partitions × groups).
+    * languages, sources); this keeps parallelism = shuffle partitions.
+    *
+    * Driver state is O(partitions), NOT O(partitions × groups): the
+    * range sort makes each group's rows a contiguous partition span, so
+    * the only group in partition p that can have mass in earlier
+    * partitions is p's FIRST group — one (group, carry) pair per
+    * partition is the whole cross-partition state, even with millions
+    * of distinct groups.
     */
   def withGroupedPrefixSum(docs: DataFrame, groupCol: String,
       valueCol: String, rankCol: String, idCol: String): DataFrame = {
@@ -71,21 +77,25 @@ object Curation {
     def valueOf(r: org.apache.spark.sql.Row): Long =
       r.get(ti).asInstanceOf[Number].longValue
     def groupOf(r: org.apache.spark.sql.Row): String = String.valueOf(r.get(gi))
-    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+    // pass 1: per partition, only the boundary summary — first group,
+    // last group, and the last group's in-partition total (None = empty)
+    val edges = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var first: String = null
+      var cur: String = null
+      var curSum = 0L
       it.foreach { r =>
         val g = groupOf(r)
-        m(g) = m.getOrElse(g, 0L) + valueOf(r)
+        if (first == null) first = g
+        if (g != cur) { cur = g; curSum = 0L }
+        curSum += valueOf(r)
       }
-      Iterator((pid, m.toVector))
+      Iterator((pid, if (first == null) None else Some(PartEdge(first, cur, curSum))))
     }.collect().sortBy(_._1).map(_._2)
-    // carry(pid)(group) = value total of that group in partitions before pid
-    val carries = partSums.scanLeft(Map.empty[String, Long]) { (acc, part) =>
-      part.foldLeft(acc) { case (a, (g, s)) => a.updated(g, a.getOrElse(g, 0L) + s) }
-    }
+    val carries = boundaryCarries(edges)
     val bc = spark.sparkContext.broadcast(carries)
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val cum = scala.collection.mutable.HashMap[String, Long](bc.value(pid).toSeq: _*)
+      val cum = scala.collection.mutable.HashMap.empty[String, Long]
+      bc.value(pid).foreach { case (g, s) => cum(g) = s }
       it.map { r =>
         val g = groupOf(r)
         val c = cum.getOrElse(g, 0L) + valueOf(r)
@@ -95,6 +105,43 @@ object Curation {
     }
     spark.createDataFrame(out,
       schema.add("cum", org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
+  /** Boundary summary of one sorted partition: its first group, its
+    * last group, and the last group's total within the partition
+    * (first == last when the partition holds a single group, in which
+    * case `lastSum` is the whole-partition total).
+    */
+  private[llm] final case class PartEdge(
+      firstGroup: String, lastGroup: String, lastSum: Long)
+
+  /** Fold per-partition boundary summaries into at most ONE
+    * (group, carried-sum) pair per partition: `carries(p)` is defined
+    * iff partition p's first group also appears in earlier partitions,
+    * and then holds that group's total over all earlier partitions.
+    * Relies on the range sort: a group's rows span contiguous
+    * partitions, so a carry chain survives a partition only while that
+    * partition is single-group (empty partitions pass it through).
+    */
+  private[llm] def boundaryCarries(
+      edges: Array[Option[PartEdge]]): Array[Option[(String, Long)]] = {
+    val out = Array.fill[Option[(String, Long)]](edges.length)(None)
+    var carryG: String = null
+    var carryS = 0L
+    var pid = 0
+    while (pid < edges.length) {
+      edges(pid) match {
+        case None => // empty partition: carry flows through unchanged
+        case Some(e) =>
+          if (carryG != null && carryG == e.firstGroup)
+            out(pid) = Some((carryG, carryS))
+          if (e.firstGroup == e.lastGroup && carryG != null && carryG == e.lastGroup)
+            carryS += e.lastSum // same group keeps accumulating
+          else { carryG = e.lastGroup; carryS = e.lastSum }
+      }
+      pid += 1
+    }
+    out
   }
 
   def sampleToTokenBudget(docs: DataFrame, groupCol: String,

@@ -826,9 +826,18 @@ object Dedup {
     *
     * Requires all batch ids > all corpus ids (ingest sequence ids do
     * this for free); enforced with a cheap agg.
+    *
+    * The broadcast is SIZE-GUARDED: the batch's total gram count (one
+    * cheap agg over the already-checkpointed shingle frame) must stay
+    * within `broadcastMaxGrams`, else the hint is dropped and the
+    * planner shuffles both sides — a caller feeding a corpus-sized
+    * "batch" gets a slower-but-correct plan change instead of a
+    * driver/executor OOM. The default (10M grams, low hundreds of MB
+    * serialized) is a conservative executor-memory crossover.
     */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, idCol: String,
-      textCol: String, threshold: Double): DataFrame = {
+      textCol: String, threshold: Double,
+      broadcastMaxGrams: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // id-bound check on the RAW frames (no shingling), then shingle the
     // corpus exactly ONCE: the gram frame feeds dfreq, the ranked main
@@ -857,7 +866,13 @@ object Dedup {
         .filter(col("rk") <=
           col("set_sz") - ceil(lit(threshold) * col("set_sz") - 1e-9) + 1)
         .select(col(idCol), col("gram"), col("set_sz"))
-    val probe = broadcast(ranked(gramsB).alias("y"))
+    val nBatchGrams = gramsB
+      .agg(coalesce(sum(size(col("sh"))), lit(0L)).cast("long"))
+      .head().getLong(0)
+    val rankedBatch = ranked(gramsB).alias("y")
+    val probe =
+      if (nBatchGrams <= broadcastMaxGrams) broadcast(rankedBatch)
+      else rankedBatch
     val cands = ranked(gramsAll).alias("x").join(probe,
         col("x.gram") === col("y.gram") &&
           col(s"x.$idCol") < col(s"y.$idCol") &&
@@ -942,7 +957,11 @@ object Dedup {
     * emits its d+1 segments, the probe side emits every substring
     * that could equal a segment of a length-l build key for
     * l ∈ [m−d, m+d] (bounded (2d+1)²(d+1) keys per key — constants,
-    * not data). Length-only blocking is NOT enough: a corpus of
+    * not data). The window is allowed down to l = 0 so an EMPTY build
+    * key (whose d+1 segments are all "") is still probe-reachable from
+    * keys of length ≤ d — without it, a pair (empty key, short key)
+    * where the empty doc holds the smaller id would be silently
+    * dropped. Length-only blocking is NOT enough: a corpus of
     * fixed-width keys (30-char prefixes — everything is length 30)
     * degenerates it to all-pairs, which is exactly the O(n²) this
     * operator must never do. Segment content is a highly-selective
@@ -981,7 +1000,7 @@ object Dedup {
                   struct(l.as("l"), i.as("i"),
                     (segStart(l, i) + shift).as("start"),
                     segLen(l, i).as("slen"))),
-                st => st("l") >= 1 && st("start") >= 1 &&
+                st => st("l") >= 0 && st("start") >= 1 &&
                   st("start") + st("slen") - 1 <= col("m")))))))).as("s"))
       .select(col("id"), col("key"), col("m"),
         col("s.l").as("l"), col("s.i").as("i"),

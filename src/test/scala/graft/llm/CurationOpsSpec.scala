@@ -94,6 +94,49 @@ class CurationOpsSpec extends SparkSpec {
     assert(cum == Seq((1L, 10L), (2L, 5L), (3L, 17L), (4L, 7L)))
   }
 
+  test("boundaryCarries: one pair per partition, chained through spans and gaps") {
+    import Curation.{PartEdge, boundaryCarries}
+    // partitions: [gA..gA][gA..gA][empty][gA|gB][gB|gC][gC..gC]
+    // group A spans 0-3 (through the empty partition), B spans 3-4, C 4-5
+    val edges = Array[Option[PartEdge]](
+      Some(PartEdge("A", "A", 10L)),
+      Some(PartEdge("A", "A", 7L)),
+      None,
+      Some(PartEdge("A", "B", 4L)),
+      Some(PartEdge("B", "C", 9L)),
+      Some(PartEdge("C", "C", 1L)))
+    val c = boundaryCarries(edges)
+    assert(c(0).isEmpty) // nothing before partition 0
+    assert(c(1).contains(("A", 10L)))
+    assert(c(2).isEmpty) // empty partition gets no carry...
+    assert(c(3).contains(("A", 17L))) // ...but passes it through
+    assert(c(4).contains(("B", 4L))) // multi-group partition resets the chain
+    assert(c(5).contains(("C", 9L)))
+    // the invariant the fix exists for: ≤ 1 carry pair per partition
+    assert(c.forall(_.toSeq.size <= 1))
+  }
+
+  test("prefix sum with 100k distinct groups: window parity, O(partitions) carries") {
+    val s = spark; import s.implicits._
+    // 100k groups × 2 rows — the per-domain shape that used to build an
+    // O(partitions × groups) cumulative carry broadcast
+    val n = 100000
+    val df = (0 until 2 * n).map { i =>
+      (i.toLong, s"dom${i % n}", (i % 13).toLong + 1L)
+    }.toDF("doc_id", "grp", "v")
+      .withColumn("rk", col("doc_id"))
+      .repartition(32)
+    val got = Curation.withGroupedPrefixSum(df, "grp", "v", "rk", "doc_id")
+      .select("doc_id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("rk", "doc_id")
+    val want = df.withColumn("cum", sum("v").over(w))
+      .select("doc_id", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   test("byte-slice kernels reject non-integral id columns loudly") {
     val s = spark; import s.implicits._
     val bad = Seq(("uuid-1", "some text here")).toDF("doc_id", "text")

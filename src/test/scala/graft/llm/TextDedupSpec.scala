@@ -380,8 +380,10 @@ class TextDedupSpec extends SparkSpec {
       (5L, "abcdefghijklmnopqrstuvwxyz0123"),  // exact dup of 1 → d=0
       (6L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),  // same length, far away
       (7L, "ab"), (8L, "ba"), (9L, "a"),       // keys shorter than d+1 segs
-      (10L, "completely different text here"))
-      .toDF("id", "p")
+      (10L, "completely different text here"),
+      (0L, ""), (11L, ""))                     // empty keys, both id sides:
+      .toDF("id", "p")                         // (0,9) is the smaller-id-empty
+                                               // direction the l>=1 probe missed
     val got = Dedup.editDistancePairs(docs, "id", "p", maxDist = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // brute force on the driver
@@ -403,6 +405,25 @@ class TextDedupSpec extends SparkSpec {
     assert(want.contains((1L, 2L, 1L)) && want.contains((1L, 3L, 2L)) &&
       want.contains((1L, 4L, 2L)) && want.contains((1L, 5L, 0L)) &&
       want.contains((7L, 8L, 2L))) // the set is non-trivial
+  }
+
+  test("incrementalDedup: non-broadcast fallback path == broadcast path") {
+    import spark.implicits._
+    val mk = (i: Long, seed: Int) =>
+      (i, (1 to 10).map(j => s"w${(seed + j * 13) % 31}").mkString(" "))
+    val corpus = (1L to 8L).map(i => mk(i, i.toInt)).toDF("doc_id", "text")
+    // batch: two genuinely new docs (seeds distinct mod 31 from the
+    // corpus's 1..8) + two re-crawls of corpus docs 2 and 5
+    val batch = (Seq(mk(101L, 20), mk(102L, 24)) ++
+      Seq((103L, mk(2L, 2)._2), (104L, mk(5L, 5)._2))).toDF("doc_id", "text")
+    def kept(maxGrams: Long) =
+      Dedup.incrementalDedup(corpus, batch, "doc_id", "text",
+        threshold = 0.9, broadcastMaxGrams = maxGrams)
+        .collect().map(_.getLong(0)).toSet
+    val viaBroadcast = kept(Long.MaxValue)
+    val viaShuffle = kept(0L) // guard trips: every batch is "too big"
+    assert(viaBroadcast == Set(101L, 102L))
+    assert(viaShuffle == viaBroadcast)
   }
 
   test("lang-id prefers the language with most stopword hits") {
