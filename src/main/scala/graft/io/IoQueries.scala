@@ -186,9 +186,12 @@ object IoQueries {
         .map(f => f.getAbsolutePath -> (f.length(), f.lastModified()))
         .toMap
     val before = fileState()
-    // recrawl of the `en` slice: text re-extracted (suffix marks v2)
+    // recrawl of the `en` slice: text re-extracted (suffix marks v2).
+    // concat_ws, not concat: concat returns NULL on null text, which
+    // would exclude a null-text doc from the endsWith(" v2") count and
+    // false-fail the n_en_v2 === nEnOrig gate.
     val recrawl = docs.filter(col("lang") === "en")
-      .withColumn("text", concat(col("text"), lit(" v2")))
+      .withColumn("text", concat_ws("", col("text"), lit(" v2")))
     recrawl.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("lang").parquet(out)

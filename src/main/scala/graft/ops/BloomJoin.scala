@@ -25,10 +25,11 @@ object BloomJoin {
 
   /** Fact rows whose `factKey` passes a bloom built from `dimKey`,
     * then exactly semi-joined. `fpp` trades sketch size for prune
-    * precision. The dim side is scanned twice (once to size + build
-    * the sketch, once for the exact join) — dim is the SMALL side by
-    * contract, the win is never scanning excess FACT rows into the
-    * exchange.
+    * precision. The dim side is scanned twice for the sketch (a cheap
+    * exchange-free sizing pass + the build aggregate — or ONCE with an
+    * `expectedItems` hint) plus once for the exact join — dim is the
+    * SMALL side by contract, the win is never scanning excess FACT
+    * rows into the exchange.
     */
   /** Build the dim-side key sketch plus its broadcast probe predicate
     * (shared by [[bloomSemiJoin]] and callers that want to audit the
@@ -36,15 +37,27 @@ object BloomJoin {
     * Long keys only — the probe is `mightContainLong`; a non-bigint
     * key would be silently null-coerced by the UDF boundary and prune
     * EVERYTHING, so the type is required loudly.
+    *
+    * Sizing: pass `expectedItems` when the caller knows the dim key
+    * cardinality (skips the sizing scan entirely); otherwise one
+    * `approx_count_distinct` aggregate — partial-agg sketches only,
+    * no full `distinct()` exchange — estimates it, padded 10% so the
+    * HLL's ±5% rsd cannot push the realized fpp above the ask.
     */
-  def bloomProbe(dim: DataFrame, dimKey: String,
-      fpp: Double): org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+  def bloomProbe(dim: DataFrame, dimKey: String, fpp: Double,
+      expectedItems: Option[Long] = None)
+      : org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
     require(dim.schema(dimKey).dataType ==
       org.apache.spark.sql.types.LongType,
       s"bloomProbe needs a bigint key, got " +
         s"${dim.schema(dimKey).dataType.simpleString} for $dimKey")
-    val nDim = dim.select(dimKey).distinct().count()
-    require(nDim > 0, "bloomSemiJoin: empty dim side")
+    expectedItems.foreach(n => require(n > 0,
+      s"bloomProbe: expectedItems must be positive, got $n"))
+    val nDim = expectedItems.getOrElse {
+      val est = dim.agg(approx_count_distinct(col(dimKey))).head().getLong(0)
+      require(est > 0, "bloomSemiJoin: empty dim side")
+      math.max(1L, (est * 1.1).toLong)
+    }
     val bloom = dim.stat.bloomFilter(dimKey, nDim, fpp)
     val bc = dim.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((k: java.lang.Long) =>
@@ -53,7 +66,8 @@ object BloomJoin {
   }
 
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, fpp: Double = 0.01): DataFrame = {
+      dimKey: String, fpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
     require(factKey != dimKey,
       s"fact and dim key columns must have distinct names (both '$factKey')" +
         " — alias one side")
@@ -61,7 +75,7 @@ object BloomJoin {
       org.apache.spark.sql.types.LongType,
       s"bloomSemiJoin needs a bigint fact key, got " +
         s"${fact.schema(factKey).dataType.simpleString} for $factKey")
-    val probe = bloomProbe(dim, dimKey, fpp)
+    val probe = bloomProbe(dim, dimKey, fpp, expectedItems)
     // no distinct() on the semi-join's right side: left_semi results
     // are unaffected by duplicate right keys, the exchange would be
     // pure cost

@@ -27,10 +27,15 @@ object Cdc {
     * of every key, minus keys whose latest op is a delete.
     *
     * Plan: union both sides with a (seq, is_change) ordering tuple →
-    * `row_number` over (key, ORDER BY seq DESC) → keep rn=1, drop D.
-    * One exchange on the key; no driver state, no collect. Skewed
-    * hot keys are bounded by the changelog's per-key cardinality, not
-    * the snapshot's (a key appears once in the snapshot).
+    * `row_number` over (key, ORDER BY seq DESC, is_change DESC) → keep
+    * rn=1, drop D. The is_change tiebreak makes a change row beat the
+    * snapshot row even at seq == Long.MinValue (the snapshot's implicit
+    * sentinel), so the merge is deterministic for ANY changelog seq;
+    * duplicate (key, seq) pairs WITHIN the changelog still violate the
+    * monotone-seq contract and pick an arbitrary winner. One exchange
+    * on the key; no driver state, no collect. Skewed hot keys are
+    * bounded by the changelog's per-key cardinality, not the
+    * snapshot's (a key appears once in the snapshot).
     */
   def applyChangelog(snapshot: DataFrame, changes: DataFrame,
       keyCol: String, seqCol: String, opCol: String): DataFrame = {
@@ -39,13 +44,20 @@ object Cdc {
       s"changes must carry $seqCol and $opCol")
     require(!snapshot.columns.contains(seqCol) && !snapshot.columns.contains(opCol),
       s"snapshot must not carry $seqCol/$opCol (they are changelog metadata)")
+    require(!snapshot.columns.contains("__is_change") &&
+      !changes.columns.contains("__is_change"),
+      "__is_change is reserved by applyChangelog")
     val snapTagged = snapshot
       .withColumn(seqCol, lit(Long.MinValue))
       .withColumn(opCol, lit("U"))
+      .withColumn("__is_change", lit(0))
     val merged = snapTagged.unionByName(
-        changes.select(snapTagged.columns.map(col).toSeq: _*))
+        changes.select(snapTagged.columns.filterNot(_ == "__is_change")
+            .map(col).toSeq: _*)
+          .withColumn("__is_change", lit(1)))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(keyCol)).orderBy(col(seqCol).desc)))
+        Window.partitionBy(col(keyCol))
+          .orderBy(col(seqCol).desc, col("__is_change").desc)))
       .filter(col("__rn") === 1 && col(opCol) === "U")
     merged.select(col(keyCol) +: dataCols.map(col): _*)
   }

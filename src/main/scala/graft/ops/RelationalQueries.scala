@@ -337,10 +337,14 @@ object RelationalQueries {
     // post-shuffle sort is cheaper than ser/de-ing every row to storage)
     val rdd = sorted.rdd
     locally {
+      // group keys are tracked internally as String.valueOf images (so
+      // int/date/… keys work); output rows carry the ORIGINAL value
+      // with the input's native type
+      def keyOf(r: org.apache.spark.sql.Row): String = String.valueOf(r.get(0))
       // pass 1: (partition, group) → count
       val segCounts = rdd.mapPartitionsWithIndex { (pid, it) =>
         val m = scala.collection.mutable.LinkedHashMap[String, Long]()
-        it.foreach { r => val g = r.getString(0); m(g) = m.getOrElse(g, 0L) + 1 }
+        it.foreach { r => val g = keyOf(r); m(g) = m.getOrElse(g, 0L) + 1 }
         m.iterator.map { case (g, c) => (pid, g, c) }
       }.collect()
       val totals = segCounts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
@@ -359,17 +363,18 @@ object RelationalQueries {
         val off = bcOff.value; val tgt = bcTarget.value; val tot = bcTotals.value
         val pos = scala.collection.mutable.HashMap[String, Long]()
         it.flatMap { r =>
-          val g = r.getString(0)
+          val g = keyOf(r)
           val p = pos.getOrElse(g, off((pid, g))) + 1
           pos(g) = p
           if (p == tgt(g))
-            Some(org.apache.spark.sql.Row(g, r.getDouble(1), tot(g)))
+            Some(org.apache.spark.sql.Row(r.get(0), r.getDouble(1), tot(g)))
           else None
         }
       }
       import org.apache.spark.sql.types._
       spark.createDataFrame(hits, StructType(Seq(
-        StructField(groupCol, StringType), StructField("med", DoubleType),
+        StructField(groupCol, df.schema(groupCol).dataType),
+        StructField("med", DoubleType),
         StructField("n", LongType))))
     }
   }
@@ -677,10 +682,14 @@ object RelationalQueries {
     // sort-both-passes median job: measured 46 s → ~9 s at sf0.1.
     // Driver state is O(groups), the same bound the two-pass medians
     // already carry.
-    def materialize(medDf: DataFrame, as: String): DataFrame =
-      medDf.select(col(groupCol), col("med")).collect()
-        .map(r => (r.getString(0), r.getDouble(1))).toSeq
-        .toDF(groupCol, as)
+    // createDataFrame over the collected rows' own schema, not a
+    // typed .toDF: the group key keeps its native type (string, int,
+    // date…) so the re-entry join needs no casts and non-string keys
+    // don't ClassCastException.
+    def materialize(medDf: DataFrame, as: String): DataFrame = {
+      val sel = medDf.select(col(groupCol), col("med").as(as))
+      sp.createDataFrame(java.util.Arrays.asList(sel.collect(): _*), sel.schema)
+    }
     val med = materialize(
       groupedDiscreteMedian(df, groupCol, valueCol, tiebreaks), "med")
     val dev = df.join(broadcast(med), groupCol)

@@ -21,6 +21,20 @@ class BloomJoinSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("expectedItems hint skips the sizing scan, same result") {
+    import spark.implicits._
+    val fact = (1L to 1000L).map(k => (k, s"r$k")).toDF("fk", "payload")
+    val dim = (1L to 1000L by 17).toDF("dk")
+    val got = BloomJoin.bloomSemiJoin(fact, dim, "fk", "dk",
+      fpp = 0.01, expectedItems = Some(59L))
+      .select("fk").collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 1000L by 17).toSet)
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.bloomProbe(dim, "dk", 0.01, expectedItems = Some(0L))
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
   test("empty dim side fails loudly") {
     import spark.implicits._
     val fact = Seq((1L, "a")).toDF("fk", "p")

@@ -27,6 +27,20 @@ class CdcSpec extends SparkSpec {
     assert(got == Set((1L, "a2"), (3L, "c2"), (4L, "d"), (5L, "e"), (6L, "f2")))
   }
 
+  test("applyChangelog: change at seq == Long.MinValue still beats the snapshot") {
+    import spark.implicits._
+    // the snapshot's implicit sentinel is Long.MinValue; the
+    // (seq, is_change) ordering tuple must break that tie toward the
+    // change row deterministically
+    val snap = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
+    val changes = Seq(
+      (1L, Long.MinValue, "U", "new"))
+      .toDF("k", "seq", "op", "v")
+    val got = Cdc.applyChangelog(snap, changes, "k", "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "new"), (2L, "keep")))
+  }
+
   test("applyChangelog: rejects metadata column collisions") {
     import spark.implicits._
     val snap = Seq((1L, 9L)).toDF("k", "seq")
