@@ -28,6 +28,7 @@ object SparkEntry {
       graft.ml.Explain.all ++
       graft.ml.Pipeline.all ++
       graft.ml.Boruta.all ++
+      graft.ml.LdClump.all ++
       graft.io.IoQueries.all ++
       graft.llm.TextAnalysis.all ++
       graft.llm.Curation.all ++

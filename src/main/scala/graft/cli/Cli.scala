@@ -52,8 +52,10 @@ object Cli {
 }
 
 /** Entry point #0 — ingest (preprocessing DAG, Snakefile:73-430): PLINK
-  * `.raw` → recode → one-time materialized shuffle → optional covariate
-  * join + deconfounding (features_adj / label_adj) → bundle store.
+  * `.raw` → recode → optional LD clumping (Snakefile:106-196, plink
+  * `--clump` + `--extract`, behind `--clump-sumstats`) → one-time
+  * materialized shuffle → optional covariate join + deconfounding
+  * (features_adj / label_adj) → bundle store.
   */
 object Ingest {
   def main(args: Array[String]): Unit = {
@@ -63,8 +65,29 @@ object Ingest {
     val chunkRows = a.getOrElse("chunk-rows", "100").toLong
     val seed = a.getOrElse("seed", "42").toLong
     val spark = Cli.session("graft-ingest")
-    val scanned = Plink.readRaw(spark, raw)
-    val cols = Plink.colsTable(spark, raw)
+    var scanned = Plink.readRaw(spark, raw)
+    var cols = Plink.colsTable(spark, raw)
+    // QC step 2 (after the reference's MAF filter): r²-prune to clump
+    // index SNPs before any shuffle or bundling touches the full width
+    a.get("clump-sumstats").foreach { ss =>
+      val params = LdClump.ClumpParams(
+        kb = a.getOrElse("clump-kb", "1000").toInt,
+        p1 = a.getOrElse("clump-p1", "1").toDouble,
+        p2 = a.getOrElse("clump-p2", "1").toDouble,
+        r2 = a.getOrElse("clump-r2", "0.75").toDouble)
+      val snps = LdClump.fromSumstats(spark, ss, cols,
+        a.getOrElse("clump-snp-field", "snp"),
+        a.getOrElse("clump-field", "p"))
+      val keep = LdClump.clumpIndexIdx(scanned, "features", snps, params)
+      require(keep.nonEmpty, "LD clumping kept zero SNPs — check sumstats")
+      val names = Plink.snpNames(spark, raw)
+      scanned = Pipeline.sliceFeatures(scanned, keep)
+      val spark2 = spark; import spark2.implicits._
+      cols = keep.map(names).zipWithIndex.map { case (n, i) => (i, n) }
+        .toDF("pos", "snp")
+      println(s"clumped ${names.length} SNPs -> ${keep.length} index SNPs " +
+        s"(kb=${params.kb}, r2=${params.r2})")
+    }
     val p = cols.count().toInt
     // R1: the ONLY global shuffle of the pipeline, materialized once
     var bundle = Splits.materializedShuffle(scanned, seed, chunkRows)

@@ -1,0 +1,272 @@
+package graft.ml
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LD clumping — the engine analog of the reference QC DAG's plink
+  * `--clump` step (`workflows/preprocessing/Snakefile:106-155` with
+  * `clump_kb/clump_p1/clump_p2/clump_r2` from config.yaml:14-19),
+  * which runs immediately after the MAF filter and prunes the SNP set
+  * to per-locus index SNPs before ML ingest.
+  *
+  * Semantics (plink 1.9 --clump, public documentation): order SNPs
+  * with association p ≤ p1 by ascending p; the best unassigned SNP
+  * becomes a clump INDEX and absorbs every still-unassigned SNP
+  * within `kb` kilobases on the same chromosome whose squared Pearson
+  * correlation (r²) of dosage vectors with the index is ≥ `r2` and
+  * whose p ≤ p2. Repeat until no candidates remain. The kept set (the
+  * reference's `--extract` snplist) is exactly the index SNPs; SNPs
+  * absent from the sumstats never enter clumping and are dropped.
+  *
+  * Spark shape, designed for genome scale:
+  *  - r² needs only second moments, so the windowed pair statistics
+  *    come from ONE `treeAggregate` pass over the dosage matrix (the
+  *    A6 CᵀC pattern, Deconfound.massOlsBetas): per in-window pair we
+  *    accumulate (n, Σx, Σy, Σx², Σy², Σxy) over pairwise-complete
+  *    rows — plink's own missing-data policy. The accumulator is
+  *    O(window pairs), NOT O(p²): sorted by (chr, pos), each SNP only
+  *    pairs forward inside its kb window.
+  *  - At 100 TB / millions of SNPs, the SNP axis is sliced into
+  *    (block + kb halo) column ranges and the same pass runs per
+  *    slice — column pruning keeps each pass's scan to its slice, and
+  *    slices are independent jobs. The greedy selection is inherently
+  *    sequential (each clump consumes candidates), but it only needs
+  *    the SPARSE pairs with r² ≥ threshold, per chromosome — driver
+  *    state O(kept pairs), chromosomes independent.
+  */
+object LdClump {
+
+  /** One SNP's clumping metadata: `idx` = its position in the features
+    * array (file order), genomic (chr, pos), association p-value. */
+  final case class SnpInfo(idx: Int, name: String, chr: Int, pos: Long,
+      p: Double)
+
+  /** plink --clump knobs; defaults = the reference config.yaml:15-18
+    * (kb=1000, p1=1, p2=1, r2=0.75). */
+  final case class ClumpParams(kb: Int = 1000, p1: Double = 1.0,
+      p2: Double = 1.0, r2: Double = 0.75) {
+    require(kb > 0 && r2 >= 0 && r2 <= 1 && p1 >= 0 && p2 >= 0,
+      s"invalid clump params: $this")
+  }
+
+  /** All (a, b) SnpInfo pairs with a.idx-order before b, same chr,
+    * |pos diff| ≤ kb·1000 — enumerated over the (chr, pos) sort so the
+    * count is O(p × window width), never O(p²). */
+  private[ml] def windowPairs(snps: Seq[SnpInfo], kb: Int): Array[(SnpInfo, SnpInfo)] = {
+    val sorted = snps.sortBy(s => (s.chr, s.pos, s.idx)).toArray
+    val bp = kb.toLong * 1000L
+    val out = Array.newBuilder[(SnpInfo, SnpInfo)]
+    var i = 0
+    while (i < sorted.length) {
+      var j = i + 1
+      while (j < sorted.length && sorted(j).chr == sorted(i).chr &&
+          sorted(j).pos - sorted(i).pos <= bp) {
+        out += ((sorted(i), sorted(j)))
+        j += 1
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Pairwise-complete second-moment sums for every in-window pair. */
+  private final class PairAcc(val nP: Int) extends Serializable {
+    val n = new Array[Long](nP)
+    val sx = new Array[Double](nP); val sy = new Array[Double](nP)
+    val sxx = new Array[Double](nP); val syy = new Array[Double](nP)
+    val sxy = new Array[Double](nP)
+    def merge(o: PairAcc): PairAcc = {
+      var i = 0
+      while (i < nP) {
+        n(i) += o.n(i); sx(i) += o.sx(i); sy(i) += o.sy(i)
+        sxx(i) += o.sxx(i); syy(i) += o.syy(i); sxy(i) += o.sxy(i)
+        i += 1
+      }
+      this
+    }
+  }
+
+  /** r² of dosage vectors for every in-window SNP pair, in ONE
+    * distributed pass over `geno` (rows = samples, `featuresCol` =
+    * array of dosages in file order). Pairwise-complete: a row where
+    * either dosage is NaN/null contributes nothing to that pair.
+    * Zero-variance (monomorphic) sides get r² = 0.
+    */
+  def bandedR2(geno: DataFrame, featuresCol: String, snps: Seq[SnpInfo],
+      kb: Int): Seq[(SnpInfo, SnpInfo, Double)] = {
+    val pairs = windowPairs(snps, kb)
+    if (pairs.isEmpty) return Seq.empty
+    val ia = pairs.map(_._1.idx)
+    val ib = pairs.map(_._2.idx)
+    val rows = geno.select(col(featuresCol))
+    val agg = rows.rdd.treeAggregate(new PairAcc(pairs.length))(
+      seqOp = (acc, row) => {
+        val feats = row.getSeq[Any](0)
+        val f = new Array[Double](feats.length)
+        var t = 0
+        val it = feats.iterator
+        while (it.hasNext) {
+          f(t) = it.next() match {
+            case null => Double.NaN
+            case fl: java.lang.Float => fl.toDouble
+            case d: java.lang.Double => d.doubleValue()
+            case x: java.lang.Number => x.doubleValue()
+          }
+          t += 1
+        }
+        var i = 0
+        while (i < acc.nP) {
+          val x = f(ia(i)); val y = f(ib(i))
+          if (!java.lang.Double.isNaN(x) && !java.lang.Double.isNaN(y)) {
+            acc.n(i) += 1
+            acc.sx(i) += x; acc.sy(i) += y
+            acc.sxx(i) += x * x; acc.syy(i) += y * y
+            acc.sxy(i) += x * y
+          }
+          i += 1
+        }
+        acc
+      },
+      combOp = (a, b) => a.merge(b))
+    pairs.indices.map { i =>
+      val n = agg.n(i).toDouble
+      val covN = n * agg.sxy(i) - agg.sx(i) * agg.sy(i)
+      val vxN = n * agg.sxx(i) - agg.sx(i) * agg.sx(i)
+      val vyN = n * agg.syy(i) - agg.sy(i) * agg.sy(i)
+      val r2 = if (n < 2 || vxN <= 0 || vyN <= 0) 0.0
+        else (covN * covN) / (vxN * vyN)
+      (pairs(i)._1, pairs(i)._2, r2)
+    }
+  }
+
+  /** Greedy p-ordered clump formation over precomputed in-window r²
+    * pairs. Returns (index SNPs in selection order, index idx →
+    * absorbed member idxs). Ties in p break by file order (idx) —
+    * deterministic. Only pairs with r² ≥ params.r2 matter; callers at
+    * scale should filter before collecting.
+    */
+  def clump(snps: Seq[SnpInfo], r2pairs: Seq[(SnpInfo, SnpInfo, Double)],
+      params: ClumpParams): (Seq[SnpInfo], Map[Int, Seq[Int]]) = {
+    val adj = scala.collection.mutable.HashMap
+      .empty[Int, List[SnpInfo]].withDefaultValue(Nil)
+    r2pairs.foreach { case (a, b, r2) =>
+      if (r2 >= params.r2) {
+        adj(a.idx) = b :: adj(a.idx)
+        adj(b.idx) = a :: adj(b.idx)
+      }
+    }
+    val assigned = scala.collection.mutable.HashSet.empty[Int]
+    val kept = Seq.newBuilder[SnpInfo]
+    val members = Map.newBuilder[Int, Seq[Int]]
+    snps.filter(_.p <= params.p1).sortBy(s => (s.p, s.idx)).foreach { s =>
+      if (!assigned.contains(s.idx)) {
+        assigned += s.idx
+        val absorbed = adj(s.idx)
+          .filter(m => !assigned.contains(m.idx) && m.p <= params.p2)
+          .map(_.idx).sorted
+        absorbed.foreach(assigned += _)
+        kept += s
+        members += s.idx -> absorbed
+      }
+    }
+    (kept.result(), members.result())
+  }
+
+  /** One-call form for ingest: feature-array indices to KEEP (ascending
+    * file order), = the clump index SNPs. */
+  def clumpIndexIdx(geno: DataFrame, featuresCol: String,
+      snps: Seq[SnpInfo], params: ClumpParams): Seq[Int] = {
+    val pairs = bandedR2(geno, featuresCol, snps, params.kb)
+    clump(snps, pairs, params)._1.map(_.idx).sorted
+  }
+
+  /** Sumstats TSV (the reference's `--clump` input: config.yaml
+    * clump_snp_field/clump_field name the SNP and p columns; chr/pos
+    * ride along because the engine has no .bim) joined to the .raw
+    * column table → SnpInfo per sumstats-covered SNP. SNPs missing
+    * from the sumstats are dropped from clumping — and therefore from
+    * the kept set — exactly like plink's snplist + --extract.
+    */
+  def fromSumstats(spark: SparkSession, path: String, cols: DataFrame,
+      snpField: String, pField: String): Seq[SnpInfo] = {
+    val ss = spark.read.option("header", "true").option("delimiter", "\t")
+      .csv(path)
+    Seq(snpField, "chr", "pos", pField).foreach(c =>
+      require(ss.columns.contains(c),
+        s"sumstats $path lacks column '$c' (has ${ss.columns.mkString(",")})"))
+    val byName = ss.select(col(snpField), col("chr").cast("int"),
+        col("pos").cast("long"), col(pField).cast("double"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    cols.collect().flatMap { r =>
+      val (idx, name) = (r.getInt(0), r.getString(1))
+      byName.get(name).map { case (c, bp, p) => SnpInfo(idx, name, c, bp, p) }
+    }.toSeq
+  }
+
+  // ---------------------------------------------------------------- query
+
+  /** Deterministic dosage patterns for the m14 fixture: over 297
+    * samples (a multiple of 9), `base` = id%3 and `ind` = (id/3)%3 hit
+    * all 9 value combinations equally often, so corr(base, ind) is
+    * EXACTLY zero; `anti` = 2−base has r² exactly 1 with base. */
+  private def pattern(id: Long, kind: String): Double = kind match {
+    case "base" => (id % 3).toDouble
+    case "anti" => 2.0 - (id % 3).toDouble
+    case "ind" => ((id / 3) % 3).toDouble
+  }
+
+  /** M14 — LD clump on planted blocks, golden-gated: chr-1 block
+    * {a1←a2,a3} (r²=1 via copy/anti-copy, within 1000 kb), b1 = same
+    * pattern as a1 but 1.9 Mb away (window excludes), c1/e1 exactly
+    * uncorrelated, chr-2 block {d1←d2} with d3 protected by p2, NaNs
+    * punched into a3 to exercise pairwise-complete r². Expected kept
+    * set and member counts are hand-derived from plink's greedy order.
+    */
+  val m14 = QueryDef.fixture("m14_ld_clump") { (s, _) =>
+    import s.implicits._
+    val snps = Seq(
+      SnpInfo(0, "s_a1", 1, 100000L, 1e-8),  // index: absorbs a2, a3
+      SnpInfo(1, "s_a2", 1, 400000L, 1e-6),  // anti pattern, r²=1 w/ a1
+      SnpInfo(2, "s_a3", 1, 800000L, 1e-4),  // base + NaN holes, r²=1 w/ a1
+      SnpInfo(3, "s_b1", 1, 2000000L, 1e-5), // base, but 1.9Mb from a1: kept
+      SnpInfo(4, "s_c1", 1, 2300000L, 0.5),  // ind, r²=0: kept
+      SnpInfo(5, "s_d1", 2, 100000L, 0.01),  // index: absorbs d2
+      SnpInfo(6, "s_d2", 2, 150000L, 0.02),  // base, absorbed by d1
+      SnpInfo(7, "s_d3", 2, 120000L, 0.9),   // base but p > p2: kept
+      SnpInfo(8, "s_e1", 2, 160000L, 0.001)) // ind, r²=0 w/ d*: kept
+    val kinds = Seq("base", "anti", "base", "base", "ind", "base", "base",
+      "base", "ind")
+    val geno = s.range(0, 297).select(col("id"),
+      array(snps.indices.map { i =>
+        val k = kinds(i)
+        val v = k match {
+          case "base" => (col("id") % 3).cast("double")
+          case "anti" => lit(2.0) - (col("id") % 3).cast("double")
+          case "ind" => ((col("id") / 3).cast("long") % 3).cast("double")
+        }
+        // punch NaNs into a3 (idx 2): pairwise-complete must still see r²=1
+        if (i == 2) when(col("id") % 50 === 0, lit(Double.NaN)).otherwise(v)
+        else v
+      }: _*).as("features"))
+      .repartition(8)
+    val params = ClumpParams(kb = 1000, p1 = 1.0, p2 = 0.5, r2 = 0.75)
+    val pairs = bandedR2(geno, "features", snps, params.kb)
+    val (kept, members) = clump(snps, pairs, params)
+    val gotR2 = pairs.map { case (a, b, r2) => (a.name, b.name) -> r2 }.toMap
+    val planted =
+      gotR2(("s_a1", "s_a2")) == 1.0 && gotR2(("s_a1", "s_a3")) == 1.0 &&
+        gotR2(("s_d1", "s_d2")) == 1.0 && gotR2(("s_b1", "s_c1")) == 0.0 &&
+        !gotR2.contains(("s_a1", "s_b1")) // outside the kb window: no pair
+    val got = kept.map(k => k.name -> members(k.idx).length).toMap
+    val want = Map("s_a1" -> 2, "s_b1" -> 0, "s_e1" -> 0, "s_d1" -> 1,
+      "s_c1" -> 0, "s_d3" -> 0)
+    kept.map(k => (k.name, k.chr, k.pos, k.p, members(k.idx).length.toLong))
+      .toDF("snp", "chr", "pos", "p", "n_members")
+      .filter(lit(planted && got == want))
+  }
+
+  def all: Seq[QueryDef] = Seq(m14)
+}

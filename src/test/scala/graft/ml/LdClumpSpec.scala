@@ -1,0 +1,103 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.ml.LdClump.{ClumpParams, SnpInfo}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** LD clumping vs hand-computed plink --clump outcomes: window/chr
+  * blocking, exact banded r² (copies, anti-copies, exact-zero
+  * independents, NaN pairwise-complete), greedy p-ordered selection
+  * with p1/p2 gates, and the Ingest CLI wiring.
+  */
+class LdClumpSpec extends SparkSpec {
+
+  test("windowPairs: same-chr within-kb pairs only, O(window) not O(p²)") {
+    val snps = Seq(
+      SnpInfo(0, "x1", 1, 100000L, 0.1), SnpInfo(1, "x2", 1, 600000L, 0.1),
+      SnpInfo(2, "x3", 1, 1200000L, 0.1), SnpInfo(3, "y1", 2, 150000L, 0.1))
+    val got = LdClump.windowPairs(snps, kb = 1000)
+      .map { case (a, b) => (a.name, b.name) }.toSet
+    // x1-x2 500kb, x2-x3 600kb in-window; x1-x3 1100kb out; y1 other chr
+    assert(got == Set(("x1", "x2"), ("x2", "x3")))
+  }
+
+  test("bandedR2: exact 1 for copies/anti-copies, exact 0 for planted independents") {
+    val s = spark; import s.implicits._
+    val snps = Seq(SnpInfo(0, "a", 1, 1000L, 0.1), SnpInfo(1, "b", 1, 2000L, 0.1),
+      SnpInfo(2, "c", 1, 3000L, 0.1), SnpInfo(3, "d", 1, 4000L, 0.1))
+    // 297 = multiple of 9: (id%3) and ((id/3)%3) are exactly independent
+    val geno = s.range(0, 297).select(array(
+      (col("id") % 3).cast("double"),
+      lit(2.0) - (col("id") % 3).cast("double"),
+      ((col("id") / 3).cast("long") % 3).cast("double"),
+      // NaN holes: pairwise-complete must still see the copy exactly
+      when(col("id") % 7 === 0, lit(Double.NaN))
+        .otherwise((col("id") % 3).cast("double"))).as("features"))
+    val r2 = LdClump.bandedR2(geno, "features", snps, kb = 1000)
+      .map { case (a, b, v) => (a.name, b.name) -> v }.toMap
+    assert(r2(("a", "b")) == 1.0) // anti-copy: perfect negative corr
+    assert(r2(("a", "c")) == 0.0) // exact independence by construction
+    assert(r2(("a", "d")) == 1.0) // copy with NaN holes
+  }
+
+  test("clump: greedy p-order, p1/p2 gates, members consumed") {
+    val snps = Seq(
+      SnpInfo(0, "idx", 1, 100000L, 1e-8),
+      SnpInfo(1, "mem", 1, 200000L, 1e-4),
+      SnpInfo(2, "p2guard", 1, 300000L, 0.9), // r²=1 but p > p2
+      SnpInfo(3, "p1out", 1, 350000L, 0.99))  // p > p1: never a candidate
+    val pairs = Seq(
+      (snps(0), snps(1), 1.0), (snps(0), snps(2), 1.0),
+      (snps(0), snps(3), 1.0), (snps(1), snps(2), 1.0))
+    val (kept, members) = LdClump.clump(snps, pairs,
+      ClumpParams(kb = 1000, p1 = 0.95, p2 = 0.5, r2 = 0.75))
+    assert(kept.map(_.name) == Seq("idx", "p2guard"))
+    assert(members(0) == Seq(1)) // mem absorbed; p2guard survives to index
+    assert(members(2) == Seq.empty)
+  }
+
+  test("m14 fixture query: golden gate passes with the hand-derived kept set") {
+    val rows = LdClump.m14.fn(spark, "unused")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rows == Map("s_a1" -> 2L, "s_b1" -> 0L, "s_e1" -> 0L,
+      "s_d1" -> 1L, "s_c1" -> 0L, "s_d3" -> 0L))
+  }
+
+  test("Ingest --clump-sumstats prunes the bundle to index SNPs") {
+    val s = spark
+    val dir = graft.util.Fixtures.dir + "/ldclump"
+    Files.createDirectories(Paths.get(dir))
+    // 6 SNPs: g1,g2 perfect LD block (g1 better p), g3 independent,
+    // g4 same pattern as g1 but 2Mb away, g5 not in sumstats (dropped),
+    // g6 independent on chr 2
+    val names = Seq("g1_A", "g2_A", "g3_A", "g4_A", "g5_A", "g6_A")
+    val header = (graft.io.Plink.metaCols ++ names).mkString(" ")
+    val lines = (0 until 297).map { id =>
+      val base = id % 3
+      val ind = (id / 3) % 3
+      val ind2 = (id / 9) % 3
+      val pheno = 1 + (id % 2)
+      s"f$id i$id 0 0 1 $pheno $base ${2 - base} $ind $base $ind2 $ind2"
+    }
+    Files.write(Paths.get(s"$dir/clump.raw"),
+      (header +: lines).mkString("\n").getBytes)
+    val ss = Seq("snp\tchr\tpos\tp",
+      "g1_A\t1\t100000\t1e-8", "g2_A\t1\t200000\t1e-5",
+      "g3_A\t1\t300000\t0.2", "g4_A\t1\t2200000\t1e-6",
+      "g6_A\t2\t100000\t0.3")
+    Files.write(Paths.get(s"$dir/sumstats.tsv"), ss.mkString("\n").getBytes)
+    graft.cli.Ingest.main(Array("--raw", s"$dir/clump.raw", "--out", s"$dir/store",
+      "--chunk-rows", "50", "--seed", "7",
+      "--clump-sumstats", s"$dir/sumstats.tsv",
+      "--clump-kb", "1000", "--clump-r2", "0.75"))
+    val s2 = spark
+    val cols = graft.io.Bundle.readCols(s2, s"$dir/store")
+      .orderBy("pos").collect().map(_.getString(1)).toSeq
+    // g2 absorbed by g1; g5 not in sumstats -> dropped; rest kept
+    assert(cols == Seq("g1_A", "g3_A", "g4_A", "g6_A"))
+    val store = graft.io.Bundle.read(s2, s"$dir/store")
+    assert(store.select(max(size(col("features")))).head().getInt(0) == 4)
+    assert(store.count() == 297L)
+  }
+}
