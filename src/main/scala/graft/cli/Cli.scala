@@ -191,6 +191,108 @@ object Refit {
   }
 }
 
+/** `scripts/boruta_shap.py` — standalone Boruta-SHAP feature selection
+  * over a bundle store. Mirrors the reference entry point end to end:
+  * optional used-cols subsetting (boruta_shap.py:50-60 /
+  * explain.subset_predictors — applied only when the widths differ,
+  * like the reference's shape check), best params from the CV-results
+  * glob (read_hp_search_results), the Boruta loop, then the
+  * reference's outputs — `important_rsids` and `tentative_rsids`
+  * name lists with the `_ALLELE` suffix dropped (boruta_shap.py:63
+  * `used_cols_simplified`), written only when non-empty
+  * (boruta_shap.py:82-85), plus a full per-predictor ranks CSV
+  * (decision/hits/rank — the boruta.py:55-71 ranking assembly).
+  */
+object BorutaShap {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parseArgs(args)
+    val spark = Cli.session("graft-boruta")
+    val out = a("out")
+    val seed = a.getOrElse("seed", "42").toLong
+    val maxIter = a.getOrElse("max-iter", "30").toInt
+    val perc = a.getOrElse("percent", "100").toDouble
+    val alpha = a.getOrElse("alpha", "0.05").toDouble
+    val labelCol = a.getOrElse("ykey", "label")
+    var bundle = Bundle.read(spark, a("bundle"))
+    val cols = Bundle.readCols(spark, a("bundle"))
+    var names = cols.orderBy("pos").collect().map(_.getString(1)).toSeq
+    a.get("used-cols").foreach { path =>
+      val used = spark.read.option("header", "true").csv(path)
+        .collect().map(_.getString(0)).toSeq
+      if (used.length != names.length) {
+        val posByName = names.zipWithIndex.toMap
+        val keep = used.map(n => posByName.getOrElse(n,
+          throw new IllegalArgumentException(s"used col '$n' not in bundle")))
+        bundle = Pipeline.sliceFeatures(bundle, keep)
+        names = used
+      }
+    }
+    val hp = Train.bestParams(
+      Sinks.readHpResults(spark, a("hp-results")),
+      a.getOrElse("metric", "auc"))
+    bundle = bundle.cache()
+    val res = Boruta.run(bundle, names.length, maxIter, hp, seed, alpha,
+      perc, labelCol)
+    bundle.unpersist()
+    val spark2 = spark; import spark2.implicits._
+    def writeList(decision: Boruta.Decision, fname: String): Int = {
+      val picked = names.indices.filter(res.decisions(_) == decision)
+      if (picked.nonEmpty)
+        Sinks.writeCsv(picked.map(i => names(i).split("_")(0)).toDF("rsid"),
+          s"$out/$fname", coalesce1 = true)
+      picked.size
+    }
+    val nConf = writeList(Boruta.Confirmed, "important_rsids")
+    val nTent = writeList(Boruta.Tentative, "tentative_rsids")
+    Sinks.writeCsv(names.indices.map { i =>
+        (names(i), res.decisions(i).toString, res.hits(i), res.ranking(i))
+      }.toDF("predictor", "decision", "hits", "rank"),
+      s"$out/ranks", coalesce1 = true)
+    println(s"$nConf important predictors found")
+    println(s"$nTent tentative predictors found")
+    Cli.stop(spark)
+  }
+}
+
+/** `scripts/subset_hdf5.py` — materialize a row/column subset of a
+  * bundle store as a NEW validated store: `--ids` (one IID per line)
+  * row-filters (P1), `--snps` (one SNP name per line, output column
+  * order) projects the features array AND features_adj when present
+  * (P2), and the cols side table is re-derived; the S7 full-width
+  * validation runs on the written result.
+  */
+object Subset {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parseArgs(args)
+    val spark = Cli.session("graft-subset")
+    val in = a("in")
+    val out = Config.normalizePath(a("out"))
+    var bundle = Bundle.read(spark, in)
+    var names = Bundle.readCols(spark, in)
+      .orderBy("pos").collect().map(_.getString(1)).toSeq
+    a.get("ids").foreach { idsPath =>
+      val ids = spark.read.textFile(idsPath).toDF("iid")
+      bundle = bundle.join(broadcast(ids), Seq("iid"), "left_semi")
+    }
+    a.get("snps").foreach { snpsPath =>
+      val want = spark.read.textFile(snpsPath).collect().toSeq
+      val posByName = names.zipWithIndex.toMap
+      val keep = want.map(n => posByName.getOrElse(n,
+        throw new IllegalArgumentException(s"SNP '$n' not in store $in")))
+      bundle = Pipeline.sliceFeatures(bundle, keep)
+      if (bundle.columns.contains("features_adj"))
+        bundle = Pipeline.sliceFeatures(bundle, keep, "features_adj")
+      names = want
+    }
+    val spark2 = spark; import spark2.implicits._
+    Bundle.write(bundle,
+      names.zipWithIndex.map { case (n, i) => (i, n) }.toDF("pos", "snp"),
+      out)
+    println(s"subset ${names.length} SNPs -> $out")
+    Cli.stop(spark)
+  }
+}
+
 /** `scripts/predict.py` — score a held-out bundle (SURVEY §3.3).
   * Always writes test-set importances (predict.py:165-172 runs
   * `collect_importances` unconditionally); `--run-shap true` adds the
