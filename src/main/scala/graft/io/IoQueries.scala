@@ -312,10 +312,14 @@ object IoQueries {
     * 2D-fraction-f single-dim band touches ~√f of the files instead
     * of all of them — the table-format trick (Delta/Iceberg OPTIMIZE
     * ZORDER) every multi-tenant 100 TB corpus relies on, here as a
-    * plain repartitionByRange on the morton key. Gate: against the
-    * linear layout, the doc_id band must go from touching ALL files
-    * to at most half; the n_chars band must stay ≤ half too (z-order
-    * trades a little single-column locality for serving both).
+    * plain repartitionByRange on the morton key. Gate: BOTH
+    * single-dimension bands must touch at most half of the files —
+    * one sort order serving two dimensions. (The linear control arm —
+    * an n_chars-sorted layout whose doc_id band touches every file,
+    * measured 64/64 vs z-order's 12/64 in round 4 — was a second
+    * full-table write run on every bench purely to reprove that
+    * constant; the gate now checks the z layout against n_files
+    * directly and sheds the control write's ~10 s.)
     */
   val s15 = QueryDef.rowsOnly("s15_zorder_layout") { (s, d) =>
     val docs = graft.Tables.documents(s, d)
@@ -328,30 +332,21 @@ object IoQueries {
     val z = docs.withColumn("__z",
       mortonKey(scaled(col("n_chars"), maxC), scaled(col("doc_id"), maxId), bits))
     val zDir = s"$fixtureDir/zorder_docs"
-    val linDir = s"$fixtureDir/linear_docs"
     z.repartitionByRange(nf, col("__z")).sortWithinPartitions("__z")
       .drop("__z").write.mode("overwrite").parquet(zDir)
-    docs.repartitionByRange(nf, col("n_chars")).sortWithinPartitions("n_chars")
-      .write.mode("overwrite").parquet(linDir)
     // two selective single-dimension bands (~10% each)
     val cPred = col("n_chars").between(100L, 150L)
     val idPred = col("doc_id").between(maxId / 2, maxId / 2 + maxId / 10)
-    def touched(dir: String, p: org.apache.spark.sql.Column): Long =
-      s.read.parquet(dir).filter(p)
+    def touched(p: org.apache.spark.sql.Column): Long =
+      s.read.parquet(zDir).filter(p)
         .select(input_file_name()).distinct().count()
-    val zC = touched(zDir, cPred); val zId = touched(zDir, idPred)
-    val linC = touched(linDir, cPred); val linId = touched(linDir, idPred)
+    val zC = touched(cPred); val zId = touched(idPred)
     val nTotal = graft.util.Fs.walkFiles(new java.io.File(zDir))
       .count(_.getName.startsWith("part-")).toLong
     val spark = s; import spark.implicits._
-    // gates: the doc_id band must touch ≤ half of what it touches on
-    // the linear layout, and BOTH bands must stay under half of ALL
-    // files — one sort order serving two dimensions
-    Seq((zC, zId, linC, linId, nTotal))
-      .toDF("z_nchars_files", "z_docid_files", "lin_nchars_files",
-        "lin_docid_files", "n_files")
-      .filter(col("z_docid_files") * 2 <= col("lin_docid_files") &&
-        col("z_nchars_files") * 2 <= col("n_files") &&
+    Seq((zC, zId, nTotal))
+      .toDF("z_nchars_files", "z_docid_files", "n_files")
+      .filter(col("z_nchars_files") * 2 <= col("n_files") &&
         col("z_docid_files") * 2 <= col("n_files") &&
         col("z_nchars_files") > 0 && col("z_docid_files") > 0)
   }

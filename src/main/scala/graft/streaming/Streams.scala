@@ -58,6 +58,24 @@ object Streams {
       }.toDF("user_id", "n_events", "max_value")
   }
 
+  /** Order-independent O(1)-transfer fingerprint: row count + sum of
+    * per-row crc32 over the canonical string form of `cols` — the e6
+    * checksum pattern (RelationalQueries e6). The stream==batch gates
+    * compare two such rows instead of collecting both full outputs, so
+    * the gate's driver transfer stays one row per side no matter how
+    * large the events table grows. crc32 is 32-bit, so the sum stays
+    * far from Long overflow (safe under ANSI) at any realistic count.
+    */
+  private def fingerprint(df: DataFrame, cols: Seq[String]): (Long, Long) = {
+    // explicit 1-char field separator + null sentinel: concat_ws SKIPS
+    // nulls (aliasing ("a", null) with ("a")), and without a separator
+    // "ab"+"c" would alias "a"+"bc"
+    val canon = cols.map(c => coalesce(col(c).cast("string"), lit("\u0000")))
+    val r = df.select(count(lit(1)),
+      coalesce(sum(crc32(concat_ws("\u0001", canon: _*))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** Streaming-vs-batch equivalence: feed the whole events table through
@@ -77,17 +95,17 @@ object Streams {
     val q = streamed.writeStream
       .format("memory").queryName("st1_out").outputMode(OutputMode.Complete())
       .start()
-    val streamedOut =
+    val fpCols = Seq("bucket", "event_type", "n", "val_sum")
+    val streamedFp =
       try {
         rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
           mem.addData(chunk.toSeq)
           q.processAllAvailable()
         }
-        s.table("st1_out")
-          .select("bucket", "event_type", "n", "val_sum").collect().toSet
+        fingerprint(s.table("st1_out"), fpCols)
       } finally q.stop() // always release the query + sink registration
-    val batchOut = windowedAggBatch(Tables.events(s, d)).collect().toSet
-    Seq((streamedOut.size.toLong, batchOut.size.toLong, streamedOut == batchOut))
+    val batchFp = fingerprint(windowedAggBatch(Tables.events(s, d)), fpCols)
+    Seq((streamedFp._1, batchFp._1, streamedFp == batchFp))
       .toDF("n_stream_rows", "n_batch_rows", "exact_match")
       .filter(col("exact_match") && col("n_stream_rows") > 0)
   }
@@ -114,24 +132,23 @@ object Streams {
       .format("memory").queryName("st2_out").outputMode(OutputMode.Update())
       .start()
     // last update per user = final state
-    val fin =
+    val fpCols = Seq("user_id", "n_events", "max_value")
+    val finFp =
       try {
         rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
           mem.addData(chunk.toSeq)
           q.processAllAvailable()
         }
-        s.table("st2_out").groupBy("user_id")
+        fingerprint(s.table("st2_out").groupBy("user_id")
           .agg(max(col("n_events")).as("n_events"),
-            max(col("max_value")).as("max_value"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+            max(col("max_value")).as("max_value")), fpCols)
       } finally q.stop()
-    val batch = Tables.events(s, d).groupBy("user_id")
+    val batchFp = fingerprint(Tables.events(s, d).groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         // all-NaN users: align with the stream side's -Inf initial state
         coalesce(max(when(!isnan(col("value")), col("value"))),
-          lit(Double.NegativeInfinity)).as("max_value"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    Seq((fin.size.toLong, fin == batch))
+          lit(Double.NegativeInfinity)).as("max_value")), fpCols)
+    Seq((finFp._1, finFp == batchFp))
       .toDF("n_users", "exact_match")
       .filter(col("exact_match") && col("n_users") > 0)
   }
@@ -243,7 +260,8 @@ object Streams {
     val q = sessionAgg(mem.toDF()).writeStream
       .format("memory").queryName("st5_out").outputMode(OutputMode.Append())
       .start()
-    val streamed =
+    val fpCols = Seq("start_us", "end_us", "user_id", "n_events")
+    val streamedFp =
       try {
         rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
           mem.addData(chunk.toSeq)
@@ -251,19 +269,15 @@ object Streams {
         }
         mem.addData(sentinel)
         q.processAllAvailable()
-        s.table("st5_out").filter(col("user_id") =!= -1L)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-            r.getLong(3))).toSet
+        fingerprint(s.table("st5_out").filter(col("user_id") =!= -1L), fpCols)
       } finally q.stop()
-    val batch = Tables.events(s, d).filter(col("ts").isNotNull)
+    val batchFp = fingerprint(Tables.events(s, d).filter(col("ts").isNotNull)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(unix_micros(col("session_window.start")).as("start_us"),
         unix_micros(col("session_window.end")).as("end_us"),
-        col("user_id"), col("n_events"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3))).toSet
-    Seq((streamed.size.toLong, batch.size.toLong, streamed == batch))
+        col("user_id"), col("n_events")), fpCols)
+    Seq((streamedFp._1, batchFp._1, streamedFp == batchFp))
       .toDF("n_stream_sessions", "n_batch_sessions", "exact_match")
       .filter(col("exact_match") && col("n_stream_sessions") > 0)
   }
@@ -290,19 +304,18 @@ object Streams {
     val q = joined.writeStream
       .format("memory").queryName("st6_out").outputMode(OutputMode.Append())
       .start()
-    val streamed =
+    val fpCols = Seq("event_id", "user_id", "first_event_id")
+    val streamedFp =
       try {
         rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
           mem.addData(chunk.toSeq)
           q.processAllAvailable()
         }
-        s.table("st6_out").collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        fingerprint(s.table("st6_out"), fpCols)
       } finally q.stop()
-    val batch = Tables.events(s, d).join(dim, Seq("user_id"), "left")
-      .select(col("event_id"), col("user_id"), col("first_event_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    Seq((streamed.size.toLong, streamed == batch))
+    val batchFp = fingerprint(Tables.events(s, d).join(dim, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("first_event_id")), fpCols)
+    Seq((streamedFp._1, streamedFp == batchFp))
       .toDF("n_rows", "exact_match")
       .filter(col("exact_match") && col("n_rows") > 0)
   }
@@ -345,18 +358,18 @@ object Streams {
     val q = joined.writeStream
       .format("memory").queryName("st7_out").outputMode(OutputMode.Append())
       .start()
-    val streamed =
+    val fpCols = Seq("click_id", "buy_id")
+    val streamedFp =
       try {
         rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
           memClicks.addData(chunk.toSeq)
           memBuys.addData(chunk.toSeq)
           q.processAllAvailable()
         }
-        s.table("st7_out").collect()
-          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        fingerprint(s.table("st7_out"), fpCols)
       } finally q.stop()
     val ev = Tables.events(s, d).filter(col("ts").isNotNull)
-    val batch = ev.filter(col("event_type") === "click")
+    val batchFp = fingerprint(ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
       .join(ev.filter(col("event_type") === "purchase")
@@ -365,9 +378,8 @@ object Streams {
         col("user_id") === col("buy_user") &&
           col("buy_ts") >= col("click_ts") &&
           col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("click_id"), col("buy_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    Seq((streamed.size.toLong, streamed == batch))
+      .select(col("click_id"), col("buy_id")), fpCols)
+    Seq((streamedFp._1, streamedFp == batchFp))
       .toDF("n_pairs", "exact_match")
       .filter(col("exact_match") && col("n_pairs") > 0)
   }
