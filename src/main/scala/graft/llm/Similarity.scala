@@ -282,31 +282,50 @@ object Similarity {
       bruteForceTop1(emb.filter(col("vec_id") % 50 === 0), emb)
   }
 
-  /** LSH ANN rows-only entry: recall@1 of the bucketed path vs brute
-    * force on the same probe set. Deterministic seed ⇒ deterministic
-    * recall. This synthetic corpus is near-isotropic (top-1 cosine
-    * ≈ 0.4), the hardest regime for hyperplane LSH — 16 bands × 4 bits
-    * measures recall 0.9 here; the gate is ≥ 0.7. On real clustered
-    * embeddings the same machinery gets better recall AND better bucket
-    * reduction; tune bands/bits per corpus.
+  /** LSH ANN entry with a REAL oracle: the output is the ground-truth
+    * top-1 set (the recall denominator), which DuckDB recomputes by
+    * brute force — so the "truth" the recall is measured against is
+    * cross-engine hash-verified in this very query, not just trusted
+    * from the engine's own brute-force path. The LSH result enters
+    * through the gate: rows are emitted only when recall@1 ≥ 0.7, so a
+    * recall regression empties the output and fails the row-count
+    * compare loudly. Deterministic seed ⇒ deterministic recall. This
+    * synthetic corpus is near-isotropic (top-1 cosine ≈ 0.4), the
+    * hardest regime for hyperplane LSH — 16 bands × 4 bits measures
+    * recall 0.9 here. On real clustered embeddings the same machinery
+    * gets better recall AND better bucket reduction; tune bands/bits
+    * per corpus.
     */
-  val ann = QueryDef.fixture("v2_ann_lsh_recall") { (s, d) =>
-    val emb = Tables.embeddings(s, d).cache()
-    val queries = emb.filter(col("vec_id") % 50 === 0)
-    val exact = bruteForceTop1(queries, emb)
-      .select(col("qid"), col("nid").as("nid_exact"))
-    val approx = lshTop1(queries, emb)
-      .select(col("qid"), col("nid").as("nid_lsh"))
-    val joined = exact.join(approx, Seq("qid"), "left").cache()
-    val nQ = joined.count().toDouble
-    val hits = joined.filter(col("nid_exact") === col("nid_lsh")).count().toDouble
-    val recall = hits / nQ
-    joined.unpersist(); emb.unpersist()
-    val spark = s; import spark.implicits._
-    Seq((math.rint(recall * 1e4) / 1e4, nQ.toLong))
-      .toDF("recall_at_1", "n_queries")
-      .filter(col("recall_at_1") >= 0.7 && col("n_queries") > 0)
-  }
+  val ann = QueryDef(
+    "v2_ann_lsh_recall",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d).cache()
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      // one brute-force pass serves both the recall join and the output
+      // (localCheckpoint: no lingering persist to leak, blocks GC-clean)
+      val exact = bruteForceTop1(queries, emb).localCheckpoint(eager = true)
+      val approx = lshTop1(queries, emb)
+        .select(col("qid"), col("nid").as("nid_lsh"))
+      val joined = exact.join(approx, Seq("qid"), "left").cache()
+      val nQ = joined.count().toDouble
+      val hits = joined.filter(col("nid") === col("nid_lsh")).count().toDouble
+      val recall = hits / nQ
+      joined.unpersist(); emb.unpersist()
+      exact.filter(lit(recall >= 0.7 && nQ > 0))
+        .select(col("qid"), col("nid"), col("sim"))
+    },
+    oracle = Some(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rn
+        |      FROM s)
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin),
+    benchEligible = false)
 
   /** Embedding-cosine near-dup detection: pairs above a high cosine
     * threshold via the LSH bucket path, verified exactly — the embedding
@@ -342,29 +361,42 @@ object Similarity {
           .cast("long").as("pair_checksum"))
   }
 
-  /** IVF ANN rows-only entry: recall@1 vs brute force on the probe set.
-    * With 16 cells / 4 probes on the near-isotropic corpus the query's
-    * true neighbor sits in a probed cell most of the time; gate ≥ 0.6
-    * (cells are Voronoi — neighbors across unprobed cell boundaries are
-    * the known IVF failure mode, tuned via nProbe at scale).
+  /** IVF ANN entry, oracle-hardened the same way as v2: output = the
+    * DuckDB-verified ground-truth top-1 set, gated on IVF recall@1 ≥
+    * 0.6 (cells are Voronoi — neighbors across unprobed cell
+    * boundaries are the known IVF failure mode, tuned via nProbe at
+    * scale; 16 cells / 4 probes suffice on the near-isotropic corpus).
     */
-  val ivf = QueryDef.fixture("v4_ann_ivf_recall") { (s, d) =>
-    val emb = Tables.embeddings(s, d).cache()
-    val queries = emb.filter(col("vec_id") % 50 === 0)
-    val exact = bruteForceTop1(queries, emb)
-      .select(col("qid"), col("nid").as("nid_exact"))
-    val approx = ivfTop1(queries, emb)
-      .select(col("qid"), col("nid").as("nid_ivf"))
-    val joined = exact.join(approx, Seq("qid"), "left").cache()
-    val nQ = joined.count().toDouble
-    val hits = joined.filter(col("nid_exact") === col("nid_ivf")).count().toDouble
-    val recall = hits / nQ
-    joined.unpersist(); emb.unpersist()
-    val spark = s; import spark.implicits._
-    Seq((math.rint(recall * 1e4) / 1e4, nQ.toLong))
-      .toDF("recall_at_1", "n_queries")
-      .filter(col("recall_at_1") >= 0.6 && col("n_queries") > 0)
-  }
+  val ivf = QueryDef(
+    "v4_ann_ivf_recall",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d).cache()
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      // one brute-force pass serves both the recall join and the output
+      // (localCheckpoint: no lingering persist to leak, blocks GC-clean)
+      val exact = bruteForceTop1(queries, emb).localCheckpoint(eager = true)
+      val approx = ivfTop1(queries, emb)
+        .select(col("qid"), col("nid").as("nid_ivf"))
+      val joined = exact.join(approx, Seq("qid"), "left").cache()
+      val nQ = joined.count().toDouble
+      val hits = joined.filter(col("nid") === col("nid_ivf")).count().toDouble
+      val recall = hits / nQ
+      joined.unpersist(); emb.unpersist()
+      exact.filter(lit(recall >= 0.6 && nQ > 0))
+        .select(col("qid"), col("nid"), col("sim"))
+    },
+    oracle = Some(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rn
+        |      FROM s)
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin),
+    benchEligible = false)
 
   /** Brute-force top-3 oracle: the same probe set as v1 with full
     * per-rank parity — DuckDB recomputes every (qid, rank, nid, sim)
