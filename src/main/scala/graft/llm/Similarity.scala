@@ -508,37 +508,50 @@ object Similarity {
     *    brute-force cosine vs the exact float path ≥ 0.9 on the v1
     *    probe set. On this near-isotropic corpus (tiny top-1 margins)
     *    that is the hard regime for quantized search, as with v2.
+    * Oracle-hardened like v2/v4: the output is the exact-float
+    * ground-truth top-1 set (DuckDB hash-verified); both invariants
+    * gate row emission, so breaking either empties the output.
     */
-  val quantized = QueryDef.rowsOnly("v7_quantized_ann_recall") { (s, d) =>
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val scales = int8Scales(emb, "embedding")
-    val recon = quantizeInt8(emb, "embedding", scales)
-      .select(col("vec_id"),
-        col("embedding").as("orig"),
-        dequantizeInt8(col("codes"), scales).as("embedding"))
-      .cache()
-    val dim = scales.length
-    val errRow = aggregate(
-      zip_with(col("orig"), col("embedding"),
-        (a, b) => abs(a.cast("double") - b.cast("double"))),
-      lit(0.0), (acc, v) => acc + v) / dim
-    val meanErr = recon.agg(avg(errRow)).head().getDouble(0)
-    val queries = emb.filter(col("vec_id") % 50 === 0)
-    val exact = bruteForceTop1(queries, emb)
-      .select(col("qid"), col("nid").as("nid_exact"))
-    val approx = bruteForceTop1(queries, recon.select(col("vec_id"), col("embedding")))
-      .select(col("qid"), col("nid").as("nid_q"))
-    val joined = exact.join(approx, Seq("qid"), "left").cache()
-    val nQ = joined.count().toDouble
-    val hits = joined.filter(col("nid_exact") === col("nid_q")).count().toDouble
-    joined.unpersist(); recon.unpersist()
-    val spark = s; import spark.implicits._
-    Seq((math.rint(hits / nQ * 1e4) / 1e4,
-        math.rint(meanErr * 1e9) / 1e9, nQ.toLong))
-      .toDF("recall_at_1", "mean_abs_err", "n_queries")
-      .filter(col("recall_at_1") >= 0.9 &&
-        col("mean_abs_err") <= scales.max / 2 && col("n_queries") > 0)
-  }
+  val quantized = QueryDef(
+    "v7_quantized_ann_recall",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val scales = int8Scales(emb, "embedding")
+      val recon = quantizeInt8(emb, "embedding", scales)
+        .select(col("vec_id"),
+          col("embedding").as("orig"),
+          dequantizeInt8(col("codes"), scales).as("embedding"))
+        .cache()
+      val dim = scales.length
+      val errRow = aggregate(
+        zip_with(col("orig"), col("embedding"),
+          (a, b) => abs(a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, v) => acc + v) / dim
+      val meanErr = recon.agg(avg(errRow)).head().getDouble(0)
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val exact = bruteForceTop1(queries, emb).localCheckpoint(eager = true)
+      val approx = bruteForceTop1(queries,
+          recon.select(col("vec_id"), col("embedding")))
+        .select(col("qid"), col("nid").as("nid_q"))
+      val joined = exact.join(approx, Seq("qid"), "left").cache()
+      val nQ = joined.count().toDouble
+      val hits = joined.filter(col("nid") === col("nid_q")).count().toDouble
+      joined.unpersist(); recon.unpersist()
+      exact.filter(lit(
+          hits / nQ >= 0.9 && meanErr <= scales.max / 2 && nQ > 0))
+        .select(col("qid"), col("nid"), col("sim"))
+    },
+    oracle = Some(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rn
+        |      FROM s)
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
 
   /** V8 — per-group embedding centroids: mean vector per label via
     * posexplode → (label, dim)-keyed partial→final average. The
