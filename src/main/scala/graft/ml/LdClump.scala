@@ -50,9 +50,9 @@ object LdClump {
       s"invalid clump params: $this")
   }
 
-  /** All (a, b) SnpInfo pairs with a.idx-order before b, same chr,
-    * |pos diff| ≤ kb·1000 — enumerated over the (chr, pos) sort so the
-    * count is O(p × window width), never O(p²). */
+  /** All (a, b) SnpInfo pairs with a before b in (chr, pos) order,
+    * same chr, pos diff ≤ kb·1000 — enumerated over the (chr, pos)
+    * sort so the count is O(p × window width), never O(p²). */
   private[ml] def windowPairs(snps: Seq[SnpInfo], kb: Int): Array[(SnpInfo, SnpInfo)] = {
     val sorted = snps.sortBy(s => (s.chr, s.pos, s.idx)).toArray
     val bp = kb.toLong * 1000L
