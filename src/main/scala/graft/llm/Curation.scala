@@ -357,6 +357,90 @@ object Curation {
           sum(col("toks")).cast("long").as("tok_sum"))
   }
 
+  /** Canonical form of a crawl URL — the normalization URL-exact dedup
+    * keys on (a crawl re-visits the same page through cosmetically
+    * different URLs; deduping raw strings misses most of them):
+    *  1. lowercase the scheme://host prefix (host case is
+    *     insignificant; PATH case is significant and untouched);
+    *  2. strip the fragment (never sent to the server);
+    *  3. strip tracking query params (utm_*, fbclid, gclid) with their
+    *     separators, then repair a dangling "?&" / trailing "?"/"&".
+    * Pure regexp/string expressions — codegen'd, scan-local, and
+    * exactly replayable in the oracle's SQL dialect.
+    */
+  def canonicalizeUrl(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val noTrack = regexp_replace(noFrag,
+      "(utm_[a-z]+|fbclid|gclid)=[^&]*&?", "")
+    val repaired = regexp_replace(
+      regexp_replace(noTrack, "\\?&", "?"), "[?&]$", "")
+    val prefix = regexp_extract(repaired, "^[a-zA-Z]+://[^/]+", 0)
+    concat(lower(prefix),
+      repaired.substr(length(prefix) + 1, length(repaired)))
+  }
+
+  /** C7 — URL canonicalization + URL-exact dedup: deterministic crawl
+    * URLs are synthesized from (source, doc_id) with uppercase hosts,
+    * tracking params in both positions, and fragments; both engines
+    * canonicalize with the SAME rules, so the hash match pins every
+    * regexp, the prefix lowering, and the min-id keeper choice.
+    */
+  val urlCanon = QueryDef.sql(
+    "c7_url_canonicalize",
+    """WITH u AS (
+      |  SELECT doc_id, source,
+      |         'HTTPS://WWW.' || source || '.COM/Docs/' ||
+      |         CAST(doc_id % 97 AS VARCHAR) ||
+      |         CASE CAST(doc_id % 4 AS INTEGER)
+      |           WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+      |           WHEN 1 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) || '&utm_campaign=x'
+      |           WHEN 2 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+      |           ELSE '' END AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, url,
+      |         lower(regexp_extract(u2, '^[a-zA-Z]+://[^/]+')) ||
+      |           substr(u2, len(regexp_extract(u2, '^[a-zA-Z]+://[^/]+')) + 1)
+      |           AS canon
+      |  FROM (SELECT doc_id, source, url,
+      |               regexp_replace(
+      |                 regexp_replace(
+      |                   regexp_replace(
+      |                     regexp_replace(url, '#.*', '', 'g'),
+      |                     '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'),
+      |                   '\?&', '?', 'g'),
+      |                 '[?&]$', '', 'g') AS u2
+      |        FROM u)),
+      |k AS (SELECT source, canon, min(doc_id) AS keeper FROM c GROUP BY 1, 2)
+      |SELECT c.source,
+      |       count(*) AS n_docs,
+      |       count(DISTINCT c.url) AS n_raw_urls,
+      |       count(DISTINCT c.canon) AS n_canonical,
+      |       CAST(sum(DISTINCT k.keeper) AS BIGINT) AS keeper_checksum
+      |FROM c JOIN k ON c.source = k.source AND c.canon = k.canon
+      |GROUP BY c.source""".stripMargin) { (s, d) =>
+    val u = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      concat(lit("HTTPS://WWW."), col("source"), lit(".COM/Docs/"),
+        (col("doc_id") % 97).cast("string"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("?utm_source=feed&id="), (col("doc_id") % 50).cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("?id="), (col("doc_id") % 50).cast("string"),
+              lit("&utm_campaign=x")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("?id="), (col("doc_id") % 50).cast("string"), lit("#frag")))
+          .otherwise(lit(""))).as("url"))
+    val c = u.withColumn("canon", canonicalizeUrl(col("url")))
+    val keepers = c.groupBy("source", "canon")
+      .agg(min(col("doc_id")).as("keeper"))
+    c.join(keepers, Seq("source", "canon"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_raw_urls"),
+        countDistinct(col("canon")).as("n_canonical"),
+        sum_distinct(col("keeper")).cast("long").as("keeper_checksum"))
+  }
+
   /** Per-domain document cap — the anti-domination curation rule (keep
     * at most `cap` docs per domain so one crawl host cannot dominate
     * the mix), selected in deterministic hash order so the kept set is
@@ -540,5 +624,5 @@ object Curation {
 
   def all: Seq[QueryDef] =
     Seq(pipeline, budgetSample, sourceMix, packing, domainCap, chunking,
-      curriculum)
+      urlCanon, curriculum)
 }

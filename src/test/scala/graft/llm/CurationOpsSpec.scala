@@ -146,6 +146,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("integral id column"))
   }
 
+  test("canonicalizeUrl: host lowering, fragment/tracking strip, path case kept") {
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      // host lowered, PATH case preserved
+      ("HTTP://Example.COM/KeepCase/Path", "http://example.com/KeepCase/Path"),
+      // fragment stripped
+      ("https://a.com/p#section-2", "https://a.com/p"),
+      // tracking-only query collapses entirely
+      ("https://a.com/p?utm_source=x", "https://a.com/p"),
+      // leading tracker keeps the real param behind one '?'
+      ("https://a.com/p?utm_source=x&id=7", "https://a.com/p?id=7"),
+      // trailing tracker leaves no dangling '&'
+      ("https://a.com/p?id=7&utm_campaign=y&fbclid=z", "https://a.com/p?id=7"),
+      // gclid in the middle
+      ("https://a.com/p?a=1&gclid=g&b=2", "https://a.com/p?a=1&b=2"),
+      // everything at once
+      ("HTTPS://B.com/Q?utm_a=1&x=2#f", "https://b.com/Q?x=2"),
+      // no scheme/host match: string passes through untouched
+      ("not a url", "not a url"))
+    val got = cases.map(_._1).toDF("url")
+      .select(Curation.canonicalizeUrl(col("url"))).collect().map(_.getString(0))
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canon('$in') = '$g', want '$want'")
+    }
+  }
+
   test("capPerDomain equals the row_number-window definition") {
     val s = spark; import s.implicits._
     // 3 domains x uneven sizes, spread over many partitions so partial
