@@ -116,6 +116,48 @@ class CurationOpsSpec extends SparkSpec {
     assert(c.forall(_.toSeq.size <= 1))
   }
 
+  test("boundaryCarries: 1000 random partitionings == brute-force reference") {
+    import Curation.{PartEdge, boundaryCarries}
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 1000) {
+      // sorted (group, value) rows split at random contiguous cuts —
+      // exactly the range-sort precondition the fold relies on
+      val nGroups = 1 + rnd.nextInt(6)
+      val rows = (0 until nGroups).flatMap { g =>
+        Seq.fill(rnd.nextInt(5))((s"g$g", rnd.nextInt(100).toLong - 30L))
+      }
+      val nParts = 1 + rnd.nextInt(6)
+      val cuts = Seq.fill(nParts - 1)(rnd.nextInt(rows.length + 1))
+        .sorted :+ rows.length
+      val parts = (0 +: cuts).zip(cuts).map { case (a, b) =>
+        rows.slice(a, b)
+      }
+      val edges = parts.map { p =>
+        if (p.isEmpty) None
+        else {
+          val lastG = p.last._1
+          Some(PartEdge(p.head._1, lastG,
+            p.reverse.takeWhile(_._1 == lastG).map(_._2).sum))
+        }
+      }.toArray
+      val carries = boundaryCarries(edges)
+      // reference: global running sums replayed partition by partition
+      val global = scala.collection.mutable.HashMap.empty[String, Long]
+      parts.zipWithIndex.foreach { case (p, pid) =>
+        // pass-2 simulation: per-partition map seeded with ONLY the carry
+        val local = scala.collection.mutable.HashMap.empty[String, Long]
+        carries(pid).foreach { case (g, s) => local(g) = s }
+        p.foreach { case (g, v) =>
+          global(g) = global.getOrElse(g, 0L) + v
+          local(g) = local.getOrElse(g, 0L) + v
+          assert(local(g) == global(g),
+            s"divergence at part $pid group $g: ${local(g)} != ${global(g)}\n" +
+              s"parts=$parts\ncarries=${carries.toSeq}")
+        }
+      }
+    }
+  }
+
   test("prefix sum with 100k distinct groups: window parity, O(partitions) carries") {
     val s = spark; import s.implicits._
     // 100k groups × 2 rows — the per-domain shape that used to build an

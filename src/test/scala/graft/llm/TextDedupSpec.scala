@@ -407,6 +407,36 @@ class TextDedupSpec extends SparkSpec {
       want.contains((7L, 8L, 2L))) // the set is non-trivial
   }
 
+  test("editDistancePairs: random corpora == brute force (seeded fuzz)") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0
+      })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    // small alphabet + short keys = dense near-matches; lengths from 0
+    // (the round-5 empty-key fix) to just past the segment count
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rnd = new scala.util.Random(seed)
+      val maxDist = 1 + rnd.nextInt(2)
+      val keys = (0 until 25).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(9))("abcd"(rnd.nextInt(4))).mkString)
+      }
+      val got = Dedup.editDistancePairs(keys.toDF("id", "p"), "id", "p", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ia, ka) <- keys; (ib, kb) <- keys if ia < ib
+        d = lev(ka, kb) if d <= maxDist
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got == want,
+        s"seed=$seed maxDist=$maxDist missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("incrementalDedup: non-broadcast fallback path == broadcast path") {
     import spark.implicits._
     val mk = (i: Long, seed: Int) =>
