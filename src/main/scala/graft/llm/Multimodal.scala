@@ -268,6 +268,104 @@ object Multimodal {
     spark.createDataFrame(out, outSchema)
   }
 
+  /** REAL nearest-neighbor RGB resize on a decoded top-down row-major
+    * frame (the pixel-resampling step [[fitFrame]]'s byte budget stood
+    * in for): target pixel (x, y) samples source pixel
+    * (⌊x·w/tw⌋, ⌊y·h/th⌋). Pure JVM, O(tw·th).
+    */
+  def resizeRgbNearest(rgb: Array[Byte], w: Int, h: Int,
+      tw: Int, th: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && tw > 0 && th > 0,
+      s"invalid resize ${w}x$h -> ${tw}x$th")
+    require(rgb.length >= w * h * 3, s"rgb buffer ${rgb.length} < ${w * h * 3}")
+    val out = new Array[Byte](tw * th * 3)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * w / tw).toInt
+        val so = (sy * w + sx) * 3
+        val to = (y * tw + x) * 3
+        out(to) = rgb(so); out(to + 1) = rgb(so + 1); out(to + 2) = rgb(so + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Image resize over the binary column: decode (codec chain) → real
+    * pixel resample to (tw, th) for image payloads; non-image payloads
+    * get a null `resized` (they have no pixel grid to resample — the
+    * caller filters or routes them). Same per-partition kernel shape
+    * as [[decodeAndFeaturize]]; at 100 TB this is one narrow pass,
+    * partition-parallel, no shuffle.
+    */
+  def resizeImages(assets: DataFrame, tw: Int, th: Int): DataFrame = {
+    require(tw > 0 && th > 0, s"target dims must be positive: ${tw}x$th")
+    val spark = assets.sparkSession
+    val pIdx = assets.schema.fieldIndex("payload")
+    val outSchema = assets.schema
+      .add("resized", BinaryType)
+      .add("resized_width", IntegerType)
+      .add("resized_height", IntegerType)
+    val out = assets.rdd.mapPartitions { it =>
+      it.map { row =>
+        val dec = decodeAny(row.getAs[Array[Byte]](pIdx))
+        val resized =
+          if (dec.kind == BmpCodec.name)
+            resizeRgbNearest(dec.data, dec.width, dec.height, tw, th)
+          else null
+        Row.fromSeq(row.toSeq :+ resized :+ tw :+ th)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** Audio feature-extract for PCM-16 payloads: per-channel mean |amp|
+    * and peak |amp| over the decoded samples — the stats an audio
+    * curation filter keys on (silence / clipping detection). Non-audio
+    * payloads yield null stats. One narrow per-partition pass.
+    */
+  def audioStats(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val pIdx = assets.schema.fieldIndex("payload")
+    val outSchema = assets.schema
+      .add("audio_channels", IntegerType)
+      .add("mean_abs_amp", ArrayType(DoubleType, containsNull = false))
+      .add("peak_abs_amp", ArrayType(IntegerType, containsNull = false))
+    val out = assets.rdd.mapPartitions { it =>
+      it.map { row =>
+        val dec = decodeAny(row.getAs[Array[Byte]](pIdx))
+        if (dec.kind != WavCodec.name || dec.width == 0)
+          Row.fromSeq(row.toSeq :+ null :+ null :+ null)
+        else {
+          val ch = dec.channels
+          val sums = new Array[Double](ch)
+          val peaks = new Array[Int](ch)
+          var f = 0
+          while (f < dec.width) {
+            var c = 0
+            while (c < ch) {
+              val o = (f * ch + c) * 2
+              val s = ((dec.data(o) & 0xFF) | (dec.data(o + 1) << 8)).toShort
+              val a = math.abs(s.toInt)
+              sums(c) += a
+              if (a > peaks(c)) peaks(c) = a
+              c += 1
+            }
+            f += 1
+          }
+          var c = 0
+          while (c < ch) { sums(c) /= dec.width; c += 1 }
+          Row.fromSeq(row.toSeq :+ ch :+ sums.toSeq :+ peaks.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
   /** Frame-sampling for video-like payloads: keep every `stride`-th
     * byte (stands in for every k-th frame) — same per-partition kernel
     * shape as decode. Adds `sampled` (binary).
@@ -332,13 +430,28 @@ object Multimodal {
       .toMap
     val codecOk = dec(1L) == (("bmp", 5, 3)) && dec(2L) == (("wav", 32, 1)) &&
       dec(3L)._1 == "stub"
+    // real resize: the planted 5×3 BMP resamples to 8×4 (96 RGB bytes),
+    // non-images carry null; audio stats: the planted stereo WAV yields
+    // 2 channels with positive mean amplitudes, non-audio null
+    val rez = resizeImages(planted, 8, 4)
+      .select(col("asset_id"), length(col("resized")).as("len"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    val au = audioStats(planted)
+      .select("asset_id", "audio_channels", "mean_abs_amp")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    val resizeOk = rez(1L) == 8 * 4 * 3 && rez(2L) == -1 && rez(3L) == -1
+    val audioOk = au(2L) == 2 && au(1L) == -1 && au(3L) == -1
     Seq((stats.getLong(0), stats.getLong(1), stats.getLong(2),
-      stats.getDouble(3), stats.getLong(4), cks1 == cks2, codecOk))
+      stats.getDouble(3), stats.getLong(4), cks1 == cks2, codecOk,
+      resizeOk, audioOk))
       .toDF("n", "bad_frames", "bad_feats", "max_hist_err", "bad_meta",
-        "deterministic", "codec_ok")
+        "deterministic", "codec_ok", "resize_ok", "audio_ok")
       .filter(col("n") > 0 && col("bad_frames") === 0 && col("bad_feats") === 0 &&
         col("max_hist_err") < 1e-9 && col("bad_meta") === 0 &&
-        col("deterministic") && col("codec_ok"))
+        col("deterministic") && col("codec_ok") &&
+        col("resize_ok") && col("audio_ok"))
   }
 
   def all: Seq[QueryDef] = Seq(mm)

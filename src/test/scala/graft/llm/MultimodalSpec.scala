@@ -43,6 +43,59 @@ class MultimodalSpec extends SparkSpec {
     assert(decodeAny(Array[Byte](1, 2, 3)).kind == "stub")
   }
 
+  test("resizeRgbNearest: hand-computed pixel mapping, up and down") {
+    // 2x2 source: R G / B W, row-major top-down RGB
+    val rgb = Array[Byte](
+      127, 0, 0, /**/ 0, 127, 0,
+      0, 0, 127, /**/ 127, 127, 127)
+    // 4x4 upsample: each source pixel becomes a 2x2 block
+    val up = resizeRgbNearest(rgb, 2, 2, 4, 4)
+    def px(a: Array[Byte], w: Int, x: Int, y: Int) =
+      (a((y * w + x) * 3), a((y * w + x) * 3 + 1), a((y * w + x) * 3 + 2))
+    assert(px(up, 4, 0, 0) == ((127.toByte, 0.toByte, 0.toByte)))
+    assert(px(up, 4, 1, 1) == ((127.toByte, 0.toByte, 0.toByte)))
+    assert(px(up, 4, 2, 0) == ((0.toByte, 127.toByte, 0.toByte)))
+    assert(px(up, 4, 0, 3) == ((0.toByte, 0.toByte, 127.toByte)))
+    assert(px(up, 4, 3, 3) == ((127.toByte, 127.toByte, 127.toByte)))
+    // 1x1 downsample keeps the top-left source pixel (floor mapping)
+    val down = resizeRgbNearest(rgb, 2, 2, 1, 1)
+    assert(px(down, 1, 0, 0) == ((127.toByte, 0.toByte, 0.toByte)))
+  }
+
+  test("resizeImages: images resample, non-images yield null") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, encodeBmp24(6, 2, Array.tabulate(36)(i => i.toByte))),
+      (2L, "not an image".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+    val got = Multimodal.resizeImages(planted, tw = 3, th = 4)
+      .select("asset_id", "resized", "resized_width", "resized_height")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getAs[Array[Byte]](1).length)).toMap
+    assert(got(1L) == 3 * 4 * 3)
+    assert(got(2L) == -1)
+  }
+
+  test("audioStats: per-channel mean/peak amplitude from PCM-16") {
+    import spark.implicits._
+    // ch0 = constant +100, ch1 alternates ±200: mean |amp| 100 / 200,
+    // peaks 100 / 200
+    val samples = Array.tabulate[Short](40) { i =>
+      if (i % 2 == 0) 100 else if ((i / 2) % 2 == 0) 200 else -200
+    }
+    val planted = Seq(
+      (1L, encodeWavPcm16(2, 8000, samples)),
+      (2L, "junk".getBytes("UTF-8")))
+      .toDF("asset_id", "payload")
+    val rows = Multimodal.audioStats(planted).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val a = rows(1L)
+    assert(a.getInt(2) == 2)
+    assert(a.getSeq[Double](3) == Seq(100.0, 200.0))
+    assert(a.getSeq[Int](4) == Seq(100, 200))
+    assert(rows(2L).isNullAt(2))
+  }
+
   test("decodeAndFeaturize routes BMP/WAV/junk through one kernel") {
     import spark.implicits._
     val planted = Seq(
