@@ -35,6 +35,7 @@ object SparkEntry {
       graft.llm.Dedup.all ++
       graft.llm.Contamination.all ++
       graft.llm.Similarity.all ++
+      graft.llm.EmbeddingOps.all ++
       graft.llm.Multimodal.all ++
       graft.streaming.Streams.all
 
