@@ -763,7 +763,48 @@ object TextAnalysis {
         col("__e._3").as("cnt"))
   }
 
+  /** Per-document mean unigram log-probability under the corpus' own
+    * token distribution — the perplexity-filter shape (CCNet/Gopher
+    * filter on LM perplexity; a unigram model is the relational,
+    * exactly-reproducible stand-in). Degenerate/boilerplate docs made
+    * of very common tokens score HIGH, rare-gibberish docs score LOW —
+    * curation trims both tails.
+    *
+    * Scale: tokenize once, term-keyed count aggregate (map-side
+    * combinable), one term-keyed join of tokens against the vocab
+    * (AQE broadcasts when the vocab is small), then a doc-keyed avg.
+    * No driver state beyond the scalar total.
+    */
+  def unigramLogProbs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt")).head().getLong(0)
+    require(total > 0, "unigramLogProbs: empty corpus")
+    toks.join(counts, "term")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(log(col("cnt").cast("double") / total.toDouble)), 4)
+          .as("logprob"))
+  }
+
+  /** T13 — unigram log-prob scoring, full per-doc oracle. */
+  val unigramLp = QueryDef.sql(
+    "t13_unigram_logprob",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |              FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS total FROM toks)
+      |SELECT doc_id, count(*) AS n_tok,
+      |       round(avg(ln(cnt * 1.0 / (SELECT total FROM n))), 4) AS logprob
+      |FROM toks JOIN c USING (term)
+      |GROUP BY doc_id""".stripMargin) { (s, d) =>
+    unigramLogProbs(Tables.documents(s, d))
+  }
+
   def all: Seq[QueryDef] =
     Seq(langId, quality, fingerprint, tokenBudget, rollingFp, repetition,
-      piiRedact, tfidf, postings, compression, heavyHitters, perSourceTopTerms)
+      piiRedact, tfidf, postings, compression, heavyHitters,
+      perSourceTopTerms, unigramLp)
 }

@@ -287,4 +287,22 @@ class CurationOpsSpec extends SparkSpec {
     // empty text still yields one (empty) chunk, not zero rows
     assert(chunks.filter(col("doc_id") === 3L).count() == 1L)
   }
+
+  test("unigramLogProbs: hand-computed corpus distribution") {
+    // counts: a=3, b=1, total=4
+    //   doc 1 "a a": avg(ln .75, ln .75)          = -0.2877
+    //   doc 2 "a b": avg(ln .75, ln .25)          = -0.8370
+    val got = TextAnalysis.unigramLogProbs(docsDF(1L -> "a a", 2L -> "a b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L) == ((2L, -0.2877)))
+    assert(got(2L) == ((2L, -0.837)))
+    // null text contributes nothing and emits no row
+    assert(TextAnalysis.unigramLogProbs(
+      docsDF(1L -> "x").unionByName(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(
+            org.apache.spark.sql.Row(2L, null: String))),
+          docsDF(1L -> "x").schema))).count() == 1L)
+  }
 }
