@@ -622,7 +622,89 @@ object Curation {
         sum(col("doc_id")).cast("long").as("id_checksum"))
   }
 
+  // ------------------------------------------- model-based quality filter
+
+  /** Numeric quality features as one ml Vector column `fv`: the t2
+    * heuristics (token counts, token length, punctuation/alpha/stopword
+    * ratios) plus the t6 repetition fractions — the feature set a
+    * CCNet/GPT-3-style learned quality filter trains on. All features
+    * are scan-local expressions except the repetition join (doc-keyed,
+    * map-side combinable).
+    */
+  def qualityFeatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val feats = Seq("n_tokens", "avg_token_len", "punct_ratio",
+      "alpha_ratio", "stop_ratio", "dup2_frac", "top2_frac")
+    val withQ = TextAnalysis.qualityCols(
+      docs.filter(col(textCol).isNotNull && length(col(textCol)) > 0), textCol)
+      .join(TextAnalysis.repetitionMetrics(docs, idCol, textCol),
+        Seq(idCol), "left")
+      .na.fill(0.0, Seq("dup2_frac", "top2_frac"))
+    withQ.withColumn("fv",
+      org.apache.spark.ml.functions.array_to_vector(
+        array(feats.map(f => coalesce(col(f).cast("double"), lit(0.0))): _*)))
+  }
+
+  /** Train a GBT quality classifier on a labeled doc set (label 1 =
+    * keep-worthy). Shallow trees over 7 features — the model is tiny;
+    * the distributed cost is the feature scan.
+    */
+  def fitQualityClassifier(labeled: DataFrame, seed: Long = 7L)
+      : org.apache.spark.ml.classification.GBTClassificationModel =
+    graft.ml.Train.fitClassifier(labeled,
+      graft.ml.HyperParams(eta = 0.3, subsample = 1.0, colsampleBytree = 1.0,
+        maxDepth = 3, nRounds = 10), seed)
+
+  /** Score + threshold-filter a featurized corpus with a trained quality
+    * model: keeps rows whose P(keep) ≥ `threshold`. */
+  def filterByQualityModel(
+      model: org.apache.spark.ml.classification.GBTClassificationModel,
+      featurized: DataFrame, threshold: Double): DataFrame =
+    graft.ml.Train.predictClassifier(model, featurized)
+      .filter(col("y_pred") >= threshold)
+
+  /** C9 — learned quality filter end-to-end (rows-only; GBT internals
+    * are not SQL-expressible). Fixture: corrupt every 3rd document into
+    * single-token boilerplate (the degenerate shape the t6 repetition
+    * rules target), label clean=1/corrupt=0, train on the ~80%
+    * hash-split, evaluate on the rest. Golden gates: held-out AUC ≥
+    * 0.95, ≥ 90% of clean held-out docs kept at the 0.5 threshold,
+    * ≤ 5% of corrupted docs kept.
+    */
+  val qualityFilter = QueryDef.rowsOnly("c9_model_quality_filter") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+    val corrupt = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000).as("doc_id"),
+        array_join(array_repeat(split(col("text"), " ").getItem(0), 60), " ")
+          .as("text"))
+    val labeled = docs.withColumn("label", lit(1.0))
+      .unionByName(corrupt.withColumn("label", lit(0.0)))
+    val fz = qualityFeatures(labeled).localCheckpoint(eager = false)
+    val isTest = abs(hash(col("doc_id"), lit(42))) % 5 === 0
+    val train = fz.filter(!isTest)
+    val test = fz.filter(isTest).localCheckpoint(eager = false)
+    val model = fitQualityClassifier(train)
+    val scored = graft.ml.Train.predictClassifier(model, test)
+      .localCheckpoint(eager = false)
+    val auc = graft.ml.Scoring.auc(scored, "label", "y_pred")
+    val kept = scored.filter(col("y_pred") >= 0.5)
+    val nCleanTest = test.filter(col("label") === 1.0).count()
+    val nCorruptTest = test.filter(col("label") === 0.0).count()
+    val keptClean = kept.filter(col("label") === 1.0).count()
+    val keptCorrupt = kept.filter(col("label") === 0.0).count()
+    import s.implicits._
+    Seq((train.count(), nCleanTest + nCorruptTest,
+      BigDecimal(auc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      keptClean, keptCorrupt))
+      .toDF("n_train", "n_test", "auc", "kept_clean", "kept_corrupt")
+      .filter(col("auc") >= 0.95 && col("n_test") > 0 &&
+        col("kept_clean") >= nCleanTest * 0.9 &&
+        col("kept_corrupt") <= nCorruptTest * 0.05)
+  }
+
   def all: Seq[QueryDef] =
     Seq(pipeline, budgetSample, sourceMix, packing, domainCap, chunking,
-      urlCanon, curriculum)
+      urlCanon, curriculum, qualityFilter)
 }

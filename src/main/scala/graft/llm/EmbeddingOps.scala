@@ -374,7 +374,12 @@ object EmbeddingOps {
         count(lit(1)).as("n_members"))
     val badGroups = byBase.filter(col("n_clusters") =!= 1).count()
     val nBases = byBase.count()
-    val survivors = semanticDedup(u, eps = 0.99, k = 16)
+    // survivors from the SAME groups result (semanticDedup re-runs the
+    // whole pipeline incl. the KMeans fit — one fit is enough here; the
+    // anti-join below is exactly its apply step)
+    val survivors = u.join(
+      groups.filter(!col("is_keeper")).select("vec_id"),
+      Seq("vec_id"), "left_anti")
     val nKept = survivors.count()
     val keptPerBase = survivors
       .join(groups.select("vec_id"), Seq("vec_id"))

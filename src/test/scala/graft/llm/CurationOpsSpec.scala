@@ -288,6 +288,22 @@ class CurationOpsSpec extends SparkSpec {
     assert(chunks.filter(col("doc_id") === 3L).count() == 1L)
   }
 
+  test("qualityFeatures: 7-dim vector, single-token and repeated docs") {
+    import org.apache.spark.ml.linalg.Vector
+    val fz = Curation.qualityFeatures(docsDF(
+      1L -> "the cat sat on the mat",
+      2L -> "x", // single token: no 2-grams → repetition features 0
+      3L -> "spam spam spam spam"))
+      .select(col("doc_id"), col("fv"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Vector](1)).toMap
+    assert(fz.values.forall(_.size == 7))
+    assert(fz(2L)(5) == 0.0 && fz(2L)(6) == 0.0)
+    // "spam spam..." has one distinct 2-gram out of 3 → dup2 = 2/3
+    assert(math.abs(fz(3L)(5) - 2.0 / 3) < 1e-12)
+    assert(fz(3L)(6) == 1.0)
+    assert(fz(1L)(0) == 6.0) // n_tokens
+  }
+
   test("unigramLogProbs: hand-computed corpus distribution") {
     // counts: a=3, b=1, total=4
     //   doc 1 "a a": avg(ln .75, ln .75)          = -0.2877
