@@ -95,7 +95,14 @@ object EmbeddingOps {
     require(dim > 0, "dim must be positive")
     val acc = emb.select(col(vecCol)).na.drop().rdd.treeAggregate(
       new MomentAcc(dim))(
-      seqOp = (a, r) => a.add(toDoubles(r.getSeq[Any](0), dim)),
+      seqOp = (a, r) => {
+        val xs = r.getSeq[Any](0)
+        // fail loudly on a ragged corpus — zero-padding a short vector
+        // would silently bias the covariance
+        require(xs.length == dim,
+          s"pcaBasis: vector of length ${xs.length}, expected $dim")
+        a.add(toDoubles(xs, dim))
+      },
       combOp = (l, r) => l.merge(r),
       depth = 2)
     require(acc.n > 0, "pcaBasis: no non-null vectors")

@@ -70,6 +70,18 @@ class PlanGuardSpec extends SparkSpec {
       s"single-partition exchange in a hot path:\n$p")
   }
 
+  test("t13: text-null filter pushes down; the vocab join broadcasts") {
+    val p = plan("t13_unigram_logprob")
+    assert(p.contains("PushedFilters: [IsNotNull(text)]"),
+      s"text filter not pushed:\n$p")
+    // the corpus-frequency side prunes to text alone
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.exists(r => r.contains("text") && !r.contains("doc_id")),
+      s"vocab-side scan not pruned: $reads")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"vocab join not broadcast at this scale:\n$p")
+  }
+
   test("p6: the bloom probe filters the fact scan BEFORE the join") {
     // build the frame without running the gate's aggregates is not
     // possible (the query takes driver actions), so assert on the
