@@ -1044,7 +1044,176 @@ object Dedup {
     editDistancePairs(docs, "doc_id", "p", maxDist = 2)
   }
 
+  // -------------------------------- repeated-substring (ExactSubstr) dedup
+
+  /** Per-position Rabin–Karp window hashes: one row per FULL length-`win`
+    * character window, `pos` 1-based (substr-compatible). Same modulus/
+    * base as [[TextAnalysis.rollingFingerprints]], O(1) per-position
+    * update, one scan, no shuffle. ASCII/BMP texts only share positions
+    * with `substr` (positions are UTF-16 units here, codepoints in
+    * engines like DuckDB — identical for BMP text).
+    */
+  def rollingHashWindows(docs: DataFrame, win: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(win >= 2, s"window $win too small")
+    graft.util.Ids.requireLongCompatible(docs, idCol, "rollingHashWindows")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val K = win
+    val B = TextAnalysis.rollB
+    val M = TextAnalysis.rollM
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bK = { var p = 1L; var i = 0; while (i < K) { p = p * B % M; i += 1 }; p }
+        val n = text.length
+        if (n < K) Iterator.empty
+        else {
+          var h = 0L
+          var j = 0
+          while (j < K) { h = (h * B + text.charAt(j) % M) % M; j += 1 }
+          val out = new Array[(Long, Long, Long)](n - K + 1)
+          out(0) = (id, 1L, h)
+          var p = 1
+          while (p <= n - K) {
+            h = (h * B + text.charAt(p + K - 1) % M) % M
+            h = ((h - text.charAt(p - 1) % M * bK % M) % M + M) % M
+            out(p) = (id, (p + 1).toLong, h)
+            p += 1
+          }
+          out.iterator
+        }
+      }.toDF(idCol, "pos", "h")
+  }
+
+  /** ExactSubstr-style repeated-substring spans (Lee et al. 2022,
+    * arXiv:2107.06499 — "Deduplicating Training Data Makes Language
+    * Models Better"; suffix-array formulation replaced by a rolling-hash
+    * candidate pass, which Spark distributes): every length-`win`
+    * window whose exact content occurs in ≥ `minDocs` DISTINCT
+    * documents, merged into maximal per-document spans
+    * (doc_id, span_start, span_end — 1-based inclusive).
+    *
+    * Scale: hash pass is one scan; the distinct-doc count per hash and
+    * the exact-content verify are term-keyed linear aggregates; span
+    * merge is a per-doc window (bounded groups). Hash collisions only
+    * ADD candidates — the verify groups by the actual substring, so
+    * recall and precision are exact. Within-doc-only repeats do not
+    * count toward `minDocs` (cross-document boilerplate is the
+    * curation target; t6 covers within-doc repetition).
+    */
+  def repeatedSubstringSpans(docs: DataFrame, win: Int = 50,
+      minDocs: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
+    val wins = rollingHashWindows(docs, win, idCol, textCol)
+    val hotHashes = wins.select(col("h"), col(idCol)).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val candS = wins.join(hotHashes, "h")
+      .join(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol), col("pos"),
+        expr(s"substring($textCol, pos, $win)").as("s"))
+    val hotS = candS.select(col("s"), col(idCol)).distinct()
+      .groupBy("s").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("s")
+    val verified = candS.join(hotS, "s").select(col(idCol), col("pos"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prevMaxEnd = max(col("pos") + (win - 1)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    verified
+      .withColumn("pme", prevMaxEnd)
+      .withColumn("newg",
+        when(col("pme").isNull || col("pos") > col("pme") + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("newg")).over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (win - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** The APPLY step: cut every repeated span from each document EXCEPT
+    * in the span's first-touching document (min doc id among the span
+    * carriers is approximated per-doc: a doc keeps its text untouched
+    * iff it is the minimum doc id carrying ANY span — the Lee et al.
+    * keep-one-occurrence rule at document granularity). Returns the
+    * docs frame with `text` rewritten and `n_cut` chars removed.
+    */
+  def stripRepeatedSpans(docs: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    // keep-one-occurrence at document granularity: the minimum doc id
+    // carrying any span keeps its text whole
+    val keeper = spans.agg(min(col(idCol))).head()
+    val cuttable =
+      if (keeper.isNullAt(0)) spans
+      else spans.filter(col(idCol) =!= keeper.getLong(0))
+    val agg = cuttable.groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("span_start"),
+        col("span_end")))).as("sp"))
+    val joined = docs.join(agg, Seq(idCol), "left")
+    val idIdx = joined.schema.fieldIndex(idCol)
+    val tIdx = joined.schema.fieldIndex(textCol)
+    val spIdx = joined.schema.fieldIndex("sp")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      joined.schema.fields.patch(spIdx, Nil, 1))
+      .add("n_cut", org.apache.spark.sql.types.IntegerType)
+    val out = joined.rdd.map { row =>
+      val base = row.toSeq.patch(spIdx, Nil, 1)
+      if (row.isNullAt(spIdx) || row.isNullAt(tIdx))
+        org.apache.spark.sql.Row.fromSeq(base :+ 0)
+      else {
+        val text = row.getString(tIdx)
+        val sp = row.getSeq[org.apache.spark.sql.Row](spIdx)
+        val sb = new StringBuilder
+        var cursor = 0
+        sp.foreach { s =>
+          val a = s.getLong(0).toInt - 1 // 1-based inclusive -> 0-based
+          val b = s.getLong(1).toInt // exclusive end in 0-based
+          if (a > cursor) sb.append(text.substring(cursor, a))
+          cursor = math.max(cursor, b)
+        }
+        if (cursor < text.length) sb.append(text.substring(cursor))
+        val cut = text.length - sb.length
+        org.apache.spark.sql.Row.fromSeq(
+          base.updated(tIdx - (if (tIdx > spIdx) 1 else 0), sb.toString) :+ cut)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** D12 — repeated-substring spans, FULL oracle: DuckDB replays the
+    * same semantics directly on substrings (no hashes — the hash pass
+    * is an optimization the verify step erases). All-integer output.
+    */
+  val repeatedSubstr = QueryDef.sql(
+    "d12_repeated_substring_spans",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |             substr(text, CAST(i AS INT), 50) AS s
+      |      FROM d CROSS JOIN LATERAL
+      |        unnest(range(1, CAST(length(text) - 49 + 1 AS BIGINT))) t(i)),
+      |hot AS (SELECT s FROM (SELECT DISTINCT s, doc_id FROM w)
+      |        GROUP BY s HAVING count(*) >= 2),
+      |c AS (SELECT doc_id, pos FROM w WHERE s IN (SELECT s FROM hot)),
+      |m AS (SELECT doc_id, pos,
+      |             max(pos + 49) OVER (PARTITION BY doc_id ORDER BY pos
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |      FROM c),
+      |g AS (SELECT doc_id, pos,
+      |             sum(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+      |               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |      FROM m)
+      |SELECT doc_id, min(pos) AS span_start, max(pos) + 49 AS span_end
+      |FROM g GROUP BY doc_id, grp""".stripMargin) { (s, d) =>
+    repeatedSubstringSpans(Tables.documents(s, d), win = 50, minDocs = 2)
+  }
+
   def all: Seq[QueryDef] =
     Seq(exact, minhash, simhashQ, simhashDedupQ, ngramJaccardQ, clusters,
-      dropQ, incrementalQ, editDistQ)
+      dropQ, incrementalQ, editDistQ, repeatedSubstr)
 }

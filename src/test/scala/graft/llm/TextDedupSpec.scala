@@ -465,4 +465,47 @@ class TextDedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "en", 2L -> "es", 3L -> "und"))
   }
+
+  test("rollingHashWindows: per-position hashes match a brute recompute") {
+    val s = spark; import s.implicits._
+    val text = "abcdefgh"
+    val win = 3
+    val got = Dedup.rollingHashWindows(
+      Seq((1L, text)).toDF("doc_id", "text"), win)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got.size == text.length - win + 1)
+    val B = TextAnalysis.rollB; val M = TextAnalysis.rollM
+    (0 to text.length - win).foreach { p =>
+      var h = 0L
+      text.substring(p, p + win).foreach(c => h = (h * B + c % M) % M)
+      assert(got((p + 1).toLong) == h, s"pos ${p + 1}")
+    }
+    // shorter than the window: no rows
+    assert(Dedup.rollingHashWindows(
+      Seq((1L, "ab")).toDF("doc_id", "text"), win).count() == 0)
+  }
+
+  test("repeatedSubstringSpans + strip: planted boilerplate, keeper kept") {
+    val s = spark; import s.implicits._
+    val boiler = "ABCDEFGHIJKL" // 12 chars, win 5 → merged 12-char span
+    val docs = Seq(
+      (1L, s"aaaaa${boiler}zzzzz"),
+      (2L, s"qqq${boiler}ppppppp"),
+      (3L, "totally unrelated text here")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, win = 5, minDocs = 2)
+    val got = spans.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: boiler at 1-based pos 6..17; doc2: pos 4..15
+    assert(got(1L) == ((6L, 17L)), s"doc1 span ${got.get(1L)}")
+    assert(got(2L) == ((4L, 15L)), s"doc2 span ${got.get(2L)}")
+    assert(!got.contains(3L))
+    val stripped = Dedup.stripRepeatedSpans(docs, spans)
+      .select("doc_id", "text", "n_cut")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    // doc1 is the min span-carrying id → kept whole
+    assert(stripped(1L) == ((s"aaaaa${boiler}zzzzz", 0)))
+    assert(stripped(2L) == (("qqqppppppp", 12)))
+    assert(stripped(3L) == (("totally unrelated text here", 0)))
+  }
 }
