@@ -649,11 +649,11 @@ object Curation {
     * keep-worthy). Shallow trees over 7 features — the model is tiny;
     * the distributed cost is the feature scan.
     */
-  def fitQualityClassifier(labeled: DataFrame, seed: Long = 7L)
+  def fitQualityClassifier(labeled: DataFrame, seed: Long = 7L,
+      hp: graft.ml.HyperParams = graft.ml.HyperParams(eta = 0.3,
+        subsample = 1.0, colsampleBytree = 1.0, maxDepth = 2, nRounds = 6))
       : org.apache.spark.ml.classification.GBTClassificationModel =
-    graft.ml.Train.fitClassifier(labeled,
-      graft.ml.HyperParams(eta = 0.3, subsample = 1.0, colsampleBytree = 1.0,
-        maxDepth = 3, nRounds = 10), seed)
+    graft.ml.Train.fitClassifier(labeled, hp, seed)
 
   /** Score + threshold-filter a featurized corpus with a trained quality
     * model: keeps rows whose P(keep) ≥ `threshold`. */
@@ -681,7 +681,10 @@ object Curation {
           .as("text"))
     val labeled = docs.withColumn("label", lit(1.0))
       .unionByName(corrupt.withColumn("label", lit(0.0)))
-    val fz = qualityFeatures(labeled).localCheckpoint(eager = false)
+    // fixture-scale frame (tens of k rows): coalesce so the GBT's
+    // per-iteration jobs don't schedule 32 near-empty tasks each
+    val fz = qualityFeatures(labeled).coalesce(8)
+      .localCheckpoint(eager = false)
     val isTest = abs(hash(col("doc_id"), lit(42))) % 5 === 0
     val train = fz.filter(!isTest)
     val test = fz.filter(isTest).localCheckpoint(eager = false)

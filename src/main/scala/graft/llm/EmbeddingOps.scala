@@ -204,12 +204,16 @@ object EmbeddingOps {
     */
   def semanticDupGroups(emb: DataFrame, eps: Double, k: Int,
       seed: Long = 7L, maxCellSize: Int = 10000,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxIter: Int = 20): DataFrame = {
     require(eps > 0 && eps <= 1, s"eps=$eps out of (0, 1]")
     require(k >= 2, s"k=$k: spark.ml KMeans needs at least 2 cells")
     val spark = emb.sparkSession
+    // coarse cells only gate CANDIDATE generation (exact cosine verifies
+    // every pair) — few Lloyd iterations suffice, per the SemDeDup paper
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setSeed(seed).setFeaturesCol("fv").setPredictionCol("cell")
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("fv").setPredictionCol("cell")
     val fv = emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
       .withColumn("fv", org.apache.spark.ml.functions.array_to_vector(col("v")))
@@ -274,8 +278,9 @@ object EmbeddingOps {
     */
   def semanticDedup(emb: DataFrame, eps: Double, k: Int, seed: Long = 7L,
       maxCellSize: Int = 10000, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val losers = semanticDupGroups(emb, eps, k, seed, maxCellSize, idCol, vecCol)
+      vecCol: String = "embedding", maxIter: Int = 20): DataFrame = {
+    val losers = semanticDupGroups(emb, eps, k, seed, maxCellSize, idCol,
+      vecCol, maxIter)
       .filter(!col("is_keeper"))
       .select(col(idCol))
     emb.join(losers, Seq(idCol), "left_anti")
@@ -369,7 +374,7 @@ object EmbeddingOps {
     val nOrig = emb.count()
     val nPert = perturbed.count()
     val nCorpus = nOrig * 2 + nPert
-    val groups = semanticDupGroups(u, eps = 0.99, k = 16)
+    val groups = semanticDupGroups(u, eps = 0.99, k = 16, maxIter = 5)
       .localCheckpoint(eager = false)
     val nDropped = groups.filter(!col("is_keeper")).count()
     // group integrity: members of base id b are {b, b+1M, (b+2M)?} —
