@@ -1107,6 +1107,9 @@ object Dedup {
       minDocs: Int = 2, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
+    // `wins` is deliberately recomputed by the two consumers below:
+    // materializing one row per character-window (~window × corpus) to
+    // save a second scan would cost far more than the rescan at scale
     val wins = rollingHashWindows(docs, win, idCol, textCol)
     val hotHashes = wins.select(col("h"), col(idCol)).distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))
@@ -1115,7 +1118,7 @@ object Dedup {
     val candS = wins.join(hotHashes, "h")
       .join(docs.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), col("pos"),
-        expr(s"substring($textCol, pos, $win)").as("s"))
+        col(textCol).substr(col("pos").cast("int"), lit(win)).as("s"))
     val hotS = candS.select(col("s"), col(idCol)).distinct()
       .groupBy("s").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
