@@ -1115,10 +1115,13 @@ object Dedup {
       .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("h")
+    // candidates are the small cross-doc-repeated fraction — pin them so
+    // the verify's two consumers don't each replay the hash+join lineage
     val candS = wins.join(hotHashes, "h")
       .join(docs.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), col("pos"),
         col(textCol).substr(col("pos").cast("int"), lit(win)).as("s"))
+      .localCheckpoint(eager = false)
     val hotS = candS.select(col("s"), col(idCol)).distinct()
       .groupBy("s").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)

@@ -508,4 +508,38 @@ class TextDedupSpec extends SparkSpec {
     assert(stripped(2L) == (("qqqppppppp", 12)))
     assert(stripped(3L) == (("totally unrelated text here", 0)))
   }
+
+  test("repeatedSubstringSpans: seeded fuzz vs brute-force reference") {
+    val s = spark; import s.implicits._
+    val win = 4
+    val rnd = new scala.util.Random(1234)
+    (0 until 5).foreach { trial =>
+      // 2-letter alphabet forces plenty of natural cross-doc repeats
+      val docs = (0 until 12).map { id =>
+        val n = 5 + rnd.nextInt(30)
+        (id.toLong, Array.fill(n)(if (rnd.nextBoolean()) 'a' else 'b').mkString)
+      }
+      // brute force: every win-gram by content, docs per content, spans
+      val byContent = docs.flatMap { case (id, t) =>
+        (0 to t.length - win).map(p => (t.substring(p, p + win), id, p + 1L))
+      }.groupBy(_._1)
+      val hot = byContent.filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val expected = docs.flatMap { case (id, t) =>
+        val ps = (0 to t.length - win)
+          .filter(p => hot(t.substring(p, p + win))).map(_ + 1L)
+        // merge touching/overlapping [p, p+win-1] intervals
+        ps.foldLeft(List.empty[(Long, Long)]) {
+          case (acc, p) if acc.nonEmpty && p <= acc.head._2 + 1 =>
+            (acc.head._1, math.max(acc.head._2, p + win - 1)) :: acc.tail
+          case (acc, p) => (p, p + win - 1) :: acc
+        }.reverse.map { case (a, b) => (id, a, b) }
+      }.toSet
+      val got = Dedup.repeatedSubstringSpans(
+        docs.toDF("doc_id", "text"), win = win, minDocs = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"trial $trial: got ${got.size} spans, expected ${expected.size}\n" +
+          s"missing=${expected -- got}\nextra=${got -- expected}")
+    }
+  }
 }
