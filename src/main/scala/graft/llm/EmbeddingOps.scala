@@ -227,9 +227,6 @@ object EmbeddingOps {
     val cellCounts = assigned.groupBy("cell").count().collect() // ≤ k rows
     val hotCells = cellCounts.filter(_.getLong(1) > maxCellSize)
       .map(_.getInt(0)).toSet
-    def side(tag: String) = assigned.select(
-      col("id").as(s"id_$tag"), col("v").as(s"v_$tag"), col("cell"),
-      col("centroid_cos").as(s"cc_$tag"))
     val cold =
       if (hotCells.size == cellCounts.length) null
       else {
