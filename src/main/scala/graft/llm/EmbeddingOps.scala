@@ -357,7 +357,23 @@ object EmbeddingOps {
     *   - survivors == corpus − drops, and exactly one member of each
     *     planted group survives.
     */
-  val semdedup = QueryDef.rowsOnly("v10_semantic_dedup") { (s, d) =>
+  val semdedup = QueryDef.sql(
+    "v10_semantic_dedup",
+    // ORACLE-HARDENED rows-only upgrade: DuckDB derives the planted
+    // arithmetic (corpus size, group count, expected drops, zero bad
+    // rows, expected keepers) independently from the embeddings table;
+    // the engine's measured counts must hash-match it exactly, and the
+    // emission filter still empties the output on any invariant break.
+    """WITH n AS (SELECT count(*) AS c,
+      |                  count(*) FILTER (WHERE vec_id % 10 = 0) AS p
+      |           FROM embeddings)
+      |SELECT CAST(2 * c + p AS BIGINT) AS n_corpus,
+      |       CAST(c AS BIGINT) AS n_groups,
+      |       CAST(c + p AS BIGINT) AS n_dropped,
+      |       CAST(0 AS BIGINT) AS bad_groups,
+      |       CAST(0 AS BIGINT) AS bad_kept,
+      |       CAST(c AS BIGINT) AS n_kept
+      |FROM n""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val perturbed = emb.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 2000000).as("vec_id"),
