@@ -93,5 +93,68 @@ object Contamination {
         coalesce(sum(col("doc_id")), lit(0L)).cast("long").as("cont_checksum"))
   }
 
-  def all: Seq[QueryDef] = Seq(d8)
+  // ------------------------------------------ semantic decontamination
+
+  /** Embedding-space contamination pairs: corpus vectors whose cosine to
+    * ANY eval vector reaches `threshold` — the fuzzy complement of the
+    * n-gram pass above (catches paraphrases/translations that share no
+    * exact gram). Same scale contract as [[contaminatedIds]]: the eval
+    * side is small by definition and broadcast; the corpus side is one
+    * scan with the codegen'd cosine — linear, never corpus×corpus.
+    * Returns (idCol, eval_id, sim) one row per flagged pair.
+    */
+  def semanticContaminationPairs(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold=$threshold")
+    val ev = evalSet.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("eval_id"), col(vecCol).as("ev"))
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(ev))
+      .withColumn("sim",
+        round(graft.llm.Similarity.cosine(col(vecCol), col("ev")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col(idCol), col("eval_id"), col("sim"))
+  }
+
+  /** Drop semantically contaminated rows (left-anti on flagged ids). */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.join(
+      semanticContaminationPairs(corpus, evalSet, threshold, idCol, vecCol)
+        .select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** D13 — semantic decontamination, FULL oracle: eval = every 100th
+    * vector; corpus = the rest PLUS planted exact copies of the eval
+    * set (+3 000 000). DuckDB replays the whole operator (brute-force
+    * cosine against the same constructed corpus). On this
+    * near-isotropic corpus (natural top-1 cosine ≈ 0.4) threshold 0.99
+    * flags exactly the planted copies.
+    */
+  val d13 = QueryDef.sql(
+    "d13_semantic_decontaminate",
+    """WITH ev AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS ev
+      |            FROM embeddings WHERE vec_id % 100 = 0),
+      |corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id % 100 != 0
+      |           UNION ALL
+      |           SELECT vec_id + 3000000, CAST(embedding AS DOUBLE[])
+      |           FROM embeddings WHERE vec_id % 100 = 0)
+      |SELECT c.vec_id, ev.eval_id,
+      |       round(list_cosine_similarity(c.v, ev.ev), 6) AS sim
+      |FROM corpus c, ev
+      |WHERE round(list_cosine_similarity(c.v, ev.ev), 6) >= 0.99""".stripMargin) {
+    (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val ev = emb.filter(col("vec_id") % 100 === 0)
+      val corpus = emb.filter(col("vec_id") % 100 =!= 0)
+        .unionByName(ev.select((col("vec_id") + 3000000).as("vec_id"),
+          col("embedding")))
+      semanticContaminationPairs(corpus, ev, threshold = 0.99)
+  }
+
+  def all: Seq[QueryDef] = Seq(d8, d13)
 }

@@ -288,6 +288,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(chunks.filter(col("doc_id") === 3L).count() == 1L)
   }
 
+  test("semanticDecontaminate: exact copy and near-paraphrase flagged") {
+    val s = spark; import s.implicits._
+    val ev = Seq((100L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2f, 0f, 0f)), // scaled copy: cos = 1
+      (2L, Array(1f, 0.1f, 0f)), // near: cos ≈ 0.995
+      (3L, Array(0f, 1f, 0f))) // orthogonal
+      .toDF("vec_id", "embedding")
+    val pairs = Contamination
+      .semanticContaminationPairs(corpus, ev, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 100L), (2L, 100L)))
+    val kept = Contamination.semanticDecontaminate(corpus, ev, 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+  }
+
   test("qualityFeatures: 7-dim vector, single-token and repeated docs") {
     import org.apache.spark.ml.linalg.Vector
     val fz = Curation.qualityFeatures(docsDF(
