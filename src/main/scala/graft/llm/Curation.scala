@@ -707,7 +707,92 @@ object Curation {
         col("kept_corrupt") <= nCorruptTest * 0.05)
   }
 
+  // ----------------------------------- DSIR importance-weighted selection
+
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * each raw document by its mean per-token log-likelihood ratio
+    * between a TARGET corpus' unigram model and the raw corpus' own,
+    * add-1 smoothed over the joint vocabulary. The published method
+    * hashes n-gram features and Gumbel-samples; the unigram + exact
+    * counts + deterministic ordering here is the reproducible
+    * relational variant of the same estimator.
+    *
+    * Scale: two tokenize scans, two term-keyed count aggregates, two
+    * term-keyed joins of the raw tokens (AQE broadcasts small vocabs),
+    * one doc-keyed avg — the t13 shape, twice. Output: (idCol, n_tok,
+    * dsir_weight) per raw document; higher = more target-like.
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def toks(df: DataFrame, cols: org.apache.spark.sql.Column*) = df
+      .filter(col(textCol).isNotNull)
+      .select(cols :+ explode(split(lower(col(textCol)), " ")).as("term"): _*)
+    val rawToks = toks(raw, col(idCol))
+    val tgtToks = toks(target)
+    val rc = rawToks.groupBy("term").agg(count(lit(1)).as("cr"))
+    val tc = tgtToks.groupBy("term").agg(count(lit(1)).as("ct"))
+    val nR = rc.agg(sum("cr")).head().getLong(0)
+    val nT = tc.agg(sum("ct")).head().getLong(0)
+    require(nR > 0 && nT > 0, "dsirWeights: empty raw or target corpus")
+    val v = rc.select("term").unionByName(tc.select("term"))
+      .distinct().count()
+    rawToks
+      .join(tc, Seq("term"), "left")
+      .join(rc, Seq("term"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(
+          log((coalesce(col("ct"), lit(0L)).cast("double") + 1.0) /
+            (nT + v).toDouble) -
+            log((col("cr").cast("double") + 1.0) / (nR + v).toDouble)), 4)
+          .as("dsir_weight"))
+  }
+
+  /** Threshold-based DSIR selection: keep raw docs whose weight reaches
+    * the (1 − frac) exact quantile — tie-INCLUSIVE (like a HAVING), so
+    * the kept count can exceed frac·n by the tie group. Quantile via
+    * the a4 sort-select machinery: no global top-k window, no
+    * driver-side k-row collect.
+    */
+  def dsirSelect(raw: DataFrame, target: DataFrame, frac: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac=$frac out of (0, 1]")
+    val w = dsirWeights(raw, target, idCol, textCol)
+      .localCheckpoint(eager = false)
+    val thr = graft.ops.RelationalQueries.exactQuantilesSorted(
+      w, "dsir_weight", Seq(1.0 - frac)).head
+    raw.join(w.filter(col("dsir_weight") >= thr).select(idCol),
+      Seq(idCol), "left_semi")
+  }
+
+  /** C10 — DSIR weights, FULL per-doc oracle: target = the table's
+    * `en` slice, raw = everything else; DuckDB replays the smoothed
+    * ratio exactly. */
+  val dsir = QueryDef.sql(
+    "c10_dsir_weights",
+    """WITH raw AS (SELECT doc_id, text FROM documents
+      |             WHERE lang != 'en' AND text IS NOT NULL),
+      |tgt AS (SELECT text FROM documents WHERE lang = 'en' AND text IS NOT NULL),
+      |rt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM raw),
+      |tt AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM tgt),
+      |rc AS (SELECT term, count(*) AS cr FROM rt GROUP BY 1),
+      |tc AS (SELECT term, count(*) AS ct FROM tt GROUP BY 1),
+      |nn AS (SELECT (SELECT count(*) FROM rt) AS nr,
+      |              (SELECT count(*) FROM tt) AS nt,
+      |              (SELECT count(*) FROM
+      |                 (SELECT term FROM rc UNION SELECT term FROM tc)) AS v)
+      |SELECT doc_id, count(*) AS n_tok,
+      |       round(avg(ln((coalesce(ct, 0) + 1.0) / (nt + v))
+      |               - ln((cr + 1.0) / (nr + v))), 4) AS dsir_weight
+      |FROM rt LEFT JOIN tc USING (term) JOIN rc USING (term), nn
+      |GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    dsirWeights(docs.filter(col("lang") =!= "en"),
+      docs.filter(col("lang") === "en"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(pipeline, budgetSample, sourceMix, packing, domainCap, chunking,
-      urlCanon, curriculum, qualityFilter)
+      urlCanon, curriculum, qualityFilter, dsir)
 }

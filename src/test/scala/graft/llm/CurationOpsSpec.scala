@@ -288,6 +288,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(chunks.filter(col("doc_id") === 3L).count() == 1L)
   }
 
+  test("dsirWeights: hand-computed smoothed likelihood ratio") {
+    // target: a=3, b=1 (Nt=4); raw: a=2, c=2 (Nr=4); V={a,b,c}=3
+    //   token a: ln(4/7) - ln(3/7) = ln(4/3) =  0.2877
+    //   token c: ln(1/7) - ln(3/7) = ln(1/3) = -1.0986
+    val raw = docsDF(1L -> "a a", 2L -> "c c")
+    val tgt = docsDF(10L -> "a a a b")
+    val got = Curation.dsirWeights(raw, tgt)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L) == ((2L, 0.2877)))
+    assert(got(2L) == ((2L, -1.0986)))
+    // selection keeps the target-like doc, drops the alien one
+    val kept = Curation.dsirSelect(
+      docsDF(1L -> "a a", 2L -> "a c", 3L -> "c c"), tgt, frac = 0.34)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(3L), s"kept=$kept")
+  }
+
   test("semanticDecontaminate: exact copy and near-paraphrase flagged") {
     val s = spark; import s.implicits._
     val ev = Seq((100L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
