@@ -82,6 +82,21 @@ class PlanGuardSpec extends SparkSpec {
       s"vocab join not broadcast at this scale:\n$p")
   }
 
+  test("d13: the eval side broadcasts (nested-loop, never a cartesian)") {
+    val p = plan("d13_semantic_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval broadcast lost:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"fell back to a cartesian product:\n$p")
+  }
+
+  test("c10: lang filters push into both scans") {
+    val p = plan("c10_dsir_weights")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.exists(_.contains("lang")), s"lang not pushed: $pushed")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
   test("p6: the bloom probe filters the fact scan BEFORE the join") {
     // build the frame without running the gate's aggregates is not
     // possible (the query takes driver actions), so assert on the
