@@ -107,6 +107,42 @@ object Ingest {
   }
 }
 
+/** `scripts/adjust_hdf5_for_covariates.py` — covariate-adjust an
+  * EXISTING bundle store (the reference's standalone adjustment entry,
+  * distinct from Ingest's fused path): join covariates, standardize
+  * them (the script's StandardScaler default, `--standardise false` to
+  * skip), compute mass OLS betas for X and the label beta for y, and
+  * write a new store carrying BOTH original and adjusted columns
+  * (features/features_adj, label/label_adj — the reference writes x
+  * and x_adjusted side by side).
+  */
+object Adjust {
+  def main(args: Array[String]): Unit = {
+    val a = Cli.parseArgs(args)
+    val in = a("in")
+    val covPath = a("covariates")
+    val out = Config.normalizePath(a("out"))
+    val standardise = Config.parseBool(a.getOrElse("standardise", "true"))
+    val spark = Cli.session("graft-adjust")
+    val cols = Bundle.readCols(spark, in)
+    val p = cols.count().toInt
+    val cov = Sinks.readCovariates(spark, covPath)
+    val covCols = cov.columns.filterNot(Seq("fid", "iid").contains).toSeq
+    var bundle = Bundle.read(spark, in)
+      .join(broadcast(cov.drop("fid")), Seq("iid"), "inner")
+    if (standardise)
+      bundle = Deconfound.standardize(bundle, covCols, bundle)
+    val betas = Deconfound.massOlsBetas(bundle, covCols, "features", p)
+    val betaY = Deconfound.labelBetas(bundle, covCols, "label")
+    bundle = Deconfound.residualizeFeatures(bundle, covCols, "features", betas)
+    bundle = Deconfound.residualizeLabel(bundle, covCols, "label", betaY)
+    Bundle.write(bundle, cols, out)
+    println(s"adjusted ${bundle.count()} rows x $p SNPs " +
+      s"for ${covCols.size} covariates -> $out")
+    Cli.stop(spark)
+  }
+}
+
 /** `scripts/cv.py` — hyperparameter-search CV (SURVEY §3.1). */
 object Cv {
   def main(args: Array[String]): Unit = {

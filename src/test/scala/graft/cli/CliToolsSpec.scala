@@ -74,4 +74,43 @@ class CliToolsSpec extends SparkSpec {
       .head().getSeq[Float](0)
     assert(got == Seq(orig(3), orig(cfg.p - 1), orig(0)))
   }
+
+  test("Adjust CLI: standalone covariate adjustment matches the library") {
+    val (cfg, store) = mkStore()
+    val s = spark
+    Files.createDirectories(Paths.get(dir))
+    // deterministic covariates for every store iid
+    val iids = graft.io.Bundle.read(s, store)
+      .select("iid").collect().map(_.getString(0)).sorted
+    val tsv = "FID\tIID\tage\tpc1" +: iids.map { iid =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(iid)
+      s"$iid\t$iid\t${40 + (h % 7 + 7) % 7}\t${(h % 100) / 100.0}"
+    }.toSeq
+    Files.write(Paths.get(s"$dir/cov.tsv"), tsv.mkString("\n").getBytes)
+    Adjust.main(Array("--in", store, "--covariates", s"$dir/cov.tsv",
+      "--out", s"$dir/adjusted"))
+    val adj = graft.io.Bundle.read(s, s"$dir/adjusted")
+    assert(adj.count() == cfg.n)
+    assert(Seq("features", "features_adj", "label", "label_adj")
+      .forall(adj.columns.contains))
+    // the adjustment is real: label_adj differs from label (intercept
+    // alone shifts it), yet adjusted features keep the store width
+    assert(adj.filter(col("label_adj") =!= col("label")).count() > 0)
+    assert(adj.select(max(size(col("features_adj")))).head().getInt(0)
+      == cfg.p)
+    // replay the library path on the same joined frame — the CLI must
+    // reproduce it exactly (checksum over one row's adjusted features)
+    val cov = graft.io.Sinks.readCovariates(s, s"$dir/cov.tsv")
+    val covCols = Seq("age", "pc1")
+    var b = graft.io.Bundle.read(s, store)
+      .join(broadcast(cov.drop("fid")), Seq("iid"), "inner")
+    b = graft.ml.Deconfound.standardize(b, covCols, b)
+    val betas = graft.ml.Deconfound.massOlsBetas(b, covCols, "features", cfg.p)
+    b = graft.ml.Deconfound.residualizeFeatures(b, covCols, "features", betas)
+    val want = b.filter(col("iid") === "10004")
+      .select("features_adj").head().getSeq[Float](0)
+    val got2 = adj.filter(col("iid") === "10004")
+      .select("features_adj").head().getSeq[Float](0)
+    assert(got2 == want)
+  }
 }
