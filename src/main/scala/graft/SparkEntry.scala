@@ -31,6 +31,7 @@ object SparkEntry {
       graft.ml.LdClump.all ++
       graft.io.IoQueries.all ++
       graft.llm.TextAnalysis.all ++
+      graft.llm.Tokenizer.all ++
       graft.llm.Curation.all ++
       graft.llm.Dedup.all ++
       graft.llm.Contamination.all ++

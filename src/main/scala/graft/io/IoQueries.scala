@@ -351,5 +351,62 @@ object IoQueries {
         col("z_nchars_files") > 0 && col("z_docid_files") > 0)
   }
 
-  def all: Seq[QueryDef] = Seq(s1, s8, s9, s10, s11, s12, s13, s14, s15)
+  /** S16 — bucketed co-located join: write BOTH join sides bucketed on
+    * the join key (`bucketBy` + `saveAsTable`), then join and aggregate
+    * with ZERO shuffle exchanges anywhere in the plan. This is the 100 TB
+    * join story: a fact⋈dim or fact⋈fact join on a pre-bucketed layout
+    * moves no bytes at query time — the exchange is paid ONCE at write
+    * time and amortized over every later join/aggregate on that key
+    * (the Hive-bucketing / Iceberg-bucket-transform shape). The
+    * pre-write `repartition(nb, key)` aligns write tasks with bucket
+    * ownership (same murmur3 pmod), so each bucket lands in exactly one
+    * file. The per-customer aggregate after the join also re-uses the
+    * bucket distribution (HashPartitioning(c_custkey) satisfies the
+    * group-by's ClusteredDistribution), so the WHOLE plan is
+    * exchange-free — asserted via require, so a layout regression fails
+    * the query rather than silently reintroducing a shuffle.
+    */
+  val s16 = QueryDef.sql(
+    "s16_bucketed_join",
+    """SELECT c_custkey, c_mktsegment,
+      |       count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total_price
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    val nb = 8
+    val orders = graft.Tables.orders(s, d)
+      .select("o_custkey", "o_totalprice")
+    val customer = graft.Tables.customer(s, d)
+      .select("c_custkey", "c_mktsegment")
+    orders.repartition(nb, col("o_custkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nb, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$fixtureDir/bucketed_orders")
+      .saveAsTable("graft_orders_bucketed")
+    customer.repartition(nb, col("c_custkey"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nb, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$fixtureDir/bucketed_customer")
+      .saveAsTable("graft_customer_bucketed")
+    // merge hint: at test SFs the dim side is broadcast-sized and
+    // Catalyst would pick BroadcastHashJoin, which both hides the
+    // bucket win being demonstrated and ships the dim every query; at
+    // 100 TB fact⋈fact neither side broadcasts and SMJ-over-buckets is
+    // the only exchange-free plan — pin that shape here.
+    val joined = s.table("graft_customer_bucketed").hint("merge")
+      .join(s.table("graft_orders_bucketed"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+    val plan = joined.queryExecution.executedPlan.toString
+    require(!plan.contains("Exchange"),
+      s"bucketed join plan regressed to a shuffle:\n$plan")
+    require(plan.contains("SortMergeJoin"),
+      s"bucketed join lost its sort-merge shape:\n$plan")
+    joined
+  }
+
+  def all: Seq[QueryDef] = Seq(s1, s8, s9, s10, s11, s12, s13, s14, s15, s16)
 }

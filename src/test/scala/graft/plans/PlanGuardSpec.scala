@@ -97,6 +97,15 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
   }
 
+  test("s16: bucketed join + agg runs with ZERO exchanges") {
+    val df = SparkEntry.queries("s16_bucketed_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"SMJ shape lost:\n$p")
+    assert(!p.contains("Exchange"), s"exchange crept into the bucketed plan:\n$p")
+    // the scans must actually be bucketed reads, not plain file scans
+    assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+  }
+
   test("p6: the bloom probe filters the fact scan BEFORE the join") {
     // build the frame without running the gate's aggregates is not
     // possible (the query takes driver actions), so assert on the
