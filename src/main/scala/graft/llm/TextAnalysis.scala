@@ -803,8 +803,76 @@ object TextAnalysis {
     unigramLogProbs(Tables.documents(s, d))
   }
 
+  /** Interpolated bigram log-prob scoring — the next step up from
+    * [[unigramLogProbs]] toward the KenLM-style perplexity filters
+    * production corpus pipelines use (CCNet/RedPajama shape):
+    * score(doc) = mean over positions i≥2 of
+    * ln(λ·c(w_{i-1},w_i)/c(w_{i-1}) + (1−λ)·c(w_i)/N).
+    *
+    * Scale shape: bigrams are derived SCAN-LOCALLY per doc with
+    * `zip_with(slice,slice)` — no per-doc window, no positional
+    * self-join. Bigram and unigram count tables are term-keyed
+    * map-side-combinable aggregates; the three count joins are
+    * vocab-sized (AQE broadcasts them when small). Docs with < 2
+    * tokens have no bigrams and drop out, same as the oracle.
+    */
+  def bigramLogProbs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", lambda: Double = 0.75): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(lower(col(textCol)), " ").as("a"))
+    val uni = toks.select(explode(col("a")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("ucnt"))
+    val total = uni.agg(sum("ucnt")).head().getLong(0)
+    require(total > 0, "bigramLogProbs: empty corpus")
+    val bi = toks
+      .select(col(idCol), explode(expr(
+        """zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+          |         (x, y) -> named_struct('v', x, 'w', y))""".stripMargin))
+        .as("p"))
+      .select(col(idCol), col("p.v").as("v"), col("p.w").as("w"))
+    val bc = bi.groupBy("v", "w").agg(count(lit(1)).as("bcnt"))
+    bi.join(bc, Seq("v", "w"))
+      .join(uni.withColumnRenamed("u", "v").withColumnRenamed("ucnt", "vcnt"),
+        Seq("v"))
+      .join(uni.withColumnRenamed("u", "w").withColumnRenamed("ucnt", "wcnt"),
+        Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(
+          lit(lambda) * col("bcnt").cast("double") / col("vcnt") +
+            lit(1 - lambda) * col("wcnt").cast("double") / total.toDouble)), 4)
+          .as("logprob"))
+  }
+
+  /** T15 — interpolated bigram LM scoring, full per-doc oracle. */
+  val bigramLp = QueryDef.sql(
+    "t15_bigram_logprob",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |           FROM documents WHERE text IS NOT NULL),
+      |tok AS (SELECT doc_id, unnest(toks) AS u,
+      |               generate_subscripts(toks, 1) AS pos FROM t),
+      |lagged AS (SELECT doc_id,
+      |                  lag(u) OVER (PARTITION BY doc_id ORDER BY pos) AS v,
+      |                  u AS w
+      |           FROM tok),
+      |big AS (SELECT doc_id, v, w FROM lagged WHERE v IS NOT NULL),
+      |bc AS (SELECT v, w, count(*) AS bcnt FROM big GROUP BY 1, 2),
+      |uc AS (SELECT u, count(*) AS ucnt FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS total FROM tok)
+      |SELECT big.doc_id, count(*) AS n_bigrams,
+      |       round(avg(ln(0.75 * bcnt / uv.ucnt
+      |                    + 0.25 * uw.ucnt / (SELECT total FROM n))), 4)
+      |         AS logprob
+      |FROM big
+      |JOIN bc USING (v, w)
+      |JOIN uc uv ON big.v = uv.u
+      |JOIN uc uw ON big.w = uw.u
+      |GROUP BY big.doc_id""".stripMargin) { (s, d) =>
+    bigramLogProbs(Tables.documents(s, d))
+  }
+
   def all: Seq[QueryDef] =
     Seq(langId, quality, fingerprint, tokenBudget, rollingFp, repetition,
       piiRedact, tfidf, postings, compression, heavyHitters,
-      perSourceTopTerms, unigramLp)
+      perSourceTopTerms, unigramLp, bigramLp)
 }

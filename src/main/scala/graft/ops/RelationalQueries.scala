@@ -911,7 +911,67 @@ object RelationalQueries {
         col("n_a"), col("chk_b"))
   }
 
+  /** E7 — ordered funnel analysis (signup → click → purchase): how many
+    * users completed each stage IN ORDER, and total conversion time.
+    * Stage k matches the FIRST stage-k event strictly after the
+    * matched stage-(k-1) event (min qualifying timestamp).
+    *
+    * Spark shape: ONE shuffle (groupBy user), then a scan-local
+    * `sort_array` + `aggregate` fold over each user's timeline — per-
+    * user state is one (stage, t1, tlast) struct, parallelism is the
+    * user count. The window-free shape funnels need at 100 TB of
+    * events: no per-stage self-joins (the staged-CTE oracle below
+    * re-scans events once per stage — fine for DuckDB at sf, quadratic
+    * pain at scale), no global ordering anywhere. Per-user timelines
+    * are the bounded object (activity per user, not corpus size).
+    */
+  val e7 = QueryDef.sql(
+    "e7_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      |           FROM events
+      |           WHERE ts IS NOT NULL
+      |             AND event_type IN ('signup', 'click', 'purchase')),
+      |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+      |       WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+      |SELECT (SELECT count(*) FROM s1) AS n_signup,
+      |       (SELECT count(*) FROM s2) AS n_click_after,
+      |       (SELECT count(*) FROM s3) AS n_purchase_after,
+      |       (SELECT CAST(coalesce(sum(t3 - t1), 0) AS BIGINT)
+      |        FROM s3 JOIN s1 USING (user_id)) AS conv_us_sum""".stripMargin) {
+    (s, d) =>
+      val e = Tables.events(s, d)
+        .filter(col("ts").isNotNull &&
+          col("event_type").isin("signup", "click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+      e.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("us"), col("event_type"))))
+          .as("evs"))
+        .select(expr(
+          """aggregate(evs,
+            |  named_struct('stage', 0, 't1', CAST(0 AS BIGINT),
+            |               'tl', CAST(0 AS BIGINT)),
+            |  (acc, e) -> CASE
+            |    WHEN acc.stage = 0 AND e.event_type = 'signup'
+            |      THEN named_struct('stage', 1, 't1', e.us, 'tl', e.us)
+            |    WHEN acc.stage = 1 AND e.event_type = 'click' AND e.us > acc.tl
+            |      THEN named_struct('stage', 2, 't1', acc.t1, 'tl', e.us)
+            |    WHEN acc.stage = 2 AND e.event_type = 'purchase' AND e.us > acc.tl
+            |      THEN named_struct('stage', 3, 't1', acc.t1, 'tl', e.us)
+            |    ELSE acc END)""".stripMargin).as("f"))
+        .agg(
+          sum(when(col("f.stage") >= 1, 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("f.stage") >= 2, 1L).otherwise(0L)).as("n_click_after"),
+          sum(when(col("f.stage") >= 3, 1L).otherwise(0L)).as("n_purchase_after"),
+          sum(when(col("f.stage") === 3, col("f.tl") - col("f.t1"))
+            .otherwise(0L)).cast("long").as("conv_us_sum"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, u7, a1, o2, o3, a4, a5, a13,
-    o5, e1, e2, e5, e6, k1, a14, a15, a16, j9, j10, scalars)
+    o5, e1, e2, e5, e6, e7, k1, a14, a15, a16, j9, j10, scalars)
 }
