@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus-curation pipeline — the composed shape a
@@ -792,7 +792,58 @@ object Curation {
       docs.filter(col("lang") === "en"))
   }
 
+  /** Leakage-safe (group-aware) train/test split: EVERY row of a group
+    * lands in the same split, because the assignment is a pure hash of
+    * the group key — near-duplicates clustered within a domain can
+    * never straddle train/test and leak eval signal (the GroupKFold /
+    * group_split contract every serious corpus split needs; a row-wise
+    * random split at 100 TB guarantees cross-split near-dup leakage).
+    * Deterministic (seeded md5, no rand()), scan-local (no shuffle, no
+    * group table), and stable under re-runs and repartitioning.
+    */
+  def groupSplit(df: DataFrame, groupCol: Column, testPct: Int,
+      seed: Long = 42L): DataFrame = {
+    require(testPct > 0 && testPct < 100, s"testPct in (0,100): $testPct")
+    val pct = conv(substring(md5(concat_ws("#", lit(seed.toString),
+      groupCol.cast("string"))), 1, 6), 16, 10).cast("long") % 100
+    df.withColumn("split", when(pct < testPct, "test").otherwise("train"))
+  }
+
+  /** C11 — group-aware split over a derived pseudo-domain (source +
+    * doc_id mod 97 → ~500 groups at sf0.01; the real key would be the
+    * URL domain). The oracle replays the seeded md5 arithmetic in
+    * DuckDB and aggregates per split, so the hash match proves every
+    * row of every group received the same deterministic assignment.
+    * Disjointness is structural (split is a function of the group),
+    * so per-split group counts must sum to the global distinct-group
+    * count — pinned by the oracle's n_groups column.
+    */
+  val groupSplitQ = QueryDef.sql(
+    "c11_group_split",
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |         source || '/' || CAST(doc_id % 97 AS VARCHAR) AS grp
+      |  FROM documents),
+      |s AS (SELECT doc_id, n_chars, grp,
+      |             CASE WHEN ('0x' || substr(md5('42#' || grp), 1, 6))::BIGINT
+      |                       % 100 < 20
+      |                  THEN 'test' ELSE 'train' END AS split
+      |      FROM d)
+      |SELECT split, count(*) AS n_docs,
+      |       count(DISTINCT grp) AS n_groups,
+      |       CAST(sum(n_chars) AS BIGINT) AS char_sum
+      |FROM s GROUP BY split""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .withColumn("grp", concat_ws("/", col("source"),
+        (col("doc_id") % 97).cast("string")))
+    groupSplit(docs, col("grp"), testPct = 20, seed = 42L)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(col("n_chars")).cast("long").as("char_sum"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(pipeline, budgetSample, sourceMix, packing, domainCap, chunking,
-      urlCanon, curriculum, qualityFilter, dsir)
+      urlCanon, curriculum, qualityFilter, dsir, groupSplitQ)
 }

@@ -188,6 +188,31 @@ object Tokenizer {
       .toDF(idCol, "tokens")
   }
 
+  /** Persist a trained model as a (rank, left, right) parquet — the
+    * merges ARE the model (HF `merges.txt` semantics); rank order is
+    * the apply priority, so load must restore it exactly.
+    */
+  def save(model: BpeModel, spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import spark.implicits._
+    model.merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel = {
+    val rows = spark.read.parquet(path)
+      .select("rank", "left", "right")
+      .collect()
+      .sortBy(_.getInt(0))
+    val merges = rows.map(r => (r.getString(1), r.getString(2))).toSeq
+    require(rows.map(_.getInt(0)).toSeq == rows.indices,
+      s"corrupt BPE model at $path: ranks not a dense 0..n-1 sequence")
+    BpeModel(merges)
+  }
+
   /** T14 — train a BPE tokenizer on the corpus, encode the corpus with
     * it, and gate the invariants that define a correct BPE:
     * - lossless: per doc, concat(tokens) == concat(pre-tokenized words);

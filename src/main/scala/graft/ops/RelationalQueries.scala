@@ -971,7 +971,33 @@ object RelationalQueries {
             .otherwise(0L)).cast("long").as("conv_us_sum"))
   }
 
+  /** A19 — equi-width histogram: the profiling aggregate behind every
+    * "distribution of X" dashboard. Buckets are scan-local integer
+    * arithmetic over fixed bounds (floor((v - lo) / w), clamped) — one
+    * map-side-combinable hash aggregate, bucket-count output rows, no
+    * pre-scan for bounds (fixed bounds are the production shape: at
+    * 100 TB you profile against known envelopes, not a min/max pass;
+    * s14's clustering and a4's exact percentiles cover the adaptive
+    * cases). Bucket arithmetic is identical IEEE ops in both engines,
+    * so the per-bucket count AND sum hash-match exactly.
+    */
+  val a19 = QueryDef.sql(
+    "a19_histogram",
+    """SELECT CAST(least(greatest(floor((l_extendedprice - 900.0) / 5000.0),
+      |                           0), 20) AS BIGINT) AS bucket,
+      |       count(*) AS n,
+      |       round(sum(l_extendedprice), 2) AS price_sum
+      |FROM lineitem GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(least(greatest(floor((col("l_extendedprice") - 900.0d) / 5000.0d),
+        lit(0)), lit(20)).cast("long").as("bucket"),
+        col("l_extendedprice"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("price_sum"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, u7, a1, o2, o3, a4, a5, a13,
-    o5, e1, e2, e5, e6, e7, k1, a14, a15, a16, j9, j10, scalars)
+    o5, e1, e2, e5, e6, e7, k1, a14, a15, a16, a19, j9, j10, scalars)
 }

@@ -356,4 +356,38 @@ class CurationOpsSpec extends SparkSpec {
             org.apache.spark.sql.Row(2L, null: String))),
           docsDF(1L -> "x").schema))).count() == 1L)
   }
+
+  test("groupSplit: every group lands whole in one split, deterministically") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 200 rows over 40 groups
+    val df = (0L until 200L).map(i => (i, s"dom${i % 40}"))
+      .toDF("id", "domain")
+    val split = Curation.groupSplit(df, col("domain"), testPct = 30)
+    // leakage-safety: no group straddles the splits
+    val straddlers = split.groupBy("domain")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(straddlers == 0L)
+    // both splits non-empty at 30% over 40 groups
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "test") &&
+      bySplit.values.forall(_ > 0))
+    // deterministic under repartitioning and re-evaluation
+    val again = Curation.groupSplit(df.repartition(7), col("domain"), 30)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.select("id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == first)
+    // a different seed moves at least one group
+    val reseeded = Curation.groupSplit(df, col("domain"), 30, seed = 7L)
+      .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reseeded != first)
+    // invalid pct fails loudly
+    intercept[IllegalArgumentException] {
+      Curation.groupSplit(df, col("domain"), 0)
+    }
+  }
 }

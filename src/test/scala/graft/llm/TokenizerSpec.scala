@@ -46,6 +46,20 @@ class TokenizerSpec extends SparkSpec {
     assert(encodeWord("newest", model.ranks).length < 6)
   }
 
+  test("save/load round-trips the model with rank order intact") {
+    val hist = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val model = trainBpe(hist, numMerges = 6)
+    assert(model.merges.nonEmpty)
+    val path = graft.util.Fixtures.dir + "/bpe_model"
+    save(model, spark, path)
+    val back = load(spark, path)
+    assert(back.merges == model.merges)
+    // identical segmentation behavior after reload
+    for (w <- Seq("newest", "lowest", "wide"))
+      assert(encodeWord(w, back.ranks).toSeq ==
+        encodeWord(w, model.ranks).toSeq)
+  }
+
   test("encodeDocs is lossless and compressive on a toy corpus") {
     val s = spark
     import s.implicits._
