@@ -176,6 +176,124 @@ object Curation {
           expr(s"(cum - 1L) div ${seqLen}L") =!= col("pack_id"))
   }
 
+  /** Seeded weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-Res, IPL 2006 — public algorithm): each row draws key =
+    * ln(u)/w for a uniform u and weight w > 0, and the k largest keys
+    * are the sample — equivalent to u^(1/w) order statistics, so
+    * inclusion probability is proportional to weight at every prefix.
+    * The uniform is DERIVED, not drawn: 52 bits of md5(prefix:id:seed)
+    * scaled to (0,1) — fully deterministic given (seed, id), identical
+    * across retries/engines, and never exactly 0 or 1 (the +0.5 offset
+    * keeps ln finite). No rand(), no RNG state.
+    *
+    * Scale shape: the key is one scan-local codegen'd expression;
+    * selection is `orderBy(key desc).limit(k)` which Spark plans as
+    * TakeOrderedAndProject — per-partition top-k heaps merged on the
+    * driver, O(k) driver state, NO global sort or single-partition
+    * shuffle. The weight column must be strictly positive; weights are
+    * validated in the plan (a filter, not a collect).
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val u = (conv(substring(md5(
+      concat(lit("es:"), col(idCol).cast("string"), lit(":"), lit(seed.toString))),
+      1, 13), 16, 10).cast("long") + lit(0.5)) / lit(4503599627370496.0d)
+    docs.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__es_key", log(u) / col(weightCol))
+      .orderBy(col("__es_key").desc, col(idCol))
+      .limit(k)
+      .drop("__es_key")
+  }
+
+  /** C12 — weighted corpus sample: 200 docs drawn ∝ n_chars. The
+    * oracle replays the derived-uniform key in DuckDB (same md5 bits,
+    * same ln/division), so the selected SET is cross-engine exact; the
+    * float key itself never leaves the plan (only ids and integer
+    * weights are hashed). Boundary safety: the k-th/k+1-th key gap is
+    * ~1/n relative — astronomically wider than any last-ulp ln()
+    * difference between libm and the JVM.
+    */
+  val weightedSampleQ = QueryDef.sql(
+    "c12_weighted_sample",
+    """WITH d AS (SELECT doc_id, n_chars AS w FROM documents
+      |           WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |k AS (SELECT doc_id, CAST(w AS BIGINT) AS weight,
+      |             ln((CAST('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR) || ':42'), 1, 13) AS BIGINT) + 0.5)
+      |                / 4503599627370496.0) / w AS key
+      |      FROM d)
+      |SELECT doc_id, weight FROM k ORDER BY key DESC, doc_id LIMIT 200""".stripMargin) {
+    (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("w"))
+      weightedSample(docs, "doc_id", "w", k = 200, seed = 42L)
+        .select(col("doc_id"), col("w").cast("long").as("weight"))
+  }
+
+  /** Stratified weighted sampling: an exact k-per-GROUP
+    * Efraimidis–Spirakis draw (the [[weightedSample]] key) selected
+    * through [[graft.ops.TopKSmallestD]] — a bounded-buffer Aggregator
+    * riding two-phase hash aggregation, so map-side partials hold ≤k
+    * entries per group and the shuffle moves ≤k rows per (group, map
+    * task). This is the c5 domain-cap shape with weights: one hot
+    * group never serializes through one task, at ANY group size.
+    * Rank = −ln(u)/w (positive; smallest wins), derived uniforms as in
+    * [[weightedSample]] — deterministic, no RNG state.
+    */
+  def stratifiedWeightedSample(docs: DataFrame, groupCol: String,
+      idCol: String, weightCol: String, k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val u = (conv(substring(md5(
+      concat(lit("es:"), col(idCol).cast("string"), lit(":"), lit(seed.toString))),
+      1, 13), 16, 10).cast("long") + lit(0.5)) / lit(4503599627370496.0d)
+    val topk = udaf(new graft.ops.TopKSmallestD(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    docs.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(groupCol),
+        (-log(u) / col(weightCol)).as("__nk"),
+        col(idCol).cast("long").as("__id"),
+        col(weightCol).cast("long").as("__w"))
+      .groupBy(groupCol)
+      .agg(topk(col("__nk"), col("__id"), col("__w")).as("__kept"))
+      .select(col(groupCol), explode(col("__kept")).as("__e"))
+      .select(col(groupCol), col("__e._2").as(idCol), col("__e._3").as(weightCol))
+  }
+
+  /** C13 — per-source weighted sample (20 docs per source ∝ n_chars):
+    * the oracle replays the derived E–S key and selects with a
+    * windowed row_number, so the hash match proves the bounded-buffer
+    * aggregate equals window semantics group by group. Per-group
+    * summary (count + id/weight checksums) — the float key never
+    * leaves either plan; the c12 boundary-gap argument applies within
+    * each group.
+    */
+  val stratifiedSampleQ = QueryDef.sql(
+    "c13_stratified_sample",
+    """WITH d AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w
+      |           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |k AS (SELECT source, doc_id, w,
+      |             -(ln((CAST('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR) || ':7'), 1, 13) AS BIGINT) + 0.5)
+      |                  / 4503599627370496.0) / w) AS nk
+      |      FROM d),
+      |s AS (SELECT * FROM k
+      |      QUALIFY row_number() OVER (PARTITION BY source
+      |                                 ORDER BY nk, doc_id) <= 20)
+      |SELECT source, count(*) AS n_kept,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+      |       CAST(sum(w) AS BIGINT) AS w_sum
+      |FROM s GROUP BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars").as("w"))
+    stratifiedWeightedSample(docs, "source", "doc_id", "w", k = 20, seed = 7L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).cast("long").as("id_checksum"),
+        sum(col("w")).cast("long").as("w_sum"))
+  }
+
   /** C2 — per-language token-budget sample: the oracle recomputes the
     * same hash-ordered cumulative window in DuckDB, so the kept-set
     * summary proves the two-pass prefix sum equals the windowed
@@ -845,5 +963,6 @@ object Curation {
 
   def all: Seq[QueryDef] =
     Seq(pipeline, budgetSample, sourceMix, packing, domainCap, chunking,
-      urlCanon, curriculum, qualityFilter, dsir, groupSplitQ)
+      urlCanon, curriculum, qualityFilter, dsir, groupSplitQ, weightedSampleQ,
+      stratifiedSampleQ)
 }

@@ -515,43 +515,82 @@ object Dedup {
     } else distributedClusters(cached)
   }
 
-  /** Fixpoint min-label propagation for pair graphs too large for the
-    * driver. FAILS LOUDLY on non-convergence — a silently truncated
-    * propagation would split one duplicate group into several keepers.
+  /** Connected components for pair graphs too large for the driver:
+    * alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014 — public
+    * algorithm). Each round is two aggregate+join passes over the EDGE
+    * set and the edge set only ever shrinks toward one star per
+    * component, so convergence is O(log n) ROUNDS regardless of graph
+    * diameter — a 10M-link chain converges in ~25 rounds where naive
+    * min-label propagation needs 10M iterations (one hop per join).
+    * Convergence is detected by an O(1) canonical-edge checksum (count
+    * + hash sum), not a row-level diff; each round's edge set is
+    * localCheckpointed so lineage stays one round deep. FAILS LOUDLY
+    * if maxRounds is exhausted — a silently truncated propagation
+    * would split one duplicate group into several keepers.
     */
-  private def distributedClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), col("src")).as("lbl"))
-      .select(col("id"), least(col("lbl"), col("id")).as("lbl"))
-      .cache()
+  private[llm] def distributedClusters(pairs: DataFrame, maxRounds: Int = 60): DataFrame = {
+    // canonical storage: (hi, lo) with hi > lo, distinct, no self-loops
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .filter(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint(eager = true)
+
+    // large-star(u): every neighbor v > u connects to m = min(Γ(u)∪{u});
+    // emitted (v, m) already satisfies v > u ≥ m, so it stays canonical.
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.select(col("hi").as("u"), col("lo").as("v"))
+        .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = bi.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      bi.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+    }
+
+    // small-star(u): u and all smaller neighbors connect to the min
+    // smaller neighbor m; canonical storage already groups u's smaller
+    // neighbors as the lo side of hi = u.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("hi").agg(min(col("lo")).as("m"))
+      e.join(mins, "hi")
+        .select(explode(array(
+            struct(col("hi").as("hi"), col("m").as("lo")),
+            struct(col("lo").as("hi"), col("m").as("lo")))).as("x"))
+        .select(col("x.hi"), col("x.lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+    }
+
+    // bit_xor (not sum): order-independent, can't overflow under ANSI,
+    // and edges are distinct so xor-cancellation can't fake a fixpoint
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(hi, lo))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = checksum(edges)
     var converged = false
-    var iter = 0
-    while (!converged && iter < maxIters) {
-      val viaNeighbor = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("id").agg(min("lbl").as("lbl")).cache()
-      next.count()
-      converged = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).isEmpty
-      labels.unpersist()
-      labels = next
-      iter += 1
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
+      val sig = checksum(next)
+      converged = sig == prev
+      prev = sig
+      edges = next
+      round += 1
     }
     if (!converged) {
-      edges.unpersist(); labels.unpersist(); pairs.unpersist()
+      pairs.unpersist()
       throw new IllegalStateException(
-        s"cluster propagation did not converge in $maxIters iterations " +
-          "(pair-graph diameter too large) — raise maxIters")
+        s"large-star/small-star did not converge in $maxRounds rounds " +
+          "(theoretical bound is O(log n) — this indicates a bug, not a big graph)")
     }
-    // pin the result independently of the loop caches, then release them
-    val out = labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    // at the fixpoint every component is one star: (child, root) edges
+    // with root = component min; roots appear only on the lo side.
+    val out = edges.select(col("hi").as("doc_id"), col("lo").as("cluster"))
+      .unionByName(edges.select(col("lo").as("doc_id"), col("lo").as("cluster")).distinct())
       .localCheckpoint(eager = true)
-    edges.unpersist(); labels.unpersist(); pairs.unpersist()
+    pairs.unpersist()
     out
   }
 
@@ -1219,7 +1258,94 @@ object Dedup {
     repeatedSubstringSpans(Tables.documents(s, d), win = 50, minDocs = 2)
   }
 
+  /** CCNet-style boilerplate-line removal (Wenzek et al., LREC 2020 —
+    * public method): drop every line whose TRIMMED form appears in at
+    * least `minDocs` distinct documents (nav bars, cookie banners,
+    * license footers — the shared furniture of scraped corpora), and
+    * reassemble each document from its surviving lines in order.
+    * Whitespace-only lines are structural, not boilerplate: they never
+    * count toward the hot set and are always kept.
+    *
+    * Returns (idCol, n_kept, n_dropped, cleaned).
+    *
+    * Scale shape: explode lines (linear scan), hot-line detection is a
+    * distinct + hash aggregate keyed by line content (map-side
+    * combinable), membership test is a left-anti shuffle join on the
+    * trimmed line, reassembly one groupBy(id) with an array_sort fold
+    * (per-doc state = that doc's lines — bounded by document size, the
+    * same bound `shingles` already assumes). Hot lines are by
+    * definition the skewed keys of the anti-join's probe side; AQE's
+    * skew-split handles the probe partitions (sk1 demonstrates the
+    * mechanism), and the hot SET itself stays small relative to the
+    * corpus (it is the repeated-content summary, not the corpus).
+    */
+  def stripBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val reserved = Seq("n_kept", "n_dropped", "cleaned").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"input already has ${reserved.mkString(", ")} — rename before stripping")
+    val base = docs.filter(col(textCol).isNotNull)
+    // split(.., -1) keeps trailing empty lines — parity with the
+    // oracle's string_split and a lossless n_total count
+    val lines = base.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+      .withColumn("__key", trim(col("__line")))
+    val hot = lines.filter(col("__key") =!= "")
+      .select(col("__id"), col("__key")).distinct()
+      .groupBy("__key").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__key").as("__hot"))
+    val kept = lines.join(hot, lines("__key") === hot("__hot"), "left_anti")
+    val rebuilt = kept.groupBy("__id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+            x => x.getField("__line")), "\n").as("cleaned"))
+    val totals = base.select(col(idCol).as("__id"),
+      size(split(col(textCol), "\n", -1)).cast("long").as("__n_total"))
+    totals.join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  /** D11 — boilerplate-line dedup over a DERIVED multi-line corpus:
+    * the fixture's texts are single-line, so both engines split on the
+    * same common-token replacement (' value ' → newline), which plants
+    * identical cross-doc lines exactly where the corpus repeats
+    * phrasing. Per-doc output (kept/dropped counts + a 16-hex md5 of
+    * the reassembled text) pins LINE-LEVEL content and ORDER, not just
+    * totals.
+    */
+  val lineDedupQ = QueryDef.sql(
+    "d11_line_dedup",
+    """WITH d AS (SELECT doc_id, replace(text, ' value ', chr(10)) AS t
+      |           FROM documents WHERE text IS NOT NULL),
+      |l AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+      |      FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d)),
+      |hot AS (SELECT key FROM (SELECT DISTINCT trim(line) AS key, doc_id FROM l
+      |                         WHERE trim(line) <> '')
+      |        GROUP BY key HAVING count(*) >= 2),
+      |kept AS (SELECT doc_id, pos, line FROM l
+      |         WHERE trim(line) NOT IN (SELECT key FROM hot)),
+      |r AS (SELECT doc_id, count(*) AS n_kept,
+      |             string_agg(line, chr(10) ORDER BY pos) AS cleaned
+      |      FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, count(*) AS n_total FROM l GROUP BY doc_id)
+      |SELECT tot.doc_id, coalesce(r.n_kept, 0) AS n_kept,
+      |       tot.n_total - coalesce(r.n_kept, 0) AS n_dropped,
+      |       substr(md5(coalesce(r.cleaned, '')), 1, 16) AS clean_sig
+      |FROM tot LEFT JOIN r USING (doc_id)""".stripMargin) { (s, d) =>
+    val derived = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("replace(text, ' value ', chr(10))").as("t"))
+    stripBoilerplateLines(derived, "doc_id", "t", minDocs = 2)
+      .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+        substring(md5(col("cleaned")), 1, 16).as("clean_sig"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(exact, minhash, simhashQ, simhashDedupQ, ngramJaccardQ, clusters,
-      dropQ, incrementalQ, editDistQ, repeatedSubstr)
+      dropQ, incrementalQ, editDistQ, repeatedSubstr, lineDedupQ)
 }

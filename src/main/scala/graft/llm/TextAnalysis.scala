@@ -871,8 +871,63 @@ object TextAnalysis {
     bigramLogProbs(Tables.documents(s, d))
   }
 
+  /** T16 — Unicode normalization (native codegen'd expressions,
+    * expressions/NormalizeText.scala): the canonicalization pass that
+    * must run before any hash-keyed dedup on scraped text — the same
+    * page arrives NFC-composed from one crawl and NFD-decomposed from
+    * another, and md5-keyed operators (d1, t3) would treat them as
+    * distinct documents. The fixture is pure ASCII, so the query
+    * DERIVES both variants deterministically: a composed accent layer
+    * (translate a→á …) and a decomposed layer (a → a+U+0301), then
+    * gates:
+    *   - NFC(decomposed) == composed (real composition fired),
+    *   - strip_accents of BOTH layers recovers the original ASCII
+    *     text exactly (round-trip),
+    *   - NFC is idempotent on the composed layer,
+    *   - the layers actually differ where an 'a' exists (the gate is
+    *     not vacuous).
+    * All four run as scan-local codegen'd expressions — zero shuffle
+    * until the single gate aggregate.
+    */
+  val normalizeQ = QueryDef.rowsOnly("t16_normalize_text") { (s, d) =>
+    import graft.expressions.NormalizeText.{stripAccents, unicodeNormalize}
+    val spark = s; import spark.implicits._
+    val layered = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        translate(col("text"), "aeiou",
+          "áéíöü").as("composed"),
+        regexp_replace(
+          regexp_replace(col("text"), "a", "á"),
+          "o", "ö").as("decomposed"))
+    val gates = layered.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(unicodeNormalize(col("decomposed"), "NFC") ===
+        translate(col("text"), "ao", "áö"), 1L).otherwise(0L))
+        .as("n_compose_ok"),
+      sum(when(stripAccents(col("composed")) === col("text"), 1L).otherwise(0L))
+        .as("n_strip_ok"),
+      sum(when(stripAccents(col("decomposed")) === col("text"), 1L).otherwise(0L))
+        .as("n_strip_decomp_ok"),
+      sum(when(unicodeNormalize(unicodeNormalize(col("composed"), "NFC"), "NFC") ===
+        unicodeNormalize(col("composed"), "NFC"), 1L).otherwise(0L))
+        .as("n_idempotent"),
+      sum(when(col("decomposed") =!= col("composed"), 1L).otherwise(0L))
+        .as("n_changed")).head()
+    val n = gates.getLong(0)
+    Seq((n, gates.getLong(1), gates.getLong(2), gates.getLong(3),
+        gates.getLong(4), gates.getLong(5)))
+      .toDF("n_docs", "n_compose_ok", "n_strip_ok", "n_strip_decomp_ok",
+        "n_idempotent", "n_changed")
+      .filter(col("n_docs") > 0 &&
+        col("n_compose_ok") === col("n_docs") &&
+        col("n_strip_ok") === col("n_docs") &&
+        col("n_strip_decomp_ok") === col("n_docs") &&
+        col("n_idempotent") === col("n_docs") &&
+        col("n_changed") > 0)
+  }
+
   def all: Seq[QueryDef] =
     Seq(langId, quality, fingerprint, tokenBudget, rollingFp, repetition,
       piiRedact, tfidf, postings, compression, heavyHitters,
-      perSourceTopTerms, unigramLp, bigramLp)
+      perSourceTopTerms, unigramLp, bigramLp, normalizeQ)
 }

@@ -971,6 +971,111 @@ object RelationalQueries {
             .otherwise(0L)).cast("long").as("conv_us_sum"))
   }
 
+  /** E8 — retention cohorts: the "week-N retention" matrix every event
+    * pipeline reports. Cohort = each user's first active week; a cell
+    * (cohort_wk, week_offset) counts the users of that cohort active
+    * `offset` weeks later. Weeks are integer micros-epoch division
+    * (us div week_us) so the bucketing is identical integer arithmetic
+    * in both engines — no calendar/locale week-truncation semantics to
+    * disagree on (the `us >= 0` guard pins floor==truncate parity).
+    *
+    * Spark shape: distinct (user, wk) activity + a per-user min — both
+    * map-side-combinable hash aggregates keyed by user — then a join
+    * on user_id (AQE broadcasts the per-user cohort side when it is
+    * small; co-partitioned shuffle otherwise) and a final (cohort,
+    * offset) aggregate. No windows, no per-user serialization: at
+    * 100 TB each stage is a linear key-partitioned aggregate.
+    */
+  val e8 = QueryDef.sql(
+    "e8_retention_cohorts",
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+      |           FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0),
+      |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, wk FROM e)
+      |SELECT cohort_wk, a.wk - cohort_wk AS week_offset,
+      |       count(*) AS n_users
+      |FROM a JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin) {
+    (s, d) =>
+      val e = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .filter(col("us") >= 0)
+        .select(col("user_id"), expr("us div 604800000000").as("wk"))
+      val cohorts = e.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      val active = e.distinct()
+      active.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_wk"),
+          (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** E9 — event-type transition matrix (first-order Markov counts):
+    * for each user's time-ordered stream, count (event_type → next
+    * event_type) pairs and total gap time. The per-user `lead` window
+    * is the e2 scale shape — partitioned by user_id, bounded by
+    * per-user activity, nothing global; the transition aggregate is a
+    * 25-cell hash aggregate. (us, event_id) is a unique total order,
+    * so lead() is deterministic in both engines.
+    */
+  val e9 = QueryDef.sql(
+    "e9_event_transitions",
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |           FROM events WHERE ts IS NOT NULL),
+      |x AS (SELECT event_type AS from_type, lead(event_type) OVER w AS to_type,
+      |             lead(us) OVER w - us AS gap_us
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+      |SELECT from_type, to_type, count(*) AS n,
+      |       CAST(sum(gap_us) AS BIGINT) AS gap_us_sum
+      |FROM x WHERE to_type IS NOT NULL GROUP BY 1, 2""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .select(col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"),
+          (lead(col("us"), 1).over(w) - col("us")).as("gap_us"))
+        .filter(col("to_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("gap_us")).cast("long").as("gap_us_sum"))
+  }
+
+  /** E10 — rolling 7-day active users (DAU/WAU): the windowed DISTINCT
+    * aggregate naive SQL writes as `count(DISTINCT) OVER (RANGE 6
+    * PRECEDING)` — which no engine executes scalably (distinct is not
+    * subtractable, so the frame re-scans per row). The scale rewrite:
+    * dedup to (user, day) once, then EXPLODE each activity day onto
+    * the ≤7 window days it serves (`sequence(day, day+6)`) and count
+    * distinct per day — a fixed ×7 fan-out plus two hash aggregates
+    * (countDistinct plans as partial-on-(day,user) → final-on-day),
+    * no window, no per-day rescan. Days beyond the observed range are
+    * pruned by the inner join with the DAU side. Integer epoch-day
+    * bucketing (us div day_us, us >= 0) — same floor arithmetic both
+    * engines.
+    */
+  val e10 = QueryDef.sql(
+    "e10_rolling_active_users",
+    """WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |           FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0),
+      |dau AS (SELECT day, count(*) AS dau FROM e GROUP BY 1),
+      |w AS (SELECT e.day + o AS day, user_id
+      |      FROM e CROSS JOIN unnest(range(0, 7)) t(o)),
+      |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM w GROUP BY 1)
+      |SELECT day, dau, wau FROM dau JOIN wau USING (day)""".stripMargin) {
+    (s, d) =>
+      val e = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .filter(col("us") >= 0)
+        .select(col("user_id"), expr("us div 86400000000").as("day"))
+        .distinct()
+      val dau = e.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = e.select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"))
+  }
+
   /** A19 — equi-width histogram: the profiling aggregate behind every
     * "distribution of X" dashboard. Buckets are scan-local integer
     * arithmetic over fixed bounds (floor((v - lo) / w), clamped) — one
@@ -999,5 +1104,6 @@ object RelationalQueries {
 
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, u7, a1, o2, o3, a4, a5, a13,
-    o5, e1, e2, e5, e6, e7, k1, a14, a15, a16, a19, j9, j10, scalars)
+    o5, e1, e2, e5, e6, e7, e8, e9, e10, k1, a14, a15, a16, a19, j9, j10,
+    scalars)
 }

@@ -390,4 +390,73 @@ class CurationOpsSpec extends SparkSpec {
       Curation.groupSplit(df, col("domain"), 0)
     }
   }
+
+  test("weightedSample: deterministic, exact k, weight-proportional bias") {
+    val s = spark; import s.implicits._
+    val df = (1L to 2000L).map(i => (i, if (i <= 1000) 1L else 9L))
+      .toDF("id", "w")
+    val sel = Curation.weightedSample(df, "id", "w", k = 300, seed = 11L)
+    assert(sel.count() == 300)
+    val ids = sel.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.size == 300) // without replacement
+    // identical under re-evaluation and repartitioning (derived
+    // uniforms, no RNG state)
+    val again = Curation.weightedSample(df.repartition(7), "id", "w", 300, 11L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+    // weight-9 half must dominate the sample: E[share] = 0.9, and the
+    // light half still appears (it holds 10% of the mass)
+    val heavy = ids.count(_ > 1000L)
+    assert(heavy > 200 && heavy < 300, s"heavy=$heavy of 300")
+    // a different seed draws a different set
+    val reseeded = Curation.weightedSample(df, "id", "w", 300, 12L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(reseeded != ids)
+    // zero/negative/null weights are excluded, never selected
+    val withBad = df.withColumn("w",
+      when(col("id") % 5 === 0, lit(0L))
+        .when(col("id") % 7 === 0, lit(-3L))
+        .otherwise(col("w")))
+    val cleanSel = Curation.weightedSample(withBad, "id", "w", 300, 11L)
+      .select("id").collect().map(_.getLong(0))
+    assert(cleanSel.forall(i => i % 5 != 0 && i % 7 != 0))
+    intercept[IllegalArgumentException] {
+      Curation.weightedSample(df, "id", "w", k = 0, seed = 1L)
+    }
+  }
+
+  test("stratifiedWeightedSample: exact k per group == windowed brute force") {
+    val s = spark; import s.implicits._
+    val df = (1L to 900L).map(i => (s"g${i % 3}", i, 1L + (i % 17)))
+      .toDF("grp", "id", "w")
+    val sel = Curation.stratifiedWeightedSample(df, "grp", "id", "w", 25, 99L)
+    val byGroup = sel.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup == Map("g0" -> 25L, "g1" -> 25L, "g2" -> 25L))
+    // brute force: replay the key, window-rank within each group
+    val u = (conv(substring(md5(
+      concat(lit("es:"), col("id").cast("string"), lit(":"), lit("99"))),
+      1, 13), 16, 10).cast("long") + lit(0.5)) / lit(4503599627370496.0d)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("nk"), col("id"))
+    val brute = df.withColumn("nk", -log(u) / col("w"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 25)
+      .select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = sel.select("grp", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == brute)
+    // deterministic under repartitioning
+    val again = Curation.stratifiedWeightedSample(
+      df.repartition(13), "grp", "id", "w", 25, 99L)
+      .select("grp", "id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == got)
+  }
+
+  test("weightedSample: k >= population returns everyone with positive weight") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, 5L), (2L, 1L), (3L, 0L)).toDF("id", "w")
+    val sel = Curation.weightedSample(df, "id", "w", k = 10, seed = 3L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sel == Set(1L, 2L))
+  }
 }

@@ -354,6 +354,37 @@ class TextDedupSpec extends SparkSpec {
     assert(dist == want)
   }
 
+  test("distributedClusters: long chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // a 3000-link path has diameter 3000 — one-hop min-label
+    // propagation would need 3000 joins; large-star/small-star must
+    // finish inside its default O(log n) round budget (60)
+    val chain = (0L until 3000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.distributedClusters(chain.cache())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 3001)
+    assert(labels.values.forall(_ == 0L), "chain must collapse to root 0")
+  }
+
+  test("distributedClusters: seeded fuzz == driver union-find") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 3) {
+      val n = 400
+      val edges = (1 to 600).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a < b) (a, b) else (b, a)
+      }.filter(p => p._1 != p._2).distinct
+      val pairs = edges.toDF("doc_a", "doc_b")
+      def toMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fast = toMap(Dedup.nearDupClusters(pairs))
+      val dist = toMap(Dedup.nearDupClusters(pairs, driverLimit = 0L))
+      assert(dist == fast,
+        s"mismatch: ${dist.toSet.diff(fast.toSet).take(5)} vs ${fast.toSet.diff(dist.toSet).take(5)}")
+    }
+  }
+
   test("dropNearDuplicates keeps one doc per duplicate group") {
     import spark.implicits._
     val docs = (1 to 20).map(i =>
@@ -540,6 +571,53 @@ class TextDedupSpec extends SparkSpec {
       assert(got == expected,
         s"trial $trial: got ${got.size} spans, expected ${expected.size}\n" +
           s"missing=${expected -- got}\nextra=${got -- expected}")
+    }
+  }
+
+  test("stripBoilerplateLines: planted footer stripped, unique lines kept") {
+    val s = spark; import s.implicits._
+    val footer = "(c) example corp - all rights reserved"
+    val docs = Seq(
+      (1L, s"alpha body one\n$footer\nmore alpha"),
+      (2L, s"beta body two\n  $footer  \n"), // trimmed match + trailing empty
+      (3L, s"gamma unique content\n$footer"),
+      (4L, "no footer here at all")).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // the footer's TRIMMED form appears in 3 docs -> dropped everywhere,
+    // including doc 2's padded variant; everything else survives in order
+    assert(out(0) == ((1L, 2L, 1L, "alpha body one\nmore alpha")))
+    assert(out(1) == ((2L, 2L, 1L, "beta body two\n"))) // empty line kept
+    assert(out(2) == ((3L, 1L, 1L, "gamma unique content")))
+    assert(out(3) == ((4L, 1L, 0L, "no footer here at all")))
+  }
+
+  test("stripBoilerplateLines: below minDocs nothing is stripped; empty lines never count") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "shared line\nown one"),
+      (2L, "shared line\nown two"),
+      (3L, "\n\n"), // whitespace-only doc: 3 empty lines, all kept
+      (4L, "")).toDF("doc_id", "text")
+    val loose = Dedup.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect()
+    // "shared line" is in only 2 docs < minDocs=3: kept
+    assert(loose.map(_.getLong(2)).sum == 0L)
+    assert(loose(2).getString(3) == "\n\n" && loose(2).getLong(1) == 3L)
+    assert(loose(3).getString(3) == "" && loose(3).getLong(1) == 1L)
+    val tight = Dedup.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect()
+    // now "shared line" goes; empty lines still never join the hot set
+    assert(tight(0).getString(3) == "own one" && tight(0).getLong(2) == 1L)
+    assert(tight(1).getString(3) == "own two")
+    assert(tight(2).getLong(2) == 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.stripBoilerplateLines(docs, "doc_id", "text", minDocs = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.stripBoilerplateLines(docs.withColumn("cleaned", col("text")),
+        "doc_id", "text", minDocs = 2)
     }
   }
 }

@@ -115,4 +115,43 @@ class PlanGuardSpec extends SparkSpec {
     val joinIdx = p.indexOf("BroadcastHashJoin")
     assert(filterIdx >= 0 && joinIdx >= 0, s"shape changed:\n$p")
   }
+
+  test("c12: weighted sample plans as distributed top-k, not a global sort") {
+    val p = plan("c12_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample lost its top-k plan:\n$p")
+    // a global Sort + CollectLimit would funnel the corpus through the
+    // driver-side boundary the top-k heap exists to avoid
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the sample path:\n$p")
+  }
+
+  test("e10: rolling active users has no window and no single partition") {
+    val p = plan("e10_rolling_active_users")
+    assert(!p.contains("Window"), s"windowed distinct crept back in:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange:\n$p")
+    // the explode fan-out must sit over a pruned 2-column scan
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("ts") && read.contains("user_id") &&
+      !read.contains("props"), s"scan not pruned: $read")
+  }
+
+  test("t16: normalization expressions stay inside whole-stage codegen") {
+    val p = plan("t16_normalize_text")
+    // the query's final frame is a literal gate row; assert on the
+    // layered scan instead: build it directly
+    val layered = graft.Tables.documents(spark, sf)
+      .select(graft.expressions.NormalizeText.stripAccents(
+        org.apache.spark.sql.functions.col("text")).as("st"))
+    val lp = layered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted mode marks codegen'd operators with "[codegen id : N]"
+    assert(lp.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("codegen id")),
+      s"strip_accents broke codegen:\n$lp")
+    assert(!lp.contains("BatchEvalPython") && !lp.contains("ScalaUDF"),
+      s"normalization fell back to a UDF:\n$lp")
+    assert(p.nonEmpty)
+  }
 }
