@@ -27,9 +27,11 @@ import org.apache.spark.sql.functions._
   *    rows — plink's own missing-data policy. The accumulator is
   *    O(window pairs), NOT O(p²): sorted by (chr, pos), each SNP only
   *    pairs forward inside its kb window.
-  *  - At 100 TB / millions of SNPs, the SNP axis is sliced into
+  *  - At 100 TB / millions of SNPs, the SNP axis IS sliced into
   *    (block + kb halo) column ranges and the same pass runs per
-  *    slice — column pruning keeps each pass's scan to its slice, and
+  *    slice (`bandedR2`'s `maxPairsPerPass`, default
+  *    [[DefaultMaxPairsPerPass]]) — column pruning keeps each pass's
+  *    work to its slice, pair enumeration happens per slice, and
   *    slices are independent jobs. The greedy selection is inherently
   *    sequential (each clump consumes candidates), but it only needs
   *    the SPARSE pairs with r² ≥ threshold, per chromosome — driver
@@ -87,27 +89,85 @@ object LdClump {
     }
   }
 
-  /** r² of dosage vectors for every in-window SNP pair, in ONE
-    * distributed pass over `geno` (rows = samples, `featuresCol` =
-    * array of dosages in file order). Pairwise-complete: a row where
-    * either dosage is NaN/null contributes nothing to that pair.
-    * Zero-variance (monomorphic) sides get r² = 0.
-    */
-  def bandedR2(geno: DataFrame, featuresCol: String, snps: Seq[SnpInfo],
-      kb: Int): Seq[(SnpInfo, SnpInfo, Double)] = {
-    val pairs = windowPairs(snps, kb)
-    if (pairs.isEmpty) return Seq.empty
-    val ia = pairs.map(_._1.idx)
-    val ib = pairs.map(_._2.idx)
-    val rows = geno.select(col(featuresCol))
-    val agg = rows.rdd.treeAggregate(new PairAcc(pairs.length))(
+  /** Memory budget for one r² pass: pairs per treeAggregate. 48 bytes of
+    * accumulator state per pair → 2M pairs ≈ 96 MB per task-local
+    * accumulator. The production shape (215k SNPs × 1 Mb windows ≈ 21M
+    * pairs) slices into ~11 independent passes instead of one multi-GB
+    * accumulator + driver array. */
+  val DefaultMaxPairsPerPass: Long = 2L * 1024 * 1024
+
+  /** One column slice of the (chr, pos)-sorted SNP axis: core SNPs
+    * [coreStart, coreEnd) own their forward window pairs; the halo
+    * [coreEnd, haloEnd) carries the SNPs those windows reach into.
+    * Slices partition the global pair set exactly (every in-window pair
+    * is owned by its earlier SNP's slice, once). */
+  private[ml] final case class Slice(coreStart: Int, coreEnd: Int,
+      haloEnd: Int, pairCount: Long)
+
+  /** Cut the sorted SNP axis into core+halo slices so each slice's
+    * owned-pair count stays ≤ maxPairs (a single SNP whose own window
+    * exceeds the budget gets a singleton slice — its window width is the
+    * hard floor). Window counts come from one two-pointer sweep, so
+    * slicing is O(p) on the driver with O(1) extra state per slice. */
+  private[ml] def sliceRanges(sorted: Array[SnpInfo], kb: Int,
+      maxPairs: Long): Seq[Slice] = {
+    val p = sorted.length
+    if (p == 0) return Seq.empty
+    val bp = kb.toLong * 1000L
+    // forward in-window neighbor count per SNP (two-pointer: j only moves
+    // forward, so the sweep is O(p) total)
+    val w = new Array[Int](p)
+    var j = 0
+    var i = 0
+    while (i < p) {
+      if (j < i + 1) j = i + 1
+      while (j < p && sorted(j).chr == sorted(i).chr &&
+          sorted(j).pos - sorted(i).pos <= bp) j += 1
+      w(i) = j - i - 1
+      i += 1
+    }
+    def haloEndFor(coreEnd: Int): Int = {
+      val last = sorted(coreEnd - 1)
+      var h = coreEnd
+      while (h < p && sorted(h).chr == last.chr &&
+          sorted(h).pos - last.pos <= bp) h += 1
+      h
+    }
+    val out = Seq.newBuilder[Slice]
+    var start = 0
+    var cum = 0L
+    i = 0
+    while (i < p) {
+      if (cum + w(i) > maxPairs && i > start) {
+        out += Slice(start, i, haloEndFor(i), cum)
+        start = i
+        cum = 0L
+      }
+      cum += w(i)
+      i += 1
+    }
+    out += Slice(start, p, p, cum)
+    out.result()
+  }
+
+  /** One treeAggregate pass: pairwise-complete second moments → r².
+    * `cols` = the GLOBAL array positions this slice touches (core +
+    * halo); `ia`/`ib` index into `cols`. Only those elements of each
+    * row's dosage array are decoded — per-row work is O(slice width +
+    * slice pairs), independent of total SNP count. (The dosage layout
+    * is one array column, so element pruning must happen here — there
+    * is no narrower Catalyst projection of an array.) Zero-variance
+    * (monomorphic) sides get r² = 0. */
+  private def passR2(rows: DataFrame, cols: Array[Int], ia: Array[Int],
+      ib: Array[Int]): Array[Double] = {
+    val nP = ia.length
+    val agg = rows.rdd.treeAggregate(new PairAcc(nP))(
       seqOp = (acc, row) => {
         val feats = row.getSeq[Any](0)
-        val f = new Array[Double](feats.length)
+        val f = new Array[Double](cols.length)
         var t = 0
-        val it = feats.iterator
-        while (it.hasNext) {
-          f(t) = it.next() match {
+        while (t < cols.length) {
+          f(t) = feats(cols(t)) match {
             case null => Double.NaN
             case fl: java.lang.Float => fl.toDouble
             case d: java.lang.Double => d.doubleValue()
@@ -129,15 +189,71 @@ object LdClump {
         acc
       },
       combOp = (a, b) => a.merge(b))
-    pairs.indices.map { i =>
+    Array.tabulate(nP) { i =>
       val n = agg.n(i).toDouble
       val covN = n * agg.sxy(i) - agg.sx(i) * agg.sy(i)
       val vxN = n * agg.sxx(i) - agg.sx(i) * agg.sx(i)
       val vyN = n * agg.syy(i) - agg.sy(i) * agg.sy(i)
-      val r2 = if (n < 2 || vxN <= 0 || vyN <= 0) 0.0
-        else (covN * covN) / (vxN * vyN)
-      (pairs(i)._1, pairs(i)._2, r2)
+      if (n < 2 || vxN <= 0 || vyN <= 0) 0.0
+      else (covN * covN) / (vxN * vyN)
     }
+  }
+
+  /** r² of dosage vectors for every in-window SNP pair over `geno`
+    * (rows = samples, `featuresCol` = array of dosages in file order).
+    * Pairwise-complete: a row where either dosage is NaN/null
+    * contributes nothing to that pair. Zero-variance (monomorphic)
+    * sides get r² = 0.
+    *
+    * The SNP axis is cut into (core block + kb halo) column slices so
+    * no single pass's accumulator exceeds `maxPairsPerPass` pairs
+    * (~48 bytes each): each slice re-runs the treeAggregate decoding
+    * only its own elements of the dosage array, and pair enumeration
+    * happens per slice — driver peak state is O(maxPairsPerPass +
+    * output) and per-row pass work is O(slice width), not O(total
+    * window pairs) / O(p). Slices own disjoint pair sets, so the union
+    * over slices is exactly the global in-window pair list; the
+    * per-pair arithmetic is identical regardless of slicing. */
+  def bandedR2(geno: DataFrame, featuresCol: String, snps: Seq[SnpInfo],
+      kb: Int, maxPairsPerPass: Long = DefaultMaxPairsPerPass): Seq[(SnpInfo, SnpInfo, Double)] = {
+    require(maxPairsPerPass > 0, s"maxPairsPerPass must be > 0: $maxPairsPerPass")
+    val sorted = snps.sortBy(s => (s.chr, s.pos, s.idx)).toArray
+    val bp = kb.toLong * 1000L
+    val rows = geno.select(col(featuresCol))
+    val out = Seq.newBuilder[(SnpInfo, SnpInfo, Double)]
+    sliceRanges(sorted, kb, maxPairsPerPass).foreach { sl =>
+      val slice = sorted.slice(sl.coreStart, sl.haloEnd)
+      if (slice.length >= 2) {
+        // enumerate this slice's owned pairs: first element in the core
+        val local = slice.iterator.map(_.idx).zipWithIndex.toMap
+        val pa = Array.newBuilder[SnpInfo]; val pb = Array.newBuilder[SnpInfo]
+        val ia = Array.newBuilder[Int]; val ib = Array.newBuilder[Int]
+        var nPairs = 0L
+        var i = sl.coreStart
+        while (i < sl.coreEnd) {
+          var j = i + 1
+          while (j < sl.haloEnd && sorted(j).chr == sorted(i).chr &&
+              sorted(j).pos - sorted(i).pos <= bp) {
+            pa += sorted(i); pb += sorted(j)
+            ia += local(sorted(i).idx); ib += local(sorted(j).idx)
+            nPairs += 1
+            j += 1
+          }
+          i += 1
+        }
+        // budget invariant: only a single-SNP slice may exceed it (its
+        // one window is unsplittable)
+        assert(nPairs <= maxPairsPerPass || sl.coreEnd - sl.coreStart == 1,
+          s"slice pair count $nPairs exceeds budget $maxPairsPerPass")
+        if (nPairs > 0) {
+          val r2 = passR2(rows, slice.map(_.idx), ia.result(), ib.result())
+          val a = pa.result(); val b = pb.result()
+          var k = 0
+          while (k < a.length) { out += ((a(k), b(k), r2(k))); k += 1 }
+        }
+      }
+    }
+    out.result()
   }
 
   /** Greedy p-ordered clump formation over precomputed in-window r²
@@ -218,6 +334,36 @@ object LdClump {
     case "ind" => ((id / 3) % 3).toDouble
   }
 
+  /** The m14 fixture's SNP metadata (chr-1 LD block + isolated SNPs +
+    * chr-2 block; see [[m14]]). Shared by m14 and the m14_r2 oracle. */
+  private val fixtureSnps = Seq(
+    SnpInfo(0, "s_a1", 1, 100000L, 1e-8),  // index: absorbs a2, a3
+    SnpInfo(1, "s_a2", 1, 400000L, 1e-6),  // anti pattern, r²=1 w/ a1
+    SnpInfo(2, "s_a3", 1, 800000L, 1e-4),  // base + NaN holes, r²=1 w/ a1
+    SnpInfo(3, "s_b1", 1, 2000000L, 1e-5), // base, but 1.9Mb from a1: kept
+    SnpInfo(4, "s_c1", 1, 2300000L, 0.5),  // ind, r²=0: kept
+    SnpInfo(5, "s_d1", 2, 100000L, 0.01),  // index: absorbs d2
+    SnpInfo(6, "s_d2", 2, 150000L, 0.02),  // base, absorbed by d1
+    SnpInfo(7, "s_d3", 2, 120000L, 0.9),   // base but p > p2: kept
+    SnpInfo(8, "s_e1", 2, 160000L, 0.001)) // ind, r²=0 w/ d*: kept
+  private val fixtureKinds = Seq("base", "anti", "base", "base", "ind",
+    "base", "base", "base", "ind")
+
+  /** 297 samples × 9 deterministic dosage columns (see [[pattern]]);
+    * NaNs punched into a3 (idx 2) so pairwise-complete r² is exercised. */
+  private def fixtureGeno(s: SparkSession): DataFrame =
+    s.range(0, 297).select(col("id"),
+      array(fixtureSnps.indices.map { i =>
+        val v = fixtureKinds(i) match {
+          case "base" => (col("id") % 3).cast("double")
+          case "anti" => lit(2.0) - (col("id") % 3).cast("double")
+          case "ind" => ((col("id") / 3).cast("long") % 3).cast("double")
+        }
+        if (i == 2) when(col("id") % 50 === 0, lit(Double.NaN)).otherwise(v)
+        else v
+      }: _*).as("features"))
+      .repartition(8)
+
   /** M14 — LD clump on planted blocks, golden-gated: chr-1 block
     * {a1←a2,a3} (r²=1 via copy/anti-copy, within 1000 kb), b1 = same
     * pattern as a1 but 1.9 Mb away (window excludes), c1/e1 exactly
@@ -227,31 +373,8 @@ object LdClump {
     */
   val m14 = QueryDef.fixture("m14_ld_clump") { (s, _) =>
     import s.implicits._
-    val snps = Seq(
-      SnpInfo(0, "s_a1", 1, 100000L, 1e-8),  // index: absorbs a2, a3
-      SnpInfo(1, "s_a2", 1, 400000L, 1e-6),  // anti pattern, r²=1 w/ a1
-      SnpInfo(2, "s_a3", 1, 800000L, 1e-4),  // base + NaN holes, r²=1 w/ a1
-      SnpInfo(3, "s_b1", 1, 2000000L, 1e-5), // base, but 1.9Mb from a1: kept
-      SnpInfo(4, "s_c1", 1, 2300000L, 0.5),  // ind, r²=0: kept
-      SnpInfo(5, "s_d1", 2, 100000L, 0.01),  // index: absorbs d2
-      SnpInfo(6, "s_d2", 2, 150000L, 0.02),  // base, absorbed by d1
-      SnpInfo(7, "s_d3", 2, 120000L, 0.9),   // base but p > p2: kept
-      SnpInfo(8, "s_e1", 2, 160000L, 0.001)) // ind, r²=0 w/ d*: kept
-    val kinds = Seq("base", "anti", "base", "base", "ind", "base", "base",
-      "base", "ind")
-    val geno = s.range(0, 297).select(col("id"),
-      array(snps.indices.map { i =>
-        val k = kinds(i)
-        val v = k match {
-          case "base" => (col("id") % 3).cast("double")
-          case "anti" => lit(2.0) - (col("id") % 3).cast("double")
-          case "ind" => ((col("id") / 3).cast("long") % 3).cast("double")
-        }
-        // punch NaNs into a3 (idx 2): pairwise-complete must still see r²=1
-        if (i == 2) when(col("id") % 50 === 0, lit(Double.NaN)).otherwise(v)
-        else v
-      }: _*).as("features"))
-      .repartition(8)
+    val snps = fixtureSnps
+    val geno = fixtureGeno(s)
     val params = ClumpParams(kb = 1000, p1 = 1.0, p2 = 0.5, r2 = 0.75)
     val pairs = bandedR2(geno, "features", snps, params.kb)
     val (kept, members) = clump(snps, pairs, params)
@@ -268,5 +391,48 @@ object LdClump {
       .filter(lit(planted && got == want))
   }
 
-  def all: Seq[QueryDef] = Seq(m14)
+  /** M14_R2 — FULL DuckDB oracle for the r² layer: the oracle rebuilds
+    * the exact m14 fixture (generate_series id patterns, NULL where the
+    * engine plants NaN — both sides drop the row pairwise), enumerates
+    * the same (chr, pos)-ordered kb window pairs from a VALUES list,
+    * and replays pairwise-complete r² as corr()² (DuckDB two-arg
+    * aggregates skip NULL pairs — plink's missing-data policy). Both
+    * sides round to 6 dp; the planted patterns make every r² exactly
+    * 0 or 1 so rounding only absorbs last-bit accumulation-order noise.
+    */
+  val m14r2 = QueryDef(
+    "m14_r2",
+    { (s, _) =>
+      import s.implicits._
+      bandedR2(fixtureGeno(s), "features", fixtureSnps, kb = 1000)
+        .map { case (a, b, r2) => (a.name, b.name, math.rint(r2 * 1e6) / 1e6) }
+        .toDF("snp_a", "snp_b", "r2")
+    },
+    oracle = Some(
+      """WITH snps(name, chr, pos, kind) AS (VALUES
+        |  ('s_a1', 1, 100000, 'base'), ('s_a2', 1, 400000, 'anti'),
+        |  ('s_a3', 1, 800000, 'base_nan'), ('s_b1', 1, 2000000, 'base'),
+        |  ('s_c1', 1, 2300000, 'ind'), ('s_d1', 2, 100000, 'base'),
+        |  ('s_d2', 2, 150000, 'base'), ('s_d3', 2, 120000, 'base'),
+        |  ('s_e1', 2, 160000, 'ind')),
+        |ids AS (SELECT unnest(range(0, 297)) AS id),
+        |dos AS (SELECT s.name, i.id,
+        |          CASE WHEN s.kind = 'base_nan' AND i.id % 50 = 0 THEN NULL
+        |               WHEN s.kind = 'anti' THEN 2.0 - (i.id % 3)
+        |               WHEN s.kind = 'ind' THEN CAST((i.id // 3) % 3 AS DOUBLE)
+        |               ELSE CAST(i.id % 3 AS DOUBLE) END AS d
+        |        FROM snps s CROSS JOIN ids i),
+        |pairs AS (SELECT a.name AS snp_a, b.name AS snp_b
+        |          FROM snps a JOIN snps b
+        |            ON a.chr = b.chr AND b.pos > a.pos
+        |           AND b.pos - a.pos <= 1000000)
+        |SELECT p.snp_a, p.snp_b,
+        |       round(coalesce(pow(corr(da.d, db.d), 2), 0.0), 6) AS r2
+        |FROM pairs p
+        |JOIN dos da ON da.name = p.snp_a
+        |JOIN dos db ON db.name = p.snp_b AND db.id = da.id
+        |GROUP BY p.snp_a, p.snp_b""".stripMargin),
+    benchEligible = false)
+
+  def all: Seq[QueryDef] = Seq(m14, m14r2)
 }

@@ -64,6 +64,62 @@ class LdClumpSpec extends SparkSpec {
       "s_d1" -> 1L, "s_c1" -> 0L, "s_d3" -> 0L))
   }
 
+  test("sliceRanges: disjoint cores cover the axis, budgets hold, halos reach the window") {
+    val snps = (0 until 10000).map(j =>
+      SnpInfo(j, s"s$j", j / 5000 + 1, ((j % 5000).toLong + 1) * 300000L, 0.5))
+    val sorted = snps.toArray // already (chr, pos)-sorted by construction
+    val budget = 4000L
+    val slices = LdClump.sliceRanges(sorted, kb = 1000, maxPairs = budget)
+    assert(slices.length > 1, "10k SNPs under a 4k-pair budget must slice")
+    // cores tile [0, p) exactly, in order
+    assert(slices.head.coreStart == 0 && slices.last.coreEnd == sorted.length)
+    slices.sliding(2).foreach {
+      case Seq(a, b) => assert(a.coreEnd == b.coreStart)
+      case _ =>
+    }
+    slices.foreach { sl =>
+      assert(sl.pairCount <= budget || sl.coreEnd - sl.coreStart == 1)
+      // halo = exactly the forward SNPs the last core SNP's window reaches
+      val last = sorted(sl.coreEnd - 1)
+      (sl.coreEnd until sl.haloEnd).foreach { h =>
+        assert(sorted(h).chr == last.chr &&
+          sorted(h).pos - last.pos <= 1000000L)
+      }
+      if (sl.haloEnd < sorted.length) {
+        val nxt = sorted(sl.haloEnd)
+        assert(nxt.chr != last.chr || nxt.pos - last.pos > 1000000L)
+      }
+    }
+  }
+
+  test("bandedR2: sliced passes are bit-identical to the unsliced pass (10k SNPs)") {
+    val s = spark
+    val p = 10000
+    val n = 36 // multiple of 3: every (i*7 + j*31) % 3 column is exact
+    val snps = (0 until p).map(j =>
+      SnpInfo(j, s"s$j", j / 5000 + 1, ((j % 5000).toLong + 1) * 300000L, 0.5))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("features",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, false), false)))
+    val rows = s.sparkContext.parallelize(0 until n, 4).map(i =>
+      org.apache.spark.sql.Row(
+        (0 until p).map(j => ((i * 7 + j * 31) % 3).toDouble)))
+    val geno = s.createDataFrame(rows, schema)
+    // integer-valued dosages: every moment sum is exact in double, so
+    // accumulation order cannot perturb a bit — equality is exact
+    val whole = LdClump.bandedR2(geno, "features", snps, kb = 1000,
+      maxPairsPerPass = Long.MaxValue)
+    val sliced = LdClump.bandedR2(geno, "features", snps, kb = 1000,
+      maxPairsPerPass = 4000L)
+    def keyed(r: Seq[(SnpInfo, SnpInfo, Double)]) =
+      r.map { case (a, b, v) => (a.idx, b.idx) -> v }.toMap
+    val (wm, sm) = (keyed(whole), keyed(sliced))
+    assert(wm.keySet == sm.keySet, "sliced pair set must equal global pair set")
+    assert(wm.nonEmpty && wm.forall { case (k, v) => sm(k) == v },
+      "per-pair r2 must be bit-identical under slicing")
+  }
+
   test("Ingest --clump-sumstats prunes the bundle to index SNPs") {
     val s = spark
     val dir = graft.util.Fixtures.dir + "/ldclump"
