@@ -38,21 +38,40 @@ object Bench {
     // just those queries; unset (the driver's mode) runs everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_BENCH_REPS=N (default 1, the driver contract) times each
+    // query N times and reports the per-query MEDIAN. A single-shot run on
+    // a shared machine turns a noisy neighbor into a phantom regression
+    // (r05: a14 read 56 s under load, 5.4 s isolated); the median of 3+
+    // reps is robust to one polluted sample while leaving the default
+    // cost unchanged.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
     SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      // collect the previous query's garbage OUTSIDE the timed window so
-      // per-query numbers aren't polluted by a neighbor's allocation debt
-      System.gc()
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times(name) = (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+      val samples = scala.collection.mutable.ArrayBuffer[Double]()
+      var rep = 0
+      while (rep < reps && !errors.contains(name)) {
+        // collect the previous query's garbage OUTSIDE the timed window so
+        // per-query numbers aren't polluted by a neighbor's allocation debt
+        System.gc()
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          samples += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+        }
+        rep += 1
       }
+      if (samples.nonEmpty && !errors.contains(name)) times(name) = median(samples.toSeq)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -63,7 +82,7 @@ object Bench {
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()

@@ -1182,21 +1182,37 @@ object Dedup {
   }
 
   /** The APPLY step: cut every repeated span from each document EXCEPT
-    * in the span's first-touching document (min doc id among the span
-    * carriers is approximated per-doc: a doc keeps its text untouched
-    * iff it is the minimum doc id carrying ANY span — the Lee et al.
-    * keep-one-occurrence rule at document granularity). Returns the
-    * docs frame with `text` rewritten and `n_cut` chars removed.
+    * in that span's first-occurrence document — the Lee et al.
+    * keep-one-occurrence rule at SPAN granularity. Span identity is the
+    * span's exact text content: per distinct content, the minimum doc id
+    * among its carriers keeps the span; every other carrier cuts it.
+    * Disjoint span groups therefore keep their first occurrences
+    * independently (doc 1 keeping boilerplate A never forfeits doc 3's
+    * claim to unrelated boilerplate B). A doc whose MERGED span extent is
+    * unique (nearby windows fused into a longer span no other doc carries
+    * verbatim) is its own group's keeper and keeps it — conservative: a
+    * first occurrence is never cut, at the cost of under-cutting when
+    * merge extents diverge across carriers. Returns the docs frame with
+    * `text` rewritten and `n_cut` chars removed.
+    *
+    * Scale: spans is the small repeated fraction; the content extraction
+    * is one join to docs on the id, the keeper election one
+    * content-keyed aggregate — no corpus-sized shuffle beyond the final
+    * left join docs⋈cuts.
     */
   def stripRepeatedSpans(docs: DataFrame, spans: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
-    // keep-one-occurrence at document granularity: the minimum doc id
-    // carrying any span keeps its text whole
-    val keeper = spans.agg(min(col(idCol))).head()
-    val cuttable =
-      if (keeper.isNullAt(0)) spans
-      else spans.filter(col(idCol) =!= keeper.getLong(0))
+    val withContent = spans
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .withColumn("spc", col(textCol).substr(
+        col("span_start").cast("int"),
+        (col("span_end") - col("span_start") + 1).cast("int")))
+    val keepers = withContent.groupBy("spc")
+      .agg(min(col(idCol)).as("keeper_id"))
+    val cuttable = withContent.join(keepers, "spc")
+      .filter(col(idCol) =!= col("keeper_id"))
+      .select(col(idCol), col("span_start"), col("span_end"))
     val agg = cuttable.groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("span_start"),
         col("span_end")))).as("sp"))

@@ -540,6 +540,35 @@ class TextDedupSpec extends SparkSpec {
     assert(stripped(3L) == (("totally unrelated text here", 0)))
   }
 
+  test("stripRepeatedSpans: disjoint span groups keep first occurrences independently") {
+    val s = spark; import s.implicits._
+    val bA = "AAAABBBBCCCC" // group A boilerplate, carried by docs 1 and 2
+    val bB = "XXXXYYYYZZZZ" // group B boilerplate, carried by docs 3 and 4
+    // flanks are per-doc unique at every boundary character so no 5-gram
+    // spanning a boiler edge repeats cross-doc (that would widen the spans)
+    val docs = Seq(
+      (1L, s"d1d1${bA}e1e1"),
+      (2L, s"d2d2d2${bA}q2q2"),
+      (3L, s"f3f3${bB}g3g3"),
+      (4L, s"f4f4f4${bB}h4h4")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, win = 5, minDocs = 2)
+    val got = spans.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((5L, 16L)), 2L -> ((7L, 18L)),
+      3L -> ((5L, 16L)), 4L -> ((7L, 18L))), s"spans $got")
+    val stripped = Dedup.stripRepeatedSpans(docs, spans)
+      .select("doc_id", "text", "n_cut")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    // span-level keep-first: doc1 keeps A (min carrier of A), doc3 keeps
+    // B (min carrier of B) even though doc1 is the global min doc id —
+    // the old doc-granular rule would have cut B from doc3 too
+    assert(stripped(1L) == ((s"d1d1${bA}e1e1", 0)))
+    assert(stripped(2L) == (("d2d2d2q2q2", 12)))
+    assert(stripped(3L) == ((s"f3f3${bB}g3g3", 0)))
+    assert(stripped(4L) == (("f4f4f4h4h4", 12)))
+  }
+
   test("repeatedSubstringSpans: seeded fuzz vs brute-force reference") {
     val s = spark; import s.implicits._
     val win = 4
