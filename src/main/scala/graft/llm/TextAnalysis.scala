@@ -926,8 +926,34 @@ object TextAnalysis {
         col("n_changed") > 0)
   }
 
+  /** T16-NFC — the NFC arm of t16 under a FULL DuckDB oracle: DuckDB
+    * ships `nfc_normalize()`, so the composed output can hash-match
+    * per document instead of relying on the golden gate alone. Both
+    * engines derive a decomposed layer from the ASCII fixture
+    * ('a' → a+U+0301, 'o' → o+U+0308) and NFC-compose it; the JDK's
+    * `java.text.Normalizer` and DuckDB's utf8proc implement the same
+    * public Unicode normalization spec, so the composed strings are
+    * byte-identical. NFD/NFKC/NFKD stay under t16's golden gate
+    * (DuckDB exposes only the NFC function). Scan-local codegen'd
+    * expressions — zero shuffle.
+    */
+  val normalizeNfcQ = QueryDef.sql(
+    "t16_nfc",
+    """SELECT doc_id,
+      |       nfc_normalize(replace(replace(text, 'a', 'a' || chr(769)),
+      |                             'o', 'o' || chr(776))) AS nfc_text
+      |FROM documents WHERE text IS NOT NULL""".stripMargin) { (s, d) =>
+    import graft.expressions.NormalizeText.unicodeNormalize
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        unicodeNormalize(
+          regexp_replace(regexp_replace(col("text"), "a", "á"),
+            "o", "ö"),
+          "NFC").as("nfc_text"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(langId, quality, fingerprint, tokenBudget, rollingFp, repetition,
       piiRedact, tfidf, postings, compression, heavyHitters,
-      perSourceTopTerms, unigramLp, bigramLp, normalizeQ)
+      perSourceTopTerms, unigramLp, bigramLp, normalizeQ, normalizeNfcQ)
 }
