@@ -71,7 +71,12 @@ object Bench {
         }
         rep += 1
       }
-      if (samples.nonEmpty && !errors.contains(name)) times(name) = median(samples.toSeq)
+      // A failure on a later rep keeps the error AND the median of the
+      // successful samples — partial timing signal beats a pure red row.
+      // Caveat (recorded via "reps" in the JSON): back-to-back reps are
+      // warm-cache/JIT-warmed, so reps>=2 medians are comparable to each
+      // other, not to the driver's single-shot numbers.
+      if (samples.nonEmpty) times(name) = median(samples.toSeq)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

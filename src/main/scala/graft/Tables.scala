@@ -26,12 +26,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark reads only as
-    * LongType (nanos since epoch) under
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session
-    * builder here). Normalize to a proper timestamp column. `div` is
-    * integral long division — `/` would go through double, which cannot
-    * represent 2026-epoch nanos (~1.8e18 > 2^53) exactly.
+  /** events.parquet has shipped `ts` under several physical encodings;
+    * normalize all of them to a session-TZ TimestampType so downstream
+    * `unix_micros(ts)` (which rejects TIMESTAMP_NTZ) always works:
+    *
+    *  - TIMESTAMP(NANOS): Spark reads it only as LongType (nanos since
+    *    epoch) under `spark.sql.legacy.parquet.nanosAsLong=true` (set in
+    *    every session builder here). `div` is integral long division —
+    *    `/` would go through double, which cannot represent 2026-epoch
+    *    nanos (~1.8e18 > 2^53) exactly.
+    *  - timestamp[us] with isAdjustedToUTC=false (pandas/pyarrow default):
+    *    Spark 4 surfaces it as TIMESTAMP_NTZ. Every session here pins
+    *    `spark.sql.session.timeZone=UTC`, so casting NTZ→TIMESTAMP is
+    *    value-preserving and `unix_micros` equals DuckDB's `epoch_us`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
@@ -40,6 +47,10 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

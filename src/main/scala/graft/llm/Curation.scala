@@ -192,6 +192,15 @@ object Curation {
     * driver, O(k) driver state, NO global sort or single-partition
     * shuffle. The weight column must be strictly positive; weights are
     * validated in the plan (a filter, not a collect).
+    *
+    * CONTRACT: `idCol` must uniquely identify rows. The derived uniform
+    * is a pure function of (id, seed), so rows sharing an id draw
+    * IDENTICAL uniforms — their inclusion keys are perfectly correlated
+    * (identical when weights also match), which breaks the
+    * independent-draw premise of E–S and biases the sample toward or
+    * against the duplicated rows as a block. This is inherent to the
+    * determinism that makes the draw oracle-replayable; dedupe or
+    * synthesize a row-unique id upstream if ids can repeat.
     */
   def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
       k: Int, seed: Long): DataFrame = {
@@ -238,7 +247,10 @@ object Curation {
     * task). This is the c5 domain-cap shape with weights: one hot
     * group never serializes through one task, at ANY group size.
     * Rank = −ln(u)/w (positive; smallest wins), derived uniforms as in
-    * [[weightedSample]] — deterministic, no RNG state.
+    * [[weightedSample]] — deterministic, no RNG state. The
+    * [[weightedSample]] CONTRACT applies here too: `idCol` must be
+    * row-unique (duplicate ids draw identical uniforms → correlated
+    * inclusion within a group).
     */
   def stratifiedWeightedSample(docs: DataFrame, groupCol: String,
       idCol: String, weightCol: String, k: Int, seed: Long): DataFrame = {
@@ -787,9 +799,12 @@ object Curation {
     * rules target), label clean=1/corrupt=0, train on the ~80%
     * hash-split, evaluate on the rest. Golden gates: held-out AUC ≥
     * 0.95, ≥ 90% of clean held-out docs kept at the 0.5 threshold,
-    * ≤ 5% of corrupted docs kept.
+    * ≤ 5% of corrupted docs kept. Marked `fixture` (benchEligible =
+    * false): the ~9 s cost is the fixture GBT fit, not data-scale
+    * throughput — it runs in Verify but is excluded from Bench like
+    * the other ML self-tests.
     */
-  val qualityFilter = QueryDef.rowsOnly("c9_model_quality_filter") { (s, d) =>
+  val qualityFilter = QueryDef.fixture("c9_model_quality_filter") { (s, d) =>
     val docs = Tables.documents(s, d)
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("text"))

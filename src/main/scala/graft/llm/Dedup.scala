@@ -489,7 +489,12 @@ object Dedup {
     */
   def nearDupClusters(pairs: DataFrame, driverLimit: Long = 10000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val cached = pairs.select(col("doc_a"), col("doc_b")).cache()
+    // Self-pairs (a, a) are vacuous ("a duplicates itself") — drop them up
+    // front so BOTH resolution paths agree: previously the driver
+    // union-find emitted (a, a) for a self-loop-only node while
+    // distributedClusters (which canonicalizes hi > lo) omitted it.
+    val cached = pairs.select(col("doc_a"), col("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b")).cache()
     val nPairs = cached.count()
     if (nPairs <= driverLimit) {
       // verified dup pairs are a tiny fraction of the corpus — union-find
@@ -574,7 +579,16 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint(eager = true)
       val sig = checksum(next)
-      converged = sig == prev
+      if (sig == prev) {
+        // A checksum match could (astronomically unlikely, but a wrong
+        // cluster labeling is a correctness bug, not a perf bug) be a
+        // 64-bit xor collision. Close it with ONE exact set-difference
+        // check at the claimed fixpoint only: counts already matched via
+        // the checksum, so next ⊆ edges ⟺ next = edges and a single
+        // one-direction exceptAll suffices. If it fails we simply keep
+        // iterating — the loop's maxRounds loud-fail still bounds us.
+        converged = next.exceptAll(edges).isEmpty
+      }
       prev = sig
       edges = next
       round += 1
@@ -1199,6 +1213,15 @@ object Dedup {
     * is one join to docs on the id, the keeper election one
     * content-keyed aggregate — no corpus-sized shuffle beyond the final
     * left join docs⋈cuts.
+    *
+    * BMP-ONLY CAVEAT (shared with [[rollingHashWindows]]): span offsets
+    * are produced in UTF-16 units there, consumed here BOTH by the
+    * Spark `substr` content extraction (code-point positions) and by
+    * `java.lang.String.substring` in the RDD cutter (UTF-16). For text
+    * containing non-BMP code points (surrogate pairs) the three
+    * position consumers diverge — keeper election and cut boundaries
+    * are only guaranteed consistent for BMP text, matching the
+    * documented contract of the span producer.
     */
   def stripRepeatedSpans(docs: DataFrame, spans: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

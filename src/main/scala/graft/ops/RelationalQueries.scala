@@ -1052,6 +1052,15 @@ object RelationalQueries {
     * pruned by the inner join with the DAU side. Integer epoch-day
     * bucketing (us div day_us, us >= 0) — same floor arithmetic both
     * engines.
+    *
+    * GAP-DAY SEMANTICS (deliberate): the final inner join emits only
+    * days with activity (DAU > 0). A calendar day with zero events but
+    * a nonzero trailing-7-day WAU (its window reaches back to active
+    * days) is NOT emitted. That matches the "active users" dashboard
+    * convention (rows keyed by observed activity days) and the oracle's
+    * identical inner join; switch to `dau.join(wau, Seq("day"), "right")`
+    * + `coalesce(dau, 0)` if gap-day WAU rows are ever wanted — the
+    * oracle would change in lockstep.
     */
   val e10 = QueryDef.sql(
     "e10_rolling_active_users",

@@ -459,4 +459,25 @@ class CurationOpsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(sel == Set(1L, 2L))
   }
+
+  test("weightedSample contract: duplicate ids draw identical keys (documented block behavior)") {
+    val s = spark; import s.implicits._
+    // The scaladoc contract says idCol must be row-unique because the
+    // derived uniform is a pure function of (id, seed). This spec PINS the
+    // documented failure mode so it can't silently change: rows sharing an
+    // id + weight share one inclusion key, so they enter or miss the
+    // sample as a block — never split.
+    val base = (1L to 100L).map(i => (i, 1L))
+    val dup = base ++ Seq((50L, 1L), (50L, 1L)) // id 50 appears 3×
+    val sel = Curation.weightedSample(dup.toDF("id", "w"), "id", "w",
+      k = 60, seed = 5L).select("id").collect().map(_.getLong(0))
+    val n50 = sel.count(_ == 50L)
+    assert(n50 == 0 || n50 == 3, s"id 50 must be all-in or all-out, got $n50")
+    // and against the unique-id frame the selected SET of other ids only
+    // shifts by displacement, never reorders: the shared key is the
+    // unique-id key, so if 50 is in, all 3 copies occupy adjacent ranks
+    val uniq = Curation.weightedSample(base.toDF("id", "w"), "id", "w",
+      k = 60, seed = 5L).select("id").collect().map(_.getLong(0)).toSet
+    if (n50 == 3) assert(uniq.contains(50L))
+  }
 }

@@ -366,15 +366,32 @@ class TextDedupSpec extends SparkSpec {
     assert(labels.values.forall(_ == 0L), "chain must collapse to root 0")
   }
 
+  test("self-pairs are vacuous: both cluster paths drop (a, a)") {
+    import spark.implicits._
+    // node 7 appears ONLY as a self-pair; node 1 has a self-pair AND a
+    // real edge. Both resolution paths must emit identical rows: no row
+    // for 7, and 1's component unaffected by the loop.
+    val pairs = Seq((1L, 1L), (7L, 7L), (1L, 2L)).toDF("doc_a", "doc_b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = toMap(Dedup.nearDupClusters(pairs))
+    val dist = toMap(Dedup.nearDupClusters(pairs, driverLimit = 0L))
+    val want = Map(1L -> 1L, 2L -> 1L)
+    assert(fast == want)
+    assert(dist == want)
+  }
+
   test("distributedClusters: seeded fuzz == driver union-find") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260813L)
     for (_ <- 1 to 3) {
       val n = 400
+      // self-pairs are deliberately KEPT (no filter): both paths must
+      // agree on dropping them, not rely on clean input
       val edges = (1 to 600).map { _ =>
         val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
         if (a < b) (a, b) else (b, a)
-      }.filter(p => p._1 != p._2).distinct
+      }.distinct
       val pairs = edges.toDF("doc_a", "doc_b")
       def toMap(df: org.apache.spark.sql.DataFrame) =
         df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
