@@ -245,7 +245,11 @@ object IoQueries {
     val after = nFiles(compact)
     def sig(df: org.apache.spark.sql.DataFrame) =
       df.agg(count(lit(1)), sum(col("doc_id")), sum(col("n_chars"))).head()
-    val (a, b) = (sig(fragDf), sig(s.read.parquet(compact)))
+    // signature the SOURCE table (one file) against the compacted
+    // read-back — the gate's claim is source == compacted; signaturing
+    // the fragmented intermediate instead would prove the same thing
+    // while paying a second 100s-of-tiny-files scan for nothing
+    val (a, b) = (sig(docs), sig(s.read.parquet(compact)))
     val spark = s; import spark.implicits._
     Seq((before, after, a == b))
       .toDF("files_before", "files_after", "content_identical")
