@@ -1197,16 +1197,30 @@ object Dedup {
 
   /** The APPLY step: cut every repeated span from each document EXCEPT
     * in that span's first-occurrence document — the Lee et al.
-    * keep-one-occurrence rule at SPAN granularity. Span identity is the
-    * span's exact text content: per distinct content, the minimum doc id
-    * among its carriers keeps the span; every other carrier cuts it.
-    * Disjoint span groups therefore keep their first occurrences
-    * independently (doc 1 keeping boilerplate A never forfeits doc 3's
-    * claim to unrelated boilerplate B). A doc whose MERGED span extent is
-    * unique (nearby windows fused into a longer span no other doc carries
-    * verbatim) is its own group's keeper and keeps it — conservative: a
-    * first occurrence is never cut, at the cost of under-cutting when
-    * merge extents diverge across carriers. Returns the docs frame with
+    * keep-one-occurrence rule at SPAN granularity. Two election modes:
+    *
+    *  - `win = 0` (conservative): span identity is the MERGED span's
+    *    exact text content — per distinct content, the minimum doc id
+    *    among its carriers keeps the span; every other carrier cuts it.
+    *    A doc whose merged span extent is unique (nearby windows fused
+    *    into a longer span no other doc carries verbatim) is its own
+    *    group's keeper and keeps it — a first occurrence is never cut,
+    *    at the cost of under-cutting when merge extents diverge across
+    *    carriers (doc A fusing B1+B2 while docs B and C carry B1 and B2
+    *    separately → three distinct contents → nothing cut).
+    *  - `win > 0` (window-granular; pass the SAME win the span producer
+    *    used): each span is re-split into its constituent win-length
+    *    windows, the keeper of each distinct WINDOW content is its
+    *    minimum carrier doc id, and every non-keeper doc cuts its
+    *    losing windows (adjacent losers re-merge into cut sub-spans).
+    *    Where merge extents coincide this reduces to the content rule;
+    *    where they diverge it still dedups — in the B1+B2 example doc A
+    *    keeps the fused span (it carries the boundary windows and, as
+    *    min id, wins B1's and B2's windows) while B and C cut theirs.
+    *
+    * Disjoint span groups keep their first occurrences independently
+    * in both modes (doc 1 keeping boilerplate A never forfeits doc 3's
+    * claim to unrelated boilerplate B). Returns the docs frame with
     * `text` rewritten and `n_cut` chars removed.
     *
     * Scale: spans is the small repeated fraction; the content extraction
@@ -1224,18 +1238,56 @@ object Dedup {
     * documented contract of the span producer.
     */
   def stripRepeatedSpans(docs: DataFrame, spans: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      win: Int = 0): DataFrame = {
     val spark = docs.sparkSession
-    val withContent = spans
-      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
-      .withColumn("spc", col(textCol).substr(
-        col("span_start").cast("int"),
-        (col("span_end") - col("span_start") + 1).cast("int")))
-    val keepers = withContent.groupBy("spc")
-      .agg(min(col(idCol)).as("keeper_id"))
-    val cuttable = withContent.join(keepers, "spc")
-      .filter(col(idCol) =!= col("keeper_id"))
-      .select(col(idCol), col("span_start"), col("span_end"))
+    val withText = spans.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+    val cuttable = if (win <= 0) {
+      val withContent = withText
+        .withColumn("spc", col(textCol).substr(
+          col("span_start").cast("int"),
+          (col("span_end") - col("span_start") + 1).cast("int")))
+      val keepers = withContent.groupBy("spc")
+        .agg(min(col(idCol)).as("keeper_id"))
+      withContent.join(keepers, "spc")
+        .filter(col(idCol) =!= col("keeper_id"))
+        .select(col(idCol), col("span_start"), col("span_end"))
+    } else {
+      // window-granular election: explode each span back into its
+      // win-length windows (fan-out bounded by span text volume — the
+      // small repeated fraction), elect per distinct window content,
+      // then re-merge each doc's losing windows into cut sub-spans
+      // with the same adjacency fold the span producer uses. The
+      // per-doc window is fine at scale for the same reason it is in
+      // repeatedSubstringSpans: only span positions enter it.
+      // producer spans are always >= win long; the filter guards foreign
+      // spans frames (Spark's sequence(a, b) DESCENDS when a > b, which
+      // would silently fabricate positions)
+      val winPos = withText
+        .filter(col("span_end") - col("span_start") + 1 >= win)
+        .select(col(idCol), col(textCol),
+          explode(sequence(col("span_start"), col("span_end") - (win - 1)))
+            .as("pos"))
+        .select(col(idCol), col("pos"),
+          col(textCol).substr(col("pos").cast("int"), lit(win)).as("wc"))
+      val keepers = winPos.groupBy("wc").agg(min(col(idCol)).as("keeper_id"))
+      val losing = winPos.join(keepers, "wc")
+        .filter(col(idCol) =!= col("keeper_id"))
+        .select(col(idCol), col("pos"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(idCol).orderBy("pos")
+      val prevMaxEnd = max(col("pos") + (win - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+      losing
+        .withColumn("pme", prevMaxEnd)
+        .withColumn("newg",
+          when(col("pme").isNull || col("pos") > col("pme") + 1, 1).otherwise(0))
+        .withColumn("grp", sum(col("newg")).over(w))
+        .groupBy(col(idCol), col("grp"))
+        .agg(min(col("pos")).as("span_start"),
+          (max(col("pos")) + (win - 1)).as("span_end"))
+        .select(col(idCol), col("span_start"), col("span_end"))
+    }
     val agg = cuttable.groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("span_start"),
         col("span_end")))).as("sp"))
@@ -1295,6 +1347,59 @@ object Dedup {
       |SELECT doc_id, min(pos) AS span_start, max(pos) + 49 AS span_end
       |FROM g GROUP BY doc_id, grp""".stripMargin) { (s, d) =>
     repeatedSubstringSpans(Tables.documents(s, d), win = 50, minDocs = 2)
+  }
+
+  /** D14 — strip repeated spans end-to-end, FULL oracle: DuckDB replays
+    * the whole chain — d12's span detection, the window-granular keeper
+    * election, loser re-merge — and reports chars cut per document.
+    * Positions are 1-based code points in both engines (ASCII/BMP
+    * corpus — see the [[stripRepeatedSpans]] caveat), so the per-doc
+    * cut totals hash-match exactly.
+    */
+  val stripSpansQ = QueryDef.sql(
+    "d14_strip_repeated_spans",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |w AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |             substr(text, CAST(i AS INT), 50) AS s
+      |      FROM d CROSS JOIN LATERAL
+      |        unnest(range(1, CAST(length(text) - 49 + 1 AS BIGINT))) t(i)),
+      |hot AS (SELECT s FROM (SELECT DISTINCT s, doc_id FROM w)
+      |        GROUP BY s HAVING count(*) >= 2),
+      |c AS (SELECT doc_id, pos FROM w WHERE s IN (SELECT s FROM hot)),
+      |m AS (SELECT doc_id, pos,
+      |             max(pos + 49) OVER (PARTITION BY doc_id ORDER BY pos
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |      FROM c),
+      |g AS (SELECT doc_id, pos,
+      |             sum(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+      |               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |      FROM m),
+      |sp AS (SELECT doc_id, min(pos) AS s0, max(pos) + 49 AS e0
+      |       FROM g GROUP BY doc_id, grp),
+      |wv AS (SELECT sp.doc_id, CAST(i AS BIGINT) AS pos,
+      |              substr(d.text, CAST(i AS INT), 50) AS wc
+      |       FROM sp JOIN d ON sp.doc_id = d.doc_id CROSS JOIN LATERAL
+      |         unnest(range(s0, e0 - 49 + 1)) t(i)),
+      |k AS (SELECT wc, min(doc_id) AS keeper FROM wv GROUP BY wc),
+      |cw AS (SELECT doc_id, pos FROM wv JOIN k USING (wc)
+      |       WHERE doc_id <> keeper),
+      |m2 AS (SELECT doc_id, pos,
+      |              max(pos + 49) OVER (PARTITION BY doc_id ORDER BY pos
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |       FROM cw),
+      |g2 AS (SELECT doc_id, pos,
+      |              sum(CASE WHEN pme IS NULL OR pos > pme + 1 THEN 1 ELSE 0 END)
+      |                OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |       FROM m2),
+      |cuts AS (SELECT doc_id, min(pos) AS cs, max(pos) + 49 AS ce
+      |         FROM g2 GROUP BY doc_id, grp)
+      |SELECT doc_id, CAST(sum(ce - cs + 1) AS BIGINT) AS n_cut
+      |FROM cuts GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val spans = repeatedSubstringSpans(docs, win = 50, minDocs = 2)
+    stripRepeatedSpans(docs, spans, win = 50)
+      .filter(col("n_cut") > 0)
+      .select(col("doc_id"), col("n_cut").cast("long").as("n_cut"))
   }
 
   /** CCNet-style boilerplate-line removal (Wenzek et al., LREC 2020 —
@@ -1386,5 +1491,5 @@ object Dedup {
 
   def all: Seq[QueryDef] =
     Seq(exact, minhash, simhashQ, simhashDedupQ, ngramJaccardQ, clusters,
-      dropQ, incrementalQ, editDistQ, repeatedSubstr, lineDedupQ)
+      dropQ, incrementalQ, editDistQ, repeatedSubstr, stripSpansQ, lineDedupQ)
 }

@@ -586,6 +586,49 @@ class TextDedupSpec extends SparkSpec {
     assert(stripped(4L) == (("f4f4f4h4h4", 12)))
   }
 
+  test("stripRepeatedSpans win-mode: diverging merge extents still dedup") {
+    val s = spark; import s.implicits._
+    // doc 1 carries B1 and B2 ADJACENT (they fuse into one merged span);
+    // docs 2 and 3 carry B1 and B2 separately. The three merged-span
+    // contents are all distinct, so content-keyed election (win=0) cuts
+    // NOTHING; window-granular election (win=5) still dedups: doc 1 (min
+    // id) keeps the fused span, docs 2 and 3 cut their copies.
+    val b1 = "AAAABBBBCC"; val b2 = "XXYYYYZZZZ"
+    val docs = Seq(
+      (1L, s"k1k1${b1}${b2}m1m1"),
+      (2L, s"n2n2n2${b1}p2p2"),
+      (3L, s"r3r3${b2}s3s3s3")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, win = 5, minDocs = 2)
+    val content = Dedup.stripRepeatedSpans(docs, spans)
+      .select("doc_id", "n_cut")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(content == Map(1L -> 0, 2L -> 0, 3L -> 0),
+      s"content election should under-cut here, got $content")
+    val windowed = Dedup.stripRepeatedSpans(docs, spans, win = 5)
+      .select("doc_id", "text", "n_cut")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(windowed(1L)._2 == 0, s"keeper must keep, got ${windowed(1L)}")
+    assert(windowed(2L) == (("n2n2n2p2p2", 10)), s"doc2 ${windowed(2L)}")
+    assert(windowed(3L) == (("r3r3s3s3s3", 10)), s"doc3 ${windowed(3L)}")
+  }
+
+  test("stripRepeatedSpans win-mode == content mode when extents coincide") {
+    val s = spark; import s.implicits._
+    val boiler = "ABCDEFGHIJKL"
+    val docs = Seq(
+      (1L, s"aaaaa${boiler}zzzzz"),
+      (2L, s"qqq${boiler}ppppppp"),
+      (3L, "totally unrelated text here")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, win = 5, minDocs = 2)
+    def strip(win: Int) = Dedup.stripRepeatedSpans(docs, spans, win = win)
+      .select("doc_id", "text", "n_cut")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    assert(strip(0) == strip(5))
+    assert(strip(5)(2L) == (("qqqppppppp", 12)))
+  }
+
   test("repeatedSubstringSpans: seeded fuzz vs brute-force reference") {
     val s = spark; import s.implicits._
     val win = 4
