@@ -507,5 +507,92 @@ object Streams {
       .filter(col("idempotent") && col("n_after_stream") > 0)
   }
 
-  def all: Seq[QueryDef] = Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9)
+  /** ST10 — streaming NEAR-dup dedup-on-ingest: the production shape
+    * for a continuously-crawled corpus. Each micro-batch is
+    * deduplicated against everything already ACCEPTED — exact n-gram
+    * Jaccard through [[graft.llm.Dedup.incrementalDedup]] (PPJoin
+    * prefix-filtered candidates, size-guarded broadcast, never
+    * all-pairs) — inside foreachBatch, and the survivors are appended
+    * to the corpus state (a parquet table here; Delta/Iceberg in
+    * production, same plan). Per-batch work is batch×corpus-candidates,
+    * never corpus×corpus; the accepted corpus lives on storage, not in
+    * executor memory or the state store, so state size is unbounded
+    * corpus scale at zero streaming-state cost.
+    *
+    * Fixture: the feed is pre-cleaned with the SAME operator (keep-first
+    * survivors are pairwise non-dup under its own metric — if X and Y
+    * both survive, their verified Jaccard was < threshold), split over
+    * 4 arrival batches; batch k re-delivers EXACT copies of batch k−1's
+    * docs under fresh ingest ids (re-crawls, Jaccard 1.0 with their
+    * originals). Pairwise-non-dup originals + exact-copy re-crawls make
+    * the streaming outcome provably order-independent (no greedy-chain
+    * ambiguity), so the gate is sharp: every original accepted, every
+    * re-crawl dropped, final corpus id set == originals exactly
+    * (count + sum + xor checksums).
+    */
+  val st10 = QueryDef.fixture("st10_stream_near_dup_ingest") { (s, d) =>
+    import s.implicits._
+    val threshold = 0.9
+    val base = graft.util.Fixtures.dir + "/st10"
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val stateDir = s"$base/corpus"
+    val raw = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) >= 20)
+      .select(col("doc_id"), col("text"))
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val cleanIds = graft.llm.Dedup.incrementalDedup(
+      empty, raw, "doc_id", "text", threshold)
+    val clean = raw.join(cleanIds, Seq("doc_id"), "left_semi")
+      .orderBy("doc_id").as[(Long, String)].collect()
+    val nSlices = 4
+    val slices = clean.grouped(
+      math.max(1, math.ceil(clean.length / nSlices.toDouble).toInt)).toArray
+    // ingest ids are monotone across batches (any ingest sequence gives
+    // this for free — incrementalDedup requires it): batch k originals
+    // at k·10M + id, its re-crawls at k·10M + 5M + id
+    def rekey(k: Int, docs: Array[(Long, String)], off: Long) =
+      docs.map { case (id, tx) => (k * 10000000L + off + id, tx) }
+    val batches = slices.indices.map { k =>
+      rekey(k, slices(k), 0L) ++
+        (if (k > 0) rekey(k, slices(k - 1), 5000000L)
+         else Array.empty[(Long, String)])
+    }
+    def corpusState(): DataFrame =
+      if (new java.io.File(stateDir).exists()) s.read.parquet(stateDir)
+      else empty
+    def sink(batch: DataFrame, batchId: Long): Unit = {
+      val kept = graft.llm.Dedup.incrementalDedup(
+        corpusState(), batch, "doc_id", "text", threshold)
+      batch.join(kept, Seq("doc_id"), "left_semi")
+        .write.mode("append").parquet(stateDir)
+    }
+    val stream = MemoryStream[(Long, String)](s)
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch(sink _)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      batches.foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    def sig(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(col("doc_id")), lit(0L)),
+        coalesce(expr("bit_xor(doc_id)"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val expected = slices.indices.flatMap(k => rekey(k, slices(k), 0L))
+    val expSig = sig(expected.toDF("doc_id", "text"))
+    val surv = s.read.parquet(stateDir)
+    val gotSig = sig(surv)
+    val nRecrawlsKept =
+      surv.filter(col("doc_id") % 10000000L >= 5000000L).count()
+    Seq((gotSig._1, expSig._1, nRecrawlsKept, gotSig == expSig))
+      .toDF("n_kept", "n_originals", "n_recrawls_kept", "kept_matches")
+      .filter(col("kept_matches") && col("n_recrawls_kept") === 0 &&
+        col("n_kept") > 0)
+  }
+
+  def all: Seq[QueryDef] =
+    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10)
 }
