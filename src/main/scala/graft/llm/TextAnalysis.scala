@@ -78,6 +78,127 @@ object TextAnalysis {
               .otherwise(0.0)))
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * Appendix A — public method): per-document boolean rules over
+    * cheap scan-local features, AND-ed into a `keep` verdict. Distinct
+    * from [[qualityCols]]' soft score — this is the hard rule-set
+    * production filters apply before any learned scoring.
+    *
+    * Rules (bounds from the paper, simplified to the features the
+    * corpus schema supports): word count in [minWords, 100k]; mean
+    * word length in [3, 10]; symbol-to-word ratio ('#' or '...')
+    * < 0.1; < 90% of lines bullet-started; < 30% of lines
+    * ellipsis-ended; > 80% of words contain an alphabetic char; at
+    * least 2 distinct stopwords present. The stopword set and word
+    * floor are parameters (paper defaults: the/be/to/of/and/that/
+    * have/with, 50) — defaulted here to the engine's `stops("en")`
+    * list so the rule discriminates on this synthetic corpus too.
+    *
+    * Scale shape: every feature is codegen'd scan arithmetic over the
+    * document itself (per-row bounded arrays) — the filter is a pure
+    * map over the corpus scan, no shuffle, no state.
+    */
+  def gopherRuleCols(df: DataFrame, textCol: String = "text",
+      stopWords: Seq[String] = stops("en"),
+      minWords: Long = 50L): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, " ")
+    val lines = split(t, "\n")
+    df.withColumn("n_words", size(toks).cast("long"))
+      .withColumn("mean_word_len",
+        aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          col("n_words"))
+      .withColumn("alpha_word_ratio",
+        size(filter(toks, x => x.rlike("[a-zA-Z]"))).cast("double") /
+          col("n_words"))
+      .withColumn("symbol_word_ratio",
+        regexp_count(t, lit("#|\\.\\.\\.")).cast("double") / col("n_words"))
+      .withColumn("bullet_line_ratio",
+        size(filter(lines, l =>
+          trim(l).startsWith("-") || trim(l).startsWith("*")))
+          .cast("double") / size(lines))
+      .withColumn("ellipsis_line_ratio",
+        size(filter(lines, l => l.endsWith("...")))
+          .cast("double") / size(lines))
+      .withColumn("stop_distinct",
+        stopWords.map(w => when(array_contains(toks, w), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .withColumn("keep",
+        col("n_words").between(minWords, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") < 0.1 &&
+          col("bullet_line_ratio") < 0.9 &&
+          col("ellipsis_line_ratio") < 0.3 &&
+          col("alpha_word_ratio") > 0.8 &&
+          col("stop_distinct") >= 2L)
+  }
+
+  /** T17 — Gopher rule filter over the corpus: per-rule violation
+    * counts plus the surviving-document count, DuckDB-oracled with the
+    * identical feature arithmetic (same IEEE divisions, inclusive
+    * BETWEEN bounds both engines).
+    */
+  val gopherQ = QueryDef.sql(
+    "t17_gopher_rules",
+    """WITH q AS (
+      |  SELECT doc_id, text,
+      |         string_split(text, ' ') AS toks,
+      |         string_split(text, chr(10)) AS lns
+      |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+      |f AS (
+      |  SELECT len(toks) AS n_words,
+      |         list_sum(list_transform(toks, x -> length(x))) * 1.0
+      |           / len(toks) AS mwl,
+      |         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0
+      |           / len(toks) AS awr,
+      |         len(regexp_extract_all(text, '#|\.\.\.')) * 1.0
+      |           / len(toks) AS swr,
+      |         len(list_filter(lns, l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%')) * 1.0
+      |           / len(lns) AS blr,
+      |         len(list_filter(lns, l -> l LIKE '%...')) * 1.0
+      |           / len(lns) AS elr,
+      |         (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
+      |          CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END +
+      |          CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END +
+      |          CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +
+      |          CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END) AS sd
+      |  FROM q)
+      |SELECT count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN NOT (n_words BETWEEN 50 AND 100000) THEN 1 ELSE 0 END) AS BIGINT) AS v_words,
+      |       CAST(sum(CASE WHEN NOT (mwl BETWEEN 3.0 AND 10.0) THEN 1 ELSE 0 END) AS BIGINT) AS v_word_len,
+      |       CAST(sum(CASE WHEN swr >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_symbol,
+      |       CAST(sum(CASE WHEN blr >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS v_bullet,
+      |       CAST(sum(CASE WHEN elr >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS v_ellipsis,
+      |       CAST(sum(CASE WHEN awr <= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS v_alpha,
+      |       CAST(sum(CASE WHEN sd < 2 THEN 1 ELSE 0 END) AS BIGINT) AS v_stop,
+      |       CAST(sum(CASE WHEN (n_words BETWEEN 50 AND 100000)
+      |                      AND (mwl BETWEEN 3.0 AND 10.0)
+      |                      AND swr < 0.1 AND blr < 0.9 AND elr < 0.3
+      |                      AND awr > 0.8 AND sd >= 2
+      |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM f""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+    gopherRuleCols(docs)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("n_words").between(50L, 100000L), 1L).otherwise(0L))
+          .cast("long").as("v_words"),
+        sum(when(!col("mean_word_len").between(3.0, 10.0), 1L).otherwise(0L))
+          .cast("long").as("v_word_len"),
+        sum(when(col("symbol_word_ratio") >= 0.1, 1L).otherwise(0L))
+          .cast("long").as("v_symbol"),
+        sum(when(col("bullet_line_ratio") >= 0.9, 1L).otherwise(0L))
+          .cast("long").as("v_bullet"),
+        sum(when(col("ellipsis_line_ratio") >= 0.3, 1L).otherwise(0L))
+          .cast("long").as("v_ellipsis"),
+        sum(when(col("alpha_word_ratio") <= 0.8, 1L).otherwise(0L))
+          .cast("long").as("v_alpha"),
+        sum(when(col("stop_distinct") < 2L, 1L).otherwise(0L))
+          .cast("long").as("v_stop"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"))
+  }
+
   /** Fingerprint: lexicographic min of md5 over token 3-gram shingles —
     * a 1-permutation MinHash usable as a cheap near-dup prefilter key.
     * Falls back to md5(text) for <3-token documents.
@@ -953,7 +1074,7 @@ object TextAnalysis {
   }
 
   def all: Seq[QueryDef] =
-    Seq(langId, quality, fingerprint, tokenBudget, rollingFp, repetition,
-      piiRedact, tfidf, postings, compression, heavyHitters,
+    Seq(langId, quality, gopherQ, fingerprint, tokenBudget, rollingFp,
+      repetition, piiRedact, tfidf, postings, compression, heavyHitters,
       perSourceTopTerms, unigramLp, bigramLp, normalizeQ, normalizeNfcQ)
 }

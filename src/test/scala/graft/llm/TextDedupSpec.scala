@@ -504,6 +504,25 @@ class TextDedupSpec extends SparkSpec {
     assert(viaShuffle == viaBroadcast)
   }
 
+  test("gopherRuleCols: each rule flips independently") {
+    val s2 = spark; import s2.implicits._
+    // 60 words, stopword-rich, mean word length 16/5 = 3.2
+    val good = ("the a of and wording " * 12).trim
+    val df = Seq(
+      (1L, good),                                   // passes every rule
+      (2L, "too short of the a"),                   // < minWords
+      (3L, ("xx " * 60).trim),                      // no stopwords
+      (4L, (("##### " * 30) + good).trim),          // symbol ratio >= 0.1
+      (5L, (1 to 60).map(_ => "- b the a of").mkString("\n")), // bullets
+      (6L, good.split(" ").map(_ + "...").mkString("\n"))      // ellipsis lines
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRuleCols(df)
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(1L), s"doc1 must pass: $got")
+    assert(!got(2L) && !got(3L) && !got(4L) && !got(5L) && !got(6L), s"$got")
+  }
+
   test("lang-id prefers the language with most stopword hits") {
     import spark.implicits._
     val df = Seq((1L, "the cat of the house and a dog"),
