@@ -137,6 +137,27 @@ class PlanGuardSpec extends SparkSpec {
       !read.contains("props"), s"scan not pruned: $read")
   }
 
+  test("t17: gopher rules are one scan-local aggregate over text only") {
+    val p = plan("t17_gopher_rules")
+    // a pure rule filter must not shuffle anything but the final 1-row
+    // aggregate, and must never join or window
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"rule filter grew a join/window:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text") && !read.contains("doc_id") &&
+      !read.contains("props"), s"scan not pruned to text: $read")
+  }
+
+  test("d14: strip spans never goes cartesian; doc scans prune to id+text") {
+    val p = plan("d14_strip_repeated_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"span strip went quadratic:\n$p")
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!reads.contains("props") && !reads.contains("source"),
+      s"documents scan not pruned: $reads")
+  }
+
   test("t16: normalization expressions stay inside whole-stage codegen") {
     val p = plan("t16_normalize_text")
     // the query's final frame is a literal gate row; assert on the
