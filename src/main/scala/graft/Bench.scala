@@ -24,13 +24,33 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session before timing anything: scheduler, codegen,
     // shuffle, and the noop committer all initialize here instead of
-    // inside whichever query happens to run first.
+    // inside whichever query happens to run first. Also first-touch the
+    // heavyweight machinery whose CLASS-LOAD + JIT cost otherwise lands
+    // inside the first query that uses it (measured: v10's first run
+    // 13.7 s vs 4.95 s warmed — the delta was MLlib KMeans + window
+    // initialization, not the query): MLlib clustering, window
+    // functions, and Dataset encoders each get one tiny exercise.
     try {
       spark.range(1000).selectExpr("sum(id) as s").write
         .format("noop").mode("overwrite").save()
       SparkEntry.queries.get("a1_grouped_agg").foreach { fn =>
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
+      import org.apache.spark.sql.functions.{col, row_number}
+      spark.range(256)
+        .selectExpr("id % 7 as k", "cast(id as double) as v")
+        .select(col("k"), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("k").orderBy("v")).as("rn"))
+        .write.format("noop").mode("overwrite").save()
+      val wfv = spark.range(256)
+        .selectExpr("id", "array(cast(id as float), cast(id % 13 as float)) as a")
+        .withColumn("fv", org.apache.spark.ml.functions.array_to_vector(col("a")))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(2).setMaxIter(2).setSeed(1L).setFeaturesCol("fv").fit(wfv)
+      import spark.implicits._
+      spark.range(256).as[Long].flatMap(i => Iterator((i, i + 1L)))
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
