@@ -648,6 +648,73 @@ class TextDedupSpec extends SparkSpec {
     assert(strip(5)(2L) == (("qqqppppppp", 12)))
   }
 
+  test("stripRepeatedSpans win-mode: seeded fuzz vs brute-force reference") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val win = 4
+    for (round <- 1 to 3) {
+      // tiny alphabet forces genuine cross-doc repeats
+      val docs = (1L to 8L).map { id =>
+        val n = 20 + rnd.nextInt(41)
+        (id, (1 to n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val spans = Dedup.repeatedSubstringSpans(df, win = win, minDocs = 2)
+      val got = Dedup.stripRepeatedSpans(df, spans, win = win)
+        .select("doc_id", "text", "n_cut")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+        .toMap
+      // brute reference, mirroring the documented spec directly:
+      // hot window contents (>= 2 distinct docs) -> verified positions ->
+      // adjacency-merged spans -> window election over SPAN windows ->
+      // losing windows re-merged -> cursor-max cut
+      val allWins = docs.map { case (id, t) =>
+        id -> (0 to t.length - win).map(p => (p + 1, t.substring(p, p + win)))
+      }.toMap
+      val hot = allWins.values.flatten.groupBy(_._2)
+        .map { case (c, _) => c -> allWins.count(_._2.exists(_._2 == c)) }
+        .collect { case (c, nd) if nd >= 2 => c }.toSet
+      // merge rule mirrors the engine: windows sorted by pos, a window
+      // joins the open span when pos <= prevMaxEnd + 1, else starts one
+      def mergeSpans(ps: Seq[Int]): Seq[(Int, Int)] = {
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        ps.sorted.foreach { p =>
+          out.lastOption match {
+            case Some((a, b)) if p <= b + 1 =>
+              out(out.size - 1) = (a, math.max(b, p + win - 1))
+            case _ => out += ((p, p + win - 1))
+          }
+        }
+        out.toSeq
+      }
+      val spansRef = allWins.view.mapValues(ws =>
+        mergeSpans(ws.collect { case (p, c) if hot(c) => p })).toMap
+      val spanWins = docs.map { case (id, t) =>
+        id -> spansRef(id).flatMap { case (a, b) =>
+          (a to b - win + 1).map(p => (p, t.substring(p - 1, p - 1 + win)))
+        }
+      }.toMap
+      val keeper = spanWins.toSeq
+        .flatMap { case (id, ws) => ws.map { case (_, c) => (c, id) } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val want = docs.map { case (id, t) =>
+        val losing = spanWins(id).collect {
+          case (p, c) if keeper(c) != id => p }
+        val cuts = mergeSpans(losing)
+        val sb = new StringBuilder
+        var cursor = 0
+        cuts.foreach { case (a1, b1) =>
+          val a = a1 - 1; val b = b1
+          if (a > cursor) sb.append(t.substring(cursor, a))
+          cursor = math.max(cursor, b)
+        }
+        if (cursor < t.length) sb.append(t.substring(cursor))
+        id -> ((sb.toString, t.length - sb.length))
+      }.toMap
+      assert(got == want, s"round $round:\n got=$got\nwant=$want")
+    }
+  }
+
   test("repeatedSubstringSpans: seeded fuzz vs brute-force reference") {
     val s = spark; import s.implicits._
     val win = 4
