@@ -389,16 +389,22 @@ object EmbeddingOps {
     val nCorpus = nOrig * 2 + nPert
     val groups = semanticDupGroups(u, eps = 0.99, k = 16, maxIter = 5)
       .localCheckpoint(eager = false)
-    val nDropped = groups.filter(!col("is_keeper")).count()
     // group integrity: members of base id b are {b, b+1M, (b+2M)?} —
-    // they must share one cluster label, and every base id must appear
-    val byBase = groups
+    // they must share one cluster label, and every base id must appear.
+    // One aggregate row carries nDropped + badGroups + nBases (three
+    // former actions): the gate arithmetic, not the operator, so fewer
+    // jobs means less single-shot scheduler noise in the bench.
+    val gRow = groups
       .withColumn("base", col("vec_id") % 1000000)
       .groupBy("base")
       .agg(countDistinct(col("cluster")).as("n_clusters"),
-        count(lit(1)).as("n_members"))
-    val badGroups = byBase.filter(col("n_clusters") =!= 1).count()
-    val nBases = byBase.count()
+        sum(when(!col("is_keeper"), 1L).otherwise(0L)).as("n_dropped"))
+      .agg(count(lit(1)), sum(when(col("n_clusters") =!= 1, 1L).otherwise(0L)),
+        sum(col("n_dropped")))
+      .head()
+    val nBases = gRow.getLong(0)
+    val badGroups = gRow.getLong(1)
+    val nDropped = gRow.getLong(2)
     // survivors from the SAME groups result (semanticDedup re-runs the
     // whole pipeline incl. the KMeans fit — one fit is enough here; the
     // anti-join below is exactly its apply step)
