@@ -32,10 +32,17 @@ object AsofJoin {
 
   /** Output = every left column plus each non-key right column as
     * `asof_<name>` (null where the key has no right row at or before
-    * the left timestamp). */
+    * the left timestamp). `toleranceUs` bounds the match age (pandas
+    * merge_asof semantics): a fill older than `leftTs − toleranceUs`
+    * is blanked back to null. Tolerance requires NUMERIC (long micros)
+    * ts columns — the subtraction happens in the plan; the unbounded
+    * default works with any orderable ts type as before. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, prefix: String = "asof_"): DataFrame = {
+      leftTs: String, rightTs: String, prefix: String = "asof_",
+      toleranceUs: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
+    require(toleranceUs.forall(_ >= 0),
+      s"toleranceUs must be >= 0: $toleranceUs")
     val lCols = left.columns.toSeq
     val rCarry = right.columns.toSeq.filterNot(keys.contains)
     require(right.columns.contains(rightTs),
@@ -46,12 +53,16 @@ object AsofJoin {
     require(collisions.isEmpty,
       s"right columns collide with left columns (raw or $prefix-prefixed): " +
         s"${collisions.distinct.mkString(", ")} — rename before joining")
-    val reserved = Seq("__r", "__ts", "__left")
+    val reserved = Seq("__r", "__ts", "__left", "__rts")
     val reservedHits = (lCols ++ right.columns).filter(reserved.contains)
     require(reservedHits.isEmpty,
       s"reserved as-of working columns present in an input: " +
         s"${reservedHits.distinct.mkString(", ")} — rename before joining")
+    // the fill struct carries the matched right ts as __rts so the
+    // tolerance gate can compare it after the window fill (atomic with
+    // the carried columns — a separate fill could mix rows)
     val rStructType = StructType(rCarry.map(c => right.schema(c)))
+      .add("__rts", right.schema(rightTs).dataType)
     val lSchema = left.schema
     // A null right ts must never match (ASOF semantics): nulls-first
     // ascending would otherwise make it the running fill for early rows.
@@ -64,16 +75,21 @@ object AsofJoin {
       lCols.map(c =>
         if (keys.contains(c)) col(c)
         else lit(null).cast(lSchema(c).dataType).as(c)) ++ Seq(
-        struct(rCarry.map(col): _*).as("__r"),
+        struct(rCarry.map(col) :+ col(rightTs).as("__rts"): _*).as("__r"),
         col(rightTs).as("__ts"), lit(0).as("__left")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    leftSide.unionByName(rightSide)
+    val filled = leftSide.unionByName(rightSide)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__left") === 1)
-      .select(lCols.map(col) ++
-        rCarry.map(c => col(s"__r.$c").as(prefix + c)): _*)
+    val gated = toleranceUs match {
+      case Some(tol) => filled.withColumn("__r",
+        when(col("__ts") - col("__r.__rts") <= tol, col("__r")))
+      case None => filled
+    }
+    gated.select(lCols.map(col) ++
+      rCarry.map(c => col(s"__r.$c").as(prefix + c)): _*)
   }
 
   /** J6 — every event as-of joined to the user's most recent purchase

@@ -42,7 +42,8 @@ import org.apache.spark.sql.functions.col
 final case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
-    rightCarry: Seq[Attribute]) extends BinaryNode {
+    rightCarry: Seq[Attribute],
+    toleranceUs: Long = Long.MaxValue) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ rightCarry.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -52,9 +53,9 @@ final case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lts, rts, carry) =>
+    case AsofJoinNode(l, r, lk, rk, lts, rts, carry, tol) =>
       AsofJoinExec(lk, rk, lts, rts, carry,
-        planLater(l), planLater(r)) :: Nil
+        planLater(l), planLater(r), tol) :: Nil
     case _ => Nil
   }
 }
@@ -62,7 +63,8 @@ object AsofJoinStrategy extends SparkStrategy {
 final case class AsofJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute, rightCarry: Seq[Attribute],
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    toleranceUs: Long = Long.MaxValue) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightCarry.map(_.withNullability(true))
@@ -103,10 +105,12 @@ final case class AsofJoinExec(
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val joiner = new JoinedRow
       val nullCarry = new GenericInternalRow(carryExprs.length)
+      val tol = toleranceUs
       var curRight: InternalRow = if (rit.hasNext) rit.next() else null
       // last right row at-or-before the merge frontier, per current key
       var fillKey: UnsafeRow = null
       var fill: UnsafeRow = null
+      var fillTs: Long = Long.MinValue
       lit.map { lrow =>
         val lk = lKeyProj(lrow)
         val lt = lTsProj(lrow).getLong(0)
@@ -117,11 +121,16 @@ final case class AsofJoinExec(
           if (cmp < 0 || (cmp == 0 && rTsProj(curRight).getLong(0) <= lt)) {
             fillKey = rk.copy()
             fill = carryProj(curRight).copy()
+            fillTs = rTsProj(curRight).getLong(0)
             curRight = if (rit.hasNext) rit.next() else null
             advance = curRight != null
           } else advance = false
         }
-        val matched = fillKey != null && keyOrd.compare(fillKey, lk) == 0
+        // tolerance bound (pandas merge_asof semantics): a candidate
+        // older than `tol` micros does NOT match. fillTs <= lt here, so
+        // the subtraction cannot overflow for micros-scale values.
+        val matched = fillKey != null && keyOrd.compare(fillKey, lk) == 0 &&
+          lt - fillTs <= tol
         joiner(lrow, if (matched) fill else nullCarry)
       }
     }
@@ -143,10 +152,16 @@ object AsofJoinNative {
   /** Same surface as [[graft.ops.AsofJoin.asofJoin]] (every left column
     * + each non-key right column as `asof_<name>`, null when no right
     * row at or before), planned through [[AsofJoinExec]].
+    * `toleranceUs` bounds the match age (pandas merge_asof semantics):
+    * a right row older than `leftTs − toleranceUs` is treated as no
+    * match. None = unbounded (classic ASOF).
     */
   def asofJoinNative(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String, prefix: String = "asof_"): DataFrame = {
+      leftTs: String, rightTs: String, prefix: String = "asof_",
+      toleranceUs: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
+    require(toleranceUs.forall(_ >= 0),
+      s"toleranceUs must be >= 0: $toleranceUs")
     val spark = left.sparkSession
     install(spark)
     // Alias every right column to a fresh working name: aliasing mints
@@ -187,7 +202,8 @@ object AsofJoinNative {
     require(collisions.isEmpty,
       s"right columns collide with left columns (raw or $prefix-prefixed): " +
         s"${collisions.distinct.mkString(", ")} — rename before joining")
-    val node = AsofJoinNode(lPlan, rPlan, lKeys, rKeys, lTs, rTs, carry)
+    val node = AsofJoinNode(lPlan, rPlan, lKeys, rKeys, lTs, rTs, carry,
+      toleranceUs.getOrElse(Long.MaxValue))
     val joined = org.apache.spark.sql.GraftFunctionRegistry.dataFrame(spark, node)
     val lCols = left.columns.toSeq
     joined.select(lCols.map(col) ++
@@ -233,5 +249,50 @@ object AsofJoinNative {
             .cast("long").as("total_lag_us"))
   }
 
-  def all: Seq[graft.QueryDef] = Seq(j8)
+  /** J12 — tolerance-bounded as-of (pandas merge_asof semantics): the
+    * j8 workload with matches older than 1 day rejected. DuckDB has no
+    * ASOF tolerance, so the oracle blanks stale matches with a CASE
+    * after its native ASOF — proving the operator's in-merge bound
+    * equals the compose-then-filter semantics exactly.
+    */
+  val j12 = graft.QueryDef.sql(
+    "j12_asof_tolerance",
+    """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us
+      |           FROM events WHERE ts IS NOT NULL),
+      |r AS (SELECT user_id, max(event_id) AS rid, epoch_us(ts) AS rus
+      |      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+      |      GROUP BY user_id, epoch_us(ts)),
+      |j AS (SELECT us, rid, rus FROM l ASOF LEFT JOIN r
+      |      ON l.user_id = r.user_id AND l.us >= r.rus),
+      |g AS (SELECT us,
+      |        CASE WHEN us - rus <= 86400000000 THEN rid END AS rid,
+      |        CASE WHEN us - rus <= 86400000000 THEN rus END AS rus
+      |      FROM j)
+      |SELECT count(*) AS n_events,
+      |       CAST(sum(CASE WHEN rid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_matched,
+      |       CAST(coalesce(sum(rid), 0) AS BIGINT) AS matched_checksum,
+      |       CAST(coalesce(sum(us - rus), 0) AS BIGINT) AS total_lag_us
+      |FROM g""".stripMargin) {
+    (s, d) =>
+      import org.apache.spark.sql.functions._
+      val ev = graft.Tables.events(s, d).filter(col("ts").isNotNull)
+      val l = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), unix_micros(col("ts")).as("rus"))
+        .agg(max(col("event_id")).as("rid"))
+        .select(col("user_id"), col("rid"), col("rus"))
+      asofJoinNative(l, r, Seq("user_id"), "us", "rus",
+        toleranceUs = Some(86400000000L))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("asof_rid").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_matched"),
+          coalesce(sum(col("asof_rid")), lit(0L))
+            .cast("long").as("matched_checksum"),
+          coalesce(sum(col("us") - col("asof_rus")), lit(0L))
+            .cast("long").as("total_lag_us"))
+  }
+
+  def all: Seq[graft.QueryDef] = Seq(j8, j12)
 }

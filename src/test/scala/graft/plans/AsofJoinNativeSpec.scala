@@ -39,6 +39,37 @@ class AsofJoinNativeSpec extends SparkSpec {
     }
   }
 
+  test("tolerance: native == composed, and bounds actually bite") {
+    for (seed <- Seq(4L, 5L)) {
+      val (left, right) = randomCase(seed)
+      for (tol <- Seq(0L, 50L, 10000L)) {
+        val native = AsofJoinNative
+          .asofJoinNative(left, right, Seq("k"), "lts", "rts",
+            toleranceUs = Some(tol))
+          .select("k", "lid", "lts", "asof_rts", "asof_payload")
+          .collect().map(_.toSeq).toSet
+        val composed = AsofJoin
+          .asofJoin(left, right, Seq("k"), "lts", "rts",
+            toleranceUs = Some(tol))
+          .select("k", "lid", "lts", "asof_rts", "asof_payload")
+          .collect().map(_.toSeq).toSet
+        assert(native == composed, s"seed $seed tol $tol diverged")
+      }
+      // the bound must strictly reduce matches somewhere in this data
+      def matches(tol: Option[Long]) = AsofJoinNative
+        .asofJoinNative(left, right, Seq("k"), "lts", "rts", toleranceUs = tol)
+        .filter(col("asof_payload").isNotNull).count()
+      assert(matches(Some(50L)) < matches(None),
+        s"seed $seed: tolerance 50 did not reject any match")
+      // tol=0 keeps ONLY exact-timestamp ties (inclusive semantics)
+      val zeroTol = AsofJoinNative
+        .asofJoinNative(left, right, Seq("k"), "lts", "rts",
+          toleranceUs = Some(0L))
+        .filter(col("asof_rts").isNotNull)
+      assert(zeroTol.filter(col("asof_rts") =!= col("lts")).count() == 0)
+    }
+  }
+
   test("hand case: inclusive ties, per-key isolation, null right ts dropped") {
     val s = spark; import s.implicits._
     val left = Seq((1L, 1L, 10L), (1L, 2L, 20L), (2L, 3L, 10L), (3L, 4L, 99L))
