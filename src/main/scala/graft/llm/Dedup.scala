@@ -1263,6 +1263,9 @@ object Dedup {
       // producer spans are always >= win long; the filter guards foreign
       // spans frames (Spark's sequence(a, b) DESCENDS when a > b, which
       // would silently fabricate positions)
+      // pinned for its two consumers (keepers aggregate + losing join) —
+      // the candS pattern from repeatedSubstringSpans: without it the
+      // docs⋈spans join, explode, and substring extraction replay twice
       val winPos = withText
         .filter(col("span_end") - col("span_start") + 1 >= win)
         .select(col(idCol), col(textCol),
@@ -1270,6 +1273,7 @@ object Dedup {
             .as("pos"))
         .select(col(idCol), col("pos"),
           col(textCol).substr(col("pos").cast("int"), lit(win)).as("wc"))
+        .localCheckpoint(eager = false)
       val keepers = winPos.groupBy("wc").agg(min(col(idCol)).as("keeper_id"))
       val losing = winPos.join(keepers, "wc")
         .filter(col(idCol) =!= col("keeper_id"))

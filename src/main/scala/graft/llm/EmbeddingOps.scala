@@ -394,13 +394,16 @@ object EmbeddingOps {
     // One aggregate row carries nDropped + badGroups + nBases (three
     // former actions): the gate arithmetic, not the operator, so fewer
     // jobs means less single-shot scheduler noise in the bench.
+    // coalesce: on an empty groups frame the sums are NULL (count is 0)
+    // — the gate must then emit zero rows via its filter, not NPE here
     val gRow = groups
       .withColumn("base", col("vec_id") % 1000000)
       .groupBy("base")
       .agg(countDistinct(col("cluster")).as("n_clusters"),
         sum(when(!col("is_keeper"), 1L).otherwise(0L)).as("n_dropped"))
-      .agg(count(lit(1)), sum(when(col("n_clusters") =!= 1, 1L).otherwise(0L)),
-        sum(col("n_dropped")))
+      .agg(count(lit(1)),
+        coalesce(sum(when(col("n_clusters") =!= 1, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(col("n_dropped")), lit(0L)))
       .head()
     val nBases = gRow.getLong(0)
     val badGroups = gRow.getLong(1)

@@ -460,24 +460,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(sel == Set(1L, 2L))
   }
 
-  test("weightedSample contract: duplicate ids draw identical keys (documented block behavior)") {
+  test("weightedSample contract: duplicate ids draw identical uniforms (correlated inclusion)") {
     val s = spark; import s.implicits._
     // The scaladoc contract says idCol must be row-unique because the
-    // derived uniform is a pure function of (id, seed). This spec PINS the
-    // documented failure mode so it can't silently change: rows sharing an
-    // id + weight share one inclusion key, so they enter or miss the
-    // sample as a block — never split.
-    val base = (1L to 100L).map(i => (i, 1L))
-    val dup = base ++ Seq((50L, 1L), (50L, 1L)) // id 50 appears 3×
+    // derived uniform is a pure function of (id, seed). PIN the failure
+    // mode deterministically: every id appears twice, once with w=1 and
+    // once with w=9. Both copies share ONE uniform u, so their keys are
+    // ln(u)/1 < ln(u)/9 (ln(u) < 0) — the heavy copy of an id ALWAYS
+    // outranks its own light copy. Inclusion must therefore be monotone
+    // in weight WITHIN every id: a selected light copy implies its
+    // heavy twin is selected too. Independent draws would violate this
+    // for some id with overwhelming probability at this size. (No
+    // tie-rank brittleness: the two keys of a pair always differ.)
+    val dup = (1L to 100L).flatMap(i => Seq((i, 1L), (i, 9L)))
     val sel = Curation.weightedSample(dup.toDF("id", "w"), "id", "w",
-      k = 60, seed = 5L).select("id").collect().map(_.getLong(0))
-    val n50 = sel.count(_ == 50L)
-    assert(n50 == 0 || n50 == 3, s"id 50 must be all-in or all-out, got $n50")
-    // and against the unique-id frame the selected SET of other ids only
-    // shifts by displacement, never reorders: the shared key is the
-    // unique-id key, so if 50 is in, all 3 copies occupy adjacent ranks
-    val uniq = Curation.weightedSample(base.toDF("id", "w"), "id", "w",
-      k = 60, seed = 5L).select("id").collect().map(_.getLong(0)).toSet
-    if (n50 == 3) assert(uniq.contains(50L))
+      k = 100, seed = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lightIn = sel.collect { case (id, 1L) => id }
+    assert(lightIn.forall(id => sel.contains((id, 9L))),
+      s"light copy selected without its heavy twin: " +
+        s"${lightIn.filterNot(id => sel.contains((id, 9L)))}")
+    // and the sample is not degenerate: some pairs split (heavy in,
+    // light out), so the assertion above actually discriminates
+    val heavyOnly = sel.collect { case (id, 9L) => id }
+      .count(id => !sel.contains((id, 1L)))
+    assert(heavyOnly > 0, "fixture degenerate: every pair fully in/out")
   }
 }
