@@ -43,6 +43,19 @@ object AsofJoin {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
     require(toleranceUs.forall(_ >= 0),
       s"toleranceUs must be >= 0: $toleranceUs")
+    if (toleranceUs.isDefined) {
+      // the gate subtracts ts values in the plan — meaningful only for
+      // numeric (long micros) timestamps; fail loudly up front instead
+      // of surfacing a Catalyst type error from deep inside the plan
+      val numeric = Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType)
+      val lt = left.schema(leftTs).dataType
+      val rt = right.schema(rightTs).dataType
+      require(numeric(lt) && numeric(rt),
+        s"toleranceUs requires integer-micros ts columns: $leftTs is " +
+          s"${lt.simpleString}, $rightTs is ${rt.simpleString}")
+    }
     val lCols = left.columns.toSeq
     val rCarry = right.columns.toSeq.filterNot(keys.contains)
     require(right.columns.contains(rightTs),
