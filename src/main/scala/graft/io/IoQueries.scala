@@ -412,5 +412,50 @@ object IoQueries {
     joined
   }
 
-  def all: Seq[QueryDef] = Seq(s1, s8, s9, s10, s11, s12, s13, s14, s15, s16)
+  /** S17 — DYNAMIC partition pruning: the runtime complement of s11's
+    * static pruning. A fact table partitioned on the join key, joined
+    * to a dim side whose filter is only known at plan time as a
+    * predicate on the DIM — Spark injects a `dynamicpruning` subquery
+    * into the fact scan's PartitionFilters, so the fact side reads ONLY
+    * the partitions the filtered dim can match (at 100 TB: the
+    * difference between scanning 3 days and scanning 3 years when the
+    * dashboard picks a window). The `require` pins the mechanism: a
+    * plan that silently degrades to scan-all-then-join fails the query
+    * rather than passing slowly. Result content is DuckDB-oracled (the
+    * oracle replays the join relationally — pruning is an execution
+    * detail the result must be invariant to).
+    */
+  val s17 = QueryDef.sql(
+    "s17_dynamic_partition_pruning",
+    """WITH e AS (SELECT event_id, epoch_us(ts) // 86400000000 AS day
+      |           FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0),
+      |b AS (SELECT min(day) AS d0 FROM e),
+      |dim AS (SELECT DISTINCT day FROM e, b WHERE day BETWEEN d0 AND d0 + 2)
+      |SELECT day, count(*) AS n,
+      |       CAST(sum(event_id) AS BIGINT) AS id_checksum
+      |FROM e JOIN dim USING (day) GROUP BY day""".stripMargin) { (s, d) =>
+    val ev = graft.Tables.events(s, d).filter(col("ts").isNotNull)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .filter(col("us") >= 0)
+      .select(col("event_id"), expr("us div 86400000000").as("day"))
+    val dir = s"$fixtureDir/events_by_day"
+    ev.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val fact = s.read.parquet(dir)
+    val minDay = ev.agg(min(col("day"))).head().getLong(0)
+    // the dim side: a filtered frame NOT derived from the fact scan —
+    // its BETWEEN predicate is what DPP pushes into the fact scan
+    val dim = ev.select("day").distinct()
+      .filter(col("day").between(minDay, minDay + 2))
+    val joined = fact.join(dim, Seq("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id")).cast("long").as("id_checksum"))
+    val plan = joined.queryExecution.executedPlan.toString
+    require(plan.contains("dynamicpruning"),
+      s"fact scan lost its dynamic partition pruning:\n$plan")
+    joined
+  }
+
+  def all: Seq[QueryDef] =
+    Seq(s1, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17)
 }
