@@ -54,8 +54,41 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Drift guards for the other driver tables, same policy as `events`:
+    * normalize physical-encoding drift to the canonical engine schema
+    * so a regenerated testdata file degrades to a cast, not a crashed
+    * query family. Integral ids widen to long (always lossless);
+    * embedding elements cast to float — lossless when the stored
+    * doubles are float-valued (the generator's values), and the only
+    * type every vector kernel (native cosine included) accepts.
+    */
+  private def integralToLong(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _: org.apache.spark.sql.types.IntegerType |
+           _: org.apache.spark.sql.types.ShortType =>
+        df.withColumn(c, org.apache.spark.sql.functions.col(c).cast("long"))
+      case _ => df
+    }
+
+  def documents(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "documents")
+    Seq("doc_id", "n_chars").filter(raw.columns.contains)
+      .foldLeft(raw)(integralToLong)
+  }
+
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val raw = integralToLong(load(s, d, "embeddings"), "vec_id")
+    raw.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => raw
+      case org.apache.spark.sql.types.ArrayType(
+        _: org.apache.spark.sql.types.NumericType, _) =>
+        raw.withColumn("embedding",
+          org.apache.spark.sql.functions.col("embedding").cast("array<float>"))
+      case _ => raw
+    }
+  }
 }
 
 /** One declared engine query: the Spark plan plus (when SQL-expressible)

@@ -61,4 +61,40 @@ class TablesSpec extends SparkSpec {
     }
     assert(readBack(dir) == wantUs)
   }
+
+  test("embeddings drift: int ids widen, double elements cast to float") {
+    val s = spark; import s.implicits._
+    val base = graft.util.Fixtures.dir + "/tables_spec/emb_drift"
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    Seq((1, Seq(0.5d, 0.25d)), (2, Seq(1.0d, -0.125d)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.parquet(s"$base/embeddings.parquet")
+    val df = Tables.embeddings(spark, base)
+    assert(df.schema("vec_id").dataType == LongType)
+    assert(df.schema("embedding").dataType == ArrayType(FloatType, true) ||
+      df.schema("embedding").dataType == ArrayType(FloatType, false),
+      s"got ${df.schema("embedding").dataType}")
+    // float-valued doubles cast losslessly
+    val got = df.orderBy("vec_id").collect()
+      .map(r => r.getSeq[Float](1).toSeq)
+    assert(got.toSeq == Seq(Seq(0.5f, 0.25f), Seq(1.0f, -0.125f)))
+    // and the native cosine kernel accepts the normalized column
+    val cos = df.select(graft.llm.Similarity.cosine(
+      col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("documents drift: int doc_id/n_chars widen to long") {
+    val s = spark; import s.implicits._
+    val base = graft.util.Fixtures.dir + "/tables_spec/doc_drift"
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    Seq((1, "hello world", 11), (2, "more text", 9))
+      .toDF("doc_id", "text", "n_chars")
+      .coalesce(1).write.parquet(s"$base/documents.parquet")
+    val df = Tables.documents(spark, base)
+    assert(df.schema("doc_id").dataType == LongType)
+    assert(df.schema("n_chars").dataType == LongType)
+    assert(df.count() == 2)
+  }
 }
