@@ -73,8 +73,19 @@ def main(outdir, sfdir):
                   f"cols {list(s.columns)} vs {list(o.columns)}")
             if ok_rows and ok_cols:
                 print("    " + "\n    ".join(err))
-    print(f"\n{n_pass} pass, {n_fail} fail")
-    return 1 if n_fail else 0
+    # queries that crashed in Verify never produced a parquet dir and
+    # would otherwise be invisible here — surface the manifest as reds
+    failed_manifest = os.path.join(outdir, "_failed.json")
+    n_crashed = 0
+    if os.path.exists(failed_manifest):
+        with open(failed_manifest) as f:
+            crashed = json.load(f)
+        n_crashed = len(crashed)
+        for name, err_msg in sorted(crashed.items()):
+            print(f"  CRASH {name}: {err_msg[:160]}")
+    print(f"\n{n_pass} pass, {n_fail} fail"
+          + (f", {n_crashed} CRASHED" if n_crashed else ""))
+    return 1 if (n_fail or n_crashed) else 0
 
 
 if __name__ == "__main__":
