@@ -364,32 +364,95 @@ object LdClump {
       }: _*).as("features"))
       .repartition(8)
 
-  /** M14 — LD clump on planted blocks, golden-gated: chr-1 block
+  /** M14 — LD clump on planted blocks, now FULL-oracled: chr-1 block
     * {a1←a2,a3} (r²=1 via copy/anti-copy, within 1000 kb), b1 = same
     * pattern as a1 but 1.9 Mb away (window excludes), c1/e1 exactly
     * uncorrelated, chr-2 block {d1←d2} with d3 protected by p2, NaNs
-    * punched into a3 to exercise pairwise-complete r². Expected kept
-    * set and member counts are hand-derived from plink's greedy order.
+    * punched into a3 to exercise pairwise-complete r². The in-query
+    * golden gate (hand-derived plink greedy order) stays as belt; the
+    * DuckDB oracle replays the WHOLE operator as suspenders — fixture
+    * dosages, windowed corr()² pairs (the m14_r2 layer), and the
+    * greedy p-ordered selection itself as a RECURSIVE CTE (one kept
+    * index per recursion step, assigned set carried as a list). A
+    * greedy-order regression now hash-mismatches instead of silently
+    * emptying the gate.
     */
-  val m14 = QueryDef.fixture("m14_ld_clump") { (s, _) =>
-    import s.implicits._
-    val snps = fixtureSnps
-    val geno = fixtureGeno(s)
-    val params = ClumpParams(kb = 1000, p1 = 1.0, p2 = 0.5, r2 = 0.75)
-    val pairs = bandedR2(geno, "features", snps, params.kb)
-    val (kept, members) = clump(snps, pairs, params)
-    val gotR2 = pairs.map { case (a, b, r2) => (a.name, b.name) -> r2 }.toMap
-    val planted =
-      gotR2(("s_a1", "s_a2")) == 1.0 && gotR2(("s_a1", "s_a3")) == 1.0 &&
-        gotR2(("s_d1", "s_d2")) == 1.0 && gotR2(("s_b1", "s_c1")) == 0.0 &&
-        !gotR2.contains(("s_a1", "s_b1")) // outside the kb window: no pair
-    val got = kept.map(k => k.name -> members(k.idx).length).toMap
-    val want = Map("s_a1" -> 2, "s_b1" -> 0, "s_e1" -> 0, "s_d1" -> 1,
-      "s_c1" -> 0, "s_d3" -> 0)
-    kept.map(k => (k.name, k.chr, k.pos, k.p, members(k.idx).length.toLong))
-      .toDF("snp", "chr", "pos", "p", "n_members")
-      .filter(lit(planted && got == want))
-  }
+  val m14 = QueryDef(
+    "m14_ld_clump",
+    { (s, _) =>
+      import s.implicits._
+      val snps = fixtureSnps
+      val geno = fixtureGeno(s)
+      val params = ClumpParams(kb = 1000, p1 = 1.0, p2 = 0.5, r2 = 0.75)
+      val pairs = bandedR2(geno, "features", snps, params.kb)
+      val (kept, members) = clump(snps, pairs, params)
+      val gotR2 = pairs.map { case (a, b, r2) => (a.name, b.name) -> r2 }.toMap
+      val planted =
+        gotR2(("s_a1", "s_a2")) == 1.0 && gotR2(("s_a1", "s_a3")) == 1.0 &&
+          gotR2(("s_d1", "s_d2")) == 1.0 && gotR2(("s_b1", "s_c1")) == 0.0 &&
+          !gotR2.contains(("s_a1", "s_b1")) // outside the kb window: no pair
+      val got = kept.map(k => k.name -> members(k.idx).length).toMap
+      val want = Map("s_a1" -> 2, "s_b1" -> 0, "s_e1" -> 0, "s_d1" -> 1,
+        "s_c1" -> 0, "s_d3" -> 0)
+      kept.map(k => (k.name, k.chr, k.pos, k.p, members(k.idx).length.toLong))
+        .toDF("snp", "chr", "pos", "p", "n_members")
+        .filter(lit(planted && got == want))
+    },
+    oracle = Some(
+      """WITH RECURSIVE snps(idx, name, chr, pos, p, kind) AS (VALUES
+        |  (0, 's_a1', 1, 100000, 1e-8, 'base'), (1, 's_a2', 1, 400000, 1e-6, 'anti'),
+        |  (2, 's_a3', 1, 800000, 1e-4, 'base_nan'), (3, 's_b1', 1, 2000000, 1e-5, 'base'),
+        |  (4, 's_c1', 1, 2300000, 0.5, 'ind'), (5, 's_d1', 2, 100000, 0.01, 'base'),
+        |  (6, 's_d2', 2, 150000, 0.02, 'base'), (7, 's_d3', 2, 120000, 0.9, 'base'),
+        |  (8, 's_e1', 2, 160000, 0.001, 'ind')),
+        |ids AS (SELECT unnest(range(0, 297)) AS id),
+        |dos AS (SELECT s.idx, i.id,
+        |          CASE WHEN s.kind = 'base_nan' AND i.id % 50 = 0 THEN NULL
+        |               WHEN s.kind = 'anti' THEN 2.0 - (i.id % 3)
+        |               WHEN s.kind = 'ind' THEN CAST((i.id // 3) % 3 AS DOUBLE)
+        |               ELSE CAST(i.id % 3 AS DOUBLE) END AS d
+        |        FROM snps s CROSS JOIN ids i),
+        |wpairs AS (SELECT a.idx AS ia, b.idx AS ib
+        |           FROM snps a JOIN snps b
+        |             ON a.chr = b.chr AND b.pos > a.pos
+        |            AND b.pos - a.pos <= 1000000),
+        |r2 AS (SELECT p.ia, p.ib,
+        |         coalesce(pow(corr(da.d, db.d), 2), 0.0) AS r2
+        |       FROM wpairs p
+        |       JOIN dos da ON da.idx = p.ia
+        |       JOIN dos db ON db.idx = p.ib AND db.id = da.id
+        |       GROUP BY p.ia, p.ib),
+        |adj AS (SELECT ia AS a, ib AS b FROM r2 WHERE r2 >= 0.75
+        |        UNION ALL
+        |        SELECT ib AS a, ia AS b FROM r2 WHERE r2 >= 0.75),
+        |sel AS (
+        |  SELECT 0 AS it, CAST(NULL AS INT) AS kept_idx,
+        |         CAST([] AS INT[]) AS assigned
+        |  UNION ALL
+        |  SELECT sel.it + 1, nxt.idx,
+        |         sel.assigned || [nxt.idx] ||
+        |           coalesce((SELECT list(m.idx ORDER BY m.idx)
+        |                     FROM adj a JOIN snps m ON m.idx = a.b
+        |                     WHERE a.a = nxt.idx
+        |                       AND NOT list_contains(sel.assigned, m.idx)
+        |                       AND m.p <= 0.5), [])
+        |  FROM sel,
+        |       LATERAL (SELECT s.idx FROM snps s
+        |                WHERE s.p <= 1.0
+        |                  AND NOT list_contains(sel.assigned, s.idx)
+        |                ORDER BY s.p, s.idx LIMIT 1) nxt(idx)
+        |),
+        |kept AS (
+        |  SELECT s.name AS snp, s.chr, CAST(s.pos AS BIGINT) AS pos, s.p,
+        |         CAST((SELECT count(*) FROM adj a JOIN snps m ON m.idx = a.b
+        |               WHERE a.a = sel.kept_idx AND m.p <= 0.5
+        |                 AND NOT list_contains(
+        |                   (SELECT s2.assigned FROM sel s2 WHERE s2.it = sel.it - 1),
+        |                   m.idx)) AS BIGINT) AS n_members
+        |  FROM sel JOIN snps s ON s.idx = sel.kept_idx
+        |  WHERE sel.it >= 1)
+        |SELECT snp, chr, pos, p, n_members FROM kept""".stripMargin),
+    benchEligible = false)
 
   /** M14_R2 — FULL DuckDB oracle for the r² layer: the oracle rebuilds
     * the exact m14 fixture (generate_series id patterns, NULL where the
