@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Empty-input robustness: at 100 TB an empty slice is routine (a new
+  * partition, a filtered-out day, a first-run corpus) — every library
+  * operator must degrade to an empty (or identity) result, never throw.
+  * These run the REAL operators on zero-row frames with the production
+  * schemas.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private def emptyDocs = {
+    val s = spark; import s.implicits._
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  }
+
+  private def emptyEmb = {
+    val s = spark; import s.implicits._
+    Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+  }
+
+  test("dedup family: empty corpus in, empty out") {
+    val s = spark; import s.implicits._
+    assert(graft.llm.Dedup.minhashDedup(emptyDocs, "doc_id", "text", 0.9)
+      .count() == 0)
+    assert(graft.llm.Dedup.dropNearDuplicates(emptyDocs, "doc_id", "text", 0.9)
+      .count() == 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.llm.Dedup.nearDupClusters(noPairs).count() == 0)
+    assert(graft.llm.Dedup.stripRepeatedSpans(
+      emptyDocs,
+      Seq.empty[(Long, Long, Long)].toDF("doc_id", "span_start", "span_end"),
+      win = 50).count() == 0)
+    assert(graft.llm.Dedup.incrementalDedup(
+      emptyDocs, emptyDocs, "doc_id", "text", 0.9).count() == 0)
+    assert(graft.llm.Dedup.repeatedSubstringSpans(emptyDocs).count() == 0)
+  }
+
+  test("similarity family: empty corpus/queries in, empty out") {
+    assert(graft.llm.Similarity.bruteForceTopK(emptyEmb, emptyEmb, 3)
+      .count() == 0)
+  }
+
+  test("curation: empty corpus samples to empty") {
+    val s = spark; import s.implicits._
+    val docs = Seq.empty[(Long, Long)].toDF("id", "w")
+    assert(graft.llm.Curation.weightedSample(docs, "id", "w", 5, 1L)
+      .count() == 0)
+    val grouped = Seq.empty[(String, Long, Long)].toDF("grp", "id", "w")
+    assert(graft.llm.Curation.stratifiedWeightedSample(
+      grouped, "grp", "id", "w", 5, 1L).count() == 0)
+  }
+
+  test("as-of joins: empty right keeps left with null carries; empty left is empty") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 1L, 10L)).toDF("k", "lid", "lts")
+    val right = Seq.empty[(Long, Long, Long)].toDF("k", "rts", "payload")
+    val composed = graft.ops.AsofJoin.asofJoin(left, right, Seq("k"),
+      "lts", "rts")
+    assert(composed.count() == 1 &&
+      composed.filter(col("asof_payload").isNull).count() == 1)
+    val native = graft.plans.AsofJoinNative.asofJoinNative(left, right,
+      Seq("k"), "lts", "rts")
+    assert(native.count() == 1 &&
+      native.filter(col("asof_payload").isNull).count() == 1)
+    val noLeft = Seq.empty[(Long, Long, Long)].toDF("k", "lid", "lts")
+    assert(graft.ops.AsofJoin.asofJoin(noLeft, right, Seq("k"), "lts", "rts")
+      .count() == 0)
+    assert(graft.plans.AsofJoinNative.asofJoinNative(noLeft, right, Seq("k"),
+      "lts", "rts").count() == 0)
+  }
+
+  test("text analysis: empty corpus aggregates cleanly") {
+    assert(graft.llm.TextAnalysis.gopherRuleCols(emptyDocs).count() == 0)
+    assert(graft.llm.TextAnalysis.langIdCols(emptyDocs.withColumnRenamed(
+      "doc_id", "id")).count() == 0)
+  }
+}
