@@ -497,5 +497,102 @@ object LdClump {
         |GROUP BY p.snp_a, p.snp_b""".stripMargin),
     benchEligible = false)
 
-  def all: Seq[QueryDef] = Seq(m14, m14r2)
+  /** Hardy–Weinberg equilibrium genotype counts (plink --hardy analog,
+    * public method): per SNP, observed genotype counts (dosage 0/1/2 =
+    * copies of the counted allele, NaN = missing) in ONE treeAggregate
+    * pass with a bounded 4×p accumulator — no n×p explode, no shuffle;
+    * the massOlsBetas accumulation shape. The chi-square statistic is
+    * driver arithmetic on the p-sized count matrix.
+    */
+  def hweCounts(geno: DataFrame, featuresCol: String, p: Int): Array[Array[Long]] =
+    geno.select(col(featuresCol)).rdd.treeAggregate(Array.fill(p, 4)(0L))(
+      (acc, row) => {
+        val a = row.getSeq[Double](0)
+        var i = 0
+        while (i < p) {
+          val d = a(i)
+          if (d.isNaN) acc(i)(3) += 1 else acc(i)(d.toInt) += 1
+          i += 1
+        }
+        acc
+      },
+      (x, y) => {
+        var i = 0
+        while (i < p) {
+          var j = 0
+          while (j < 4) { x(i)(j) += y(i)(j); j += 1 }
+          i += 1
+        }
+        x
+      })
+
+  /** 1-df HWE chi-square from genotype counts: allele frequency from the
+    * counts themselves, expected (q², 2pq, p²)·n, Σ(obs−exp)²/exp. */
+  def hweChiSq(n0: Long, n1: Long, n2: Long): Double = {
+    val n = (n0 + n1 + n2).toDouble
+    if (n == 0) return 0.0
+    val pA = (2.0 * n2 + n1) / (2.0 * n)
+    val q = 1.0 - pA
+    val e0 = n * q * q
+    val e1 = 2.0 * n * pA * q
+    val e2 = n * pA * pA
+    def term(o: Long, e: Double) =
+      if (e > 0) { val d = o - e; d * d / e } else 0.0
+    term(n0, e0) + term(n1, e1) + term(n2, e2)
+  }
+
+  /** M15 — HWE QC over the planted fixture, FULL oracle: DuckDB rebuilds
+    * the same dosage patterns (the m14 dos CTE), counts genotypes with
+    * NULL-aware CASE sums, and replays the chi-square arithmetic with
+    * the identical double operations. The uniform 0/1/2 patterns are
+    * maximally out of HWE (chisq = 33.0 at n=297), so the fail flag
+    * discriminates; a3's punched NaNs exercise the missing channel
+    * (97/97/97 + 6 missing).
+    */
+  val m15 = QueryDef(
+    "m15_hwe",
+    { (s, _) =>
+      import s.implicits._
+      val snps = fixtureSnps
+      val counts = hweCounts(fixtureGeno(s), "features", snps.length)
+      snps.map { sn =>
+        val c = counts(sn.idx)
+        val raw = hweChiSq(c(0), c(1), c(2))
+        (sn.name, c(0), c(1), c(2), c(3),
+          math.rint(raw * 1e6) / 1e6, raw > 3.841459)
+      }.toDF("snp", "n0", "n1", "n2", "n_miss", "chisq", "hwe_fail")
+    },
+    oracle = Some(
+      """WITH snps(name, kind) AS (VALUES
+        |  ('s_a1', 'base'), ('s_a2', 'anti'), ('s_a3', 'base_nan'),
+        |  ('s_b1', 'base'), ('s_c1', 'ind'), ('s_d1', 'base'),
+        |  ('s_d2', 'base'), ('s_d3', 'base'), ('s_e1', 'ind')),
+        |ids AS (SELECT unnest(range(0, 297)) AS id),
+        |dos AS (SELECT s.name, i.id,
+        |          CASE WHEN s.kind = 'base_nan' AND i.id % 50 = 0 THEN NULL
+        |               WHEN s.kind = 'anti' THEN 2.0 - (i.id % 3)
+        |               WHEN s.kind = 'ind' THEN CAST((i.id // 3) % 3 AS DOUBLE)
+        |               ELSE CAST(i.id % 3 AS DOUBLE) END AS d
+        |        FROM snps s CROSS JOIN ids i),
+        |cnt AS (SELECT name AS snp,
+        |          CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |          CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |          CAST(sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |          CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_miss
+        |        FROM dos GROUP BY name),
+        |stat AS (SELECT snp, n0, n1, n2, n_miss,
+        |           (2.0 * n2 + n1) / (2.0 * (n0 + n1 + n2)) AS pa,
+        |           CAST(n0 + n1 + n2 AS DOUBLE) AS n
+        |         FROM cnt)
+        |SELECT snp, n0, n1, n2, n_miss,
+        |       round(pow(n0 - n * (1.0 - pa) * (1.0 - pa), 2) / (n * (1.0 - pa) * (1.0 - pa))
+        |           + pow(n1 - 2.0 * n * pa * (1.0 - pa), 2) / (2.0 * n * pa * (1.0 - pa))
+        |           + pow(n2 - n * pa * pa, 2) / (n * pa * pa), 6) AS chisq,
+        |       (pow(n0 - n * (1.0 - pa) * (1.0 - pa), 2) / (n * (1.0 - pa) * (1.0 - pa))
+        |           + pow(n1 - 2.0 * n * pa * (1.0 - pa), 2) / (2.0 * n * pa * (1.0 - pa))
+        |           + pow(n2 - n * pa * pa, 2) / (n * pa * pa)) > 3.841459 AS hwe_fail
+        |FROM stat""".stripMargin),
+    benchEligible = false)
+
+  def all: Seq[QueryDef] = Seq(m14, m14r2, m15)
 }

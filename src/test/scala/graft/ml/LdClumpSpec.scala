@@ -156,4 +156,32 @@ class LdClumpSpec extends SparkSpec {
     assert(store.select(max(size(col("features")))).head().getInt(0) == 4)
     assert(store.count() == 297L)
   }
+
+  test("hweChiSq: equilibrium passes, uniform fails, edge counts are finite") {
+    // perfect HWE at p=0.5: (n/4, n/2, n/4) -> chisq exactly 0
+    assert(LdClump.hweChiSq(25, 50, 25) == 0.0)
+    // uniform thirds (the fixture pattern): hand-derived 33.0 at n=297
+    assert(math.abs(LdClump.hweChiSq(99, 99, 99) - 33.0) < 1e-9)
+    // monomorphic SNP (pA = 0): expected e1 = e2 = 0, guarded terms
+    assert(LdClump.hweChiSq(100, 0, 0) == 0.0)
+    assert(LdClump.hweChiSq(0, 0, 100) == 0.0)
+    assert(LdClump.hweChiSq(0, 0, 0) == 0.0)
+  }
+
+  test("hweCounts: one-pass accumulator matches a per-column recount") {
+    val s = spark
+    val geno = s.range(0, 120).select(col("id"),
+      org.apache.spark.sql.functions.array(
+        (col("id") % 3).cast("double"),
+        org.apache.spark.sql.functions.when(col("id") % 10 === 0,
+          Double.NaN).otherwise((col("id") % 2).cast("double")),
+        org.apache.spark.sql.functions.lit(2.0)).as("features"))
+      .repartition(7)
+    val c = LdClump.hweCounts(geno, "features", 3)
+    assert(c(0).toSeq == Seq(40L, 40L, 40L, 0L))
+    // col 1: id%2 over 120 = 60/60, minus NaNs at id%10==0 (12 ids, all
+    // even -> all would have been 0): 48 zeros, 60 ones, 12 missing
+    assert(c(1).toSeq == Seq(48L, 60L, 0L, 12L))
+    assert(c(2).toSeq == Seq(0L, 0L, 120L, 0L))
+  }
 }
