@@ -594,5 +594,44 @@ object LdClump {
         |FROM stat""".stripMargin),
     benchEligible = false)
 
-  def all: Seq[QueryDef] = Seq(m14, m14r2, m15)
+  /** M16 — per-SAMPLE heterozygosity (plink --het analog, public
+    * method): the transpose of m15's per-variant QC — for each sample,
+    * the het-genotype fraction over its non-missing calls (outlier het
+    * rates flag contamination / inbreeding). Pure scan-local array
+    * arithmetic per row — no shuffle at all; at biobank scale this is
+    * a single pass over the bundle. FULL oracle: DuckDB rebuilds the
+    * dosages and replays count/divide per sample.
+    */
+  val m16 = QueryDef(
+    "m16_sample_het",
+    { (s, _) =>
+      fixtureGeno(s).select(col("id"),
+        size(filter(col("features"), x => x === 1.0d))
+          .cast("long").as("n_het"),
+        size(filter(col("features"), x => !isnan(x)))
+          .cast("long").as("n_non_missing"))
+        .withColumn("het_rate",
+          round(col("n_het").cast("double") / col("n_non_missing"), 6))
+    },
+    oracle = Some(
+      """WITH snps(name, kind) AS (VALUES
+        |  ('s_a1', 'base'), ('s_a2', 'anti'), ('s_a3', 'base_nan'),
+        |  ('s_b1', 'base'), ('s_c1', 'ind'), ('s_d1', 'base'),
+        |  ('s_d2', 'base'), ('s_d3', 'base'), ('s_e1', 'ind')),
+        |ids AS (SELECT unnest(range(0, 297)) AS id),
+        |dos AS (SELECT s.name, i.id,
+        |          CASE WHEN s.kind = 'base_nan' AND i.id % 50 = 0 THEN NULL
+        |               WHEN s.kind = 'anti' THEN 2.0 - (i.id % 3)
+        |               WHEN s.kind = 'ind' THEN CAST((i.id // 3) % 3 AS DOUBLE)
+        |               ELSE CAST(i.id % 3 AS DOUBLE) END AS d
+        |        FROM snps s CROSS JOIN ids i)
+        |SELECT id,
+        |       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+        |       CAST(count(d) AS BIGINT) AS n_non_missing,
+        |       round(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) * 1.0 / count(d), 6)
+        |         AS het_rate
+        |FROM dos GROUP BY id""".stripMargin),
+    benchEligible = false)
+
+  def all: Seq[QueryDef] = Seq(m14, m14r2, m15, m16)
 }
