@@ -1100,11 +1100,24 @@ object Dedup {
   // -------------------------------- repeated-substring (ExactSubstr) dedup
 
   /** Per-position Rabin–Karp window hashes: one row per FULL length-`win`
-    * character window, `pos` 1-based (substr-compatible). Same modulus/
+    * UTF-16-unit window, `pos` 1-based in UTF-16 units. Same modulus/
     * base as [[TextAnalysis.rollingFingerprints]], O(1) per-position
-    * update, one scan, no shuffle. ASCII/BMP texts only share positions
-    * with `substr` (positions are UTF-16 units here, codepoints in
-    * engines like DuckDB — identical for BMP text).
+    * update, one scan, no shuffle.
+    *
+    * OFFSET CONTRACT (the whole ExactSubstr family shares it): positions
+    * and lengths are UTF-16 units — `java.lang.String` indices — and a
+    * window never SPLITS a surrogate pair: positions whose window would
+    * start on the low half or end on the high half of a pair are
+    * skipped (a no-op for BMP text, where every position qualifies).
+    * Downstream, window/span content is extracted with
+    * [[graft.expressions.Utf16Substr]] (byte-walking UTF-16 extraction,
+    * null on pair-splitting offsets) and spans are cut with
+    * `String.substring` — all three consumers index in the same units,
+    * so election and cut boundaries agree for ANY input text, and a cut
+    * can never manufacture a lone surrogate. (Lee et al.'s ExactSubstr
+    * works on bytes for the same reason; UTF-16 units are the JVM-native
+    * equivalent.) For external comparison: BMP-only corpora also agree
+    * with code-point engines like DuckDB `substr`.
     */
   def rollingHashWindows(docs: DataFrame, win: Int, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -1126,13 +1139,20 @@ object Dedup {
           var h = 0L
           var j = 0
           while (j < K) { h = (h * B + text.charAt(j) % M) % M; j += 1 }
-          val out = new Array[(Long, Long, Long)](n - K + 1)
-          out(0) = (id, 1L, h)
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](n - K + 1)
+          // Strings out of Spark are valid UTF-16 (UTF8String decode
+          // pairs every surrogate), so low-at-start / high-at-end is
+          // exactly "window splits a pair".
+          if (!Character.isLowSurrogate(text.charAt(0)) &&
+              !Character.isHighSurrogate(text.charAt(K - 1)))
+            out += ((id, 1L, h))
           var p = 1
           while (p <= n - K) {
             h = (h * B + text.charAt(p + K - 1) % M) % M
             h = ((h - text.charAt(p - 1) % M * bK % M) % M + M) % M
-            out(p) = (id, (p + 1).toLong, h)
+            if (!Character.isLowSurrogate(text.charAt(p)) &&
+                !Character.isHighSurrogate(text.charAt(p + K - 1)))
+              out += ((id, (p + 1).toLong, h))
             p += 1
           }
           out.iterator
@@ -1173,7 +1193,11 @@ object Dedup {
     val candS = wins.join(hotHashes, "h")
       .join(docs.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), col("pos"),
-        col(textCol).substr(col("pos").cast("int"), lit(win)).as("s"))
+        // UTF-16 extraction to match the producer's offset units — the
+        // builtin substr counts code points and would mis-slice
+        // surrogate-bearing docs. Producer positions are always valid,
+        // so the expression's null channel never fires here.
+        graft.expressions.Utf16Substr(col(textCol), col("pos"), lit(win)).as("s"))
       .localCheckpoint(eager = false)
     val hotS = candS.select(col("s"), col(idCol)).distinct()
       .groupBy("s").agg(count(lit(1)).as("nd"))
@@ -1228,24 +1252,30 @@ object Dedup {
     * content-keyed aggregate — no corpus-sized shuffle beyond the final
     * left join docs⋈cuts.
     *
-    * BMP-ONLY CAVEAT (shared with [[rollingHashWindows]]): span offsets
-    * are produced in UTF-16 units there, consumed here BOTH by the
-    * Spark `substr` content extraction (code-point positions) and by
-    * `java.lang.String.substring` in the RDD cutter (UTF-16). For text
-    * containing non-BMP code points (surrogate pairs) the three
-    * position consumers diverge — keeper election and cut boundaries
-    * are only guaranteed consistent for BMP text, matching the
-    * documented contract of the span producer.
+    * `win` is REQUIRED (no default): pass the SAME `win` the span
+    * producer used — window-granular election is the mode the curation
+    * pipeline wants (see [[dedupRepeatedSpans]], the one-call entry
+    * point that guarantees the match). Pass `win <= 0` only when you
+    * explicitly want the conservative content-keyed mode, accepting its
+    * documented under-cut on diverging merge extents.
+    *
+    * OFFSETS: all positions are 1-based UTF-16 units per
+    * [[rollingHashWindows]]'s contract. Election content is extracted
+    * with [[graft.expressions.Utf16Substr]] and spans are cut with
+    * `String.substring`, so election and cut boundaries agree for any
+    * input, including non-BMP (emoji-bearing) text; and because
+    * producer windows never split surrogate pairs, neither do cut
+    * boundaries — stripped output is always well-formed UTF-16.
     */
   def stripRepeatedSpans(docs: DataFrame, spans: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      win: Int = 0): DataFrame = {
+      win: Int): DataFrame = {
     val spark = docs.sparkSession
     val withText = spans.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
     val cuttable = if (win <= 0) {
       val withContent = withText
-        .withColumn("spc", col(textCol).substr(
-          col("span_start").cast("int"),
+        .withColumn("spc", graft.expressions.Utf16Substr(col(textCol),
+          col("span_start"),
           (col("span_end") - col("span_start") + 1).cast("int")))
       val keepers = withContent.groupBy("spc")
         .agg(min(col(idCol)).as("keeper_id"))
@@ -1272,7 +1302,13 @@ object Dedup {
           explode(sequence(col("span_start"), col("span_end") - (win - 1)))
             .as("pos"))
         .select(col(idCol), col("pos"),
-          col(textCol).substr(col("pos").cast("int"), lit(win)).as("wc"))
+          graft.expressions.Utf16Substr(col(textCol), col("pos"), lit(win))
+            .as("wc"))
+        // interior re-split positions of a merged span can land on the
+        // low half of a surrogate pair — those were never producer
+        // windows; Utf16Substr's null channel filters them, keeping the
+        // election universe identical to the producer's window universe
+        .filter(col("wc").isNotNull)
         .localCheckpoint(eager = false)
       val keepers = winPos.groupBy("wc").agg(min(col(idCol)).as("keeper_id"))
       val losing = winPos.join(keepers, "wc")
@@ -1326,6 +1362,21 @@ object Dedup {
     spark.createDataFrame(out, outSchema)
   }
 
+  /** The one-call curation entry point: detect repeated spans and strip
+    * them with WINDOW-GRANULAR election, guaranteeing producer and
+    * election use the same `win` (the mismatch the two-call form leaves
+    * to the caller). This is the mode a curation pipeline wants —
+    * content-keyed election (`stripRepeatedSpans(…, win = 0)`) silently
+    * under-cuts when merge extents diverge across carriers (doc A's
+    * fused B1+B2 span vs docs carrying B1/B2 separately); window
+    * election still dedups there (oracled by d14).
+    */
+  def dedupRepeatedSpans(docs: DataFrame, win: Int = 50, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = repeatedSubstringSpans(docs, win, minDocs, idCol, textCol)
+    stripRepeatedSpans(docs, spans, idCol, textCol, win = win)
+  }
+
   /** D12 — repeated-substring spans, FULL oracle: DuckDB replays the
     * same semantics directly on substrings (no hashes — the hash pass
     * is an optimization the verify step erases). All-integer output.
@@ -1356,9 +1407,11 @@ object Dedup {
   /** D14 — strip repeated spans end-to-end, FULL oracle: DuckDB replays
     * the whole chain — d12's span detection, the window-granular keeper
     * election, loser re-merge — and reports chars cut per document.
-    * Positions are 1-based code points in both engines (ASCII/BMP
-    * corpus — see the [[stripRepeatedSpans]] caveat), so the per-doc
-    * cut totals hash-match exactly.
+    * The engine counts positions in UTF-16 units, DuckDB in code
+    * points; on the driver's ASCII/BMP corpus the two coincide exactly
+    * (and the skip-pair-splitting rule is a no-op), so the per-doc cut
+    * totals hash-match. Non-BMP behavior is covered by dedicated
+    * TextDedupSpec cases instead (DuckDB can't replay UTF-16 units).
     */
   val stripSpansQ = QueryDef.sql(
     "d14_strip_repeated_spans",
@@ -1400,8 +1453,8 @@ object Dedup {
       |SELECT doc_id, CAST(sum(ce - cs + 1) AS BIGINT) AS n_cut
       |FROM cuts GROUP BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val spans = repeatedSubstringSpans(docs, win = 50, minDocs = 2)
-    stripRepeatedSpans(docs, spans, win = 50)
+    // the gated path IS the curation entry point (producer win == election win)
+    dedupRepeatedSpans(docs, win = 50, minDocs = 2)
       .filter(col("n_cut") > 0)
       .select(col("doc_id"), col("n_cut").cast("long").as("n_cut"))
   }

@@ -566,7 +566,7 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1L) == ((6L, 17L)), s"doc1 span ${got.get(1L)}")
     assert(got(2L) == ((4L, 15L)), s"doc2 span ${got.get(2L)}")
     assert(!got.contains(3L))
-    val stripped = Dedup.stripRepeatedSpans(docs, spans)
+    val stripped = Dedup.stripRepeatedSpans(docs, spans, win = 0)
       .select("doc_id", "text", "n_cut")
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
       .toMap
@@ -592,7 +592,7 @@ class TextDedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got == Map(1L -> ((5L, 16L)), 2L -> ((7L, 18L)),
       3L -> ((5L, 16L)), 4L -> ((7L, 18L))), s"spans $got")
-    val stripped = Dedup.stripRepeatedSpans(docs, spans)
+    val stripped = Dedup.stripRepeatedSpans(docs, spans, win = 0)
       .select("doc_id", "text", "n_cut")
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
       .toMap
@@ -618,7 +618,7 @@ class TextDedupSpec extends SparkSpec {
       (2L, s"n2n2n2${b1}p2p2"),
       (3L, s"r3r3${b2}s3s3s3")).toDF("doc_id", "text")
     val spans = Dedup.repeatedSubstringSpans(docs, win = 5, minDocs = 2)
-    val content = Dedup.stripRepeatedSpans(docs, spans)
+    val content = Dedup.stripRepeatedSpans(docs, spans, win = 0)
       .select("doc_id", "n_cut")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(content == Map(1L -> 0, 2L -> 0, 3L -> 0),
@@ -712,6 +712,146 @@ class TextDedupSpec extends SparkSpec {
         id -> ((sb.toString, t.length - sb.length))
       }.toMap
       assert(got == want, s"round $round:\n got=$got\nwant=$want")
+    }
+  }
+
+  test("rollingHashWindows: non-BMP — UTF-16 positions, pair-splitting windows skipped") {
+    val s = spark; import s.implicits._
+    val t = "ab😀cd" // a b hi lo c d — 6 UTF-16 units
+    val win = 3
+    val got = Dedup.rollingHashWindows(Seq((1L, t)).toDF("doc_id", "text"), win)
+      .select("pos").as[Long].collect().toSet
+    // 0-based starts 0..3; start 0 ends on the high half (skip), start 3
+    // begins on the low half (skip) -> 1-based positions {2, 3}
+    assert(got == Set(2L, 3L), s"positions $got")
+    // BMP doc: every position emitted (skip rule is a no-op)
+    val bmp = Dedup.rollingHashWindows(
+      Seq((1L, "abcde")).toDF("doc_id", "text"), win)
+      .select("pos").as[Long].collect().toSet
+    assert(bmp == Set(1L, 2L, 3L))
+  }
+
+  test("ExactSubstr family: planted non-BMP boilerplate — consistent election and cuts") {
+    val s = spark; import s.implicits._
+    // boilerplate carries an emoji; doc 2's PREFIX also carries one, so
+    // its UTF-16 offsets diverge from code-point offsets — the case the
+    // old builtin-substr election mis-sliced.
+    val boiler = "AB😀CD" // AB😀CD, 6 UTF-16 units
+    val docs = Seq(
+      (1L, s"xx${boiler}yy"),
+      (2L, s"q😀q${boiler}zz"),
+      (3L, "mmmmmmmmmm")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, win = 3, minDocs = 2)
+    val gotSpans = spans.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // shared valid windows are B😀 and 😀C (A,B,hi ends mid-pair and
+    // lo,C,D starts mid-pair are skipped) -> merged spans cover B😀C:
+    // doc1 UTF-16 pos 4..7, doc2 pos 6..9
+    assert(gotSpans == Map(1L -> ((4L, 7L)), 2L -> ((6L, 9L))),
+      s"spans $gotSpans")
+    val stripped = Dedup.stripRepeatedSpans(docs, spans, win = 3)
+      .select("doc_id", "text", "n_cut")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    // doc1 (min id) keeps; doc2 cuts exactly B😀C (4 UTF-16 units)
+    assert(stripped(1L) == ((s"xx${boiler}yy", 0)), s"doc1 ${stripped(1L)}")
+    assert(stripped(2L) == (("q😀qADzz", 4)), s"doc2 ${stripped(2L)}")
+    assert(stripped(3L) == (("mmmmmmmmmm", 0)))
+    // cut output is well-formed UTF-16 (no lone surrogates)
+    stripped.values.foreach { case (t, _) =>
+      t.zipWithIndex.foreach { case (c, i) =>
+        if (Character.isHighSurrogate(c))
+          assert(i + 1 < t.length && Character.isLowSurrogate(t.charAt(i + 1)),
+            s"lone high surrogate in '$t'")
+        if (Character.isLowSurrogate(c))
+          assert(i > 0 && Character.isHighSurrogate(t.charAt(i - 1)),
+            s"lone low surrogate in '$t'")
+      }
+    }
+  }
+
+  test("dedupRepeatedSpans: seeded non-BMP fuzz vs UTF-16 brute reference") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val win = 4
+    // alphabet mixes 1-unit chars with a surrogate pair so windows land
+    // on and around pair boundaries in every configuration
+    val alphabet = Seq("a", "b", "😀")
+    def validStart(t: String, p0: Int) = !Character.isLowSurrogate(t.charAt(p0))
+    def validEnd(t: String, e0: Int) = !Character.isHighSurrogate(t.charAt(e0))
+    for (round <- 1 to 3) {
+      val docs = (1L to 8L).map { id =>
+        val n = 8 + rnd.nextInt(15)
+        (id, (1 to n).map(_ => alphabet(rnd.nextInt(3))).mkString)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.dedupRepeatedSpans(df, win = win, minDocs = 2)
+        .select("doc_id", "text", "n_cut")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+        .toMap
+      // brute reference — the engine spec with the UTF-16 validity rule
+      val allWins = docs.map { case (id, t) =>
+        id -> (0 to t.length - win).collect {
+          case p if validStart(t, p) && validEnd(t, p + win - 1) =>
+            (p + 1, t.substring(p, p + win))
+        }
+      }.toMap
+      val hot = allWins.values.flatten.groupBy(_._2)
+        .map { case (c, _) => c -> allWins.count(_._2.exists(_._2 == c)) }
+        .collect { case (c, nd) if nd >= 2 => c }.toSet
+      def mergeSpans(ps: Seq[Int]): Seq[(Int, Int)] = {
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        ps.sorted.foreach { p =>
+          out.lastOption match {
+            case Some((a, b)) if p <= b + 1 =>
+              out(out.size - 1) = (a, math.max(b, p + win - 1))
+            case _ => out += ((p, p + win - 1))
+          }
+        }
+        out.toSeq
+      }
+      val spansRef = allWins.view.mapValues(ws =>
+        mergeSpans(ws.collect { case (p, c) if hot(c) => p })).toMap
+      // win-mode re-split enumerates every VALID position in the span
+      val spanWins = docs.map { case (id, t) =>
+        id -> spansRef(id).flatMap { case (a, b) =>
+          (a to b - win + 1).collect {
+            case p if validStart(t, p - 1) && validEnd(t, p - 1 + win - 1) =>
+              (p, t.substring(p - 1, p - 1 + win))
+          }
+        }
+      }.toMap
+      val keeper = spanWins.toSeq
+        .flatMap { case (id, ws) => ws.map { case (_, c) => (c, id) } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val want = docs.map { case (id, t) =>
+        val losing = spanWins(id).collect {
+          case (p, c) if keeper(c) != id => p }
+        val cuts = mergeSpans(losing)
+        val sb = new StringBuilder
+        var cursor = 0
+        cuts.foreach { case (a1, b1) =>
+          val a = a1 - 1; val b = b1
+          if (a > cursor) sb.append(t.substring(cursor, a))
+          cursor = math.max(cursor, b)
+        }
+        if (cursor < t.length) sb.append(t.substring(cursor))
+        id -> ((sb.toString, t.length - sb.length))
+      }.toMap
+      assert(got == want, s"round $round:\n got=$got\nwant=$want")
+      // and every output doc is well-formed UTF-16
+      got.values.foreach { case (t, _) =>
+        var i = 0
+        while (i < t.length) {
+          if (Character.isHighSurrogate(t.charAt(i))) {
+            assert(i + 1 < t.length && Character.isLowSurrogate(t.charAt(i + 1)),
+              s"lone surrogate in '$t'")
+            i += 1
+          } else assert(!Character.isLowSurrogate(t.charAt(i)),
+            s"lone low surrogate in '$t'")
+          i += 1
+        }
+      }
     }
   }
 
