@@ -634,29 +634,57 @@ object RelationalQueries {
   /** P2 — column projection by NAME set through the cols side table
     * (daxos read.py:210-215, explain.py:21-31): names → positions
     * (tiny driver collect of the cols table), then one codegen'd array
-    * slice; cols metadata re-derived to match. Fixture-checked: the
-    * projected dosage checksum must equal the direct per-position sum.
+    * slice; cols metadata re-derived to match.
+    *
+    * TWO guards in one query. (1) The Sim-bundle fixture check from
+    * rounds 1-7 — projected dosage checksum equals the direct
+    * per-position sum — now gates the output as a filter: if the bundle
+    * projection path breaks, the output empties and the oracle compare
+    * fails on row count. (2) The OUTPUT replays the same name→position
+    * slice semantics on the driver's `embeddings` table (dim_<i> names,
+    * a deterministic cols side table built from the embedding width),
+    * which DuckDB reproduces with 1-based list indexing — upgrading P2
+    * from a rows-only gate to a full hash match.
     */
-  val p2 = QueryDef.fixture("p2_project_by_name") { (s, d) =>
+  val p2 = QueryDef.sql(
+    "p2_project_by_name",
+    """SELECT vec_id,
+      |       CAST(embedding[4] AS DOUBLE) AS v_a,
+      |       CAST(embedding[8] AS DOUBLE) AS v_b
+      |FROM embeddings""".stripMargin) { (s, d) =>
+    // guard 1: the original bundle fixture checksum
     val cfg = graft.ml.Sim.Config(n = 400L, p = 12, seed = 99L, chunkRows = 100L)
     val bundle = graft.ml.Sim.bundle(s, cfg)
     val colsDf = graft.ml.Sim.cols(s, cfg)
     val keepNames = Seq("rs7412_T", "rs429358_C") // planted pair, by NAME
-    val pos = colsDf.filter(col("snp").isInCollection(keepNames))
+    val bpos = colsDf.filter(col("snp").isInCollection(keepNames))
       .orderBy("pos").collect().map(_.getInt(0))
     val projected = bundle.withColumn("features",
-      array(pos.map(i => col("features").getItem(i)): _*))
-    val newCols = pos.zipWithIndex.map { case (old, nw) => (nw, old) }
+      array(bpos.map(i => col("features").getItem(i)): _*))
     val direct = bundle.agg(
-      sum(col("features").getItem(pos(0)) + col("features").getItem(pos(1))))
+      sum(col("features").getItem(bpos(0)) + col("features").getItem(bpos(1))))
       .head().getDouble(0)
     val viaProj = projected
       .agg(sum(col("features").getItem(0) + col("features").getItem(1)))
       .head().getDouble(0)
     val widthOk = projected.select(max(size(col("features")))).head().getInt(0) == 2
-    val spark = s; import spark.implicits._
-    Seq((pos.length, direct, viaProj == direct && widthOk && newCols.length == 2))
-      .toDF("n_kept", "checksum", "ok").filter(col("ok"))
+    val bundleOk = viaProj == direct && widthOk && bpos.length == 2
+    // guard 2 / output: the same semantics on a driver table the oracle
+    // can see. Cols side table is (pos i, name "dim_i") over the
+    // embedding width; resolve the NAME set to positions with the same
+    // tiny driver collect the bundle path uses, then one array slice.
+    val emb = Tables.embeddings(s, d)
+    val width = emb.select(max(size(col("embedding")))).head().getInt(0)
+    val eCols = s.range(width.toLong)
+      .select(col("id").cast("int").as("pos"),
+        concat(lit("dim_"), col("id")).as("name"))
+    val wantNames = Seq("dim_3", "dim_7")
+    val epos = eCols.filter(col("name").isInCollection(wantNames))
+      .orderBy("pos").collect().map(_.getInt(0))
+    emb.select(col("vec_id"),
+      col("embedding").getItem(epos(0)).cast("double").as("v_a"),
+      col("embedding").getItem(epos(1)).cast("double").as("v_b"))
+      .filter(lit(bundleOk))
   }
 
   /** Robust per-group outlier detection: median/MAD (median absolute
