@@ -2,7 +2,6 @@ package graft.streaming
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -13,9 +12,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Correctness contract: a streaming windowed aggregate fed the whole
   * table must equal the equivalent batch aggregate — asserted by the
-  * declared entry below using a MemoryStream (the standard in-process
-  * source; swap for kafka/files in production — the query graph is
-  * identical).
+  * declared entries below over a chunked FILE source (the
+  * production-shaped incremental source; swap the directory for a
+  * kafka topic in production — the query graph is identical). Feeds
+  * are distributed writes into the source directory, so no query body
+  * collects table data to the driver.
   *
   * Scale notes: watermark bounds state (late rows beyond 1h are
   * dropped); the shuffle is on (window, event_type) — the same hash
@@ -78,28 +79,61 @@ object Streams {
 
   // ---------------------------------------------------------------- queries
 
+  /** Incremental FILE-source arrival harness (st8's recovery shape
+    * generalized): each chunk DataFrame is written as parquet part
+    * files — a DISTRIBUTED write, no driver-side data transfer — and
+    * moved into the stream's source directory, then the query drains it
+    * before the next chunk lands. One drop == one arrival batch, the
+    * exact rhythm MemoryStream.addData gave the old harness, but
+    * through the real production source path (directory listing, file
+    * offsets, schema'd parquet decode) and with feed size bounded by
+    * storage, not driver heap. Parquet (not json) so timestamps
+    * round-trip to the microsecond and fingerprints stay exact.
+    */
+  private final class FileFeed(s: SparkSession, name: String,
+      schema: org.apache.spark.sql.types.StructType) {
+    private val base = graft.util.Fixtures.dir + "/" + name
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    private val srcDir = new java.io.File(s"$base/src")
+    srcDir.mkdirs()
+    private var n = 0
+    def source(): DataFrame = s.readStream.schema(schema).parquet(srcDir.toString)
+    def add(chunk: DataFrame): Unit = {
+      val tmp = s"$base/tmp$n"
+      n += 1
+      chunk.coalesce(2).write.mode("overwrite").parquet(tmp)
+      new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (f, i) =>
+          java.nio.file.Files.move(f.toPath,
+            new java.io.File(srcDir, s"b$n-$i.parquet").toPath)
+        }
+    }
+  }
+
+  private def eventsFeed(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+
   /** Streaming-vs-batch equivalence: feed the whole events table through
-    * a MemoryStream in 3 chunks; the streaming windowed aggregate
-    * (complete mode) must match the batch aggregate exactly. Emits the
-    * match summary row only on exact equality.
+    * a chunked file source in 3 arrival batches; the streaming windowed
+    * aggregate (complete mode) must match the batch aggregate exactly.
+    * Emits the match summary row only on exact equality.
     */
   val st1 = QueryDef.fixture("st1_stream_window_agg") { (s, d) =>
     import s.implicits._
-    val rows = Tables.events(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .as[Ev].collect()
-    implicit val sq = s.sqlContext
-    val mem = MemoryStream[Ev]
-    val streamed = windowedAgg(mem.toDF())
-    val q = streamed.writeStream
+    val ev = eventsFeed(s, d)
+    val feed = new FileFeed(s, "st1", ev.schema)
+    val q = windowedAgg(feed.source()).writeStream
       .format("memory").queryName("st1_out").outputMode(OutputMode.Complete())
       .start()
     val fpCols = Seq("bucket", "event_type", "n", "val_sum")
     val streamedFp =
       try {
-        rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
-          mem.addData(chunk.toSeq)
+        (0 until 3).foreach { k =>
+          feed.add(ev.filter(pmod(col("event_id"), lit(3)) === k))
           q.processAllAvailable()
         }
         fingerprint(s.table("st1_out"), fpCols)
@@ -122,21 +156,17 @@ object Streams {
   /** mapGroupsWithState vs batch groupBy equivalence on final state. */
   val st2 = QueryDef.fixture("st2_stream_stateful") { (s, d) =>
     import s.implicits._
-    val rows = Tables.events(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .as[Ev].collect()
-    implicit val sq = s.sqlContext
-    val mem = MemoryStream[Ev]
-    val q = userRunningState(s, mem.toDS()).writeStream
+    val ev = eventsFeed(s, d)
+    val feed = new FileFeed(s, "st2", ev.schema)
+    val q = userRunningState(s, feed.source().as[Ev]).writeStream
       .format("memory").queryName("st2_out").outputMode(OutputMode.Update())
       .start()
     // last update per user = final state
     val fpCols = Seq("user_id", "n_events", "max_value")
     val finFp =
       try {
-        rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
-          mem.addData(chunk.toSeq)
+        (0 until 3).foreach { k =>
+          feed.add(ev.filter(pmod(col("event_id"), lit(3)) === k))
           q.processAllAvailable()
         }
         fingerprint(s.table("st2_out").groupBy("user_id")
@@ -160,12 +190,10 @@ object Streams {
     */
   val st3 = QueryDef.fixture("st3_stream_dedup") { (s, d) =>
     import s.implicits._
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-    val feed = docs ++ docs.map { case (id, t) => (id + 1000000, t) }
-    implicit val sq = s.sqlContext
-    val mem = MemoryStream[(Long, String)]
-    val deduped = mem.toDF().toDF("doc_id", "text")
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val copies = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+    val feed = new FileFeed(s, "st3", docs.schema)
+    val deduped = feed.source()
       .withColumn("h", md5(col("text")))
       .dropDuplicates("h")
     val q = deduped.writeStream
@@ -173,9 +201,14 @@ object Streams {
       .start()
     val got =
       try {
-        feed.grouped(math.max(1, feed.length / 4)).foreach { chunk =>
-          mem.addData(chunk.toSeq)
-          q.processAllAvailable()
+        // originals over two arrival batches, then their exact copies
+        // over two more — duplicates land both within and across
+        // batches, so the dedup state must span micro-batches
+        Seq(docs, copies).foreach { half =>
+          (0 until 2).foreach { k =>
+            feed.add(half.filter(pmod(col("doc_id"), lit(2)) === k))
+            q.processAllAvailable()
+          }
         }
         s.table("st3_out").count()
       } finally q.stop()
@@ -196,23 +229,23 @@ object Streams {
     */
   val st4 = QueryDef.fixture("st4_stream_late_drop") { (s, d) =>
     import s.implicits._
-    implicit val sq = s.sqlContext
     def ev(id: Long, t: String, v: Double): Ev =
       Ev(id, java.sql.Timestamp.valueOf(t), 1L, "click", v)
-    val mem = MemoryStream[Ev]
-    val q = windowedAgg(mem.toDF()).writeStream
+    def batch(evs: Ev*): DataFrame = evs.toSeq.toDS().toDF()
+    val feed = new FileFeed(s, "st4", batch(ev(0, "2024-01-01 00:00:00", 0.0)).schema)
+    val q = windowedAgg(feed.source()).writeStream
       .format("memory").queryName("st4_out").outputMode(OutputMode.Append())
       .start()
     val rows =
       try {
-        mem.addData(ev(1, "2024-01-01 00:10:00", 1.0),
-          ev(2, "2024-01-01 01:10:00", 2.0))
+        feed.add(batch(ev(1, "2024-01-01 00:10:00", 1.0),
+          ev(2, "2024-01-01 01:10:00", 2.0)))
         q.processAllAvailable()
-        mem.addData(ev(3, "2024-01-01 05:00:00", 3.0)) // wm → 04:00, flush 00+01
+        feed.add(batch(ev(3, "2024-01-01 05:00:00", 3.0))) // wm → 04:00, flush 00+01
         q.processAllAvailable()
-        mem.addData(ev(4, "2024-01-01 00:20:00", 100.0)) // LATE: beyond wm
+        feed.add(batch(ev(4, "2024-01-01 00:20:00", 100.0))) // LATE: beyond wm
         q.processAllAvailable()
-        mem.addData(ev(5, "2024-01-01 07:00:00", 5.0)) // wm → 06:00, flush 05
+        feed.add(batch(ev(5, "2024-01-01 07:00:00", 5.0))) // wm → 06:00, flush 05
         q.processAllAvailable()
         s.table("st4_out").select("bucket", "n", "val_sum")
           .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
@@ -248,26 +281,31 @@ object Streams {
     */
   val st5 = QueryDef.fixture("st5_stream_session_window") { (s, d) =>
     import s.implicits._
-    val rows = Tables.events(s, d).filter(col("ts").isNotNull)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .as[Ev].collect().sortBy(_.ts.getTime)
+    val ev = eventsFeed(s, d).filter(col("ts").isNotNull)
+    // time-RANGE chunking (an O(1) min/max scalar, not a row collect):
+    // arrival batches must respect event time so append mode only
+    // closes sessions whose rows have all arrived; within a batch the
+    // order is free — the watermark advances at batch end
+    val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (loUs, hiUs) = (b.getLong(0), b.getLong(1))
+    val span = math.max(1L, (hiUs - loUs) / 3 + 1)
     val sentinel = Ev(-1L,
-      new java.sql.Timestamp(rows.last.ts.getTime + 30L * 24 * 3600 * 1000),
+      new java.sql.Timestamp(hiUs / 1000L + 30L * 24 * 3600 * 1000),
       -1L, "sentinel", 0.0)
-    implicit val sq = s.sqlContext
-    val mem = MemoryStream[Ev]
-    val q = sessionAgg(mem.toDF()).writeStream
+    val feed = new FileFeed(s, "st5", ev.schema)
+    val q = sessionAgg(feed.source()).writeStream
       .format("memory").queryName("st5_out").outputMode(OutputMode.Append())
       .start()
     val fpCols = Seq("start_us", "end_us", "user_id", "n_events")
     val streamedFp =
       try {
-        rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
-          mem.addData(chunk.toSeq)
+        (0 until 3).foreach { k =>
+          feed.add(ev.filter(
+            unix_micros(col("ts")) >= loUs + k * span &&
+              unix_micros(col("ts")) < loUs + (k + 1) * span))
           q.processAllAvailable()
         }
-        mem.addData(sentinel)
+        feed.add(Seq(sentinel).toDS().toDF())
         q.processAllAvailable()
         fingerprint(s.table("st5_out").filter(col("user_id") =!= -1L), fpCols)
       } finally q.stop()
@@ -293,13 +331,9 @@ object Streams {
     import s.implicits._
     val dim = Tables.events(s, d).groupBy("user_id")
       .agg(min(col("event_id")).as("first_event_id"))
-    val rows = Tables.events(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .as[Ev].collect()
-    implicit val sq = s.sqlContext
-    val mem = MemoryStream[Ev]
-    val joined = mem.toDF().join(dim, Seq("user_id"), "left")
+    val ev = eventsFeed(s, d)
+    val feed = new FileFeed(s, "st6", ev.schema)
+    val joined = feed.source().join(dim, Seq("user_id"), "left")
       .select(col("event_id"), col("user_id"), col("first_event_id"))
     val q = joined.writeStream
       .format("memory").queryName("st6_out").outputMode(OutputMode.Append())
@@ -307,8 +341,8 @@ object Streams {
     val fpCols = Seq("event_id", "user_id", "first_event_id")
     val streamedFp =
       try {
-        rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
-          mem.addData(chunk.toSeq)
+        (0 until 3).foreach { k =>
+          feed.add(ev.filter(pmod(col("event_id"), lit(3)) === k))
           q.processAllAvailable()
         }
         fingerprint(s.table("st6_out"), fpCols)
@@ -335,18 +369,20 @@ object Streams {
     */
   val st7 = QueryDef.fixture("st7_stream_stream_join") { (s, d) =>
     import s.implicits._
-    val rows = Tables.events(s, d).filter(col("ts").isNotNull)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .as[Ev].collect().sortBy(_.ts.getTime)
-    implicit val sq = s.sqlContext
-    val memClicks = MemoryStream[Ev]
-    val memBuys = MemoryStream[Ev]
-    val clicks = memClicks.toDF().filter(col("event_type") === "click")
+    val ev = eventsFeed(s, d).filter(col("ts").isNotNull)
+    // same time-range chunking as st5: both sides' arrival order must
+    // respect event time or watermark eviction drops matches the batch
+    // join keeps
+    val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (loUs, hiUs) = (b.getLong(0), b.getLong(1))
+    val span = math.max(1L, (hiUs - loUs) / 3 + 1)
+    val feedClicks = new FileFeed(s, "st7c", ev.schema)
+    val feedBuys = new FileFeed(s, "st7b", ev.schema)
+    val clicks = feedClicks.source().filter(col("event_type") === "click")
       .withWatermark("ts", "1 hour")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
-    val buys = memBuys.toDF().filter(col("event_type") === "purchase")
+    val buys = feedBuys.source().filter(col("event_type") === "purchase")
       .withWatermark("ts", "1 hour")
       .select(col("event_id").as("buy_id"), col("user_id").as("buy_user"),
         col("ts").as("buy_ts"))
@@ -361,14 +397,16 @@ object Streams {
     val fpCols = Seq("click_id", "buy_id")
     val streamedFp =
       try {
-        rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
-          memClicks.addData(chunk.toSeq)
-          memBuys.addData(chunk.toSeq)
+        (0 until 3).foreach { k =>
+          val chunk = ev.filter(
+            unix_micros(col("ts")) >= loUs + k * span &&
+              unix_micros(col("ts")) < loUs + (k + 1) * span)
+          feedClicks.add(chunk)
+          feedBuys.add(chunk)
           q.processAllAvailable()
         }
         fingerprint(s.table("st7_out"), fpCols)
       } finally q.stop()
-    val ev = Tables.events(s, d).filter(col("ts").isNotNull)
     val batchFp = fingerprint(ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -471,21 +509,22 @@ object Streams {
     val ev = Tables.events(s, d).filter(col("ts").isNotNull)
       .select(col("event_id"), col("event_type"), col("value"))
     // the idempotent sink: per-batch dynamic partition overwrite.
-    // Redelivery is replayed from captured rows, not the micro-batch
-    // DataFrame — after the stream stops, a batch frame's lineage
-    // points at a dead incremental source.
-    var lastRows: Seq[(Long, String, Double)] = Nil
+    // Redelivery is replayed from a parquet CAPTURE of the delivered
+    // batch, not the micro-batch DataFrame (whose lineage points at a
+    // dead incremental source once the stream stops) and not
+    // driver-collected rows — the capture stays on storage like a real
+    // recovering source would.
+    val replayDir = s"$base/replay"
     def sink(batch: DataFrame, batchId: Long): Unit = {
-      lastRows = batch.collect().toSeq
-        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      if (batchId >= 0) // live delivery: capture it for the replay pass
+        batch.write.mode("overwrite").parquet(replayDir)
       batch.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("event_type").parquet(outDir)
     }
-    val stream = MemoryStream[(Long, String, Double)](s)
-    stream.addData(ev.collect().toSeq
-      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))))
-    val q = stream.toDF().toDF("event_id", "event_type", "value")
+    val feed = new FileFeed(s, "st9feed", ev.schema)
+    feed.add(ev) // whole table, one arrival batch (see scaladoc contract)
+    val q = feed.source()
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch(sink _)
       .option("checkpointLocation", s"$base/ckpt")
@@ -498,7 +537,7 @@ object Streams {
     }
     val after1 = state()
     // simulate redelivery of the final batch after a recovery
-    sink(lastRows.toDF("event_id", "event_type", "value"), -1L)
+    sink(s.read.parquet(replayDir), -1L)
     val after2 = state()
     val expRow = ev.agg(count(lit(1)), sum(col("event_id"))).head()
     val expected = (expRow.getLong(0), expRow.getLong(1))
@@ -539,23 +578,33 @@ object Streams {
     val raw = Tables.documents(s, d)
       .filter(col("text").isNotNull && length(col("text")) >= 20)
       .select(col("doc_id"), col("text"))
+    // id-packing precondition, loud at the fixture boundary: originals
+    // live at k·10M + id, re-crawls at k·10M + 5M + id, and the
+    // recrawl detector is doc_id % 10M >= 5M — an id space reaching
+    // 5M would silently collide the two ranges and surface as a
+    // confusing n_recrawls_kept, not as the real cause
+    val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 5000000L,
+      s"st10 id packing assumes doc_id < 5,000,000; testdata now has $maxId " +
+        "— widen the k*10M/+5M packing ranges")
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val cleanIds = graft.llm.Dedup.incrementalDedup(
       empty, raw, "doc_id", "text", threshold)
     val clean = raw.join(cleanIds, Seq("doc_id"), "left_semi")
-      .orderBy("doc_id").as[(Long, String)].collect()
     val nSlices = 4
-    val slices = clean.grouped(
-      math.max(1, math.ceil(clean.length / nSlices.toDouble).toInt)).toArray
+    // slices + rekeying stay DataFrame transforms (no driver collect);
     // ingest ids are monotone across batches (any ingest sequence gives
     // this for free — incrementalDedup requires it): batch k originals
     // at k·10M + id, its re-crawls at k·10M + 5M + id
-    def rekey(k: Int, docs: Array[(Long, String)], off: Long) =
-      docs.map { case (id, tx) => (k * 10000000L + off + id, tx) }
-    val batches = slices.indices.map { k =>
-      rekey(k, slices(k), 0L) ++
-        (if (k > 0) rekey(k, slices(k - 1), 5000000L)
-         else Array.empty[(Long, String)])
+    def slice(k: Int): DataFrame =
+      clean.filter(pmod(col("doc_id"), lit(nSlices)) === k)
+    def rekey(df: DataFrame, k: Int, off: Long): DataFrame =
+      df.select((col("doc_id") + lit(k * 10000000L + off)).as("doc_id"),
+        col("text"))
+    val batches = (0 until nSlices).map { k =>
+      val originals = rekey(slice(k), k, 0L)
+      if (k > 0) originals.unionAll(rekey(slice(k - 1), k, 5000000L))
+      else originals
     }
     def corpusState(): DataFrame =
       if (new java.io.File(stateDir).exists()) s.read.parquet(stateDir)
@@ -566,14 +615,14 @@ object Streams {
       batch.join(kept, Seq("doc_id"), "left_semi")
         .write.mode("append").parquet(stateDir)
     }
-    val stream = MemoryStream[(Long, String)](s)
-    val q = stream.toDF().toDF("doc_id", "text")
+    val feed = new FileFeed(s, "st10feed", raw.schema)
+    val q = feed.source()
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch(sink _)
       .option("checkpointLocation", s"$base/ckpt")
       .start()
     try {
-      batches.foreach { b => stream.addData(b.toSeq); q.processAllAvailable() }
+      batches.foreach { b => feed.add(b); q.processAllAvailable() }
     } finally q.stop()
     def sig(df: DataFrame): (Long, Long, Long) = {
       val r = df.agg(count(lit(1)),
@@ -581,8 +630,9 @@ object Streams {
         coalesce(expr("bit_xor(doc_id)"), lit(0L))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val expected = slices.indices.flatMap(k => rekey(k, slices(k), 0L))
-    val expSig = sig(expected.toDF("doc_id", "text"))
+    val expected = (0 until nSlices).map(k => rekey(slice(k), k, 0L))
+      .reduce(_ unionAll _)
+    val expSig = sig(expected)
     val surv = s.read.parquet(stateDir)
     val gotSig = sig(surv)
     val nRecrawlsKept =
