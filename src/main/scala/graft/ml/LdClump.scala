@@ -414,7 +414,8 @@ object LdClump {
         |        FROM snps s CROSS JOIN ids i),
         |wpairs AS (SELECT a.idx AS ia, b.idx AS ib
         |           FROM snps a JOIN snps b
-        |             ON a.chr = b.chr AND b.pos > a.pos
+        |             ON a.chr = b.chr
+        |            AND (b.pos > a.pos OR (b.pos = a.pos AND b.idx > a.idx))
         |            AND b.pos - a.pos <= 1000000),
         |r2 AS (SELECT p.ia, p.ib,
         |         coalesce(pow(corr(da.d, db.d), 2), 0.0) AS r2
@@ -468,16 +469,20 @@ object LdClump {
     { (s, _) =>
       import s.implicits._
       bandedR2(fixtureGeno(s), "features", fixtureSnps, kb = 1000)
-        .map { case (a, b, r2) => (a.name, b.name, math.rint(r2 * 1e6) / 1e6) }
-        .toDF("snp_a", "snp_b", "r2")
+        .map { case (a, b, r2) => (a.name, b.name, r2) }
+        .toDF("snp_a", "snp_b", "r2_raw")
+        // Catalyst round (HALF_UP) to match DuckDB round(x, 6) —
+        // math.rint is HALF_EVEN and diverges on half-boundary values
+        // (Deconfound's rounding note documents the hash flip)
+        .withColumn("r2", round(col("r2_raw"), 6)).drop("r2_raw")
     },
     oracle = Some(
-      """WITH snps(name, chr, pos, kind) AS (VALUES
-        |  ('s_a1', 1, 100000, 'base'), ('s_a2', 1, 400000, 'anti'),
-        |  ('s_a3', 1, 800000, 'base_nan'), ('s_b1', 1, 2000000, 'base'),
-        |  ('s_c1', 1, 2300000, 'ind'), ('s_d1', 2, 100000, 'base'),
-        |  ('s_d2', 2, 150000, 'base'), ('s_d3', 2, 120000, 'base'),
-        |  ('s_e1', 2, 160000, 'ind')),
+      """WITH snps(name, idx, chr, pos, kind) AS (VALUES
+        |  ('s_a1', 0, 1, 100000, 'base'), ('s_a2', 1, 1, 400000, 'anti'),
+        |  ('s_a3', 2, 1, 800000, 'base_nan'), ('s_b1', 3, 1, 2000000, 'base'),
+        |  ('s_c1', 4, 1, 2300000, 'ind'), ('s_d1', 5, 2, 100000, 'base'),
+        |  ('s_d2', 6, 2, 150000, 'base'), ('s_d3', 7, 2, 120000, 'base'),
+        |  ('s_e1', 8, 2, 160000, 'ind')),
         |ids AS (SELECT unnest(range(0, 297)) AS id),
         |dos AS (SELECT s.name, i.id,
         |          CASE WHEN s.kind = 'base_nan' AND i.id % 50 = 0 THEN NULL
@@ -487,7 +492,8 @@ object LdClump {
         |        FROM snps s CROSS JOIN ids i),
         |pairs AS (SELECT a.name AS snp_a, b.name AS snp_b
         |          FROM snps a JOIN snps b
-        |            ON a.chr = b.chr AND b.pos > a.pos
+        |            ON a.chr = b.chr
+        |           AND (b.pos > a.pos OR (b.pos = a.pos AND b.idx > a.idx))
         |           AND b.pos - a.pos <= 1000000)
         |SELECT p.snp_a, p.snp_b,
         |       round(coalesce(pow(corr(da.d, db.d), 2), 0.0), 6) AS r2
@@ -511,7 +517,16 @@ object LdClump {
         var i = 0
         while (i < p) {
           val d = a(i)
-          if (d.isNaN) acc(i)(3) += 1 else acc(i)(d.toInt) += 1
+          // HWE is only meaningful on hard calls: a fractional (imputed/
+          // adjusted) or out-of-range dosage must fail LOUDLY here, not
+          // silently truncate into a genotype bin (or index out of the
+          // 0..2 range)
+          if (d.isNaN) acc(i)(3) += 1
+          else if (d == 0.0 || d == 1.0 || d == 2.0) acc(i)(d.toInt) += 1
+          else throw new IllegalArgumentException(
+            s"hweCounts expects hard-call dosages 0/1/2 or NaN; " +
+              s"got $d in column $i — run HWE on raw genotypes, not " +
+              "adjusted/imputed data")
           i += 1
         }
         acc
@@ -558,9 +573,12 @@ object LdClump {
       snps.map { sn =>
         val c = counts(sn.idx)
         val raw = hweChiSq(c(0), c(1), c(2))
-        (sn.name, c(0), c(1), c(2), c(3),
-          math.rint(raw * 1e6) / 1e6, raw > 3.841459)
-      }.toDF("snp", "n0", "n1", "n2", "n_miss", "chisq", "hwe_fail")
+        (sn.name, c(0), c(1), c(2), c(3), raw, raw > 3.841459)
+      }.toDF("snp", "n0", "n1", "n2", "n_miss", "chisq_raw", "hwe_fail")
+        // Catalyst round (HALF_UP) to match the oracle's round(x, 6);
+        // math.rint is HALF_EVEN and flips the hash on half-boundary
+        // values (Deconfound's rounding note)
+        .withColumn("chisq", round(col("chisq_raw"), 6)).drop("chisq_raw")
     },
     oracle = Some(
       """WITH snps(name, kind) AS (VALUES

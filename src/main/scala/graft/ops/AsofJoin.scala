@@ -97,8 +97,12 @@ object AsofJoin {
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__left") === 1)
     val gated = toleranceUs match {
+      // cast both operands to long: the require above admits
+      // IntegerType ts columns, and int - int would wrap for wide
+      // ranges before the comparison against the Long tol widened it
       case Some(tol) => filled.withColumn("__r",
-        when(col("__ts") - col("__r.__rts") <= tol, col("__r")))
+        when(col("__ts").cast("long") - col("__r.__rts").cast("long") <= tol,
+          col("__r")))
       case None => filled
     }
     gated.select(lCols.map(col) ++

@@ -184,4 +184,28 @@ class LdClumpSpec extends SparkSpec {
     assert(c(1).toSeq == Seq(48L, 60L, 0L, 12L))
     assert(c(2).toSeq == Seq(0L, 0L, 120L, 0L))
   }
+
+  test("hweCounts: adjusted (fractional) dosages fail loudly, not mis-bin") {
+    val s = spark
+    // 1.5 = a typical imputed/covariate-adjusted dosage — HWE on it is
+    // statistically meaningless and must not silently count as a het
+    val geno = s.range(0, 10).select(
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.when(col("id") === 7, 1.5)
+          .otherwise((col("id") % 3).cast("double"))).as("features"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      LdClump.hweCounts(geno, "features", 1)
+    }
+    assert(ex.getMessage.contains("hard-call") ||
+      Option(ex.getCause).exists(_.getMessage.contains("hard-call")),
+      s"expected the hard-call message, got: ${ex.getMessage}")
+    // out-of-range hard values are equally invalid (3.0 would have
+    // indexed past the genotype bins; -1 would have crashed obscurely)
+    val geno2 = s.range(0, 4).select(
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.lit(3.0)).as("features"))
+    intercept[org.apache.spark.SparkException] {
+      LdClump.hweCounts(geno2, "features", 1)
+    }
+  }
 }

@@ -50,4 +50,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(row.getLong(0) == 200L)
     assert(row.isNullAt(1))
   }
+
+  test("tolerance gate: int ts columns compare in 64-bit (no 32-bit wrap)") {
+    val s = spark; import s.implicits._
+    // IntegerType ts on both sides, age = 4,147,483,648 us — far past
+    // tol. In 32-bit arithmetic the difference wraps to -147,483,648
+    // (<= tol) and would resurrect the match the gate must reject.
+    val left = Seq((1L, 1L, 2000000000)).toDF("k", "lid", "lts")
+    val right = Seq((1L, -2147483648, 7L)).toDF("k", "rts", "payload")
+    val gated = AsofJoin.asofJoin(left, right, Seq("k"), "lts", "rts",
+      toleranceUs = Some(1000L))
+    assert(gated.filter(col("asof_payload").isNotNull).count() == 0,
+      "wrapped 32-bit difference resurrected an out-of-tolerance match")
+    // the fill itself is legitimate — only the age gate rejects it
+    val ungated = AsofJoin.asofJoin(left, right, Seq("k"), "lts", "rts")
+    assert(ungated.filter(col("asof_payload") === 7L).count() == 1)
+  }
 }
