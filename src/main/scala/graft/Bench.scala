@@ -51,6 +51,20 @@ object Bench {
       import spark.implicits._
       spark.range(256).as[Long].flatMap(i => Iterator((i, i + 1L)))
         .write.format("noop").mode("overwrite").save()
+      // The ExactSubstr span family is the heaviest remaining first-touch
+      // path (r07: d14 11.5 s single-shot vs 4.1 s warm median — the gap
+      // was rolling-hash/Utf16Substr/localCheckpoint/RDD-cutter JIT, not
+      // plan cost). One miniature end-to-end dedupRepeatedSpans touches
+      // every stage: window hashing, candidate checkpoint, window-
+      // granular election, loser re-merge, and the row cutter.
+      val wdocs = spark.range(64).select(
+        col("id").as("doc_id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(
+            "warmup boilerplate text shared across documents 0123456789 "),
+          (col("id") % 7).cast("string")).as("text"))
+      graft.llm.Dedup.dedupRepeatedSpans(wdocs, win = 20, minDocs = 2)
+        .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -66,6 +80,16 @@ object Bench {
     // cost unchanged.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+    // harness-test hook: SPARK_GRAFT_BENCH_FAULT=<query>:<rep> makes that
+    // query throw on that 0-based rep, to exercise (and demonstrate) the
+    // partial-median-plus-error reporting path without a real flaky query
+    val fault = sys.env.get("SPARK_GRAFT_BENCH_FAULT").flatMap { v =>
+      v.split(":") match {
+        case Array(n, r) => r.toIntOption.map(n -> _)
+        case _ => None
+      }
+    }
+    val nSamples = scala.collection.mutable.LinkedHashMap[String, Int]()
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       val n = s.length
@@ -82,6 +106,8 @@ object Bench {
         System.gc()
         val t0 = System.nanoTime()
         try {
+          if (fault.contains(name -> rep))
+            throw new RuntimeException(s"injected fault at rep $rep")
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           samples += (System.nanoTime() - t0) / 1e9
         } catch {
@@ -93,10 +119,16 @@ object Bench {
       }
       // A failure on a later rep keeps the error AND the median of the
       // successful samples — partial timing signal beats a pure red row.
-      // Caveat (recorded via "reps" in the JSON): back-to-back reps are
-      // warm-cache/JIT-warmed, so reps>=2 medians are comparable to each
-      // other, not to the driver's single-shot numbers.
-      if (samples.nonEmpty) times(name) = median(samples.toSeq)
+      // The artifact records how each number was produced: "timing"
+      // labels the run cold-single-shot vs warm-median (back-to-back
+      // reps are cache/JIT-warmed — comparable to each other, NOT to
+      // single-shot numbers), and "n_samples" exposes partial medians
+      // (n_samples < reps == that query's median is from fewer,
+      // earlier — colder — samples).
+      if (samples.nonEmpty) {
+        times(name) = median(samples.toSeq)
+        nSamples(name) = samples.length
+      }
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -105,9 +137,11 @@ object Bench {
       } + "\""
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val nss = nSamples.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val timing = if (reps > 1) "warm-median" else "cold-single-shot"
     val total = times.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"reps":$reps,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"reps":$reps,"timing":${jstr(timing)},"n_samples":$nss,"sf":${jstr(sfDir)}}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
