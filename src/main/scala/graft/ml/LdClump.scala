@@ -651,5 +651,83 @@ object LdClump {
         |FROM dos GROUP BY id""".stripMargin),
     benchEligible = false)
 
-  def all: Seq[QueryDef] = Seq(m14, m14r2, m15, m16)
+  /** Per-variant NaN counts in ONE treeAggregate pass (p-sized bounded
+    * accumulator + row tally, no shuffle — the m15 accumulation shape).
+    * Unlike [[hweCounts]] this is defined for ANY dosage data:
+    * missingness is meaningful on adjusted/imputed values too, so only
+    * NaN-ness is inspected, never the genotype value.
+    */
+  def variantMissingness(geno: DataFrame, featuresCol: String,
+      p: Int): (Array[Long], Long) =
+    geno.select(col(featuresCol)).rdd
+      .treeAggregate((Array.fill(p)(0L), 0L))(
+        (acc, row) => {
+          val a = row.getSeq[Double](0)
+          var i = 0
+          while (i < p) { if (a(i).isNaN) acc._1(i) += 1; i += 1 }
+          (acc._1, acc._2 + 1L)
+        },
+        (x, y) => {
+          var i = 0
+          while (i < p) { x._1(i) += y._1(i); i += 1 }
+          (x._1, x._2 + y._2)
+        })
+
+  /** M17 — missingness report (plink --missing analog, public method):
+    * BOTH sections of the report in one frame — per-VARIANT (.lmiss:
+    * missing calls per SNP over all samples, one treeAggregate) and
+    * per-SAMPLE (.imiss: missing calls per sample, scan-local array
+    * arithmetic like m16) — tagged by `kind`, keyed uniformly as
+    * strings. FULL oracle: DuckDB rebuilds the dosages and replays
+    * both GROUP BYs; a3's punched NaNs (6 per variant side, 1 per
+    * affected sample) discriminate both sections. Catalyst round
+    * (HALF_UP) on both engines for f_miss.
+    */
+  val m17 = QueryDef(
+    "m17_missingness",
+    { (s, _) =>
+      import s.implicits._
+      val snps = fixtureSnps
+      val (miss, n) = variantMissingness(fixtureGeno(s), "features", snps.length)
+      val perVariant = snps.map { sn =>
+        ("variant", sn.name, miss(sn.idx), n)
+      }.toDF("kind", "key", "n_miss", "n_total")
+      val perSample = fixtureGeno(s).select(
+        lit("sample").as("kind"),
+        col("id").cast("string").as("key"),
+        size(filter(col("features"), x => isnan(x)))
+          .cast("long").as("n_miss"),
+        lit(snps.length.toLong).as("n_total"))
+      perVariant.unionByName(perSample)
+        .withColumn("f_miss",
+          round(col("n_miss").cast("double") / col("n_total"), 6))
+    },
+    oracle = Some(
+      """WITH snps(name, kind) AS (VALUES
+        |  ('s_a1', 'base'), ('s_a2', 'anti'), ('s_a3', 'base_nan'),
+        |  ('s_b1', 'base'), ('s_c1', 'ind'), ('s_d1', 'base'),
+        |  ('s_d2', 'base'), ('s_d3', 'base'), ('s_e1', 'ind')),
+        |ids AS (SELECT unnest(range(0, 297)) AS id),
+        |dos AS (SELECT s.name, i.id,
+        |          CASE WHEN s.kind = 'base_nan' AND i.id % 50 = 0 THEN NULL
+        |               WHEN s.kind = 'anti' THEN 2.0 - (i.id % 3)
+        |               WHEN s.kind = 'ind' THEN CAST((i.id // 3) % 3 AS DOUBLE)
+        |               ELSE CAST(i.id % 3 AS DOUBLE) END AS d
+        |        FROM snps s CROSS JOIN ids i)
+        |SELECT 'variant' AS kind, name AS key,
+        |       CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_miss,
+        |       CAST(count(*) AS BIGINT) AS n_total,
+        |       round(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+        |         AS f_miss
+        |FROM dos GROUP BY name
+        |UNION ALL
+        |SELECT 'sample' AS kind, CAST(id AS VARCHAR) AS key,
+        |       CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_miss,
+        |       CAST(count(*) AS BIGINT) AS n_total,
+        |       round(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+        |         AS f_miss
+        |FROM dos GROUP BY id""".stripMargin),
+    benchEligible = false)
+
+  def all: Seq[QueryDef] = Seq(m14, m14r2, m15, m16, m17)
 }

@@ -208,4 +208,18 @@ class LdClumpSpec extends SparkSpec {
       LdClump.hweCounts(geno2, "features", 1)
     }
   }
+
+  test("variantMissingness: NaN-only inspection, defined on adjusted dosages") {
+    val s = spark
+    // 1.5 would make hweCounts throw — missingness must accept it
+    val geno = s.range(0, 120).select(
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.when(col("id") % 10 === 0, Double.NaN)
+          .otherwise(1.5),
+        org.apache.spark.sql.functions.lit(0.0)).as("features"))
+      .repartition(5)
+    val (miss, n) = LdClump.variantMissingness(geno, "features", 2)
+    assert(n == 120L)
+    assert(miss.toSeq == Seq(12L, 0L))
+  }
 }
