@@ -21,6 +21,7 @@ object SparkEntry {
       graft.ops.Skew.all ++
       graft.ops.Cdc.all ++
       graft.ops.BloomJoin.all ++
+      graft.ops.GraphOps.all ++
       graft.stats.FDR.all ++
       graft.ml.Scoring.all ++
       graft.ml.Train.all ++

@@ -1073,8 +1073,83 @@ object TextAnalysis {
           "NFC").as("nfc_text"))
   }
 
+  /** Per-document lexical-diversity profile: type-token ratio, hapax
+    * fraction, and distinct-bigram ratio — the "vocabulary richness"
+    * quality signals (low TTR ⇒ templated/repetitive text; Gopher-style
+    * pipelines threshold on exactly these). Adds `n_tokens`,
+    * `n_distinct`, `ttr`, `hapax_ratio`, `bigram_ttr`.
+    *
+    * Scale: ZERO shuffle — every statistic is a scan-local array HOF
+    * over the token list. Hapax counting needs no per-term aggregate:
+    * sort the doc's tokens once (`sort_array`), then a token is a
+    * hapax iff it differs from BOTH sorted neighbors (`try_element_at`
+    * is null at the array edges; `<=>` makes the comparison total).
+    * Bigram distinctness reuses t15's zip-of-shifted-slices shape.
+    * At 100 TB this is one narrow projection, partition-parallel.
+    */
+  def lexicalDiversity(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val sw = sort_array(toks)
+    val n = size(toks)
+    // hapax: sorted tokens group equal elements adjacently under ANY
+    // total order, so sort-order parity with the oracle is irrelevant.
+    // Edge neighbors are null via conditional `when` (element_at
+    // rejects index 0 outright, even the try_ form), and `<=>` makes
+    // the null comparison total — matching DuckDB's null-on-OOB lists.
+    val isHapax = (i: Column) =>
+      !(element_at(sw, i) <=> when(i > 1, element_at(sw, i - 1))) &&
+        !(element_at(sw, i) <=> when(i < n, element_at(sw, i + 1)))
+    val hapax = size(filter(sequence(lit(1), n), isHapax))
+    // bigrams join on ' ' — tokens are space-split, so the joiner
+    // cannot collide (no token contains a space)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(col("*") +: Seq(
+      n.cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      round(size(array_distinct(toks)).cast("double") / n, 6).as("ttr"),
+      round(hapax.cast("double") / n, 6).as("hapax_ratio"),
+      when(n > 1,
+        round(size(array_distinct(bigrams)).cast("double") / (n - 1), 6))
+        .as("bigram_ttr")): _*)
+  }
+
+  /** T18 — lexical diversity under a FULL DuckDB oracle: DuckDB
+    * replays the sorted-neighbor hapax rule with list lambdas (list
+    * OOB indexing is NULL there, mirroring `try_element_at`), the
+    * bigram construction with `list_transform(generate_series(...))`,
+    * and the same explicit double divisions rounded at 6 (HALF_UP in
+    * both engines). All-rows output — one hash row per document.
+    */
+  val lexDiversityQ = QueryDef.sql(
+    "t18_lexical_diversity",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL),
+      |s AS (SELECT doc_id, w, list_sort(w) AS sw, len(w) AS n FROM t),
+      |h AS (SELECT doc_id, n,
+      |             len(list_distinct(w)) AS dn,
+      |             len(list_filter(generate_series(1, n), i ->
+      |                 NOT (sw[i] IS NOT DISTINCT FROM sw[i-1])
+      |             AND NOT (sw[i] IS NOT DISTINCT FROM sw[i+1]))) AS hapax,
+      |             CASE WHEN n > 1 THEN
+      |               len(list_distinct(list_transform(generate_series(1, n-1),
+      |                 i -> w[i] || ' ' || w[i+1]))) END AS db
+      |      FROM s)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |       CAST(dn AS BIGINT) AS n_distinct,
+      |       round(CAST(dn AS DOUBLE) / n, 6) AS ttr,
+      |       round(CAST(hapax AS DOUBLE) / n, 6) AS hapax_ratio,
+      |       CASE WHEN n > 1 THEN round(CAST(db AS DOUBLE) / (n - 1), 6)
+      |       END AS bigram_ttr
+      |FROM h""".stripMargin) { (s, d) =>
+    lexicalDiversity(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select("doc_id", "n_tokens", "n_distinct", "ttr", "hapax_ratio",
+        "bigram_ttr")
+  }
+
   def all: Seq[QueryDef] =
     Seq(langId, quality, gopherQ, fingerprint, tokenBudget, rollingFp,
       repetition, piiRedact, tfidf, postings, compression, heavyHitters,
-      perSourceTopTerms, unigramLp, bigramLp, normalizeQ, normalizeNfcQ)
+      perSourceTopTerms, unigramLp, bigramLp, normalizeQ, normalizeNfcQ,
+      lexDiversityQ)
 }

@@ -1,0 +1,155 @@
+package graft.ops
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over DataFrames: PageRank as the
+  * representative iterative-propagation operator (the web-corpus
+  * quality prior — Common Crawl publishes exactly this family of
+  * link-graph rank as a curation signal; Page et al. 1999).
+  *
+  * Design for scale:
+  *  - Edges are deduped, hash-partitioned by `src` ONCE and cached —
+  *    every iteration's rank⋈edge join reuses that partitioning; only
+  *    the (node-sized, much smaller) rank table moves per round.
+  *  - Each iteration is one join + one map-side-combinable sum — the
+  *    standard Pregel-lite shape. Ranks are materialized (cache +
+  *    count) per round so the lineage stays O(1) deep instead of
+  *    O(iters) (at 1000 executors a 30-round lineage replay after a
+  *    task failure would be the bottleneck, not the math).
+  *  - Dangling-node mass is a single scalar aggregate per round
+  *    (O(1) driver state), redistributed uniformly, per the paper.
+  *
+  * Determinism (the cross-engine gate): ranks are carried as FIXED-
+  * POINT integers (units of 1e-12) — `F = 10^12` total mass. Every
+  * operation is integral (`div`), so sums are exact under ANY
+  * accumulation order; a floating-point PageRank would hash-differ in
+  * final ulps between Spark's and DuckDB's aggregation orders. A
+  * production run at 100 TB can flip to doubles freely — the plan
+  * shape is identical — but the gated path keeps the bit-exact
+  * contract. Truncation leaks ≤1e-12·|nodes| mass per round:
+  * deterministic, documented, irrelevant at rank precision 1e-6.
+  */
+object GraphOps {
+
+  val F: Long = 1000000000000L // fixed-point one: 1.0 == 1e12 units
+
+  /** PageRank with damping 17/20 (= 0.85) over `edges(src, dst)`.
+    * Returns (node, rank_fp) where rank_fp is in units of 1e-12.
+    * Every node appearing as src or dst participates; nodes with no
+    * out-edges contribute their mass uniformly (dangling handling).
+    */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src")) // reused by every iteration's join
+      .cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count()
+    require(n > 0, "pageRank on an empty edge set")
+    // outdeg per node (0 for dangling); node-sized, cached for reuse
+    val deg = nodes.join(
+        e.groupBy("src").agg(count(lit(1)).as("outdeg")),
+        nodes("node") === col("src"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+      .cache()
+    val teleport = (3L * F) / (20L * n) // (1-d)/N, exact integral
+    var ranks = deg.select(col("node"), lit(F / n).as("rank_fp"))
+      .cache()
+    ranks.count()
+    var i = 0
+    while (i < iters) {
+      val rd = ranks.join(deg, "node")
+      val dangling = rd.filter(col("outdeg") === 0)
+        .agg(coalesce(sum(col("rank_fp")), lit(0L))).head().getLong(0)
+      val contrib = e.join(rd.filter(col("outdeg") > 0), col("src") === col("node"))
+        .select(col("dst"), expr("rank_fp div outdeg").as("c"))
+        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("contrib"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"17 * (coalesce(contrib, 0L) + ${dangling / n}L) div 20"))
+            .as("rank_fp"))
+        .cache()
+      next.count() // materialize: O(1) lineage depth per round
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    ranks
+  }
+
+  /** The DuckDB oracle replays the SAME integral arithmetic, unrolled
+    * one CTE pair (contribution, rank) per iteration. Generated
+    * programmatically so iteration count stays in one place.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val base =
+      """WITH le AS (SELECT DISTINCT o_custkey * 2 AS src,
+        |                            l_suppkey * 2 + 1 AS dst
+        |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (SELECT src, dst FROM le UNION SELECT dst, src FROM le),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges
+        |          UNION SELECT DISTINCT dst FROM edges),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT node, count(e.src) AS outdeg
+        |        FROM nodes LEFT JOIN edges e ON node = e.src GROUP BY node),
+        |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r
+        |       FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s"""c$k AS (SELECT e.dst AS node, sum(r.r // d.outdeg) AS contrib
+         |       FROM edges e JOIN r$p r ON e.src = r.node
+         |                    JOIN deg d ON e.src = d.node
+         |       WHERE d.outdeg > 0 GROUP BY e.dst),
+         |g$k AS (SELECT COALESCE((SELECT sum(r.r) FROM r$p r JOIN deg d
+         |                        ON r.node = d.node WHERE d.outdeg = 0), 0)
+         |               // (SELECT n FROM nn) AS dang),
+         |r$k AS (SELECT nodes.node,
+         |              (3 * 1000000000000) // (20 * (SELECT n FROM nn))
+         |              + (17 * (COALESCE(c$k.contrib, 0)
+         |                       + (SELECT dang FROM g$k))) // 20 AS r
+         |       FROM nodes LEFT JOIN c$k ON nodes.node = c$k.node)""".stripMargin
+    }
+    val tail =
+      s"""SELECT node,
+         |       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier'
+         |       END AS node_type,
+         |       CAST(r AS BIGINT) AS rank_fp
+         |FROM r$iters""".stripMargin
+    (base +: steps).mkString(",\n") + "\n" + tail
+  }
+
+  private val pageRankIters = 5
+
+  /** G1 — PageRank over the customer↔supplier trade graph (edges =
+    * distinct customer→supplier pairs from orders⋈lineitem, doubled to
+    * undirected so the chain is irreducible; node ids disambiguate the
+    * two key spaces as 2k / 2k+1). FULL DuckDB oracle: the unrolled
+    * CTE replay runs the identical integral fixed-point arithmetic —
+    * every node's 5-round rank hash-matches exactly. The dangling
+    * branch is structurally zero on this graph (undirected doubling
+    * gives every node outdeg ≥ 1) and is exercised by GraphOpsSpec's
+    * sink-node hand graph instead.
+    */
+  val g1 = QueryDef.sql("g1_pagerank", pageRankOracleSql(pageRankIters)) {
+    (s, d) =>
+      val le = Tables.orders(s, d).join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        .distinct()
+      val edges = le.union(le.select(col("dst").as("src"), col("src").as("dst")))
+      pageRankFixedPoint(edges, pageRankIters)
+        .select(col("node"),
+          when(col("node") % 2 === 0, "customer").otherwise("supplier")
+            .as("node_type"),
+          col("rank_fp"))
+  }
+
+  def all: Seq[QueryDef] = Seq(g1)
+}

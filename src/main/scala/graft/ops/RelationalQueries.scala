@@ -1139,8 +1139,69 @@ object RelationalQueries {
         round(sum(col("l_extendedprice")), 2).as("price_sum"))
   }
 
+  /** E11 — trailing-window anomaly flags: per event type, z-score each
+    * day's event count against the PRECEDING 7 days (monitoring's
+    * "is today's volume off-trend?" detector). The heavy work is the
+    * (type, day) count — one map-side-combinable hash aggregate over
+    * the raw events. The window then runs on the AGGREGATED frame
+    * (|types| × |days| rows — thousands, not billions), partitioned by
+    * event_type, so no single-task global window at any scale.
+    *
+    * Cross-engine determinism: the windowed sums stay INTEGRAL
+    * (sum(n), sum(n²) over bigint counts — exact under any
+    * accumulation order, immune to Spark's add/remove sliding-frame
+    * evaluation vs DuckDB's segment-tree order). Mean/variance/z are
+    * then derived with the same explicit double expressions in both
+    * engines (sample variance, rounded at 6), so the hash is exact.
+    */
+  val e11 = QueryDef.sql(
+    "e11_daily_anomaly",
+    """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+      |           FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0),
+      |d AS (SELECT event_type, day, count(*) AS n FROM e GROUP BY 1, 2),
+      |w AS (SELECT event_type, day, n,
+      |             count(n) OVER tw AS cnt,
+      |             CAST(sum(n) OVER tw AS BIGINT) AS s,
+      |             CAST(sum(n * n) OVER tw AS BIGINT) AS ss
+      |      FROM d WINDOW tw AS (PARTITION BY event_type ORDER BY day
+      |                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT event_type, day, n, cnt,
+      |             CAST(s AS DOUBLE) AS sd, CAST(ss AS DOUBLE) AS ssd,
+      |             CAST(cnt AS DOUBLE) AS cd
+      |      FROM w)
+      |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+      |       CASE WHEN cnt >= 2 AND (ssd - sd * sd / cd) > 0.0 THEN
+      |         round((CAST(n AS DOUBLE) - sd / cd)
+      |               / sqrt((ssd - sd * sd / cd) / (cd - 1.0)), 6)
+      |       END AS z,
+      |       CASE WHEN cnt >= 2 AND (ssd - sd * sd / cd) > 0.0 THEN
+      |         (CAST(n AS DOUBLE) - sd / cd)
+      |           / sqrt((ssd - sd * sd / cd) / (cd - 1.0)) > 3.0
+      |       ELSE FALSE END AS is_anomaly
+      |FROM z""".stripMargin) { (s, d) =>
+    val daily = Tables.events(s, d).filter(col("ts").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .filter(col("us") >= 0)
+      .select(col("event_type"), expr("us div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val tw = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    val w = daily.select(col("event_type"), col("day"), col("n"),
+      count(col("n")).over(tw).as("cnt"),
+      sum(col("n")).over(tw).cast("long").as("s"),
+      sum(col("n") * col("n")).over(tw).cast("long").as("ss"))
+    val sd = col("s").cast("double"); val ssd = col("ss").cast("double")
+    val cd = col("cnt").cast("double")
+    val varS = (ssd - sd * sd / cd) / (cd - 1.0d)
+    val zExpr = (col("n").cast("double") - sd / cd) / sqrt(varS)
+    val valid = col("cnt") >= 2 && (ssd - sd * sd / cd) > 0.0d
+    w.select(col("event_type"), col("day"), col("n").cast("long").as("n"),
+      when(valid, round(zExpr, 6)).as("z"),
+      when(valid, zExpr > 3.0d).otherwise(lit(false)).as("is_anomaly"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, u7, a1, o2, o3, a4, a5, a13,
-    o5, e1, e2, e5, e6, e7, e8, e9, e10, k1, a14, a15, a16, a19, j9, j10,
-    scalars)
+    o5, e1, e2, e5, e6, e7, e8, e9, e10, e11, k1, a14, a15, a16, a19, j9,
+    j10, scalars)
 }

@@ -486,4 +486,24 @@ class CurationOpsSpec extends SparkSpec {
       .count(id => !sel.contains((id, 1L)))
     assert(heavyOnly > 0, "fixture degenerate: every pair fully in/out")
   }
+
+  test("lexicalDiversity: hand-computed TTR / hapax / bigram ratios") {
+    val out = TextAnalysis.lexicalDiversity(docsDF(
+        (1L, "the cat sat on the mat"), // 6 tok, 5 types, 4 hapax, 5/5 bigrams
+        (2L, "a a a"),                  // all same: 0 hapax, 1/2 bigrams
+        (3L, "solo"),                   // single token: bigram_ttr null
+        (4L, "B b B")))                 // lowercased: one type
+      .select("doc_id", "n_tokens", "n_distinct", "ttr", "hapax_ratio",
+        "bigram_ttr")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def d(x: Any): Double = x.asInstanceOf[Double]
+    assert(out(1L).getLong(1) == 6 && out(1L).getLong(2) == 5)
+    assert(d(out(1L).get(3)) == 0.833333 && d(out(1L).get(4)) == 0.666667)
+    assert(d(out(1L).get(5)) == 1.0)
+    assert(d(out(2L).get(3)) == 0.333333 && d(out(2L).get(4)) == 0.0)
+    assert(d(out(2L).get(5)) == 0.5)
+    assert(out(3L).getLong(1) == 1 && d(out(3L).get(4)) == 1.0 &&
+      out(3L).isNullAt(5))
+    assert(out(4L).getLong(2) == 1 && d(out(4L).get(4)) == 0.0)
+  }
 }
