@@ -454,5 +454,167 @@ object Multimodal {
         col("resize_ok") && col("audio_ok"))
   }
 
-  def all: Seq[QueryDef] = Seq(mm)
+  // ------------------------------------------------ image near-dup (dHash)
+
+  /** 64-bit difference hash (dHash) of an image payload: decode (codec
+    * chain) → nearest-resize to 9×8 → integer grayscale → bit(y,x) =
+    * gray(y,x+1) > gray(y,x). The standard perceptual near-dup
+    * signature: brightness/contrast shifts preserve gradient SIGNS, so
+    * re-encodes of the same image land within a few bits. Null for
+    * payloads no image codec claims. One narrow per-partition pass —
+    * payloads never leave their partition.
+    */
+  def dHash64(payload: Array[Byte]): Option[Long] = {
+    val dec = decodeAny(payload)
+    if (dec.kind != BmpCodec.name) None
+    else {
+      val small = resizeRgbNearest(dec.data, dec.width, dec.height, 9, 8)
+      var h = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          def gray(i: Int): Int = {
+            val o = (y * 9 + i) * 3
+            (299 * (small(o) & 0xFF) + 587 * (small(o + 1) & 0xFF) +
+              114 * (small(o + 2) & 0xFF)) / 1000
+          }
+          if (gray(x + 1) > gray(x)) h |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      Some(h)
+    }
+  }
+
+  /** Adds `dhash` (nullable long) to an asset table. */
+  def imageDHash(assets: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val spark = assets.sparkSession
+    val pIdx = assets.schema.fieldIndex(payloadCol)
+    val outSchema = assets.schema.add("dhash", LongType)
+    val out = assets.rdd.mapPartitions { it =>
+      it.map { row =>
+        Row.fromSeq(row.toSeq :+
+          dHash64(row.getAs[Array[Byte]](pIdx)).map(Long.box).orNull)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** Near-dup image pairs by banded Hamming join: each 64-bit dhash
+    * splits into 4×16-bit band keys; pairs sharing ANY band key are
+    * candidates; exact `bit_count(xor)` filters to `maxDist`. The
+    * pigeonhole bound makes recall EXACT for maxDist ≤ 3 (3 differing
+    * bits cannot touch all 4 bands) — same banding argument as the
+    * SimHash dedup family (llm/Dedup.scala:454). Candidates-only work:
+    * never all-pairs, bucket sizes bounded by true duplicate-group
+    * sizes plus 16-bit-key collisions.
+    */
+  def imageNearDupPairs(hashed: DataFrame, idCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"4x16 banding guarantees recall only for maxDist <= 3, got $maxDist")
+    val withBands = hashed.filter(col("dhash").isNotNull)
+      .select(col(idCol), col("dhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+              .as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("dhash"), col("bk.band"), col("bk.key"))
+    val l = withBands.select(col(idCol).as("a"), col("dhash").as("ha"),
+      col("band"), col("key"))
+    val r = withBands.select(col(idCol).as("b"), col("dhash").as("hb"),
+      col("band"), col("key"))
+    l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
+      .select("a", "b", "ha", "hb").distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxDist)
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("dist"))
+  }
+
+  /** Deterministic BMP fixture for mm2: 50 base 9×8 gray images (LCG
+    * seeded by doc_id % 50), pixel-doubled to 18×16 so the kernel's
+    * nearest resize is exercised non-trivially, with a per-variant
+    * local value swap ((doc_id div 50) % 4) that nudges a few dHash
+    * bits — same class ⇒ near hashes, different class ⇒ far. */
+  private[llm] def syntheticBmp(docId: Long): Array[Byte] = {
+    val cls = (docId % 50).toInt
+    val v = ((docId / 50) % 4).toInt
+    val g = new Array[Int](72)
+    var st = cls * 2654435761L + 99991L
+    var i = 0
+    while (i < 72) {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      g(i) = ((st >>> 33) % 256).toInt
+      i += 1
+    }
+    if (v > 0) {
+      val r = v % 8
+      val t = g(r * 9 + v); g(r * 9 + v) = g(r * 9 + v + 1); g(r * 9 + v + 1) = t
+    }
+    val rgb = new Array[Byte](18 * 16 * 3)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 18) {
+        val value = g((y / 2) * 9 + (x / 2)).toByte
+        val o = (y * 18 + x) * 3
+        rgb(o) = value; rgb(o + 1) = value; rgb(o + 2) = value
+        x += 1
+      }
+      y += 1
+    }
+    encodeBmp24(18, 16, rgb)
+  }
+
+  /** MM2 — image near-dup over REAL decoded pixels: every document id
+    * renders a deterministic BMP (50 visual classes × 4 variants),
+    * the dHash kernel runs decode→resize→hash distributed, and the
+    * banded Hamming join finds near pairs. Golden gate: the banded
+    * candidate set must contain EVERY true ≤3-bit pair found by the
+    * bounded per-class brute force (classes are small — group-local
+    * quadratic work, never corpus-quadratic), every emitted pair must
+    * verify ≤3 exactly, and all payloads must decode as BMP.
+    */
+  val mm2 = QueryDef.rowsOnly("mm2_image_near_dup") { (s, d) =>
+    val spark = s
+    val docs = Tables.documents(s, d).select("doc_id")
+    val pIdx = 0
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val assets = spark.createDataFrame(
+      docs.rdd.mapPartitions(_.map { row =>
+        val id = row.getLong(pIdx)
+        Row(id, syntheticBmp(id))
+      }), schema)
+    val hashed = imageDHash(assets).select("doc_id", "dhash").cache()
+    val nImages = hashed.count()
+    val nDecoded = hashed.filter(col("dhash").isNotNull).count()
+    val found = imageNearDupPairs(hashed, "doc_id", maxDist = 3)
+      .select("a", "b", "dist").cache()
+    // ground truth within classes: bounded group-local brute force
+    val byClass = hashed.withColumn("cls", col("doc_id") % 50)
+    val t = byClass.select(col("cls"), col("doc_id").as("a"), col("dhash").as("ha"))
+      .join(byClass.select(col("cls"), col("doc_id").as("b"), col("dhash").as("hb")),
+        Seq("cls"))
+      .filter(col("a") < col("b"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+      .select("a", "b")
+    val expected = t.count()
+    val missed = t.join(found, Seq("a", "b"), "left_anti").count()
+    val badDist = found.filter(col("dist") > 3).count()
+    val nFound = found.count()
+    hashed.unpersist(); found.unpersist()
+    import spark.implicits._
+    Seq((nImages, nDecoded, nFound, expected, missed, badDist))
+      .toDF("n_images", "n_decoded", "n_pairs", "n_same_class_pairs",
+        "n_missed", "n_bad_dist")
+      .filter(col("n_images") > 0 && col("n_decoded") === col("n_images") &&
+        col("n_same_class_pairs") > 0 && col("n_missed") === 0 &&
+        col("n_bad_dist") === 0 && col("n_pairs") >= col("n_same_class_pairs"))
+  }
+
+  def all: Seq[QueryDef] = Seq(mm, mm2)
 }

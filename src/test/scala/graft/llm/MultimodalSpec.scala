@@ -113,4 +113,54 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L) == (("wav", 20, 1)))
     assert(got(3L)._1 == "stub")
   }
+
+  private def grayBmp(w: Int, h: Int, g: Array[Int]): Array[Byte] =
+    Multimodal.encodeBmp24(w, h, Array.tabulate(w * h * 3)(i => g(i / 3).toByte))
+
+  test("dHash64: brightness shift preserves the hash; non-image is None") {
+    val g = Array.tabulate(72)(i => (i * 37 + 11) % 200)
+    val base = Multimodal.dHash64(grayBmp(9, 8, g)).get
+    val bright = Multimodal.dHash64(grayBmp(9, 8, g.map(_ + 40))).get
+    assert(base == bright, "gradient signs must survive a brightness shift")
+    assert(Multimodal.dHash64("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("dHash64: pixel-doubled image resizes back to the same hash") {
+    val g = Array.tabulate(72)(i => (i * 53 + 7) % 256)
+    val doubled = Array.tabulate(18 * 16)(i => g((i / 18 / 2) * 9 + (i % 18) / 2))
+    val h1 = Multimodal.dHash64(grayBmp(9, 8, g)).get
+    val h2 = Multimodal.dHash64(grayBmp(18, 16, doubled)).get
+    assert(h1 == h2)
+  }
+
+  test("dHash64: a local value swap moves only a few bits") {
+    val g = Array.tabulate(72)(i => (i * 91 + 3) % 256)
+    val g2 = g.clone(); val t = g2(10); g2(10) = g2(11); g2(11) = t
+    val h1 = Multimodal.dHash64(grayBmp(9, 8, g)).get
+    val h2 = Multimodal.dHash64(grayBmp(9, 8, g2)).get
+    val dist = java.lang.Long.bitCount(h1 ^ h2)
+    assert(dist >= 1 && dist <= 3, s"swap should flip 1-3 bits, got $dist")
+  }
+
+  test("imageNearDupPairs: banded recall is exact at dist <= 3") {
+    import spark.implicits._
+    // base hash + planted 1/2/3/4-bit flips and one far hash
+    val h0 = 0x0123456789ABCDEFL
+    val rows = Seq(
+      (1L, h0), (2L, h0 ^ 1L), (3L, h0 ^ (1L << 17) ^ (1L << 40)),
+      (4L, h0 ^ (1L << 5) ^ (1L << 21) ^ (1L << 63)),
+      (5L, h0 ^ (1L << 1) ^ (1L << 18) ^ (1L << 34) ^ (1L << 50)), // dist 4
+      (6L, ~h0))
+    val df = rows.toDF("doc_id", "dhash")
+    val got = Multimodal.imageNearDupPairs(df, "doc_id", maxDist = 3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (a, ha) <- rows; (b, hb) <- rows
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(want.contains((1L, 4L)) && !want.exists(p => p._1 == 5L && p._2 == 5L))
+    // id 5 at dist 4 from id 1 must NOT pair with it
+    assert(!got.contains((1L, 5L)))
+  }
 }
