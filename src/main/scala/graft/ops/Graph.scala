@@ -85,31 +85,39 @@ object GraphOps {
 
   /** The DuckDB oracle replays the SAME integral arithmetic, unrolled
     * one CTE pair (contribution, rank) per iteration. Generated
-    * programmatically so iteration count stays in one place.
+    * programmatically so iteration count stays in one place. Every
+    * CTE is MATERIALIZED: inlined, the r5→r4→…→r0 reference chain
+    * re-derives the edge join exponentially many times (measured: the
+    * sf0.1 replay spilled past the disk budget; materialized it runs
+    * in ~20 s).
     */
   private def pageRankOracleSql(iters: Int): String = {
     val base =
-      """WITH le AS (SELECT DISTINCT o_custkey * 2 AS src,
+      """WITH le AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src,
         |                            l_suppkey * 2 + 1 AS dst
         |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |edges AS (SELECT src, dst FROM le UNION SELECT dst, src FROM le),
-        |nodes AS (SELECT DISTINCT src AS node FROM edges
+        |edges AS MATERIALIZED (SELECT src, dst FROM le
+        |                       UNION SELECT dst, src FROM le),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
         |          UNION SELECT DISTINCT dst FROM edges),
-        |nn AS (SELECT count(*) AS n FROM nodes),
-        |deg AS (SELECT node, count(e.src) AS outdeg
+        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+        |deg AS MATERIALIZED (SELECT node, count(e.src) AS outdeg
         |        FROM nodes LEFT JOIN edges e ON node = e.src GROUP BY node),
-        |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r
+        |r0 AS MATERIALIZED (SELECT node,
+        |         1000000000000 // (SELECT n FROM nn) AS r
         |       FROM nodes)""".stripMargin
     val steps = (1 to iters).map { k =>
       val p = k - 1
-      s"""c$k AS (SELECT e.dst AS node, sum(r.r // d.outdeg) AS contrib
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS node,
+         |           sum(r.r // d.outdeg) AS contrib
          |       FROM edges e JOIN r$p r ON e.src = r.node
          |                    JOIN deg d ON e.src = d.node
          |       WHERE d.outdeg > 0 GROUP BY e.dst),
-         |g$k AS (SELECT COALESCE((SELECT sum(r.r) FROM r$p r JOIN deg d
-         |                        ON r.node = d.node WHERE d.outdeg = 0), 0)
+         |g$k AS MATERIALIZED (SELECT COALESCE(
+         |                (SELECT sum(r.r) FROM r$p r JOIN deg d
+         |                 ON r.node = d.node WHERE d.outdeg = 0), 0)
          |               // (SELECT n FROM nn) AS dang),
-         |r$k AS (SELECT nodes.node,
+         |r$k AS MATERIALIZED (SELECT nodes.node,
          |              (3 * 1000000000000) // (20 * (SELECT n FROM nn))
          |              + (17 * (COALESCE(c$k.contrib, 0)
          |                       + (SELECT dang FROM g$k))) // 20 AS r
