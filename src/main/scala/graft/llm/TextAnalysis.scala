@@ -1093,13 +1093,22 @@ object TextAnalysis {
     val n = size(toks)
     // hapax: sorted tokens group equal elements adjacently under ANY
     // total order, so sort-order parity with the oracle is irrelevant.
-    // Edge neighbors are null via conditional `when` (element_at
-    // rejects index 0 outright, even the try_ form), and `<=>` makes
-    // the null comparison total — matching DuckDB's null-on-OOB lists.
-    val isHapax = (i: Column) =>
-      !(element_at(sw, i) <=> when(i > 1, element_at(sw, i - 1))) &&
-        !(element_at(sw, i) <=> when(i < n, element_at(sw, i + 1)))
-    val hapax = size(filter(sequence(lit(1), n), isHapax))
+    // FORMULATION MATTERS: an index-lambda (`filter(sequence(1,n),
+    // i -> element_at(sw, i) ...)`) would inline `sw`'s sort+split
+    // INTO the lambda body and re-evaluate it per ELEMENT (the same
+    // trap as the stopword HOF above — measured 9 s at sf0.1). The
+    // shifted-array zip_with below keeps every lambda body on lambda
+    // variables only: sw evaluates per ROW, lambdas are O(1). `<=>`
+    // against the null edge sentinel matches DuckDB's null-on-OOB
+    // list indexing.
+    val nullStr = array(lit(null).cast("string"))
+    val prevArr = concat(nullStr, slice(sw, lit(1), n - 1))
+    val nextArr = concat(slice(sw, lit(2), n - 1), nullStr)
+    val hapax = size(filter(
+      zip_with(zip_with(sw, prevArr, (a, p) => a <=> p),
+        zip_with(sw, nextArr, (a, q) => a <=> q),
+        (ep, eq) => !ep && !eq),
+      x => x))
     // bigrams join on ' ' — tokens are space-split, so the joiner
     // cannot collide (no token contains a space)
     val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),

@@ -58,15 +58,28 @@ object GraphOps {
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .cache()
     val teleport = (3L * F) / (20L * n) // (1-d)/N, exact integral
+    // bake outdeg INTO the cached edge table once: the iteration then
+    // joins ranks against ONE pre-partitioned relation instead of
+    // re-deriving rank⋈deg every round
+    val e2 = e.join(deg.filter(col("outdeg") > 0)
+        .withColumnRenamed("node", "src"), "src")
+      .repartition(col("src")).cache()
+    val danglingNodes = deg.filter(col("outdeg") === 0)
+      .select(col("node")).cache()
+    // one upfront count: graphs with no sinks (most real link graphs
+    // after symmetrization) skip the per-round dangling aggregate job
+    val hasDangling = danglingNodes.count() > 0
     var ranks = deg.select(col("node"), lit(F / n).as("rank_fp"))
       .cache()
     ranks.count()
     var i = 0
     while (i < iters) {
-      val rd = ranks.join(deg, "node")
-      val dangling = rd.filter(col("outdeg") === 0)
-        .agg(coalesce(sum(col("rank_fp")), lit(0L))).head().getLong(0)
-      val contrib = e.join(rd.filter(col("outdeg") > 0), col("src") === col("node"))
+      val dangling =
+        if (hasDangling)
+          ranks.join(danglingNodes, "node")
+            .agg(coalesce(sum(col("rank_fp")), lit(0L))).head().getLong(0)
+        else 0L
+      val contrib = e2.join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("rank_fp div outdeg").as("c"))
         .groupBy(col("dst").as("node")).agg(sum(col("c")).as("contrib"))
       val next = nodes.join(contrib, Seq("node"), "left")
@@ -80,6 +93,7 @@ object GraphOps {
       ranks = next
       i += 1
     }
+    e2.unpersist(); danglingNodes.unpersist()
     ranks
   }
 
