@@ -512,19 +512,19 @@ object Multimodal {
     * sizes plus 16-bit-key collisions.
     */
   def imageNearDupPairs(hashed: DataFrame, idCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, hashCol: String = "dhash"): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"4x16 banding guarantees recall only for maxDist <= 3, got $maxDist")
-    val withBands = hashed.filter(col("dhash").isNotNull)
-      .select(col(idCol), col("dhash"),
+    val withBands = hashed.filter(col(hashCol).isNotNull)
+      .select(col(idCol), col(hashCol),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))
+            shiftright(col(hashCol), b * 16).bitwiseAND(lit(0xFFFFL))
               .as("key"))): _*)).as("bk"))
-      .select(col(idCol), col("dhash"), col("bk.band"), col("bk.key"))
-    val l = withBands.select(col(idCol).as("a"), col("dhash").as("ha"),
+      .select(col(idCol), col(hashCol), col("bk.band"), col("bk.key"))
+    val l = withBands.select(col(idCol).as("a"), col(hashCol).as("ha"),
       col("band"), col("key"))
-    val r = withBands.select(col(idCol).as("b"), col("dhash").as("hb"),
+    val r = withBands.select(col(idCol).as("b"), col(hashCol).as("hb"),
       col("band"), col("key"))
     l.join(r, Seq("band", "key")).filter(col("a") < col("b"))
       .select("a", "b", "ha", "hb").distinct()
@@ -616,5 +616,144 @@ object Multimodal {
         col("n_bad_dist") === 0 && col("n_pairs") >= col("n_same_class_pairs"))
   }
 
-  def all: Seq[QueryDef] = Seq(mm, mm2)
+  // ------------------------------------------------ audio near-dup (envelope)
+
+  /** 64-bit energy-envelope hash of a PCM-16 WAV payload: decode →
+    * mono mean-|amplitude| over 65 equal sample windows → bit(i) =
+    * env(i+1) > env(i). The audio analog of dHash: positive GAIN
+    * changes scale every window mean by the same factor, so the
+    * comparison bits — hence the hash — are gain-invariant, which is
+    * exactly what re-encoded/re-normalized copies of the same clip
+    * need. None for non-audio payloads or clips shorter than 65
+    * frames. Per-partition kernel; payloads never shuffle.
+    */
+  def audioEnvelopeHash64(payload: Array[Byte]): Option[Long] = {
+    val dec = decodeAny(payload)
+    if (dec.kind != WavCodec.name || dec.width < 65) None
+    else {
+      val frames = dec.width; val ch = dec.channels
+      val env = new Array[Double](65)
+      var w = 0
+      while (w < 65) {
+        val lo = (w.toLong * frames / 65).toInt
+        val hi = ((w + 1).toLong * frames / 65).toInt
+        var s = 0.0
+        var f = lo
+        while (f < hi) {
+          var c = 0
+          while (c < ch) {
+            val o = (f * ch + c) * 2
+            s += math.abs((((dec.data(o) & 0xFF) |
+              (dec.data(o + 1) << 8)).toShort).toInt)
+            c += 1
+          }
+          f += 1
+        }
+        env(w) = if (hi > lo) s / ((hi - lo) * ch) else 0.0
+        w += 1
+      }
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (env(i + 1) > env(i)) h |= 1L << i
+        i += 1
+      }
+      Some(h)
+    }
+  }
+
+  /** Adds `ahash` (nullable long) to an asset table. */
+  def audioEnvelopeHash(assets: DataFrame,
+      payloadCol: String = "payload"): DataFrame = {
+    val spark = assets.sparkSession
+    val pIdx = assets.schema.fieldIndex(payloadCol)
+    val outSchema = assets.schema.add("ahash", LongType)
+    val out = assets.rdd.mapPartitions { it =>
+      it.map { row =>
+        Row.fromSeq(row.toSeq :+
+          audioEnvelopeHash64(row.getAs[Array[Byte]](pIdx)).map(Long.box).orNull)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** Deterministic WAV fixture for mm3: 50 base clips (650 samples =
+    * 10 per envelope window, LCG square-wave mixture keyed by
+    * doc_id % 50), variant gain ×(1 + v/4) — hash-invariant by
+    * design — plus, for v>0, a localized sample spike that nudges
+    * 1-2 envelope bits. */
+  private[llm] def syntheticWav(docId: Long): Array[Byte] = {
+    val cls = (docId % 50).toInt
+    val v = ((docId / 50) % 4).toInt
+    val n = 650
+    val s = new Array[Short](n)
+    var st = cls * 2654435761L + 77731L
+    // per-window base level, constant within each 10-sample window so
+    // the envelope is well separated between windows
+    val levels = new Array[Int](65)
+    var w = 0
+    while (w < 65) {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      levels(w) = 500 + ((st >>> 33) % 12000).toInt
+      w += 1
+    }
+    var i = 0
+    while (i < n) {
+      val base = levels(i / 10)
+      val sign = if (i % 2 == 0) 1 else -1 // square wave: |amp| = base
+      var amp = base * (4 + v) / 4 // gain variant (envelope-relation safe)
+      if (v > 0 && i / 10 == v * 7 && i % 10 == 3) amp += 24000 // spike
+      s(i) = (sign * math.min(amp, 32767)).toShort
+      i += 1
+    }
+    encodeWavPcm16(1, 8000, s)
+  }
+
+  /** MM3 — audio near-dup over REAL decoded PCM: every document id
+    * renders a deterministic WAV (50 clip classes × 4 gain/spike
+    * variants), the envelope-hash kernel runs decode→window→hash
+    * distributed, and the SAME 4×16-band Hamming join as mm2 finds
+    * near pairs (the banding is payload-agnostic — one machinery for
+    * image and audio signatures). Golden gate mirrors mm2: banded
+    * pairs must cover the bounded per-class brute-force truth
+    * exactly, every pair verifies ≤ 3 bits, all payloads decode.
+    */
+  val mm3 = QueryDef.rowsOnly("mm3_audio_near_dup") { (s, d) =>
+    val spark = s
+    val docs = Tables.documents(s, d).select("doc_id")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val assets = spark.createDataFrame(
+      docs.rdd.mapPartitions(_.map { row =>
+        val id = row.getLong(0)
+        Row(id, syntheticWav(id))
+      }), schema)
+    val hashed = audioEnvelopeHash(assets).select("doc_id", "ahash").cache()
+    val nClips = hashed.count()
+    val nDecoded = hashed.filter(col("ahash").isNotNull).count()
+    val found = imageNearDupPairs(hashed, "doc_id", maxDist = 3,
+      hashCol = "ahash").select("a", "b", "dist").cache()
+    val byClass = hashed.withColumn("cls", col("doc_id") % 50)
+    val t = byClass.select(col("cls"), col("doc_id").as("a"), col("ahash").as("ha"))
+      .join(byClass.select(col("cls"), col("doc_id").as("b"), col("ahash").as("hb")),
+        Seq("cls"))
+      .filter(col("a") < col("b"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+      .select("a", "b")
+    val expected = t.count()
+    val missed = t.join(found, Seq("a", "b"), "left_anti").count()
+    val badDist = found.filter(col("dist") > 3).count()
+    val nFound = found.count()
+    hashed.unpersist(); found.unpersist()
+    import spark.implicits._
+    Seq((nClips, nDecoded, nFound, expected, missed, badDist))
+      .toDF("n_clips", "n_decoded", "n_pairs", "n_same_class_pairs",
+        "n_missed", "n_bad_dist")
+      .filter(col("n_clips") > 0 && col("n_decoded") === col("n_clips") &&
+        col("n_same_class_pairs") > 0 && col("n_missed") === 0 &&
+        col("n_bad_dist") === 0 && col("n_pairs") >= col("n_same_class_pairs"))
+  }
+
+  def all: Seq[QueryDef] = Seq(mm, mm2, mm3)
 }

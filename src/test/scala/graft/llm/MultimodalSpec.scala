@@ -142,6 +142,29 @@ class MultimodalSpec extends SparkSpec {
     assert(dist >= 1 && dist <= 3, s"swap should flip 1-3 bits, got $dist")
   }
 
+  test("audioEnvelopeHash64: gain-invariant, spike moves few bits, non-audio None") {
+    def wav(scale: Double, spikeAt: Int = -1): Array[Byte] = {
+      val s = Array.tabulate[Short](650) { i =>
+        val base = 500 + (i / 10) * 37 % 9000
+        val sign = if (i % 2 == 0) 1 else -1
+        var amp = (base * scale).toInt
+        if (i == spikeAt) amp += 20000
+        (sign * math.min(amp, 32767)).toShort
+      }
+      Multimodal.encodeWavPcm16(1, 8000, s)
+    }
+    val h1 = Multimodal.audioEnvelopeHash64(wav(1.0)).get
+    val h2 = Multimodal.audioEnvelopeHash64(wav(1.7)).get
+    assert(h1 == h2, "positive gain must not change envelope relations")
+    val h3 = Multimodal.audioEnvelopeHash64(wav(1.0, spikeAt = 103)).get
+    val dist = java.lang.Long.bitCount(h1 ^ h3)
+    assert(dist >= 1 && dist <= 3, s"one spike should flip 1-3 bits, got $dist")
+    assert(Multimodal.audioEnvelopeHash64("junk".getBytes("UTF-8")).isEmpty)
+    // too-short clip (under 65 frames) has no defined envelope
+    assert(Multimodal.audioEnvelopeHash64(
+      Multimodal.encodeWavPcm16(1, 8000, Array.fill[Short](64)(100))).isEmpty)
+  }
+
   test("imageNearDupPairs: banded recall is exact at dist <= 3") {
     import spark.implicits._
     // base hash + planted 1/2/3/4-bit flips and one far hash

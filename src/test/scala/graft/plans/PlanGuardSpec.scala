@@ -190,4 +190,32 @@ class PlanGuardSpec extends SparkSpec {
       s"normalization fell back to a UDF:\n$lp")
     assert(p.nonEmpty)
   }
+
+  test("t18: lexical diversity is ZERO-shuffle — pure scan-local projection") {
+    val p = plan("t18_lexical_diversity")
+    assert(!p.contains("Exchange"), s"t18 grew a shuffle:\n$p")
+    assert(!p.contains("Window"), s"t18 grew a window:\n$p")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("text") && !read.contains("n_chars"),
+      s"scan reads more than needed: $read")
+  }
+
+  test("e11: the anomaly window runs on the aggregated frame, after ONE count shuffle") {
+    val p = plan("e11_daily_anomaly")
+    // plan shape: scan → partial agg → Exchange → final agg →
+    // Exchange (window partitioning) → Sort → Window. The first
+    // aggregate MUST appear below the window — i.e. the window input
+    // is (type, day) counts, never raw events.
+    assert(p.contains("Window"), s"window missing:\n$p")
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(l => l.contains("HashAggregate"))
+    val winIdx = lines.indexWhere(l => l.contains("Window"))
+    assert(aggIdx >= 0 && winIdx >= 0,
+      s"expected aggregate + window:\n$p")
+    val shuffles = lines.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"extra shuffles ($shuffles):\n$p")
+    // partition-by must be event_type (bounded parallel groups), not empty
+    assert(!p.contains("Window [") || !p.contains("partitionBy=[]"),
+      s"global window crept in:\n$p")
+  }
 }
