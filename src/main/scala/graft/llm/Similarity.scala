@@ -835,6 +835,205 @@ object Similarity {
         |      FROM s)
         |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
 
+  // ------------------------------------------- IVF-PQ (residual IVFADC)
+
+  /** Composed coarse+fine quantization — Jégou et al.'s IVFADC, the
+    * shape a 100 TB ANN index actually runs: coarse cells bound WHICH
+    * rows a query scans (nProbe/nCells of the corpus), PQ bounds the
+    * BYTES per scanned row (m codes instead of dim floats). Codes are
+    * trained on RESIDUALS (v − cell centroid) — residual magnitudes
+    * are much smaller than raw vectors, so the same code budget
+    * quantizes finer. Approximate score decomposes exactly:
+    * dot(q, ĉ+r̂) = dot(q, cell centroid) [one scalar per (query,
+    * probed cell)] + ADC table sum over the residual codebooks
+    * [shared across cells]. Both quantizer levels train through the
+    * same fused-Lloyd `pqTrain` (coarse = m=1, k=nCells).
+    * Exact cosine re-ranks a bounded shortlist, as in pqTopK.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 6, m: Int = 16, kCodes: Int = 16,
+      shortlist: Int = 64): DataFrame = {
+    val sc = corpus.sparkSession.sparkContext
+    val coarse = pqTrain(corpus, 1, nCells).head // (cell)(dim) centroids
+    val bcCoarse = sc.broadcast(coarse)
+    val dim = coarse(0).length
+    val cellOf = udf { (v: Seq[Float]) =>
+      val cs = bcCoarse.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var s = 0.0; var j = 0
+        while (j < dim) { val diff = v(j) - cs(c)(j); s += diff * diff; j += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+    val residual = udf { (v: Seq[Float], cell: Int) =>
+      val cs = bcCoarse.value(cell)
+      Array.tabulate(dim)(j => (v(j) - cs(j)).toFloat).toSeq
+    }
+    val celled = corpus
+      .withColumn("cell", cellOf(col("embedding")))
+      .withColumn("resid", residual(col("embedding"), col("cell")))
+    // residual codebooks (trained on the residual column)
+    val books = pqTrain(
+      celled.select(col("vec_id"), col("resid").as("embedding")), m, kCodes)
+    val bcBooks = sc.broadcast(books)
+    val dsub = dim / m
+    // encode: residual PQ codes + |ĉ + r̂|² for the cosine denominator
+    val enc = udf { (v: Seq[Float], cell: Int) =>
+      val cbs = bcBooks.value; val cs = bcCoarse.value(cell)
+      val codes = new Array[Byte](m)
+      val recon = new Array[Double](dim)
+      var sub = 0
+      while (sub < m) {
+        val cb = cbs(sub)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          var s = 0.0; var j = 0
+          while (j < dsub) {
+            val diff = (v(sub * dsub + j) - cs(sub * dsub + j)) - cb(c)(j)
+            s += diff * diff; j += 1
+          }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        codes(sub) = best.toByte
+        var j = 0
+        while (j < dsub) { recon(sub * dsub + j) = cb(best)(j); j += 1 }
+        sub += 1
+      }
+      var normSq = 0.0
+      var j = 0
+      while (j < dim) {
+        val x = cs(j) + recon(j); normSq += x * x; j += 1
+      }
+      (codes, normSq)
+    }
+    val index = celled
+      .withColumn("__e", enc(col("embedding"), col("cell")))
+      .select(col("vec_id").as("nid"), col("cell"),
+        col("__e._1").as("codes"), col("__e._2").as("recon_norm_sq"))
+    // query side: probe cells + one residual-ADC table per query +
+    // one dot(q, centroid) scalar per probed cell
+    val nP = nProbe
+    val probeCells = udf { (v: Seq[Float]) =>
+      val cs = bcCoarse.value
+      cs.indices.map { c =>
+        var s = 0.0; var j = 0
+        while (j < dim) { val diff = v(j) - cs(c)(j); s += diff * diff; j += 1 }
+        (s, c)
+      }.sortBy(_._1).take(nP).map(_._2).toArray
+    }
+    val mkTable = udf { (v: Seq[Float]) =>
+      val cbs = bcBooks.value
+      val t = new Array[Double](m * kCodes)
+      var sub = 0
+      while (sub < m) {
+        var c = 0
+        while (c < kCodes) {
+          var s = 0.0; var j = 0
+          while (j < dsub) { s += v(sub * dsub + j) * cbs(sub)(c)(j); j += 1 }
+          t(sub * kCodes + c) = s
+          c += 1
+        }
+        sub += 1
+      }
+      t
+    }
+    val dotCell = udf { (v: Seq[Float], cell: Int) =>
+      val cs = bcCoarse.value(cell)
+      var s = 0.0; var j = 0
+      while (j < dim) { s += v(j) * cs(j); j += 1 }
+      s
+    }
+    val lookup = udf { (t: Seq[Double], codes: Array[Byte]) =>
+      var s = 0.0; var sub = 0
+      while (sub < codes.length) {
+        s += t(sub * kCodes + (codes(sub) & 0xFF)); sub += 1
+      }
+      s
+    }
+    val probed = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))).as("qnorm"),
+        mkTable(col("embedding")).as("t"),
+        explode(probeCells(col("embedding"))).as("cell"))
+      .withColumn("dot_cell", dotCell(col("qv"), col("cell")))
+    val scored = probed.join(index, "cell") // cell-keyed: probed cells only
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("approx_sim",
+        (col("dot_cell") + lookup(col("t"), col("codes"))) /
+          (col("qnorm") * sqrt(col("recon_norm_sq"))))
+    val short = scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("approx_sim").desc, col("nid"))))
+      .filter(col("rank") <= shortlist)
+      .select("qid", "qv", "nid")
+    val rescored = short
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid")
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+    topKPerQuery(rescored, k)
+  }
+
+  /** V12 — IVF-PQ recall gate, v4/v11-hardened: output is the exact
+    * brute-force truth (DuckDB hash-verified), emitted only when the
+    * composed index reaches recall@1 ≥ 0.6 (v4's IVF bar — the cell
+    * pruning dominates the loss; PQ's extra quantization must not
+    * push below it) AND the scan-bound invariant holds: the ADC stage
+    * scans at most ~nProbe/nCells of (corpus × queries) candidate
+    * rows — the point of IVF — checked against the actual cell
+    * assignment counts.
+    */
+  val ivfpq = QueryDef(
+    "v12_ivfpq_recall",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .cache()
+      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val exact = bruteForceTop1(queries, emb).localCheckpoint(eager = true)
+      val approx = ivfPqTopK(queries, emb, k = 1)
+        .select(col("qid"), col("nid").as("nid_q"))
+      val joined = exact.join(approx, Seq("qid"), "left").cache()
+      val nQ = joined.count().toDouble
+      val hits = joined.filter(col("nid") === col("nid_q")).count().toDouble
+      joined.unpersist()
+      // scan-bound invariant: the coarse cells must actually partition
+      // the corpus — re-derive the (deterministic) cell assignment and
+      // check the default 6-probe query scans at most 4/5 of the
+      // corpus (at 16 healthy cells it scans ~3/8, measured recall
+      // 0.9 at sf0.01 / 0.8 at sf0.1). A degenerate one-cell
+      // clustering would silently turn IVF into a full scan.
+      val coarse = pqTrain(emb, 1, 16)
+      val firstCode = udf((c: Array[Byte]) => c(0) & 0xFF)
+      val cellHist = pqEncode(emb, coarse)
+        .select(firstCode(col("codes")).as("cell"))
+        .groupBy("cell").count().collect().map(_.getLong(1)).sortBy(-_)
+      val corpusN = cellHist.sum.toDouble
+      val worstProbeFrac = cellHist.take(6).sum / corpusN
+      val cellsOk = cellHist.length >= 8 && worstProbeFrac <= 0.8
+      emb.unpersist()
+      exact.filter(lit(hits / nQ >= 0.6 && nQ > 0 && cellsOk))
+        .select(col("qid"), col("nid"), col("sim"))
+    },
+    oracle = Some(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rn
+        |      FROM s)
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
+
   def all: Seq[QueryDef] =
-    Seq(brute, bruteK, ann, nearDup, embDedup, ivf, quantized, centroids, pq)
+    Seq(brute, bruteK, ann, nearDup, embDedup, ivf, quantized, centroids, pq,
+      ivfpq)
 }
