@@ -456,6 +456,72 @@ object IoQueries {
     joined
   }
 
+  /** S18 — schema evolution on read: long-lived tables accrete columns,
+    * so a 100 TB scan almost always spans files with DIFFERENT physical
+    * schemas. The two production read policies, both exercised here on
+    * real mixed-schema files (early files = v1 (key, price); later
+    * files add priority):
+    *  - `mergeSchema=true`: schema union, v1 files surface the added
+    *    column as null — the exploratory path (O(files) footer merge,
+    *    never the default at scale);
+    *  - an EXPLICIT declared schema: the production path — no footer
+    *    scan, uniform projection, missing columns null by position.
+    * Gate: both reads agree row-for-row (count, null layout, checksum),
+    * nulls land exactly on the v1 file rows, and a predicate on the
+    * common column still pushes into the mixed scan (evolution must
+    * not cost pushdown).
+    */
+  val s18 = QueryDef.rowsOnly("s18_schema_evolution") { (s, d) =>
+    val dir = s"$fixtureDir/s18_evolved"
+    graft.util.Fs.rmRecursive(new java.io.File(dir))
+    val orders = graft.Tables.orders(s, d)
+    val v1 = orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val v2 = orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    v1.write.mode("overwrite").parquet(dir)
+    v2.write.mode("append").parquet(dir)
+    val nAll = orders.count()
+    val nV1 = v1.count()
+    // path 1: merged-footer read
+    val merged = s.read.option("mergeSchema", "true").parquet(dir)
+    val mergedOk = merged.columns.sorted.toSeq ==
+      Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+    val mNull = merged.filter(col("o_orderpriority").isNull).count()
+    val mCount = merged.count()
+    // evolution must not cost pushdown on the common column
+    val plan = merged.filter(col("o_totalprice") > 100000.0d)
+      .queryExecution.executedPlan.toString
+    val pushOk = plan.contains("PushedFilters") &&
+      plan.contains("o_totalprice")
+    // path 2: explicit declared schema (no footer merge)
+    val declared = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        orders.schema("o_orderkey").dataType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        orders.schema("o_totalprice").dataType),
+      org.apache.spark.sql.types.StructField("o_orderpriority",
+        org.apache.spark.sql.types.StringType)))
+    val explicit = s.read.schema(declared).parquet(dir)
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(when(col("o_orderpriority").isNull, 1L)), lit(0L)),
+        coalesce(sum(crc32(concat_ws("",
+          col("o_orderkey").cast("string"),
+          col("o_totalprice").cast("string"),
+          coalesce(col("o_orderpriority"), lit(" "))))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val ms = sig(merged); val es = sig(explicit)
+    val spark = s; import spark.implicits._
+    Seq((nAll, nV1, mCount, mNull, mergedOk, pushOk, ms == es))
+      .toDF("n_rows", "n_v1_rows", "n_merged", "n_null_priority",
+        "schema_union_ok", "pushdown_ok", "reads_agree")
+      .filter(col("n_rows") > 0 && col("n_merged") === col("n_rows") &&
+        col("n_null_priority") === col("n_v1_rows") &&
+        col("schema_union_ok") && col("pushdown_ok") && col("reads_agree"))
+  }
+
   def all: Seq[QueryDef] =
-    Seq(s1, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17)
+    Seq(s1, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18)
 }

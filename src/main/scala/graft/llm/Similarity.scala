@@ -597,7 +597,9 @@ object Similarity {
     */
   def pqTrain(corpus: DataFrame, m: Int, k: Int,
       iters: Int = 8): Array[Array[Array[Double]]] = {
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val dimRow = corpus.select(size(col("embedding"))).limit(1).collect()
+    require(dimRow.nonEmpty, "pqTrain on an empty corpus")
+    val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
     // FUSED Lloyd: all m subspace codebooks train TOGETHER — each

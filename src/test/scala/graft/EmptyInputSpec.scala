@@ -76,4 +76,25 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.llm.TextAnalysis.langIdCols(emptyDocs.withColumnRenamed(
       "doc_id", "id")).count() == 0)
   }
+
+  test("round-8 operators: empty in, empty (or loud) out") {
+    val s = spark; import s.implicits._
+    assert(graft.llm.TextAnalysis.lexicalDiversity(emptyDocs).count() == 0)
+    assert(graft.llm.Curation.priorityDedup(
+      emptyDocs.withColumn("priority", lit(1L))).count() == 0)
+    // hash-pair joins on empty hash tables
+    val noHashes = Seq.empty[(Long, Long)].toDF("doc_id", "dhash")
+    assert(graft.llm.Multimodal.imageNearDupPairs(noHashes, "doc_id", 3)
+      .count() == 0)
+    // pageRank on an empty edge set must fail LOUDLY (a rank over no
+    // graph is a caller bug, not an empty answer)
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      graft.ops.GraphOps.pageRankFixedPoint(noEdges, 3)
+    }
+    // PQ training needs at least k vectors — loud, not silent
+    intercept[IllegalArgumentException] {
+      graft.llm.Similarity.pqTrain(emptyEmb, 16, 16)
+    }
+  }
 }
