@@ -534,7 +534,7 @@ object Dedup {
     * if maxRounds is exhausted — a silently truncated propagation
     * would split one duplicate group into several keepers.
     */
-  private[llm] def distributedClusters(pairs: DataFrame, maxRounds: Int = 60): DataFrame = {
+  private[graft] def distributedClusters(pairs: DataFrame, maxRounds: Int = 60): DataFrame = {
     // canonical storage: (hi, lo) with hi > lo, distinct, no self-loops
     var edges = pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("hi"),

@@ -173,5 +173,170 @@ object GraphOps {
           col("rank_fp"))
   }
 
-  def all: Seq[QueryDef] = Seq(g1)
+  // ------------------------------------------------- connected components
+
+  /** Connected components over `edges(src, dst)` (undirected): returns
+    * (node, component) with component = the component's minimum node id.
+    * Delegates to the alternating large-star/small-star propagation
+    * (Kiveris et al., SoCC 2014) shared with the near-dup cluster
+    * resolver — O(log n) ROUNDS regardless of graph diameter, every
+    * round two aggregate+join passes over the (shrinking) edge set.
+    * This is the 100 TB shape: a naive min-label loop needs diameter
+    * many joins (a 10M-hop chain ⇒ 10M rounds); star contraction
+    * converges in ~25. Isolated nodes (no edges) don't appear — same
+    * contract as the oracle replay.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    graft.llm.Dedup.distributedClusters(
+        edges.select(col("src").cast("long").as("doc_a"),
+          col("dst").cast("long").as("doc_b")))
+      .select(col("doc_id").as("node"), col("cluster").as("component"))
+
+  /** The oracle replays min-label propagation UNROLLED for a fixed
+    * round count (one materialized aggregate+join CTE per round) —
+    * valid because the gated graph's propagation depth is measured ≤ 9
+    * at both sf0.01 and sf0.1 (16 rounds = 1.7× margin). An
+    * under-unrolled oracle would HASH-MISMATCH (labels too high), never
+    * silently pass — the gate fails loud on either engine's error.
+    */
+  private def ccOracleSql(rounds: Int): String = {
+    val base =
+      """WITH e AS MATERIALIZED (SELECT DISTINCT l_partkey * 2 AS src,
+        |            l_suppkey * 2 + 1 AS dst
+        |        FROM lineitem WHERE l_quantity > 49 AND l_discount > 0.07),
+        |bi AS MATERIALIZED (SELECT src, dst FROM e
+        |       UNION ALL SELECT dst, src FROM e),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS comp FROM bi)""".stripMargin
+    val steps = (1 to rounds).map { k =>
+      val p = k - 1
+      s"""l$k AS MATERIALIZED (
+         |  SELECT n.node, least(n.comp, COALESCE(m.mn, n.comp)) AS comp
+         |  FROM l$p n LEFT JOIN (
+         |    SELECT b.dst AS node, min(l.comp) AS mn
+         |    FROM l$p l JOIN bi b ON l.node = b.src GROUP BY b.dst) m
+         |  ON n.node = m.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node, comp AS component FROM l$rounds"
+  }
+
+  /** G2 — connected components of the sparse part↔supplier co-shipment
+    * graph (high-quantity, high-discount line items; 60 components at
+    * sf0.01, 746 at sf0.1). Node ids disambiguate the two key spaces
+    * as part=2k / supplier=2k+1 (the g1 trick). FULL DuckDB oracle:
+    * unrolled min-label propagation reaches the same per-node
+    * component minimum the star contraction computes.
+    */
+  val g2 = QueryDef.sql("g2_connected_components", ccOracleSql(16)) { (s, d) =>
+    val edges = Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 49 && col("l_discount") > 0.07)
+      .select((col("l_partkey") * 2).cast("long").as("src"),
+        (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+      .distinct()
+    connectedComponents(edges)
+  }
+
+  // ------------------------------------------------------ triangle counting
+
+  /** Per-node triangle counts over an undirected simple graph
+    * `edges(x, y)` (canonical x < y, distinct). Degree-ordered
+    * enumeration (Suri & Vassilvitskii, WWW 2011 "the curse of the
+    * last reducer"): orient every edge from its lower-(degree, id)
+    * endpoint to the higher one, build wedges only at each node's
+    * out-neighbors (out-degree is O(√m) for ANY graph under this
+    * orientation, even a star with one 10M-degree hub), then close
+    * wedges with a hash semi-join against the oriented edge set. Each
+    * triangle is found exactly once; per-node counts come from
+    * exploding the found triangle's three corners into a
+    * map-side-combinable count. Every stage is an equi-join or
+    * hash aggregate — no node ever enumerates deg² wedges at a hub.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("x").cast("long").as("x"),
+        col("y").cast("long").as("y"))
+      .filter(col("x") < col("y")).distinct()
+    val deg = e.select(col("x").as("node"))
+      .unionAll(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient lower (deg, id) -> higher (deg, id)
+    val dx = deg.select(col("node").as("x"), col("deg").as("dx"))
+    val dy = deg.select(col("node").as("y"), col("deg").as("dy"))
+    val oriented = e.join(dx, "x").join(dy, "y")
+      .select(
+        when(col("dx") < col("dy") ||
+            (col("dx") === col("dy") && col("x") < col("y")),
+          struct(col("x").as("u"), col("y").as("v")))
+          .otherwise(struct(col("y").as("u"), col("x").as("v"))).as("e"))
+      .select(col("e.u"), col("e.v"))
+    // wedges at u: (v, w) both out-neighbors of u; close v->w or w->v
+    val w1 = oriented.select(col("u"), col("v").as("a"))
+    val w2 = oriented.select(col("u"), col("v").as("b"))
+    val wedges = w1.join(w2, "u").filter(col("a") < col("b"))
+    val closure = oriented.select(
+      least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+    val tris = wedges.join(closure, Seq("a", "b"), "left_semi")
+    tris.select(explode(array(col("u"), col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** G3 — triangle counts on the supplier co-shipment graph (suppliers
+    * joined by sharing a max-quantity part: 340 edges / 111 triangles
+    * at sf0.01, 3.6k / 837 at sf0.1). FULL DuckDB oracle: plain
+    * ordered three-way self-join — orientation changes the work bound,
+    * never the answer, so both engines count the same triangles.
+    */
+  val g3 = QueryDef.sql(
+    "g3_triangle_counts",
+    """WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      |        FROM lineitem WHERE l_quantity > 49),
+      |e AS MATERIALIZED (SELECT DISTINCT least(a.s, b.s) AS x,
+      |            greatest(a.s, b.s) AS y
+      |        FROM ps a JOIN ps b ON a.p = b.p AND a.s <> b.s),
+      |t AS (SELECT a.x AS u, a.y AS v, b.y AS w
+      |      FROM e a JOIN e b ON a.y = b.x
+      |             JOIN e c ON a.x = c.x AND b.y = c.y),
+      |n AS (SELECT u AS node FROM t UNION ALL SELECT v FROM t
+      |      UNION ALL SELECT w FROM t)
+      |SELECT node, count(*) AS n_triangles FROM n GROUP BY node""".stripMargin) {
+    (s, d) =>
+      val ps = Tables.lineitem(s, d).filter(col("l_quantity") > 49)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("s"))
+        .distinct()
+      val b = ps.select(col("p"), col("s").as("s2"))
+      val edges = ps.join(b, "p").filter(col("s") =!= col("s2"))
+        .select(least(col("s"), col("s2")).as("x"),
+          greatest(col("s"), col("s2")).as("y"))
+        .distinct()
+      triangleCounts(edges)
+  }
+
+  // ------------------------------------------------------ degree histogram
+
+  /** G4 — degree histogram of the g1 customer↔supplier trade graph:
+    * (degree, n_nodes). Two map-side-combinable aggregates over the
+    * distinct edge set — the O(1)-output structural summary a graph
+    * pipeline checks before paying for iterate-until-converged work.
+    * FULL DuckDB oracle.
+    */
+  val g4 = QueryDef.sql(
+    "g4_degree_histogram",
+    """WITH le AS (SELECT DISTINCT o_custkey * 2 AS src,
+      |            l_suppkey * 2 + 1 AS dst
+      |        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |d AS (SELECT node, count(*) AS degree FROM (
+      |        SELECT src AS node FROM le UNION ALL SELECT dst FROM le) b
+      |      GROUP BY node)
+      |SELECT degree, count(*) AS n_nodes FROM d GROUP BY degree""".stripMargin) {
+    (s, d) =>
+      val le = Tables.orders(s, d).join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).cast("long").as("src"),
+          (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
+        .distinct()
+      le.select(col("src").as("node")).unionAll(le.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  def all: Seq[QueryDef] = Seq(g1, g2, g3, g4)
 }

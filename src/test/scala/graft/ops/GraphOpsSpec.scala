@@ -63,4 +63,57 @@ class GraphOpsSpec extends SparkSpec {
     // integral truncation only ever LEAKS mass, boundedly
     assert(mass <= F && mass > F - 100L * got.size)
   }
+
+  // ------------------------------------------------- connected components
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connectedComponents labels two disjoint chains by their minima") {
+    // deep chain exercises multi-round star contraction
+    val chainA = (1L until 6L).map(i => (i, i + 1))       // 1..6
+    val chainB = (10L until 13L).map(i => (i + 1, i))     // 10..13, reversed
+    val got = cc(chainA ++ chainB)
+    assert((1L to 6L).forall(got(_) == 1L))
+    assert((10L to 13L).forall(got(_) == 10L))
+  }
+
+  test("connectedComponents merges components sharing any node") {
+    val got = cc(Seq((5L, 2L), (2L, 9L), (9L, 7L), (100L, 101L)))
+    assert(Seq(2L, 5L, 7L, 9L).forall(got(_) == 2L))
+    assert(got(100L) == 100L && got(101L) == 100L)
+    assert(got.size == 6)
+  }
+
+  // ------------------------------------------------------ triangle counts
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.triangleCounts(edges.toDF("x", "y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("triangleCounts: K4 gives every node 3 triangles") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tri(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: a square has none; adding one diagonal makes two") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    assert(tri(square).isEmpty)
+    val withDiag = square :+ (1L, 3L)
+    // diagonal 1-3 closes triangles {1,2,3} and {1,3,4}
+    assert(tri(withDiag) ==
+      Map(1L -> 2L, 3L -> 2L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("triangleCounts handles a hub star (orientation bounds wedge work)") {
+    // star has no triangles regardless of hub degree; input arrives
+    // unordered/duplicated to exercise canonicalization
+    val star = (2L to 40L).flatMap(l => Seq((l, 1L), (1L, l)))
+    assert(tri(star).isEmpty)
+  }
 }
