@@ -22,6 +22,7 @@ object SparkEntry {
       graft.ops.Cdc.all ++
       graft.ops.BloomJoin.all ++
       graft.ops.GraphOps.all ++
+      graft.ops.Quality.all ++
       graft.stats.FDR.all ++
       graft.ml.Scoring.all ++
       graft.ml.Train.all ++
