@@ -23,6 +23,7 @@ object SparkEntry {
       graft.ops.BloomJoin.all ++
       graft.ops.GraphOps.all ++
       graft.ops.Quality.all ++
+      graft.ops.Sketches.all ++
       graft.stats.FDR.all ++
       graft.ml.Scoring.all ++
       graft.ml.Train.all ++
