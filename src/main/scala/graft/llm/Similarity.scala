@@ -1035,7 +1035,66 @@ object Similarity {
         |      FROM s)
         |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
 
+  // ------------------------------------------------ multi-vector MaxSim
+
+  /** ColBERT-style late-interaction score (Khattab & Zaharia, SIGIR
+    * 2020): treat each 64-dim embedding as 4 independent 16-dim
+    * "token" sub-vectors; score(q, d) = Σ_i max_j cos(q_i, d_j). Each
+    * pairwise cosine rounds to 6dp BEFORE the max/sum so both engines
+    * combine identical doubles in an identical order — the same
+    * determinism contract every cosine gate here uses. All 16 cosines
+    * are scan-local native-codegen expressions over array SLICES (no
+    * explode, no shuffle per sub-vector).
+    *
+    * Scale path: this is the exact re-rank stage; at corpus scale the
+    * candidate set comes from per-sub-vector ANN (v2's LSH bands or
+    * v12's IVF-PQ cells, one probe per query sub-vector, union the
+    * hits) — retrieval-then-MaxSim exactly as the paper deploys it.
+    * The gated query IS the brute-force truth (|Q| = corpus/50
+    * probes), hash-verified cross-engine like v1.
+    */
+  def maxSimScore(qv: Column, nv: Column, subDim: Int = 16,
+      nSub: Int = 4): Column =
+    (0 until nSub).map { i =>
+      greatest((0 until nSub).map { j =>
+        round(cosine(slice(qv, i * subDim + 1, subDim),
+          slice(nv, j * subDim + 1, subDim)), 6)
+      }: _*)
+    }.reduce(_ + _)
+
+  private def maxSimOracleSql(subDim: Int, nSub: Int): String = {
+    def sl(v: String, k: Int) = s"$v[${k * subDim + 1}:${(k + 1) * subDim}]"
+    val score = (0 until nSub).map { i =>
+      "greatest(" + (0 until nSub).map { j =>
+        s"round(list_cosine_similarity(${sl("q.v", i)}, ${sl("c.v", j)}), 6)"
+      }.mkString(", ") + ")"
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings WHERE vec_id % 50 = 0),
+       |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings),
+       |s AS (SELECT qid, nid, $score AS sim
+       |      FROM q JOIN c ON qid <> nid),
+       |r AS (SELECT qid, nid, sim, row_number() OVER (
+       |        PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM s)
+       |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin
+  }
+
+  /** V13 — exact MaxSim top-1 for the probe queries, FULL DuckDB
+    * oracle (identical slice/round/max/sum arithmetic). */
+  val maxsim = QueryDef.sql("v13_maxsim_multivector", maxSimOracleSql(16, 4)) {
+    (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val scored = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        .crossJoin(emb.select(col("vec_id").as("nid"),
+          col("embedding").as("nv")))
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("sim", maxSimScore(col("qv"), col("nv")))
+      topKPerQuery(scored, 1).drop("rank")
+  }
+
   def all: Seq[QueryDef] =
     Seq(brute, bruteK, ann, nearDup, embDedup, ivf, quantized, centroids, pq,
-      ivfpq)
+      ivfpq, maxsim)
 }

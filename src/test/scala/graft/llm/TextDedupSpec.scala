@@ -298,6 +298,28 @@ class TextDedupSpec extends SparkSpec {
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("maxSimScore: per-sub-vector max then sum, hand-verified") {
+    import spark.implicits._
+    // 4 sub-vectors of dim 2 (subDim=2, nSub=4). Query subs are axis
+    // vectors; doc has one perfectly-aligned sub for q0/q1, and only
+    // anti-aligned/orthogonal subs for q2/q3.
+    val q = Array(1f, 0f, 0f, 1f, 1f, 0f, 0f, 1f)
+    val d = Array(1f, 0f, 0f, 1f, -1f, 0f, 0f, -1f)
+    val df = Seq((q, d)).toDF("q", "d")
+    val got = df.select(Similarity.maxSimScore(col("q"), col("d"),
+      subDim = 2, nSub = 4)).head().getDouble(0)
+    // q0 max cos = 1 (d0); q1 max = 1 (d1); q2 max = 0? subs of d are
+    // (1,0),(0,1),(-1,0),(0,-1): q2=(1,0) best is d0 → 1; q3=(0,1)
+    // best is d1 → 1. Total 4.
+    assert(got == 4.0)
+    // swap doc subs: MaxSim is invariant to sub-vector ORDER in d
+    val dShuf = Array(0f, -1f, -1f, 0f, 0f, 1f, 1f, 0f)
+    val got2 = Seq((q, dShuf)).toDF("q", "d")
+      .select(Similarity.maxSimScore(col("q"), col("d"), 2, 4))
+      .head().getDouble(0)
+    assert(got2 == 4.0)
+  }
+
   test("cosine_sim usable from SQL after registration") {
     val s2 = spark
     graft.expressions.CosineSimilarity.register(s2)
