@@ -1046,8 +1046,68 @@ object Curation {
       .select("doc_id", "source", "priority", "dup_count", "weight")
   }
 
+  /** Temperature-flattened mixture sampling (the multilingual-LM
+    * upsampling rule, q_s ∝ p_s^α with α=1/2 — Conneau et al. 2020,
+    * XLM-R; Raffel et al. 2020 use the same trick for C4 mixtures):
+    * keep each doc of source s with probability q_s = min(1, C/√n_s),
+    * so the kept count scales as √n_s — rare sources keep a LARGER
+    * fraction, flattening the mixture toward uniform. Survivors carry
+    * the 1/q_s importance weight that unbiases any downstream
+    * statistic.
+    *
+    * Scale shape: per-source counts are a map-side-combinable agg on a
+    * |sources|-sized frame, broadcast-joined back; selection is then a
+    * pure scan-local Bernoulli filter on the c12 derived uniform — no
+    * window, no top-k state, no shuffle of the corpus. Determinism:
+    * q_s = C/√n_s is one correctly-rounded IEEE sqrt + one division of
+    * exact doubles — bit-identical cross-engine; u<q boundary
+    * coincidence needs q to land within 2⁻⁵² of a 52-bit md5 uniform.
+    */
+  def temperatureSample(docs: DataFrame, idCol: String, srcCol: String,
+      c: Double, seed: Long): DataFrame = {
+    val counts = docs.groupBy(srcCol).agg(count(lit(1)).as("__n"))
+    val u = (conv(substring(md5(
+      concat(lit("tmix:"), col(idCol).cast("string"), lit(":"),
+        lit(seed.toString))),
+      1, 13), 16, 10).cast("long") + lit(0.5)) / lit(4503599627370496.0d)
+    docs.join(broadcast(counts), srcCol)
+      .withColumn("__q", least(lit(1.0), lit(c) / sqrt(col("__n"))))
+      .filter(u < col("__q"))
+      .withColumn("weight", round(lit(1.0) / col("__q"), 6))
+      .drop("__n", "__q")
+  }
+
+  /** C15 — temperature mixture over a deterministic 60/30/10 source
+    * skew (the shipped sources are uniform — flattening uniform data
+    * gates nothing). FULL DuckDB oracle: same tiering, same md5
+    * uniform, same √-rule arithmetic; the kept row SET and weights
+    * hash-match.
+    */
+  val temperatureQ = QueryDef.sql(
+    "c15_temperature_mix",
+    """WITH t AS (SELECT doc_id,
+      |             CASE WHEN doc_id % 100 < 60 THEN 'common'
+      |                  WHEN doc_id % 100 < 90 THEN 'medium'
+      |                  ELSE 'rare' END AS mix_source
+      |           FROM documents),
+      |n AS (SELECT mix_source, count(*) AS nn FROM t GROUP BY 1),
+      |s AS (SELECT doc_id, t.mix_source,
+      |             least(1.0, 4.0 / sqrt(nn)) AS q,
+      |             (CAST('0x' || substr(md5('tmix:' || CAST(doc_id AS VARCHAR) || ':42'), 1, 13) AS BIGINT) + 0.5)
+      |               / 4503599627370496.0 AS u
+      |      FROM t JOIN n ON t.mix_source = n.mix_source)
+      |SELECT doc_id, mix_source, round(1.0 / q, 6) AS weight
+      |FROM s WHERE u < q""".stripMargin) { (s, d) =>
+    val tiers = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 100 < 60, "common")
+        .when(col("doc_id") % 100 < 90, "medium")
+        .otherwise("rare").as("mix_source"))
+    temperatureSample(tiers, "doc_id", "mix_source", c = 4.0, seed = 42L)
+      .select("doc_id", "mix_source", "weight")
+  }
+
   def all: Seq[QueryDef] =
     Seq(pipeline, budgetSample, sourceMix, packing, domainCap, chunking,
       urlCanon, curriculum, qualityFilter, dsir, groupSplitQ, weightedSampleQ,
-      stratifiedSampleQ, priorityDedupQ)
+      stratifiedSampleQ, priorityDedupQ, temperatureQ)
 }

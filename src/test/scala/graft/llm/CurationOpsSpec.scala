@@ -506,4 +506,27 @@ class CurationOpsSpec extends SparkSpec {
       out(3L).isNullAt(5))
     assert(out(4L).getLong(2) == 1 && d(out(4L).get(4)) == 0.0)
   }
+
+  test("temperatureSample flattens: rare sources keep a larger fraction") {
+    import spark.implicits._
+    val docs = ((1L to 1600L).map(i => (i, "big")) ++
+      (2001L to 2100L).map(i => (i, "small"))).toDF("doc_id", "src")
+    val kept = Curation.temperatureSample(docs, "doc_id", "src", c = 4.0,
+      seed = 1L)
+    val bySrc = kept.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // q_big = 4/40 = 0.1 (E=160), q_small = 4/10 = 0.4 (E=40): the kept
+    // FRACTION of the rare source must be well above the big one's
+    val fBig = bySrc("big").toDouble / 1600
+    val fSmall = bySrc("small").toDouble / 100
+    assert(fSmall > 2 * fBig, s"no flattening: big=$fBig small=$fSmall")
+    // weights are exactly 1/q (round6)
+    val w = kept.select("src", "weight").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w("big") == 10.0 && w("small") == 2.5)
+    // deterministic: same seed reproduces the identical kept set
+    val again = Curation.temperatureSample(docs, "doc_id", "src", 4.0, 1L)
+    assert(kept.select("doc_id").except(again.select("doc_id")).isEmpty &&
+      again.select("doc_id").except(kept.select("doc_id")).isEmpty)
+  }
 }
