@@ -1184,6 +1184,17 @@ object RelationalQueries {
       .filter(col("us") >= 0)
       .select(col("event_type"), expr("us div 86400000000").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    dailyAnomaly(daily)
+  }
+
+  /** The e11 z-scan over an already-aggregated (event_type, day, n)
+    * frame — shared with the streaming twin (st12), which maintains
+    * the daily counts incrementally and runs this same scan on the
+    * |types|×|days|-sized aggregate. Windowed sums stay INTEGRAL
+    * (exact under both engines' sliding frames); z derives from them
+    * with fixed double expressions.
+    */
+  def dailyAnomaly(daily: DataFrame): DataFrame = {
     val tw = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-7, -1)
     val w = daily.select(col("event_type"), col("day"), col("n"),

@@ -682,6 +682,53 @@ object Streams {
         col("n_kept_stream") < col("n_total"))
   }
 
+  /** ST12 — streaming daily-anomaly detection: the e11 monitor as a
+    * live pipeline. The STREAM maintains the per-(type, day) counts —
+    * a watermarked 1-day tumbling window agg, state sized by active
+    * windows × |types|, the same (window, type) hash shuffle as the
+    * batch groupBy; the z-scan then runs on the |types|×|days|-sized
+    * AGGREGATE (RelationalQueries.dailyAnomaly, shared code with
+    * e11), never on raw-event cardinality. Complete-mode memory sink
+    * here (the aggregate is tiny by construction); a production
+    * deployment upserts the counts into a store via foreachBatch
+    * (st9's shape) and scans that. Gate: z-flags from the streamed
+    * counts fingerprint-match the batch e11 output exactly after a
+    * 3-chunk feed.
+    */
+  val st12 = QueryDef.fixture("st12_stream_daily_anomaly") { (s, d) =>
+    import s.implicits._
+    val ev = eventsFeed(s, d)
+    val feed = new FileFeed(s, "st12", ev.schema)
+    val counts = feed.source()
+      .filter(col("ts").isNotNull && unix_micros(col("ts")) >= 0)
+      .withWatermark("ts", "48 hours")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        expr("unix_micros(window.start) div 86400000000").as("day"),
+        col("n"))
+    val q = counts.writeStream
+      .format("memory").queryName("st12_out")
+      .outputMode(OutputMode.Complete())
+      .start()
+    val fpCols = Seq("event_type", "day", "n", "z", "is_anomaly")
+    val streamedFp =
+      try {
+        (0 until 3).foreach { k =>
+          feed.add(ev.filter(pmod(col("event_id"), lit(3)) === k))
+          q.processAllAvailable()
+        }
+        fingerprint(
+          graft.ops.RelationalQueries.dailyAnomaly(s.table("st12_out")),
+          fpCols)
+      } finally q.stop()
+    val batchFp = fingerprint(
+      graft.ops.RelationalQueries.e11.fn(s, d), fpCols)
+    Seq((streamedFp._1, batchFp._1, streamedFp == batchFp))
+      .toDF("n_stream_rows", "n_batch_rows", "exact_match")
+      .filter(col("exact_match") && col("n_stream_rows") > 0)
+  }
+
   def all: Seq[QueryDef] =
-    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11)
+    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12)
 }
