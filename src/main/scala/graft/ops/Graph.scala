@@ -69,9 +69,15 @@ object GraphOps {
     // one upfront count: graphs with no sinks (most real link graphs
     // after symmetrization) skip the per-round dangling aggregate job
     val hasDangling = danglingNodes.count() > 0
+    // Per-round materialization MUST truncate the LOGICAL plan, not
+    // just execution: `cache()` leaves the full logical tree in place,
+    // so round k's plan embeds round k-1's — Catalyst re-analysis
+    // doubles per round (measured: iter 9 spent 115 s in the optimizer
+    // on a 1k-node graph). Eager localCheckpoint rewrites the frame to
+    // an RDD scan — O(1) plan size AND O(1) recovery lineage per round
+    // (the distributedClusters contract, llm/Dedup.scala).
     var ranks = deg.select(col("node"), lit(F / n).as("rank_fp"))
-      .cache()
-    ranks.count()
+      .localCheckpoint(eager = true)
     var i = 0
     while (i < iters) {
       val dangling =
@@ -87,9 +93,7 @@ object GraphOps {
           (lit(teleport) +
             expr(s"17 * (coalesce(contrib, 0L) + ${dangling / n}L) div 20"))
             .as("rank_fp"))
-        .cache()
-      next.count() // materialize: O(1) lineage depth per round
-      ranks.unpersist()
+        .localCheckpoint(eager = true)
       ranks = next
       i += 1
     }
