@@ -199,5 +199,119 @@ object Quality {
         ("embeddings_dim_64", e2, size(col("embedding")) =!= 64))))
   }
 
-  def all: Seq[QueryDef] = Seq(dq1, dq2)
+  // --------------------------------------------------------- profile drift
+
+  /** Population Stability Index between two snapshots of one column,
+    * over caller-supplied integer bucket ids (the standard drift
+    * metric credit-risk monitoring popularized; PSI > 0.2 is the
+    * conventional "investigate" threshold). Add-1 smoothing keeps
+    * empty buckets finite — documented, deterministic. Each side is
+    * one map-side-combinable (bucket → count) aggregate; the PSI sum
+    * runs over ≤|buckets| joined rows.
+    */
+  def psi(snapA: DataFrame, snapB: DataFrame, bucketCol: String): DataFrame = {
+    def hist(df: DataFrame, out: String): DataFrame =
+      df.groupBy(bucketCol).agg(count(lit(1)).as(out))
+    val j = hist(snapA, "ca").join(hist(snapB, "cb"), Seq(bucketCol), "full")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    // add-1 per bucket; denominators carry the same smoothing mass
+    val tot = j.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("k")).head()
+    val (na, nb, k) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    j.select((((col("cb") + 1).cast("double") / lit((nb + k).toDouble) -
+        (col("ca") + 1).cast("double") / lit((na + k).toDouble)) *
+        (log((col("cb") + 1).cast("double") / lit((nb + k).toDouble)) -
+          log((col("ca") + 1).cast("double") / lit((na + k).toDouble))))
+        .as("term"))
+      .agg(round(sum(col("term")), 6).as("psi"))
+  }
+
+  /** DQ3 — snapshot drift report: documents-vs-perturbed-twin (both
+    * engines build the identical twin: 10% of docs dropped, a third
+    * re-sourced, n_chars inflated 20% on a deterministic slice — the
+    * ingest-regression shapes a daily 100 TB snapshot diff actually
+    * catches). Per monitored column: row/distinct deltas and PSI over
+    * INTEGRAL equal-width buckets (bucket = (v−min)·10 div (max−min),
+    * all-integer arithmetic — no float boundary can disagree across
+    * engines). FULL DuckDB oracle replaying the same smoothing and
+    * log-term sum.
+    */
+  val dq3 = QueryDef.sql(
+    "dq3_profile_drift",
+    """WITH a AS (SELECT doc_id, n_chars, source FROM documents),
+      |b AS (SELECT doc_id,
+      |             CASE WHEN doc_id % 3 = 0 THEN (n_chars * 12) // 10
+      |                  ELSE n_chars END AS n_chars,
+      |             CASE WHEN source = 'src1' THEN 'src1b' ELSE source END AS source
+      |      FROM documents WHERE doc_id % 10 <> 0),
+      |rng AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM
+      |         (SELECT n_chars FROM a UNION ALL SELECT n_chars FROM b)),
+      |ba AS (SELECT least(9, ((n_chars - lo) * 10) // (hi - lo)) AS bucket
+      |       FROM a, rng),
+      |bb AS (SELECT least(9, ((n_chars - lo) * 10) // (hi - lo)) AS bucket
+      |       FROM b, rng),
+      |npsi AS (
+      |  SELECT round(sum(term), 6) AS psi FROM (
+      |    SELECT (CAST(cb + 1 AS DOUBLE) / nbs - CAST(ca + 1 AS DOUBLE) / nas)
+      |         * (ln(CAST(cb + 1 AS DOUBLE) / nbs) - ln(CAST(ca + 1 AS DOUBLE) / nas)) AS term
+      |    FROM (
+      |      SELECT COALESCE(ha.c, 0) AS ca, COALESCE(hb.c, 0) AS cb,
+      |             CAST((SELECT count(*) FROM ba) + count(*) OVER () AS DOUBLE) AS nas,
+      |             CAST((SELECT count(*) FROM bb) + count(*) OVER () AS DOUBLE) AS nbs
+      |      FROM (SELECT bucket, count(*) AS c FROM ba GROUP BY 1) ha
+      |      FULL JOIN (SELECT bucket, count(*) AS c FROM bb GROUP BY 1) hb
+      |      USING (bucket)))),
+      |spsi AS (
+      |  SELECT round(sum(term), 6) AS psi FROM (
+      |    SELECT (CAST(cb + 1 AS DOUBLE) / nbs - CAST(ca + 1 AS DOUBLE) / nas)
+      |         * (ln(CAST(cb + 1 AS DOUBLE) / nbs) - ln(CAST(ca + 1 AS DOUBLE) / nas)) AS term
+      |    FROM (
+      |      SELECT COALESCE(ha.c, 0) AS ca, COALESCE(hb.c, 0) AS cb,
+      |             CAST((SELECT count(*) FROM a) + count(*) OVER () AS DOUBLE) AS nas,
+      |             CAST((SELECT count(*) FROM b) + count(*) OVER () AS DOUBLE) AS nbs
+      |      FROM (SELECT source, count(*) AS c FROM a GROUP BY 1) ha
+      |      FULL JOIN (SELECT source, count(*) AS c FROM b GROUP BY 1) hb
+      |      USING (source))))
+      |SELECT 'n_chars' AS col_name,
+      |       (SELECT count(*) FROM a) AS n_a, (SELECT count(*) FROM b) AS n_b,
+      |       (SELECT count(DISTINCT n_chars) FROM a) AS distinct_a,
+      |       (SELECT count(DISTINCT n_chars) FROM b) AS distinct_b,
+      |       (SELECT psi FROM npsi) AS psi
+      |UNION ALL
+      |SELECT 'source',
+      |       (SELECT count(*) FROM a), (SELECT count(*) FROM b),
+      |       (SELECT count(DISTINCT source) FROM a),
+      |       (SELECT count(DISTINCT source) FROM b),
+      |       (SELECT psi FROM spsi)""".stripMargin) { (s, d) =>
+    val a = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      col("source"))
+    val b = a.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, expr("(n_chars * 12) div 10"))
+          .otherwise(col("n_chars")).as("n_chars"),
+        when(col("source") === "src1", "src1b").otherwise(col("source"))
+          .as("source"))
+    val rng = a.select(col("n_chars")).unionByName(b.select(col("n_chars")))
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi")).head()
+    val (lo, hi) = (rng.getLong(0), rng.getLong(1))
+    def buckets(df: DataFrame): DataFrame =
+      df.select(least(lit(9),
+        expr(s"((n_chars - ${lo}L) * 10) div (${hi}L - ${lo}L)")).as("bucket"))
+    def stats(df: DataFrame, c: String): (Long, Long) = {
+      val r = df.agg(count(lit(1)), countDistinct(col(c))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (na, da) = stats(a, "n_chars"); val (nb, db) = stats(b, "n_chars")
+    val (_, dsa) = stats(a, "source"); val (_, dsb) = stats(b, "source")
+    val nPsi = psi(buckets(a), buckets(b), "bucket").head().getDouble(0)
+    val sPsi = psi(a.select("source"), b.select("source"), "source")
+      .head().getDouble(0)
+    val spark = s; import spark.implicits._
+    Seq(("n_chars", na, nb, da, db, nPsi),
+      ("source", na, nb, dsa, dsb, sPsi))
+      .toDF("col_name", "n_a", "n_b", "distinct_a", "distinct_b", "psi")
+  }
+
+  def all: Seq[QueryDef] = Seq(dq1, dq2, dq3)
 }

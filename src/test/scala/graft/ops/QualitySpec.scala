@@ -43,6 +43,23 @@ class QualitySpec extends SparkSpec {
       "k", dim, "id").head().getLong(1) == 0L)
   }
 
+  test("psi: zero on identical distributions, grows with shift, symmetric-ish") {
+    import spark.implicits._
+    val a = (Seq.fill(80)(0) ++ Seq.fill(20)(1)).toDF("bucket")
+    val same = Quality.psi(a, a, "bucket").head().getDouble(0)
+    assert(same == 0.0)
+    val b = (Seq.fill(20)(0) ++ Seq.fill(80)(1)).toDF("bucket")
+    val shifted = Quality.psi(a, b, "bucket").head().getDouble(0)
+    assert(shifted > 0.2, s"major shift must exceed the 0.2 alert bar: $shifted")
+    // PSI is symmetric by construction ((pB-pA)·ln(pB/pA))
+    val rev = Quality.psi(b, a, "bucket").head().getDouble(0)
+    assert(rev == shifted)
+    // a bucket present on one side only stays finite (add-1 smoothing)
+    val c = (Seq.fill(100)(2)).toDF("bucket")
+    val disjoint = Quality.psi(a, c, "bucket").head().getDouble(0)
+    assert(!disjoint.isNaN && !disjoint.isInfinite && disjoint > 1.0)
+  }
+
   test("predicateViolations: one row per check, zero on empty predicate hit") {
     import spark.implicits._
     implicit val s = spark
