@@ -755,5 +755,234 @@ object Multimodal {
         col("n_bad_dist") === 0 && col("n_pairs") >= col("n_same_class_pairs"))
   }
 
-  def all: Seq[QueryDef] = Seq(mm, mm2, mm3)
+  // ------------------------------------------------ video frame pipeline
+
+  /** Minimal multi-frame container ("GVID": magic + u32le frame count
+    * + u32le per-frame lengths + concatenated frame payloads, each an
+    * independent BMP). Stands in for a real demuxer the way BmpCodec
+    * stands in for image decoders: the Spark-side plumbing — binary
+    * column in, per-partition decode, frame explode, hash — is the
+    * production shape; only the codec is the deterministic fixture.
+    */
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 8 + 4 * frames.size + frames.map(_.length).sum
+    val out = new Array[Byte](total)
+    out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+    def put32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xFF).toByte; out(o + 1) = ((v >> 8) & 0xFF).toByte
+      out(o + 2) = ((v >> 16) & 0xFF).toByte; out(o + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    put32(4, frames.size)
+    var off = 8 + 4 * frames.size
+    frames.zipWithIndex.foreach { case (f, i) =>
+      put32(8 + 4 * i, f.length)
+      System.arraycopy(f, 0, out, off, f.length)
+      off += f.length
+    }
+    out
+  }
+
+  def decodeVideoFrames(payload: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    if (payload.length < 8 || payload(0) != 'G' || payload(1) != 'V' ||
+      payload(2) != 'I' || payload(3) != 'D') None
+    else {
+      val n = i32le(payload, 4)
+      if (n < 0 || 8 + 4L * n > payload.length) None
+      else {
+        var off = 8 + 4 * n
+        val frames = Vector.newBuilder[Array[Byte]]
+        var i = 0
+        var ok = true
+        while (i < n && ok) {
+          val len = i32le(payload, 8 + 4 * i)
+          if (len < 0 || off + len > payload.length) ok = false
+          else {
+            frames += java.util.Arrays.copyOfRange(payload, off, off + len)
+            off += len
+          }
+          i += 1
+        }
+        if (ok) Some(frames.result()) else None
+      }
+    }
+  }
+
+  /** Decode + frame-sample + per-frame dHash in ONE partition pass:
+    * (id, frame_idx, dhash) for every stride-th frame. Payloads never
+    * shuffle — only 16-byte hash rows leave the scan, which is the
+    * whole point at 100 TB video scale (the binary column is ~10⁶×
+    * the signature column). Undecodable payloads drop (null-safe).
+    */
+  def videoFrameHashes(assets: DataFrame, stride: Int,
+      idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = assets.sparkSession
+    val idIdx = assets.schema.fieldIndex(idCol)
+    val pIdx = assets.schema.fieldIndex(payloadCol)
+    val outSchema = StructType(Seq(
+      StructField(idCol, assets.schema(idIdx).dataType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = true)))
+    val out = assets.rdd.mapPartitions { it =>
+      it.flatMap { row =>
+        val id = row.get(idIdx)
+        decodeVideoFrames(row.getAs[Array[Byte]](pIdx)) match {
+          case None => Iterator.empty
+          case Some(frames) =>
+            frames.indices.iterator.filter(_ % stride == 0).map { f =>
+              Row(id, f, dHash64(frames(f)).map(Long.box).orNull)
+            }
+        }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** Video near-dup by frame-set overlap (the content-based
+    * video-retrieval shape: per-frame fingerprints → inverted match →
+    * sequence-level verify). Candidates come ONLY from the mm2 banded
+    * Hamming machinery applied per frame (pigeonhole-exact for
+    * maxDist ≤ 3: any video pair with even ONE close frame pair is a
+    * candidate); verification counts, per candidate pair, the
+    * fraction of a's sampled frames with a ≤maxDist match in b.
+    * Never all-pairs across videos; the frame-level verify join is
+    * candidate-bounded.
+    */
+  def videoNearDupPairs(frameHashes: DataFrame, idCol: String,
+      maxDist: Int, minMatchFrac: Double): DataFrame = {
+    val fh = frameHashes.filter(col("dhash").isNotNull)
+    val frameCand = imageNearDupPairs(
+      fh.select(col(idCol), col("frame_idx"), col("dhash"))
+        .withColumn("fid",
+          concat_ws(":", col(idCol).cast("string"),
+            col("frame_idx").cast("string"))),
+      "fid", maxDist, "dhash")
+    // frame-level matches → video-level candidates (a < b by id text
+    // split; re-derive the numeric ids from the packed fid)
+    val cand = frameCand.select(
+        split(col("a"), ":").getItem(0).cast("long").as("a"),
+        split(col("b"), ":").getItem(0).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val fa = fh.select(col(idCol).as("a"), col("frame_idx").as("ia"),
+      col("dhash").as("ha"))
+    val fb = fh.select(col(idCol).as("b"), col("frame_idx").as("ib"),
+      col("dhash").as("hb"))
+    val nFrames = fh.groupBy(col(idCol).as("a"))
+      .agg(count(lit(1)).as("n_a"))
+    cand.join(fa, "a").join(fb, "b")
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxDist)
+      .groupBy("a", "b")
+      .agg(countDistinct(col("ia")).as("matched_a"))
+      .join(nFrames, "a")
+      .withColumn("match_frac",
+        col("matched_a").cast("double") / col("n_a").cast("double"))
+      .filter(col("match_frac") >= minMatchFrac)
+      .select(col("a"), col("b"), col("matched_a"), col("n_a"),
+        round(col("match_frac"), 6).as("match_frac"))
+  }
+
+  /** Deterministic video fixture: 50 scenes × 4 variants, 12 frames
+    * each. A variant temporally shifts the scene by 2·v frames (even
+    * shift keeps the stride-2 sampling lattice aligned — real CBVR
+    * systems get the same invariance from keyframe alignment rather
+    * than fixed-stride sampling) and applies the mm2 per-frame pixel
+    * nudge, so same-scene frames hash within a few bits and different
+    * scenes are far.
+    */
+  private[llm] def syntheticFrameBmp(cls: Int, frame: Int, v: Int): Array[Byte] = {
+    val g = new Array[Int](72)
+    var st = (cls * 977L + frame) * 2654435761L + 99991L
+    var i = 0
+    while (i < 72) {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      g(i) = ((st >>> 33) % 256).toInt
+      i += 1
+    }
+    if (v > 0) {
+      val r = v % 8
+      val t = g(r * 9 + v); g(r * 9 + v) = g(r * 9 + v + 1); g(r * 9 + v + 1) = t
+    }
+    val rgb = new Array[Byte](18 * 16 * 3)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 18) {
+        val value = g((y / 2) * 9 + (x / 2)).toByte
+        val o = (y * 18 + x) * 3
+        rgb(o) = value; rgb(o + 1) = value; rgb(o + 2) = value
+        x += 1
+      }
+      y += 1
+    }
+    encodeBmp24(18, 16, rgb)
+  }
+
+  private[llm] def syntheticVideo(docId: Long, nFrames: Int = 12): Array[Byte] = {
+    val cls = (docId % 50).toInt
+    val v = ((docId / 50) % 4).toInt
+    encodeVideo((0 until nFrames).map(f =>
+      syntheticFrameBmp(cls, (f + 2 * v) % nFrames, v)))
+  }
+
+  /** MM4 — video near-dup over the full pipeline: container decode →
+    * stride-2 frame sampling → per-frame dHash (one partition pass,
+    * payloads never shuffle) → banded frame match → overlap verify.
+    * Golden gates: every video decodes; the found pair set contains
+    * EVERY within-scene pair that satisfies the overlap criterion
+    * under the bounded per-scene brute force (pigeonhole recall per
+    * frame makes this exact); every emitted pair re-verifies.
+    */
+  val mm4 = QueryDef.rowsOnly("mm4_video_near_dup") { (s, d) =>
+    val spark = s
+    val docs = Tables.documents(s, d).select("doc_id")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val assets = spark.createDataFrame(
+      docs.rdd.mapPartitions(_.map { row =>
+        val id = row.getLong(0)
+        Row(id, syntheticVideo(id))
+      }), schema)
+    val nVideos = assets.count()
+    val fh = videoFrameHashes(assets, stride = 2).cache()
+    val nHashed = fh.filter(col("dhash").isNotNull)
+      .select("doc_id").distinct().count()
+    val found = videoNearDupPairs(fh, "doc_id", maxDist = 3,
+      minMatchFrac = 0.5).cache()
+    // truth: same-scene pairs under the SAME criterion, scene-local
+    // brute force (scenes are bounded groups, never corpus-quadratic)
+    val byCls = fh.filter(col("dhash").isNotNull)
+      .withColumn("cls", col("doc_id") % 50)
+    val fa = byCls.select(col("cls"), col("doc_id").as("a"),
+      col("frame_idx").as("ia"), col("dhash").as("ha"))
+    val fb = byCls.select(col("cls"), col("doc_id").as("b"),
+      col("frame_idx").as("ib"), col("dhash").as("hb"))
+    val nA = byCls.groupBy(col("doc_id").as("a"))
+      .agg(count(lit(1)).as("n_a"))
+    val truth = fa.join(fb, Seq("cls")).filter(col("a") < col("b"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+      .groupBy("a", "b").agg(countDistinct(col("ia")).as("m"))
+      .join(nA, "a")
+      .filter(col("m").cast("double") / col("n_a").cast("double") >= 0.5)
+      .select("a", "b").cache()
+    val nTruth = truth.count()
+    val missed = truth.join(found.select("a", "b"), Seq("a", "b"),
+      "left_anti").count()
+    val badFrac = found.filter(col("match_frac") > 1.0 ||
+      col("match_frac") < 0.5).count()
+    val nFound = found.count()
+    fh.unpersist(); found.unpersist(); truth.unpersist()
+    import spark.implicits._
+    Seq((nVideos, nHashed, nFound, nTruth, missed, badFrac))
+      .toDF("n_videos", "n_decoded", "n_pairs", "n_scene_pairs",
+        "n_missed", "n_bad_frac")
+      .filter(col("n_videos") > 0 && col("n_decoded") === col("n_videos") &&
+        col("n_scene_pairs") > 0 && col("n_missed") === 0 &&
+        col("n_bad_frac") === 0 && col("n_pairs") >= col("n_scene_pairs"))
+  }
+
+  def all: Seq[QueryDef] = Seq(mm, mm2, mm3, mm4)
 }

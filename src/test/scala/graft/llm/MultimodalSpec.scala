@@ -186,4 +186,41 @@ class MultimodalSpec extends SparkSpec {
     // id 5 at dist 4 from id 1 must NOT pair with it
     assert(!got.contains((1L, 5L)))
   }
+
+  test("GVID container round-trips frames byte-for-byte; garbage -> None") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](9),
+      Array.fill[Byte](100)(7))
+    val enc = Multimodal.encodeVideo(frames)
+    val dec = Multimodal.decodeVideoFrames(enc)
+    assert(dec.isDefined && dec.get.size == 3)
+    dec.get.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+    assert(Multimodal.decodeVideoFrames(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeVideoFrames("GVIDjunk".getBytes).isEmpty)
+    // truncated payload (declared length beyond end) fails cleanly
+    val bad = enc.take(enc.length - 5)
+    assert(Multimodal.decodeVideoFrames(bad).isEmpty)
+  }
+
+  test("videoFrameHashes samples every stride-th frame with real decode") {
+    import spark.implicits._
+    val vid = Multimodal.encodeVideo(
+      (0 until 6).map(f => Multimodal.syntheticFrameBmp(1, f, 0)))
+    val assets = Seq((1L, vid)).toDF("doc_id", "payload")
+    val got = Multimodal.videoFrameHashes(assets, stride = 2)
+      .collect().map(r => (r.getInt(1), r.isNullAt(2))).sortBy(_._1)
+    assert(got.map(_._1).sameElements(Array(0, 2, 4)))
+    assert(got.forall(!_._2), "every sampled BMP frame must hash")
+  }
+
+  test("videoNearDupPairs: shifted same-scene video matches, other scene doesn't") {
+    import spark.implicits._
+    // videos 0 and 50 are scene 0 variants (shifted), 1 is scene 1
+    val assets = Seq(0L, 50L, 1L)
+      .map(id => (id, Multimodal.syntheticVideo(id))).toDF("doc_id", "payload")
+    val fh = Multimodal.videoFrameHashes(assets, stride = 2)
+    val got = Multimodal.videoNearDupPairs(fh, "doc_id", maxDist = 3,
+      minMatchFrac = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 50L)))
+  }
 }
