@@ -1211,8 +1211,63 @@ object RelationalQueries {
       when(valid, zExpr > 3.0d).otherwise(lit(false)).as("is_anomaly"))
   }
 
+  /** A20 — grouped winsorized mean (robust-stats companion to a14's
+    * MAD): clamp each value into its group's discrete [p10, p90] then
+    * average. Everything stays INTEGRAL until the final division:
+    * prices become exact cents, quantile ranks are ceil via integer
+    * arithmetic ((n+9) div 10 — never a float ceil boundary), and the
+    * winsorized sum is a long. Quantiles come from a (group, value)
+    * cumulative HISTOGRAM, not a raw-row window: the per-group window
+    * runs over distinct cents values (bounded by the value DOMAIN, not
+    * row count — the right trade for currency-like columns at 100 TB;
+    * unbounded domains use a4's distributed sort or k1's sketch
+    * instead). FULL DuckDB oracle replaying the identical definition.
+    */
+  val a20 = QueryDef.sql(
+    "a20_winsorized_mean",
+    """WITH h AS (SELECT l_returnflag AS f,
+      |             CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+      |             count(*) AS c
+      |           FROM lineitem GROUP BY 1, 2),
+      |t AS (SELECT f, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+      |cum AS (SELECT f, v, c,
+      |               CAST(sum(c) OVER (PARTITION BY f ORDER BY v) AS BIGINT) AS cc
+      |        FROM h),
+      |q AS (SELECT cum.f,
+      |             min(CASE WHEN cc >= (n + 9) // 10 THEN v END) AS lo,
+      |             min(CASE WHEN cc >= (9 * n + 9) // 10 THEN v END) AS hi
+      |      FROM cum JOIN t ON cum.f = t.f GROUP BY cum.f)
+      |SELECT h.f AS l_returnflag, t.n,
+      |       q.lo AS p10_cents, q.hi AS p90_cents,
+      |       round(CAST(sum(least(greatest(v, lo), hi) * c) AS DOUBLE)
+      |             / (100.0 * t.n), 6) AS winsorized_mean
+      |FROM h JOIN q ON h.f = q.f JOIN t ON h.f = t.f
+      |GROUP BY h.f, t.n, q.lo, q.hi""".stripMargin) { (s, d) =>
+    val h = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("f"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+      .groupBy("f", "v").agg(count(lit(1)).as("c"))
+    val t = h.groupBy("f").agg(sum(col("c")).as("n"))
+    val cw = Window.partitionBy("f").orderBy("v")
+    val cum = h.withColumn("cc", sum(col("c")).over(cw))
+    val q = cum.join(t, "f")
+      .groupBy("f")
+      .agg(min(when(col("cc") >= expr("(n + 9) div 10"), col("v")))
+        .as("lo"),
+        min(when(col("cc") >= expr("(9 * n + 9) div 10"), col("v")))
+          .as("hi"))
+    h.join(q, "f").join(t, "f")
+      .groupBy(col("f").as("l_returnflag"), col("n"), col("lo").as("p10_cents"),
+        col("hi").as("p90_cents"))
+      .agg(round(
+        sum(least(greatest(col("v"), col("lo")), col("hi")) * col("c"))
+          .cast("double") / (lit(100.0) * col("n")), 6)
+        .as("winsorized_mean"))
+      .select("l_returnflag", "n", "p10_cents", "p90_cents", "winsorized_mean")
+  }
+
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, u7, a1, o2, o3, a4, a5, a13,
-    o5, e1, e2, e5, e6, e7, e8, e9, e10, e11, k1, a14, a15, a16, a19, j9,
-    j10, scalars)
+    o5, e1, e2, e5, e6, e7, e8, e9, e10, e11, k1, a14, a15, a16, a19, a20,
+    j9, j10, scalars)
 }
