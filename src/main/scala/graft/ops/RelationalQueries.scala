@@ -1266,8 +1266,58 @@ object RelationalQueries {
       .select("l_returnflag", "n", "p10_cents", "p90_cents", "winsorized_mean")
   }
 
+  /** E12 — top session paths (the product-analytics "common journeys"
+    * query): e2's 30-minute sessionization, each session's ordered
+    * event-type sequence joined into a path string, path frequencies
+    * hash-counted, top 10 under the total order (n desc, path asc).
+    * Scale shape: per-session assembly is a bounded collect (session
+    * length, not history) sorted in-row by (us, event_id) — no second
+    * window pass; path counting is a map-side-combinable hash agg on
+    * the path string; top-10 plans as TakeOrderedAndProject (per-
+    * partition heaps, no global sort). FULL DuckDB oracle via
+    * string_agg with the identical ordering and tie-break.
+    */
+  val e12 = QueryDef.sql(
+    "e12_session_top_paths",
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |           FROM events WHERE ts IS NOT NULL),
+      |x AS (SELECT user_id, event_id, event_type, us,
+      |             CASE WHEN lag(us) OVER w IS NULL
+      |                    OR us - lag(us) OVER w > 1800000000 THEN 1
+      |                  ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |y AS (SELECT user_id, event_id, event_type, us,
+      |             SUM(new_sess) OVER (PARTITION BY user_id
+      |                                 ORDER BY us, event_id) AS sess_idx
+      |      FROM x),
+      |p AS (SELECT user_id, sess_idx,
+      |             string_agg(event_type, '>' ORDER BY us, event_id) AS path
+      |      FROM y GROUP BY 1, 2)
+      |SELECT path, count(*) AS n FROM p GROUP BY 1
+      |ORDER BY n DESC, path LIMIT 10""".stripMargin) {
+    (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val e = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val indexed = e
+        .withColumn("new_sess",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_idx", sum(col("new_sess")).over(w))
+      val paths = indexed.groupBy("user_id", "sess_idx")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(
+              struct(col("us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc).limit(10)
+  }
+
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, u7, a1, o2, o3, a4, a5, a13,
-    o5, e1, e2, e5, e6, e7, e8, e9, e10, e11, k1, a14, a15, a16, a19, a20,
-    j9, j10, scalars)
+    o5, e1, e2, e5, e6, e7, e8, e9, e10, e11, e12, k1, a14, a15, a16, a19,
+    a20, j9, j10, scalars)
 }
