@@ -1546,7 +1546,110 @@ object Dedup {
         substring(md5(col("cleaned")), 1, 16).as("clean_sig"))
   }
 
+  // ---------------------------------------------------- containment join
+
+  /** ASYMMETRIC set-containment pairs: C(a→b) = |sh(a) ∩ sh(b)| /
+    * |sh(a)| ≥ t — doc a's n-grams mostly inside doc b. This is the
+    * relation Jaccard can't see: a tweet-length quote inside a long
+    * article has tiny Jaccard but containment ≈ 1, and it is exactly
+    * the shape train/test leakage and quotation-dedup care about
+    * (Lee et al. 2022 §5 discuss substring containment for the same
+    * reason).
+    *
+    * Scale: the prefix-filter bound adapts one-sided — if a misses at
+    * most (1−t)·|a| of its grams from b, then a's rarest
+    * ⌊(1−t)|a|⌋+1 grams (global-df order) must hit b. So only the
+    * CONTAINED side explodes a prefix; the container side serves its
+    * full gram list (the inverted index it already built). Candidates
+    * carry a one-sided size filter (|b| ≥ t·|a| − ε; a container may
+    * be arbitrarily larger). Exact verification touches candidates
+    * only. Same float-boundary slack discipline as ngramJaccardOnGrams.
+    */
+  def containmentOnGrams(grams: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = grams.localCheckpoint(eager = true)
+    val g = base.select(col(idCol), explode(col("sh")).as("gram"))
+    val sz = base.select(col(idCol), size(col("sh")).as("set_sz"))
+    val dfreq = g.groupBy("gram").agg(count(lit(1)).as("df"))
+    val prefix = g.join(dfreq, "gram")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("df"), col("gram"))))
+      .join(sz, Seq(idCol))
+      .filter(col("rk") <=
+        col("set_sz") - ceil(lit(threshold) * col("set_sz") - 1e-9) + 1)
+      .select(col(idCol).as("doc_a"), col("gram"), col("set_sz").as("sz_a"))
+    val full = g.select(col(idCol).as("doc_b"), col("gram"))
+      .join(sz.select(col(idCol).as("doc_b"), col("set_sz").as("sz_b")),
+        "doc_b")
+    val cands = prefix.join(full,
+        prefix("gram") === full("gram") &&
+          col("doc_a") =!= col("doc_b") &&
+          col("sz_b") >= lit(threshold) * col("sz_a") - 1e-9)
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .localCheckpoint(eager = true)
+    val candIds = cands.select(col("doc_a").as(idCol))
+      .unionByName(cands.select(col("doc_b").as(idCol))).distinct()
+    val sets = base.join(candIds, Seq(idCol), "left_semi")
+    val sh = sets.select(col(idCol), col("sh"))
+    cands
+      .join(sh.select(col(idCol).as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("containment",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
+  /** D15 — containment pairs over documents + planted quote docs
+    * (first-half-of-tokens excerpts, id+1000000 — both engines build
+    * the identical excerpt). FULL DuckDB oracle: brute-force ordered
+    * gram-intersection replay; the engine's prefix filter must lose
+    * nothing at t = 0.9.
+    */
+  val containmentQ = QueryDef.sql(
+    "d15_containment_pairs",
+    """WITH src AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |         array_to_string(list_slice(string_split(text, ' '), 1,
+      |           (len(string_split(text, ' ')) + 1) // 2), ' ')
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND doc_id % 5 = 0
+      |    AND len(string_split(text, ' ')) >= 7),
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM src),
+      |tri AS (SELECT doc_id,
+      |               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+      |                    ELSE list_distinct(list_transform(range(1, len(t) - 1),
+      |                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |               END AS sh
+      |        FROM toks),
+      |g AS (SELECT doc_id, unnest(sh) AS gram FROM tri),
+      |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+      |ix AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, round(inter * 1.0 / sa.n, 6) AS containment
+      |FROM ix JOIN sz sa ON sa.doc_id = doc_a
+      |WHERE inter * 1.0 / sa.n >= 0.9""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val quotes = docs.filter(col("doc_id") % 5 === 0 &&
+        size(split(col("text"), " ")) >= 7)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(expr(
+          "slice(split(text, ' '), 1, (size(split(text, ' ')) + 1) div 2)"),
+          " ").as("text"))
+    val corpus = docs.unionByName(quotes)
+    containmentOnGrams(shingleHashes(corpus, "doc_id", "text"), "doc_id",
+      threshold = 0.9)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(exact, minhash, simhashQ, simhashDedupQ, ngramJaccardQ, clusters,
-      dropQ, incrementalQ, editDistQ, repeatedSubstr, stripSpansQ, lineDedupQ)
+      dropQ, incrementalQ, editDistQ, repeatedSubstr, stripSpansQ, lineDedupQ,
+      containmentQ)
 }

@@ -206,6 +206,37 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(got(0).getDouble(2) - 0.8) < 1e-12)
   }
 
+  test("containmentOnGrams: asymmetric subset found where Jaccard fails") {
+    import spark.implicits._
+    // A (10 grams) fully inside B (100 grams): C(A→B)=1.0 but
+    // J=10/100=0.1; C(B→A)=0.1 must NOT emit. D shares 8/10 with A
+    // (C=0.8 < t). E==A exactly → both directions emit.
+    val grams = Seq(
+      (1L, (1L to 10L).toArray),            // A
+      (2L, (1L to 100L).toArray),           // B ⊇ A
+      (3L, ((1L to 8L) ++ Seq(201L, 202L)).toArray), // D: 8/10 overlap
+      (4L, (1L to 10L).toArray))            // E == A
+      .toDF("doc_id", "sh")
+    val got = Dedup.containmentOnGrams(grams, "doc_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0), (4L, 2L, 1.0),
+      (1L, 4L, 1.0), (4L, 1L, 1.0)))
+  }
+
+  test("containment prefix bound survives the exact-threshold boundary") {
+    import spark.implicits._
+    // |A|=10 with exactly 9 grams in B → C = 0.9 EXACTLY at t=0.9;
+    // the one-sided prefix is ⌊0.1·10⌋+1 = 2 rarest grams of A and
+    // must include at least one gram B holds.
+    val grams = Seq(
+      (1L, (1L to 10L).toArray),
+      (2L, ((1L to 9L) ++ (100L to 190L)).toArray)) // 9 shared, |B|=100
+      .toDF("doc_id", "sh")
+    val got = Dedup.containmentOnGrams(grams, "doc_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0.9)))
+  }
+
   test("shingleHashes kernel == sorted distinct xxhash64 of expression shingles") {
     import spark.implicits._
     val df = Seq(
