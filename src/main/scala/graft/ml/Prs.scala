@@ -74,5 +74,74 @@ object Prs {
         col("n_variants"))
   }
 
-  def all: Seq[QueryDef] = Seq(m18)
+  /** M19 — genomic-control inflation factor λGC (Devlin & Roeder,
+    * Biometrics 1999): λ = median(χ²)/0.455936 over a battery of
+    * 1-df association tests — THE first-line GWAS QC statistic
+    * (λ ≫ 1 ⇒ stratification/batch confounding inflates every test).
+    * The test battery here is a per-part 2×2 contingency χ² from
+    * lineitem (high-quantity × high-discount), n ≥ 20 per test —
+    * the same "many independent weak tests" shape as SNP association.
+    *
+    * Scale shape: per-key contingency cells are ONE map-side
+    * combinable aggregate; χ² is a fixed scan-local double expression
+    * (bit-identical cross-engine); the median runs through the a4
+    * distributed sort-and-select, never a driver collect of the test
+    * battery. FULL DuckDB oracle (quantile_cont replays the same
+    * interpolated median — the proven a4 parity).
+    */
+  val m19 = QueryDef.sql(
+    "m19_lambda_gc",
+    """WITH cells AS (
+      |  SELECT l_partkey,
+      |         CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(CASE WHEN l_quantity > 25 AND l_discount > 0.05
+      |                       THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+      |         CAST(sum(CASE WHEN l_quantity > 25 AND l_discount <= 0.05
+      |                       THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+      |         CAST(sum(CASE WHEN l_quantity <= 25 AND l_discount > 0.05
+      |                       THEN 1 ELSE 0 END) AS DOUBLE) AS c
+      |  FROM lineitem GROUP BY 1 HAVING count(*) >= 20),
+      |chi AS (
+      |  SELECT n * (a * (n - a - b - c) - b * c) * (a * (n - a - b - c) - b * c)
+      |         / ((a + b) * (c + (n - a - b - c)) * (a + c) * (b + (n - a - b - c)))
+      |           AS chisq
+      |  FROM cells
+      |  WHERE (a + b) > 0 AND (c + (n - a - b - c)) > 0
+      |    AND (a + c) > 0 AND (b + (n - a - b - c)) > 0)
+      |SELECT CAST(count(*) AS BIGINT) AS n_tests,
+      |       round(quantile_cont(chisq, 0.5), 6) AS median_chisq,
+      |       round(quantile_cont(chisq, 0.5) / 0.45493642311957, 6) AS lambda_gc
+      |FROM chi""".stripMargin) { (s, d) =>
+    val cells = Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(when(col("l_quantity") > 25 && col("l_discount") > 0.05, 1)
+          .otherwise(0)).cast("double").as("a"),
+        sum(when(col("l_quantity") > 25 && col("l_discount") <= 0.05, 1)
+          .otherwise(0)).cast("double").as("b"),
+        sum(when(col("l_quantity") <= 25 && col("l_discount") > 0.05, 1)
+          .otherwise(0)).cast("double").as("c"))
+      .filter(col("n") >= 20)
+    val dd = col("n") - col("a") - col("b") - col("c")
+    val det = col("a") * dd - col("b") * col("c")
+    val chi = cells
+      .filter((col("a") + col("b")) > 0 && (col("c") + dd) > 0 &&
+        (col("a") + col("c")) > 0 && (col("b") + dd) > 0)
+      .select((col("n") * det * det /
+        ((col("a") + col("b")) * (col("c") + dd) *
+          (col("a") + col("c")) * (col("b") + dd))).as("chisq"))
+    val nTests = chi.count()
+    val med = graft.ops.RelationalQueries.exactQuantilesSorted(
+      chi, "chisq", Seq(0.5)).head
+    val spark = s; import spark.implicits._
+    // Catalyst round (BigDecimal HALF_UP) to match DuckDB's round —
+    // driver float tricks are HALF_UP only approximately (m15's note)
+    Seq((nTests, med, med / 0.45493642311957))
+      .toDF("n_tests", "median_chisq_raw", "lambda_gc_raw")
+      .select(col("n_tests"),
+        round(col("median_chisq_raw"), 6).as("median_chisq"),
+        round(col("lambda_gc_raw"), 6).as("lambda_gc"))
+  }
+
+  def all: Seq[QueryDef] = Seq(m18, m19)
 }

@@ -1266,6 +1266,43 @@ object RelationalQueries {
       .select("l_returnflag", "n", "p10_cents", "p90_cents", "winsorized_mean")
   }
 
+  /** U8 — MULTISET set operations (EXCEPT ALL / INTERSECT ALL): the
+    * bag semantics u4/u7's distinct variants erase — per-occurrence
+    * accounting matters when rows are events, not keys (how many
+    * shipments survive after cancelling per-occurrence against
+    * returns, not whether a key exists). Spark plans both as a
+    * count-diff hash aggregate (Generate + HashAggregate, no join):
+    * map-side combinable, one shuffle on the value. The output
+    * re-aggregates to (key, multiplicity) so the gate pins exact
+    * per-key multiplicities cross-engine.
+    */
+  val u8 = QueryDef.sql(
+    "u8_multiset_ops",
+    """WITH ea AS (SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+      |            EXCEPT ALL
+      |            SELECT l_partkey FROM lineitem WHERE l_discount > 0.05),
+      |ia AS (SELECT l_partkey FROM lineitem WHERE l_quantity > 25
+      |       INTERSECT ALL
+      |       SELECT l_partkey FROM lineitem WHERE l_discount > 0.05)
+      |SELECT 'except_all' AS op, l_partkey, count(*) AS multiplicity
+      |FROM ea GROUP BY 2
+      |UNION ALL
+      |SELECT 'intersect_all', l_partkey, count(*) FROM ia GROUP BY 2""".stripMargin) {
+    (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val a = li.filter(col("l_quantity") > 25).select("l_partkey")
+      val b = li.filter(col("l_discount") > 0.05).select("l_partkey")
+      val ea = a.exceptAll(b).groupBy("l_partkey")
+        .agg(count(lit(1)).as("multiplicity"))
+        .select(lit("except_all").as("op"), col("l_partkey"),
+          col("multiplicity"))
+      val ia = a.intersectAll(b).groupBy("l_partkey")
+        .agg(count(lit(1)).as("multiplicity"))
+        .select(lit("intersect_all").as("op"), col("l_partkey"),
+          col("multiplicity"))
+      ea.unionByName(ia)
+  }
+
   /** E12 — top session paths (the product-analytics "common journeys"
     * query): e2's 30-minute sessionization, each session's ordered
     * event-type sequence joined into a path string, path frequencies
@@ -1317,7 +1354,7 @@ object RelationalQueries {
   }
 
   def all: Seq[QueryDef] = Seq(
-    p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, u7, a1, o2, o3, a4, a5, a13,
-    o5, e1, e2, e5, e6, e7, e8, e9, e10, e11, e12, k1, a14, a15, a16, a19,
-    a20, j9, j10, scalars)
+    p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, u7, u8, a1, o2, o3, a4, a5,
+    a13, o5, e1, e2, e5, e6, e7, e8, e9, e10, e11, e12, k1, a14, a15, a16,
+    a19, a20, j9, j10, scalars)
 }
