@@ -1156,9 +1156,63 @@ object TextAnalysis {
         "bigram_ttr")
   }
 
+  /** T19 — Zipf slope of the corpus vocabulary: OLS fit of ln(freq)
+    * on ln(rank) over the FREQUENCY HISTOGRAM (rank of a frequency
+    * class = cumulative #terms with count ≥ c). A natural corpus sits
+    * near slope −1 (Zipf 1949); strong deviation flags synthetic/
+    * boilerplate-heavy text, which makes this a cheap corpus-level
+    * quality prior next to t2's per-doc scores.
+    *
+    * Scale: term counts are one map-side-combinable agg; everything
+    * after runs on the (count → #terms) HISTOGRAM — hundreds of rows
+    * regardless of corpus size — so the cumulative window and the
+    * OLS sums are aggregate-sized, never vocab- or corpus-sized.
+    * FULL DuckDB oracle (identical point set and normal-equation
+    * arithmetic, round 6).
+    */
+  val zipfQ = QueryDef.sql(
+    "t19_zipf_slope",
+    """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t
+      |             FROM documents WHERE text IS NOT NULL),
+      |tc AS (SELECT t, count(*) AS c FROM tok WHERE t <> '' GROUP BY 1),
+      |h AS (SELECT c, count(*) AS m FROM tc GROUP BY 1),
+      |r AS (SELECT c, m, CAST(sum(m) OVER (ORDER BY c DESC) AS BIGINT) AS rk
+      |      FROM h),
+      |p AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      |      FROM r),
+      |f AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+      |             sum(x * y) AS sxy, sum(x * x) AS sxx
+      |      FROM p)
+      |SELECT (SELECT CAST(sum(m) AS BIGINT) FROM h) AS n_terms,
+      |       CAST(k AS BIGINT) AS n_freqs,
+      |       round((sxy - sx * sy / k) / (sxx - sx * sx / k), 6) AS zipf_slope,
+      |       round(sy / k - (sxy - sx * sy / k) / (sxx - sx * sx / k) * sx / k, 6)
+      |         AS zipf_intercept
+      |FROM f""".stripMargin) { (s, d) =>
+    val tc = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val h = tc.groupBy("c").agg(count(lit(1)).as("m"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c").desc)
+    val r = h.withColumn("rk", sum(col("m")).over(w))
+    val p = r.select(log(col("rk").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"))
+    val f = p.agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val nTerms = h.agg(sum(col("m"))).head().getLong(0)
+    val slope = (col("sxy") - col("sx") * col("sy") / col("k")) /
+      (col("sxx") - col("sx") * col("sx") / col("k"))
+    f.select(lit(nTerms).as("n_terms"), col("k").cast("long").as("n_freqs"),
+      round(slope, 6).as("zipf_slope"),
+      round(col("sy") / col("k") - slope * col("sx") / col("k"), 6)
+        .as("zipf_intercept"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(langId, quality, gopherQ, fingerprint, tokenBudget, rollingFp,
       repetition, piiRedact, tfidf, postings, compression, heavyHitters,
       perSourceTopTerms, unigramLp, bigramLp, normalizeQ, normalizeNfcQ,
-      lexDiversityQ)
+      lexDiversityQ, zipfQ)
 }
