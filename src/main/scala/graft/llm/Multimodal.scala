@@ -920,9 +920,10 @@ object Multimodal {
     encodeBmp24(18, 16, rgb)
   }
 
-  private[llm] def syntheticVideo(docId: Long, nFrames: Int = 12): Array[Byte] = {
-    val cls = (docId % 50).toInt
-    val v = ((docId / 50) % 4).toInt
+  private[llm] def syntheticVideo(docId: Long, nScenes: Int = 50,
+      nFrames: Int = 12): Array[Byte] = {
+    val cls = (docId % nScenes).toInt
+    val v = ((docId / nScenes) % 4).toInt
     encodeVideo((0 until nFrames).map(f =>
       syntheticFrameBmp(cls, (f + 2 * v) % nFrames, v)))
   }
@@ -938,15 +939,20 @@ object Multimodal {
   val mm4 = QueryDef.rowsOnly("mm4_video_near_dup") { (s, d) =>
     val spark = s
     val docs = Tables.documents(s, d).select("doc_id")
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
+    // scene count scales WITH the corpus (≥50, ~10 videos/scene), so
+    // duplicate-group size — and with it every group-local quadratic
+    // (bucket joins, the truth brute force) — stays bounded at any sf
+    // instead of growing linearly with corpus size
+    val nDocs = docs.count()
+    val nScenes = math.max(50L, nDocs / 10L).toInt
     val assets = spark.createDataFrame(
       docs.rdd.mapPartitions(_.map { row =>
         val id = row.getLong(0)
-        Row(id, syntheticVideo(id))
-      }), schema)
-    val nVideos = assets.count()
+        Row(id, syntheticVideo(id, nScenes))
+      }), StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false))))
+    val nVideos = nDocs
     val fh = videoFrameHashes(assets, stride = 2).cache()
     val nHashed = fh.filter(col("dhash").isNotNull)
       .select("doc_id").distinct().count()
@@ -955,7 +961,7 @@ object Multimodal {
     // truth: same-scene pairs under the SAME criterion, scene-local
     // brute force (scenes are bounded groups, never corpus-quadratic)
     val byCls = fh.filter(col("dhash").isNotNull)
-      .withColumn("cls", col("doc_id") % 50)
+      .withColumn("cls", col("doc_id") % nScenes)
     val fa = byCls.select(col("cls"), col("doc_id").as("a"),
       col("frame_idx").as("ia"), col("dhash").as("ha"))
     val fb = byCls.select(col("cls"), col("doc_id").as("b"),
