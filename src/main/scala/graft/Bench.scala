@@ -101,8 +101,16 @@ object Bench {
       val samples = scala.collection.mutable.ArrayBuffer[Double]()
       var rep = 0
       while (rep < reps && !errors.contains(name)) {
-        // collect the previous query's garbage OUTSIDE the timed window so
-        // per-query numbers aren't polluted by a neighbor's allocation debt
+        // Evict every cached table/RDD a previous query may have leaked,
+        // OUTSIDE the timed window: leftover storage blocks squeeze the
+        // next query's execution memory (measured: mm4 33.6 s late in
+        // the full run vs 8.6 s standalone — the delta was neighbors'
+        // cache pressure, not the query). Nothing is referenced across
+        // queries, so the eviction is safe; each query is then measured
+        // against a cold cache, which is the driver's contract anyway.
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
         System.gc()
         val t0 = System.nanoTime()
         try {

@@ -98,6 +98,7 @@ object GraphOps {
       i += 1
     }
     e2.unpersist(); danglingNodes.unpersist()
+    e.unpersist(); nodes.unpersist(); deg.unpersist()
     ranks
   }
 
