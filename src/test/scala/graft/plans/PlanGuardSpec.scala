@@ -218,4 +218,57 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Window [") || !p.contains("partitionBy=[]"),
       s"global window crept in:\n$p")
   }
+
+  test("dq1: the profile never plans an Expand (the multi-countDistinct trap)") {
+    val p = plan("dq1_profile")
+    assert(!p.contains("Expand"), s"dq1 grew an Expand:\n$p")
+    // two-level shape: a (col, value) aggregate must sit below the
+    // per-column stats aggregate
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"expected hash aggregates:\n$p")
+  }
+
+  test("u8: multiset ops plan as count-diff aggregates — no join operator") {
+    val p = plan("u8_multiset_ops")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"u8 grew a join:\n$p")
+    assert(p.contains("Generate"), // the replicate-rows expansion of EXCEPT ALL
+      s"expected the count-diff Generate shape:\n$p")
+  }
+
+  test("m18: PRS weight table broadcasts; lineitem scan prunes to 3 columns") {
+    val p = plan("m18_prs_score")
+    assert(p.contains("BroadcastHashJoin"), s"weights not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"PRS fell into a sort-merge join:\n$p")
+    val li = p.linesIterator.filter(l => l.contains("ReadSchema") &&
+      l.contains("l_orderkey")).mkString
+    assert(li.contains("l_partkey") && li.contains("l_quantity") &&
+      !li.contains("l_extendedprice"), s"lineitem scan not pruned: $li")
+  }
+
+  test("e12: top paths end in TakeOrdered, not a global sort") {
+    val p = plan("e12_session_top_paths")
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 not TakeOrdered:\n$p")
+    // the path count must be a hash aggregate, and the only global sort
+    // allowed is none (TakeOrdered replaces it)
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.indexOf("TakeOrderedAndProject") >= 0, s"global sort crept in:\n$p")
+  }
+
+  test("c15: temperature sampling is a scan-local filter over a broadcast count") {
+    val p = plan("c15_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), s"counts not broadcast:\n$p")
+    assert(!p.contains("Window"), s"c15 grew a window:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"c15 shuffled the corpus:\n$p")
+  }
+
+  test("g4: degree histogram is two stacked aggregates, no join above the edge build") {
+    val p = plan("g4_degree_histogram")
+    val lines = p.linesIterator.toSeq
+    // exactly the dedup + two count aggregates exchange; no window
+    assert(!p.contains("Window"), s"g4 grew a window:\n$p")
+    assert(lines.count(_.contains("HashAggregate")) >= 4,
+      s"expected partial+final aggregate pairs:\n$p")
+  }
 }
