@@ -215,8 +215,11 @@ object Quality {
     val j = hist(snapA, "ca").join(hist(snapB, "cb"), Seq(bucketCol), "full")
       .select(coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
-    // add-1 per bucket; denominators carry the same smoothing mass
-    val tot = j.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+    // add-1 per bucket; denominators carry the same smoothing mass.
+    // coalesce: sums over ZERO buckets (two empty snapshots) are null —
+    // the drift of nothing against nothing is 0, not a crash
+    val tot = j.agg(coalesce(sum(col("ca")), lit(0L)).as("na"),
+      coalesce(sum(col("cb")), lit(0L)).as("nb"),
       count(lit(1)).as("k")).head()
     val (na, nb, k) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
     j.select((((col("cb") + 1).cast("double") / lit((nb + k).toDouble) -

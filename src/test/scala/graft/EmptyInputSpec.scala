@@ -42,6 +42,58 @@ class EmptyInputSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("graph family: empty edge sets degrade to empty, never throw") {
+    val s = spark; import s.implicits._
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(graft.ops.GraphOps.connectedComponents(noEdges).count() == 0)
+    val noXY = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(graft.ops.GraphOps.triangleCounts(noXY).count() == 0)
+    // pageRank REQUIRES a non-empty graph (n=0 would divide the
+    // teleport mass): the contract is a loud require, not a hang
+    intercept[IllegalArgumentException] {
+      graft.ops.GraphOps.pageRankFixedPoint(noEdges, 2)
+    }
+  }
+
+  test("quality family: empty frames profile/validate to structural zeros") {
+    val s = spark; import s.implicits._
+    val df = Seq.empty[(java.lang.Double, String)].toDF("x", "s")
+    // empty table → no (col, value) groups → zero profile rows (a
+    // 100 TB pipeline unions profiles; an empty slice contributes none)
+    assert(graft.ops.Quality.profile(df, "t", Seq("x"), Seq("s"))
+      .count() == 0)
+    assert(graft.ops.Quality.uniqueViolations("u", df, "s")
+      .head().getLong(1) == 0L)
+    val dim = Seq.empty[(String, String)].toDF("k", "v")
+    assert(graft.ops.Quality.fkViolations("fk", df.select(col("s").as("k")),
+      "k", dim, "k").head().getLong(1) == 0L)
+    implicit val sp = s
+    assert(graft.ops.Quality.predicateViolations(
+      Seq(("neg", df, col("x") < 0))).head().getLong(1) == 0L)
+    // PSI of two empty snapshots: no buckets → empty sum → null-safe 0
+    val eb = Seq.empty[Tuple1[Long]].toDF("bucket")
+    val p = graft.ops.Quality.psi(eb, eb, "bucket").head()
+    assert(p.isNullAt(0) || p.getDouble(0) == 0.0)
+  }
+
+  test("prs / containment / temperature / maxsim: empty in, empty out") {
+    val s = spark; import s.implicits._
+    val geno = Seq.empty[(Long, String, Long)].toDF("sample", "variant", "dosage")
+    val w = Seq.empty[(String, Long)].toDF("variant", "beta")
+    assert(graft.ml.Prs.prsLong(geno, w, "sample", "variant", "dosage", "beta")
+      .count() == 0)
+    val grams = Seq.empty[(Long, Seq[Long])].toDF("doc_id", "sh")
+    assert(graft.llm.Dedup.containmentOnGrams(grams, "doc_id", 0.9)
+      .count() == 0)
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "src")
+    assert(graft.llm.Curation.temperatureSample(docs, "doc_id", "src", 4.0, 1L)
+      .count() == 0)
+    val fh = Seq.empty[(Long, Int, java.lang.Long)]
+      .toDF("doc_id", "frame_idx", "dhash")
+    assert(graft.llm.Multimodal.videoNearDupPairs(fh, "doc_id", 3, 0.5)
+      .count() == 0)
+  }
+
   test("curation: empty corpus samples to empty") {
     val s = spark; import s.implicits._
     val docs = Seq.empty[(Long, Long)].toDF("id", "w")
