@@ -1353,8 +1353,68 @@ object RelationalQueries {
         .orderBy(col("n").desc, col("path").asc).limit(10)
   }
 
+  /** E13 — gap-windowed funnel (each stage within 24 h of the previous
+    * one — the Amplitude-style conversion window e7's unconstrained
+    * funnel can't express). Semantics are EXISTENCE: a user converts
+    * stage k if SOME in-order chain with every gap ≤ W exists. The
+    * scan-local fold tracks, per stage, the LATEST valid completion
+    * time — the correct DP for gap-constrained existence (the earliest-
+    * completion greedy is WRONG here: signup@0, signup@100, click@150,
+    * W=60 converts via the second signup, which a min-tracking fold
+    * misses). One groupBy(user) + bounded in-row fold, zero self-joins;
+    * the DuckDB oracle replays existence via staged joins — provably
+    * the same predicate, quadratic-per-user but fine at oracle scale.
+    */
+  val e13 = QueryDef.sql(
+    "e13_windowed_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+      |           FROM events
+      |           WHERE ts IS NOT NULL
+      |             AND event_type IN ('signup', 'click', 'purchase')),
+      |s1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'signup'),
+      |c2 AS (SELECT DISTINCT c.user_id, c.us
+      |       FROM e c JOIN e s ON c.user_id = s.user_id
+      |       WHERE c.event_type = 'click' AND s.event_type = 'signup'
+      |         AND c.us > s.us AND c.us - s.us <= 86400000000),
+      |p3 AS (SELECT DISTINCT p.user_id
+      |       FROM e p JOIN c2 ON p.user_id = c2.user_id
+      |       WHERE p.event_type = 'purchase'
+      |         AND p.us > c2.us AND p.us - c2.us <= 86400000000)
+      |SELECT (SELECT count(*) FROM s1) AS n_signup_users,
+      |       (SELECT count(DISTINCT user_id) FROM c2) AS n_click_within,
+      |       (SELECT count(*) FROM p3) AS n_purchase_within""".stripMargin) {
+    (s, d) =>
+      val w = 86400000000L
+      val e = Tables.events(s, d)
+        .filter(col("ts").isNotNull &&
+          col("event_type").isin("signup", "click", "purchase"))
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+      e.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("us"), col("event_type"))))
+          .as("evs"))
+        .select(expr(
+          s"""aggregate(evs,
+             |  named_struct('l1', CAST(-1 AS BIGINT), 'l2', CAST(-1 AS BIGINT),
+             |               'hit3', false),
+             |  (acc, e) -> CASE
+             |    WHEN e.event_type = 'signup'
+             |      THEN named_struct('l1', e.us, 'l2', acc.l2, 'hit3', acc.hit3)
+             |    WHEN e.event_type = 'click' AND acc.l1 >= 0
+             |         AND e.us > acc.l1 AND e.us - acc.l1 <= ${w}L
+             |      THEN named_struct('l1', acc.l1, 'l2', e.us, 'hit3', acc.hit3)
+             |    WHEN e.event_type = 'purchase' AND acc.l2 >= 0
+             |         AND e.us > acc.l2 AND e.us - acc.l2 <= ${w}L
+             |      THEN named_struct('l1', acc.l1, 'l2', acc.l2, 'hit3', true)
+             |    ELSE acc END)""".stripMargin).as("f"))
+        .agg(
+          sum(when(col("f.l1") >= 0, 1L).otherwise(0L)).as("n_signup_users"),
+          sum(when(col("f.l2") >= 0, 1L).otherwise(0L)).as("n_click_within"),
+          sum(when(col("f.hit3"), 1L).otherwise(0L)).as("n_purchase_within"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, u7, u8, a1, o2, o3, a4, a5,
-    a13, o5, e1, e2, e5, e6, e7, e8, e9, e10, e11, e12, k1, a14, a15, a16,
-    a19, a20, j9, j10, scalars)
+    a13, o5, e1, e2, e5, e6, e7, e8, e9, e10, e11, e12, e13, k1, a14, a15,
+    a16, a19, a20, j9, j10, scalars)
 }
