@@ -522,6 +522,86 @@ object IoQueries {
         col("schema_union_ok") && col("pushdown_ok") && col("reads_agree"))
   }
 
+  /** S19 — snapshot TIME TRAVEL on plain parquet + JSON manifests (the
+    * Iceberg/Delta snapshot-isolation core, without the table format):
+    * a commit writes ONLY new data files plus a manifest naming the
+    * complete file set of that snapshot; a reader pins a snapshot by
+    * loading exactly its manifest's files (`basePath` keeps the
+    * partition column). Shipped files are never mutated, so every old
+    * snapshot stays readable after later commits — copy-on-write at
+    * file granularity, with GC of unreferenced files left to a
+    * separate maintenance pass (as in the real formats). The commit
+    * here replaces the `lang=en` files (a re-crawl) — v2's manifest is
+    * (v1's files minus the replaced partition) + the new files.
+    *
+    * Gate: as-of-v1 == the original frame and as-of-v2 == the updated
+    * frame (order-independent fingerprints), BOTH READ AFTER the v2
+    * commit — proving v1 survived; and the v2 manifest reuses v1's
+    * untouched files byte-for-byte (no rewrite amplification).
+    */
+  val s19 = QueryDef.rowsOnly("s19_snapshot_time_travel") { (s, d) =>
+    val docs = graft.Tables.documents(s, d)
+      .select("doc_id", "text", "n_chars", "lang")
+    val root = s"$fixtureDir/tt_docs"
+    val dataDir = s"$root/data"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def dataFiles(sub: String): Seq[String] =
+      graft.util.Fs.walkFiles(new java.io.File(s"$dataDir/$sub"))
+        .filter(_.getName.startsWith("part-"))
+        .map(_.getAbsolutePath).sorted
+    def writeManifest(v: Int, files: Seq[String]): Unit = {
+      val p = java.nio.file.Paths.get(s"$root/manifests")
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.writeString(p.resolve(s"v$v.json"),
+        files.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") +
+          "\"").mkString("[", ",", "]"))
+    }
+    def readManifest(v: Int): Seq[String] = {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/manifests/v$v.json"))
+      txt.stripPrefix("[").stripSuffix("]").split("\",\"").toSeq
+        .map(_.stripPrefix("\"").stripSuffix("\"").replace("\\\"", "\"")
+          .replace("\\\\", "\\")).filter(_.nonEmpty)
+    }
+    // version dirs are partition-style (v=00001) so basePath-rooted
+    // partition discovery stays consistent across mixed-version file
+    // sets; the synthetic `v` column is dropped on read
+    def readSnapshot(v: Int) =
+      s.read.option("basePath", dataDir).parquet(readManifest(v): _*)
+        .drop("v")
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val canon = Seq("doc_id", "text", "n_chars", "lang")
+        .map(c => coalesce(col(c).cast("string"), lit(" ")))
+      val r = df.select(count(lit(1)),
+        coalesce(sum(crc32(concat_ws("", canon: _*))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // commit v1: full corpus, partitioned by lang
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$dataDir/v=00001")
+    writeManifest(1, dataFiles("v=00001"))
+    // commit v2: re-crawl of lang=en — new files ONLY for that slice
+    val recrawl = docs.filter(col("lang") === "en")
+      .withColumn("text", concat_ws("", col("text"), lit(" v2")))
+    recrawl.write.mode("overwrite").partitionBy("lang")
+      .parquet(s"$dataDir/v=00002")
+    val enPrefix = s"$dataDir/v=00001/lang=en/"
+    val v1Files = readManifest(1)
+    val carried = v1Files.filterNot(_.startsWith(
+      new java.io.File(enPrefix).getAbsolutePath))
+    writeManifest(2, carried ++ dataFiles("v=00002"))
+    // reads AFTER both commits
+    val expectedV2 = docs.filter(col("lang") =!= "en").unionByName(recrawl)
+    val fpV1 = fp(readSnapshot(1)); val fpOrig = fp(docs)
+    val fpV2 = fp(readSnapshot(2)); val fpExp = fp(expectedV2)
+    val reuse = readManifest(2).toSet.intersect(v1Files.toSet).size
+    val spark = s; import spark.implicits._
+    Seq((fpV1._1, fpV2._1, reuse.toLong,
+      fpV1 == fpOrig, fpV2 == fpExp))
+      .toDF("n_v1", "n_v2", "n_reused_files", "v1_matches", "v2_matches")
+      .filter(col("v1_matches") && col("v2_matches") &&
+        col("n_v1") > 0 && col("n_reused_files") > 0)
+  }
+
   def all: Seq[QueryDef] =
-    Seq(s1, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18)
+    Seq(s1, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19)
 }
