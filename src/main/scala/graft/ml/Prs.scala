@@ -143,5 +143,92 @@ object Prs {
         round(col("lambda_gc_raw"), 6).as("lambda_gc"))
   }
 
-  def all: Seq[QueryDef] = Seq(m18, m19)
+  /** χ²(1df) survival function via the Abramowitz–Stegun/Numerical-
+    * Recipes erfc polynomial (|rel err| < 1.2e-7 — far inside the
+    * round-6 gate), expressed as ONE SQL string spliced verbatim into
+    * BOTH engines so the expression tree — and thus every rounding —
+    * is structurally identical. `x` is the χ² statistic column name.
+    */
+  private def chi2PvalSql(x: String): String = {
+    val z = s"sqrt($x / 2.0)"
+    val t = s"(1.0 / (1.0 + $z / 2.0))"
+    s"""least(1.0, $t * exp(-$z * $z - 1.26551223 + $t * (1.00002368 +
+       |  $t * (0.37409196 + $t * (0.09678418 + $t * (-0.18628806 +
+       |  $t * (0.27886807 + $t * (-1.13520398 + $t * (1.48851587 +
+       |  $t * (-0.82215223 + $t * 0.17087277))))))))))""".stripMargin
+      .replace("\n", " ")
+  }
+
+  /** M20 — the composed GWAS association scan: the m19 per-key χ²
+    * battery → 1-df p-values (shared erfc formula) → distributed
+    * Benjamini–Hochberg over all ~2k tests (stats/FDR.bhAdjustScalable
+    * — the two-pass range-partitioned suffix-min, no global window).
+    * This is the pipeline a real sumstats producer runs end-to-end;
+    * the output is every test with its q-value and rejection flag
+    * (the battery is null-distributed here, so rejections ≈ 0 — the
+    * gate hashes the FULL battery, not just survivors). FULL DuckDB
+    * oracle: identical χ², identical p expression text, o4's BH
+    * window replay.
+    */
+  val m20 = QueryDef.sql(
+    "m20_assoc_fdr_scan",
+    s"""WITH cells AS (
+       |  SELECT l_partkey,
+       |         CAST(count(*) AS DOUBLE) AS n,
+       |         CAST(sum(CASE WHEN l_quantity > 25 AND l_discount > 0.05
+       |                       THEN 1 ELSE 0 END) AS DOUBLE) AS a,
+       |         CAST(sum(CASE WHEN l_quantity > 25 AND l_discount <= 0.05
+       |                       THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+       |         CAST(sum(CASE WHEN l_quantity <= 25 AND l_discount > 0.05
+       |                       THEN 1 ELSE 0 END) AS DOUBLE) AS c
+       |  FROM lineitem GROUP BY 1 HAVING count(*) >= 20),
+       |chi AS (
+       |  SELECT l_partkey,
+       |         n * (a * (n - a - b - c) - b * c) * (a * (n - a - b - c) - b * c)
+       |         / ((a + b) * (c + (n - a - b - c)) * (a + c) * (b + (n - a - b - c)))
+       |           AS chisq
+       |  FROM cells
+       |  WHERE (a + b) > 0 AND (c + (n - a - b - c)) > 0
+       |    AND (a + c) > 0 AND (b + (n - a - b - c)) > 0),
+       |pv AS (SELECT l_partkey, chisq, ${chi2PvalSql("chisq")} AS p FROM chi),
+       |r AS (SELECT l_partkey, chisq, p,
+       |             CAST(row_number() OVER (ORDER BY p, l_partkey) AS BIGINT) AS rnk,
+       |             count(*) OVER () AS nn
+       |      FROM pv),
+       |m AS (SELECT l_partkey, chisq, p, rnk,
+       |             min(p * nn / rnk) OVER (ORDER BY rnk
+       |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS cummin,
+       |             max(CASE WHEN p * nn <= rnk * 0.05 THEN rnk END) OVER () AS max_rej
+       |      FROM r)
+       |SELECT l_partkey, round(chisq, 6) AS chisq, round(p, 6) AS p,
+       |       round(least(cummin, 1.0), 6) AS q,
+       |       CAST(CASE WHEN max_rej IS NOT NULL AND rnk <= max_rej
+       |            THEN 1 ELSE 0 END AS BIGINT) AS rejected
+       |FROM m""".stripMargin) { (s, d) =>
+    val cells = Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(when(col("l_quantity") > 25 && col("l_discount") > 0.05, 1)
+          .otherwise(0)).cast("double").as("a"),
+        sum(when(col("l_quantity") > 25 && col("l_discount") <= 0.05, 1)
+          .otherwise(0)).cast("double").as("b"),
+        sum(when(col("l_quantity") <= 25 && col("l_discount") > 0.05, 1)
+          .otherwise(0)).cast("double").as("c"))
+      .filter(col("n") >= 20)
+    val dd = col("n") - col("a") - col("b") - col("c")
+    val det = col("a") * dd - col("b") * col("c")
+    val chi = cells
+      .filter((col("a") + col("b")) > 0 && (col("c") + dd) > 0 &&
+        (col("a") + col("c")) > 0 && (col("b") + dd) > 0)
+      .select(col("l_partkey"), (col("n") * det * det /
+        ((col("a") + col("b")) * (col("c") + dd) *
+          (col("a") + col("c")) * (col("b") + dd))).as("chisq"))
+    val pv = chi.withColumn("p", expr(chi2PvalSql("chisq")))
+    graft.stats.FDR.bhAdjustScalable(pv, "p", col("l_partkey"))
+      .select(col("l_partkey"), round(col("chisq"), 6).as("chisq"),
+        round(col("p"), 6).as("p"),
+        round(least(col("p_adj"), lit(1.0)), 6).as("q"), col("rejected"))
+  }
+
+  def all: Seq[QueryDef] = Seq(m18, m19, m20)
 }
