@@ -316,5 +316,68 @@ object Quality {
       .toDF("col_name", "n_a", "n_b", "distinct_a", "distinct_b", "psi")
   }
 
-  def all: Seq[QueryDef] = Seq(dq1, dq2, dq3)
+  // ------------------------------------------------------ quarantine split
+
+  /** Dead-letter split: route rows violating ANY declared constraint
+    * to a quarantine side tagged with the full sorted reason list;
+    * clean rows pass through untouched. ONE scan evaluates every
+    * predicate (no per-check pass); the reason list is a scan-local
+    * array filter. The ingest pattern at 100 TB: bad rows must not
+    * kill the load OR silently vanish — they land quarantined with
+    * machine-readable reasons for replay after the upstream fix.
+    */
+  def quarantineSplit(df: DataFrame, checks: Seq[(String, Column)])
+      : (DataFrame, DataFrame) = {
+    require(checks.nonEmpty, "quarantineSplit needs at least one check")
+    val reasons = array(checks.map { case (name, bad) =>
+      when(bad, lit(name)).otherwise(lit(null).cast("string"))
+    }: _*)
+    val tagged = df.withColumn("__reasons",
+      sort_array(filter(reasons, r => r.isNotNull)))
+    (tagged.filter(size(col("__reasons")) === 0).drop("__reasons"),
+      tagged.filter(size(col("__reasons")) > 0)
+        .withColumn("reasons", array_join(col("__reasons"), ","))
+        .drop("__reasons"))
+  }
+
+  /** DQ4 — quarantine report over the dq2 planted-dirty lineitem:
+    * quarantined rows aggregate by their exact reason COMBINATION
+    * (bad rows often violate several checks at once — the combo is
+    * what triage buckets on), plus the clean count. FULL DuckDB
+    * oracle replaying the same predicate→sorted-reason-list logic.
+    */
+  val dq4 = QueryDef.sql(
+    "dq4_quarantine_split",
+    """WITH li2 AS (SELECT l_orderkey, l_quantity, l_discount FROM lineitem
+      |        UNION ALL
+      |        SELECT l_orderkey + 100000000, -l_quantity, l_discount + 1.0
+      |        FROM lineitem WHERE l_orderkey % 101 = 0),
+      |tagged AS (
+      |  SELECT *, list_sort(list_filter([
+      |      CASE WHEN l_quantity <= 0 THEN 'nonpositive_quantity' END,
+      |      CASE WHEN l_discount < 0 OR l_discount > 1 THEN 'discount_range' END,
+      |      CASE WHEN l_orderkey > 100000000 THEN 'orphan_orderkey' END],
+      |    x -> x IS NOT NULL)) AS rs
+      |  FROM li2)
+      |SELECT array_to_string(rs, ',') AS reasons,
+      |       count(*) AS n FROM tagged WHERE len(rs) > 0 GROUP BY 1
+      |UNION ALL
+      |SELECT '__clean__', count(*) FROM tagged WHERE len(rs) = 0""".stripMargin) {
+    (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val li2 = li.select("l_orderkey", "l_quantity", "l_discount")
+        .unionByName(li.filter(col("l_orderkey") % 101 === 0)
+          .select((col("l_orderkey") + 100000000L).as("l_orderkey"),
+            (-col("l_quantity")).as("l_quantity"),
+            (col("l_discount") + 1.0).as("l_discount")))
+      val (clean, bad) = quarantineSplit(li2, Seq(
+        ("nonpositive_quantity", col("l_quantity") <= 0),
+        ("discount_range", col("l_discount") < 0 || col("l_discount") > 1),
+        ("orphan_orderkey", col("l_orderkey") > 100000000L)))
+      bad.groupBy("reasons").agg(count(lit(1)).as("n"))
+        .unionByName(clean.agg(count(lit(1)).as("n"))
+          .select(lit("__clean__").as("reasons"), col("n")))
+  }
+
+  def all: Seq[QueryDef] = Seq(dq1, dq2, dq3, dq4)
 }

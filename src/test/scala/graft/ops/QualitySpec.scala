@@ -60,6 +60,21 @@ class QualitySpec extends SparkSpec {
     assert(!disjoint.isNaN && !disjoint.isInfinite && disjoint > 1.0)
   }
 
+  test("quarantineSplit: clean/bad partition exactly; reasons sorted and complete") {
+    import spark.implicits._
+    val df = Seq((1L, 5.0), (2L, -1.0), (3L, 200.0), (4L, -300.0))
+      .toDF("id", "v")
+    val (clean, bad) = Quality.quarantineSplit(df, Seq(
+      ("neg", col("v") < 0), ("big", abs(col("v")) > 100)))
+    assert(clean.select("id").collect().map(_.getLong(0)).toSet == Set(1L))
+    val reasons = bad.select("id", "reasons")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // sorted combination: id 4 violates both -> "big,neg"
+    assert(reasons == Map(2L -> "neg", 3L -> "big", 4L -> "big,neg"))
+    // partition property: clean + bad == input, disjoint
+    assert(clean.count() + bad.count() == 4)
+  }
+
   test("predicateViolations: one row per check, zero on empty predicate hit") {
     import spark.implicits._
     implicit val s = spark
