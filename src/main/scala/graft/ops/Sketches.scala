@@ -29,19 +29,20 @@ object Sketches {
 
   /** K2 — HLL reaggregation gate on events: per-(type, day) sketch
     * partials union up to per-type distinct-user estimates. Rows-only
-    * golden gates (DuckDB has no DataSketches HLL), two invariants:
+    * golden gates (DuckDB has no DataSketches HLL).
     *
-    *  1. MERGE CONSISTENCY — the same stream partitioned two
-    *     different ways (per-day partials vs per-week partials) must
-    *     union to EXACTLY the same estimate: HLL register merge is
-    *     associative/idempotent, so any partitioning reaches the same
-    *     merged register state. (Union vs a DIRECT one-shot sketch is
-    *     deliberately NOT an equality gate: a directly-fed DataSketches
-    *     HLL answers with the HIP estimator, which merging forfeits —
-    *     the estimates legitimately differ by design; the direct
-    *     estimate rides along as an output column.)
-    *  2. ACCURACY — the union estimate is within 5% of the exact
-    *     distinct count (lgK=12 ⇒ σ≈1.6%, gate at ~3σ).
+    * What is NOT gated, deliberately: estimate EQUALITY across
+    * partitionings or vs a direct one-shot sketch. Both differ by
+    * design — a directly-fed sketch answers with the HIP estimator
+    * (merging forfeits it), and near the sparse→dense transition the
+    * union estimate is MERGE-ORDER sensitive (measured here: mod-7
+    * user partials estimate 1500/1494/1502 where mod-3 partials and
+    * any incremental fold give 1488 — registers promote from exact
+    * coupon lists at different points depending on arrival order).
+    * The operational contract a pipeline relies on is ACCURACY, so
+    * that is the gate: every partitioning's union estimate within 5%
+    * of the exact distinct count (lgK=12 ⇒ σ≈1.6%, ~3σ), both
+    * estimates emitted for inspection.
     *
     * The sketch table is |types|×|buckets| rows × ~KB — the thing a
     * 100 TB pipeline stores and re-queries; the raw scan happens once.
@@ -67,8 +68,9 @@ object Sketches {
         col("hll_direct_est"),
         (abs(col("hll_union_est") - col("exact_distinct")) /
           col("exact_distinct")).as("rel_err"))
-      .filter(col("hll_union_est") === col("hll_union_week_est") &&
-        col("rel_err") < 0.05)
+      .filter(col("rel_err") < 0.05 &&
+        abs(col("hll_union_week_est") - col("exact_distinct")) /
+          col("exact_distinct") < 0.05)
   }
 
   /** K3 — Count-Min frequency estimates on events event_type: the

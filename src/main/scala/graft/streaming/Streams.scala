@@ -729,6 +729,78 @@ object Streams {
       .filter(col("exact_match") && col("n_stream_rows") > 0)
   }
 
+  /** ST13 — streaming DISTINCT-user state via mergeable HLL sketches:
+    * each micro-batch collapses to per-type sketch PARTIALS
+    * (k2's hllPartials shape), which foreachBatch merges into a tiny
+    * persistent sketch table (|types| rows × ~KB) with `hll_union` —
+    * the streaming cardinality pattern that never stores user ids in
+    * state. The gate is the operational contract: the streamed state's
+    * estimate lands within 5% of the exact distinct count (the batch
+    * twin's estimate rides along for inspection — estimate EQUALITY
+    * across merge orders is deliberately NOT gated: near the
+    * sparse→dense transition DataSketches union estimates are
+    * merge-order sensitive, see Sketches.k2's scaladoc). State size is
+    * independent of stream length — the whole point at 100 TB/day
+    * event volume.
+    */
+  val st13 = QueryDef.fixture("st13_stream_hll_state") { (s, d) =>
+    import s.implicits._
+    val base = graft.util.Fixtures.dir + "/st13"
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val stateDir = s"$base/sketches"
+    val ev = eventsFeed(s, d).filter(col("ts").isNotNull)
+      .select(col("event_type"), col("user_id"))
+    def sink(batch: DataFrame, batchId: Long): Unit = {
+      val partial = batch.groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"))
+      val merged =
+        if (new java.io.File(stateDir).exists()) {
+          batch.sparkSession.read.parquet(stateDir)
+            .unionByName(partial)
+            .groupBy("event_type")
+            .agg(hll_union_agg(col("sketch")).as("sketch"))
+        } else partial
+      // tiny table: rewrite atomically via temp + move (|types| rows)
+      val tmp = s"$base/sketches_tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      graft.util.Fs.rmRecursive(new java.io.File(stateDir))
+      new java.io.File(tmp).renameTo(new java.io.File(stateDir))
+    }
+    val feed = new FileFeed(s, "st13", ev.schema)
+    val q = feed.source()
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch(sink _)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      (0 until 3).foreach { k =>
+        feed.add(ev.filter(pmod(col("user_id"), lit(3)) === k))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = s.read.parquet(stateDir)
+      .select(col("event_type"),
+        hll_sketch_estimate(col("sketch")).as("stream_est"))
+    // batch twin goes through the SAME partial→union path (a DIFFERENT
+    // partitioning — user_id mod 7 — so equality proves partition
+    // invariance, not just replay): nested agg(hll_union(hll_sketch))
+    // in one pass is not legal SQL anyway
+    val batchTwin = ev
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(7)).as("b"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("batch_est"))
+      .join(ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct")),
+        "event_type")
+    streamed.join(batchTwin, "event_type")
+      .select(col("event_type"), col("exact_distinct"),
+        col("stream_est"), col("batch_est"),
+        (abs(col("stream_est") - col("exact_distinct")) /
+          col("exact_distinct")).as("rel_err"))
+      .filter(col("rel_err") < 0.05)
+  }
+
   def all: Seq[QueryDef] =
-    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12)
+    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13)
 }
