@@ -150,5 +150,71 @@ object RangeJoin {
             lit(0L)).cast("long").as("start_checksum"))
   }
 
-  def all: Seq[QueryDef] = Seq(j7, j11)
+  /** Coalesce overlapping-or-touching intervals per key (the bedtools
+    * `merge` analog — flattening read alignments, sessions, locks):
+    * sort each key's intervals by start, open a new merged group
+    * whenever a start exceeds the running max end seen so far, then
+    * min/max per group. Two window passes + one aggregate, all
+    * partitioned BY KEY — group size is per-key activity, never
+    * corpus size. All-integral arithmetic (µs) ⇒ bit-exact
+    * cross-engine.
+    */
+  def coalesceIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, tiebreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(keyCol)
+      .orderBy(col(startCol), col(tiebreak))
+    val prevMax = max(col(endCol)).over(
+      order.rowsBetween(Window.unboundedPreceding, -1))
+    val grouped = df
+      .withColumn("__new", when(prevMax.isNull ||
+        col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(order))
+    grouped.groupBy(col(keyCol), col("__grp"))
+      .agg(min(col(startCol)).as("m_start"), max(col(endCol)).as("m_end"),
+        count(lit(1)).as("n_source"))
+      .drop("__grp")
+  }
+
+  /** J13 — per-user interval coalesce over events (each event opens a
+    * 30-minute activity interval; merged spans ≈ the e2 sessions seen
+    * through interval algebra). FULL DuckDB oracle replaying the same
+    * running-max-end window logic; output is per-user merged-span
+    * summaries, all integral µs.
+    */
+  val j13 = QueryDef.sql(
+    "j13_interval_coalesce",
+    """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+      |             epoch_us(ts) + 1800000000 AS e
+      |            FROM events WHERE ts IS NOT NULL),
+      |g AS (SELECT user_id, event_id, s, e,
+      |             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |                  OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |             THEN 1 ELSE 0 END AS nw
+      |      FROM iv),
+      |gg AS (SELECT user_id, s, e,
+      |              sum(nw) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |       FROM g),
+      |m AS (SELECT user_id, grp, min(s) AS m_start, max(e) AS m_end,
+      |             count(*) AS n_source
+      |      FROM gg GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_merged,
+      |       CAST(sum(m_end - m_start) AS BIGINT) AS covered_us,
+      |       CAST(sum(n_source) AS BIGINT) AS n_events
+      |FROM m GROUP BY 1""".stripMargin) { (s, d) =>
+    val iv = Tables.events(s, d).filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + 1800000000L).as("e"))
+    coalesceIntervals(iv, "user_id", "s", "e", "event_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_merged"),
+        sum(col("m_end") - col("m_start")).cast("long").as("covered_us"),
+        sum(col("n_source")).cast("long").as("n_events"))
+  }
+
+  def all: Seq[QueryDef] = Seq(j7, j11, j13)
 }

@@ -54,4 +54,25 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.length == got.toSet.size, s"duplicate emissions: ${got.toList}")
     assert(got.toSet == Set(("a1", "b1"), ("a1", "b2"), ("a2", "b3")))
   }
+
+  test("coalesceIntervals merges overlapping AND touching; keeps gaps apart") {
+    import spark.implicits._
+    val iv = Seq(
+      (1L, 0L, 10L, 1L),     // chain: [0,10] + [5,20] + [20,30] -> [0,30]
+      (1L, 5L, 20L, 2L),
+      (1L, 20L, 30L, 3L),    // touching endpoint merges (bedtools merge)
+      (1L, 40L, 50L, 4L),    // gap -> separate
+      (2L, 0L, 5L, 5L))      // other key unaffected
+      .toDF("k", "s", "e", "id")
+    val got = RangeJoin.coalesceIntervals(iv, "k", "s", "e", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set((1L, 0L, 30L, 3L), (1L, 40L, 50L, 1L),
+      (2L, 0L, 5L, 1L)))
+    // containment: an interval fully inside another disappears into it
+    val iv2 = Seq((1L, 0L, 100L, 1L), (1L, 10L, 20L, 2L)).toDF("k", "s", "e", "id")
+    val got2 = RangeJoin.coalesceIntervals(iv2, "k", "s", "e", "id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got2 == Set((0L, 100L, 2L)))
+  }
 }
