@@ -1094,7 +1094,128 @@ object Similarity {
       topKPerQuery(scored, 1).drop("rank")
   }
 
+  // -------------------------------------------- MMR diversified re-rank
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998): from a per-query candidate shortlist, greedily pick
+    * the item maximizing λ·sim(q, d) − (1−λ)·max_{s∈selected}
+    * sim(d, s) — the standard diversity pass between retrieval and
+    * consumption (RAG context assembly, dedup of near-identical
+    * hits). Ties break on candidate id.
+    *
+    * Scale shape: candidates arrive ALREADY grouped per query (any ANN
+    * path supplies them); the greedy runs as a per-partition kernel
+    * over one query's shortlist at a time — O(k·|cand|) scalar work on
+    * ≤shortlist-sized arrays, zero shuffle beyond the grouping the
+    * retrieval already did. The corpus never participates.
+    */
+  def mmrRerank(candidates: DataFrame, queries: DataFrame, k: Int,
+      lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1]: $lambda")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val qv = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"))
+    val grouped = candidates
+      .join(qv, "qid")
+      .groupBy("qid", "qv")
+      .agg(collect_list(struct(col("nid"), col("nv"))).as("cands"))
+      .select(col("qid"), col("qv"), col("cands"))
+      .as[(Long, Seq[Float], Seq[(Long, Seq[Float])])]
+    grouped.flatMap { case (qid, qv, cands) =>
+      val q = qv.toArray
+      val items = cands.sortBy(_._1).map { case (id, v) => (id, v.toArray) }
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < math.min(a.length, b.length)) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val rel = items.map { case (_, v) => cos(q, v) }
+      val selected = scala.collection.mutable.ArrayBuffer[Int]()
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Double, Double)]()
+      while (selected.size < math.min(k, items.size)) {
+        var bestIdx = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < items.size) {
+          if (!selected.contains(i)) {
+            val div = if (selected.isEmpty) 0.0
+              else selected.map(j => cos(items(i)._2, items(j)._2)).max
+            val score = lambda * rel(i) - (1 - lambda) * div
+            // strict > with ascending id order = deterministic tie-break
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+          }
+          i += 1
+        }
+        selected += bestIdx
+        out += ((items(bestIdx)._1, selected.size, rel(bestIdx), bestScore))
+      }
+      out.iterator.map { case (nid, rank, r, sc) => (qid, rank, nid,
+        math.floor(r * 1e6 + 0.5) / 1e6, math.floor(sc * 1e6 + 0.5) / 1e6) }
+    }.toDF("qid", "rank", "nid", "relevance", "mmr_score")
+  }
+
+  /** V14 — MMR re-rank of each probe query's top-32 shortlist down to
+    * 8 diverse hits. Rows-only golden gates (the greedy is not
+    * SQL-expressible): (1) rank 1 is exactly the plain cosine top-1
+    * (MMR's first pick is pure relevance); (2) the selected set's
+    * maximum pairwise cosine is ≤ the plain top-8's maximum pairwise
+    * cosine for every query, strictly smaller for at least 20% of
+    * queries (the diversity the pass exists to buy); (3) exactly 8
+    * rows per query.
+    */
+  val mmr = QueryDef.rowsOnly("v14_mmr_rerank") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val shortlist = bruteForceTopK(queries, emb, 32)
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid")
+      .select(col("qid"), col("nid"), col("nv"))
+    val picked = mmrRerank(shortlist, queries, k = 8, lambda = 0.5).cache()
+    // per-query max pairwise cosine of a selection
+    def maxPairSim(sel: DataFrame): DataFrame = {
+      val a = sel.select(col("qid"), col("nid").as("a"))
+        .join(emb.select(col("vec_id").as("a"), col("embedding").as("va")), "a")
+      val b = sel.select(col("qid"), col("nid").as("b"))
+        .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
+      a.join(b, "qid").filter(col("a") < col("b"))
+        .groupBy("qid")
+        .agg(max(cosine(col("va"), col("vb"))).as("max_pair"))
+    }
+    val plain8 = bruteForceTopK(queries, emb, 8)
+      .select(col("qid"), col("nid"))
+    val mmrPair = maxPairSim(picked.select("qid", "nid"))
+      .withColumnRenamed("max_pair", "mmr_pair")
+    val topPair = maxPairSim(plain8).withColumnRenamed("max_pair", "top_pair")
+    val top1 = bruteForceTop1(queries, emb).select(col("qid"),
+      col("nid").as("top1"))
+    val joined = picked.filter(col("rank") === 1)
+      .join(top1, "qid").join(mmrPair, "qid").join(topPair, "qid")
+    val counts = picked.groupBy("qid").agg(count(lit(1)).as("n"))
+    val nQ = queries.count()
+    val stats = joined.agg(
+      sum(when(col("nid") === col("top1"), 1L).otherwise(0L)).as("n_top1_ok"),
+      sum(when(col("mmr_pair") <= col("top_pair") + 1e-9, 1L).otherwise(0L))
+        .as("n_no_worse"),
+      sum(when(col("mmr_pair") < col("top_pair") - 1e-6, 1L).otherwise(0L))
+        .as("n_strictly_diverse"),
+      count(lit(1)).as("n_q")).head()
+    val allK = counts.filter(col("n") === 8).count()
+    picked.unpersist()
+    val spark = s; import spark.implicits._
+    Seq((stats.getLong(3), stats.getLong(0), stats.getLong(1),
+      stats.getLong(2), allK))
+      .toDF("n_queries", "n_top1_ok", "n_no_worse", "n_strictly_diverse",
+        "n_full_k")
+      .filter(col("n_queries") === nQ && col("n_top1_ok") === nQ &&
+        col("n_no_worse") === nQ && col("n_full_k") === nQ &&
+        col("n_strictly_diverse") * 5 >= nQ)
+  }
+
   def all: Seq[QueryDef] =
     Seq(brute, bruteK, ann, nearDup, embDedup, ivf, quantized, centroids, pq,
-      ivfpq, maxsim)
+      ivfpq, maxsim, mmr)
 }

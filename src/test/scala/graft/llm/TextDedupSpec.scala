@@ -351,6 +351,22 @@ class TextDedupSpec extends SparkSpec {
     assert(got2 == 4.0)
   }
 
+  test("mmrRerank: first pick is pure relevance; second avoids the near-dup") {
+    import spark.implicits._
+    // query along x; candidates: A=x (rel 1.0), B≈A (near-dup, rel .995),
+    // C=y-ish (diverse, rel ~.1). Plain top-2 = {A, B}; MMR λ=.5 must
+    // pick A then C (B's diversity penalty ~1 kills its margin).
+    val q = Seq((100L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (100L, 1L, Array(1f, 0f, 0f)),
+      (100L, 2L, Array(0.995f, 0.0999f, 0f)),
+      (100L, 3L, Array(0.1f, 1f, 0f)))
+      .toDF("qid", "nid", "nv")
+    val got = Similarity.mmrRerank(cands, q, k = 2, lambda = 0.5)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 1L), (2, 3L)), s"got ${got.toList}")
+  }
+
   test("cosine_sim usable from SQL after registration") {
     val s2 = spark
     graft.expressions.CosineSimilarity.register(s2)
