@@ -353,14 +353,19 @@ class TextDedupSpec extends SparkSpec {
 
   test("mmrRerank: first pick is pure relevance; second avoids the near-dup") {
     import spark.implicits._
-    // query along x; candidates: A=x (rel 1.0), B≈A (near-dup, rel .995),
-    // C=y-ish (diverse, rel ~.1). Plain top-2 = {A, B}; MMR λ=.5 must
-    // pick A then C (B's diversity penalty ~1 kills its margin).
+    // query along x; A and C sit symmetrically at ±26° (rel 0.9 each,
+    // but only 0.62 similar to each other); B is a near-dup of A
+    // (rel ~0.89, sim-to-A ~0.997). Plain top-2 = {A, B}; MMR λ=.5
+    // picks A (rank-1 relevance, id tie-break) then C — B's near-dup
+    // penalty (0.5·0.997) buries its relevance edge over C.
+    // NOTE the query must NOT be co-linear with A: if q == A, then
+    // rel(d) == sim(d, A) for every d and all MMR scores collapse to
+    // λ·rel − (1−λ)·rel ≡ 0 at λ=0.5 (degenerate tie).
     val q = Seq((100L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
     val cands = Seq(
-      (100L, 1L, Array(1f, 0f, 0f)),
-      (100L, 2L, Array(0.995f, 0.0999f, 0f)),
-      (100L, 3L, Array(0.1f, 1f, 0f)))
+      (100L, 1L, Array(0.9f, 0.435f, 0f)),
+      (100L, 2L, Array(0.89f, 0.44f, 0.08f)),
+      (100L, 3L, Array(0.9f, -0.435f, 0f)))
       .toDF("qid", "nid", "nv")
     val got = Similarity.mmrRerank(cands, q, k = 2, lambda = 0.5)
       .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2)))
