@@ -1215,7 +1215,41 @@ object Similarity {
         col("n_strictly_diverse") * 5 >= nQ)
   }
 
+  /** V15 — hard-negative mining for retrieval training (the DPR /
+    * Contriever data-prep step, Karpukhin et al. 2020): for each query
+    * doc, the top-5 MOST similar corpus docs that sit BELOW the
+    * near-duplicate bar (cos < 0.8) — similar enough to be hard,
+    * dissimilar enough to be true negatives. The exclusion bar is what
+    * distinguishes this from plain top-k: without it, mined
+    * "negatives" are the duplicates/positives themselves and training
+    * collapses. FULL DuckDB oracle (v1's cosine replay + the bar).
+    * Scale path: ANN shortlist (v2/v12) then bar+rank on candidates —
+    * here the gated query IS the brute-force truth over the probe set.
+    */
+  val hardNeg = QueryDef.sql(
+    "v15_hard_negatives",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |s AS (SELECT qid, e.vec_id AS nid,
+      |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+      |      FROM q, embeddings e WHERE e.vec_id != qid),
+      |r AS (SELECT qid, nid, sim,
+      |             row_number() OVER (PARTITION BY qid
+      |                                ORDER BY sim DESC, nid) AS rn
+      |      FROM s WHERE sim < 0.8)
+      |SELECT qid, CAST(rn AS INT) AS rank, nid, sim
+      |FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val scored = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .filter(col("sim") < 0.8)
+    topKPerQuery(scored, 5)
+  }
+
   def all: Seq[QueryDef] =
     Seq(brute, bruteK, ann, nearDup, embDedup, ivf, quantized, centroids, pq,
-      ivfpq, maxsim, mmr)
+      ivfpq, maxsim, mmr, hardNeg)
 }
