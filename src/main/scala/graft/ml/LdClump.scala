@@ -729,5 +729,75 @@ object LdClump {
         |FROM dos GROUP BY id""".stripMargin),
     benchEligible = false)
 
-  def all: Seq[QueryDef] = Seq(m14, m14r2, m15, m16, m17)
+  /** Pairwise IBS (identity-by-state) kinship over a dosage matrix —
+    * the PLINK `--genome` relatedness QC every GWAS runs before
+    * association (cryptic relatedness inflates every test; cf. m19's
+    * λGC, which DETECTS the inflation this REMOVES). IBS(i,j) =
+    * Σ_valid (2 − |d_i − d_j|) / (2·n_valid) over SNPs where both
+    * samples are non-missing; dosages are 0/1/2 so the numerator is
+    * INTEGRAL — bit-exact cross-engine. O(n²) by definition (as is
+    * PLINK's); at biobank scale the standard practice is LD-pruned
+    * SNP subsets + blocked candidate screening (KING), with this
+    * exact kernel on candidate pairs only.
+    */
+  def ibsPairs(geno: DataFrame, idCol: String, featCol: String): DataFrame = {
+    val a = geno.select(col(idCol).as("id_a"), col(featCol).as("fa"))
+    val b = geno.select(col(idCol).as("id_b"), col(featCol).as("fb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("fa"), col("fb"), (x, y) =>
+          when(!isnan(x) && !isnan(y),
+            lit(2.0) - abs(x.cast("double") - y.cast("double")))
+            .otherwise(lit(0.0))),
+          lit(0.0), (acc, v) => acc + v).cast("long").as("ibs_num"),
+        aggregate(zip_with(col("fa"), col("fb"), (x, y) =>
+          when(!isnan(x) && !isnan(y), 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v).cast("long").as("n_valid"))
+      .withColumn("ibs",
+        round(col("ibs_num").cast("double") / (lit(2.0) * col("n_valid")), 6))
+  }
+
+  /** M21 — relatedness screen on the m15 fixture (9 planted dosage
+    * patterns over 297 samples ⇒ 9 identity classes; same-class pairs
+    * are IBS=1 "duplicates/twins", the exact thing the QC exists to
+    * flag). FULL DuckDB oracle: the m15 VALUES replay self-joined per
+    * pair with the identical integral arithmetic; the NaN-punched SNP
+    * exercises the pairwise-complete denominator. Output: all pairs
+    * with IBS ≥ 0.95.
+    */
+  val m21 = QueryDef(
+    "m21_ibs_kinship",
+    { (s, _) =>
+      ibsPairs(fixtureGeno(s), "id", "features")
+        // filter on the RAW ratio exactly as the oracle does (the
+        // rounded display column could disagree at a threshold edge)
+        .filter(col("ibs_num").cast("double") /
+          (lit(2.0) * col("n_valid")) >= 0.95)
+        .select(col("id_a"), col("id_b"), col("ibs_num"), col("n_valid"),
+          col("ibs"))
+    },
+    oracle = Some(
+      """WITH snps(idx, kind) AS (VALUES
+        |  (0, 'base'), (1, 'anti'), (2, 'base_nan'),
+        |  (3, 'base'), (4, 'ind'), (5, 'base'),
+        |  (6, 'base'), (7, 'base'), (8, 'ind')),
+        |ids AS (SELECT unnest(range(0, 297)) AS id),
+        |dos AS (SELECT s.idx, i.id,
+        |          CASE WHEN s.kind = 'base_nan' AND i.id % 50 = 0 THEN NULL
+        |               WHEN s.kind = 'anti' THEN 2.0 - (i.id % 3)
+        |               WHEN s.kind = 'ind' THEN CAST((i.id // 3) % 3 AS DOUBLE)
+        |               ELSE CAST(i.id % 3 AS DOUBLE) END AS d
+        |        FROM snps s CROSS JOIN ids i),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |             CAST(COALESCE(sum(CASE WHEN a.d IS NOT NULL AND b.d IS NOT NULL
+        |                      THEN 2.0 - abs(a.d - b.d) END), 0) AS BIGINT) AS ibs_num,
+        |             CAST(count(CASE WHEN a.d IS NOT NULL AND b.d IS NOT NULL
+        |                      THEN 1 END) AS BIGINT) AS n_valid
+        |      FROM dos a JOIN dos b ON a.idx = b.idx AND a.id < b.id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, ibs_num, n_valid,
+        |       round(CAST(ibs_num AS DOUBLE) / (2.0 * n_valid), 6) AS ibs
+        |FROM p WHERE CAST(ibs_num AS DOUBLE) / (2.0 * n_valid) >= 0.95""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(m14, m14r2, m15, m16, m17, m21)
 }
