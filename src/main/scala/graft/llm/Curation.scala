@@ -1106,8 +1106,80 @@ object Curation {
       .select("doc_id", "mix_source", "weight")
   }
 
+  /** C16 — the dataset card: the one-page statistics bundle every
+    * corpus release ships (HuggingFace dataset cards / "datasheets
+    * for datasets", Gebru et al. 2021). One long-format (metric,
+    * value) frame covering volume (docs, chars, whitespace tokens),
+    * composition (languages, sources, top-language share), and
+    * integrity (exact-dup fraction by content hash, empty/short-doc
+    * counts). Every metric is a map-side-combinable aggregate over at
+    * most two scans (raw + content-hash); values are integral or
+    * round-6 fixed expressions. FULL DuckDB oracle.
+    */
+  val datasetCard = QueryDef.sql(
+    "c16_dataset_card",
+    """WITH d AS (SELECT doc_id, text, lang, source,
+      |             length(text) AS n_chars,
+      |             len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |               AS n_toks
+      |           FROM documents),
+      |h AS (SELECT md5(text) AS ch, count(*) AS c FROM d GROUP BY 1),
+      |lt AS (SELECT lang, count(*) AS c FROM d GROUP BY 1)
+      |SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value FROM d
+      |UNION ALL SELECT 'n_chars_total', CAST(sum(n_chars) AS DOUBLE) FROM d
+      |UNION ALL SELECT 'n_tokens_total', CAST(sum(n_toks) AS DOUBLE) FROM d
+      |UNION ALL SELECT 'mean_doc_tokens',
+      |  round(CAST(sum(n_toks) AS DOUBLE) / count(*), 6) FROM d
+      |UNION ALL SELECT 'n_languages', CAST(count(*) AS DOUBLE) FROM lt
+      |UNION ALL SELECT 'top_lang_share',
+      |  round(CAST(max(c) AS DOUBLE) / (SELECT count(*) FROM d), 6) FROM lt
+      |UNION ALL SELECT 'n_sources',
+      |  CAST(count(DISTINCT source) AS DOUBLE) FROM d
+      |UNION ALL SELECT 'exact_dup_fraction',
+      |  round(CAST((SELECT count(*) FROM d)
+      |        - (SELECT count(*) FROM h) AS DOUBLE)
+      |        / (SELECT count(*) FROM d), 6)
+      |UNION ALL SELECT 'n_short_docs',
+      |  CAST(COALESCE(sum(CASE WHEN n_toks < 5 THEN 1 END), 0) AS DOUBLE)
+      |  FROM d""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        length(col("text")).as("n_chars"),
+        size(filter(split(col("text"), " "), t => t =!= "")).as("n_toks"))
+    val nDocs = docs.count()
+    val nHashes = docs.groupBy(md5(col("text"))).count().count()
+    val base = docs.agg(
+      sum(col("n_chars")).cast("double").as("n_chars_total"),
+      sum(col("n_toks")).cast("double").as("n_tokens_total"),
+      round(sum(col("n_toks")).cast("double") / count(lit(1)), 6)
+        .as("mean_doc_tokens"),
+      countDistinct(col("source")).cast("double").as("n_sources"),
+      coalesce(sum(when(col("n_toks") < 5, 1L)), lit(0L)).cast("double")
+        .as("n_short_docs")).head()
+    val langs = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)), max(col("c"))).head()
+    val spark = s; import spark.implicits._
+    Seq(
+      ("n_docs", nDocs.toDouble),
+      ("n_chars_total", base.getDouble(0)),
+      ("n_tokens_total", base.getDouble(1)),
+      ("mean_doc_tokens", base.getDouble(2)),
+      ("n_languages", langs.getLong(0).toDouble),
+      ("top_lang_share", 0.0), // replaced below via Catalyst round
+      ("n_sources", base.getDouble(3)),
+      ("exact_dup_fraction", 0.0),
+      ("n_short_docs", base.getDouble(4)))
+      .toDF("metric", "value")
+      .withColumn("value",
+        when(col("metric") === "top_lang_share",
+          round(lit(langs.getLong(1).toDouble) / lit(nDocs.toDouble), 6))
+        .when(col("metric") === "exact_dup_fraction",
+          round(lit((nDocs - nHashes).toDouble) / lit(nDocs.toDouble), 6))
+        .otherwise(col("value")))
+  }
+
   def all: Seq[QueryDef] =
     Seq(pipeline, budgetSample, sourceMix, packing, domainCap, chunking,
       urlCanon, curriculum, qualityFilter, dsir, groupSplitQ, weightedSampleQ,
-      stratifiedSampleQ, priorityDedupQ, temperatureQ)
+      stratifiedSampleQ, priorityDedupQ, temperatureQ, datasetCard)
 }
