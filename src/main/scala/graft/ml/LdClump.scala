@@ -799,5 +799,79 @@ object LdClump {
         |       round(CAST(ibs_num AS DOUBLE) / (2.0 * n_valid), 6) AS ibs
         |FROM p WHERE CAST(ibs_num AS DOUBLE) / (2.0 * n_valid) >= 0.95""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(m14, m14r2, m15, m16, m17, m21)
+  /** Per-SNP mean-dosage imputation (the PLINK `--fill-missing-a2` /
+    * 2·allele-frequency fill — the default missingness policy before
+    * PRS scoring or ML on dosage matrices). Two passes: per-column
+    * means from ONE exploded (idx → sum, n) map-side-combinable
+    * aggregate (missing = NaN channel), then a scan-local
+    * `transform` against the BROADCAST p-sized mean vector — rows
+    * never shuffle, the matrix is touched exactly twice.
+    */
+  def meanImpute(geno: DataFrame, featCol: String): (DataFrame, Array[Double]) = {
+    val exploded = geno.select(posexplode(col(featCol)).as(Seq("idx", "d")))
+    val means = exploded.filter(!isnan(col("d")))
+      .groupBy("idx")
+      .agg((sum(col("d").cast("double")) / count(lit(1))).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val p = geno.select(size(col(featCol))).head().getInt(0)
+    val mv = Array.tabulate(p)(i => means.getOrElse(i, 0.0))
+    val mLit = typedLit(mv.toSeq)
+    val imputed = geno.withColumn(featCol,
+      zip_with(col(featCol), mLit, (v, m) =>
+        when(isnan(v), m).otherwise(v.cast("double"))))
+    (imputed, mv)
+  }
+
+  /** M22 — imputation audit on the m15 fixture: per SNP, the missing
+    * count, the fill value (= column mean of observed dosages — an
+    * EXACT integer ratio, bit-identical cross-engine), and the
+    * post-imputation column sum. FULL DuckDB oracle; the NaN-punched
+    * SNP is the one that actually imputes, the rest must pass through
+    * untouched (fill value never applied ⇒ sums stay integral).
+    */
+  val m22 = QueryDef(
+    "m22_mean_impute",
+    { (s, _) =>
+      val (imputed, _) = meanImpute(fixtureGeno(s), "features")
+      imputed.select(posexplode(col("features")).as(Seq("idx", "d")))
+        .groupBy("idx")
+        .agg(round(sum(col("d")), 6).as("post_sum"),
+          count(lit(1)).as("n_samples"))
+        .join(
+          fixtureGeno(s)
+            .select(posexplode(col("features")).as(Seq("idx", "d")))
+            .groupBy("idx")
+            .agg(coalesce(sum(when(isnan(col("d")), 1L)), lit(0L))
+              .as("n_missing"),
+              round(sum(when(!isnan(col("d")), col("d"))) /
+                count(when(!isnan(col("d")), lit(1))), 6).as("fill_value")),
+          Seq("idx"))
+        .select(col("idx").cast("long").as("idx"), col("n_missing"),
+          col("fill_value"), col("post_sum"), col("n_samples"))
+    },
+    oracle = Some(
+      """WITH snps(idx, kind) AS (VALUES
+        |  (0, 'base'), (1, 'anti'), (2, 'base_nan'),
+        |  (3, 'base'), (4, 'ind'), (5, 'base'),
+        |  (6, 'base'), (7, 'base'), (8, 'ind')),
+        |ids AS (SELECT unnest(range(0, 297)) AS id),
+        |dos AS (SELECT s.idx, i.id,
+        |          CASE WHEN s.kind = 'base_nan' AND i.id % 50 = 0 THEN NULL
+        |               WHEN s.kind = 'anti' THEN 2.0 - (i.id % 3)
+        |               WHEN s.kind = 'ind' THEN CAST((i.id // 3) % 3 AS DOUBLE)
+        |               ELSE CAST(i.id % 3 AS DOUBLE) END AS d
+        |        FROM snps s CROSS JOIN ids i),
+        |st AS (SELECT idx,
+        |         CAST(count(CASE WHEN d IS NULL THEN 1 END) AS BIGINT) AS n_missing,
+        |         round(sum(d) / count(d), 6) AS fill_value,
+        |         sum(d) AS obs_sum,
+        |         count(d) AS n_obs,
+        |         count(*) AS n_samples
+        |       FROM dos GROUP BY 1)
+        |SELECT CAST(idx AS BIGINT) AS idx, n_missing, fill_value,
+        |       round(obs_sum + n_missing * (obs_sum / n_obs), 6) AS post_sum,
+        |       CAST(n_samples AS BIGINT) AS n_samples
+        |FROM st""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(m14, m14r2, m15, m16, m17, m21, m22)
 }
