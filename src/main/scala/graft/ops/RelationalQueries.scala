@@ -1413,8 +1413,93 @@ object RelationalQueries {
           sum(when(col("f.hit3"), 1L).otherwise(0L)).as("n_purchase_within"))
   }
 
+  /** E15 — Kaplan–Meier time-to-conversion with right censoring (the
+    * survival estimator — Kaplan & Meier 1958 — applied to
+    * signup→first-purchase latency; users who never purchase are
+    * censored at the observation horizon). Per cohort (signup week):
+    * S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) over distinct event DAYS,
+    * with n_i = at-risk just before t_i.
+    *
+    * Scale shape: per-user first-event times are one
+    * map-side-combinable min-aggregate over raw events; everything
+    * after runs on the (cohort, day) LIFE TABLE — |cohorts|×|days|
+    * rows — so the ordered window is partitioned by cohort and sized
+    * by the time granularity, never by user count. The survival
+    * product is exp(Σ ln(1 − d/n)) with the same expression text in
+    * both engines, rounded at 6 (ln/exp agree to ulps; the cumsum is
+    * over ≤|days| terms). FULL DuckDB oracle.
+    */
+  val e15 = QueryDef.sql(
+    "e15_kaplan_meier",
+    """WITH u AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+      |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us,
+      |         (SELECT max(epoch_us(ts)) FROM events WHERE ts IS NOT NULL) AS horizon
+      |  FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+      |t AS (
+      |  SELECT user_id,
+      |         (s_us // 604800000000) AS cohort,
+      |         CASE WHEN p_us IS NOT NULL AND p_us > s_us
+      |              THEN (p_us - s_us) // 86400000000 END AS event_day,
+      |         CASE WHEN p_us IS NULL OR p_us <= s_us
+      |              THEN (horizon - s_us) // 86400000000 END AS censor_day
+      |  FROM u WHERE s_us IS NOT NULL),
+      |lt AS (
+      |  SELECT cohort, COALESCE(event_day, censor_day) AS day,
+      |         CAST(COALESCE(sum(CASE WHEN event_day IS NOT NULL THEN 1 END), 0) AS BIGINT) AS d,
+      |         CAST(COALESCE(sum(CASE WHEN censor_day IS NOT NULL THEN 1 END), 0) AS BIGINT) AS c
+      |  FROM t GROUP BY 1, 2),
+      |r AS (
+      |  SELECT cohort, day, d, c,
+      |         (sum(d + c) OVER (PARTITION BY cohort))
+      |         - COALESCE(sum(d + c) OVER (PARTITION BY cohort ORDER BY day
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS n_risk
+      |  FROM lt)
+      |SELECT cohort, day, d, c, CAST(n_risk AS BIGINT) AS n_risk,
+      |       round(exp(sum(CASE WHEN d > 0 THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+      |                          ELSE 0.0 END)
+      |             OVER (PARTITION BY cohort ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+      |         AS survival
+      |FROM r WHERE d > 0""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val horizon = ev.agg(max(col("us"))).head().getLong(0)
+    val u = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("s_us"),
+        min(when(col("event_type") === "purchase", col("us"))).as("p_us"))
+      .filter(col("s_us").isNotNull)
+    val t = u.select(
+      expr("s_us div 604800000000").as("cohort"),
+      when(col("p_us").isNotNull && col("p_us") > col("s_us"),
+        expr("(p_us - s_us) div 86400000000")).as("event_day"),
+      when(col("p_us").isNull || col("p_us") <= col("s_us"),
+        expr(s"(${horizon}L - s_us) div 86400000000")).as("censor_day"))
+    val lt = t.groupBy(col("cohort"),
+        coalesce(col("event_day"), col("censor_day")).as("day"))
+      .agg(coalesce(sum(when(col("event_day").isNotNull, 1L)), lit(0L)).as("d"),
+        coalesce(sum(when(col("censor_day").isNotNull, 1L)), lit(0L)).as("c"))
+    val wAll = Window.partitionBy("cohort")
+    val wPrev = Window.partitionBy("cohort").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("cohort").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lt.withColumn("n_risk",
+        sum(col("d") + col("c")).over(wAll) -
+          coalesce(sum(col("d") + col("c")).over(wPrev), lit(0L)))
+      .withColumn("survival",
+        round(exp(sum(when(col("d") > 0,
+          log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .otherwise(lit(0.0))).over(wCum)), 6))
+      .filter(col("d") > 0)
+      .select(col("cohort"), col("day"), col("d"), col("c"),
+        col("n_risk").cast("long").as("n_risk"), col("survival"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, u7, u8, a1, o2, o3, a4, a5,
-    a13, o5, e1, e2, e5, e6, e7, e8, e9, e10, e11, e12, e13, k1, a14, a15,
-    a16, a19, a20, j9, j10, scalars)
+    a13, o5, e1, e2, e5, e6, e7, e8, e9, e10, e11, e12, e13, e15, k1, a14,
+    a15, a16, a19, a20, j9, j10, scalars)
 }
