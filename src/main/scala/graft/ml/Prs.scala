@@ -149,8 +149,9 @@ object Prs {
     * BOTH engines so the expression tree — and thus every rounding —
     * is structurally identical. `x` is the χ² statistic column name.
     */
-  private def chi2PvalSql(x: String): String = {
-    val z = s"sqrt($x / 2.0)"
+  /** erfc of a NON-NEGATIVE argument as shared SQL text (see
+    * [[chi2PvalSql]] for the determinism rationale). */
+  private[graft] def erfcSql(z: String): String = {
     val t = s"(1.0 / (1.0 + $z / 2.0))"
     s"""least(1.0, $t * exp(-$z * $z - 1.26551223 + $t * (1.00002368 +
        |  $t * (0.37409196 + $t * (0.09678418 + $t * (-0.18628806 +
@@ -158,6 +159,8 @@ object Prs {
        |  $t * (-0.82215223 + $t * 0.17087277))))))))))""".stripMargin
       .replace("\n", " ")
   }
+
+  private def chi2PvalSql(x: String): String = erfcSql(s"sqrt($x / 2.0)")
 
   /** M20 — the composed GWAS association scan: the m19 per-key χ²
     * battery → 1-df p-values (shared erfc formula) → distributed

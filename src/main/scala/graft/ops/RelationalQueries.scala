@@ -1498,8 +1498,73 @@ object RelationalQueries {
         col("n_risk").cast("long").as("n_risk"), col("survival"))
   }
 
+  /** A22 — Welch two-sample t-test (unequal variances) between the
+    * R-returned and N-kept price populations, with a normal-approx
+    * two-sided p (df ≈ 40k ⇒ the t and normal tails agree far past
+    * 6dp; p via the shared erfc text of m20). DETERMINISM: moments
+    * accumulate as INTEGRAL cent sums (Σv and Σv² both fit long —
+    * Σv² ≈ 1.7e18 < 2⁶³ — so they are exact under any order); t and p
+    * derive from exact integers through fixed double expressions. A
+    * float Σv² would carry ~ulp·60k ≈ 2.6e-6 noise into t — exactly
+    * round-6 granularity, i.e. a coin-flip hash. One
+    * map-side-combinable aggregate per group; O(1) output.
+    */
+  val a22 = QueryDef.sql(
+    "a22_welch_ttest",
+    s"""WITH g AS (
+       |  SELECT l_returnflag AS f,
+       |         CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS s1,
+       |         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+       |              * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS s2
+       |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+       |m AS (
+       |  SELECT
+       |    max(CASE WHEN f = 'R' THEN n END) AS n1,
+       |    max(CASE WHEN f = 'N' THEN n END) AS n2,
+       |    max(CASE WHEN f = 'R' THEN CAST(s1 AS DOUBLE) / n END) AS m1,
+       |    max(CASE WHEN f = 'N' THEN CAST(s1 AS DOUBLE) / n END) AS m2,
+       |    max(CASE WHEN f = 'R' THEN
+       |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) END) AS v1,
+       |    max(CASE WHEN f = 'N' THEN
+       |      (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) END) AS v2
+       |  FROM g),
+       |t AS (SELECT n1, n2, m1, m2, v1, v2,
+       |             (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS tstat
+       |      FROM m)
+       |SELECT n1, n2, round(m1 / 100.0, 6) AS mean_r, round(m2 / 100.0, 6) AS mean_n,
+       |       round(tstat, 6) AS t_stat,
+       |       round(${graft.ml.Prs.erfcSql("(abs(tstat) / sqrt(2.0))")}, 6) AS p_two
+       |FROM t""".stripMargin) { (s, d) =>
+    val cents = round(col("l_extendedprice") * 100, 0).cast("long")
+    val g = Tables.lineitem(s, d)
+      .filter(col("l_returnflag").isin("R", "N"))
+      .groupBy(col("l_returnflag").as("f"))
+      .agg(count(lit(1)).as("n"), sum(cents).as("s1"),
+        sum(cents * cents).as("s2"))
+    val m = g.agg(
+      max(when(col("f") === "R", col("n"))).as("n1"),
+      max(when(col("f") === "N", col("n"))).as("n2"),
+      max(when(col("f") === "R", col("s1").cast("double") / col("n"))).as("m1"),
+      max(when(col("f") === "N", col("s1").cast("double") / col("n"))).as("m2"),
+      max(when(col("f") === "R",
+        (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n")) /
+          (col("n") - 1))).as("v1"),
+      max(when(col("f") === "N",
+        (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n")) /
+          (col("n") - 1))).as("v2"))
+    val t = m.withColumn("tstat",
+      (col("m1") - col("m2")) / sqrt(col("v1") / col("n1") + col("v2") / col("n2")))
+    t.select(col("n1"), col("n2"),
+      round(col("m1") / 100.0, 6).as("mean_r"),
+      round(col("m2") / 100.0, 6).as("mean_n"),
+      round(col("tstat"), 6).as("t_stat"),
+      round(expr(graft.ml.Prs.erfcSql("(abs(tstat) / sqrt(2.0))")), 6)
+        .as("p_two"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, u7, u8, a1, o2, o3, a4, a5,
     a13, o5, e1, e2, e5, e6, e7, e8, e9, e10, e11, e12, e13, e15, k1, a14,
-    a15, a16, a19, a20, j9, j10, scalars)
+    a15, a16, a19, a20, a22, j9, j10, scalars)
 }
