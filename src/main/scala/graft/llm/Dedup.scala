@@ -1648,8 +1648,58 @@ object Dedup {
         round(col("containment"), 6).as("containment"))
   }
 
+  // ------------------------------------------------- bloom ingest gate
+
+  /** D16 — Bloom-filter membership gate at the ingest edge: the corpus
+    * publishes an O(bits)-sized Bloom filter over content hashes; an
+    * incoming batch probes it BEFORE any join or shuffle, splitting
+    * into definitely-new (Bloom's zero-false-negative guarantee: a
+    * miss is PROOF of novelty) and maybe-seen (forwarded to the exact
+    * d9 incremental check — the filter only shrinks that expensive
+    * path's input). Gates: every planted duplicate lands in
+    * maybe-seen (no false negatives, the correctness half), and the
+    * false-positive rate on genuinely-new docs stays within 3× the
+    * configured 1% (the efficiency half; Spark's BloomFilter sizes to
+    * the requested FPP). Rows-only golden gate.
+    */
+  val bloomGate = QueryDef.rowsOnly("d16_bloom_dedup_gate") { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val corpusHashes = docs.select(xxhash64(col("text")).as("h"))
+    val nCorpus = corpusHashes.count()
+    val bloom = corpusHashes.stat.bloomFilter("h", nCorpus, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    // incoming batch: half exact re-crawls (planted dups), half new
+    val batch = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat_ws(" ", col("text"), lit("fresh"), col("doc_id").cast("string"))
+            .as("text")))
+    val probed = batch.withColumn("h", xxhash64(col("text")))
+      .withColumn("maybe_seen",
+        udf((h: Long) => bloomB.value.mightContainLong(h)).apply(col("h")))
+    val agg = probed.agg(
+      sum(when(col("doc_id") < 6000000L && !col("maybe_seen"), 1L)
+        .otherwise(0L)).as("n_false_negative"),
+      sum(when(col("doc_id") >= 6000000L && col("maybe_seen"), 1L)
+        .otherwise(0L)).as("n_false_positive"),
+      sum(when(col("doc_id") < 6000000L, 1L).otherwise(0L)).as("n_dups"),
+      sum(when(col("doc_id") >= 6000000L, 1L).otherwise(0L)).as("n_new"))
+      .head()
+    val (fn, fp, nDup, nNew) = (agg.getLong(0), agg.getLong(1),
+      agg.getLong(2), agg.getLong(3))
+    val spark = s; import spark.implicits._
+    Seq((nDup, nNew, fn, fp,
+      math.floor(fp.toDouble / nNew * 1e6 + 0.5) / 1e6))
+      .toDF("n_dups", "n_new", "n_false_negative", "n_false_positive",
+        "fp_rate")
+      .filter(col("n_false_negative") === 0 && col("n_dups") > 0 &&
+        col("n_new") > 0 && col("fp_rate") < 0.05)
+  }
+
   def all: Seq[QueryDef] =
     Seq(exact, minhash, simhashQ, simhashDedupQ, ngramJaccardQ, clusters,
       dropQ, incrementalQ, editDistQ, repeatedSubstr, stripSpansQ, lineDedupQ,
-      containmentQ)
+      containmentQ, bloomGate)
 }
