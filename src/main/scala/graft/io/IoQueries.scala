@@ -602,6 +602,83 @@ object IoQueries {
         col("n_v1") > 0 && col("n_reused_files") > 0)
   }
 
+  /** Distributed parquet-footer audit: per column chunk, the encodings
+    * actually used plus compressed/uncompressed byte totals — the
+    * storage-tuning signal (is dictionary firing on the low-cardinality
+    * columns? is the codec earning its CPU on each column?) that
+    * decides layout work like s13/s14/s15. Footers are read inside
+    * mapPartitions over the FILE LIST, so a 100 TB table's audit
+    * parallelizes across its millions of footers instead of looping on
+    * the driver; each task touches only footer bytes, never data pages.
+    */
+  def parquetColumnAudit(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val files: Seq[String] = {
+      val f = new java.io.File(dir)
+      if (f.isFile) Seq(f.getAbsolutePath)
+      else graft.util.Fs.walkFiles(f)
+        .filter(x => x.getName.endsWith(".parquet") && !x.getName.startsWith("."))
+        .map(_.getAbsolutePath)
+    }
+    val spark = s; import spark.implicits._
+    spark.sparkContext.parallelize(files, math.max(1, files.size / 16))
+      .flatMap { path =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.flatMap { block =>
+            block.getColumns.asScala.map { c =>
+              (c.getPath.toDotString,
+                c.getEncodings.asScala.map(_.name).toSeq.sorted.mkString(","),
+                c.getCodec.name, c.getValueCount,
+                c.getTotalSize, c.getTotalUncompressedSize)
+            }
+          }.toSeq
+        } finally reader.close()
+      }
+      .toDF("column", "encodings", "codec", "n_values",
+        "compressed_bytes", "uncompressed_bytes")
+      .groupBy("column", "encodings", "codec")
+      .agg(sum(col("n_values")).as("n_values"),
+        sum(col("compressed_bytes")).as("compressed_bytes"),
+        sum(col("uncompressed_bytes")).as("uncompressed_bytes"))
+  }
+
+  /** S20 — encoding audit of the shipped documents table. Gates: every
+    * column dictionary-encodes (RLE_DICTIONARY present — the driver's
+    * writer emits it; a PLAIN-only column would mean dictionary fell
+    * back, the thing this audit exists to catch), the text column's
+    * codec actually compresses (ratio < 0.8), and value counts
+    * reconcile with the row count. Rows-only golden gate.
+    */
+  val s20 = QueryDef.rowsOnly("s20_parquet_encoding_audit") { (s, d) =>
+    val audit = parquetColumnAudit(s, s"$d/documents.parquet").cache()
+    val nRows = graft.Tables.documents(s, d).count()
+    val perCol = audit.groupBy("column")
+      .agg(sum(col("n_values")).as("nv"),
+        max(col("encodings").contains("RLE_DICTIONARY")).as("has_dict"),
+        (sum(col("compressed_bytes")).cast("double") /
+          sum(col("uncompressed_bytes"))).as("ratio"))
+    val summary = perCol.agg(
+      count(lit(1)).as("n_columns"),
+      sum(when(col("has_dict"), 1L).otherwise(0L)).as("n_dict_columns"),
+      sum(when(col("nv") === nRows, 1L).otherwise(0L)).as("n_count_ok"),
+      min(when(col("column") === "text", col("ratio"))).as("text_ratio"))
+      .head()
+    audit.unpersist()
+    val spark = s; import spark.implicits._
+    Seq((summary.getLong(0), summary.getLong(1), summary.getLong(2),
+      math.floor(summary.getDouble(3) * 1e6 + 0.5) / 1e6))
+      .toDF("n_columns", "n_dict_columns", "n_count_ok", "text_ratio")
+      .filter(col("n_columns") === 5 &&
+        col("n_dict_columns") === col("n_columns") &&
+        col("n_count_ok") === col("n_columns") &&
+        col("text_ratio") < 0.8)
+  }
+
   def all: Seq[QueryDef] =
-    Seq(s1, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19)
+    Seq(s1, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20)
 }
