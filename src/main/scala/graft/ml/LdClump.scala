@@ -813,7 +813,10 @@ object LdClump {
       .groupBy("idx")
       .agg((sum(col("d").cast("double")) / count(lit(1))).as("m"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    val p = geno.select(size(col(featCol))).head().getInt(0)
+    // empty cohort: nothing to impute, no width to probe — identity
+    val firstRow = geno.select(size(col(featCol))).head(1)
+    if (firstRow.isEmpty) return (geno, Array.empty[Double])
+    val p = firstRow(0).getInt(0)
     val mv = Array.tabulate(p)(i => means.getOrElse(i, 0.0))
     val mLit = typedLit(mv.toSeq)
     val imputed = geno.withColumn(featCol,

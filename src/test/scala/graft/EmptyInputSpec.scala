@@ -76,6 +76,20 @@ class EmptyInputSpec extends SparkSpec {
     assert(p.isNullAt(0) || p.getDouble(0) == 0.0)
   }
 
+  test("intervals / kinship / imputation / mmr: empty in, empty (or identity) out") {
+    val s = spark; import s.implicits._
+    val iv = Seq.empty[(Long, Long, Long, Long)].toDF("k", "s", "e", "id")
+    assert(graft.ops.RangeJoin.coalesceIntervals(iv, "k", "s", "e", "id")
+      .count() == 0)
+    val geno = Seq.empty[(Long, Seq[Float])].toDF("id", "features")
+    assert(graft.ml.LdClump.ibsPairs(geno, "id", "features").count() == 0)
+    val (imputed, means) = graft.ml.LdClump.meanImpute(geno, "features")
+    assert(imputed.count() == 0 && means.isEmpty)
+    val cands = Seq.empty[(Long, Long, Seq[Float])].toDF("qid", "nid", "nv")
+    val qs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.llm.Similarity.mmrRerank(cands, qs, 3, 0.5).count() == 0)
+  }
+
   test("prs / containment / temperature / maxsim: empty in, empty out") {
     val s = spark; import s.implicits._
     val geno = Seq.empty[(Long, String, Long)].toDF("sample", "variant", "dosage")
