@@ -343,5 +343,47 @@ object GraphOps {
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
   }
 
-  def all: Seq[QueryDef] = Seq(g1, g2, g3, g4)
+  /** G5 — weighted bipartite projection: supplier pairs scored by
+    * co-shipment strength (shared max-quantity parts), with the
+    * Jaccard of their part sets — the "related items" edge weight
+    * every co-occurrence recommender starts from. Pair enumeration
+    * happens per part (bounded groups via the same sparsifier as g3,
+    * never supplier×supplier); weights are one map-side-combinable
+    * count plus a broadcast-joined per-node degree. FULL DuckDB
+    * oracle; weight fractions round at 6 from exact integer ratios.
+    */
+  val g5 = QueryDef.sql(
+    "g5_weighted_projection",
+    """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+      |        FROM lineitem WHERE l_quantity > 49),
+      |deg AS (SELECT s, count(*) AS d FROM ps GROUP BY 1),
+      |pairs AS (SELECT least(a.s, b.s) AS x, greatest(a.s, b.s) AS y,
+      |                 count(*) AS n_shared
+      |          FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      |          GROUP BY 1, 2)
+      |SELECT x, y, CAST(n_shared AS BIGINT) AS n_shared,
+      |       round(CAST(n_shared AS DOUBLE)
+      |             / (da.d + db.d - n_shared), 6) AS jaccard
+      |FROM pairs JOIN deg da ON pairs.x = da.s
+      |           JOIN deg db ON pairs.y = db.s""".stripMargin) { (s, d) =>
+    val ps = Tables.lineitem(s, d).filter(col("l_quantity") > 49)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+      .distinct()
+    val deg = ps.groupBy(col("sup").as("node")).agg(count(lit(1)).as("deg"))
+    val b = ps.select(col("p"), col("sup").as("sup2"))
+    val pairs = ps.join(b, "p").filter(col("sup") < col("sup2"))
+      .groupBy(least(col("sup"), col("sup2")).as("x"),
+        greatest(col("sup"), col("sup2")).as("y"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(deg).withColumnRenamed("node", "x")
+        .withColumnRenamed("deg", "dx"), "x")
+      .join(broadcast(deg).withColumnRenamed("node", "y")
+        .withColumnRenamed("deg", "dy"), "y")
+      .select(col("x"), col("y"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("dx") + col("dy") - col("n_shared")), 6).as("jaccard"))
+  }
+
+  def all: Seq[QueryDef] = Seq(g1, g2, g3, g4, g5)
 }

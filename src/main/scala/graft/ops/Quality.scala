@@ -379,5 +379,31 @@ object Quality {
           .select(lit("__clean__").as("reasons"), col("n")))
   }
 
-  def all: Seq[QueryDef] = Seq(dq1, dq2, dq3, dq4)
+  /** DQ5 — relationship fan-out profile: the distribution of children
+    * per parent across orders→lineitem (INCLUDING zero-child parents
+    * via the left join — the bucket an inner-join profile silently
+    * drops, and exactly where referential bugs hide). Two stacked
+    * map-side aggregates; output is O(max fan-out) rows. The modeling
+    * sanity check behind every join-strategy choice: a fan-out
+    * histogram with an unexpected heavy tail is how you find the
+    * skewed key BEFORE the shuffle does. FULL DuckDB oracle.
+    */
+  val dq5 = QueryDef.sql(
+    "dq5_fanout_profile",
+    """WITH f AS (SELECT o.o_orderkey,
+      |             count(l.l_orderkey) AS n_children
+      |           FROM orders o LEFT JOIN lineitem l
+      |             ON o.o_orderkey = l.l_orderkey
+      |           GROUP BY 1)
+      |SELECT n_children, count(*) AS n_parents
+      |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).select("o_orderkey")
+      .join(Tables.lineitem(s, d).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("o_orderkey")
+      .agg(count(col("l_orderkey")).as("n_children"))
+      .groupBy("n_children").agg(count(lit(1)).as("n_parents"))
+  }
+
+  def all: Seq[QueryDef] = Seq(dq1, dq2, dq3, dq4, dq5)
 }
