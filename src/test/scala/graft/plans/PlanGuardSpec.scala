@@ -263,6 +263,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"c15 shuffled the corpus:\n$p")
   }
 
+  test("e15: the survival window partitions by cohort over the life table") {
+    val p = plan("e15_kaplan_meier")
+    assert(p.contains("Window"), s"window missing:\n$p")
+    assert(!p.contains("partitionBy=[]"), s"global window crept in:\n$p")
+    // the per-user min-aggregate must sit BELOW the window: the window
+    // input is the life table, never raw events
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(_.contains("HashAggregate"))
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < lines.size)
+  }
+
+  test("g5: projection degrees broadcast; no sort-merge join") {
+    val p = plan("g5_weighted_projection")
+    assert(p.contains("BroadcastHashJoin"), s"degrees not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"g5 fell into sort-merge:\n$p")
+  }
+
+  test("a22: the t-test is pure aggregation — no join, no window, O(1) output") {
+    val p = plan("a22_welch_ttest")
+    assert(!p.contains("Join"), s"a22 grew a join:\n$p")
+    assert(!p.contains("Window"), s"a22 grew a window:\n$p")
+  }
+
   test("g4: degree histogram is two stacked aggregates, no join above the edge build") {
     val p = plan("g4_degree_histogram")
     val lines = p.linesIterator.toSeq
