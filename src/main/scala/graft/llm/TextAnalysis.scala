@@ -1210,9 +1210,55 @@ object TextAnalysis {
         .as("zipf_intercept"))
   }
 
+  /** T20 — per-document keyword extraction: top-3 terms by
+    * tf·ln(N/df) per doc (the metadata-enrichment step search/tagging
+    * pipelines run at ingest; t8 ranks terms corpus-wide, this ranks
+    * them per doc). Shapes: one explode + (doc, term) tf aggregate,
+    * one term-keyed df aggregate broadcast back, then a row_number
+    * window partitioned BY DOC — per-doc groups are bounded by the
+    * doc's distinct-term count, never corpus size. Total order
+    * (score desc, term asc) is cross-engine reproducible: exact ln
+    * collisions are impossible for distinct (tf, df) (ln is
+    * irrational on rationals), equal (tf, df) tie-breaks on term.
+    * FULL DuckDB oracle.
+    */
+  val keywordsQ = QueryDef.sql(
+    "t20_doc_keywords",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      |             FROM documents WHERE text IS NOT NULL),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok WHERE t <> ''
+      |       GROUP BY 1, 2),
+      |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+      |sc AS (SELECT doc_id, t, tf.tf,
+      |              tf.tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df.df) AS score
+      |       FROM tf JOIN df USING (t)),
+      |r AS (SELECT doc_id, t, tf, score,
+      |             row_number() OVER (PARTITION BY doc_id
+      |               ORDER BY score DESC, t) AS rk
+      |      FROM sc)
+      |SELECT doc_id, CAST(rk AS INT) AS rank, t AS term,
+      |       CAST(tf AS BIGINT) AS tf, round(score, 6) AS score
+      |FROM r WHERE rk <= 3""".stripMargin) { (s, d) =>
+    val tf = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = tf.select("doc_id").distinct().count()
+    val sc = tf.join(broadcast(df), "t")
+      .withColumn("score",
+        col("tf") * log(lit(n.toDouble) / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("t"))
+    sc.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("t").as("term"),
+        col("tf"), round(col("score"), 6).as("score"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(langId, quality, gopherQ, fingerprint, tokenBudget, rollingFp,
       repetition, piiRedact, tfidf, postings, compression, heavyHitters,
       perSourceTopTerms, unigramLp, bigramLp, normalizeQ, normalizeNfcQ,
-      lexDiversityQ, zipfQ)
+      lexDiversityQ, zipfQ, keywordsQ)
 }
