@@ -66,16 +66,42 @@ object Bench {
       graft.llm.Dedup.dedupRepeatedSpans(wdocs, win = 20, minDocs = 2)
         .write.format("noop").mode("overwrite").save()
       // Iterative-graph machinery (per-round localCheckpoint, cached
-      // self-joins, AQE re-plan per round): one 2-round mini PageRank
-      // eats the first-touch JIT that otherwise lands inside g1
-      // (measured: 13.6 s cold vs 6.1 s warmed at sf0.1).
-      val wedges = spark.range(128).select(
-        (col("id") % 16).as("src"), ((col("id") + 1) % 16).as("dst"))
-      graft.ops.GraphOps.pageRankFixedPoint(wedges, 2)
+      // self-joins, AQE re-plan per round): a 3-round mini PageRank
+      // eats the first-touch JIT that otherwise lands inside g1. The
+      // warmup graph must be LARGE enough (5k nodes, 60k edges) that
+      // (a) AQE picks the same physical join strategies as the real
+      // run (a 16-node warmup broadcast everything, leaving the
+      // shuffled-join classes cold) and (b) the join/agg inner loops
+      // cross the JIT compile threshold (~10k iterations) — measured
+      // at sf0.1: g1 18.6 s truly cold, 12.7 s after a 4k-edge
+      // warmup, ~8 s after this one (5.0 s is the warm floor).
+      val wedges = spark.range(60000).select(
+        (col("id") % 4999).as("src"), ((col("id") * 31 + 7) % 4999).as("dst"))
+      graft.ops.GraphOps.pageRankFixedPoint(wedges, 3)
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Peak-memory column (the reference harness reports wall-time AND
+    // peak memory; this is the parity column): per-query peak HEAP via
+    // MemoryPoolMXBean peak-usage counters, reset before each query —
+    // unlike VmHWM (a monotone process-wide high-water mark) the pool
+    // peaks are resettable, so each query gets its own number. The
+    // process-wide VmHWM (true RSS ceiling incl. off-heap) is reported
+    // once in the summary.
+    import scala.jdk.CollectionConverters._
+    def heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def resetHeapPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def peakHeapMb(): Double =
+      heapPools.map(_.getPeakUsage.getUsed).sum / 1048576.0
+    def vmHwmMb(): Double = try {
+      scala.io.Source.fromFile("/proc/self/status").getLines()
+        .find(_.startsWith("VmHWM:"))
+        .map(_.replaceAll("[^0-9]", "").toDouble / 1024.0).getOrElse(-1.0)
+    } catch { case _: Throwable => -1.0 }
+    val peakMb = scala.collection.mutable.LinkedHashMap[String, Double]()
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=d2_minhash_lsh,d4_… times
     // just those queries; unset (the driver's mode) runs everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -120,12 +146,17 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.valuesIterator
           .foreach(_.unpersist(blocking = false))
         System.gc()
+        resetHeapPeaks()
         val t0 = System.nanoTime()
         try {
           if (fault.contains(name -> rep))
             throw new RuntimeException(s"injected fault at rep $rep")
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           samples += (System.nanoTime() - t0) / 1e9
+          // max over reps: the worst observed footprint is the number a
+          // capacity plan needs
+          val pk = math.floor(peakHeapMb() * 10 + 0.5) / 10
+          peakMb(name) = math.max(peakMb.getOrElse(name, 0.0), pk)
         } catch {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
@@ -154,13 +185,23 @@ object Bench {
     val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val nss = nSamples.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val pks = peakMb.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val timing = if (reps > 1) "warm-median" else "cold-single-shot"
     val total = times.values.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"reps":$reps,"timing":${jstr(timing)},"n_samples":$nss,"sf":${jstr(sfDir)}}"""
-    println(json)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"reps":$reps,"timing":${jstr(timing)},"n_samples":$nss,"peak_heap_mb":$pks,"peak_rss_mb":${vmHwmMb()},"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
+    // The result line goes out LAST, after the Spark session (and its
+    // log chatter) is fully stopped, so no concurrent logger can splice
+    // bytes into the middle of the JSON (r08's artifact showed
+    // "parsed": null — the driver's stdout parse missed the line even
+    // though bench_out.json carried it). Printed on both streams,
+    // explicitly flushed.
     spark.stop()
+    println(json)
+    Console.out.flush()
+    System.err.println(json)
+    System.err.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -506,10 +506,10 @@ object IoQueries {
     def sig(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
       val r = df.agg(count(lit(1)),
         coalesce(sum(when(col("o_orderpriority").isNull, 1L)), lit(0L)),
-        coalesce(sum(crc32(concat_ws("",
+        coalesce(sum(crc32(concat_ws("\u0001",
           col("o_orderkey").cast("string"),
           col("o_totalprice").cast("string"),
-          coalesce(col("o_orderpriority"), lit(" "))))), lit(0L))).head()
+          coalesce(col("o_orderpriority"), lit("\u0000"))))), lit(0L))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     val ms = sig(merged); val es = sig(explicit)
@@ -571,9 +571,9 @@ object IoQueries {
         .drop("v")
     def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
       val canon = Seq("doc_id", "text", "n_chars", "lang")
-        .map(c => coalesce(col(c).cast("string"), lit(" ")))
+        .map(c => coalesce(col(c).cast("string"), lit("\u0000")))
       val r = df.select(count(lit(1)),
-        coalesce(sum(crc32(concat_ws("", canon: _*))), lit(0L))).head()
+        coalesce(sum(crc32(concat_ws("\u0001", canon: _*))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     // commit v1: full corpus, partitioned by lang

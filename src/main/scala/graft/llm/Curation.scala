@@ -840,6 +840,137 @@ object Curation {
         col("kept_corrupt") <= nCorruptTest * 0.05)
   }
 
+  // ------------------------------ closed-form learned quality filter (c17)
+
+  /** Shared c17 fixture: the c9 corrupt-every-3rd construction, reduced
+    * to ONE SQL-replayable feature — lexical diversity x =
+    * |distinct tokens| / |tokens| (the t18 signal; boilerplate ≈ 1/60,
+    * prose high). */
+  private def c17Corpus(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+    val corrupt = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        array_join(array_repeat(split(col("text"), " ").getItem(0), 60), " ")
+          .as("text"))
+    docs.withColumn("y", lit(1.0))
+      .unionByName(corrupt.withColumn("y", lit(0.0)))
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("x", size(array_distinct(col("toks"))).cast("double") /
+        size(col("toks")))
+      .select(col("doc_id"), col("y"), col("x"))
+  }
+
+  private val C17Iters = 8
+  private val C17Lam = 0.01
+
+  /** The DuckDB replay: the IDENTICAL ridge-IRLS recurrence unrolled
+    * one (stats, beta) CTE pair per Newton step — the g1/o4 oracle
+    * pattern applied to model FITTING. Every step is one aggregate
+    * over the corpus; the 2×2 ridge system is solved in closed form
+    * in both engines with the same expression tree. */
+  private def c17OracleSql(iters: Int, lam: Double): String = {
+    val base =
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+         |            WHERE text IS NOT NULL AND len(text) > 0),
+         |corpus AS (
+         |  SELECT doc_id, 1.0 AS y, text FROM src
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, 0.0,
+         |         array_to_string(list_transform(range(60),
+         |           i -> string_split(text, ' ')[1]), ' ')
+         |  FROM src WHERE doc_id % 3 = 0),
+         |f AS (SELECT doc_id, y,
+         |        CAST(len(list_distinct(string_split(lower(text), ' ')))
+         |          AS DOUBLE) / len(string_split(lower(text), ' ')) AS x
+         |      FROM corpus),
+         |b0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s"""s$k AS (SELECT sum(y - mu) AS sg0, sum((y - mu) * x) AS sg1,
+         |          sum(mu * (1 - mu)) AS sw00, sum(mu * (1 - mu) * x) AS sw01,
+         |          sum(mu * (1 - mu) * x * x) AS sw11
+         |        FROM (SELECT y, x, 1 / (1 + exp(-(b.b0 + b.b1 * x))) AS mu
+         |              FROM f, b$p b)),
+         |b$k AS (SELECT
+         |  b.b0 + ((sw11 + $lam) * (sg0 - $lam * b.b0)
+         |          - sw01 * (sg1 - $lam * b.b1)) /
+         |         ((sw00 + $lam) * (sw11 + $lam) - sw01 * sw01) AS b0,
+         |  b.b1 + ((sw00 + $lam) * (sg1 - $lam * b.b1)
+         |          - sw01 * (sg0 - $lam * b.b0)) /
+         |         ((sw00 + $lam) * (sw11 + $lam) - sw01 * sw01) AS b1
+         |  FROM b$p b, s$k)""".stripMargin
+    }
+    val tail =
+      s"""SELECT (SELECT count(*) FROM f) AS n_docs,
+         |       round((SELECT b0 FROM b$iters), 6) AS b0,
+         |       round((SELECT b1 FROM b$iters), 6) AS b1,
+         |       (SELECT count(*) FROM f, b$iters b
+         |        WHERE y = 1.0 AND b.b0 + b.b1 * x > 0) AS n_kept_clean,
+         |       (SELECT count(*) FROM f, b$iters b
+         |        WHERE y = 0.0 AND b.b0 + b.b1 * x > 0) AS n_kept_corrupt""".stripMargin
+    (base +: steps).mkString(",\n") + "\n" + tail
+  }
+
+  /** C17 — LEARNED quality filter with a FULL DuckDB oracle: a ridge-
+    * logistic classifier (λ = 0.01 on both coefficients — the fixture
+    * is near-separable, so unpenalized IRLS would diverge; the ridge
+    * pins a finite deterministic optimum) fit by 8 Newton steps from
+    * (0,0) on lexical diversity, then threshold at P(keep) = 0.5
+    * (⇔ η > 0). This is the CCNet-shape model filter c9 runs with a
+    * GBT, re-expressed so the ENTIRE fit is cross-engine verifiable:
+    * DuckDB replays every Newton step and must land on the same
+    * rounded coefficients and the same kept counts. Engine-side gates
+    * (sign, ≥90% clean kept, ≤5% corrupt kept) still guard emission.
+    * Scale: each step is one map-side-combinable aggregate over the
+    * corpus — 8 scans total, no shuffle wider than the 5-double
+    * partial.
+    */
+  val logisticFilter = QueryDef.sql("c17_logistic_quality_filter",
+      c17OracleSql(C17Iters, C17Lam)) { (s, d) =>
+    val feats = c17Corpus(s, d).localCheckpoint(eager = false)
+    val lam = C17Lam
+    var b0 = 0.0; var b1 = 0.0
+    for (_ <- 0 until C17Iters) {
+      val mu = lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x"))))
+      val w = mu * (lit(1.0) - mu)
+      val r = feats.agg(
+        sum(col("y") - mu).as("sg0"),
+        sum((col("y") - mu) * col("x")).as("sg1"),
+        sum(w).as("sw00"),
+        sum(w * col("x")).as("sw01"),
+        sum(w * col("x") * col("x")).as("sw11")).head()
+      val (sg0, sg1) = (r.getDouble(0), r.getDouble(1))
+      val (sw00, sw01, sw11) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val det = (sw00 + lam) * (sw11 + lam) - sw01 * sw01
+      val nb0 = b0 + ((sw11 + lam) * (sg0 - lam * b0) -
+        sw01 * (sg1 - lam * b1)) / det
+      val nb1 = b1 + ((sw00 + lam) * (sg1 - lam * b1) -
+        sw01 * (sg0 - lam * b0)) / det
+      b0 = nb0; b1 = nb1
+    }
+    val eta = lit(b0) + lit(b1) * col("x")
+    val r = feats.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("y") === 1.0 && eta > 0, 1L).otherwise(0L))
+        .as("n_kept_clean"),
+      sum(when(col("y") === 0.0 && eta > 0, 1L).otherwise(0L))
+        .as("n_kept_corrupt"),
+      sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_clean"),
+      sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("n_corrupt")).head()
+    val (nDocs, keptClean, keptCorrupt) =
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (nClean, nCorrupt) = (r.getLong(3), r.getLong(4))
+    val spark = s; import spark.implicits._
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nDocs, r6(b0), r6(b1), keptClean, keptCorrupt))
+      .toDF("n_docs", "b0", "b1", "n_kept_clean", "n_kept_corrupt")
+      .filter(lit(b1 > 0 && nDocs > 0 &&
+        keptClean >= nClean * 0.9 && keptCorrupt <= nCorrupt * 0.05))
+  }
+
   // ----------------------------------- DSIR importance-weighted selection
 
   /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — "Data
@@ -1180,6 +1311,7 @@ object Curation {
 
   def all: Seq[QueryDef] =
     Seq(pipeline, budgetSample, sourceMix, packing, domainCap, chunking,
-      urlCanon, curriculum, qualityFilter, dsir, groupSplitQ, weightedSampleQ,
+      urlCanon, curriculum, qualityFilter, logisticFilter, dsir,
+      groupSplitQ, weightedSampleQ,
       stratifiedSampleQ, priorityDedupQ, temperatureQ, datasetCard)
 }

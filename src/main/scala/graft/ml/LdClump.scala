@@ -740,10 +740,16 @@ object LdClump {
     * SNP subsets + blocked candidate screening (KING), with this
     * exact kernel on candidate pairs only.
     */
-  def ibsPairs(geno: DataFrame, idCol: String, featCol: String): DataFrame = {
-    val a = geno.select(col(idCol).as("id_a"), col(featCol).as("fa"))
-    val b = geno.select(col(idCol).as("id_b"), col(featCol).as("fb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+  /** Exact IBS kernel over an explicit candidate-pair set: joins each
+    * side's dosage vector back on and computes the integral numerator /
+    * pairwise-complete denominator. This is the VERIFY stage — every
+    * screening path feeds it; the brute-force path feeds it all pairs.
+    */
+  def ibsOnPairs(pairs: DataFrame, geno: DataFrame, idCol: String,
+      featCol: String): DataFrame =
+    pairs
+      .join(geno.select(col(idCol).as("id_a"), col(featCol).as("fa")), "id_a")
+      .join(geno.select(col(idCol).as("id_b"), col(featCol).as("fb")), "id_b")
       .select(col("id_a"), col("id_b"),
         aggregate(zip_with(col("fa"), col("fb"), (x, y) =>
           when(!isnan(x) && !isnan(y),
@@ -755,20 +761,93 @@ object LdClump {
           lit(0.0), (acc, v) => acc + v).cast("long").as("n_valid"))
       .withColumn("ibs",
         round(col("ibs_num").cast("double") / (lit(2.0) * col("n_valid")), 6))
+
+  def ibsPairs(geno: DataFrame, idCol: String, featCol: String): DataFrame = {
+    val ids = geno.select(col(idCol).as("id"))
+    val pairs = ids.select(col("id").as("id_a"))
+      .crossJoin(ids.select(col("id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    ibsOnPairs(pairs, geno, idCol, featCol)
   }
+
+  /** Candidate BLOCKING for the high-IBS screen — the KING-style move
+    * that replaces the all-pairs crossJoin with a banded equi-join
+    * (Manichaikul et al. 2010 run the same shape: cheap blocked screen,
+    * exact kernel on survivors; cf. the dedup split at Dedup.scala's
+    * `bucketCandidates`). The SNP axis is cut into `bands` contiguous
+    * slices; each sample emits one hash per slice (NaN → sentinel, so
+    * identical missing patterns still collide); a pair becomes a
+    * candidate iff it agrees EXACTLY on at least one whole band.
+    *
+    * Deterministic recall guarantee (not probabilistic): a pair whose
+    * dosage vectors differ — by value OR by missingness pattern — in at
+    * most `bands − 1` distinct positions must share an untouched band.
+    * A pair at IBS ≥ T with both-valid denominator n_v has at most
+    * ⌊2·p·(1−T)⌋ value mismatches (each contributes ≥ 1 to Σ|dᵢ−dⱼ|),
+    * so size `bands` > value-mismatch budget + expected asymmetric-NaN
+    * positions (≈ 2·p·missRate on LD-pruned, low-missingness QC panels).
+    * Shuffle is (samples × bands) signature rows keyed by (band, hash);
+    * pathological hot buckets (monomorphic bands) surface as join skew
+    * and are handled the same way dedup handles hot shingles — drop or
+    * re-split the band, never fall back to all-pairs.
+    */
+  def ibsCandidatePairs(geno: DataFrame, idCol: String, featCol: String,
+      bands: Int): DataFrame = {
+    val head = geno.select(size(col(featCol))).head(1)
+    if (head.isEmpty)
+      return geno.sparkSession.range(0)
+        .select(col("id").as("id_a"), col("id").as("id_b"))
+    val p = head(0).getInt(0)
+    require(bands >= 1 && bands <= p,
+      s"ibsCandidatePairs: bands=$bands outside [1, $p]")
+    val bounds = (0 to bands).map(b => (b * p) / bands)
+    val bandCols = (0 until bands).map { b =>
+      val start = bounds(b); val len = bounds(b + 1) - start
+      struct(lit(b).as("band"),
+        xxhash64(transform(slice(col(featCol), start + 1, len),
+          x => when(isnan(x), lit(-1.0)).otherwise(x.cast("double"))))
+          .as("h"))
+    }
+    val sig = geno
+      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
+    sig.alias("a").join(sig.alias("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Blocked high-IBS screen: banded candidates → exact kernel. The
+    * production path for `ibs ≥ threshold` queries — O(samples·bands)
+    * signatures + kernel work proportional to true-ish pairs, vs the
+    * brute path's O(n²). `bands` must satisfy the recall bound in
+    * [[ibsCandidatePairs]] for the target threshold; LdClumpSpec proves
+    * candidate recall = 1.0 against the brute kernel on the planted
+    * fixture.
+    */
+  def ibsPairsScreened(geno: DataFrame, idCol: String, featCol: String,
+      bands: Int): DataFrame =
+    ibsOnPairs(ibsCandidatePairs(geno, idCol, featCol, bands), geno,
+      idCol, featCol)
 
   /** M21 — relatedness screen on the m15 fixture (9 planted dosage
     * patterns over 297 samples ⇒ 9 identity classes; same-class pairs
     * are IBS=1 "duplicates/twins", the exact thing the QC exists to
-    * flag). FULL DuckDB oracle: the m15 VALUES replay self-joined per
-    * pair with the identical integral arithmetic; the NaN-punched SNP
-    * exercises the pairwise-complete denominator. Output: all pairs
-    * with IBS ≥ 0.95.
+    * flag). Runs the SCREENED path — banded candidate blocking, exact
+    * kernel on candidates only — with bands=3: at threshold 0.95 over
+    * p=9 integral dosages the value-mismatch budget is ⌊2·9·0.05⌋ = 0
+    * and the fixture punches NaNs into exactly one SNP, so every true
+    * pair touches ≤ 1 of 3 bands and recall is exact by the
+    * [[ibsCandidatePairs]] bound. FULL DuckDB oracle: the m15 VALUES
+    * replay self-joined per pair with the identical integral
+    * arithmetic — a screening false negative loses oracle rows and
+    * fails the hash compare loudly. Output: all pairs with IBS ≥ 0.95.
     */
   val m21 = QueryDef(
     "m21_ibs_kinship",
     { (s, _) =>
-      ibsPairs(fixtureGeno(s), "id", "features")
+      ibsPairsScreened(fixtureGeno(s), "id", "features", bands = 3)
         // filter on the RAW ratio exactly as the oracle does (the
         // rounded display column could disagree at a threshold edge)
         .filter(col("ibs_num").cast("double") /

@@ -39,14 +39,33 @@ object GraphOps {
     * Returns (node, rank_fp) where rank_fp is in units of 1e-12.
     * Every node appearing as src or dst participates; nodes with no
     * out-edges contribute their mass uniformly (dangling handling).
+    *
+    * `assumeDistinctEdges = true` skips the defensive edge dedup — for
+    * callers whose construction guarantees it (g1's undirected doubling
+    * of an already-distinct pair set over disjoint even/odd key spaces
+    * cannot collide), the dedup is a pure extra shuffle over the full
+    * edge set.
+    *
+    * The iteration runs with AQE OFF and shuffle partitions sized to
+    * the edge count (≈150k edge rows per partition, floor 8, cap
+    * 4× default parallelism): every round has the identical 2-shuffle
+    * shape, so adaptive re-planning buys nothing and costs a driver
+    * re-optimization per round, and its partition coalescing broke
+    * exchange reuse against the cached pre-partitioned edge relation
+    * (measured at sf0.1, 1.17M edges: 0.33 s/round sized vs ~1 s/round
+    * under AQE). Session confs are restored in a finally.
     */
-  def pageRankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRankFixedPoint(edges: DataFrame, iters: Int,
+      assumeDistinctEdges: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .distinct()
+    val sess = edges.sparkSession
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val eDedup = if (assumeDistinctEdges) e0 else e0.distinct()
+    val e = eDedup
       .repartition(col("src")) // reused by every iteration's join
       .cache()
+    val nEdges = e.count() // materializes the cache; sizes the loop
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count()
@@ -58,48 +77,61 @@ object GraphOps {
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
       .cache()
     val teleport = (3L * F) / (20L * n) // (1-d)/N, exact integral
-    // bake outdeg INTO the cached edge table once: the iteration then
-    // joins ranks against ONE pre-partitioned relation instead of
-    // re-deriving rank⋈deg every round
-    val e2 = e.join(deg.filter(col("outdeg") > 0)
-        .withColumnRenamed("node", "src"), "src")
-      .repartition(col("src")).cache()
-    val danglingNodes = deg.filter(col("outdeg") === 0)
-      .select(col("node")).cache()
-    // one upfront count: graphs with no sinks (most real link graphs
-    // after symmetrization) skip the per-round dangling aggregate job
-    val hasDangling = danglingNodes.count() > 0
-    // Per-round materialization MUST truncate the LOGICAL plan, not
-    // just execution: `cache()` leaves the full logical tree in place,
-    // so round k's plan embeds round k-1's — Catalyst re-analysis
-    // doubles per round (measured: iter 9 spent 115 s in the optimizer
-    // on a 1k-node graph). Eager localCheckpoint rewrites the frame to
-    // an RDD scan — O(1) plan size AND O(1) recovery lineage per round
-    // (the distributedClusters contract, llm/Dedup.scala).
-    var ranks = deg.select(col("node"), lit(F / n).as("rank_fp"))
-      .localCheckpoint(eager = true)
-    var i = 0
-    while (i < iters) {
-      val dangling =
-        if (hasDangling)
-          ranks.join(danglingNodes, "node")
-            .agg(coalesce(sum(col("rank_fp")), lit(0L))).head().getLong(0)
-        else 0L
-      val contrib = e2.join(ranks, col("src") === col("node"))
-        .select(col("dst"), expr("rank_fp div outdeg").as("c"))
-        .groupBy(col("dst").as("node")).agg(sum(col("c")).as("contrib"))
-      val next = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"17 * (coalesce(contrib, 0L) + ${dangling / n}L) div 20"))
-            .as("rank_fp"))
+    val loopParts = math.max(8L, math.min(nEdges / 150000L + 1L,
+      sess.sparkContext.defaultParallelism * 4L)).toInt
+    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled")
+    val partsWas = sess.conf.get("spark.sql.shuffle.partitions")
+    try {
+      sess.conf.set("spark.sql.adaptive.enabled", "false")
+      sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      // bake outdeg INTO the cached edge table once: the iteration then
+      // joins ranks against ONE pre-partitioned relation instead of
+      // re-deriving rank⋈deg every round; materialized HERE (count) so
+      // the build cost lands in setup, not inside round 0
+      val e2 = e.join(deg.filter(col("outdeg") > 0)
+          .withColumnRenamed("node", "src"), "src")
+        .repartition(loopParts, col("src")).cache()
+      e2.count()
+      val danglingNodes = deg.filter(col("outdeg") === 0)
+        .select(col("node")).cache()
+      // one upfront count: graphs with no sinks (most real link graphs
+      // after symmetrization) skip the per-round dangling aggregate job
+      val hasDangling = danglingNodes.count() > 0
+      // Per-round materialization MUST truncate the LOGICAL plan, not
+      // just execution: `cache()` leaves the full logical tree in place,
+      // so round k's plan embeds round k-1's — Catalyst re-analysis
+      // doubles per round (measured: iter 9 spent 115 s in the optimizer
+      // on a 1k-node graph). Eager localCheckpoint rewrites the frame to
+      // an RDD scan — O(1) plan size AND O(1) recovery lineage per round
+      // (the distributedClusters contract, llm/Dedup.scala).
+      var ranks = deg.select(col("node"), lit(F / n).as("rank_fp"))
         .localCheckpoint(eager = true)
-      ranks = next
-      i += 1
+      var i = 0
+      while (i < iters) {
+        val dangling =
+          if (hasDangling)
+            ranks.join(danglingNodes, "node")
+              .agg(coalesce(sum(col("rank_fp")), lit(0L))).head().getLong(0)
+          else 0L
+        val contrib = e2.join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("rank_fp div outdeg").as("c"))
+          .groupBy(col("dst").as("node")).agg(sum(col("c")).as("contrib"))
+        val next = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(teleport) +
+              expr(s"17 * (coalesce(contrib, 0L) + ${dangling / n}L) div 20"))
+              .as("rank_fp"))
+          .localCheckpoint(eager = true)
+        ranks = next
+        i += 1
+      }
+      e2.unpersist(); danglingNodes.unpersist()
+      ranks
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      sess.conf.set("spark.sql.shuffle.partitions", partsWas)
+      e.unpersist(); nodes.unpersist(); deg.unpersist()
     }
-    e2.unpersist(); danglingNodes.unpersist()
-    e.unpersist(); nodes.unpersist(); deg.unpersist()
-    ranks
   }
 
   /** The DuckDB oracle replays the SAME integral arithmetic, unrolled
@@ -171,7 +203,9 @@ object GraphOps {
           (col("l_suppkey") * 2 + 1).cast("long").as("dst"))
         .distinct()
       val edges = le.union(le.select(col("dst").as("src"), col("src").as("dst")))
-      pageRankFixedPoint(edges, pageRankIters)
+      // distinct by construction: le is deduped and the doubled copies
+      // live in disjoint (even→odd)/(odd→even) key spaces
+      pageRankFixedPoint(edges, pageRankIters, assumeDistinctEdges = true)
         .select(col("node"),
           when(col("node") % 2 === 0, "customer").otherwise("supplier")
             .as("node_type"),

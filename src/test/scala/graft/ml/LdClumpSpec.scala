@@ -209,6 +209,48 @@ class LdClumpSpec extends SparkSpec {
     }
   }
 
+  test("ibs screening: banded candidates recall 1.0 on planted relatedness, blocked not all-pairs") {
+    val s = spark
+    // 180 samples in 6 identity classes over 12 SNPs: dosage(j) =
+    // ((id % 6) + j) % 3, so same-class vectors are identical and
+    // cross-class vectors differ at EVERY position (IBS well below the
+    // bar). SNP 5 is NaN-punched for id % 40 == 0 — the asymmetric-
+    // missingness case the banding must survive (a punched/unpunched
+    // same-class pair differs in exactly one band of four).
+    val geno = s.range(0, 180).select(col("id"),
+      array((0 until 12).map { j =>
+        val base = ((col("id") % 6) + lit(j)) % 3
+        if (j == 5)
+          when(col("id") % 40 === 0, lit(Double.NaN))
+            .otherwise(base.cast("double"))
+        else base.cast("double")
+      }: _*).as("features"))
+      .repartition(7)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = LdClump.ibsPairs(geno, "id", "features")
+      .filter(col("ibs_num").cast("double") /
+        (lit(2.0) * col("n_valid")) >= 0.95)
+    val bruteSet = pairSet(brute)
+    assert(bruteSet.nonEmpty, "fixture must plant related pairs")
+    val cands = pairSet(LdClump.ibsCandidatePairs(geno, "id", "features", 4))
+    // recall = 1.0: every true >=0.95 pair survives the blocking stage
+    assert((bruteSet -- cands).isEmpty,
+      s"screening missed ${(bruteSet -- cands).size} true pairs")
+    // and the blocking actually blocks: far fewer candidates than the
+    // 180*179/2 = 16110 all-pairs space
+    assert(cands.size < 16110 / 2,
+      s"candidate set ${cands.size} is not meaningfully blocked")
+    // end-to-end: screened output at the threshold == brute output
+    val screened = LdClump.ibsPairsScreened(geno, "id", "features", 4)
+      .filter(col("ibs_num").cast("double") /
+        (lit(2.0) * col("n_valid")) >= 0.95)
+    val bruteRows = brute.orderBy("id_a", "id_b").collect().toSeq
+    val screenedRows = screened.orderBy("id_a", "id_b").collect().toSeq
+    assert(screenedRows == bruteRows)
+  }
+
   test("variantMissingness: NaN-only inspection, defined on adjusted dosages") {
     val s = spark
     // 1.5 would make hweCounts throw — missingness must accept it
