@@ -101,5 +101,161 @@ object Sketches {
         col("cms_est") <= col("exact_n") + lit((eps * n).toLong))
   }
 
-  def all: Seq[QueryDef] = Seq(k2, k3)
+  /** Distributed mergeable KLL quantile sketch (Karnin, Lang & Liberty,
+    * FOCS 2016; Apache DataSketches implementation): one KLL per
+    * partition, √partitions-fan-in treeReduce merge, quantile reads on
+    * the driver. This is the streaming/pre-aggregable counterpart of
+    * a4's exact sort — O(k·log(n/k)) state per partition instead of a
+    * global sort, and partials from different days/sources merge
+    * losslessly within the published rank-error bound. Returns
+    * (stream length seen by the sketch, estimates at `qs`).
+    */
+  def kllQuantiles(df: DataFrame, c: String, k: Int,
+      qs: Seq[Double]): (Long, Seq[Double]) = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val rdd = df.select(col(c).cast("double")).na.drop()
+      .rdd.map(_.getDouble(0))
+    val bytes = rdd.mapPartitions { it =>
+      val sk = KllDoublesSketch.newHeapInstance(k)
+      it.foreach(sk.update)
+      Iterator.single(sk.toByteArray)
+    }.treeReduce({ (a, b) =>
+      val sa = KllDoublesSketch.heapify(Memory.wrap(a))
+      sa.merge(KllDoublesSketch.heapify(Memory.wrap(b)))
+      sa.toByteArray
+    }, depth = 2)
+    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    (sk.getN, qs.map(q => sk.getQuantile(q)))
+  }
+
+  /** K4 — KLL quantile-sketch gate on lineitem prices, with a FULL
+    * DuckDB oracle despite the sketch being RANDOMIZED (KLL compaction
+    * flips unseeded coins, so estimates vary run-to-run — unlike
+    * HLL/CMS there is no determinism contract to gate): the emitted
+    * rows carry only the DETERMINISTIC truth — each target quantile
+    * with the exact values at ranks q ± 0.03 (double the k=200
+    * published ~1.3–1.65% normalized rank error, so the pass
+    * probability is ≈ 1 per rank) — and the sketch gates EMISSION:
+    * every estimate must land inside its rank-error window and the
+    * sketch must have seen exactly n values. A broken sketch or merge
+    * empties the output and fails the row-count compare loudly, while
+    * the hash compare never touches a randomized value.
+    */
+  val k4 = QueryDef.sql(
+    "k4_kll_quantiles",
+    """WITH e AS (SELECT quantile_cont(l_extendedprice,
+      |    [0.00, 0.01, 0.04, 0.22, 0.25, 0.28, 0.47, 0.50, 0.53,
+      |     0.72, 0.75, 0.78, 0.96, 0.99, 1.00]) AS v,
+      |  count(l_extendedprice) AS n FROM lineitem),
+      |b(q, li, qi, hi) AS (VALUES
+      |  (0.01, 1, 2, 3), (0.25, 4, 5, 6), (0.50, 7, 8, 9),
+      |  (0.75, 10, 11, 12), (0.99, 13, 14, 15))
+      |SELECT b.q AS quantile, round(e.v[b.li], 2) AS exact_lo,
+      |       round(e.v[b.qi], 2) AS exact_q, round(e.v[b.hi], 2) AS exact_hi,
+      |       e.n AS n
+      |FROM b, e""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice"))
+    val qs = Seq(0.01, 0.25, 0.50, 0.75, 0.99)
+    val eps = 0.03
+    val lo = qs.map(q => math.max(0.0, q - eps))
+    val hi = qs.map(q => math.min(1.0, q + eps))
+    val exact = RelationalQueries.exactQuantilesSorted(
+      li, "l_extendedprice", qs ++ lo ++ hi)
+    val (exQ, exLo, exHi) = (exact.take(5), exact.slice(5, 10),
+      exact.slice(10, 15))
+    val n = li.na.drop().count()
+    val (kllN, ests) = kllQuantiles(li, "l_extendedprice", 200, qs)
+    val allWithin = ests.indices.forall(i =>
+      ests(i) >= exLo(i) && ests(i) <= exHi(i))
+    val spark = s; import spark.implicits._
+    qs.indices.map { i =>
+      (qs(i),
+        BigDecimal(exLo(i)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(exQ(i)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(exHi(i)).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        n)
+    }.toDF("quantile", "exact_lo", "exact_q", "exact_hi", "n")
+      .filter(lit(allWithin && kllN == n && n > 0))
+  }
+
+  /** Distributed theta sketch over a long column: per-partition update
+    * sketches, √partitions treeReduce union, compact bytes back. Theta
+    * is the sketch family that supports INTERSECTION and DIFFERENCE —
+    * the set algebra HLL cannot do (HLL unions only). Below 2^lgK
+    * distinct items the sketch is in EXACT mode (θ = 1, every hash
+    * retained): estimates are exact integers and deterministic (the
+    * hash is seeded, the default DataSketches seed is fixed).
+    */
+  def thetaSketch(df: DataFrame, c: String,
+      lgK: Int = 12): org.apache.datasketches.theta.CompactSketch = {
+    import org.apache.datasketches.theta.{SetOperation, Sketches => TS, UpdateSketch}
+    import org.apache.datasketches.memory.Memory
+    val bytes = df.select(col(c).cast("long")).na.drop()
+      .rdd.map(_.getLong(0))
+      .mapPartitions { it =>
+        val sk = UpdateSketch.builder().setLogNominalEntries(lgK).build()
+        it.foreach(sk.update)
+        Iterator.single(sk.compact().toByteArray)
+      }.treeReduce({ (a, b) =>
+        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+        u.union(Memory.wrap(a))
+        u.union(Memory.wrap(b))
+        u.getResult.toByteArray
+      }, depth = 2)
+    TS.wrapSketch(Memory.wrap(bytes)).compact()
+  }
+
+  /** K5 — theta-sketch set algebra on events: distinct users active in
+    * the first half of January vs the second, and their union /
+    * intersection (retained users) / difference (churned users) — the
+    * per-segment audience arithmetic a warehouse answers from stored
+    * sketches without re-scanning raw events. FULL DuckDB oracle: at
+    * the gated scales the user universe (≤ 1.5k) sits far below the
+    * 2^12-entry nominal, so every sketch is in EXACT mode and each
+    * estimate is the exact integral count DuckDB recomputes with
+    * COUNT(DISTINCT) set logic. The exact-mode precondition is gated
+    * engine-side (any sketch in estimation mode empties the output —
+    * loud, not silently approximate); at production cardinalities the
+    * same plan serves ±1.6% estimates, documented here rather than
+    * gated.
+    */
+  val k5 = QueryDef.sql(
+    "k5_theta_set_ops",
+    """WITH a AS (SELECT DISTINCT user_id FROM events
+      |           WHERE CAST(day(ts) AS INT) <= 15),
+      |b AS (SELECT DISTINCT user_id FROM events
+      |      WHERE CAST(day(ts) AS INT) > 15)
+      |SELECT (SELECT count(*) FROM a) AS n_first_half,
+      |       (SELECT count(*) FROM b) AS n_second_half,
+      |       (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+      |         AS n_union,
+      |       (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+      |         AS n_retained,
+      |       (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+      |         AS n_churned""".stripMargin) { (s, d) =>
+    import org.apache.datasketches.theta.SetOperation
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), dayofmonth(col("ts")).as("dom"))
+    val skA = thetaSketch(ev.filter(col("dom") <= 15), "user_id")
+    val skB = thetaSketch(ev.filter(col("dom") > 15), "user_id")
+    val u = SetOperation.builder().buildUnion()
+    u.union(skA); u.union(skB)
+    val union = u.getResult
+    val inter = SetOperation.builder().buildIntersection()
+    inter.intersect(skA); inter.intersect(skB)
+    val aNotB = SetOperation.builder().buildANotB().aNotB(skA, skB)
+    val exactMode = !skA.isEstimationMode && !skB.isEstimationMode &&
+      !union.isEstimationMode
+    val spark = s; import spark.implicits._
+    Seq((math.round(skA.getEstimate), math.round(skB.getEstimate),
+        math.round(union.getEstimate),
+        math.round(inter.getResult.getEstimate),
+        math.round(aNotB.getEstimate)))
+      .toDF("n_first_half", "n_second_half", "n_union", "n_retained",
+        "n_churned")
+      .filter(lit(exactMode) && col("n_union") > 0)
+  }
+
+  def all: Seq[QueryDef] = Seq(k2, k3, k4, k5)
 }
