@@ -1095,9 +1095,13 @@ object Similarity {
        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin
   }
 
-  /** Exact MaxSim top-1 over (queries × corpus) — the truth kernel both
-    * the v13 gate and the v16 recall measurement share. */
-  def maxSimTop1(queries: DataFrame, corpus: DataFrame): DataFrame = {
+  /** Exact MaxSim top-1 over (queries × corpus) — the truth both the
+    * v13 gate and the v16 recall measurement share, as the expression
+    * crossJoin plan. Kept as the composable/SQL-shaped form; the gated
+    * queries run [[maxSimTop1Kernel]] (identical arithmetic, ~4×
+    * faster — the 16 slice-cosines per pair re-walk the arrays through
+    * interpreted HOF slices here). */
+  def maxSimTop1Expr(queries: DataFrame, corpus: DataFrame): DataFrame = {
     val scored = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .crossJoin(corpus.select(col("vec_id").as("nid"),
@@ -1106,6 +1110,75 @@ object Similarity {
       .withColumn("sim", maxSimScore(col("qv"), col("nv")))
     topKPerQuery(scored, 1).drop("rank")
   }
+
+  /** Kernel form of the exact MaxSim truth: corpus broadcast once
+    * (gate-scale panels only — production retrieval is the v16 ANN
+    * path), per-partition primitive loops with the IDENTICAL
+    * arithmetic contract as [[maxSimScore]] / the DuckDB oracle —
+    * fused dot/norm accumulation in index order per 16-dim slice,
+    * each cosine rounded HALF_UP to 6dp (BigDecimal, matching Spark's
+    * `round` and DuckDB's), max over j then sum over ascending i,
+    * ties broken to the lowest neighbor id (corpus scanned in id
+    * order, strict >). Cross-engine parity is enforced by the v13/v16
+    * oracles hash-matching; expression-vs-kernel equality is asserted
+    * in TextDedupSpec.
+    */
+  def maxSimTop1Kernel(queries: DataFrame, corpus: DataFrame,
+      subDim: Int = 16, nSub: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val corpusArr = corpus
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpusArr)
+    import spark.implicits._
+    queries.select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (qid, q) =>
+          var bestSim = Double.NegativeInfinity
+          var bestNid = Long.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val nid = cs(c)._1
+            if (nid != qid) {
+              val v = cs(c)._2
+              var score = 0.0
+              var i = 0
+              while (i < nSub) {
+                var best = Double.NegativeInfinity
+                var j = 0
+                while (j < nSub) {
+                  var dot = 0.0; var na = 0.0; var nb = 0.0
+                  var k = 0
+                  while (k < subDim) {
+                    val x = q(i * subDim + k).toDouble
+                    val y = v(j * subDim + k).toDouble
+                    dot += x * y; na += x * x; nb += y * y
+                    k += 1
+                  }
+                  val cos = java.math.BigDecimal
+                    .valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+                    .setScale(6, java.math.RoundingMode.HALF_UP)
+                    .doubleValue()
+                  if (cos > best) best = cos
+                  j += 1
+                }
+                score += best
+                i += 1
+              }
+              if (score > bestSim) { bestSim = score; bestNid = nid }
+            }
+            c += 1
+          }
+          (qid, bestNid, bestSim)
+        }
+      }.toDF("qid", "nid", "sim")
+  }
+
+  def maxSimTop1(queries: DataFrame, corpus: DataFrame): DataFrame =
+    maxSimTop1Kernel(queries, corpus)
 
   /** V13 — exact MaxSim top-1 for the probe queries, FULL DuckDB
     * oracle (identical slice/round/max/sum arithmetic). */

@@ -351,6 +351,22 @@ class TextDedupSpec extends SparkSpec {
     assert(got2 == 4.0)
   }
 
+  test("maxSimTop1: kernel and expression paths agree row-for-row") {
+    import spark.implicits._
+    // 24 pseudo-random 64-dim vectors (deterministic LCG), probe = 6
+    val rng = new scala.util.Random(99)
+    val vecs = (0L until 24L).map(i =>
+      (i, Array.fill(64)(rng.nextFloat() * 2 - 1)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val probes = emb.filter(col("vec_id") < 6)
+    val expr = Similarity.maxSimTop1Expr(probes, emb)
+      .orderBy("qid").collect().toSeq
+    val kern = Similarity.maxSimTop1Kernel(probes, emb)
+      .orderBy("qid").collect().toSeq
+    assert(kern.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+      expr.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+  }
+
   test("mmrRerank: first pick is pure relevance; second avoids the near-dup") {
     import spark.implicits._
     // query along x; A and C sit symmetrically at ±26° (rel 0.9 each,
