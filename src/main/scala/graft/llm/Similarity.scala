@@ -230,27 +230,45 @@ object Similarity {
     emb.join(losers, Seq("vec_id"), "left_anti")
   }
 
-  /** IVF-style ANN (the other scale path of the mandate): a KMeans
-    * coarse quantizer (spark.ml) assigns every corpus vector to a cell;
-    * a query probes only its `nProbe` nearest centroids and scores
-    * candidates within those cells. Centroids are a driver-side k×dim
-    * array (tiny) folded into the probe expression; the corpus shuffle
-    * is one groupBy-free equi-join on cell id.
+  /** IVF-style ANN (the other scale path of the mandate): a coarse
+    * quantizer assigns every corpus vector to a cell; a query probes
+    * only its `nProbe` nearest centroids and scores candidates within
+    * those cells. Centroids come from the repo's fused-Lloyd trainer
+    * ([[pqTrain]] with m = 1) — the same quantizer v12's IVFPQ uses:
+    * each Lloyd round is ONE treeAggregate pass vs spark.ml KMeans'
+    * ~20 paired jobs (measured: the v16 sub-vector fit dropped ~3 s),
+    * and centroids are deterministic for a given file layout (id-
+    * seeded init, fixed combine order) where KMeans' kmeans|| sampling
+    * depended on its RNG. Centroids are a driver-side k×dim array
+    * (tiny) folded into the probe expression; the corpus shuffle is
+    * one groupBy-free equi-join on cell id. `seed` is retained for
+    * API stability but unused — determinism now comes from ids.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 16,
       nProbe: Int = 4, seed: Long = 7L): DataFrame = {
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(seed).setFeaturesCol("fv").setPredictionCol("cell")
-    val corpusFv = corpus.withColumn("fv",
-      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
-    val model = km.fit(corpusFv)
-    val cells = model.transform(corpusFv)
-      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("cell"))
-    val centroids = model.clusterCenters.map(_.toArray)
-    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
+    val centroids = pqTrain(corpus, 1, nCells).head
+    val bcCells = queries.sparkSession.sparkContext.broadcast(centroids)
+    val cellOf = udf { (v: Seq[Float]) =>
+      val cs = bcCells.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var s = 0.0; var j = 0
+        val cj = cs(c)
+        while (j < cj.length) {
+          val diff = v(j) - cj(j); s += diff * diff; j += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
+    val cells = corpus
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        cellOf(col("embedding")).as("cell"))
     val nP = nProbe
     val probeCells = udf { (v: Seq[Float]) =>
-      val cs = bc.value
+      val cs = bcCells.value
       val d2 = cs.indices.map { c =>
         var s = 0.0
         var j = 0

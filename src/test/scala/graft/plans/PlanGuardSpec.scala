@@ -287,6 +287,31 @@ class PlanGuardSpec extends SparkSpec {
     assert(!p.contains("Window"), s"a22 grew a window:\n$p")
   }
 
+  test("m21: the kinship screen has NO cartesian product — blocking replaced it") {
+    val p = plan("m21_ibs_kinship")
+    assert(!p.contains("CartesianProduct"),
+      s"m21 regressed to all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"m21 regressed to nested-loop:\n$p")
+  }
+
+  test("v1: the fixed probe panel pushes into the embeddings scan") {
+    val p = plan("v1_cosine_top1")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString
+    assert(pushed.contains("LessThan(vec_id,40"),
+      s"panel filter not pushed into the scan:\n$pushed")
+  }
+
+  test("v15 exact truth: only the 40-id panel cross-joins (never corpus x corpus)") {
+    val p = plan("v15_hard_negatives")
+    // the truth side IS a panel x corpus cross join by construction —
+    // the guard is that the panel filter reached the scan feeding it,
+    // so the joined side is 40 rows, not the corpus
+    assert(p.contains("LessThan(vec_id,40"),
+      s"panel bound missing from v15's plan:\n$p")
+  }
+
   test("g4: degree histogram is two stacked aggregates, no join above the edge build") {
     val p = plan("g4_degree_histogram")
     val lines = p.linesIterator.toSeq
