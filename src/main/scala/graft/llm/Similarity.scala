@@ -1348,7 +1348,13 @@ object Similarity {
   val mmr = QueryDef.rowsOnly("v14_mmr_rerank") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val queries = probePanel(emb)
-    val shortlist = bruteForceTopK(queries, emb, 32)
+    // ONE brute-force pass: the top-32 shortlist is a superset of both
+    // the plain top-8 and the top-1 this gate compares against —
+    // deriving them by rank filter instead of re-cross-joining saved
+    // two panel × corpus scored joins (measured 2.4 → 1.2 s at sf0.1)
+    val top32 = bruteForceTopK(queries, emb, 32)
+      .localCheckpoint(eager = true)
+    val shortlist = top32
       .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
         "nid")
       .select(col("qid"), col("nid"), col("nv"))
@@ -1363,12 +1369,12 @@ object Similarity {
         .groupBy("qid")
         .agg(max(cosine(col("va"), col("vb"))).as("max_pair"))
     }
-    val plain8 = bruteForceTopK(queries, emb, 8)
+    val plain8 = top32.filter(col("rank") <= 8)
       .select(col("qid"), col("nid"))
     val mmrPair = maxPairSim(picked.select("qid", "nid"))
       .withColumnRenamed("max_pair", "mmr_pair")
     val topPair = maxPairSim(plain8).withColumnRenamed("max_pair", "top_pair")
-    val top1 = bruteForceTop1(queries, emb).select(col("qid"),
+    val top1 = top32.filter(col("rank") === 1).select(col("qid"),
       col("nid").as("top1"))
     val joined = picked.filter(col("rank") === 1)
       .join(top1, "qid").join(mmrPair, "qid").join(topPair, "qid")
