@@ -1148,8 +1148,12 @@ object Similarity {
       .select(col("vec_id").cast("long"), col("embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(corpusArr)
     import spark.implicits._
+    // empty corpus: no neighbor exists for any query — empty result,
+    // never a sentinel (Long.MaxValue, -inf) row
+    if (corpusArr.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("qid", "nid", "sim")
+    val bc = spark.sparkContext.broadcast(corpusArr)
     queries.select(col("vec_id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -1192,6 +1196,10 @@ object Similarity {
           }
           (qid, bestNid, bestSim)
         }
+        // a query whose only corpus row is itself has no neighbor:
+        // drop it (matches the crossJoin form) instead of emitting the
+        // (MaxValue, -inf) sentinel
+        .filter(_._2 != Long.MaxValue)
       }.toDF("qid", "nid", "sim")
   }
 

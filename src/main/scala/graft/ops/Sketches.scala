@@ -116,6 +116,10 @@ object Sketches {
     import org.apache.datasketches.memory.Memory
     val rdd = df.select(col(c).cast("double")).na.drop()
       .rdd.map(_.getDouble(0))
+    // quantiles of nothing are a caller bug — loud, not a crash deep
+    // in treeReduce (0-partition RDD) or getQuantile (empty sketch)
+    require(rdd.getNumPartitions > 0 && !rdd.isEmpty(),
+      s"kllQuantiles: no non-null rows in $c")
     val bytes = rdd.mapPartitions { it =>
       val sk = KllDoublesSketch.newHeapInstance(k)
       it.foreach(sk.update)
@@ -191,8 +195,14 @@ object Sketches {
       lgK: Int = 12): org.apache.datasketches.theta.CompactSketch = {
     import org.apache.datasketches.theta.{SetOperation, Sketches => TS, UpdateSketch}
     import org.apache.datasketches.memory.Memory
-    val bytes = df.select(col(c).cast("long")).na.drop()
+    val rdd = df.select(col(c).cast("long")).na.drop()
       .rdd.map(_.getLong(0))
+    // an empty SEGMENT is meaningful set algebra (∅ unions/intersects
+    // fine) — return the valid empty sketch instead of letting a
+    // 0-partition treeReduce throw
+    if (rdd.getNumPartitions == 0 || rdd.isEmpty())
+      return UpdateSketch.builder().setLogNominalEntries(lgK).build().compact()
+    val bytes = rdd
       .mapPartitions { it =>
         val sk = UpdateSketch.builder().setLogNominalEntries(lgK).build()
         it.foreach(sk.update)

@@ -163,4 +163,33 @@ class EmptyInputSpec extends SparkSpec {
       graft.llm.Similarity.pqTrain(emptyEmb, 16, 16)
     }
   }
+
+  test("round-9 operators: empty in, empty (or loud) out") {
+    val s = spark; import s.implicits._
+    // quantiles of nothing: loud caller bug
+    val noVals = Seq.empty[Double].toDF("x")
+    intercept[IllegalArgumentException] {
+      graft.ops.Sketches.kllQuantiles(noVals, "x", 200, Seq(0.5))
+    }
+    // an empty SEGMENT is valid set algebra: empty sketch, estimate 0
+    val noIds = Seq.empty[Long].toDF("u")
+    val empty = graft.ops.Sketches.thetaSketch(noIds, "u")
+    assert(empty.getEstimate == 0.0 && !empty.isEstimationMode)
+    val some = graft.ops.Sketches.thetaSketch(
+      s.range(0, 10).select(org.apache.spark.sql.functions.col("id").as("u")),
+      "u")
+    val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+    u.union(empty); u.union(some)
+    assert(math.round(u.getResult.getEstimate) == 10L)
+    // MaxSim kernel: empty corpus (or self-only) yields empty, never a
+    // sentinel row
+    assert(graft.llm.Similarity.maxSimTop1Kernel(emptyEmb, emptyEmb)
+      .count() == 0)
+    val one = Seq((1L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    assert(graft.llm.Similarity.maxSimTop1Kernel(one, one).count() == 0)
+    // kinship blocking on an empty cohort: empty candidates
+    val noGeno = Seq.empty[(Long, Seq[Double])].toDF("id", "features")
+    assert(graft.ml.LdClump.ibsCandidatePairs(noGeno, "id", "features", 3)
+      .count() == 0)
+  }
 }
