@@ -801,6 +801,106 @@ object Streams {
       .filter(col("rel_err") < 0.05)
   }
 
+  /** ST14 — streaming ANN INDEX ingest: the production shape of an
+    * embedding-index pipeline. The coarse quantizer is trained ONCE on
+    * the first arrival slice and FROZEN (retraining would re-shuffle
+    * the whole accumulated index — production systems version the
+    * quantizer and rebuild offline); every later micro-batch is
+    * cell-assigned at the edge in foreachBatch and APPENDED to a
+    * cell-partitioned parquet store, so a query's nProbe cells map to
+    * partition-directory pruning on the index scan — the IVF search
+    * shape (v4) carried over to continuously-arriving data with no
+    * streaming state at all (the index lives on storage, exactly like
+    * st10's corpus state). Gates: (1) the streamed index covers every
+    * vector exactly once; (2) probe-panel top-1 answers from the
+    * streamed index fingerprint-match the SAME frozen-quantizer IVF
+    * search over the batch corpus — streaming arrival order changed
+    * nothing; (3) the store is physically laid out by cell.
+    */
+  val st14 = QueryDef.fixture("st14_stream_ann_index_ingest") { (s, d) =>
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val base = graft.util.Fixtures.dir + "/st14"
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val indexDir = s"$base/index"
+    val nCells = 16
+    val nP = 6
+    val centroids = graft.llm.Similarity.pqTrain(
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0), 1, nCells).head
+    val bc = s.sparkContext.broadcast(centroids)
+    val cellOf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var s2 = 0.0; var j = 0
+        val cj = cs(c)
+        while (j < cj.length) { val f = v(j) - cj(j); s2 += f * f; j += 1 }
+        if (s2 < bestD) { bestD = s2; best = c }
+        c += 1
+      }
+      best
+    }
+    def assign(df: DataFrame): DataFrame =
+      df.withColumn("cell", cellOf(col("embedding")))
+    val feed = new FileFeed(s, "st14feed", emb.schema)
+    val q = feed.source()
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        assign(b).write.mode("append").partitionBy("cell").parquet(indexDir)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      (0 until 3).foreach { k =>
+        feed.add(emb.filter(pmod(col("vec_id"), lit(3)) === k))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val probeCells = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      cs.indices.map { c =>
+        var s2 = 0.0; var j = 0
+        val cj = cs(c)
+        while (j < cj.length) { val f = v(j) - cj(j); s2 += f * f; j += 1 }
+        (s2, c)
+      }.sortBy(_._1).take(nP).map(_._2).toArray
+    }
+    val queries = graft.llm.Similarity.probePanel(emb)
+    def search(ix: DataFrame): DataFrame = {
+      val probed = queries
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          explode(probeCells(col("embedding"))).as("cell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+      probed.join(
+          ix.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+            col("cell")), "cell")
+        .filter(col("qid") =!= col("nid"))
+        .withColumn("sim",
+          round(graft.llm.Similarity.cosine(col("qv"), col("nv")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("qid"), col("nid"), col("sim"))
+    }
+    val ix = s.read.parquet(indexDir)
+    val nIndexed = ix.count()
+    val nDistinct = ix.select("vec_id").distinct().count()
+    val nCorpus = emb.count()
+    val streamFp = fingerprint(search(ix), Seq("qid", "nid", "sim"))
+    val batchFp = fingerprint(search(assign(emb)), Seq("qid", "nid", "sim"))
+    val cellDirs = Option(new java.io.File(indexDir).listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.startsWith("cell=")))
+      .getOrElse(0)
+    Seq((nCorpus, nIndexed, streamFp._1, cellDirs.toLong,
+        nIndexed == nCorpus && nDistinct == nCorpus &&
+          streamFp == batchFp && streamFp._1 > 0))
+      .toDF("n_corpus", "n_indexed", "n_queries_answered", "n_cell_dirs",
+        "stream_matches_batch")
+      .filter(col("stream_matches_batch") && col("n_cell_dirs") >= 2)
+  }
+
   def all: Seq[QueryDef] =
-    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13)
+    Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
+      st14)
 }
