@@ -43,11 +43,12 @@ object Bench {
           org.apache.spark.sql.expressions.Window
             .partitionBy("k").orderBy("v")).as("rn"))
         .write.format("noop").mode("overwrite").save()
-      val wfv = spark.range(256)
-        .selectExpr("id", "array(cast(id as float), cast(id % 13 as float)) as a")
-        .withColumn("fv", org.apache.spark.ml.functions.array_to_vector(col("a")))
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(2).setMaxIter(2).setSeed(1L).setFeaturesCol("fv").fit(wfv)
+      // (the KMeans warmup retired in round 9: ivfTopK/semanticDedup now
+      // train through pqTrain's treeAggregate, warmed by the next line)
+      graft.llm.Similarity.pqTrain(
+        spark.range(256).selectExpr("id as vec_id",
+          "array(cast(id as float), cast(id % 13 as float)) as embedding"),
+        1, 4, iters = 2)
       import spark.implicits._
       spark.range(256).as[Long].flatMap(i => Iterator((i, i + 1L)))
         .write.format("noop").mode("overwrite").save()
