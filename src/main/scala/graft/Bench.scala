@@ -84,7 +84,8 @@ object Bench {
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Peak-memory column (the reference harness reports wall-time AND
-    // peak memory; this is the parity column): per-query peak HEAP via
+    // peak RSS — examples/cpu/benchmark_cpu_memory.py:80-101; this is
+    // the parity column): per-query peak HEAP via
     // MemoryPoolMXBean peak-usage counters, reset before each query —
     // unlike VmHWM (a monotone process-wide high-water mark) the pool
     // peaks are resettable, so each query gets its own number. The

@@ -774,7 +774,9 @@ object LdClump {
     * that replaces the all-pairs crossJoin with a banded equi-join
     * (Manichaikul et al. 2010 run the same shape: cheap blocked screen,
     * exact kernel on survivors; cf. the dedup split at Dedup.scala's
-    * `bucketCandidates`). The SNP axis is cut into `bands` contiguous
+    * `bucketCandidates`). Reference analog: the plink relatedness QC
+    * the preprocessing DAG assumes upstream
+    * (workflows/preprocessing/Snakefile:73-104). The SNP axis is cut into `bands` contiguous
     * slices; each sample emits one hash per slice (NaN → sentinel, so
     * identical missing patterns still collide); a pair becomes a
     * candidate iff it agrees EXACTLY on at least one whole band.
