@@ -1502,7 +1502,111 @@ object Similarity {
         |SELECT qid, CAST(rn AS INT) AS rank, nid, sim
         |FROM r WHERE rn <= 5""".stripMargin))
 
+  /** FILTERED ANN — vector search under a metadata predicate (here:
+    * same `label`), the capability every production vector store
+    * exposes and the one plain ANN composes badly with: POST-filtering
+    * a top-k shortlist starves when the predicate is selective (a
+    * label holds ~10% of the corpus, so a 64-deep unfiltered shortlist
+    * carries ~6 eligible rows — top-1 recall collapses). This is the
+    * PRE-FILTER path: the predicate joins INTO the candidate
+    * generation ((cell, label) equi-join keys), so every candidate
+    * scored is already eligible and the probed-cell scan bound is
+    * kept. At 100 TB the same plan rides a (label, cell)-partitioned
+    * index layout — st14's store with one more partition column.
+    */
+  def filteredIvfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      filterCol: String, nCells: Int = 16, nProbe: Int = 6,
+      seed: Long = 7L): DataFrame = {
+    val centroids = pqTrain(corpus, 1, nCells).head
+    val bcCells = queries.sparkSession.sparkContext.broadcast(centroids)
+    val cellOf = udf { (v: Seq[Float]) =>
+      val cs = bcCells.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var s2 = 0.0; var j = 0
+        val cj = cs(c)
+        while (j < cj.length) { val f = v(j) - cj(j); s2 += f * f; j += 1 }
+        if (s2 < bestD) { bestD = s2; best = c }
+        c += 1
+      }
+      best
+    }
+    val nP = nProbe
+    val probeCells = udf { (v: Seq[Float]) =>
+      val cs = bcCells.value
+      cs.indices.map { c =>
+        var s2 = 0.0; var j = 0
+        val cj = cs(c)
+        while (j < cj.length) { val f = v(j) - cj(j); s2 += f * f; j += 1 }
+        (s2, c)
+      }.sortBy(_._1).take(nP).map(_._2).toArray
+    }
+    val cells = corpus.select(col("vec_id").as("nid"),
+      col("embedding").as("nv"), col(filterCol).as("__f"),
+      cellOf(col("embedding")).as("cell"))
+    val probed = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"), col(filterCol).as("__f"),
+      explode(probeCells(col("embedding"))).as("cell"))
+    val cands = probed.join(cells, Seq("cell", "__f"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+    topKPerQuery(cands, k)
+  }
+
+  /** Exact within-filter brute top-1: label-keyed equi-join instead of
+    * a cross join — the truth side of v18. */
+  def bruteForceTop1Filtered(queries: DataFrame, corpus: DataFrame,
+      filterCol: String): DataFrame = {
+    val scored = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col(filterCol).as("__f"))
+      .join(corpus.select(col("vec_id").as("nid"),
+        col("embedding").as("nv"), col(filterCol).as("__f")), "__f")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+    topKPerQuery(scored, 1).drop("rank")
+  }
+
+  /** V18 — filtered-ANN recall gate, v4-hardened: output is the exact
+    * within-label truth (DuckDB replays the label-join brute force),
+    * emitted only when the PRE-FILTER ANN path reaches recall@1 ≥ 0.6
+    * (the v4 IVF bar; the predicate makes each query's eligible set
+    * ~10× smaller, which is exactly when post-filtering would starve).
+    */
+  val filteredAnn = QueryDef(
+    "v18_filtered_ann_recall",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label")).cache()
+      val queries = probePanel(emb)
+      val exact = bruteForceTop1Filtered(queries, emb, "label")
+        .localCheckpoint(eager = true)
+      val approx = filteredIvfTopK(queries, emb, 1, "label")
+        .select(col("qid"), col("nid").as("nid_ann"))
+      val joined = exact.join(approx, Seq("qid"), "left").cache()
+      val nQ = joined.count().toDouble
+      val hits = joined.filter(col("nid") === col("nid_ann")).count().toDouble
+      joined.unpersist(); emb.unpersist()
+      exact.filter(lit(nQ > 0 && hits / nQ >= 0.6))
+        .select(col("qid"), col("nid"), col("sim"))
+    },
+    oracle = Some(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+        |                  label
+        |           FROM embeddings WHERE vec_id < 40),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |      FROM q JOIN embeddings e
+        |        ON e.label = q.label AND e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rn
+        |      FROM s)
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin),
+    benchEligible = false)
+
   def all: Seq[QueryDef] =
     Seq(brute, bruteK, ann, nearDup, embDedup, ivf, quantized, centroids, pq,
-      ivfpq, maxsim, maxsimAnn, mmr, hardNeg, hardNegAnn)
+      ivfpq, maxsim, maxsimAnn, mmr, hardNeg, hardNegAnn, filteredAnn)
 }
