@@ -405,5 +405,86 @@ object Quality {
       .groupBy("n_children").agg(count(lit(1)).as("n_parents"))
   }
 
-  def all: Seq[QueryDef] = Seq(dq1, dq2, dq3, dq4, dq5)
+  /** DQ6 — EMBEDDING-space drift between two corpus windows: the
+    * vector-column counterpart of dq3's scalar PSI, the monitor an
+    * embedding pipeline actually needs (a silently retrained or
+    * corrupted encoder shifts vectors long before any scalar column
+    * moves). Centroid-cosine is the naive metric and is USELESS on
+    * near-isotropic corpora (two windows' noise means are small-norm
+    * vectors with random mutual angle), so the score is the proper
+    * two-sample statistic per (label, dimension): z² = (m_cur −
+    * m_ref)² / (s²_ref/n_ref + s²_cur/n_cur), averaged over
+    * dimensions. Undrifted windows score ≈ 1 (by construction of z);
+    * the planted drifted cohort (label 0 shifted +0.25 per dim, an
+    * exactly-representable float add in both engines) scores orders
+    * of magnitude higher. Flag bar at 4 = 3σ-ish over the ≈1 null
+    * with the 64-dim averaging. One posexplode scan per window, one
+    * (label, dim)-keyed aggregate each, |labels|×dims join — scale
+    * cost is two scans regardless of corpus size. FULL DuckDB oracle:
+    * identical mean/variance/z² arithmetic, score rounded to 4dp.
+    */
+  val dq6 = QueryDef.sql(
+    "dq6_embedding_drift",
+    """WITH e AS (SELECT vec_id, label,
+      |                  generate_subscripts(embedding, 1) AS dim,
+      |                  unnest(embedding) AS v
+      |           FROM embeddings),
+      |ref AS (SELECT label, dim, avg(CAST(v AS DOUBLE)) AS m,
+      |               var_samp(CAST(v AS DOUBLE)) AS s2,
+      |               count(*) AS n
+      |        FROM e WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+      |cur0 AS (SELECT label, dim,
+      |                CASE WHEN label = 0
+      |                     THEN v + CAST(0.25 AS REAL) ELSE v END AS v
+      |         FROM e WHERE vec_id % 2 = 1),
+      |cur AS (SELECT label, dim, avg(CAST(v AS DOUBLE)) AS m,
+      |               var_samp(CAST(v AS DOUBLE)) AS s2,
+      |               count(*) AS n
+      |        FROM cur0 GROUP BY 1, 2),
+      |z AS (SELECT r.label,
+      |             (c.m - r.m) * (c.m - r.m) /
+      |               (r.s2 / r.n + c.s2 / c.n) AS z2
+      |      FROM ref r JOIN cur c ON r.label = c.label AND r.dim = c.dim)
+      |SELECT CAST(label AS BIGINT) AS label,
+      |       CAST(count(*) AS BIGINT) AS n_dims,
+      |       round(avg(z2), 4) AS drift_score,
+      |       CAST(CASE WHEN round(avg(z2), 4) > 4 THEN 1 ELSE 0 END
+      |         AS BIGINT) AS drifted
+      |FROM z GROUP BY label""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    def melt(df: DataFrame): DataFrame =
+      df.select(col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+    def stats(df: DataFrame, tag: String): DataFrame =
+      melt(df).groupBy("label", "dim")
+        .agg(avg(col("v").cast("double")).as(s"m_$tag"),
+          var_samp(col("v").cast("double")).as(s"s_$tag"),
+          count(lit(1)).as(s"n_$tag"))
+    val ref = stats(emb.filter(col("vec_id") % 2 === 0), "r")
+    val curBase = emb.filter(col("vec_id") % 2 === 1)
+      .withColumn("embedding",
+        when(col("label") === 0,
+          transform(col("embedding"), x => x + lit(0.25f)))
+          .otherwise(col("embedding")))
+    val cur = stats(curBase, "c")
+    val z2 = (col("m_c") - col("m_r")) * (col("m_c") - col("m_r")) /
+      (col("s_r") / col("n_r") + col("s_c") / col("n_c"))
+    val perLabel = ref.join(cur, Seq("label", "dim"))
+      .select(col("label"), z2.as("z2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_dims"), round(avg(col("z2")), 4).as("drift_score"))
+      .select(col("label").cast("long").as("label"), col("n_dims"),
+        col("drift_score"),
+        when(col("drift_score") > 4, 1L).otherwise(0L).as("drifted"))
+      .localCheckpoint(eager = true)
+    // golden gates on top of the hash oracle: exactly the planted
+    // cohort flags
+    val nDrifted = perLabel.filter(col("drifted") === 1).count()
+    val zeroDrifted = perLabel
+      .filter(col("label") === 0 && col("drifted") === 1).count()
+    perLabel.filter(lit(nDrifted == 1 && zeroDrifted == 1))
+  }
+
+  def all: Seq[QueryDef] = Seq(dq1, dq2, dq3, dq4, dq5, dq6)
 }
