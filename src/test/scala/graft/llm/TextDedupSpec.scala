@@ -367,6 +367,38 @@ class TextDedupSpec extends SparkSpec {
       expr.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
   }
 
+  test("filtered ANN: pre-filtering beats post-filtering a shortlist at selective predicates") {
+    val s = spark
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val queries = Similarity.probePanel(emb)
+    val exact = Similarity.bruteForceTop1Filtered(queries, emb, "label")
+      .select(col("qid"), col("nid"))
+    val nQ = exact.count().toDouble
+    assert(nQ > 0)
+    def recall(approx: org.apache.spark.sql.DataFrame): Double =
+      exact.join(approx.withColumnRenamed("nid", "na"), Seq("qid"))
+        .filter(col("nid") === col("na")).count() / nQ
+    // PRE-filter: predicate inside candidate generation
+    val pre = recall(Similarity.filteredIvfTopK(queries, emb, 1, "label")
+      .select(col("qid"), col("nid")))
+    // POST-filter: unfiltered top-8 shortlist, predicate applied after
+    // (~10% label selectivity leaves <1 eligible row in expectation)
+    val lbl = emb.select(col("vec_id").as("nid"), col("label").as("nl"))
+    val qlbl = queries.select(col("vec_id").as("qid"), col("label").as("ql"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    val post = recall(Similarity.ivfTopK(queries, emb, 8)
+      .join(lbl, "nid").join(qlbl, "qid")
+      .filter(col("nl") === col("ql"))
+      .withColumn("r2", row_number().over(w)).filter(col("r2") === 1)
+      .select(col("qid"), col("nid")))
+    assert(pre >= 0.6, s"pre-filter recall $pre below the v18 bar")
+    assert(pre > post,
+      s"pre-filter recall $pre should beat post-filter recall $post")
+  }
+
   test("mmrRerank: first pick is pure relevance; second avoids the near-dup") {
     import spark.implicits._
     // query along x; A and C sit symmetrically at ±26° (rel 0.9 each,
