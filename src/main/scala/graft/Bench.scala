@@ -204,6 +204,22 @@ object Bench {
     Console.out.flush()
     System.err.println(json)
     System.err.flush()
+    // The driver keeps only a ~2 KB tail of output, and the full artifact
+    // line above is ~6 KB at 168 queries — r08 and r09 both landed with
+    // "parsed": null because the line's HEAD (and its opening brace) was
+    // truncated away. The LAST line is therefore a compact summary that
+    // always fits in the tail window: same contract fields
+    // (metric/value/unit/sf/queries) with "queries" restricted to the 10
+    // slowest — the full per-query map stays in bench_out.json and in the
+    // full line above.
+    val slow10 = times.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${times.size},"n_failed":${errors.size},"reps":$reps,"timing":${jstr(timing)},"peak_rss_mb":${vmHwmMb()},"queries":$slow10,"note":"slowest-10 only; full map in bench_out.json","sf":${jstr(sfDir)}}"""
+    println(summary)
+    Console.out.flush()
+    System.err.println(summary)
+    System.err.flush()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

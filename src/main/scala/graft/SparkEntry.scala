@@ -40,6 +40,7 @@ object SparkEntry {
       graft.llm.Dedup.all ++
       graft.llm.Contamination.all ++
       graft.llm.Similarity.all ++
+      graft.llm.VectorIndex.all ++
       graft.llm.EmbeddingOps.all ++
       graft.llm.Multimodal.all ++
       graft.streaming.Streams.all

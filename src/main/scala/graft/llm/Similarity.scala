@@ -888,6 +888,18 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 6, m: Int = 16, kCodes: Int = 16,
       shortlist: Int = 64): DataFrame = {
+    val (coarse, books) = ivfPqTrain(corpus, nCells, m, kCodes)
+    val index = ivfPqEncode(corpus, coarse, books)
+    ivfPqSearch(queries, index, coarse, books, corpus, k, nProbe, shortlist)
+  }
+
+  /** Train the two IVF-PQ quantizer levels: coarse cell centroids on the
+    * raw vectors, then residual PQ codebooks on (v − cell centroid).
+    * Both through the fused-Lloyd [[pqTrain]]. Returned arrays are the
+    * whole "model" of an IVF-PQ index — a few KB regardless of corpus
+    * size, which is what makes the index persistable ([[VectorIndex]]). */
+  def ivfPqTrain(corpus: DataFrame, nCells: Int, m: Int, kCodes: Int)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val sc = corpus.sparkSession.sparkContext
     val coarse = pqTrain(corpus, 1, nCells).head // (cell)(dim) centroids
     val bcCoarse = sc.broadcast(coarse)
@@ -914,8 +926,34 @@ object Similarity {
     // residual codebooks (trained on the residual column)
     val books = pqTrain(
       celled.select(col("vec_id"), col("resid").as("embedding")), m, kCodes)
+    (coarse, books)
+  }
+
+  /** Encode a corpus against trained IVF-PQ quantizers: one (nid, cell,
+    * m residual codes, |ĉ + r̂|²) row per vector. Broadcast codebooks,
+    * per-row kernel, no shuffle — and the output is exactly what a
+    * persisted index stores per vector (m bytes + 1 double instead of
+    * dim floats). */
+  def ivfPqEncode(corpus: DataFrame, coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val sc = corpus.sparkSession.sparkContext
+    val bcCoarse = sc.broadcast(coarse)
     val bcBooks = sc.broadcast(books)
+    val dim = coarse(0).length
+    val m = books.length
     val dsub = dim / m
+    val cellOf = udf { (v: Seq[Float]) =>
+      val cs = bcCoarse.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var s = 0.0; var j = 0
+        while (j < dim) { val diff = v(j) - cs(c)(j); s += diff * diff; j += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      best
+    }
     // encode: residual PQ codes + |ĉ + r̂|² for the cosine denominator
     val enc = udf { (v: Seq[Float], cell: Int) =>
       val cbs = bcBooks.value; val cs = bcCoarse.value(cell)
@@ -947,10 +985,31 @@ object Similarity {
       }
       (codes, normSq)
     }
-    val index = celled
+    corpus
+      .withColumn("cell", cellOf(col("embedding")))
       .withColumn("__e", enc(col("embedding"), col("cell")))
       .select(col("vec_id").as("nid"), col("cell"),
         col("__e._1").as("codes"), col("__e._2").as("recon_norm_sq"))
+  }
+
+  /** IVFADC search over an already-encoded index frame (nid, cell,
+    * codes, recon_norm_sq) — the query-side half of [[ivfPqTopK]],
+    * shared with the persisted-index path ([[VectorIndex.search]],
+    * where `index` is a cell-partitioned parquet scan instead of a
+    * just-encoded frame). Exact cosine re-ranks a bounded shortlist
+    * against `corpus` (the source-of-truth float vectors, looked up by
+    * id — a persisted index never stores them). */
+  def ivfPqSearch(queries: DataFrame, index: DataFrame,
+      coarse: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      corpus: DataFrame, k: Int, nProbe: Int = 6,
+      shortlist: Int = 64): DataFrame = {
+    val sc = queries.sparkSession.sparkContext
+    val bcCoarse = sc.broadcast(coarse)
+    val bcBooks = sc.broadcast(books)
+    val dim = coarse(0).length
+    val m = books.length
+    val kCodes = books(0).length
+    val dsub = dim / m
     // query side: probe cells + one residual-ADC table per query +
     // one dot(q, centroid) scalar per probed cell
     val nP = nProbe

@@ -1,0 +1,203 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ vector index: build ONCE, query many times.
+  *
+  * Every other ANN query in this repo trains its quantizers inside the
+  * query (fine for a gate, wrong for production): at 100 TB the index
+  * build is a full-corpus job you run once — two fused-Lloyd training
+  * passes plus one encode scan — and then amortize over thousands of
+  * searches, each of which touches only `nProbe/nCells` of the stored
+  * codes. Reference analog: the model artifact persisted for reuse in
+  * daxos/read.py:11-31 — the same save/load/reuse shape applied to a
+  * vector index.
+  *
+  * On-disk layout under `dir` (all parquet — readable by any engine):
+  *   - `meta/`       one row: corpus fingerprint (count + order-
+  *                   independent xxhash64 XOR over (vec_id, embedding)),
+  *                   dims and quantizer shape. [[ensure]] validates it
+  *                   before trusting the index; any mismatch rebuilds.
+  *   - `codebooks/`  (level, sub, code, vals): level 0 = the nCells
+  *                   coarse centroids, level 1 = the m×kCodes residual
+  *                   PQ codebooks. A few KB total — the whole "model".
+  *   - `codes/`      cell-partitioned (cell=K/ directories): (nid,
+  *                   codes, recon_norm_sq) — m bytes + one double per
+  *                   vector, 16-32× smaller than the float corpus.
+  *
+  * Search ([[search]]) loads the codebooks (driver-side, KB), computes
+  * the distinct probed cells of the query set with ONE aggregate over
+  * the (small) query side, and scans ONLY those `cell=` directories —
+  * the predicate is an `IN` list of literals, so Spark prunes partition
+  * directories statically; the 100 TB code store is touched only where
+  * probed. Exact re-rank then joins the shortlist back to the source
+  * corpus by id (an index never stores the original floats — the source
+  * table remains the single source of truth, exactly like st14's
+  * streaming variant at Streams.scala:820).
+  */
+object VectorIndex {
+
+  /** Incremented on every [[build]]; lets a spec assert the second
+    * [[ensure]] call is a pure load (build-once amortization) without a
+    * flaky timing comparison. */
+  @volatile var buildsThisProcess: Int = 0
+
+  final case class Loaded(
+      coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]],
+      codes: DataFrame,
+      nVectors: Long)
+
+  private def fingerprint(corpus: DataFrame): (Long, Long) = {
+    val r = corpus
+      .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id, embedding))"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Train both quantizer levels, encode the corpus, write the store.
+    * Three corpus scans total (coarse Lloyd, residual Lloyd, encode) —
+    * the once-per-corpus cost that [[search]] amortizes away. */
+  def build(corpus: DataFrame, dir: String, nCells: Int = 16,
+      m: Int = 16, kCodes: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    buildsThisProcess += 1
+    graft.util.Fs.rmRecursive(new java.io.File(dir))
+    val (coarse, books) = Similarity.ivfPqTrain(corpus, nCells, m, kCodes)
+    val (n, sum) = fingerprint(corpus)
+    Similarity.ivfPqEncode(corpus, coarse, books)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    val coarseRows = coarse.zipWithIndex.map { case (v, c) => (0, 0, c, v.toSeq) }
+    val bookRows = for {
+      (subArr, sub) <- books.zipWithIndex.toSeq
+      (v, c) <- subArr.zipWithIndex.toSeq
+    } yield (1, sub, c, v.toSeq)
+    (coarseRows.toSeq ++ bookRows)
+      .toDF("level", "sub", "code", "vals")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq((n, sum, coarse(0).length, nCells, m, kCodes, 1))
+      .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
+        "format_version")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def load(spark: SparkSession, dir: String): Loaded = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val nCells = meta.getAs[Int]("n_cells")
+    val m = meta.getAs[Int]("m")
+    val kCodes = meta.getAs[Int]("k_codes")
+    val cb = spark.read.parquet(s"$dir/codebooks")
+      .select("level", "sub", "code", "vals").collect()
+    val coarse = Array.ofDim[Array[Double]](nCells)
+    val books = Array.ofDim[Array[Double]](m, kCodes)
+    cb.foreach { r =>
+      val vals = r.getSeq[Double](3).toArray
+      if (r.getInt(0) == 0) coarse(r.getInt(2)) = vals
+      else books(r.getInt(1))(r.getInt(2)) = vals
+    }
+    require(coarse.forall(_ != null) && books.forall(_.forall(_ != null)),
+      s"vector index at $dir has an incomplete codebook table")
+    Loaded(coarse, books, spark.read.parquet(s"$dir/codes"),
+      meta.getAs[Long]("n_vectors"))
+  }
+
+  /** Load if the stored fingerprint matches `corpus`, else (re)build.
+    * The check costs one aggregate over the corpus — vastly cheaper
+    * than the two Lloyd trainings plus encode a rebuild costs, and it
+    * makes a stale index (regenerated testdata, different sf dir
+    * mapped to the same path) impossible to silently search. */
+  def ensure(corpus: DataFrame, dir: String, nCells: Int = 16,
+      m: Int = 16, kCodes: Int = 16): Loaded = {
+    val spark = corpus.sparkSession
+    val valid = try {
+      val meta = spark.read.parquet(s"$dir/meta").head()
+      val (n, sum) = fingerprint(corpus)
+      meta.getAs[Long]("n_vectors") == n &&
+        meta.getAs[Long]("checksum") == sum &&
+        meta.getAs[Int]("n_cells") == nCells &&
+        meta.getAs[Int]("m") == m && meta.getAs[Int]("k_codes") == kCodes
+    } catch { case _: Throwable => false }
+    if (!valid) build(corpus, dir, nCells, m, kCodes)
+    load(spark, dir)
+  }
+
+  /** Search the stored index: distinct probed cells of the query set
+    * (ONE aggregate on the small query side, result ≤ nCells values)
+    * become an `IN`-list filter on the cell-partitioned scan —
+    * partition-directory pruning, so un-probed cells are never read —
+    * then the shared IVFADC kernel ([[Similarity.ivfPqSearch]]) scores
+    * codes and exact-reranks the shortlist against `corpus`. */
+  def search(ix: Loaded, queries: DataFrame, corpus: DataFrame, k: Int,
+      nProbe: Int = 6, shortlist: Int = 64): DataFrame = {
+    val sc = queries.sparkSession.sparkContext
+    val bcCoarse = sc.broadcast(ix.coarse)
+    val dim = ix.coarse(0).length
+    val nP = nProbe
+    val probeCells = udf { (v: Seq[Float]) =>
+      val cs = bcCoarse.value
+      cs.indices.map { c =>
+        var s = 0.0; var j = 0
+        while (j < dim) { val diff = v(j) - cs(c)(j); s += diff * diff; j += 1 }
+        (s, c)
+      }.sortBy(_._1).take(nP).map(_._2).toArray
+    }
+    val cellsNeeded = queries
+      .select(explode(probeCells(col("embedding"))).as("cell"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val pruned = ix.codes.filter(col("cell").isin(cellsNeeded.map(Int.box): _*))
+    Similarity.ivfPqSearch(queries, pruned, ix.coarse, ix.books, corpus,
+      k, nProbe, shortlist)
+  }
+
+  private def indexDirFor(sfDir: String): String =
+    graft.util.Fixtures.dir + "/v19_index/" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** V19 — persisted-index ANN recall gate, v12-hardened: the emitted
+    * rows are the exact brute-force truth over the fixed probe panel
+    * (DuckDB hash-verifies them — same oracle as v1/v12); they emit
+    * only when searching the STORED index reaches recall@1 ≥ 0.6 (the
+    * IVF bar) AND the store is complete (codes count == corpus count ==
+    * persisted meta count). First run builds the index on disk; every
+    * later run of the same corpus fingerprint-validates and goes
+    * straight to search — warm bench reps measure the amortized
+    * search-only path, which is the shape a production user runs.
+    */
+  val persisted = QueryDef(
+    "v19_persisted_ann_recall",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .cache()
+      val ix = ensure(emb, indexDirFor(d))
+      val queries = Similarity.probePanel(emb)
+      val exact = Similarity.bruteForceTop1(queries, emb)
+        .localCheckpoint(eager = true)
+      val approx = search(ix, queries, emb, k = 1)
+        .select(col("qid"), col("nid").as("nid_ix"))
+      val joined = exact.join(approx, Seq("qid"), "left").cache()
+      val nQ = joined.count().toDouble
+      val hits = joined.filter(col("nid") === col("nid_ix")).count().toDouble
+      val nStored = ix.codes.count()
+      val nCorpus = emb.count()
+      joined.unpersist(); emb.unpersist()
+      exact.filter(lit(hits / nQ >= 0.6 && nQ > 0 &&
+          nStored == nCorpus && ix.nVectors == nCorpus))
+        .select(col("qid"), col("nid"), col("sim"))
+    },
+    oracle = Some(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 40),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rn
+        |      FROM s)
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(persisted)
+}

@@ -1,0 +1,76 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class VectorIndexSpec extends SparkSpec {
+
+  private def noiseF(seed: Int): Float = {
+    val h = scala.util.hashing.MurmurHash3.productHash((seed, 0x9e3779b9))
+    (h.toDouble / Int.MaxValue).toFloat
+  }
+
+  /** Deterministic 64-dim corpus with mild cluster structure (8 anchor
+    * directions + noise) so the coarse quantizer has something to find. */
+  private def corpus(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val anchor = i % 8
+      val v = Array.tabulate(64) { j =>
+        (if (j % 8 == anchor) 2.0f else 0.0f) + noiseF(i * 64 + j)
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private val base = graft.util.Fixtures.dir + "/spec_vector_index"
+
+  test("persisted-index search is identical to the in-memory IVF-PQ path") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val c = corpus(300).cache()
+    val q = c.filter(col("vec_id") < 10)
+    val ix = VectorIndex.ensure(c, s"$base/a")
+    val viaStore = VectorIndex.search(ix, q, c, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // same corpus + same deterministic fused-Lloyd training ⇒ the
+    // in-memory path must produce byte-identical quantizers, codes, and
+    // therefore the exact same top-k
+    val inMem = Similarity.ivfPqTopK(q, c, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaStore == inMem)
+    assert(viaStore.nonEmpty && viaStore.size == 30, s"got ${viaStore.size}")
+    c.unpersist()
+  }
+
+  test("ensure builds once, reloads after, and rebuilds on corpus change") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val c = corpus(300).cache()
+    val before = VectorIndex.buildsThisProcess
+    VectorIndex.ensure(c, s"$base/b")
+    assert(VectorIndex.buildsThisProcess == before + 1)
+    // second call: fingerprint matches — pure load, no re-training
+    val ix2 = VectorIndex.ensure(c, s"$base/b")
+    assert(VectorIndex.buildsThisProcess == before + 1)
+    assert(ix2.nVectors == 300 && ix2.codes.count() == 300)
+    // corpus changed (one extra row): fingerprint mismatch forces rebuild
+    val c2 = corpus(301)
+    VectorIndex.ensure(c2, s"$base/b")
+    assert(VectorIndex.buildsThisProcess == before + 2)
+    c.unpersist()
+  }
+
+  test("store layout is cell-partitioned and codebooks round-trip exactly") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val c = corpus(300)
+    val built = VectorIndex.ensure(c, s"$base/c")
+    val cellDirs = Option(new java.io.File(s"$base/c/codes").listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.startsWith("cell=")))
+      .getOrElse(0)
+    assert(cellDirs >= 2, s"expected cell= partition dirs, got $cellDirs")
+    val reloaded = VectorIndex.load(spark, s"$base/c")
+    assert(reloaded.coarse.map(_.toSeq).toSeq == built.coarse.map(_.toSeq).toSeq)
+    assert(reloaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      built.books.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+}
