@@ -132,8 +132,56 @@ object IoQueries {
         .filter(col("roundtrip_ok") && col("n_docs") > 0)
     }
 
-  /** S9b — JSONL, the de-facto LLM-corpus interchange format. */
-  val s9 = roundtrip("s9_jsonl_roundtrip", "json")
+  /** Absolute path so the driver's DuckDB (own process, own cwd) reads
+    * the exact files this JVM wrote. */
+  private def jsonDocsDir: String =
+    new java.io.File(s"$fixtureDir/json_docs").getAbsolutePath
+
+  /** S9b — JSONL, the de-facto LLM-corpus interchange format. Full
+    * DuckDB oracle (was rows-only through round 9): the query writes
+    * the documents table as newline-delimited JSON, re-reads it with
+    * the explicit schema, and emits per-lang count/id/char/content-hash
+    * aggregates FROM THE RE-READ FRAME; DuckDB computes the same
+    * aggregates by parsing the written files itself (`read_json`) — a
+    * hash match proves the on-disk bytes are losslessly readable by an
+    * INDEPENDENT JSON reader, not just by the writer. The engine-side
+    * round-trip gate (re-read aggregates == source aggregates) stays:
+    * a lossy write empties the output and fails the row-count compare.
+    */
+  val s9 = QueryDef(
+    "s9_jsonl_roundtrip",
+    { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      docs.write.mode("overwrite").format("json").save(jsonDocsDir)
+      val back = s.read.schema(docs.schema).format("json").load(jsonDocsDir)
+      def summary(df: org.apache.spark.sql.DataFrame) = df.groupBy("lang").agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_chars")).cast("long").as("char_sum"),
+        sum(conv(substring(md5(concat_ws("", col("text"), col("lang"),
+          col("source"))), 1, 12), 16, 10).cast("long")).as("content_sum"))
+      val src = summary(docs).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      val rt = summary(back).cache()
+      val rtSet = rt.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      rt.filter(lit(src == rtSet && src.nonEmpty))
+    },
+    oracle = Some(
+      s"""SELECT lang, count(*) AS n, sum(doc_id) AS id_sum,
+         |       sum(n_chars) AS char_sum,
+         |       sum(('0x' || substr(md5(coalesce(text, '')
+         |           || coalesce(lang, '') || coalesce(source, '')), 1, 12)
+         |         )::BIGINT) AS content_sum
+         |FROM read_json('$jsonDocsDir/*.json',
+         |       format = 'newline_delimited',
+         |       columns = {doc_id: 'BIGINT', text: 'VARCHAR',
+         |                  lang: 'VARCHAR', source: 'VARCHAR',
+         |                  n_chars: 'BIGINT'})
+         |GROUP BY lang""".stripMargin),
+    benchEligible = true)
 
   /** S10 — ORC, the other columnar format big corpora arrive in. */
   val s10 = roundtrip("s10_orc_roundtrip", "orc")

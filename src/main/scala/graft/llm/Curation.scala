@@ -904,8 +904,8 @@ object Curation {
     }
     val tail =
       s"""SELECT (SELECT count(*) FROM f) AS n_docs,
-         |       round((SELECT b0 FROM b$iters), 6) AS b0,
-         |       round((SELECT b1 FROM b$iters), 6) AS b1,
+         |       round((SELECT b0 FROM b$iters), 4) AS b0,
+         |       round((SELECT b1 FROM b$iters), 4) AS b1,
          |       (SELECT count(*) FROM f, b$iters b
          |        WHERE y = 1.0 AND b.b0 + b.b1 * x > 0) AS n_kept_clean,
          |       (SELECT count(*) FROM f, b$iters b
@@ -963,9 +963,14 @@ object Curation {
       (r.getLong(0), r.getLong(1), r.getLong(2))
     val (nClean, nCorrupt) = (r.getLong(3), r.getLong(4))
     val spark = s; import spark.implicits._
-    def r6(v: Double) =
-      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    Seq((nDocs, r6(b0), r6(b1), keptClean, keptCorrupt))
+    // 4dp, not 6: Spark's distributed sums combine in a layout-dependent
+    // order, so the two engines' step-8 coefficients agree only to ~1e-9;
+    // a coefficient landing within 5e-7 of a 6dp boundary could flip the
+    // hash compare run-to-run. 4dp puts the boundary 100x further away
+    // while still pinning 4 significant digits of the fit (dq6 precedent).
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((nDocs, r4(b0), r4(b1), keptClean, keptCorrupt))
       .toDF("n_docs", "b0", "b1", "n_kept_clean", "n_kept_corrupt")
       .filter(lit(b1 > 0 && nDocs > 0 &&
         keptClean >= nClean * 0.9 && keptCorrupt <= nCorrupt * 0.05))

@@ -643,11 +643,18 @@ object Similarity {
     // the fused form is m× fewer corpus scans, and the tree combine
     // order is fixed by partition index, so centroids are
     // deterministic for a given file layout.
-    // init: subvectors of the k lowest-id rows (any k rows are a fair
-    // sample of an embedding corpus; ids make it deterministic)
-    val seedRows = corpus.orderBy(col("vec_id")).limit(k)
+    // init: subvectors of the k lowest-id rows PAST the fixed probe
+    // panel (any k rows are a fair sample of an embedding corpus; ids
+    // make it deterministic). Skipping vec_id < ProbePanelSize keeps
+    // the recall-gate queries out of the quantizer's init set — the
+    // panel must measure an index it did not help construct. Tiny
+    // corpora (< k rows past the panel: unit fixtures) fall back to
+    // the lowest ids overall.
+    def seedsFrom(df: DataFrame) = df.orderBy(col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
+    val pool = seedsFrom(corpus.filter(col("vec_id") >= ProbePanelSize))
+    val seedRows = if (pool.length == k) pool else seedsFrom(corpus)
     require(seedRows.length == k, s"need >= $k vectors, got ${seedRows.length}")
     var centroids: Array[Array[Array[Double]]] = Array.tabulate(m, k) {
       (sub, c) => seedRows(c).slice(sub * dsub, (sub + 1) * dsub).map(_.toDouble)
@@ -1262,8 +1269,25 @@ object Similarity {
       }.toDF("qid", "nid", "sim")
   }
 
+  /** Kernel eligibility bound for [[maxSimTop1]]: 64 floats + row
+    * overhead ≈ 600 B/vector, so 200k rows ≈ 120 MB collected+broadcast
+    * — comfortably driver-safe, while anything larger routes to the
+    * fully-distributed crossJoin form. */
+  val MaxSimKernelMaxCorpus = 200000L
+
+  /** Exact MaxSim top-1, routed by corpus size: the broadcast kernel is
+    * ~3× faster but collects the corpus to the driver, so it is ONLY
+    * for bounded corpora (gate panels, shortlists); past
+    * [[MaxSimKernelMaxCorpus]] rows the crossJoin expression form runs
+    * instead — O(|Q|×N) distributed work, O(1) driver memory. The
+    * routing count is one cheap scan against corpus cardinality.
+    * (Production retrieval at corpus scale is the v16 ANN path either
+    * way; this exact form is the truth side.) */
   def maxSimTop1(queries: DataFrame, corpus: DataFrame): DataFrame =
-    maxSimTop1Kernel(queries, corpus)
+    if (corpus.limit((MaxSimKernelMaxCorpus + 1).toInt).count()
+        <= MaxSimKernelMaxCorpus)
+      maxSimTop1Kernel(queries, corpus)
+    else maxSimTop1Expr(queries, corpus)
 
   /** V13 — exact MaxSim top-1 for the probe queries, FULL DuckDB
     * oracle (identical slice/round/max/sum arithmetic). */
@@ -1574,8 +1598,14 @@ object Similarity {
     * index layout — st14's store with one more partition column.
     */
   def filteredIvfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      filterCol: String, nCells: Int = 16, nProbe: Int = 6,
+      filterCol: String, nCells: Int = 16, nProbe: Int = 8,
       seed: Long = 7L): DataFrame = {
+    // nProbe default is 8, not unfiltered IVF's 6: the predicate cuts
+    // each query's eligible set ~10x, so the true neighbor more often
+    // sits past the first few cells — wider probing is the standard
+    // filtered-search compensation and the filter join still bounds the
+    // scanned rows (measured recall@1 at nProbe 6→8: 0.53→0.75 at
+    // sf0.001, 0.75→0.78 at sf0.01, 0.68→0.88 at sf0.1).
     val centroids = pqTrain(corpus, 1, nCells).head
     val bcCells = queries.sparkSession.sparkContext.broadcast(centroids)
     val cellOf = udf { (v: Seq[Float]) =>

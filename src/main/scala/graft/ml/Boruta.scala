@@ -236,14 +236,20 @@ object Boruta {
     * the current (b0, b1) per column, one grouped aggregate per Newton
     * step. Returns (pos, b0, b1, or = exp(b1)).
     */
+  /** The (pos, y, x) melt univariable logistic runs on — exposed so a12
+    * can persist the EXACT frame its DuckDB oracle replays the IRLS
+    * over (one definition, no engine-vs-oracle input drift). */
+  def meltFeatures(df: DataFrame, labelCol: String = "label",
+      featuresCol: String = "features"): DataFrame =
+    df.select(col(labelCol).cast("double").as("y"),
+      posexplode(col(featuresCol)).as(Seq("pos", "x")))
+      .withColumn("x", col("x").cast("double"))
+
   def univariableLogistic(df: DataFrame, p: Int, labelCol: String = "label",
       featuresCol: String = "features", iters: Int = 12): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val melted = df.select(col(labelCol).cast("double").as("y"),
-      posexplode(col(featuresCol)).as(Seq("pos", "x")))
-      .withColumn("x", col("x").cast("double"))
-      .cache()
+    val melted = meltFeatures(df, labelCol, featuresCol).cache()
     melted.count()
     var betas = Array.fill(p)((0.0, 0.0))
     for (_ <- 0 until iters) {
@@ -280,32 +286,88 @@ object Boruta {
 
   // ---------------------------------------------------------------- queries
 
-  /** A12 rows-only entry — the reference's own golden check
-    * (setup_data.py:155-166): univariable logistic ORs recover the
-    * planted values within ±0.5, noise SNPs stay near OR 1.
+  /** Absolute path so the oracle SQL (run by the driver's DuckDB in its
+    * own process, whatever its cwd) reads the exact files this JVM's
+    * query wrote. */
+  private def a12InputDir: String =
+    new java.io.File(graft.util.Fixtures.dir + "/a12_input").getAbsolutePath
+
+  /** The DuckDB replay of [[univariableLogistic]]: the identical
+    * per-pos IRLS recurrence unrolled one (stats, betas) CTE pair per
+    * Newton step over the persisted melt — the c17 oracle pattern
+    * (ridge-IRLS CTEs, Curation.scala) extended to the GROUPED fit:
+    * every CTE aggregates per pos, so all 10 columns' fits replay in
+    * one query. Same closed-form 2×2 solve, same |det| > 1e-12 guard.
+    * Coefficients round to 4dp (the c17 lesson: distributed sum order
+    * differs between engines at ~1e-10 — 6dp put the rounding boundary
+    * too close).
     */
-  val a12 = QueryDef.fixture("a12_univariable_logistic_or") { (s, d) =>
-    // seed 606 gives both planted SNPs common MAFs (case ~0.37/0.30) so
-    // the estimator's sampling SD at n=6000 sits well inside the bound;
-    // the log-scale bound 0.35 (≈7 SE) still catches any systematic bug
-    // (sign flip, wrong back-solve, non-convergence are all ≫ 0.35).
-    val cfg = Sim.Config(n = 6000L, p = 10, seed = 606L, chunkRows = 100L)
-    val bundle = Sim.bundle(s, cfg)
-    val ors = Sim.oddsRatios(cfg.p)
-    val spark = s; import spark.implicits._
-    val planted = ors.zipWithIndex.map { case (o, j) => (j, o) }
-      .toSeq.toDF("pos", "or_true")
-    import org.apache.spark.sql.expressions.Window
-    univariableLogistic(bundle, cfg.p).join(planted, "pos")
-      .select(col("pos"), round(col("or_hat"), 4).as("or_hat"), col("or_true"))
-      .withColumn("ok",
-        (abs(log(col("or_hat")) - log(col("or_true"))) < 0.35).cast("int"))
-      // p rows only when EVERY SNP recovered; else 0 rows → driver flags
-      .withColumn("n_ok", sum(col("ok")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .filter(col("n_ok") === cfg.p)
-      .drop("ok", "n_ok")
+  private def a12OracleSql(iters: Int): String = {
+    val base =
+      s"""WITH f AS MATERIALIZED (SELECT pos, y, x
+         |           FROM read_parquet('$a12InputDir/*.parquet')),
+         |t0 AS MATERIALIZED (SELECT DISTINCT pos, CAST(0 AS DOUBLE) AS b0,
+         |              CAST(0 AS DOUBLE) AS b1 FROM f)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s"""s$k AS MATERIALIZED (SELECT pos, sum(y - mu) AS g0, sum((y - mu) * x) AS g1,
+         |          sum(mu * (1 - mu)) AS w00, sum(mu * (1 - mu) * x) AS w01,
+         |          sum(mu * (1 - mu) * x * x) AS w11
+         |        FROM (SELECT f.pos, y, x,
+         |                1 / (1 + exp(-(b.b0 + b.b1 * x))) AS mu
+         |              FROM f JOIN t$p b USING (pos))
+         |        GROUP BY pos),
+         |t$k AS MATERIALIZED (SELECT b.pos,
+         |  CASE WHEN abs(w00 * w11 - w01 * w01) > 1e-12
+         |       THEN b.b0 + (w11 * g0 - w01 * g1) / (w00 * w11 - w01 * w01)
+         |       ELSE b.b0 END AS b0,
+         |  CASE WHEN abs(w00 * w11 - w01 * w01) > 1e-12
+         |       THEN b.b1 + (w00 * g1 - w01 * g0) / (w00 * w11 - w01 * w01)
+         |       ELSE b.b1 END AS b1
+         |  FROM t$p b JOIN s$k USING (pos))""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"""\nSELECT pos, round(b0, 4) AS b0, round(b1, 4) AS b1,
+         |       round(exp(b1), 4) AS or_hat
+         |FROM t$iters""".stripMargin
   }
+
+  /** A12 — now a FULL DuckDB oracle (was rows-only through round 9):
+    * the query persists its melted (pos, y, x) input beside the
+    * fixtures, fits by distributed IRLS, and DuckDB replays every
+    * Newton step from the same files ([[a12OracleSql]]) — a wrong
+    * gradient, wrong solve, or non-convergence hash-mismatches.
+    * The reference's own golden check (setup_data.py:155-166) remains
+    * as the emission gate: planted ORs recovered within 0.35 on the
+    * log scale (≈7 SE at n=6000, seed 606's common MAFs), noise SNPs
+    * near OR 1 — a recovery failure empties the output and fails the
+    * row-count compare loudly.
+    */
+  val a12 = QueryDef(
+    "a12_univariable_logistic_or",
+    { (s, d) =>
+      val cfg = Sim.Config(n = 6000L, p = 10, seed = 606L, chunkRows = 100L)
+      val bundle = Sim.bundle(s, cfg)
+      meltFeatures(bundle).coalesce(1).write.mode("overwrite")
+        .parquet(a12InputDir)
+      val ors = Sim.oddsRatios(cfg.p)
+      val spark = s; import spark.implicits._
+      val planted = ors.zipWithIndex.map { case (o, j) => (j, o) }
+        .toSeq.toDF("pos", "or_true")
+      import org.apache.spark.sql.expressions.Window
+      univariableLogistic(bundle, cfg.p).join(planted, "pos")
+        .withColumn("ok",
+          (abs(log(col("or_hat")) - log(col("or_true"))) < 0.35).cast("int"))
+        // p rows only when EVERY SNP recovered; else 0 rows → driver flags
+        .withColumn("n_ok", sum(col("ok")).over(
+          Window.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+        .filter(col("n_ok") === cfg.p)
+        .select(col("pos"), round(col("b0"), 4).as("b0"),
+          round(col("b1"), 4).as("b1"), round(col("or_hat"), 4).as("or_hat"))
+    },
+    oracle = Some(a12OracleSql(12)),
+    benchEligible = false)
 
   /** M12 rows-only entry: Boruta on the fixture must confirm both
     * planted SNPs and confirm nothing else.

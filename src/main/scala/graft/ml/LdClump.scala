@@ -789,12 +789,21 @@ object LdClump {
     * so size `bands` > value-mismatch budget + expected asymmetric-NaN
     * positions (≈ 2·p·missRate on LD-pruned, low-missingness QC panels).
     * Shuffle is (samples × bands) signature rows keyed by (band, hash);
-    * pathological hot buckets (monomorphic bands) surface as join skew
-    * and are handled the same way dedup handles hot shingles — drop or
-    * re-split the band, never fall back to all-pairs.
+    * pathological hot buckets (monomorphic bands — a b-SNP integral
+    * band has at most 3^b values, so a common one can collect a large
+    * sample fraction) are handled the same way dedup's
+    * `bucketCandidates` handles hot shingle buckets: a bucket larger
+    * than `maxBucketSize` emits a sorted id-CHAIN (m−1 consecutive
+    * pairs, linear) instead of its m(m−1)/2 all-pairs. The
+    * deterministic recall bound above holds for every bucket ≤ the cap;
+    * past it recall is BEST-EFFORT (a true pair whose only agreeing
+    * band is a capped bucket survives only as a chain-connected
+    * component after the exact kernel), which is the price of bounded
+    * work — never all-pairs, never silent skew.
     */
   def ibsCandidatePairs(geno: DataFrame, idCol: String, featCol: String,
-      bands: Int): DataFrame = {
+      bands: Int, maxBucketSize: Int = 2000): DataFrame = {
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2: $maxBucketSize")
     val head = geno.select(size(col(featCol))).head(1)
     if (head.isEmpty)
       return geno.sparkSession.range(0)
@@ -813,11 +822,21 @@ object LdClump {
     val sig = geno
       .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    sig.alias("a").join(sig.alias("b"),
+    // bucket-size window and the self-join share the (band, h) hash
+    // partitioning, so the cap costs no extra shuffle
+    val bucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("h"))
+    val sized = sig.withColumn("bsz", count(lit(1)).over(bucket))
+    val small = sized.filter(col("bsz") <= maxBucketSize)
+    val allPairs = small.alias("a").join(small.alias("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val chained = sized.filter(col("bsz") > maxBucketSize)
+      .withColumn("prev", lag(col("id"), 1).over(bucket.orderBy(col("id"))))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("id_a"), col("id").as("id_b"))
+    allPairs.unionByName(chained).distinct()
   }
 
   /** Blocked high-IBS screen: banded candidates → exact kernel. The

@@ -54,6 +54,14 @@ object GraphOps {
     * exchange reuse against the cached pre-partitioned edge relation
     * (measured at sf0.1, 1.17M edges: 0.33 s/round sized vs ~1 s/round
     * under AQE). Session confs are restored in a finally.
+    *
+    * SINGLE-THREADED SESSION ASSUMPTION: the AQE/partition overrides
+    * are session-global for the duration of the loop — any query
+    * running CONCURRENTLY on the same SparkSession would execute with
+    * AQE off and loop-sized shuffle partitions. Verify/Bench run
+    * queries sequentially, so this holds there; a concurrent caller
+    * should isolate via `SparkSession.newSession` (shared catalog,
+    * separate runtime conf) and build its edge frame in that session.
     */
   def pageRankFixedPoint(edges: DataFrame, iters: Int,
       assumeDistinctEdges: Boolean = false): DataFrame = {
