@@ -244,42 +244,56 @@ object Similarity {
     * one groupBy-free equi-join on cell id. `seed` is retained for
     * API stability but unused — determinism now comes from ids.
     */
+  /** Primitive-array coarse-quantizer kernels, shared by every IVF
+    * family path. A scala UDF over array<float> receives a Seq whose
+    * per-element apply goes through a boxed view, and the assignment
+    * loop reads each element nCells times — one bulk `toArray` copy up
+    * front (arraycopy / single unbox per element) keeps the
+    * O(nCells·dim) inner loop on primitive doubles, the byte-slice-
+    * hasher shape used everywhere else in this package. */
+  private[graft] def nearestCellKernel(
+      cs: Array[Array[Double]], vs: Seq[Float]): Int = {
+    val v = vs.toArray
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val cj = cs(c)
+      var s = 0.0; var j = 0
+      while (j < cj.length) { val diff = v(j) - cj(j); s += diff * diff; j += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The `nProbe` nearest coarse cells by squared distance (ties by
+    * cell id, as the previous stable sortBy produced). */
+  private[graft] def probeCellsKernel(
+      cs: Array[Array[Double]], vs: Seq[Float], nP: Int): Array[Int] = {
+    val v = vs.toArray
+    val d2 = new Array[Double](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      val cj = cs(c)
+      var s = 0.0; var j = 0
+      while (j < cj.length) { val diff = v(j) - cj(j); s += diff * diff; j += 1 }
+      d2(c) = s
+      c += 1
+    }
+    cs.indices.sortBy(i => (d2(i), i)).take(nP).toArray
+  }
+
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 16,
       nProbe: Int = 4, seed: Long = 7L): DataFrame = {
     val centroids = pqTrain(corpus, 1, nCells).head
     val bcCells = queries.sparkSession.sparkContext.broadcast(centroids)
-    val cellOf = udf { (v: Seq[Float]) =>
-      val cs = bcCells.value
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var s = 0.0; var j = 0
-        val cj = cs(c)
-        while (j < cj.length) {
-          val diff = v(j) - cj(j); s += diff * diff; j += 1
-        }
-        if (s < bestD) { bestD = s; best = c }
-        c += 1
-      }
-      best
-    }
+    val cellOf = udf { (v: Seq[Float]) => nearestCellKernel(bcCells.value, v) }
     val cells = corpus
       .select(col("vec_id").as("nid"), col("embedding").as("nv"),
         cellOf(col("embedding")).as("cell"))
     val nP = nProbe
-    val probeCells = udf { (v: Seq[Float]) =>
-      val cs = bcCells.value
-      val d2 = cs.indices.map { c =>
-        var s = 0.0
-        var j = 0
-        val cj = cs(c)
-        while (j < cj.length) {
-          val diff = v(j) - cj(j); s += diff * diff; j += 1
-        }
-        (s, c)
-      }
-      d2.sortBy(_._1).take(nP).map(_._2).toArray
-    }
+    val probeCells =
+      udf { (v: Seq[Float]) => probeCellsKernel(bcCells.value, v, nP) }
     val probed = queries
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         explode(probeCells(col("embedding"))).as("cell"))
@@ -731,7 +745,8 @@ object Similarity {
   def pqEncode(corpus: DataFrame,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
-    val enc = udf { (v: Seq[Float]) =>
+    val enc = udf { (vs: Seq[Float]) =>
+      val v = vs.toArray // bulk copy: primitive access in the m*k*dsub loop
       val cbs = bc.value
       val m = cbs.length
       val dsub = cbs(0)(0).length
@@ -778,7 +793,8 @@ object Similarity {
     val codes = pqEncode(corpus, codebooks)
       .select(col("vec_id").as("nid"), col("codes"), col("recon_norm_sq"))
     val bc = queries.sparkSession.sparkContext.broadcast(codebooks)
-    val mkTable = udf { (v: Seq[Float]) =>
+    val mkTable = udf { (vs: Seq[Float]) =>
+      val v = vs.toArray
       val cbs = bc.value
       val m = cbs.length; val kk = cbs(0).length; val dsub = cbs(0)(0).length
       val t = new Array[Double](m * kk)
@@ -911,19 +927,9 @@ object Similarity {
     val coarse = pqTrain(corpus, 1, nCells).head // (cell)(dim) centroids
     val bcCoarse = sc.broadcast(coarse)
     val dim = coarse(0).length
-    val cellOf = udf { (v: Seq[Float]) =>
-      val cs = bcCoarse.value
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var s = 0.0; var j = 0
-        while (j < dim) { val diff = v(j) - cs(c)(j); s += diff * diff; j += 1 }
-        if (s < bestD) { bestD = s; best = c }
-        c += 1
-      }
-      best
-    }
-    val residual = udf { (v: Seq[Float], cell: Int) =>
+    val cellOf = udf { (v: Seq[Float]) => nearestCellKernel(bcCoarse.value, v) }
+    val residual = udf { (vs: Seq[Float], cell: Int) =>
+      val v = vs.toArray
       val cs = bcCoarse.value(cell)
       Array.tabulate(dim)(j => (v(j) - cs(j)).toFloat).toSeq
     }
@@ -949,20 +955,10 @@ object Similarity {
     val dim = coarse(0).length
     val m = books.length
     val dsub = dim / m
-    val cellOf = udf { (v: Seq[Float]) =>
-      val cs = bcCoarse.value
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var s = 0.0; var j = 0
-        while (j < dim) { val diff = v(j) - cs(c)(j); s += diff * diff; j += 1 }
-        if (s < bestD) { bestD = s; best = c }
-        c += 1
-      }
-      best
-    }
+    val cellOf = udf { (v: Seq[Float]) => nearestCellKernel(bcCoarse.value, v) }
     // encode: residual PQ codes + |ĉ + r̂|² for the cosine denominator
-    val enc = udf { (v: Seq[Float], cell: Int) =>
+    val enc = udf { (vs: Seq[Float], cell: Int) =>
+      val v = vs.toArray
       val cbs = bcBooks.value; val cs = bcCoarse.value(cell)
       val codes = new Array[Byte](m)
       val recon = new Array[Double](dim)
@@ -1020,15 +1016,10 @@ object Similarity {
     // query side: probe cells + one residual-ADC table per query +
     // one dot(q, centroid) scalar per probed cell
     val nP = nProbe
-    val probeCells = udf { (v: Seq[Float]) =>
-      val cs = bcCoarse.value
-      cs.indices.map { c =>
-        var s = 0.0; var j = 0
-        while (j < dim) { val diff = v(j) - cs(c)(j); s += diff * diff; j += 1 }
-        (s, c)
-      }.sortBy(_._1).take(nP).map(_._2).toArray
-    }
-    val mkTable = udf { (v: Seq[Float]) =>
+    val probeCells =
+      udf { (v: Seq[Float]) => probeCellsKernel(bcCoarse.value, v, nP) }
+    val mkTable = udf { (vs: Seq[Float]) =>
+      val v = vs.toArray
       val cbs = bcBooks.value
       val t = new Array[Double](m * kCodes)
       var sub = 0
@@ -1044,7 +1035,8 @@ object Similarity {
       }
       t
     }
-    val dotCell = udf { (v: Seq[Float], cell: Int) =>
+    val dotCell = udf { (vs: Seq[Float], cell: Int) =>
+      val v = vs.toArray
       val cs = bcCoarse.value(cell)
       var s = 0.0; var j = 0
       while (j < dim) { s += v(j) * cs(j); j += 1 }
@@ -1608,29 +1600,10 @@ object Similarity {
     // sf0.001, 0.75→0.78 at sf0.01, 0.68→0.88 at sf0.1).
     val centroids = pqTrain(corpus, 1, nCells).head
     val bcCells = queries.sparkSession.sparkContext.broadcast(centroids)
-    val cellOf = udf { (v: Seq[Float]) =>
-      val cs = bcCells.value
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var s2 = 0.0; var j = 0
-        val cj = cs(c)
-        while (j < cj.length) { val f = v(j) - cj(j); s2 += f * f; j += 1 }
-        if (s2 < bestD) { bestD = s2; best = c }
-        c += 1
-      }
-      best
-    }
+    val cellOf = udf { (v: Seq[Float]) => nearestCellKernel(bcCells.value, v) }
     val nP = nProbe
-    val probeCells = udf { (v: Seq[Float]) =>
-      val cs = bcCells.value
-      cs.indices.map { c =>
-        var s2 = 0.0; var j = 0
-        val cj = cs(c)
-        while (j < cj.length) { val f = v(j) - cj(j); s2 += f * f; j += 1 }
-        (s2, c)
-      }.sortBy(_._1).take(nP).map(_._2).toArray
-    }
+    val probeCells =
+      udf { (v: Seq[Float]) => probeCellsKernel(bcCells.value, v, nP) }
     val cells = corpus.select(col("vec_id").as("nid"),
       col("embedding").as("nv"), col(filterCol).as("__f"),
       cellOf(col("embedding")).as("cell"))

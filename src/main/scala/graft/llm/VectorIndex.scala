@@ -134,15 +134,9 @@ object VectorIndex {
       nProbe: Int = 6, shortlist: Int = 64): DataFrame = {
     val sc = queries.sparkSession.sparkContext
     val bcCoarse = sc.broadcast(ix.coarse)
-    val dim = ix.coarse(0).length
     val nP = nProbe
     val probeCells = udf { (v: Seq[Float]) =>
-      val cs = bcCoarse.value
-      cs.indices.map { c =>
-        var s = 0.0; var j = 0
-        while (j < dim) { val diff = v(j) - cs(c)(j); s += diff * diff; j += 1 }
-        (s, c)
-      }.sortBy(_._1).take(nP).map(_._2).toArray
+      Similarity.probeCellsKernel(bcCoarse.value, v, nP)
     }
     val cellsNeeded = queries
       .select(explode(probeCells(col("embedding"))).as("cell"))
