@@ -41,6 +41,7 @@ object SparkEntry {
       graft.llm.Contamination.all ++
       graft.llm.Similarity.all ++
       graft.llm.VectorIndex.all ++
+      graft.llm.GraphAnn.all ++
       graft.llm.EmbeddingOps.all ++
       graft.llm.Multimodal.all ++
       graft.streaming.Streams.all
