@@ -42,6 +42,7 @@ object SparkEntry {
       graft.llm.Similarity.all ++
       graft.llm.VectorIndex.all ++
       graft.llm.GraphAnn.all ++
+      graft.llm.HybridRetrieval.all ++
       graft.llm.EmbeddingOps.all ++
       graft.llm.Multimodal.all ++
       graft.streaming.Streams.all
