@@ -124,6 +124,36 @@ object VectorIndex {
     load(spark, dir)
   }
 
+  /** Append a batch of new vectors to an existing index WITHOUT
+    * retraining: the stored quantizers are FROZEN (st14's streaming
+    * contract, Streams.scala — retraining would re-shuffle the whole
+    * accumulated store; production systems version the quantizer and
+    * rebuild offline), new rows are encoded against them and appended
+    * to the cell partitions, and the meta fingerprint updates
+    * INCREMENTALLY — the checksum is an XOR over per-row hashes, so
+    * old ⊕ xor(batch) is exactly the fingerprint of the union corpus:
+    * a later [[ensure]] over the full corpus validates without a
+    * rebuild. Cost: one scan of the BATCH, zero touch of existing
+    * partitions.
+    */
+  def append(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ix = load(spark, dir)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (bn, bsum) = fingerprint(batch)
+    Similarity.ivfPqEncode(batch, ix.coarse, ix.books)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    Seq((meta.getAs[Long]("n_vectors") + bn,
+        meta.getAs[Long]("checksum") ^ bsum,
+        meta.getAs[Int]("dim"), meta.getAs[Int]("n_cells"),
+        meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
+        meta.getAs[Int]("format_version")))
+      .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
+        "format_version")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
   /** Search the stored index: distinct probed cells of the query set
     * (ONE aggregate on the small query side, result ≤ nCells values)
     * become an `IN`-list filter on the cell-partitioned scan —

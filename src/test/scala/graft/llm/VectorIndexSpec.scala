@@ -60,6 +60,35 @@ class VectorIndexSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("append encodes with frozen quantizers and updates the fingerprint incrementally") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val all = corpus(360).cache()
+    val first = all.filter(col("vec_id") < 300)
+    val batch = all.filter(col("vec_id") >= 300)
+    VectorIndex.build(first, s"$base/d")
+    val builds = VectorIndex.buildsThisProcess
+    VectorIndex.append(batch, s"$base/d")
+    // the incrementally-updated fingerprint must equal the union
+    // corpus' — ensure() over the full corpus validates WITHOUT rebuild
+    val ix = VectorIndex.ensure(all, s"$base/d")
+    assert(VectorIndex.buildsThisProcess == builds, "append forced a rebuild")
+    assert(ix.nVectors == 360 && ix.codes.count() == 360)
+    // frozen-quantizer semantics: the store equals encoding the union
+    // with the FIRST corpus' quantizers (never a retrain)
+    val expect = Similarity
+      .ivfPqEncode(all, ix.coarse, ix.books)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq, r.getDouble(3))).toSet
+    val got = ix.codes.select("nid", "cell", "codes", "recon_norm_sq")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq, r.getDouble(3))).toSet
+    assert(got == expect)
+    // and search still answers over the appended rows
+    val q = all.filter(col("vec_id") < 5)
+    assert(VectorIndex.search(ix, q, all, k = 1).count() == 5)
+    all.unpersist()
+  }
+
   test("store layout is cell-partitioned and codebooks round-trip exactly") {
     graft.util.Fs.rmRecursive(new java.io.File(base))
     val c = corpus(300)
