@@ -43,6 +43,7 @@ object SparkEntry {
       graft.llm.VectorIndex.all ++
       graft.llm.GraphAnn.all ++
       graft.llm.HybridRetrieval.all ++
+      graft.llm.BinaryQuant.all ++
       graft.llm.EmbeddingOps.all ++
       graft.llm.Multimodal.all ++
       graft.streaming.Streams.all
