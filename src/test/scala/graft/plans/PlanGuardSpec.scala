@@ -320,4 +320,23 @@ class PlanGuardSpec extends SparkSpec {
     assert(lines.count(_.contains("HashAggregate")) >= 4,
       s"expected partial+final aggregate pairs:\n$p")
   }
+
+  test("v19: stored-index search statically prunes un-probed cell partitions") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val dir = graft.util.Fixtures.dir + "/spec_planguard_v19"
+    val ix = graft.llm.VectorIndex.ensure(emb, dir)
+    // ONE query probes nProbe=6 of 16 cells — the scan over the stored
+    // codes must carry those cells as PartitionFilters (directory-level
+    // pruning), not as a post-scan row filter
+    val q = emb.filter(col("vec_id") === 0)
+    val df = graft.llm.VectorIndex.search(ix, q, emb, k = 1)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("cell"))
+    assert(pf.isDefined, s"no cell PartitionFilters on the codes scan:\n$p")
+    assert(pf.get.contains(" IN "), s"cell filter not an IN list: ${pf.get}")
+  }
 }
