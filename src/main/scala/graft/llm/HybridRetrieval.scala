@@ -52,6 +52,14 @@ object HybridRetrieval {
     val dl = post.groupBy("doc").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl")).head()
+    // empty corpus: no postings, no stats — empty result, never an NPE
+    // off the null avgdl (the 100 TB empty-slice contract)
+    if (stats.isNullAt(1)) {
+      val s = docs.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Int, Long, Double)]
+        .toDF("qid", "rank", "doc", "score4")
+    }
     val (nDocs, avgdl) = (stats.getDouble(0), stats.getDouble(1))
     val df = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val qterms = post.join(queryIds.select(col("qid")),

@@ -40,6 +40,22 @@ class EmptyInputSpec extends SparkSpec {
   test("similarity family: empty corpus/queries in, empty out") {
     assert(graft.llm.Similarity.bruteForceTopK(emptyEmb, emptyEmb, 3)
       .count() == 0)
+    assert(graft.llm.BinaryQuant.binaryTopK(emptyEmb, emptyEmb, 3)
+      .count() == 0)
+    // graph/index BUILDS require a non-empty corpus (pqTrain's loud
+    // require — an empty index is a configuration error, not a slice)
+    intercept[IllegalArgumentException] {
+      graft.llm.GraphAnn.buildNeighborGraph(emptyEmb)
+    }
+  }
+
+  test("retrieval family: empty corpus in, empty out") {
+    val s = spark; import s.implicits._
+    val panel = Seq.empty[Tuple1[Long]].toDF("qid")
+    assert(graft.llm.HybridRetrieval.bm25TopN(emptyDocs, panel, 10)
+      .count() == 0)
+    val noList = Seq.empty[(Long, Int, Long)].toDF("qid", "rank", "doc")
+    assert(graft.llm.HybridRetrieval.rrfFuse(noList, noList, 5).count() == 0)
   }
 
   test("graph family: empty edge sets degrade to empty, never throw") {
