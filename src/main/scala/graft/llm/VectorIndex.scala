@@ -68,7 +68,12 @@ object VectorIndex {
     graft.util.Fs.rmRecursive(new java.io.File(dir))
     val (coarse, books) = Similarity.ivfPqTrain(corpus, nCells, m, kCodes)
     val (n, sum) = fingerprint(corpus)
+    // repartition by cell before the partitioned write: without it every
+    // task writes a file into every cell directory (tasks x cells small
+    // files — the classic partitionBy mistake at scale); with it each
+    // cell directory gets one contiguous file per shuffle partition
     Similarity.ivfPqEncode(corpus, coarse, books)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
     val coarseRows = coarse.zipWithIndex.map { case (v, c) => (0, 0, c, v.toSeq) }
     val bookRows = for {
