@@ -47,15 +47,24 @@ object HybridRetrieval {
     * of the corpus (more-like-this retrieval; self excluded). Returns
     * (qid, rank, doc, score4). */
   def bm25TopN(docs: DataFrame, queryIds: DataFrame, topN: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val post = postings(docs, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bm25FromPostings(postings(docs, idCol, textCol), queryIds, topN)
+
+  /** BM25 over an ALREADY-BUILT (doc, term, tf) posting frame — the
+    * store-backed search path (st15 searches a streamed-in posting
+    * store with exactly this; [[bm25TopN]] is the build-and-search
+    * convenience over it). Corpus stats (N, avgdl, df) derive from the
+    * postings, so an incrementally-appended store needs no separate
+    * stats maintenance. */
+  def bm25FromPostings(post: DataFrame, queryIds: DataFrame,
+      topN: Int): DataFrame = {
     val dl = post.groupBy("doc").agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl")).head()
     // empty corpus: no postings, no stats — empty result, never an NPE
     // off the null avgdl (the 100 TB empty-slice contract)
     if (stats.isNullAt(1)) {
-      val s = docs.sparkSession
+      val s = post.sparkSession
       import s.implicits._
       return Seq.empty[(Long, Int, Long, Double)]
         .toDF("qid", "rank", "doc", "score4")

@@ -900,7 +900,68 @@ object Streams {
       .filter(col("stream_matches_batch") && col("n_cell_dirs") >= 2)
   }
 
+  /** ST15 — streaming TEXT-index ingest: the sparse-retrieval twin of
+    * st14. Every arriving micro-batch is tokenized at the edge in
+    * foreachBatch ([[graft.llm.HybridRetrieval.postings]] — the same
+    * definition v21's batch search uses, so there is no stream-vs-batch
+    * tokenizer drift by construction) and APPENDED to a term-hash-
+    * bucketed parquet posting store; corpus stats (N, avgdl, df) derive
+    * from the postings at query time, so the incremental store needs no
+    * separate stats maintenance and no streaming state at all. Gates:
+    * (1) the streamed posting store fingerprint-matches the batch-built
+    * postings exactly (count + crc32 — arrival order changed nothing);
+    * (2) a BM25 top-3 search over the STREAMED store fingerprint-
+    * matches the same search over the batch postings; (3) the store is
+    * physically bucketed (bucket= directories exist).
+    */
+  val st15 = QueryDef.fixture("st15_stream_text_index_ingest") { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+    val base = graft.util.Fixtures.dir + "/st15"
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val postDir = s"$base/postings"
+    def tokenize(b: DataFrame): DataFrame =
+      graft.llm.HybridRetrieval.postings(b, "doc_id", "text")
+        .withColumn("bucket", pmod(xxhash64(col("term")), lit(8)))
+    val feed = new FileFeed(s, "st15feed", docs.schema)
+    val q = feed.source()
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        tokenize(b).repartition(col("bucket"))
+          .write.mode("append").partitionBy("bucket").parquet(postDir)
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      (0 until 3).foreach { k =>
+        feed.add(docs.filter(pmod(col("doc_id"), lit(3)) === k))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = s.read.parquet(postDir)
+      .select(col("doc"), col("term"), col("tf"))
+    val batch = tokenize(docs).select(col("doc"), col("term"), col("tf"))
+    val postFpS = fingerprint(streamed, Seq("doc", "term", "tf"))
+    val postFpB = fingerprint(batch, Seq("doc", "term", "tf"))
+    val panel = docs.filter(col("doc_id") < 40).select(col("doc_id").as("qid"))
+    def searchFp(post: DataFrame) = fingerprint(
+      graft.llm.HybridRetrieval.bm25FromPostings(post, panel, topN = 3),
+      Seq("qid", "rank", "doc", "score4"))
+    val sFpS = searchFp(streamed)
+    val sFpB = searchFp(batch)
+    val bucketDirs = Option(new java.io.File(postDir).listFiles())
+      .map(_.count(f => f.isDirectory && f.getName.startsWith("bucket=")))
+      .getOrElse(0)
+    Seq((postFpS._1, sFpS._1, bucketDirs.toLong,
+        postFpS == postFpB && sFpS == sFpB && postFpS._1 > 0 && sFpS._1 > 0))
+      .toDF("n_postings", "n_search_rows", "n_bucket_dirs",
+        "stream_matches_batch")
+      .filter(col("stream_matches_batch") && col("n_bucket_dirs") >= 2)
+  }
+
   def all: Seq[QueryDef] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
-      st14)
+      st14, st15)
 }
