@@ -948,7 +948,8 @@ object Similarity {
     * persisted index stores per vector (m bytes + 1 double instead of
     * dim floats). */
   def ivfPqEncode(corpus: DataFrame, coarse: Array[Array[Double]],
-      books: Array[Array[Array[Double]]]): DataFrame = {
+      books: Array[Array[Array[Double]]],
+      keepCols: Seq[String] = Nil): DataFrame = {
     val sc = corpus.sparkSession.sparkContext
     val bcCoarse = sc.broadcast(coarse)
     val bcBooks = sc.broadcast(books)
@@ -991,8 +992,9 @@ object Similarity {
     corpus
       .withColumn("cell", cellOf(col("embedding")))
       .withColumn("__e", enc(col("embedding"), col("cell")))
-      .select(col("vec_id").as("nid"), col("cell"),
-        col("__e._1").as("codes"), col("__e._2").as("recon_norm_sq"))
+      .select(Seq(col("vec_id").as("nid"), col("cell")) ++
+        keepCols.map(col) ++
+        Seq(col("__e._1").as("codes"), col("__e._2").as("recon_norm_sq")): _*)
   }
 
   /** IVFADC search over an already-encoded index frame (nid, cell,
@@ -1002,10 +1004,14 @@ object Similarity {
     * just-encoded frame). Exact cosine re-ranks a bounded shortlist
     * against `corpus` (the source-of-truth float vectors, looked up by
     * id — a persisted index never stores them). */
+  /** `filterCol`: when set, the search is PRE-FILTERED (v18 semantics)
+    * — queries and index rows must both carry the column, and the
+    * candidate join keys on (cell, filterCol), so every ADC-scored
+    * candidate is already predicate-eligible. */
   def ivfPqSearch(queries: DataFrame, index: DataFrame,
       coarse: Array[Array[Double]], books: Array[Array[Array[Double]]],
       corpus: DataFrame, k: Int, nProbe: Int = 6,
-      shortlist: Int = 64): DataFrame = {
+      shortlist: Int = 64, filterCol: Option[String] = None): DataFrame = {
     val sc = queries.sparkSession.sparkContext
     val bcCoarse = sc.broadcast(coarse)
     val bcBooks = sc.broadcast(books)
@@ -1050,13 +1056,16 @@ object Similarity {
       s
     }
     val probed = queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      .select(Seq(col("vec_id").as("qid"), col("embedding").as("qv"),
         sqrt(aggregate(col("embedding"), lit(0.0),
           (a, x) => a + x.cast("double") * x.cast("double"))).as("qnorm"),
         mkTable(col("embedding")).as("t"),
-        explode(probeCells(col("embedding"))).as("cell"))
+        explode(probeCells(col("embedding"))).as("cell")) ++
+        filterCol.map(col).toSeq: _*)
       .withColumn("dot_cell", dotCell(col("qv"), col("cell")))
-    val scored = probed.join(index, "cell") // cell-keyed: probed cells only
+    // cell-keyed (plus the predicate column when pre-filtering):
+    // probed cells only
+    val scored = probed.join(index, Seq("cell") ++ filterCol.toSeq)
       .filter(col("qid") =!= col("nid"))
       .withColumn("approx_sim",
         (col("dot_cell") + lookup(col("t"), col("codes"))) /

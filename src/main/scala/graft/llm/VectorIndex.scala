@@ -50,9 +50,11 @@ object VectorIndex {
       codes: DataFrame,
       nVectors: Long)
 
-  private def fingerprint(corpus: DataFrame): (Long, Long) = {
+  private def fingerprint(corpus: DataFrame,
+      extraCols: Seq[String] = Nil): (Long, Long) = {
+    val hashed = ("vec_id" +: "embedding" +: extraCols).mkString(", ")
     val r = corpus
-      .agg(count(lit(1)), expr("bit_xor(xxhash64(vec_id, embedding))"))
+      .agg(count(lit(1)), expr(s"bit_xor(xxhash64($hashed))"))
       .head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
@@ -181,8 +183,90 @@ object VectorIndex {
       k, nProbe, shortlist)
   }
 
+  // ------------------------------------------- filtered (predicate) store
+
+  /** Build a PRE-FILTERED store: codes partitioned by (filterCol, cell)
+    * — the layout v18's scaladoc promises at 100 TB ("st14's store with
+    * one more partition column"). A filtered search then prunes BOTH
+    * partition levels: only the query set's predicate values and probed
+    * cells are ever listed into tasks. The filter column participates
+    * in the fingerprint (a relabeled corpus must invalidate the store).
+    */
+  def buildFiltered(corpus: DataFrame, dir: String, filterCol: String,
+      nCells: Int = 16, m: Int = 16, kCodes: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    buildsThisProcess += 1
+    graft.util.Fs.rmRecursive(new java.io.File(dir))
+    val (coarse, books) = Similarity.ivfPqTrain(corpus, nCells, m, kCodes)
+    val (n, sum) = fingerprint(corpus, Seq(filterCol))
+    Similarity.ivfPqEncode(corpus, coarse, books, keepCols = Seq(filterCol))
+      .repartition(col(filterCol), col("cell"))
+      .write.mode("overwrite").partitionBy(filterCol, "cell")
+      .parquet(s"$dir/codes")
+    val coarseRows = coarse.zipWithIndex.map { case (v, c) => (0, 0, c, v.toSeq) }
+    val bookRows = for {
+      (subArr, sub) <- books.zipWithIndex.toSeq
+      (v, c) <- subArr.zipWithIndex.toSeq
+    } yield (1, sub, c, v.toSeq)
+    (coarseRows.toSeq ++ bookRows)
+      .toDF("level", "sub", "code", "vals")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    Seq((n, sum, coarse(0).length, nCells, m, kCodes, filterCol, 1))
+      .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
+        "filter_col", "format_version")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def ensureFiltered(corpus: DataFrame, dir: String, filterCol: String,
+      nCells: Int = 16, m: Int = 16, kCodes: Int = 16): Loaded = {
+    val spark = corpus.sparkSession
+    val valid = try {
+      val meta = spark.read.parquet(s"$dir/meta").head()
+      val (n, sum) = fingerprint(corpus, Seq(filterCol))
+      meta.getAs[Long]("n_vectors") == n &&
+        meta.getAs[Long]("checksum") == sum &&
+        meta.getAs[String]("filter_col") == filterCol &&
+        meta.getAs[Int]("n_cells") == nCells &&
+        meta.getAs[Int]("m") == m && meta.getAs[Int]("k_codes") == kCodes
+    } catch { case _: Throwable => false }
+    if (!valid) buildFiltered(corpus, dir, filterCol, nCells, m, kCodes)
+    load(spark, dir)
+  }
+
+  /** Pre-filtered search over a [[buildFiltered]] store: nProbe
+    * defaults to 8 (the filtered-search compensation measured on v18 —
+    * a selective predicate shrinks each query's eligible set ~10×).
+    * Prunes the predicate partition level when the query set's
+    * distinct predicate values are few (≤ 64 — a bounded panel/batch;
+    * a broad query set needs most value directories anyway), and
+    * always prunes the cell level. */
+  def searchFiltered(ix: Loaded, queries: DataFrame, corpus: DataFrame,
+      filterCol: String, k: Int, nProbe: Int = 8,
+      shortlist: Int = 64): DataFrame = {
+    val sc = queries.sparkSession.sparkContext
+    val bcCoarse = sc.broadcast(ix.coarse)
+    val nP = nProbe
+    val probeCells = udf { (v: Seq[Float]) =>
+      Similarity.probeCellsKernel(bcCoarse.value, v, nP)
+    }
+    val cellsNeeded = queries
+      .select(explode(probeCells(col("embedding"))).as("cell"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    var pruned = ix.codes.filter(col("cell").isin(cellsNeeded.map(Int.box): _*))
+    val fVals = queries.select(col(filterCol)).distinct().limit(65).collect()
+    if (fVals.length <= 64)
+      pruned = pruned.filter(col(filterCol).isin(fVals.map(_.get(0)): _*))
+    Similarity.ivfPqSearch(queries, pruned, ix.coarse, ix.books, corpus,
+      k, nProbe, shortlist, filterCol = Some(filterCol))
+  }
+
   private def indexDirFor(sfDir: String): String =
     graft.util.Fixtures.dir + "/v19_index/" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def filteredDirFor(sfDir: String): String =
+    graft.util.Fixtures.dir + "/v23_index/" +
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
 
   /** V19 — persisted-index ANN recall gate, v12-hardened: the emitted
@@ -228,5 +312,47 @@ object VectorIndex {
         |      FROM s)
         |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(persisted)
+  /** V23 — pre-filtered search over the PERSISTED (label, cell)-
+    * partitioned store: v18's pre-filter semantics delivered on v19's
+    * build-once index (the layout v18's scaladoc promised). Emitted
+    * rows are the exact within-label truth (v18's DuckDB oracle);
+    * they emit only when the stored-index filtered search reaches
+    * recall@1 ≥ 0.6 and the store is complete.
+    */
+  val persistedFiltered = QueryDef(
+    "v23_persisted_filtered_ann",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label")).cache()
+      val ix = ensureFiltered(emb, filteredDirFor(d), "label")
+      val queries = Similarity.probePanel(emb)
+      val exact = Similarity.bruteForceTop1Filtered(queries, emb, "label")
+        .localCheckpoint(eager = true)
+      val approx = searchFiltered(ix, queries, emb, "label", k = 1)
+        .select(col("qid"), col("nid").as("nid_ix"))
+      val joined = exact.join(approx, Seq("qid"), "left").cache()
+      val nQ = joined.count().toDouble
+      val hits = joined.filter(col("nid") === col("nid_ix")).count().toDouble
+      val nStored = ix.codes.count()
+      val nCorpus = emb.count()
+      joined.unpersist(); emb.unpersist()
+      exact.filter(lit(hits / nQ >= 0.6 && nQ > 0 &&
+          nStored == nCorpus && ix.nVectors == nCorpus))
+        .select(col("qid"), col("nid"), col("sim"))
+    },
+    oracle = Some(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+        |                  label
+        |           FROM embeddings WHERE vec_id < 40),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |      FROM q JOIN embeddings e
+        |        ON e.label = q.label AND e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rn
+        |      FROM s)
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(persisted, persistedFiltered)
 }

@@ -89,6 +89,45 @@ class VectorIndexSpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("filtered store is (label, cell)-partitioned and search respects the predicate") {
+    import spark.implicits._
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val c = corpus(300)
+      .withColumn("label", (col("vec_id") % 3).cast("long")).cache()
+    val ix = VectorIndex.ensureFiltered(c, s"$base/f", "label")
+    // two-level physical layout: label=L/cell=C directories
+    val labelDirs = Option(new java.io.File(s"$base/f/codes").listFiles())
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("label=")))
+      .getOrElse(Array.empty)
+    assert(labelDirs.length == 3, s"expected 3 label dirs, got ${labelDirs.length}")
+    assert(labelDirs.forall(d =>
+      d.listFiles().exists(f => f.isDirectory && f.getName.startsWith("cell="))))
+    // every returned neighbor shares the query's label (pre-filter
+    // semantics) and matches the exact within-label truth on this
+    // clustered fixture
+    val q = c.filter(col("vec_id") < 10)
+    val got = VectorIndex.searchFiltered(ix, q, c, "label", k = 1)
+      .select(col("qid"), col("nid"))
+    val labels = c.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.collect().foreach { r =>
+      assert(labels(r.getLong(0)) == labels(r.getLong(1)),
+        s"cross-label neighbor: $r")
+    }
+    val exact = Similarity.bruteForceTop1Filtered(q, c, "label")
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = gotSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"filtered stored-index recall $recall")
+    // relabeling the corpus must invalidate the store
+    val builds = VectorIndex.buildsThisProcess
+    val relabeled = c.withColumn("label", (col("vec_id") % 5).cast("long"))
+    VectorIndex.ensureFiltered(relabeled, s"$base/f", "label")
+    assert(VectorIndex.buildsThisProcess == builds + 1)
+    c.unpersist()
+  }
+
   test("store layout is cell-partitioned and codebooks round-trip exactly") {
     graft.util.Fs.rmRecursive(new java.io.File(base))
     val c = corpus(300)
