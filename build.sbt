@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver invokes `sbt "runMain graft.Bench"` and parses
+// the LAST stdout line as JSON. Two pieces of sbt decoration break that:
+// (a) the trailing `[success] Total time: …` banner printed AFTER the
+// program's own last line, and (b) the `[info] `/`[error] ` prefixes the
+// default logged output strategy adds to every forked-process line.
+// Suppress the banner and pass the forked process's streams through
+// verbatim so the program's final summary line IS the last line sbt emits.
+Global / showSuccess := false
+run / connectInput := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -124,7 +124,7 @@ object IoQueries {
         sum(col("doc_id")).cast("long").as("id_sum"),
         sum(col("n_chars")).cast("long").as("char_sum"),
         sum(conv(substring(md5(concat_ws("", col("text"), col("lang"),
-          col("source"))), 1, 12), 16, 10).cast("long")).as("content_sum")).head()
+          col("source"))), 1, 8), 16, 10).cast("long")).as("content_sum")).head()
       val (orig, rt) = (summary(docs), summary(back))
       val spark = s; import spark.implicits._
       Seq((orig.getLong(0), orig == rt))
@@ -154,27 +154,42 @@ object IoQueries {
       val docs = graft.Tables.documents(s, d)
       docs.write.mode("overwrite").format("json").save(jsonDocsDir)
       val back = s.read.schema(docs.schema).format("json").load(jsonDocsDir)
+      // Per-row content hash is 8 hex chars (32 bits): the per-lang sum
+      // then provably fits int64 on BOTH engines up to 2^31 rows/group —
+      // DuckDB's sum(BIGINT) promotes to HUGEINT, so a 48-bit per-row
+      // hash would make the compared representations diverge once a
+      // group's sum left int64 range, silently, only at large sf.
       def summary(df: org.apache.spark.sql.DataFrame) = df.groupBy("lang").agg(
         count(lit(1)).cast("long").as("n"),
         sum(col("doc_id")).cast("long").as("id_sum"),
         sum(col("n_chars")).cast("long").as("char_sum"),
         sum(conv(substring(md5(concat_ws("", col("text"), col("lang"),
-          col("source"))), 1, 12), 16, 10).cast("long")).as("content_sum"))
+          col("source"))), 1, 8), 16, 10).cast("long")).as("content_sum"))
       val src = summary(docs).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4))).toSet
-      val rt = summary(back).cache()
-      val rtSet = rt.collect()
+      // Collect once and rebuild the emitted frame from the rows — no
+      // cache to leak for the session's lifetime, no recompute either.
+      val rtRows = summary(back).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4))).toSet
-      rt.filter(lit(src == rtSet && src.nonEmpty))
+          r.getLong(4)))
+      val rtSet = rtRows.toSet
+      val spark = s; import spark.implicits._
+      rtRows.toSeq
+        .toDF("lang", "n", "id_sum", "char_sum", "content_sum")
+        .filter(lit(src == rtSet && src.nonEmpty))
     },
+    // Every sum is CAST to BIGINT (repo convention, cf. Dedup/Curation
+    // oracles): DuckDB's sum(BIGINT) returns HUGEINT, which the driver's
+    // pandas bridge renders differently than Spark's BIGINT — the r10
+    // hash mismatch was exactly this, on these three sums.
     oracle = Some(
-      s"""SELECT lang, count(*) AS n, sum(doc_id) AS id_sum,
-         |       sum(n_chars) AS char_sum,
-         |       sum(('0x' || substr(md5(coalesce(text, '')
-         |           || coalesce(lang, '') || coalesce(source, '')), 1, 12)
-         |         )::BIGINT) AS content_sum
+      s"""SELECT lang, count(*) AS n,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(n_chars) AS BIGINT) AS char_sum,
+         |       CAST(sum(('0x' || substr(md5(coalesce(text, '')
+         |           || coalesce(lang, '') || coalesce(source, '')), 1, 8)
+         |         )::BIGINT) AS BIGINT) AS content_sum
          |FROM read_json('$jsonDocsDir/*.json',
          |       format = 'newline_delimited',
          |       columns = {doc_id: 'BIGINT', text: 'VARCHAR',
