@@ -19,6 +19,7 @@ run / fork := true
 // Suppress the banner and pass the forked process's streams through
 // verbatim so the program's final summary line IS the last line sbt emits.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 run / connectInput := false
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

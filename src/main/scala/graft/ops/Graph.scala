@@ -53,22 +53,26 @@ object GraphOps {
     * re-optimization per round, and its partition coalescing broke
     * exchange reuse against the cached pre-partitioned edge relation
     * (measured at sf0.1, 1.17M edges: 0.33 s/round sized vs ~1 s/round
-    * under AQE). Session confs are restored in a finally.
+    * under AQE).
     *
-    * SINGLE-THREADED SESSION ASSUMPTION: the AQE/partition overrides
-    * are session-global for the duration of the loop — any query
-    * running CONCURRENTLY on the same SparkSession would execute with
-    * AQE off and loop-sized shuffle partitions. Verify/Bench run
-    * queries sequentially, so this holds there; a concurrent caller
-    * should isolate via `SparkSession.newSession` (shared catalog,
-    * separate runtime conf) and build its edge frame in that session.
+    * CONF ISOLATION: the loop runs entirely on a CHILD session
+    * (`parent.newSession()` — shared SparkContext and catalog, private
+    * runtime conf), so the AQE-off + loop-sized-partition overrides
+    * below can never leak into a query running concurrently on the
+    * caller's session. The overrides die with the child session; no
+    * restore dance, no cross-query hazard. The one-time RDD round-trip
+    * rebinds the caller's edge relation into the child session (Spark
+    * exposes no public API to move a Dataset across sessions); it
+    * feeds the partitioned edge cache exactly once, so the conversion
+    * cost is setup-only.
     */
   def pageRankFixedPoint(edges: DataFrame, iters: Int,
       assumeDistinctEdges: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val sess = edges.sparkSession
-    val e0 = edges.select(col("src").cast("long").as("src"),
+    val sess = edges.sparkSession.newSession()
+    val eProj = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+    val e0 = sess.createDataFrame(eProj.rdd, eProj.schema)
     val eDedup = if (assumeDistinctEdges) e0 else e0.distinct()
     val e = eDedup
       .repartition(col("src")) // reused by every iteration's join
@@ -87,9 +91,9 @@ object GraphOps {
     val teleport = (3L * F) / (20L * n) // (1-d)/N, exact integral
     val loopParts = math.max(8L, math.min(nEdges / 150000L + 1L,
       sess.sparkContext.defaultParallelism * 4L)).toInt
-    val aqeWas = sess.conf.get("spark.sql.adaptive.enabled")
-    val partsWas = sess.conf.get("spark.sql.shuffle.partitions")
     try {
+      // child-session-local: concurrent queries on the caller's session
+      // never see these
       sess.conf.set("spark.sql.adaptive.enabled", "false")
       sess.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
       // bake outdeg INTO the cached edge table once: the iteration then
@@ -136,8 +140,6 @@ object GraphOps {
       e2.unpersist(); danglingNodes.unpersist()
       ranks
     } finally {
-      sess.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      sess.conf.set("spark.sql.shuffle.partitions", partsWas)
       e.unpersist(); nodes.unpersist(); deg.unpersist()
     }
   }
