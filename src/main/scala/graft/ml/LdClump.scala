@@ -802,15 +802,35 @@ object LdClump {
     * work — never all-pairs, never silent skew.
     */
   def ibsCandidatePairs(geno: DataFrame, idCol: String, featCol: String,
-      bands: Int, maxBucketSize: Int = 2000): DataFrame = {
-    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2: $maxBucketSize")
+      bands: Int, maxBucketSize: Int = 2000): DataFrame =
+    ibsSized(geno, idCol, featCol, bands) match {
+      case None =>
+        geno.sparkSession.range(0)
+          .select(col("id").as("id_a"), col("id").as("id_b"))
+      case Some(sized) =>
+        require(maxBucketSize >= 2,
+          s"maxBucketSize must be >= 2: $maxBucketSize")
+        val small = sized.filter(col("bsz") <= maxBucketSize)
+        val allPairs = small.alias("a").join(small.alias("b"),
+            col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        allPairs.unionByName(ibsChainFromSized(sized, maxBucketSize))
+          .distinct()
+    }
+
+  /** Shared signature builder for the banded IBS screen: one row per
+    * (sample, band) carrying the band-slice content hash and the
+    * (band, hash) bucket size. The bucket-size window and the
+    * downstream self-join share the (band, h) hash partitioning, so
+    * sizing costs no extra shuffle. None ⇔ empty input. */
+  private def ibsSized(geno: DataFrame, idCol: String, featCol: String,
+      bands: Int): Option[DataFrame] = {
     val head = geno.select(size(col(featCol))).head(1)
-    if (head.isEmpty)
-      return geno.sparkSession.range(0)
-        .select(col("id").as("id_a"), col("id").as("id_b"))
+    if (head.isEmpty) return None
     val p = head(0).getInt(0)
     require(bands >= 1 && bands <= p,
-      s"ibsCandidatePairs: bands=$bands outside [1, $p]")
+      s"ibs screen: bands=$bands outside [1, $p]")
     val bounds = (0 to bands).map(b => (b * p) / bands)
     val bandCols = (0 until bands).map { b =>
       val start = bounds(b); val len = bounds(b + 1) - start
@@ -822,22 +842,56 @@ object LdClump {
     val sig = geno
       .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bh"))
       .select(col("id"), col("bh.band").as("band"), col("bh.h").as("h"))
-    // bucket-size window and the self-join share the (band, h) hash
-    // partitioning, so the cap costs no extra shuffle
     val bucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("h"))
-    val sized = sig.withColumn("bsz", count(lit(1)).over(bucket))
-    val small = sized.filter(col("bsz") <= maxBucketSize)
-    val allPairs = small.alias("a").join(small.alias("b"),
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val chained = sized.filter(col("bsz") > maxBucketSize)
+    Some(sig.withColumn("bsz", count(lit(1)).over(bucket)))
+  }
+
+  private def ibsChainFromSized(sized: DataFrame,
+      maxBucketSize: Int): DataFrame = {
+    val bucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("h"))
+    sized.filter(col("bsz") > maxBucketSize)
       .withColumn("prev", lag(col("id"), 1).over(bucket.orderBy(col("id"))))
       .filter(col("prev").isNotNull)
       .select(col("prev").as("id_a"), col("id").as("id_b"))
-    allPairs.unionByName(chained).distinct()
   }
+
+  /** The capped branch alone: for every (band, hash) bucket LARGER
+    * than `maxBucketSize`, the sorted id-chain (m−1 consecutive pairs)
+    * that replaces its m(m−1)/2 all-pairs. Exposed so the capped
+    * path's construction is directly gateable (m23) instead of only
+    * observable as "whatever distinct() merged in". */
+  def ibsChainPairs(geno: DataFrame, idCol: String, featCol: String,
+      bands: Int, maxBucketSize: Int): DataFrame =
+    ibsSized(geno, idCol, featCol, bands) match {
+      case None => geno.sparkSession.range(0)
+        .select(col("id").as("id_a"), col("id").as("id_b"))
+      case Some(sized) => ibsChainFromSized(sized, maxBucketSize).distinct()
+    }
+
+  /** Per-band bucket audit for the screen — the no-silent-caps
+    * surface: (band, n_buckets, n_capped, max_bucket). A capped bucket
+    * means recall past the deterministic bound degraded to the id-
+    * chain best-effort for pairs whose ONLY agreeing band is that
+    * bucket; callers at scale should alert on n_capped > 0 (m21/m23
+    * surface the count as an output column). One extra pass over the
+    * signature table (samples × bands rows), nothing over the matrix
+    * beyond the slice hashes. */
+  def ibsCapStats(geno: DataFrame, idCol: String, featCol: String,
+      bands: Int, maxBucketSize: Int): DataFrame =
+    ibsSized(geno, idCol, featCol, bands) match {
+      case None => geno.sparkSession.range(0)
+        .select(col("id").as("band"), col("id").as("n_buckets"),
+          col("id").as("n_capped"), col("id").as("max_bucket"))
+      case Some(sized) =>
+        sized.select(col("band"), col("h"), col("bsz")).distinct()
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L))
+              .as("n_capped"),
+            max(col("bsz")).as("max_bucket"))
+    }
 
   /** Blocked high-IBS screen: banded candidates → exact kernel. The
     * production path for `ibs ≥ threshold` queries — O(samples·bands)
@@ -868,13 +922,22 @@ object LdClump {
   val m21 = QueryDef(
     "m21_ibs_kinship",
     { (s, _) =>
-      ibsPairsScreened(fixtureGeno(s), "id", "features", bands = 3)
+      val g = fixtureGeno(s)
+      // no-silent-caps: the capped-bucket count rides on every output
+      // row, COMPUTED on both engines (here via ibsCapStats, in DuckDB
+      // by grouping samples on their exact band-slice tuples) — a
+      // screening run that silently degraded to chains would change
+      // this column and hash-mismatch loudly
+      val nCapped = ibsCapStats(g, "id", "features", bands = 3,
+          maxBucketSize = 2000)
+        .agg(coalesce(sum(col("n_capped")), lit(0L))).head().getLong(0)
+      ibsPairsScreened(g, "id", "features", bands = 3)
         // filter on the RAW ratio exactly as the oracle does (the
         // rounded display column could disagree at a threshold edge)
         .filter(col("ibs_num").cast("double") /
           (lit(2.0) * col("n_valid")) >= 0.95)
         .select(col("id_a"), col("id_b"), col("ibs_num"), col("n_valid"),
-          col("ibs"))
+          col("ibs"), lit(nCapped).as("n_capped_buckets"))
     },
     oracle = Some(
       """WITH snps(idx, kind) AS (VALUES
@@ -888,6 +951,12 @@ object LdClump {
         |               WHEN s.kind = 'ind' THEN CAST((i.id // 3) % 3 AS DOUBLE)
         |               ELSE CAST(i.id % 3 AS DOUBLE) END AS d
         |        FROM snps s CROSS JOIN ids i),
+        |bt AS (SELECT id, idx // 3 AS band,
+        |         string_agg(coalesce(d::VARCHAR, 'NA'), ',' ORDER BY idx) AS tup
+        |       FROM dos GROUP BY 1, 2),
+        |caps AS (SELECT CAST(count(*) FILTER (WHERE c > 2000) AS BIGINT)
+        |           AS n_capped
+        |         FROM (SELECT band, tup, count(*) AS c FROM bt GROUP BY 1, 2)),
         |p AS (SELECT a.id AS id_a, b.id AS id_b,
         |             CAST(COALESCE(sum(CASE WHEN a.d IS NOT NULL AND b.d IS NOT NULL
         |                      THEN 2.0 - abs(a.d - b.d) END), 0) AS BIGINT) AS ibs_num,
@@ -896,8 +965,74 @@ object LdClump {
         |      FROM dos a JOIN dos b ON a.idx = b.idx AND a.id < b.id
         |      GROUP BY 1, 2)
         |SELECT id_a, id_b, ibs_num, n_valid,
-        |       round(CAST(ibs_num AS DOUBLE) / (2.0 * n_valid), 6) AS ibs
+        |       round(CAST(ibs_num AS DOUBLE) / (2.0 * n_valid), 6) AS ibs,
+        |       (SELECT n_capped FROM caps) AS n_capped_buckets
         |FROM p WHERE CAST(ibs_num AS DOUBLE) / (2.0 * n_valid) >= 0.95""".stripMargin))
+
+  /** M23 — the CAPPED branch of the IBS screen, gated directly: run
+    * the screen on the m15 fixture with maxBucketSize=40, which forces
+    * band 0's three (residue-class) buckets of 97 samples past the cap
+    * (bands 1–2 stay at 33-sized buckets, under it). Output = the
+    * id-CHAIN candidates those capped buckets emit, run through the
+    * exact kernel, kept at IBS ≥ 0.85 — a mix of passing (16/18) and
+    * failing (14/18) chain pairs, so the threshold does real work —
+    * plus the capped-bucket count on every row. FULL DuckDB oracle:
+    * buckets are replayed by grouping samples on their exact
+    * band-slice value tuples (hashing is an implementation detail;
+    * equal tuples ⇔ equal xxhash64 buckets, collision-free at 9
+    * tuples/band), chains by lag() over id within capped buckets,
+    * then the m21 kernel on exactly those pairs. A wrong cap
+    * comparison, chain order, or bucket sizing hash-mismatches. */
+  val m23 = QueryDef(
+    "m23_ibs_capped_chain",
+    { (s, _) =>
+      val g = fixtureGeno(s)
+      val nCapped = ibsCapStats(g, "id", "features", bands = 3,
+          maxBucketSize = 40)
+        .agg(coalesce(sum(col("n_capped")), lit(0L))).head().getLong(0)
+      ibsOnPairs(ibsChainPairs(g, "id", "features", bands = 3,
+          maxBucketSize = 40), g, "id", "features")
+        .filter(col("ibs_num").cast("double") /
+          (lit(2.0) * col("n_valid")) >= 0.85)
+        .select(col("id_a"), col("id_b"), col("ibs_num"), col("n_valid"),
+          col("ibs"), lit(nCapped).as("n_capped_buckets"))
+    },
+    oracle = Some(
+      """WITH snps(idx, kind) AS (VALUES
+        |  (0, 'base'), (1, 'anti'), (2, 'base_nan'),
+        |  (3, 'base'), (4, 'ind'), (5, 'base'),
+        |  (6, 'base'), (7, 'base'), (8, 'ind')),
+        |ids AS (SELECT unnest(range(0, 297)) AS id),
+        |dos AS MATERIALIZED (SELECT s.idx, i.id,
+        |          CASE WHEN s.kind = 'base_nan' AND i.id % 50 = 0 THEN NULL
+        |               WHEN s.kind = 'anti' THEN 2.0 - (i.id % 3)
+        |               WHEN s.kind = 'ind' THEN CAST((i.id // 3) % 3 AS DOUBLE)
+        |               ELSE CAST(i.id % 3 AS DOUBLE) END AS d
+        |        FROM snps s CROSS JOIN ids i),
+        |bt AS MATERIALIZED (SELECT id, idx // 3 AS band,
+        |         string_agg(coalesce(d::VARCHAR, 'NA'), ',' ORDER BY idx) AS tup
+        |       FROM dos GROUP BY 1, 2),
+        |sized AS MATERIALIZED (SELECT id, band, tup,
+        |         count(*) OVER (PARTITION BY band, tup) AS bsz
+        |       FROM bt),
+        |caps AS (SELECT CAST(count(*) AS BIGINT) AS n_capped
+        |         FROM (SELECT DISTINCT band, tup FROM sized WHERE bsz > 40)),
+        |chain AS (SELECT lag(id) OVER (PARTITION BY band, tup ORDER BY id)
+        |            AS id_a, id AS id_b
+        |          FROM sized WHERE bsz > 40),
+        |cp AS (SELECT DISTINCT id_a, id_b FROM chain WHERE id_a IS NOT NULL),
+        |p AS (SELECT c.id_a, c.id_b,
+        |             CAST(COALESCE(sum(CASE WHEN a.d IS NOT NULL AND b.d IS NOT NULL
+        |                      THEN 2.0 - abs(a.d - b.d) END), 0) AS BIGINT) AS ibs_num,
+        |             CAST(count(CASE WHEN a.d IS NOT NULL AND b.d IS NOT NULL
+        |                      THEN 1 END) AS BIGINT) AS n_valid
+        |      FROM cp c JOIN dos a ON a.id = c.id_a
+        |                JOIN dos b ON b.id = c.id_b AND b.idx = a.idx
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, ibs_num, n_valid,
+        |       round(CAST(ibs_num AS DOUBLE) / (2.0 * n_valid), 6) AS ibs,
+        |       (SELECT n_capped FROM caps) AS n_capped_buckets
+        |FROM p WHERE CAST(ibs_num AS DOUBLE) / (2.0 * n_valid) >= 0.85""".stripMargin))
 
   /** Per-SNP mean-dosage imputation (the PLINK `--fill-missing-a2` /
     * 2·allele-frequency fill — the default missingness policy before
@@ -976,5 +1111,5 @@ object LdClump {
         |       CAST(n_samples AS BIGINT) AS n_samples
         |FROM st""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(m14, m14r2, m15, m16, m17, m21, m22)
+  def all: Seq[QueryDef] = Seq(m14, m14r2, m15, m16, m17, m21, m22, m23)
 }

@@ -251,6 +251,61 @@ class LdClumpSpec extends SparkSpec {
     assert(screenedRows == bruteRows)
   }
 
+  test("ibs screening: recall above the bucket cap is quantified, not silent") {
+    val s = spark
+    // Worst case for the cap: a MONOMORPHIC band. 60 samples, 6 SNPs,
+    // 2 bands. Band 0 (SNPs 0-2) is all-zero — one bucket of 60, past
+    // any cap below that. Band 1 (SNPs 3-5) = (id % 3, 0, 0): three
+    // 20-sized buckets. True pairs at IBS >= 0.9 (ibs_num >= 11/12):
+    // within-residue twins (12/12, found via band-1 buckets) AND
+    // cross-residue pairs differing by one dosage unit (11/12) whose
+    // ONLY agreeing band is the capped band 0 — exactly the pairs the
+    // chain degradation loses.
+    val geno = s.range(0, 60).select(col("id"),
+      array(lit(0.0), lit(0.0), lit(0.0),
+        (col("id") % 3).cast("double"), lit(0.0), lit(0.0)).as("features"))
+      .repartition(5)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def atThreshold(pairs: org.apache.spark.sql.DataFrame) =
+      pairSet(LdClump.ibsOnPairs(pairs, geno, "id", "features")
+        .filter(col("ibs_num").cast("double") /
+          (lit(2.0) * col("n_valid")) >= 0.9))
+    val brute = pairSet(LdClump.ibsPairs(geno, "id", "features")
+      .filter(col("ibs_num").cast("double") /
+        (lit(2.0) * col("n_valid")) >= 0.9))
+    // 3 * C(20,2) twins + 2 * 20 * 20 diff-1 cross pairs
+    assert(brute.size == 3 * 190 + 2 * 400)
+    // the audit surface reports the capped bucket — never silent
+    val stats = LdClump.ibsCapStats(geno, "id", "features", bands = 2,
+        maxBucketSize = 40)
+      .collect().map(r => r.getAs[Long]("band") ->
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("n_capped"),
+          r.getAs[Long]("max_bucket"))).toMap
+    assert(stats(0L) == ((1L, 1L, 60L)), s"band 0 audit: ${stats(0L)}")
+    assert(stats(1L) == ((3L, 0L, 20L)), s"band 1 audit: ${stats(1L)}")
+    // the capped bucket degrades to its sorted id-chain: 59 pairs
+    val chain = pairSet(LdClump.ibsChainPairs(geno, "id", "features",
+      bands = 2, maxBucketSize = 40))
+    assert(chain == (0L until 59L).map(i => (i, i + 1)).toSet)
+    // recall above the cap is EXACTLY the documented best-effort: twins
+    // via band-1 buckets (570) + the chain's diff-1 survivors (40 of
+    // 59: consecutive ids with residues (0,1)/(1,2) pass, (2,0) is a
+    // diff-2 pair the exact kernel rejects) out of 1370 true pairs
+    val capped = atThreshold(LdClump.ibsCandidatePairs(geno, "id",
+      "features", bands = 2, maxBucketSize = 40))
+    assert(capped.subsetOf(brute), "screen must never invent pairs")
+    assert(capped.size == 570 + 40,
+      s"above-cap recall changed: ${capped.size} of ${brute.size}")
+    val recall = capped.size.toDouble / brute.size
+    assert(recall > 0.4 && recall < 0.5, f"recall $recall%.3f")
+    // and with the cap above the bucket size, recall returns to 1.0
+    val uncapped = atThreshold(LdClump.ibsCandidatePairs(geno, "id",
+      "features", bands = 2, maxBucketSize = 60))
+    assert(uncapped == brute, "uncapped screen must recover full recall")
+  }
+
   test("variantMissingness: NaN-only inspection, defined on adjusted dosages") {
     val s = spark
     // 1.5 would make hweCounts throw — missingness must accept it
