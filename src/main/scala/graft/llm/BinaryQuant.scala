@@ -68,8 +68,13 @@ object BinaryQuant {
   /** V22 — binary-quantization recall gate, v11-hardened: emitted rows
     * are the exact brute-force truth (v1's oracle); they emit only when
     * the 1-bit path reaches recall@1 ≥ 0.6 on the probe panel AND the
-    * packed-code invariant holds (every corpus row packs to one long —
-    * checked by count parity through the scan).
+    * packed codes match an INDEPENDENT re-derivation: the sign-parity
+    * fold recomputed as a codegen'd column expression
+    * (transform-with-index + aggregate-XOR) must equal the UDF kernel's
+    * long on every corpus row. A packing bug in either implementation —
+    * wrong bit position, wrong sign test, wrong fold — fails the gate;
+    * the previous count-parity check could not (counting a projection
+    * of emb always equals emb.count()).
     */
   val binary = QueryDef(
     "v22_binary_quant_recall",
@@ -84,10 +89,16 @@ object BinaryQuant {
       val joined = exact.join(approx, Seq("qid"), "left").cache()
       val nQ = joined.count().toDouble
       val hits = joined.filter(col("nid") === col("nid_b")).count().toDouble
-      val nCodes = emb.select(signPack(col("embedding"))).count()
-      val nCorpus = emb.count()
+      val bitsExpr = aggregate(
+        transform(col("embedding"), (x, i) =>
+          when(x > lit(0f),
+            call_function("shiftleft", lit(1L), pmod(i, lit(64))))
+            .otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc.bitwiseXOR(v))
+      val nPackMismatch =
+        emb.filter(signPack(col("embedding")) =!= bitsExpr).count()
       joined.unpersist(); emb.unpersist()
-      exact.filter(lit(hits / nQ >= 0.6 && nQ > 0 && nCodes == nCorpus))
+      exact.filter(lit(hits / nQ >= 0.6 && nQ > 0 && nPackMismatch == 0L))
         .select(col("qid"), col("nid"), col("sim"))
     },
     oracle = Some(

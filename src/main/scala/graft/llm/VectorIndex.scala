@@ -149,7 +149,11 @@ object VectorIndex {
     val ix = load(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").head()
     val (bn, bsum) = fingerprint(batch)
+    // repartition by cell BEFORE the partitioned append, as build()
+    // does: without it every task writes a file into every cell it
+    // touches — the tasks x cells small-files explosion
     Similarity.ivfPqEncode(batch, ix.coarse, ix.books)
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
     Seq((meta.getAs[Long]("n_vectors") + bn,
         meta.getAs[Long]("checksum") ^ bsum,
