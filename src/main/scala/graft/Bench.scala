@@ -87,6 +87,10 @@ object Bench {
       // class, so it gets the same treatment on the same warmup graph.
       graft.ops.GraphOps.connectedComponents(wedges)
         .write.format("noop").mode("overwrite").save()
+      // ...and the multimodal codec + dHash + banded-Hamming kernels
+      // (r10 committed artifacts: mm4 23.5 s cold vs 4.8 s isolated
+      // warm — the delta was codec/fingerprint JIT, not plan cost)
+      graft.llm.Multimodal.warmup(spark)
     } catch { case _: Throwable => () }
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

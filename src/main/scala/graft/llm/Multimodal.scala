@@ -990,5 +990,26 @@ object Multimodal {
         col("n_bad_frac") === 0 && col("n_pairs") >= col("n_scene_pairs"))
   }
 
+  /** First-touch warm-up for the codec/fingerprint kernels (called by
+    * Bench before timing): a miniature end-to-end video near-dup —
+    * container + BMP decode, dHash, banded frame Hamming, overlap
+    * verify — on 48 tiny synthetic videos. r10's committed artifacts
+    * showed mm4 at 23.5 s cold vs 4.8 s isolated-warm; the gap is
+    * class-load + JIT of exactly these kernels landing inside the
+    * first timed query that touches them, same first-touch class as
+    * the span/graph warmups already in Bench.
+    */
+  def warmup(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val assets = spark.createDataFrame(
+      spark.range(48).rdd.map(i =>
+        Row(i, syntheticVideo(i, nScenes = 8))),
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false))))
+    videoNearDupPairs(videoFrameHashes(assets, stride = 2), "doc_id",
+        maxDist = 3, minMatchFrac = 0.5)
+      .write.format("noop").mode("overwrite").save()
+  }
+
   def all: Seq[QueryDef] = Seq(mm, mm2, mm3, mm4)
 }
