@@ -1380,7 +1380,7 @@ object Similarity {
     * retrieval already did. The corpus never participates.
     */
   def mmrRerank(candidates: DataFrame, queries: DataFrame, k: Int,
-      lambda: Double): DataFrame = {
+      lambda: Double, quantize: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1]: $lambda")
     val spark = candidates.sparkSession
@@ -1396,7 +1396,7 @@ object Similarity {
     grouped.flatMap { case (qid, qv, cands) =>
       val q = qv.toArray
       val items = cands.sortBy(_._1).map { case (id, v) => (id, v.toArray) }
-      def cos(a: Array[Float], b: Array[Float]): Double = {
+      def cosRaw(a: Array[Float], b: Array[Float]): Double = {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
         while (i < math.min(a.length, b.length)) {
           dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
@@ -1404,6 +1404,19 @@ object Similarity {
         }
         dot / (math.sqrt(na) * math.sqrt(nb))
       }
+      // HALF_UP at 6 decimals == Spark SQL round() == DuckDB round():
+      // the same rule the brute-force gates rely on
+      def q6(x: Double): Double =
+        if (java.lang.Double.isFinite(x))
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else x
+      // `quantize` snaps every similarity to 6 decimals BEFORE the
+      // greedy, making each step's argmax a decision on cross-engine-
+      // identical values (ties broken by ascending id): the exact
+      // precondition the v14 DuckDB unrolled replay needs. Off by
+      // default — full double precision when no oracle is replaying.
+      def cos(a: Array[Float], b: Array[Float]): Double =
+        if (quantize) q6(cosRaw(a, b)) else cosRaw(a, b)
       val rel = items.map { case (_, v) => cos(q, v) }
       val selected = scala.collection.mutable.ArrayBuffer[Int]()
       val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Double, Double)]()
@@ -1423,21 +1436,92 @@ object Similarity {
         selected += bestIdx
         out += ((items(bestIdx)._1, selected.size, rel(bestIdx), bestScore))
       }
-      out.iterator.map { case (nid, rank, r, sc) => (qid, rank, nid,
-        math.floor(r * 1e6 + 0.5) / 1e6, math.floor(sc * 1e6 + 0.5) / 1e6) }
+      // mmr_score is emitted at SEVEN decimals: with quantized inputs
+      // the score is a multiple of (1−λ)·1e-6 = 5e-7, so its 6-decimal
+      // rounding sits EXACTLY on the half boundary for odd multiples —
+      // where engines' rounding paths (BigDecimal on the exact binary
+      // value vs scaled-float nearbyint) legitimately disagree. At 7
+      // decimals the value is boundary-free on both.
+      def q7(x: Double): Double =
+        if (java.lang.Double.isFinite(x))
+          BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+        else x
+      out.iterator.map { case (nid, rank, r, sc) =>
+        (qid, rank, nid, q6(r), q7(sc)) }
     }.toDF("qid", "rank", "nid", "relevance", "mmr_score")
   }
 
-  /** V14 — MMR re-rank of each probe query's top-32 shortlist down to
-    * 8 diverse hits. Rows-only golden gates (the greedy is not
-    * SQL-expressible): (1) rank 1 is exactly the plain cosine top-1
-    * (MMR's first pick is pure relevance); (2) the selected set's
-    * maximum pairwise cosine is ≤ the plain top-8's maximum pairwise
-    * cosine for every query, strictly smaller for at least 20% of
-    * queries (the diversity the pass exists to buy); (3) exactly 8
-    * rows per query.
+  /** Unrolled DuckDB replay of the greedy MMR itself (same recipe as
+    * c17/a12/g1: one MATERIALIZED CTE per greedy step). Valid because
+    * the gated kernel runs with `quantize = true`: every similarity is
+    * snapped to 6 decimals (HALF_UP — Spark round == DuckDB round)
+    * before any comparison, so each step's argmax decides on values
+    * both engines agree on bit-for-bit, with ties broken by ascending
+    * id on both sides. λ is 1/2 (exact in binary, so λ·rel − (1−λ)·div
+    * is the same IEEE arithmetic on the same inputs).
     */
-  val mmr = QueryDef.rowsOnly("v14_mmr_rerank") { (s, d) =>
+  private def mmrOracleSql(shortlist: Int, k: Int): String = {
+    val base =
+      s"""WITH q AS MATERIALIZED (SELECT vec_id AS qid,
+         |         CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id < $ProbePanelSize),
+         |sc AS MATERIALIZED (SELECT qid, e.vec_id AS nid,
+         |        round(list_cosine_similarity(qv,
+         |          CAST(e.embedding AS DOUBLE[])), 6) AS sim
+         |      FROM q, embeddings e WHERE e.vec_id != qid),
+         |cand AS MATERIALIZED (SELECT qid, nid, sim FROM (
+         |        SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, nid) AS rn FROM sc)
+         |      WHERE rn <= $shortlist),
+         |pw AS MATERIALIZED (SELECT a.qid, a.nid AS i, b.nid AS j,
+         |        round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |          CAST(eb.embedding AS DOUBLE[])), 6) AS s
+         |      FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid != b.nid
+         |      JOIN embeddings ea ON ea.vec_id = a.nid
+         |      JOIN embeddings eb ON eb.vec_id = b.nid),
+         |s1 AS MATERIALIZED (SELECT qid, nid, sim AS rel, 0.5 * sim AS score
+         |      FROM (SELECT qid, nid, sim, row_number() OVER (
+         |              PARTITION BY qid ORDER BY 0.5 * sim DESC, nid) AS rn
+         |            FROM cand) WHERE rn = 1),
+         |sel1 AS MATERIALIZED (SELECT qid, nid FROM s1)""".stripMargin
+    val steps = (2 to k).map { t =>
+      val p = t - 1
+      s"""s$t AS MATERIALIZED (SELECT qid, nid, rel, score FROM (
+         |  SELECT c.qid, c.nid, c.sim AS rel,
+         |         0.5 * c.sim - 0.5 * d.mx AS score,
+         |         row_number() OVER (PARTITION BY c.qid
+         |           ORDER BY (0.5 * c.sim - 0.5 * d.mx) DESC, c.nid) AS rn
+         |  FROM cand c
+         |  JOIN (SELECT p.qid, p.i AS nid, max(p.s) AS mx
+         |        FROM pw p JOIN sel$p s ON p.qid = s.qid AND p.j = s.nid
+         |        GROUP BY 1, 2) d ON d.qid = c.qid AND d.nid = c.nid
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel$p x
+         |                    WHERE x.qid = c.qid AND x.nid = c.nid)) t
+         |  WHERE rn = 1),
+         |sel$t AS MATERIALIZED (SELECT qid, nid FROM sel$p
+         |       UNION ALL SELECT qid, nid FROM s$t)""".stripMargin
+    }
+    val tail = (1 to k).map { t =>
+      s"""SELECT qid, CAST($t AS BIGINT) AS rank, nid, rel AS relevance,
+         |       round(score, 7) AS mmr_score FROM s$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (base +: steps).mkString(",\n") + "\n" + tail
+  }
+
+  /** V14 — MMR re-rank of each probe query's top-32 shortlist down to
+    * 8 diverse hits, FULL DuckDB oracle since round 11: the greedy is
+    * replayed step-by-step in SQL ([[mmrOracleSql]]) against the
+    * quantized kernel. The previous rows-only golden gates stay as
+    * belt (emission is still conditional on them): (1) rank 1 is
+    * exactly the plain cosine top-1 (MMR's first pick is pure
+    * relevance); (2) the selected set's maximum pairwise cosine is ≤
+    * the plain top-8's for every query, strictly smaller for ≥ 20% of
+    * queries (the diversity the pass exists to buy — a property the
+    * replay alone would not falsify); (3) exactly 8 rows per query.
+    */
+  val mmr = QueryDef(
+    "v14_mmr_rerank",
+    { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val queries = probePanel(emb)
     // ONE brute-force pass: the top-32 shortlist is a superset of both
@@ -1450,7 +1534,8 @@ object Similarity {
       .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
         "nid")
       .select(col("qid"), col("nid"), col("nv"))
-    val picked = mmrRerank(shortlist, queries, k = 8, lambda = 0.5).cache()
+    val picked = mmrRerank(shortlist, queries, k = 8, lambda = 0.5,
+      quantize = true).cache()
     // per-query max pairwise cosine of a selection
     def maxPairSim(sel: DataFrame): DataFrame = {
       val a = sel.select(col("qid"), col("nid").as("a"))
@@ -1480,16 +1565,24 @@ object Similarity {
         .as("n_strictly_diverse"),
       count(lit(1)).as("n_q")).head()
     val allK = counts.filter(col("n") === 8).count()
+    // the golden gates stay as belt: emission of the replayed rows is
+    // conditional on every invariant holding
+    val ok = stats.getLong(3) == nQ && stats.getLong(0) == nQ &&
+      stats.getLong(1) == nQ && allK == nQ && stats.getLong(2) * 5 >= nQ
+    // collect-and-rebuild (8 rows/query): no cached frame outlives the
+    // query (the s9 unpersist discipline)
+    val rows = picked
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"),
+        col("relevance"), col("mmr_score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
     picked.unpersist()
     val spark = s; import spark.implicits._
-    Seq((stats.getLong(3), stats.getLong(0), stats.getLong(1),
-      stats.getLong(2), allK))
-      .toDF("n_queries", "n_top1_ok", "n_no_worse", "n_strictly_diverse",
-        "n_full_k")
-      .filter(col("n_queries") === nQ && col("n_top1_ok") === nQ &&
-        col("n_no_worse") === nQ && col("n_full_k") === nQ &&
-        col("n_strictly_diverse") * 5 >= nQ)
-  }
+    rows.toSeq.toDF("qid", "rank", "nid", "relevance", "mmr_score")
+      .filter(lit(ok))
+  },
+    oracle = Some(mmrOracleSql(32, 8)))
 
   /** V15 — hard-negative mining for retrieval training (the DPR /
     * Contriever data-prep step, Karpukhin et al. 2020): for each query

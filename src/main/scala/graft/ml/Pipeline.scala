@@ -31,6 +31,42 @@ object Pipeline {
     (m.coefficients(0), m.intercept)
   }
 
+  /** The oracle-replayable twin of [[fitPlatt]]: unregularized logistic
+    * fit by FIXED-ITERATION Newton/IRLS from (0, 0) — one distributed
+    * aggregate (gradient + 2×2 Hessian) per step, closed-form solve on
+    * the driver. Same recurrence as [[Boruta.univariableLogistic]] but
+    * single-group. Deterministic given the input (modulo ~1e-10
+    * sum-order noise, absorbed by 4dp rounding at the gate), so DuckDB
+    * can unroll the identical steps (m10b). Returns (A, B) of
+    * sigmoid(A·x + B), matching fitPlatt's contract.
+    */
+  def fitPlattIrls(oof: DataFrame, labelCol: String = "y_true",
+      predCol: String = "y_pred", iters: Int = 8): (Double, Double) = {
+    val data = oof.select(col(labelCol).cast("double").as("y"),
+      col(predCol).cast("double").as("x")).cache()
+    data.count()
+    var b0 = 0.0; var b1 = 0.0
+    for (_ <- 0 until iters) {
+      val mu = lit(1.0) / (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x"))))
+      val w = mu * (lit(1.0) - mu)
+      val r = data.agg(
+        sum(col("y") - mu).as("g0"),
+        sum((col("y") - mu) * col("x")).as("g1"),
+        sum(w).as("w00"),
+        sum(w * col("x")).as("w01"),
+        sum(w * col("x") * col("x")).as("w11")).head()
+      val (g0, g1) = (r.getDouble(0), r.getDouble(1))
+      val (w00, w01, w11) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val det = w00 * w11 - w01 * w01
+      if (math.abs(det) > 1e-12) {
+        b0 += (w11 * g0 - w01 * g1) / det
+        b1 += (w00 * g1 - w01 * g0) / det
+      }
+    }
+    data.unpersist()
+    (b1, b0)
+  }
+
   /** Apply at predict time (predict.py:153-159): adds
     * `y_pred_platt_scaled` = sigmoid(A·y_pred + B) — a codegen'd column
     * expression, no model object shipped.
@@ -296,6 +332,68 @@ object Pipeline {
         col("p_min") >= 0 && col("p_max") <= 1)
   }
 
+  /** The DuckDB replay of [[fitPlattIrls]]: the identical single-group
+    * Newton recurrence unrolled one (stats, betas) CTE pair per step —
+    * the a12 oracle pattern without the pos grouping. Coefficients
+    * round to 4dp (the c17/a12 lesson: distributed sum order differs
+    * between engines at ~1e-10).
+    */
+  private def m10bOracleSql(iters: Int): String = {
+    val base =
+      """WITH f AS MATERIALIZED (SELECT CAST(o_orderkey % 2 AS DOUBLE) AS y,
+        |            (o_totalprice - floor(o_totalprice))
+        |              + 0.3 * CAST(o_orderkey % 2 AS DOUBLE) AS x
+        |          FROM orders),
+        |t0 AS (SELECT CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1)""".stripMargin
+    val steps = (1 to iters).map { k =>
+      val p = k - 1
+      s"""s$k AS MATERIALIZED (SELECT sum(y - mu) AS g0, sum((y - mu) * x) AS g1,
+         |          sum(mu * (1 - mu)) AS w00, sum(mu * (1 - mu) * x) AS w01,
+         |          sum(mu * (1 - mu) * x * x) AS w11
+         |        FROM (SELECT y, x, 1 / (1 + exp(-(b.b0 + b.b1 * x))) AS mu
+         |              FROM f, t$p b)),
+         |t$k AS MATERIALIZED (SELECT
+         |  CASE WHEN abs(w00 * w11 - w01 * w01) > 1e-12
+         |       THEN b.b0 + (w11 * g0 - w01 * g1) / (w00 * w11 - w01 * w01)
+         |       ELSE b.b0 END AS b0,
+         |  CASE WHEN abs(w00 * w11 - w01 * w01) > 1e-12
+         |       THEN b.b1 + (w00 * g1 - w01 * g0) / (w00 * w11 - w01 * w01)
+         |       ELSE b.b1 END AS b1
+         |  FROM t$p b, s$k)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT round(b1, 4) AS platt_a, round(b0, 4) AS platt_b FROM t$iters"
+  }
+
+  /** M10b — Platt scaling with a FULL DuckDB oracle (m10 itself fits on
+    * GBT out-of-fold predictions, which no other engine can replay):
+    * a deterministic prediction table derived from `orders` (m11's
+    * recipe — label = orderkey parity, score = totalprice fraction plus
+    * a 0.3·label shift so the association is real and non-separable),
+    * fit by [[fitPlattIrls]] and replayed step-for-step in SQL.
+    * Emission gates tie the oracle'd IRLS to the PRODUCTION path: the
+    * MLlib LBFGS fit ([[fitPlatt]]) must agree to 1e-3 on both
+    * coefficients, and the slope must be positive (the planted
+    * association's sign).
+    */
+  val m10b = QueryDef(
+    "m10b_platt_irls",
+    { (s, d) =>
+      val preds = Tables.orders(s, d).select(
+        (col("o_orderkey") % 2).cast("double").as("y_true"),
+        ((col("o_totalprice") - floor(col("o_totalprice"))) +
+          lit(0.3) * (col("o_orderkey") % 2).cast("double")).as("y_pred"))
+      val (aI, bI) = fitPlattIrls(preds)
+      val (aM, bM) = fitPlatt(preds)
+      val ok = math.abs(aI - aM) < 1e-3 && math.abs(bI - bM) < 1e-3 && aI > 0
+      val spark = s; import spark.implicits._
+      Seq((aI, bI)).toDF("a_raw", "b_raw")
+        .select(round(col("a_raw"), 4).as("platt_a"),
+          round(col("b_raw"), 4).as("platt_b"))
+        .filter(lit(ok))
+    },
+    oracle = Some(m10bOracleSql(8)))
+
   /** M11 oracle — covariate-adjusted AUC on a deterministic
     * pseudo-prediction table: both engines fit their own k=1 OLS of
     * score ~ covar, rank the rounded residuals, and must agree on the
@@ -426,5 +524,5 @@ object Pipeline {
         col("auc_pruned") > 0.6 && col("io_exact"))
   }
 
-  def all: Seq[QueryDef] = Seq(m10, m11, m11rf, m8, m9)
+  def all: Seq[QueryDef] = Seq(m10, m10b, m11, m11rf, m8, m9)
 }

@@ -602,11 +602,13 @@ object RelationalQueries {
     * answer (exact distinct/percentile need a full shuffle or sort;
     * HLL and the quantile sketch are one-pass, map-side mergeable,
     * constant memory) — this query pins their error inside the bound
-    * the pipeline relies on (rows-only: filter drops the row, and the
-    * driver flags, if a bound fails). The exact percentile here uses
-    * the same distributed-sort operator a4 gates.
+    * the pipeline relies on (the bounds are emission filters: a
+    * failure drops the row and the driver flags it). The exact
+    * percentile here uses the same distributed-sort operator a4 gates.
     */
-  val k1 = QueryDef.rowsOnly("k1_sketch_accuracy") { (s, d) =>
+  val k1 = QueryDef(
+    "k1_sketch_accuracy",
+    { (s, d) =>
     val li = Tables.lineitem(s, d)
     // The sketches run in ONE scan with no distinct aggregate alongside:
     // mixing countDistinct in forces an Expand (row duplication per agg
@@ -623,11 +625,21 @@ object RelationalQueries {
     val distinctErr = math.abs(hd - ed).toDouble / ed
     val p50Err = math.abs(ap - exactP50) / math.max(math.abs(exactP50), 1e-9)
     val spark = s; import spark.implicits._
-    Seq((ed, hd, round6(distinctErr), ap, exactP50, round6(p50Err)))
-      .toDF("exact_distinct", "hll_distinct", "distinct_rel_err",
-        "approx_p50", "exact_p50", "p50_rel_err")
-      .filter(col("distinct_rel_err") < 0.05 && col("p50_rel_err") < 0.01)
-  }
+    // FULL oracle on the EXACT side since round 11: the hashed columns
+    // are the distinct count and the interpolated median, both DuckDB-
+    // replayable. The sketch values (Spark's HLL++/GK internals) stay
+    // OUT of the hash but GATE emission — a bound failure empties the
+    // output and the driver flags the row-count mismatch loudly.
+    Seq((ed, exactP50, round6(distinctErr), round6(p50Err)))
+      .toDF("exact_distinct", "p50_raw", "derr", "perr")
+      .filter(col("derr") < 0.05 && col("perr") < 0.01)
+      // round via Catalyst so HALF_UP matches the oracle (a4's recipe)
+      .select(col("exact_distinct"), round(col("p50_raw"), 2).as("exact_p50"))
+  },
+    oracle = Some(
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50
+        |FROM lineitem""".stripMargin))
 
   private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
