@@ -22,6 +22,14 @@ Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
 run / connectInput := false
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// For graft.LocalClusterSmoke: local-cluster[...] workers assemble the
+// executor launch command from SPARK_HOME. Harmless for Bench/Verify
+// (local[*] ignores it; /opt/spark/conf holds only templates).
+run / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  // the executor-command launcher probes source-tree build dirs to
+  // infer the scala version unless told; /opt/spark is a binary dist
+  "SPARK_SCALA_VERSION" -> "2.13")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
