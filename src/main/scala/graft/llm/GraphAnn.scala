@@ -226,6 +226,72 @@ object GraphAnn {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** DiskANN-shaped beam search (Subramanya et al., NeurIPS 2019):
+    * the graph walk scores candidates with PQ-ADC lookups over the
+    * compact code table — in DiskANN the codes live in RAM while full
+    * vectors stay on disk, touched only for the final re-rank; here the
+    * per-round `score` join reads the (vec_id, codes, recon_norm_sq)
+    * relation (16 B + 8 B per row at m=16) and the true float vectors
+    * join in exactly ONCE at the end, for the exact re-rank of the
+    * final beam. Same round structure and monotone-beam contract as
+    * [[beamSearch]]; only the round metric is approximate. Composes
+    * the v20 graph with v11's quantizer — the index-family matrix
+    * closed: graph traversal × PQ compression.
+    */
+  def beamSearchPq(queries: DataFrame, graph: DataFrame, corpus: DataFrame,
+      codebooks: Array[Array[Array[Double]]], k: Int, beam: Int = 32,
+      rounds: Int = 4, entries: Int = 16): DataFrame = {
+    val codes = Similarity.pqEncode(corpus, codebooks)
+      .select(col("vec_id").as("nid"), col("codes"), col("recon_norm_sq"))
+      .cache()
+    val mkTable = Similarity.adcTableUdf(queries, codebooks)
+    val lookup = Similarity.adcLookupUdf(codebooks(0).length)
+    val entryIds = corpus
+      .filter(col("vec_id") >= Similarity.ProbePanelSize)
+      .orderBy(col("vec_id")).limit(entries)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val q = queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"),
+      sqrt(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double"))).as("qnorm"),
+      mkTable(col("embedding")).as("qt"))
+    val edges = graph.select(col("src"), col("dst"))
+    val wA = Window.partitionBy("qid")
+      .orderBy(col("ascore").desc, col("nid").asc)
+    def scoreAdc(cands: DataFrame): DataFrame = cands
+      .join(codes, "nid").join(q.select("qid", "qt", "qnorm"), "qid")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("ascore", lookup(col("qt"), col("codes")) /
+        (col("qnorm") * sqrt(col("recon_norm_sq"))))
+      .withColumn("rank", row_number().over(wA))
+      .filter(col("rank") <= beam)
+      .select(col("qid"), col("nid"), col("ascore"))
+    var beamDf = scoreAdc(
+      q.select(col("qid"), explode(typedLit(entryIds.toSeq)).as("nid")))
+      .localCheckpoint(eager = true)
+    var r = 0
+    while (r < rounds) {
+      val expanded = beamDf.select(col("qid"), col("nid").as("src"))
+        .join(edges, "src").select(col("qid"), col("dst").as("nid"))
+        .unionByName(beamDf.select(col("qid"), col("nid")))
+        .distinct()
+      beamDf = scoreAdc(expanded).localCheckpoint(eager = true)
+      r += 1
+    }
+    codes.unpersist(blocking = false)
+    // the ONLY touch of the full float vectors: exact re-rank of the
+    // final beam (|Q|·beam rows)
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    beamDf.select(col("qid"), col("nid"))
+      .join(corpus.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        "nid")
+      .join(q.select(col("qid"), col("qv")), "qid")
+      .withColumn("sim", round(Similarity.cosine(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
   private def graphDirFor(sfDir: String): String =
     graft.util.Fixtures.dir + "/v20_graph/" +
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -267,5 +333,45 @@ object GraphAnn {
         |      FROM s)
         |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(graphAnn)
+  /** V24 — DiskANN-composition recall gate: beam search over the SAME
+    * persisted v20 graph, but every traversal round scores by PQ-ADC
+    * (v11's 16-byte codes) instead of exact floats; full vectors join
+    * in only for the final-beam re-rank. Emitted rows are the exact
+    * brute-force truth (v1's oracle), gated on recall@1 ≥ 0.6 — the
+    * quantized walk must still navigate to the true neighbor. Closes
+    * the index-family matrix: LSH / IVF / PQ / IVF-PQ / stored /
+    * filtered / graph / binary / graph×PQ.
+    */
+  val graphPq = QueryDef(
+    "v24_graph_pq_recall",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .cache()
+      val graph = ensure(emb, graphDirFor(d))
+      val codebooks = Similarity.pqTrain(emb, m = 16, k = 16)
+      val queries = Similarity.probePanel(emb)
+      val exact = Similarity.bruteForceTop1(queries, emb)
+        .localCheckpoint(eager = true)
+      val approx = beamSearchPq(queries, graph, emb, codebooks, k = 1)
+        .select(col("qid"), col("nid").as("nid_g"))
+      val joined = exact.join(approx, Seq("qid"), "left").cache()
+      val nQ = joined.count().toDouble
+      val hits = joined.filter(col("nid") === col("nid_g")).count().toDouble
+      joined.unpersist(); emb.unpersist()
+      exact.filter(lit(hits / nQ >= 0.6 && nQ > 0))
+        .select(col("qid"), col("nid"), col("sim"))
+    },
+    oracle = Some(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 40),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rn
+        |      FROM s)
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(graphAnn, graphPq)
 }

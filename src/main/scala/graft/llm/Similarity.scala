@@ -787,13 +787,15 @@ object Similarity {
     * is PQ's contract (compressed exhaustive scan); compose with IVF
     * cells when even the compressed scan is too large.
     */
-  def pqTopK(queries: DataFrame, corpus: DataFrame,
-      codebooks: Array[Array[Array[Double]]], k: Int,
-      shortlist: Int = 64): DataFrame = {
-    val codes = pqEncode(corpus, codebooks)
-      .select(col("vec_id").as("nid"), col("codes"), col("recon_norm_sq"))
+  /** Per-query ADC table: one m×k dot-product table of the query's
+    * subvectors against every codebook centroid. Shared by the PQ
+    * exhaustive scan ([[pqTopK]]) and the PQ-scored graph beam
+    * ([[GraphAnn.beamSearchPq]]). */
+  private[llm] def adcTableUdf(queries: DataFrame,
+      codebooks: Array[Array[Array[Double]]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val bc = queries.sparkSession.sparkContext.broadcast(codebooks)
-    val mkTable = udf { (vs: Seq[Float]) =>
+    udf { (vs: Seq[Float]) =>
       val v = vs.toArray
       val cbs = bc.value
       val m = cbs.length; val kk = cbs(0).length; val dsub = cbs(0)(0).length
@@ -811,14 +813,26 @@ object Similarity {
       }
       t
     }
-    val kk = codebooks(0).length
-    val lookup = udf { (t: Seq[Double], codes: Array[Byte]) =>
+  }
+
+  /** ADC lookup: approximate dot(q, recon(x)) = m table reads + adds. */
+  private[llm] def adcLookupUdf(kk: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (t: Seq[Double], codes: Array[Byte]) =>
       var s = 0.0; var sub = 0
       while (sub < codes.length) {
         s += t(sub * kk + (codes(sub) & 0xFF)); sub += 1
       }
       s
     }
+
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      codebooks: Array[Array[Array[Double]]], k: Int,
+      shortlist: Int = 64): DataFrame = {
+    val codes = pqEncode(corpus, codebooks)
+      .select(col("vec_id").as("nid"), col("codes"), col("recon_norm_sq"))
+    val mkTable = adcTableUdf(queries, codebooks)
+    val lookup = adcLookupUdf(codebooks(0).length)
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
       sqrt(aggregate(col("embedding"), lit(0.0),
         (a, x) => a + x.cast("double") * x.cast("double"))).as("qnorm"),
