@@ -32,6 +32,7 @@ object SparkEntry {
       graft.ml.Pipeline.all ++
       graft.ml.Boruta.all ++
       graft.ml.LdClump.all ++
+      graft.ml.XgbImport.all ++
       graft.ml.Prs.all ++
       graft.io.IoQueries.all ++
       graft.llm.TextAnalysis.all ++
