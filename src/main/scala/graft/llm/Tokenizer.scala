@@ -263,5 +263,113 @@ object Tokenizer {
       .filter(col("ok") && col("n_docs") > 0)
   }
 
-  def all: Seq[QueryDef] = Seq(t14)
+  /** Absolute path so the driver's DuckDB (own process, own cwd) reads
+    * the exact files this JVM wrote. */
+  private def t21Dir: String =
+    new java.io.File(graft.util.Fixtures.dir + "/t21_bpe").getAbsolutePath
+
+  /** The DuckDB replay of [[encodeWord]]'s round-based greedy: one
+    * UNROLLED (non-recursive — window functions stay legal) CTE block
+    * per merge round over the persisted word panel. Each round:
+    * adjacent pairs → min-rank pair per word → its left-to-right
+    * NON-OVERLAPPING occurrences (runs of consecutive matches — only
+    * possible for self-pairs — keep even offsets from the run start,
+    * exactly the greedy) → splice. `steps` bounds rounds: a ≤16-char
+    * word merges at most 15 times, and a finished word passes through
+    * unchanged. NOTE one-occurrence-at-a-time replay would NOT be
+    * equivalent (merging the leftmost occurrence can mint a pair that
+    * outranks the current best and steals the next step — e.g. merges
+    * [(ab,a) rank 0, (a,b) rank 1] on "abab" give "(ab)(ab)"
+    * round-based but "(aba)b" one-at-a-time), hence the full
+    * round-semantics replay.
+    */
+  private def t21OracleSql(steps: Int): String = {
+    val base =
+      s"""WITH merges AS MATERIALIZED (SELECT "rank" AS rk, "left" AS l, "right" AS r
+         |            FROM read_parquet('$t21Dir/merges/*.parquet')),
+         |w0 AS MATERIALIZED (SELECT word,
+         |        list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+         |      FROM read_parquet('$t21Dir/panel/*.parquet'))""".stripMargin
+    val stepSql = (0 until steps).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT p.word, p.i, mg.rk
+         |  FROM (SELECT w.word, t.i, w.syms[t.i] AS l, w.syms[t.i + 1] AS r
+         |        FROM w$k w, UNNEST(range(1, len(w.syms))) AS t(i)) p
+         |  JOIN merges mg ON mg.l = p.l AND mg.r = p.r),
+         |k$k AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, min(i) OVER (PARTITION BY word, grp) AS rs
+         |    FROM (SELECT q.word, q.i,
+         |            q.i - row_number() OVER (PARTITION BY q.word
+         |                                     ORDER BY q.i) AS grp
+         |          FROM (SELECT m.word, m.i FROM m$k m
+         |                JOIN (SELECT word, min(rk) AS br FROM m$k GROUP BY 1) b
+         |                  ON m.word = b.word AND m.rk = b.br) q))
+         |  WHERE (i - rs) % 2 = 0),
+         |w${k + 1} AS MATERIALIZED (
+         |  SELECT word, list(sym ORDER BY j) AS syms FROM (
+         |    SELECT x.word, x.j,
+         |           CASE WHEN a.i IS NOT NULL THEN x.s1 || x.s2
+         |                WHEN b.i IS NOT NULL THEN NULL
+         |                ELSE x.s1 END AS sym
+         |    FROM (SELECT w.word, t.j, w.syms[t.j] AS s1, w.syms[t.j + 1] AS s2
+         |          FROM w$k w, UNNEST(range(1, len(w.syms) + 1)) AS t(j)) x
+         |    LEFT JOIN k$k a ON a.word = x.word AND a.i = x.j
+         |    LEFT JOIN k$k b ON b.word = x.word AND b.i = x.j - 1) y
+         |  WHERE sym IS NOT NULL GROUP BY word)""".stripMargin
+    }
+    val tail =
+      s"""SELECT word, array_to_string(syms, chr(1)) AS tokens,
+         |       CAST(len(syms) AS BIGINT) AS n_tokens
+         |FROM w$steps""".stripMargin
+    (base +: stepSql).mkString(",\n") + "\n" + tail
+  }
+
+  /** T21 — BPE ENCODE with a FULL DuckDB oracle (t14's training loop
+    * stays rows-only; this gates the apply semantics): train on the
+    * corpus as t14 does, persist the merge table (the model — HF
+    * merges.txt semantics) and a 200-word panel (top-frequency,
+    * printable-ASCII, 2–16 chars — the ASCII bound sidesteps
+    * codepoint-vs-byte indexing differences, the length bound caps the
+    * unroll at 16 rounds), encode the panel through the DISTRIBUTED
+    * [[encodeDocs]] path (each panel word is exactly one pre-token, so
+    * tokenization is the identity), and emit (word, tokens, n_tokens).
+    * DuckDB re-runs the greedy round-by-round from the persisted
+    * merges ([[t21OracleSql]]) — a wrong rank order, overlap rule, or
+    * merge splice hash-mismatches. Emission gated on per-word
+    * losslessness and full panel coverage.
+    */
+  val t21 = QueryDef(
+    "t21_bpe_encode_replay",
+    { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hist = wordHistogram(docs, "text", maxWords = 20000)
+      val model = trainBpe(hist, 200)
+      val panel = hist.iterator.map(_._1)
+        .filter(w => w.length >= 2 && w.length <= 16 &&
+          w.forall(c => c >= 0x20 && c <= 0x7e))
+        .take(200).toArray
+      save(model, s, s"$t21Dir/merges")
+      import s.implicits._
+      panel.toSeq.toDF("word").repartition(1)
+        .write.mode("overwrite").parquet(s"$t21Dir/panel")
+      val pdocs = panel.zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }.toSeq.toDF("doc_id", "text")
+      val enc = encodeDocs(pdocs, "doc_id", "text", model)
+        .join(pdocs.withColumnRenamed("text", "word"), "doc_id")
+        .cache()
+      val nBad = enc
+        .filter(concat_ws("", col("tokens")) =!= col("word")).count()
+      val n = enc.count()
+      val rows = enc.select(col("word"),
+          concat_ws("\u0001", col("tokens")).as("tokens"),
+          size(col("tokens")).cast("long").as("n_tokens"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      enc.unpersist()
+      rows.toSeq.toDF("word", "tokens", "n_tokens")
+        .filter(lit(nBad == 0L && n == panel.length && panel.nonEmpty))
+    },
+    oracle = Some(t21OracleSql(16)))
+
+  def all: Seq[QueryDef] = Seq(t14, t21)
 }
