@@ -78,28 +78,37 @@ object Sketches {
     * stream size. Deterministic (fixed seed), gated on the CMS
     * contract: estimate NEVER undercounts, and overcounts by at most
     * eps·N (here with wide margin — 5 distinct types can't collide
-    * at w=2719). Exact counts ride the same output row, so the gate
-    * compares within one frame. Rows-only golden gate.
+    * at w=2719). FULL oracle on the EXACT side since r11 (the k1
+    * recipe): the hashed columns are the per-type exact counts, which
+    * DuckDB replays; the sketch estimates (Spark CMS internals) gate
+    * emission — a bound violation empties the output and the driver
+    * flags the row-count mismatch.
     */
-  val k3 = QueryDef.rowsOnly("k3_cms_frequency") { (s, d) =>
-    val ev = Tables.events(s, d).select(col("event_type"))
-    val eps = 0.001
-    val sketchBytes = ev
-      .agg(count_min_sketch(col("event_type"), lit(eps), lit(0.99),
-        lit(42)).as("cms"))
-      .head().getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(sketchBytes))
-    val exact = ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val n = exact.map(_._2).sum
-    val spark = s; import spark.implicits._
-    exact.toSeq.map { case (t, e) =>
-      (t, e, cms.estimateCount(t))
-    }.toDF("event_type", "exact_n", "cms_est")
-      .filter(col("cms_est") >= col("exact_n") &&
-        col("cms_est") <= col("exact_n") + lit((eps * n).toLong))
-  }
+  val k3 = QueryDef(
+    "k3_cms_frequency",
+    { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"))
+      val eps = 0.001
+      val sketchBytes = ev
+        .agg(count_min_sketch(col("event_type"), lit(eps), lit(0.99),
+          lit(42)).as("cms"))
+        .head().getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketchBytes))
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("exact_n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val n = exact.map(_._2).sum
+      val nBad = exact.count { case (t, e) =>
+        val est = cms.estimateCount(t)
+        est < e || est > e + (eps * n).toLong
+      }
+      val spark = s; import spark.implicits._
+      exact.toSeq.toDF("event_type", "exact_n")
+        .filter(lit(nBad == 0 && exact.nonEmpty))
+    },
+    oracle = Some(
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+        |FROM events GROUP BY 1""".stripMargin))
 
   /** Distributed mergeable KLL quantile sketch (Karnin, Lang & Liberty,
     * FOCS 2016; Apache DataSketches implementation): one KLL per
