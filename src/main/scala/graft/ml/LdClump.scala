@@ -1032,7 +1032,8 @@ object LdClump {
         |SELECT id_a, id_b, ibs_num, n_valid,
         |       round(CAST(ibs_num AS DOUBLE) / (2.0 * n_valid), 6) AS ibs,
         |       (SELECT n_capped FROM caps) AS n_capped_buckets
-        |FROM p WHERE CAST(ibs_num AS DOUBLE) / (2.0 * n_valid) >= 0.85""".stripMargin))
+        |FROM p WHERE CAST(ibs_num AS DOUBLE) / (2.0 * n_valid) >= 0.85""".stripMargin),
+    benchEligible = false) // fixture-bound (297 samples): cost does not scale with sfDir
 
   /** Per-SNP mean-dosage imputation (the PLINK `--fill-missing-a2` /
     * 2·allele-frequency fill — the default missingness policy before
