@@ -142,7 +142,7 @@ object XgbImport {
   /** A complete model file in the real schema (2 trees,
     * binary:logistic, base_score 0.5 ⇒ zero margin bias), written by
     * the gate itself so the query exercises the FILE path. */
-  private[ml] val fixtureJson: String =
+  private[graft] val fixtureJson: String =
     """{"learner": {
       |  "attributes": {},
       |  "feature_names": [], "feature_types": [],

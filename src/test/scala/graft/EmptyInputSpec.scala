@@ -42,11 +42,27 @@ class EmptyInputSpec extends SparkSpec {
       .count() == 0)
     assert(graft.llm.BinaryQuant.binaryTopK(emptyEmb, emptyEmb, 3)
       .count() == 0)
-    // graph/index BUILDS require a non-empty corpus (pqTrain's loud
-    // require — an empty index is a configuration error, not a slice)
+    // graph/index BUILDS require a non-empty corpus (a loud require —
+    // an empty index is a configuration error, not a slice)
     intercept[IllegalArgumentException] {
       graft.llm.GraphAnn.buildNeighborGraph(emptyEmb)
     }
+  }
+
+  test("ibs screen audit surfaces: empty cohort in, empty out") {
+    val s = spark; import s.implicits._
+    val emptyGeno = Seq.empty[(Long, Seq[Double])].toDF("id", "features")
+    assert(graft.ml.LdClump.ibsChainPairs(emptyGeno, "id", "features",
+      bands = 2, maxBucketSize = 10).count() == 0)
+    assert(graft.ml.LdClump.ibsCapStats(emptyGeno, "id", "features",
+      bands = 2, maxBucketSize = 10).count() == 0)
+  }
+
+  test("xgb predict: empty feature frame in, empty out") {
+    val s = spark; import s.implicits._
+    val model = graft.ml.XgbImport.parse(graft.ml.XgbImport.fixtureJson)
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "features")
+    assert(graft.ml.XgbImport.predict(model, empty).count() == 0)
   }
 
   test("retrieval family: empty corpus in, empty out") {
