@@ -201,33 +201,54 @@ object IoQueries {
   /** S10 — ORC, the other columnar format big corpora arrive in. */
   val s10 = roundtrip("s10_orc_roundtrip", "orc")
 
+  /** Absolute path so the driver's DuckDB (own process, own cwd) reads
+    * the exact hive layout this JVM wrote. */
+  private def partDocsDir: String =
+    new java.io.File(s"$fixtureDir/part_docs").getAbsolutePath
+
+  private def upsertDocsDir: String =
+    new java.io.File(s"$fixtureDir/upsert_docs").getAbsolutePath
+
+  private def compactDocsDir: String =
+    new java.io.File(s"$fixtureDir/compact_docs").getAbsolutePath
+
   /** S11 — hive-partitioned corpus write + partition-pruned re-read:
     * the layout decision that makes 100 TB queryable. A read filtered
     * to one `lang` must prune at the PARTITION level (the filter shows
     * up in the scan's PartitionFilters, so non-matching directories
     * are never listed into tasks — zero bytes read from them), not as
-    * a post-scan row filter. Gate: pruning visible in the plan AND
-    * per-partition counts survive the round-trip.
+    * a post-scan row filter. FULL oracle since r11: the emitted frame
+    * is the per-lang counts from the PARTITIONED re-read, and DuckDB
+    * recomputes them by reading the same hive layout itself
+    * (`read_parquet(..., hive_partitioning = 1)`) — a wrong partition
+    * value encoding or a dropped directory hash-mismatches. The plan
+    * pruning check and the round-trip count reconciliation stay as
+    * emission gates.
     */
-  val s11 = QueryDef.rowsOnly("s11_partitioned_write") { (s, d) =>
-    val docs = graft.Tables.documents(s, d)
-    val out = s"$fixtureDir/part_docs"
-    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
-    val back = s.read.parquet(out)
-    val en = back.filter(col("lang") === "en")
-    val planStr = en.queryExecution.executedPlan.toString
-    val pruned = planStr.contains("PartitionFilters") &&
-      planStr.replaceAll("#\\d+", "").contains("(lang = en)")
-    val nEn = en.count()
-    val nEnOrig = docs.filter(col("lang") === "en").count()
-    val nAll = back.count()
-    val nAllOrig = docs.count()
-    val spark = s; import spark.implicits._
-    Seq((nEn, nAll, pruned))
-      .toDF("n_en", "n_total", "pruned")
-      .filter(col("pruned") && col("n_en") === nEnOrig &&
-        col("n_total") === nAllOrig && col("n_en") > 0)
-  }
+  val s11 = QueryDef(
+    "s11_partitioned_write",
+    { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      docs.write.mode("overwrite").partitionBy("lang").parquet(partDocsDir)
+      val back = s.read.parquet(partDocsDir)
+      val en = back.filter(col("lang") === "en")
+      val planStr = en.queryExecution.executedPlan.toString
+      val pruned = planStr.contains("PartitionFilters") &&
+        planStr.replaceAll("#\\d+", "").contains("(lang = en)")
+      val nEn = en.count()
+      val nEnOrig = docs.filter(col("lang") === "en").count()
+      val nAll = back.count()
+      val nAllOrig = docs.count()
+      back.filter(col("lang").isNotNull)
+        .groupBy("lang").agg(count(lit(1)).cast("long").as("n"))
+        .filter(lit(pruned && nEn == nEnOrig && nAll == nAllOrig && nEn > 0))
+    },
+    oracle = Some(
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |FROM read_parquet('$partDocsDir/*/*.parquet',
+         |                  hive_partitioning = 1)
+         |WHERE lang IS NOT NULL
+         |GROUP BY 1""".stripMargin))
 
   /** S12 — dynamic-partition-overwrite upsert: re-land ONE partition of
     * a partitioned table without touching the others. `partitionOverwriteMode
@@ -237,11 +258,18 @@ object IoQueries {
     * whole table; append would duplicate). Gate: every file in the
     * untouched partitions is byte-identical (same name, size, mtime),
     * the target partition's content is the NEW version, and total
-    * counts reconcile.
+    * counts reconcile. FULL oracle since r11: the emitted frame is the
+    * per-lang (count, v2-marked count) of the UPSERTED table, and
+    * DuckDB recomputes it from the same hive layout — the `en`
+    * partition must show 100% v2 rows, every other partition 0%, or
+    * the hash mismatches; the untouched-files byte check stays as an
+    * emission gate (file metadata is not SQL-visible).
     */
-  val s12 = QueryDef.rowsOnly("s12_partition_upsert") { (s, d) =>
+  val s12 = QueryDef(
+    "s12_partition_upsert",
+    { (s, d) =>
     val docs = graft.Tables.documents(s, d)
-    val out = s"$fixtureDir/upsert_docs"
+    val out = upsertDocsDir
     docs.write.mode("overwrite").partitionBy("lang").parquet(out)
     def fileState(): Map[String, (Long, Long)] =
       graft.util.Fs.walkFiles(new java.io.File(out))
@@ -269,13 +297,23 @@ object IoQueries {
     val nEn = back.filter(col("lang") === "en").count()
     val nEnOrig = docs.filter(col("lang") === "en").count()
     val nTotal = back.count()
-    val spark = s; import spark.implicits._
-    Seq((nEnV2, nTotal, othersUntouched))
-      .toDF("n_en_v2", "n_total", "others_untouched")
-      .filter(col("others_untouched") &&
-        col("n_en_v2") === nEnOrig && col("n_en_v2") === nEn &&
-        col("n_total") === docs.count() && col("n_en_v2") > 0)
-  }
+    val ok = othersUntouched && nEnV2 == nEnOrig && nEnV2 == nEn &&
+      nTotal == docs.count() && nEnV2 > 0
+    back.filter(col("lang").isNotNull)
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(when(col("text").endsWith(" v2"), 1L)), lit(0L))
+          .as("n_v2"))
+      .filter(lit(ok))
+  },
+    oracle = Some(
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(count(*) FILTER (WHERE text LIKE '% v2') AS BIGINT)
+         |         AS n_v2
+         |FROM read_parquet('$upsertDocsDir/*/*.parquet',
+         |                  hive_partitioning = 1)
+         |WHERE lang IS NOT NULL
+         |GROUP BY 1""".stripMargin))
 
   /** S13 — small-file compaction: the table-maintenance pass every
     * long-lived 100 TB corpus needs. Streaming/incremental ingest
@@ -289,11 +327,18 @@ object IoQueries {
     * repartition(1 per lang here — sf-sized) bounds the count from
     * below. In production the repartition factor is
     * ceil(partition_bytes / target_file_bytes) per partition.
+    * FULL oracle since r11: the emitted frame is the compacted table's
+    * per-lang count/id/char aggregates, recomputed by DuckDB from the
+    * compacted files themselves — a compaction that drops, duplicates,
+    * or corrupts rows hash-mismatches; the file-count reduction and
+    * the source==compacted signature stay as emission gates.
     */
-  val s13 = QueryDef.rowsOnly("s13_compaction") { (s, d) =>
+  val s13 = QueryDef(
+    "s13_compaction",
+    { (s, d) =>
     val docs = graft.Tables.documents(s, d)
     val frag = s"$fixtureDir/frag_docs"
-    val compact = s"$fixtureDir/compact_docs"
+    val compact = compactDocsDir
     // simulate a drip-fed table: many tiny files inside each partition
     docs.repartition(32).write.mode("overwrite")
       .partitionBy("lang").parquet(frag)
@@ -313,12 +358,23 @@ object IoQueries {
     // the fragmented intermediate instead would prove the same thing
     // while paying a second 100s-of-tiny-files scan for nothing
     val (a, b) = (sig(docs), sig(s.read.parquet(compact)))
-    val spark = s; import spark.implicits._
-    Seq((before, after, a == b))
-      .toDF("files_before", "files_after", "content_identical")
-      .filter(col("content_identical") && col("files_after") * 4 <= col("files_before") &&
-        col("files_after") > 0)
-  }
+    val ok = a == b && after * 4 <= before && after > 0
+    s.read.parquet(compact)
+      .filter(col("lang").isNotNull)
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("n_chars")).cast("long").as("char_sum"))
+      .filter(lit(ok))
+  },
+    oracle = Some(
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(n_chars) AS BIGINT) AS char_sum
+         |FROM read_parquet('$compactDocsDir/*/*.parquet',
+         |                  hive_partitioning = 1)
+         |WHERE lang IS NOT NULL
+         |GROUP BY 1""".stripMargin))
 
   /** S14 — range-clustered layout: write the corpus range-partitioned +
     * sorted on a scan predicate column so parquet min/max stats make
