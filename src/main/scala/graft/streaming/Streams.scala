@@ -120,29 +120,50 @@ object Streams {
   /** Streaming-vs-batch equivalence: feed the whole events table through
     * a chunked file source in 3 arrival batches; the streaming windowed
     * aggregate (complete mode) must match the batch aggregate exactly.
-    * Emits the match summary row only on exact equality.
+    * FULL DuckDB oracle since r11 — the first STREAMING result hashed
+    * against an independent engine: the emitted rows ARE the streamed
+    * windowed aggregate (collected from the memory sink — buckets ×
+    * types rows, driver-small), and DuckDB recomputes the same
+    * hour-bucket aggregate from the events parquet (the e6 bucket
+    * convention). The stream==batch fingerprint equality stays as the
+    * emission gate, so the query still fails loud on a streaming-only
+    * divergence the oracle's batch replay could not see.
     */
-  val st1 = QueryDef.fixture("st1_stream_window_agg") { (s, d) =>
-    import s.implicits._
-    val ev = eventsFeed(s, d)
-    val feed = new FileFeed(s, "st1", ev.schema)
-    val q = windowedAgg(feed.source()).writeStream
-      .format("memory").queryName("st1_out").outputMode(OutputMode.Complete())
-      .start()
-    val fpCols = Seq("bucket", "event_type", "n", "val_sum")
-    val streamedFp =
-      try {
-        (0 until 3).foreach { k =>
-          feed.add(ev.filter(pmod(col("event_id"), lit(3)) === k))
-          q.processAllAvailable()
-        }
-        fingerprint(s.table("st1_out"), fpCols)
-      } finally q.stop() // always release the query + sink registration
-    val batchFp = fingerprint(windowedAggBatch(Tables.events(s, d)), fpCols)
-    Seq((streamedFp._1, batchFp._1, streamedFp == batchFp))
-      .toDF("n_stream_rows", "n_batch_rows", "exact_match")
-      .filter(col("exact_match") && col("n_stream_rows") > 0)
-  }
+  val st1 = QueryDef(
+    "st1_stream_window_agg",
+    { (s, d) =>
+      import s.implicits._
+      val ev = eventsFeed(s, d)
+      val feed = new FileFeed(s, "st1", ev.schema)
+      val q = windowedAgg(feed.source()).writeStream
+        .format("memory").queryName("st1_out").outputMode(OutputMode.Complete())
+        .start()
+      val fpCols = Seq("bucket", "event_type", "n", "val_sum")
+      val (streamedFp, streamedRows) =
+        try {
+          (0 until 3).foreach { k =>
+            feed.add(ev.filter(pmod(col("event_id"), lit(3)) === k))
+            q.processAllAvailable()
+          }
+          (fingerprint(s.table("st1_out"), fpCols),
+            s.table("st1_out")
+              .select(col("bucket"), col("event_type"),
+                col("n").cast("long").as("n"), col("val_sum"))
+              .collect()
+              .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                if (r.isNullAt(3)) None else Some(r.getDouble(3)))))
+        } finally q.stop() // always release the query + sink registration
+      val batchFp = fingerprint(windowedAggBatch(Tables.events(s, d)), fpCols)
+      streamedRows.toSeq.toDF("bucket", "event_type", "n", "val_sum")
+        .filter(lit(streamedFp == batchFp && streamedFp._1 > 0))
+    },
+    oracle = Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |       event_type, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(CASE WHEN NOT isnan(value) THEN value END), 2)
+        |         AS val_sum
+        |FROM events GROUP BY 1, 2""".stripMargin),
+    benchEligible = false)
 
   /** The batch twin of windowedAgg (same expressions, no watermark). */
   def windowedAggBatch(events: DataFrame): DataFrame =
@@ -153,70 +174,98 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("val_sum"))
 
-  /** mapGroupsWithState vs batch groupBy equivalence on final state. */
-  val st2 = QueryDef.fixture("st2_stream_stateful") { (s, d) =>
-    import s.implicits._
-    val ev = eventsFeed(s, d)
-    val feed = new FileFeed(s, "st2", ev.schema)
-    val q = userRunningState(s, feed.source().as[Ev]).writeStream
-      .format("memory").queryName("st2_out").outputMode(OutputMode.Update())
-      .start()
-    // last update per user = final state
-    val fpCols = Seq("user_id", "n_events", "max_value")
-    val finFp =
-      try {
-        (0 until 3).foreach { k =>
-          feed.add(ev.filter(pmod(col("event_id"), lit(3)) === k))
-          q.processAllAvailable()
-        }
-        fingerprint(s.table("st2_out").groupBy("user_id")
-          .agg(max(col("n_events")).as("n_events"),
-            max(col("max_value")).as("max_value")), fpCols)
-      } finally q.stop()
-    val batchFp = fingerprint(Tables.events(s, d).groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"),
-        // all-NaN users: align with the stream side's -Inf initial state
-        coalesce(max(when(!isnan(col("value")), col("value"))),
-          lit(Double.NegativeInfinity)).as("max_value")), fpCols)
-    Seq((finFp._1, finFp == batchFp))
-      .toDF("n_users", "exact_match")
-      .filter(col("exact_match") && col("n_users") > 0)
-  }
+  /** mapGroupsWithState vs batch groupBy equivalence on final state.
+    * FULL DuckDB oracle since r11: the emitted rows ARE the
+    * per-user FINAL streamed state (last update per user — user-count
+    * rows), recomputed independently by DuckDB from the events
+    * parquet; the stream==batch fingerprint equality stays as the
+    * emission gate. A state-merge bug (lost increment, wrong NaN
+    * handling, dropped user) hash-mismatches.
+    */
+  val st2 = QueryDef(
+    "st2_stream_stateful",
+    { (s, d) =>
+      import s.implicits._
+      val ev = eventsFeed(s, d)
+      val feed = new FileFeed(s, "st2", ev.schema)
+      val q = userRunningState(s, feed.source().as[Ev]).writeStream
+        .format("memory").queryName("st2_out").outputMode(OutputMode.Update())
+        .start()
+      // last update per user = final state
+      val fpCols = Seq("user_id", "n_events", "max_value")
+      val (finFp, finRows) =
+        try {
+          (0 until 3).foreach { k =>
+            feed.add(ev.filter(pmod(col("event_id"), lit(3)) === k))
+            q.processAllAvailable()
+          }
+          val fin = s.table("st2_out").groupBy("user_id")
+            .agg(max(col("n_events")).as("n_events"),
+              max(col("max_value")).as("max_value"))
+          (fingerprint(fin, fpCols),
+            fin.collect().map(r => (r.getLong(0), r.getLong(1),
+              r.getDouble(2))))
+        } finally q.stop()
+      val batchFp = fingerprint(Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          // all-NaN users: align with the stream side's -Inf initial state
+          coalesce(max(when(!isnan(col("value")), col("value"))),
+            lit(Double.NegativeInfinity)).as("max_value")), fpCols)
+      finRows.toSeq.toDF("user_id", "n_events", "max_value")
+        .filter(lit(finFp == batchFp && finFp._1 > 0))
+    },
+    oracle = Some(
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       coalesce(max(CASE WHEN NOT isnan(value) THEN value END),
+        |                CAST('-infinity' AS DOUBLE)) AS max_value
+        |FROM events GROUP BY 1""".stripMargin),
+    benchEligible = false)
 
   /** Streaming exact dedup (the LLM-pipeline pattern as a stream):
     * dropDuplicates on the content hash across micro-batches — state
     * keyed by hash — must reduce the duplicated feed to exactly the
     * batch-distinct count.
     */
-  val st3 = QueryDef.fixture("st3_stream_dedup") { (s, d) =>
-    import s.implicits._
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val copies = docs.withColumn("doc_id", col("doc_id") + 1000000L)
-    val feed = new FileFeed(s, "st3", docs.schema)
-    val deduped = feed.source()
-      .withColumn("h", md5(col("text")))
-      .dropDuplicates("h")
-    val q = deduped.writeStream
-      .format("memory").queryName("st3_out").outputMode(OutputMode.Append())
-      .start()
-    val got =
-      try {
-        // originals over two arrival batches, then their exact copies
-        // over two more — duplicates land both within and across
-        // batches, so the dedup state must span micro-batches
-        Seq(docs, copies).foreach { half =>
-          (0 until 2).foreach { k =>
-            feed.add(half.filter(pmod(col("doc_id"), lit(2)) === k))
-            q.processAllAvailable()
+  val st3 = QueryDef(
+    "st3_stream_dedup",
+    { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val copies = docs.withColumn("doc_id", col("doc_id") + 1000000L)
+      val feed = new FileFeed(s, "st3", docs.schema)
+      val deduped = feed.source()
+        .withColumn("h", md5(col("text")))
+        .dropDuplicates("h")
+      val q = deduped.writeStream
+        .format("memory").queryName("st3_out").outputMode(OutputMode.Append())
+        .start()
+      val (got, keptHashes) =
+        try {
+          // originals over two arrival batches, then their exact copies
+          // over two more — duplicates land both within and across
+          // batches, so the dedup state must span micro-batches
+          Seq(docs, copies).foreach { half =>
+            (0 until 2).foreach { k =>
+              feed.add(half.filter(pmod(col("doc_id"), lit(2)) === k))
+              q.processAllAvailable()
+            }
           }
-        }
-        s.table("st3_out").count()
-      } finally q.stop()
-    val want = Tables.documents(s, d).select(md5(col("text"))).distinct().count()
-    Seq((got, want)).toDF("n_stream_distinct", "n_batch_distinct")
-      .filter(col("n_stream_distinct") === col("n_batch_distinct") &&
-        col("n_stream_distinct") > 0)
-  }
+          (s.table("st3_out").count(),
+            // the kept HASH set is deterministic (which doc_id survives
+            // per hash is arrival-order dependent; the key set is not)
+            s.table("st3_out").select(col("h")).collect()
+              .map(r => if (r.isNullAt(0)) None else Some(r.getString(0))))
+        } finally q.stop()
+      val want = Tables.documents(s, d).select(md5(col("text"))).distinct()
+        .count()
+      // FULL oracle since r11: the streamed dedup's kept-key set must
+      // equal DuckDB's distinct content-hash set over the same corpus
+      keptHashes.toSeq.toDF("h")
+        .filter(lit(got == want && got > 0))
+    },
+    oracle = Some(
+      """SELECT DISTINCT md5(text) AS h FROM documents""".stripMargin),
+    benchEligible = false)
 
   /** Watermark late-data semantics in APPEND mode — the contract a
     * production streaming pipeline actually relies on: a window is
@@ -279,7 +328,9 @@ object Streams {
     * watermark past every real session; the sentinel's own session is
     * excluded from the compare on both sides.
     */
-  val st5 = QueryDef.fixture("st5_stream_session_window") { (s, d) =>
+  val st5 = QueryDef(
+    "st5_stream_session_window",
+    { (s, d) =>
     import s.implicits._
     val ev = eventsFeed(s, d).filter(col("ts").isNotNull)
     // time-RANGE chunking (an O(1) min/max scalar, not a row collect):
@@ -297,7 +348,7 @@ object Streams {
       .format("memory").queryName("st5_out").outputMode(OutputMode.Append())
       .start()
     val fpCols = Seq("start_us", "end_us", "user_id", "n_events")
-    val streamedFp =
+    val (streamedFp, sessRows) =
       try {
         (0 until 3).foreach { k =>
           feed.add(ev.filter(
@@ -307,7 +358,13 @@ object Streams {
         }
         feed.add(Seq(sentinel).toDS().toDF())
         q.processAllAvailable()
-        fingerprint(s.table("st5_out").filter(col("user_id") =!= -1L), fpCols)
+        val fin = s.table("st5_out").filter(col("user_id") =!= -1L)
+        (fingerprint(fin, fpCols),
+          fin.select(col("start_us"), col("end_us"), col("user_id"),
+            col("n_events").cast("long").as("n_events"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3))))
       } finally q.stop()
     val batchFp = fingerprint(Tables.events(s, d).filter(col("ts").isNotNull)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -315,10 +372,36 @@ object Streams {
       .select(unix_micros(col("session_window.start")).as("start_us"),
         unix_micros(col("session_window.end")).as("end_us"),
         col("user_id"), col("n_events")), fpCols)
-    Seq((streamedFp._1, batchFp._1, streamedFp == batchFp))
-      .toDF("n_stream_sessions", "n_batch_sessions", "exact_match")
-      .filter(col("exact_match") && col("n_stream_sessions") > 0)
-  }
+    // FULL oracle since r11: the emitted rows ARE the streamed closed
+    // sessions; DuckDB re-derives them gaps-and-islands style (a new
+    // session starts when the gap to the previous event is >= 30 min;
+    // a session's end is its last event + the gap — Spark's
+    // session_window end semantics)
+    sessRows.toSeq.toDF("start_us", "end_us", "user_id", "n_events")
+      .filter(lit(streamedFp == batchFp && streamedFp._1 > 0))
+  },
+    oracle = Some(
+      """WITH e AS (SELECT user_id, ts FROM events WHERE ts IS NOT NULL),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  IS NULL
+        |               OR ts - lag(ts) OVER (PARTITION BY user_id
+        |                                     ORDER BY ts)
+        |                  >= INTERVAL 30 MINUTE
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |g AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m),
+        |sess AS (SELECT user_id, sid, min(ts) AS st, max(ts) AS en,
+        |                CAST(count(*) AS BIGINT) AS n_events
+        |         FROM g GROUP BY 1, 2)
+        |SELECT epoch_us(st) AS start_us,
+        |       epoch_us(en + INTERVAL 30 MINUTE) AS end_us,
+        |       user_id, n_events
+        |FROM sess""".stripMargin),
+    benchEligible = false)
 
   /** ST6 — stream-static enrichment join: a stream of events joined to
     * a STATIC dimension (per-user first-seen event id, derived from the
@@ -327,32 +410,46 @@ object Streams {
     * broadcasts it per micro-batch with no streaming state at all;
     * output must equal the equivalent batch join.
     */
-  val st6 = QueryDef.fixture("st6_stream_static_join") { (s, d) =>
-    import s.implicits._
-    val dim = Tables.events(s, d).groupBy("user_id")
-      .agg(min(col("event_id")).as("first_event_id"))
-    val ev = eventsFeed(s, d)
-    val feed = new FileFeed(s, "st6", ev.schema)
-    val joined = feed.source().join(dim, Seq("user_id"), "left")
-      .select(col("event_id"), col("user_id"), col("first_event_id"))
-    val q = joined.writeStream
-      .format("memory").queryName("st6_out").outputMode(OutputMode.Append())
-      .start()
-    val fpCols = Seq("event_id", "user_id", "first_event_id")
-    val streamedFp =
-      try {
-        (0 until 3).foreach { k =>
-          feed.add(ev.filter(pmod(col("event_id"), lit(3)) === k))
-          q.processAllAvailable()
-        }
-        fingerprint(s.table("st6_out"), fpCols)
-      } finally q.stop()
-    val batchFp = fingerprint(Tables.events(s, d).join(dim, Seq("user_id"), "left")
-      .select(col("event_id"), col("user_id"), col("first_event_id")), fpCols)
-    Seq((streamedFp._1, streamedFp == batchFp))
-      .toDF("n_rows", "exact_match")
-      .filter(col("exact_match") && col("n_rows") > 0)
-  }
+  val st6 = QueryDef(
+    "st6_stream_static_join",
+    { (s, d) =>
+      import s.implicits._
+      val dim = Tables.events(s, d).groupBy("user_id")
+        .agg(min(col("event_id")).as("first_event_id"))
+      val ev = eventsFeed(s, d)
+      val feed = new FileFeed(s, "st6", ev.schema)
+      val joined = feed.source().join(dim, Seq("user_id"), "left")
+        .select(col("event_id"), col("user_id"), col("first_event_id"))
+      val q = joined.writeStream
+        .format("memory").queryName("st6_out").outputMode(OutputMode.Append())
+        .start()
+      val fpCols = Seq("event_id", "user_id", "first_event_id")
+      val streamedFp =
+        try {
+          (0 until 3).foreach { k =>
+            feed.add(ev.filter(pmod(col("event_id"), lit(3)) === k))
+            q.processAllAvailable()
+          }
+          fingerprint(s.table("st6_out"), fpCols)
+        } finally q.stop()
+      val batchFp = fingerprint(
+        Tables.events(s, d).join(dim, Seq("user_id"), "left")
+          .select(col("event_id"), col("user_id"), col("first_event_id")),
+        fpCols)
+      // FULL oracle since r11: the memory sink holds every enriched row
+      // (driver-resident by the sink's nature); emit them and let
+      // DuckDB replay the dim build + left join from the parquet
+      s.table("st6_out")
+        .select(col("event_id"), col("user_id"), col("first_event_id"))
+        .filter(lit(streamedFp == batchFp && streamedFp._1 > 0))
+    },
+    oracle = Some(
+      """WITH dim AS (SELECT user_id,
+        |               CAST(min(event_id) AS BIGINT) AS first_event_id
+        |             FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id, d.first_event_id
+        |FROM events e LEFT JOIN dim d USING (user_id)""".stripMargin),
+    benchEligible = false)
 
   /** ST7 — stream-stream inner join: click→purchase attribution (a
     * purchase joins every click by the same user in the preceding 30
@@ -367,7 +464,9 @@ object Streams {
     * the join condition must carry the time bound or state is
     * unbounded by construction.
     */
-  val st7 = QueryDef.fixture("st7_stream_stream_join") { (s, d) =>
+  val st7 = QueryDef(
+    "st7_stream_stream_join",
+    { (s, d) =>
     import s.implicits._
     val ev = eventsFeed(s, d).filter(col("ts").isNotNull)
     // same time-range chunking as st5: both sides' arrival order must
@@ -417,10 +516,20 @@ object Streams {
           col("buy_ts") >= col("click_ts") &&
           col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
       .select(col("click_id"), col("buy_id")), fpCols)
-    Seq((streamedFp._1, streamedFp == batchFp))
-      .toDF("n_pairs", "exact_match")
-      .filter(col("exact_match") && col("n_pairs") > 0)
-  }
+    // FULL oracle since r11: the attribution pair set the symmetric-
+    // hash join emitted, replayed by DuckDB as the equivalent batch
+    // range join over the parquet
+    s.table("st7_out").select(col("click_id"), col("buy_id"))
+      .filter(lit(streamedFp == batchFp && streamedFp._1 > 0))
+  },
+    oracle = Some(
+      """SELECT c.event_id AS click_id, b.event_id AS buy_id
+        |FROM events c JOIN events b
+        |  ON c.user_id = b.user_id
+        | AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click' AND b.event_type = 'purchase'
+        |  AND c.ts IS NOT NULL AND b.ts IS NOT NULL""".stripMargin),
+    benchEligible = false)
 
   /** ST8 — checkpointed exactly-once recovery over a FILE source: run a
     * stream over batch-1 files into a parquet sink with a checkpoint,
