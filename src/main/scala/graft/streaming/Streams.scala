@@ -273,10 +273,16 @@ object Streams {
     * after that is DROPPED, not merged. Timeline: hour-00/01 events →
     * an 05:00 event advances the watermark to 04:00, flushing both
     * windows → a late hour-00 row (value 100) must vanish without a
-    * trace → a final advance flushes hour-05. Emits the summary row
-    * only when the late row provably did not reach any output.
+    * trace → a final advance flushes hour-05. FULL oracle since r11:
+    * the expected APPEND-mode output under those semantics is exactly
+    * three hand-derivable windows — the oracle states them as a VALUES
+    * table (golden values, driver-hashed), so the late-drop contract
+    * itself is what a divergence fails against; the no-late-value
+    * scan stays as an emission gate.
     */
-  val st4 = QueryDef.fixture("st4_stream_late_drop") { (s, d) =>
+  val st4 = QueryDef(
+    "st4_stream_late_drop",
+    { (s, d) =>
     import s.implicits._
     def ev(id: Long, t: String, v: Double): Ev =
       Ev(id, java.sql.Timestamp.valueOf(t), 1L, "click", v)
@@ -302,11 +308,16 @@ object Streams {
       } finally q.stop()
     val hour00Clean = rows.contains(("2024-01-01 00:00:00", 1L, 1.0))
     val noLateValue = !rows.exists(_._3 >= 100.0)
-    Seq((rows.size.toLong, hour00Clean, noLateValue))
-      .toDF("n_windows_emitted", "hour00_excludes_late", "late_value_absent")
-      .filter(col("hour00_excludes_late") && col("late_value_absent") &&
-        col("n_windows_emitted") === 3)
-  }
+    rows.toSeq.toDF("bucket", "n", "val_sum")
+      .filter(lit(hour00Clean && noLateValue && rows.size == 3))
+  },
+    oracle = Some(
+      """SELECT * FROM (VALUES
+        |  ('2024-01-01 00:00:00', CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)),
+        |  ('2024-01-01 01:00:00', CAST(1 AS BIGINT), CAST(2.0 AS DOUBLE)),
+        |  ('2024-01-01 05:00:00', CAST(1 AS BIGINT), CAST(3.0 AS DOUBLE)))
+        |  t(bucket, n, val_sum)""".stripMargin),
+    benchEligible = false)
 
   /** Per-user session aggregation on a 30-minute inactivity gap via the
     * native `session_window` (the streaming twin of the batch e2
