@@ -621,7 +621,9 @@ object Streams {
     * the very same sink function; the table's count and checksum must
     * be unchanged, and must equal the batch-computed expectation.
     */
-  val st9 = QueryDef.fixture("st9_foreachbatch_upsert") { (s, d) =>
+  val st9 = QueryDef(
+    "st9_foreachbatch_upsert",
+    { (s, d) =>
     import s.implicits._
     val base = graft.util.Fixtures.dir + "/st9"
     graft.util.Fs.rmRecursive(new java.io.File(base))
@@ -661,10 +663,20 @@ object Streams {
     val after2 = state()
     val expRow = ev.agg(count(lit(1)), sum(col("event_id"))).head()
     val expected = (expRow.getLong(0), expRow.getLong(1))
-    Seq((after1._1, after2._1, after1 == expected && after2 == expected))
-      .toDF("n_after_stream", "n_after_replay", "idempotent")
-      .filter(col("idempotent") && col("n_after_stream") > 0)
-  }
+    val ok = after1 == expected && after2 == expected && after1._1 > 0
+    // FULL oracle since r11: the POST-REPLAY table content, row for
+    // row, must equal the source selection DuckDB computes from the
+    // events parquet — duplicated rows from a non-idempotent sink (or
+    // a truncated partition) hash-mismatch, on top of the
+    // count/checksum gate above
+    s.read.parquet(outDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .filter(lit(ok))
+  },
+    oracle = Some(
+      """SELECT event_id, event_type, value
+        |FROM events WHERE ts IS NOT NULL""".stripMargin),
+    benchEligible = false)
 
   /** ST10 — streaming NEAR-dup dedup-on-ingest: the production shape
     * for a continuously-crawled corpus. Each micro-batch is
