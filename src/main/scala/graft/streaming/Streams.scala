@@ -784,7 +784,9 @@ object Streams {
     * streamed 3-chunk feed fingerprint-match the batch twin exactly,
     * some documents are dropped, and the kept verdicts agree per doc.
     */
-  val st11 = QueryDef.fixture("st11_stream_quality_filter") { (s, d) =>
+  val st11 = QueryDef(
+    "st11_stream_quality_filter",
+    { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("source"))
@@ -808,11 +810,43 @@ object Streams {
       } finally q.stop()
     val batchFp = fingerprint(ruleFilter(docs), fpCols)
     val nTotal = docs.count()
-    Seq((streamedFp._1, batchFp._1, nTotal, streamedFp == batchFp))
-      .toDF("n_kept_stream", "n_kept_batch", "n_total", "exact_match")
-      .filter(col("exact_match") && col("n_kept_stream") > 0 &&
-        col("n_kept_stream") < col("n_total"))
-  }
+    val ok = streamedFp == batchFp && streamedFp._1 > 0 &&
+      streamedFp._1 < nTotal
+    // FULL oracle since r11: the streamed KEPT set itself, replayed by
+    // DuckDB with t17's gopher-rule SQL at this query's minWords=20
+    s.table("st11_out").select(col("doc_id"), col("source"))
+      .filter(lit(ok))
+  },
+    oracle = Some(
+      """WITH q AS (
+        |  SELECT doc_id, source, text,
+        |         string_split(text, ' ') AS toks,
+        |         string_split(text, chr(10)) AS lns
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |f AS (
+        |  SELECT doc_id, source, len(toks) AS n_words,
+        |         list_sum(list_transform(toks, x -> length(x))) * 1.0
+        |           / len(toks) AS mwl,
+        |         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0
+        |           / len(toks) AS awr,
+        |         len(regexp_extract_all(text, '#|\.\.\.')) * 1.0
+        |           / len(toks) AS swr,
+        |         len(list_filter(lns, l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%')) * 1.0
+        |           / len(lns) AS blr,
+        |         len(list_filter(lns, l -> l LIKE '%...')) * 1.0
+        |           / len(lns) AS elr,
+        |         (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END +
+        |          CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END) AS sd
+        |  FROM q)
+        |SELECT doc_id, source FROM f
+        |WHERE n_words BETWEEN 20 AND 100000
+        |  AND mwl BETWEEN 3.0 AND 10.0
+        |  AND swr < 0.1 AND blr < 0.9 AND elr < 0.3
+        |  AND awr > 0.8 AND sd >= 2""".stripMargin),
+    benchEligible = false)
 
   /** ST12 — streaming daily-anomaly detection: the e11 monitor as a
     * live pipeline. The STREAM maintains the per-(type, day) counts —
@@ -827,7 +861,9 @@ object Streams {
     * counts fingerprint-match the batch e11 output exactly after a
     * 3-chunk feed.
     */
-  val st12 = QueryDef.fixture("st12_stream_daily_anomaly") { (s, d) =>
+  val st12 = QueryDef(
+    "st12_stream_daily_anomaly",
+    { (s, d) =>
     import s.implicits._
     val ev = eventsFeed(s, d)
     val feed = new FileFeed(s, "st12", ev.schema)
@@ -856,10 +892,14 @@ object Streams {
       } finally q.stop()
     val batchFp = fingerprint(
       graft.ops.RelationalQueries.e11.fn(s, d), fpCols)
-    Seq((streamedFp._1, batchFp._1, streamedFp == batchFp))
-      .toDF("n_stream_rows", "n_batch_rows", "exact_match")
-      .filter(col("exact_match") && col("n_stream_rows") > 0)
-  }
+    // FULL oracle since r11 — e11's oracle SQL verbatim: the z-scan
+    // over the STREAMED daily counts must hash-match DuckDB's replay
+    // of the whole monitor from the raw events
+    graft.ops.RelationalQueries.dailyAnomaly(s.table("st12_out"))
+      .filter(lit(streamedFp == batchFp && streamedFp._1 > 0))
+  },
+    oracle = graft.ops.RelationalQueries.e11.oracle,
+    benchEligible = false)
 
   /** ST13 — streaming DISTINCT-user state via mergeable HLL sketches:
     * each micro-batch collapses to per-type sketch PARTIALS
