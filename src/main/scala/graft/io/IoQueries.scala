@@ -16,8 +16,25 @@ object IoQueries {
 
   private val fixtureDir = graft.util.Fixtures.dir
 
-  /** S1+S2+S4+S5+S6+S7+P4 — PLINK .raw → bundle → parquet → re-read. */
-  val s1 = QueryDef.fixture("s1_plink_bundle_roundtrip") { (s, d) =>
+  private def plinkRawPath: String =
+    new java.io.File(s"$fixtureDir/dummy_plink.raw").getAbsolutePath
+
+  /** S1+S2+S4+S5+S6+S7+P4 — PLINK .raw → bundle → parquet → re-read.
+    *
+    * FULL oracle since r11: the emitted frame is (row count, total
+    * dosage mass, recoded label mass) as read back through the FULL
+    * production chain (.raw text scan → recode → bundle write →
+    * bundle re-read), and DuckDB recomputes the same three numbers by
+    * parsing the .raw TEXT FILE itself (`read_csv`, space-delimited) —
+    * an independent parser must agree with the whole ingest pipeline,
+    * including the 1/2 → 0/1 phenotype recode (label_sum =
+    * Σ(PHENOTYPE−1)). All summed values are small integers, so the
+    * DOUBLE columns are exact. The .fam/width/cols-table invariants
+    * stay as emission gates.
+    */
+  val s1 = QueryDef(
+    "s1_plink_bundle_roundtrip",
+    { (s, d) =>
     val cfg = Sim.Config(n = 100L, p = 10, seed = 42L, chunkRows = 25L)
     val bundle = Sim.bundle(s, cfg)
     val names = Sim.snpNames(cfg.p, cfg.seed)
@@ -32,7 +49,7 @@ object IoQueries {
         s"${r.getString(0)} ${r.getString(1)} ${r.getString(2)} ${r.getString(3)} ${r.getInt(4)} ${r.getInt(5)} $feats"
       }
     Files.createDirectories(Paths.get(fixtureDir))
-    val rawPath = s"$fixtureDir/dummy_plink.raw"
+    val rawPath = plinkRawPath
     Files.write(Paths.get(rawPath),
       (header +: lines.toSeq).mkString("\n").getBytes)
 
@@ -70,13 +87,41 @@ object IoQueries {
     val ok = orig == back && widthOk && labelsRecoded &&
       cols.count() == cfg.p && famOk
     val spark = s; import spark.implicits._
-    Seq((orig.getLong(0), orig.getDouble(1), ok))
-      .toDF("n", "dosage_sum", "ok").filter(col("ok"))
-  }
+    Seq((back.getLong(0), back.getDouble(1), back.getDouble(2)))
+      .toDF("n", "dosage_sum", "label_sum").filter(lit(ok))
+  },
+    oracle = Some {
+      val names = Sim.snpNames(10, 42L)
+      val dosage = names.map(n => "\"" + n + "\"").mkString(" + ")
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum($dosage) AS DOUBLE) AS dosage_sum,
+         |       CAST(sum(PHENOTYPE - 1) AS DOUBLE) AS label_sum
+         |FROM read_csv('$plinkRawPath', delim = ' ', header = true)""".stripMargin
+    },
+    benchEligible = false)
+
+  private def covariatesTsvPath: String =
+    new java.io.File(s"$fixtureDir/covariates.tsv").getAbsolutePath
+  private def hpDirGlob: String =
+    new java.io.File(s"$fixtureDir/hp_dir").getAbsolutePath + "/*/*.csv"
 
   /** S8+S9+S12+U2 — covariate TSV validation scan + CSV sink →
-    * multi-file HP-results glob scan. */
-  val s8 = QueryDef.fixture("s8_satellite_io") { (s, d) =>
+    * multi-file HP-results glob scan.
+    *
+    * FULL oracle since r11: the emitted frame carries (a) a per-row
+    * content hash sum over the covariate TSV as parsed by the
+    * PRODUCTION reader, with each double re-rendered through the same
+    * printf shape the writer used (%.6f/%.1f recover the file text
+    * exactly — the text has ≤6 decimals, so parse→format is the
+    * identity), and (b) integral aggregates over the glob-scanned HP
+    * CSVs. DuckDB replays (a) from the RAW TEXT (`all_varchar` read —
+    * no float parsing at all) and (b) by parsing the same CSV glob —
+    * so both engine text readers are cross-checked against an
+    * independent parser. Schema/uniqueness gates stay on emission.
+    */
+  val s8 = QueryDef(
+    "s8_satellite_io",
+    { (s, d) =>
     val cfg = Sim.Config(n = 100L, p = 4, seed = 42L)
     val cov = Sim.covariates(s, cfg)
     // write the reference-format TSV (FID IID COV1..)
@@ -84,7 +129,7 @@ object IoQueries {
       f"${r.getString(0)}\t${r.getString(1)}\t${r.getFloat(2)}%.6f\t${r.getFloat(3)}%.6f\t${r.getFloat(4)}%.1f"
     }
     Files.createDirectories(Paths.get(fixtureDir))
-    val tsvPath = s"$fixtureDir/covariates.tsv"
+    val tsvPath = covariatesTsvPath
     Files.write(Paths.get(tsvPath),
       ("FID\tIID\tCOV1\tCOV2\tCOV3" +: rows.toSeq).mkString("\n").getBytes)
     val covBack = Sinks.readCovariates(s, tsvPath)
@@ -104,33 +149,87 @@ object IoQueries {
       covBack.columns.toSeq == Seq("fid", "iid", "COV1", "COV2", "COV3") &&
       hpBack.count() == 4 &&
       math.abs(hpBack.agg(sum("score")).head().getDouble(0) - 2.80) < 1e-9
-    Seq((covBack.count(), ok)).toDF("n_cov", "ok").filter(col("ok"))
-  }
+    val covSummary = covBack.agg(
+      count(lit(1)).cast("long").as("n_cov"),
+      sum(conv(substring(md5(concat_ws("\u0001", col("fid"), col("iid"),
+        format_string("%.6f", col("COV1")),
+        format_string("%.6f", col("COV2")),
+        format_string("%.1f", col("COV3")))), 1, 8), 16, 10).cast("long"))
+        .as("cov_content_sum")).head()
+    val hpSummary = hpBack.agg(
+      count(lit(1)).cast("long").as("hp_rows"),
+      sum(round(col("score") * 100).cast("long")).as("hp_score_cents"),
+      sum(col("fold")).cast("long").as("hp_fold_sum")).head()
+    Seq((covSummary.getLong(0), covSummary.getLong(1), hpSummary.getLong(0),
+      hpSummary.getLong(1), hpSummary.getLong(2)))
+      .toDF("n_cov", "cov_content_sum", "hp_rows", "hp_score_cents",
+        "hp_fold_sum")
+      .filter(lit(ok))
+  },
+    oracle = Some(
+      s"""WITH cov AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_cov,
+         |         CAST(sum(('0x' || substr(md5(
+         |             FID || chr(1) || IID || chr(1) || COV1 || chr(1)
+         |             || COV2 || chr(1) || COV3), 1, 8))::BIGINT) AS BIGINT)
+         |           AS cov_content_sum
+         |  FROM read_csv('$covariatesTsvPath', delim = '\t', header = true,
+         |                all_varchar = true)),
+         |hp AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS hp_rows,
+         |         CAST(sum(CAST(round(score * 100) AS BIGINT)) AS BIGINT)
+         |           AS hp_score_cents,
+         |         CAST(sum(fold) AS BIGINT) AS hp_fold_sum
+         |  FROM read_csv('$hpDirGlob', header = true))
+         |SELECT * FROM cov, hp""".stripMargin),
+    benchEligible = false)
 
   /** Corpus round-trip through an interchange format: write the
     * documents table, re-read it with the EXPLICIT schema — at 100 TB,
     * schema inference would burn a full extra scan before the first
-    * real job; never infer on big corpora. Gate: count + id/char
-    * checksums and a content hash sum must survive exactly.
+    * real job; never infer on big corpora. FULL oracle since r11: the
+    * emitted frame is the per-lang count/id/char/content-hash summary
+    * of the RE-READ frame, and DuckDB computes the same aggregates
+    * from the ORIGINAL parquet table — any row the format write/read
+    * dropped, duplicated, or corrupted hash-mismatches (DuckDB cannot
+    * parse ORC itself, so the cross-engine check runs through the
+    * source the round-trip must preserve). The engine-side
+    * source==re-read equality stays as the emission gate.
     */
   private def roundtrip(name: String, format: String): QueryDef =
-    QueryDef.rowsOnly(name) { (s, d) =>
-      val docs = graft.Tables.documents(s, d)
-      val out = s"$fixtureDir/${format}_docs"
-      docs.write.mode("overwrite").format(format).save(out)
-      val back = s.read.schema(docs.schema).format(format).load(out)
-      def summary(df: org.apache.spark.sql.DataFrame) = df.agg(
-        count(lit(1)).cast("long").as("n"),
-        sum(col("doc_id")).cast("long").as("id_sum"),
-        sum(col("n_chars")).cast("long").as("char_sum"),
-        sum(conv(substring(md5(concat_ws("", col("text"), col("lang"),
-          col("source"))), 1, 8), 16, 10).cast("long")).as("content_sum")).head()
-      val (orig, rt) = (summary(docs), summary(back))
-      val spark = s; import spark.implicits._
-      Seq((orig.getLong(0), orig == rt))
-        .toDF("n_docs", "roundtrip_ok")
-        .filter(col("roundtrip_ok") && col("n_docs") > 0)
-    }
+    QueryDef(
+      name,
+      { (s, d) =>
+        val docs = graft.Tables.documents(s, d)
+        val out = s"$fixtureDir/${format}_docs"
+        docs.write.mode("overwrite").format(format).save(out)
+        val back = s.read.schema(docs.schema).format(format).load(out)
+        def summary(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy("lang").agg(
+            count(lit(1)).cast("long").as("n"),
+            sum(col("doc_id")).cast("long").as("id_sum"),
+            sum(col("n_chars")).cast("long").as("char_sum"),
+            sum(conv(substring(md5(concat_ws("", col("text"), col("lang"),
+              col("source"))), 1, 8), 16, 10).cast("long")).as("content_sum"))
+        val src = summary(docs).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)))
+        val rt = summary(back).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)))
+        val spark = s; import spark.implicits._
+        rt.toSeq.toDF("lang", "n", "id_sum", "char_sum", "content_sum")
+          .filter(lit(src.toSet == rt.toSet && src.nonEmpty))
+      },
+      oracle = Some(
+        """SELECT lang, count(*) AS n,
+          |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          |       CAST(sum(n_chars) AS BIGINT) AS char_sum,
+          |       CAST(sum(('0x' || substr(md5(coalesce(text, '')
+          |           || coalesce(lang, '') || coalesce(source, '')), 1, 8)
+          |         )::BIGINT) AS BIGINT) AS content_sum
+          |FROM documents
+          |GROUP BY lang""".stripMargin))
 
   /** Absolute path so the driver's DuckDB (own process, own cwd) reads
     * the exact files this JVM wrote. */
@@ -388,31 +487,50 @@ object IoQueries {
     * unclustered (hash-shuffled) copy touches ALL of them; counts
     * match between both reads.
     */
-  val s14 = QueryDef.rowsOnly("s14_clustered_layout") { (s, d) =>
-    val docs = graft.Tables.documents(s, d)
-    val clustered = s"$fixtureDir/clustered_docs"
-    val unclustered = s"$fixtureDir/unclustered_docs"
-    val nf = 16
-    docs.repartitionByRange(nf, col("n_chars"))
-      .sortWithinPartitions("n_chars")
-      .write.mode("overwrite").parquet(clustered)
-    docs.repartition(nf, col("doc_id"))
-      .write.mode("overwrite").parquet(unclustered)
-    val lo = 100L; val hi = 150L
-    def touched(dir: String): (Long, Long) = {
-      val hit = s.read.parquet(dir)
-        .filter(col("n_chars").between(lo, hi))
-        .select(input_file_name().as("f"), col("doc_id"))
-      (hit.select("f").distinct().count(), hit.count())
-    }
-    val (filesC, nC) = touched(clustered)
-    val (filesU, nU) = touched(unclustered)
-    val spark = s; import spark.implicits._
-    Seq((filesC, filesU, nC))
-      .toDF("files_clustered", "files_unclustered", "n_rows")
-      .filter(col("n_rows") === nU && col("n_rows") > 0 &&
-        col("files_clustered") * 4 <= col("files_unclustered"))
-  }
+  private def clusteredDocsDir: String =
+    new java.io.File(s"$fixtureDir/clustered_docs").getAbsolutePath
+
+  val s14 = QueryDef(
+    "s14_clustered_layout",
+    { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      val clustered = clusteredDocsDir
+      val unclustered = s"$fixtureDir/unclustered_docs"
+      val nf = 16
+      docs.repartitionByRange(nf, col("n_chars"))
+        .sortWithinPartitions("n_chars")
+        .write.mode("overwrite").parquet(clustered)
+      docs.repartition(nf, col("doc_id"))
+        .write.mode("overwrite").parquet(unclustered)
+      val lo = 100L; val hi = 150L
+      def touched(dir: String): (Long, Long) = {
+        val hit = s.read.parquet(dir)
+          .filter(col("n_chars").between(lo, hi))
+          .select(input_file_name().as("f"), col("doc_id"))
+        (hit.select("f").distinct().count(), hit.count())
+      }
+      val (filesC, nC) = touched(clustered)
+      val (filesU, nU) = touched(unclustered)
+      val ok = nC == nU && nC > 0 && filesC * 4 <= filesU
+      // FULL oracle since r11: per-band counts + id checksums of the
+      // CLUSTERED table as the engine reads it back; DuckDB re-reads
+      // the same files independently — a clustering write that lost or
+      // corrupted rows hash-mismatches. The file-touch pruning gates
+      // (the layout claim itself — not SQL-visible) gate emission.
+      s.read.parquet(clustered)
+        .groupBy((col("n_chars") / 100L).cast("long").as("band"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("char_sum"))
+        .filter(lit(ok))
+    },
+    oracle = Some(
+      s"""SELECT CAST(n_chars // 100 AS BIGINT) AS band,
+         |       count(*) AS n,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(n_chars) AS BIGINT) AS char_sum
+         |FROM read_parquet('$clusteredDocsDir/*.parquet')
+         |GROUP BY 1""".stripMargin))
 
   /** Morton (Z-order) interleave of two pre-scaled bucket ids, each in
     * [0, 2^bits): bit b of x lands at position 2b, bit b of y at 2b+1.
@@ -444,35 +562,60 @@ object IoQueries {
     * constant; the gate now checks the z layout against n_files
     * directly and sheds the control write's ~10 s.)
     */
-  val s15 = QueryDef.rowsOnly("s15_zorder_layout") { (s, d) =>
-    val docs = graft.Tables.documents(s, d)
-    val nf = 64
-    val bits = 10
-    val stats = docs.agg(max(col("n_chars")), max(col("doc_id"))).head()
-    val (maxC, maxId) = (stats.getLong(0), stats.getLong(1))
-    def scaled(c: org.apache.spark.sql.Column, mx: Long) =
-      least(floor(c * (1 << bits) / (mx + 1)).cast("long"), lit((1 << bits) - 1L))
-    val z = docs.withColumn("__z",
-      mortonKey(scaled(col("n_chars"), maxC), scaled(col("doc_id"), maxId), bits))
-    val zDir = s"$fixtureDir/zorder_docs"
-    z.repartitionByRange(nf, col("__z")).sortWithinPartitions("__z")
-      .drop("__z").write.mode("overwrite").parquet(zDir)
-    // two selective single-dimension bands (~10% each)
-    val cPred = col("n_chars").between(100L, 150L)
-    val idPred = col("doc_id").between(maxId / 2, maxId / 2 + maxId / 10)
-    def touched(p: org.apache.spark.sql.Column): Long =
-      s.read.parquet(zDir).filter(p)
-        .select(input_file_name()).distinct().count()
-    val zC = touched(cPred); val zId = touched(idPred)
-    val nTotal = graft.util.Fs.walkFiles(new java.io.File(zDir))
-      .count(_.getName.startsWith("part-")).toLong
-    val spark = s; import spark.implicits._
-    Seq((zC, zId, nTotal))
-      .toDF("z_nchars_files", "z_docid_files", "n_files")
-      .filter(col("z_nchars_files") * 2 <= col("n_files") &&
-        col("z_docid_files") * 2 <= col("n_files") &&
-        col("z_nchars_files") > 0 && col("z_docid_files") > 0)
-  }
+  private def zorderDocsDir: String =
+    new java.io.File(s"$fixtureDir/zorder_docs").getAbsolutePath
+
+  val s15 = QueryDef(
+    "s15_zorder_layout",
+    { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      val nf = 64
+      val bits = 10
+      val stats = docs.agg(max(col("n_chars")), max(col("doc_id"))).head()
+      val (maxC, maxId) = (stats.getLong(0), stats.getLong(1))
+      def scaled(c: org.apache.spark.sql.Column, mx: Long) =
+        least(floor(c * (1 << bits) / (mx + 1)).cast("long"), lit((1 << bits) - 1L))
+      val z = docs.withColumn("__z",
+        mortonKey(scaled(col("n_chars"), maxC), scaled(col("doc_id"), maxId), bits))
+      val zDir = zorderDocsDir
+      z.repartitionByRange(nf, col("__z")).sortWithinPartitions("__z")
+        .drop("__z").write.mode("overwrite").parquet(zDir)
+      // two selective single-dimension bands (~10% each)
+      val cPred = col("n_chars").between(100L, 150L)
+      val idPred = col("doc_id").between(maxId / 2, maxId / 2 + maxId / 10)
+      def touched(p: org.apache.spark.sql.Column): Long =
+        s.read.parquet(zDir).filter(p)
+          .select(input_file_name()).distinct().count()
+      val zC = touched(cPred); val zId = touched(idPred)
+      val nTotal = graft.util.Fs.walkFiles(new java.io.File(zDir))
+        .count(_.getName.startsWith("part-")).toLong
+      val ok = zC * 2 <= nTotal && zId * 2 <= nTotal && zC > 0 && zId > 0
+      // FULL oracle since r11: per-band content of BOTH selective bands
+      // as the engine reads them back from the z-ordered layout; DuckDB
+      // re-reads the written files independently — a z-order rewrite
+      // that dropped/duplicated rows hash-mismatches. The file-touch
+      // gates (one sort order must serve both dimensions) gate emission.
+      s.read.parquet(zDir)
+        .filter(cPred || idPred)
+        .groupBy(when(cPred, lit("n_chars_band")).otherwise(lit("doc_id_band"))
+          .as("band"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("n_chars")).cast("long").as("char_sum"))
+        .filter(lit(ok))
+    },
+    oracle = Some(
+      s"""SELECT CASE WHEN n_chars BETWEEN 100 AND 150 THEN 'n_chars_band'
+         |            ELSE 'doc_id_band' END AS band,
+         |       count(*) AS n,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(n_chars) AS BIGINT) AS char_sum
+         |FROM read_parquet('$zorderDocsDir/*.parquet')
+         |WHERE n_chars BETWEEN 100 AND 150
+         |   OR doc_id BETWEEN (SELECT max(doc_id) // 2 FROM documents)
+         |              AND (SELECT max(doc_id) // 2 + max(doc_id) // 10
+         |                   FROM documents)
+         |GROUP BY 1""".stripMargin))
 
   /** S16 — bucketed co-located join: write BOTH join sides bucketed on
     * the join key (`bucketBy` + `saveAsTable`), then join and aggregate
@@ -590,8 +733,13 @@ object IoQueries {
     * common column still pushes into the mixed scan (evolution must
     * not cost pushdown).
     */
-  val s18 = QueryDef.rowsOnly("s18_schema_evolution") { (s, d) =>
-    val dir = s"$fixtureDir/s18_evolved"
+  private def evolvedDir: String =
+    new java.io.File(s"$fixtureDir/s18_evolved").getAbsolutePath
+
+  val s18 = QueryDef(
+    "s18_schema_evolution",
+    { (s, d) =>
+    val dir = evolvedDir
     graft.util.Fs.rmRecursive(new java.io.File(dir))
     val orders = graft.Tables.orders(s, d)
     val v1 = orders.filter(col("o_orderkey") % 2 === 0)
@@ -632,14 +780,29 @@ object IoQueries {
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     val ms = sig(merged); val es = sig(explicit)
-    val spark = s; import spark.implicits._
-    Seq((nAll, nV1, mCount, mNull, mergedOk, pushOk, ms == es))
-      .toDF("n_rows", "n_v1_rows", "n_merged", "n_null_priority",
-        "schema_union_ok", "pushdown_ok", "reads_agree")
-      .filter(col("n_rows") > 0 && col("n_merged") === col("n_rows") &&
-        col("n_null_priority") === col("n_v1_rows") &&
-        col("schema_union_ok") && col("pushdown_ok") && col("reads_agree"))
-  }
+    val ok = nAll > 0 && mCount == nAll && mNull == nV1 &&
+      mergedOk && pushOk && ms == es
+    // FULL oracle since r11: per-priority aggregates of the MERGED
+    // read (null priority = the v1 files), hash-compared against
+    // DuckDB's own mixed-schema reader (`union_by_name`) over the same
+    // files — an INDEPENDENT engine must agree on which rows carry the
+    // evolved column and on every row's content. Schema/pushdown/
+    // reads-agree checks stay as emission gates (not SQL-visible).
+    merged
+      .groupBy(coalesce(col("o_orderpriority"), lit(" ")).as("priority"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+      .filter(lit(ok))
+  },
+    oracle = Some(
+      s"""SELECT coalesce(o_orderpriority, ' ') AS priority,
+         |       count(*) AS n,
+         |       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |         AS price_cents
+         |FROM read_parquet('$evolvedDir/*.parquet', union_by_name = 1)
+         |GROUP BY 1""".stripMargin))
 
   /** S19 — snapshot TIME TRAVEL on plain parquet + JSON manifests (the
     * Iceberg/Delta snapshot-isolation core, without the table format):
@@ -657,11 +820,25 @@ object IoQueries {
     * frame (order-independent fingerprints), BOTH READ AFTER the v2
     * commit — proving v1 survived; and the v2 manifest reuses v1's
     * untouched files byte-for-byte (no rewrite amplification).
+    *
+    * FULL oracle since r11: the emitted frame is the per-(snapshot,
+    * lang) count/id/content-hash profile of BOTH manifest-pinned
+    * reads, and DuckDB re-derives it from the written files by
+    * replaying the commit rule itself — snapshot 1 = the v=00001
+    * files; snapshot 2 = v=00001 minus the replaced `en` partition
+    * plus the v=00002 files. A manifest that referenced a wrong file
+    * set, or a commit that mutated a shipped file, hash-mismatches.
+    * The byte-reuse and fingerprint-equality gates stay on emission.
     */
-  val s19 = QueryDef.rowsOnly("s19_snapshot_time_travel") { (s, d) =>
+  private def ttRootDir: String =
+    new java.io.File(s"$fixtureDir/tt_docs").getAbsolutePath
+
+  val s19 = QueryDef(
+    "s19_snapshot_time_travel",
+    { (s, d) =>
     val docs = graft.Tables.documents(s, d)
       .select("doc_id", "text", "n_chars", "lang")
-    val root = s"$fixtureDir/tt_docs"
+    val root = ttRootDir
     val dataDir = s"$root/data"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     def dataFiles(sub: String): Seq[String] =
@@ -713,13 +890,41 @@ object IoQueries {
     val fpV1 = fp(readSnapshot(1)); val fpOrig = fp(docs)
     val fpV2 = fp(readSnapshot(2)); val fpExp = fp(expectedV2)
     val reuse = readManifest(2).toSet.intersect(v1Files.toSet).size
-    val spark = s; import spark.implicits._
-    Seq((fpV1._1, fpV2._1, reuse.toLong,
-      fpV1 == fpOrig, fpV2 == fpExp))
-      .toDF("n_v1", "n_v2", "n_reused_files", "v1_matches", "v2_matches")
-      .filter(col("v1_matches") && col("v2_matches") &&
-        col("n_v1") > 0 && col("n_reused_files") > 0)
-  }
+    val ok = fpV1 == fpOrig && fpV2 == fpExp && fpV1._1 > 0 && reuse > 0
+    def contentSum = sum(conv(substring(md5(concat_ws("\u0001",
+      col("doc_id").cast("string"), coalesce(col("text"), lit("\u0000")),
+      col("n_chars").cast("string"))), 1, 8), 16, 10).cast("long"))
+    readSnapshot(1).withColumn("snapshot", lit(1L))
+      .unionByName(readSnapshot(2).withColumn("snapshot", lit(2L)))
+      .groupBy("snapshot", "lang")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        contentSum.as("content_sum"))
+      .filter(lit(ok))
+  },
+    oracle = Some(
+      s"""WITH v1 AS (
+         |  SELECT doc_id, text, n_chars, lang
+         |  FROM read_parquet('$ttRootDir/data/v=00001/*/*.parquet',
+         |                    hive_partitioning = 1)),
+         |v2new AS (
+         |  SELECT doc_id, text, n_chars, lang
+         |  FROM read_parquet('$ttRootDir/data/v=00002/*/*.parquet',
+         |                    hive_partitioning = 1)),
+         |snaps AS (
+         |  SELECT CAST(1 AS BIGINT) AS snapshot, * FROM v1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), * FROM v1 WHERE lang <> 'en'
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), * FROM v2new)
+         |SELECT snapshot, lang, count(*) AS n,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |       CAST(sum(('0x' || substr(md5(doc_id::VARCHAR || chr(1)
+         |           || coalesce(text, chr(0)) || chr(1)
+         |           || n_chars::VARCHAR), 1, 8))::BIGINT) AS BIGINT)
+         |         AS content_sum
+         |FROM snaps
+         |GROUP BY 1, 2""".stripMargin))
 
   /** Distributed parquet-footer audit: per column chunk, the encodings
     * actually used plus compressed/uncompressed byte totals — the
@@ -766,15 +971,34 @@ object IoQueries {
         sum(col("uncompressed_bytes")).as("uncompressed_bytes"))
   }
 
+  private def auditCopyPath: String =
+    new java.io.File(s"$fixtureDir/s20_documents.parquet").getAbsolutePath
+
   /** S20 — encoding audit of the shipped documents table. Gates: every
     * column dictionary-encodes (RLE_DICTIONARY present — the driver's
     * writer emits it; a PLAIN-only column would mean dictionary fell
     * back, the thing this audit exists to catch), the text column's
     * codec actually compresses (ratio < 0.8), and value counts
-    * reconcile with the row count. Rows-only golden gate.
+    * reconcile with the row count.
+    *
+    * FULL oracle since r11: the emitted frame is the per-column-chunk
+    * audit itself — (column, sorted encoding set, codec, value count,
+    * compressed/uncompressed bytes) — and DuckDB re-reads the SAME
+    * footers independently with `parquet_metadata()`. Two parquet
+    * implementations must agree on every footer field, or the engine's
+    * footer walk is misreading metadata. The oracle SQL can only name
+    * a fixed path, so the query byte-copies the input file into the
+    * fixture dir first (a copy, not a rewrite — footers identical).
+    * The dictionary/ratio/count gates stay on emission.
     */
-  val s20 = QueryDef.rowsOnly("s20_parquet_encoding_audit") { (s, d) =>
-    val audit = parquetColumnAudit(s, s"$d/documents.parquet").cache()
+  val s20 = QueryDef(
+    "s20_parquet_encoding_audit",
+    { (s, d) =>
+    val src = java.nio.file.Paths.get(s"$d/documents.parquet")
+    Files.createDirectories(Paths.get(fixtureDir))
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(auditCopyPath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val audit = parquetColumnAudit(s, auditCopyPath).cache()
     val nRows = graft.Tables.documents(s, d).count()
     val perCol = audit.groupBy("column")
       .agg(sum(col("n_values")).as("nv"),
@@ -787,16 +1011,31 @@ object IoQueries {
       sum(when(col("nv") === nRows, 1L).otherwise(0L)).as("n_count_ok"),
       min(when(col("column") === "text", col("ratio"))).as("text_ratio"))
       .head()
+    val ok = summary.getLong(0) == 5 &&
+      summary.getLong(1) == summary.getLong(0) &&
+      summary.getLong(2) == summary.getLong(0) &&
+      summary.getDouble(3) < 0.8
+    val out = audit
+      .select(col("column"), col("encodings"), col("codec"),
+        col("n_values").cast("long").as("n_values"),
+        col("compressed_bytes").cast("long").as("compressed_bytes"),
+        col("uncompressed_bytes").cast("long").as("uncompressed_bytes"))
+      .filter(lit(ok))
     audit.unpersist()
-    val spark = s; import spark.implicits._
-    Seq((summary.getLong(0), summary.getLong(1), summary.getLong(2),
-      math.floor(summary.getDouble(3) * 1e6 + 0.5) / 1e6))
-      .toDF("n_columns", "n_dict_columns", "n_count_ok", "text_ratio")
-      .filter(col("n_columns") === 5 &&
-        col("n_dict_columns") === col("n_columns") &&
-        col("n_count_ok") === col("n_columns") &&
-        col("text_ratio") < 0.8)
-  }
+    out
+  },
+    oracle = Some(
+      s"""SELECT path_in_schema AS "column",
+         |       array_to_string(list_sort(list_distinct(
+         |         string_split(encodings, ', '))), ',') AS encodings,
+         |       compression AS codec,
+         |       CAST(sum(num_values) AS BIGINT) AS n_values,
+         |       CAST(sum(total_compressed_size) AS BIGINT)
+         |         AS compressed_bytes,
+         |       CAST(sum(total_uncompressed_size) AS BIGINT)
+         |         AS uncompressed_bytes
+         |FROM parquet_metadata('$auditCopyPath')
+         |GROUP BY 1, 2, 3""".stripMargin))
 
   def all: Seq[QueryDef] =
     Seq(s1, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20)

@@ -46,32 +46,42 @@ object Sketches {
     *
     * The sketch table is |types|×|buckets| rows × ~KB — the thing a
     * 100 TB pipeline stores and re-queries; the raw scan happens once.
+    *
+    * FULL oracle on the EXACT side since r11 (the k1/k3 recipe): the
+    * hashed columns are (event_type, exact_distinct), which DuckDB
+    * replays with count(DISTINCT); the randomized-looking sketch
+    * estimates move into the emission gate — an accuracy violation on
+    * ANY type drops that row and the driver flags the count mismatch.
     */
-  val k2 = QueryDef.rowsOnly("k2_hll_union_reagg") { (s, d) =>
-    val ev = Tables.events(s, d)
-      .select(col("event_type"), col("user_id"),
-        to_date(col("ts")).as("day"),
-        date_trunc("week", col("ts")).as("week"))
-    def unionEst(bucket: String, out: String): DataFrame =
-      hllPartials(ev, Seq("event_type"), bucket, "user_id")
-        .groupBy("event_type")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as(out))
-    val byDay = unionEst("day", "hll_union_est")
-    val byWeek = unionEst("week", "hll_union_week_est")
-    val direct = ev.groupBy("event_type")
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
-        .as("hll_direct_est"),
-        countDistinct(col("user_id")).as("exact_distinct"))
-    byDay.join(byWeek, "event_type").join(direct, "event_type")
-      .select(col("event_type"), col("exact_distinct"),
-        col("hll_union_est"), col("hll_union_week_est"),
-        col("hll_direct_est"),
-        (abs(col("hll_union_est") - col("exact_distinct")) /
-          col("exact_distinct")).as("rel_err"))
-      .filter(col("rel_err") < 0.05 &&
-        abs(col("hll_union_week_est") - col("exact_distinct")) /
-          col("exact_distinct") < 0.05)
-  }
+  val k2 = QueryDef(
+    "k2_hll_union_reagg",
+    { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          to_date(col("ts")).as("day"),
+          date_trunc("week", col("ts")).as("week"))
+      def unionEst(bucket: String, out: String): DataFrame =
+        hllPartials(ev, Seq("event_type"), bucket, "user_id")
+          .groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as(out))
+      val byDay = unionEst("day", "hll_union_est")
+      val byWeek = unionEst("week", "hll_union_week_est")
+      val direct = ev.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+          .as("hll_direct_est"),
+          countDistinct(col("user_id")).as("exact_distinct"))
+      byDay.join(byWeek, "event_type").join(direct, "event_type")
+        .filter(abs(col("hll_union_est") - col("exact_distinct")) /
+          col("exact_distinct") < 0.05 &&
+          abs(col("hll_union_week_est") - col("exact_distinct")) /
+            col("exact_distinct") < 0.05)
+        .select(col("event_type"),
+          col("exact_distinct").cast("long").as("exact_distinct"))
+    },
+    oracle = Some(
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |FROM events GROUP BY 1""".stripMargin))
 
   /** K3 — Count-Min frequency estimates on events event_type: the
     * sketch answers per-key counts from O(w·d) state regardless of
