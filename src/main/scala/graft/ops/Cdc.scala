@@ -167,5 +167,82 @@ object Cdc {
         sum(col("valid_from") % 1000000007L).cast("long").as("from_checksum"))
   }
 
-  def all: Seq[QueryDef] = Seq(u5, u6)
+  /** Snapshot diff — the INVERSE of [[applyChangelog]]: given two
+    * versions of a keyed table, derive the minimal changelog
+    * (op ∈ I/U/D, plus the surviving row for I/U and the old row for
+    * D) that replays v1 into v2. The table-maintenance primitive
+    * behind incremental downstream refresh ("what changed since the
+    * last snapshot?") when the upstream re-lands whole tables.
+    *
+    * One full-outer hash join on the key — each side shuffles once (on
+    * a bucketed layout, zero times); content equality is a null-safe
+    * struct compare over every shared non-key column, evaluated
+    * scan-local. No driver state at any table size.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, keyCol: String): DataFrame = {
+    val cols = v1.columns.filter(_ != keyCol).toSeq
+    require(v2.columns.filter(_ != keyCol).toSeq == cols,
+      s"snapshotDiff: column sets differ: $cols vs ${v2.columns.toSeq}")
+    val a = v1.select(col(keyCol).as("__k"),
+      struct(cols.map(col): _*).as("__a"))
+    val b = v2.select(col(keyCol).as("__k"),
+      struct(cols.map(col): _*).as("__b"))
+    a.join(b, Seq("__k"), "full_outer")
+      .withColumn("op",
+        when(col("__b").isNull, "D")
+          .when(col("__a").isNull, "I")
+          .when(!(col("__a") <=> col("__b")), "U"))
+      .filter(col("op").isNotNull)
+      .select(col("__k").as(keyCol), col("op"),
+        coalesce(col("__b"), col("__a")).as("row"))
+  }
+
+  /** U9 — changelog derivation between two deterministic versions of
+    * the orders table (deletes every 13th key, doubles the price of
+    * every 5th, inserts a low-key batch under shifted ids). FULL
+    * oracle: DuckDB re-derives the same diff with a full join +
+    * IS DISTINCT FROM — per-op counts, key checksums, and surviving
+    * price cents all hash-match.
+    */
+  val u9 = QueryDef.sql(
+    "u9_snapshot_diff",
+    """WITH v1 AS (
+      |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price,
+      |         o_orderstatus AS st
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT k, CASE WHEN k % 5 = 0 THEN round(price * 2, 2)
+      |                 ELSE price END AS price, st
+      |  FROM v1 WHERE k % 13 <> 0
+      |  UNION ALL
+      |  SELECT k + 20000000, 99.99, 'X' FROM v1 WHERE k <= 300),
+      |d AS (
+      |  SELECT coalesce(v1.k, v2.k) AS k,
+      |         CASE WHEN v2.k IS NULL THEN 'D'
+      |              WHEN v1.k IS NULL THEN 'I'
+      |              WHEN v1.price IS DISTINCT FROM v2.price
+      |                OR v1.st IS DISTINCT FROM v2.st THEN 'U' END AS op,
+      |         coalesce(v2.price, v1.price) AS price
+      |  FROM v1 FULL JOIN v2 ON v1.k = v2.k)
+      |SELECT op, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum,
+      |       CAST(sum(CAST(round(price * 100) AS BIGINT)) AS BIGINT)
+      |         AS price_cents
+      |FROM d WHERE op IS NOT NULL GROUP BY 1""".stripMargin) { (s, d) =>
+    val v1 = Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        col("o_orderstatus").as("st"))
+    val v2 = v1.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("price", when(col("o_orderkey") % 5 === 0,
+        round(col("price") * 2, 2)).otherwise(col("price")))
+      .unionByName(v1.filter(col("o_orderkey") <= 300)
+        .select((col("o_orderkey") + 20000000).as("o_orderkey"),
+          lit(99.99).as("price"), lit("X").as("st")))
+    snapshotDiff(v1, v2, "o_orderkey")
+      .groupBy("op")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_orderkey")).cast("long").as("key_sum"),
+        sum(round(col("row.price") * 100).cast("long")).as("price_cents"))
+  }
+
+  def all: Seq[QueryDef] = Seq(u5, u6, u9)
 }

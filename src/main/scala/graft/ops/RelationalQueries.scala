@@ -1575,8 +1575,121 @@ object RelationalQueries {
         .as("p_two"))
   }
 
+  /** E16 — time-series resampling with forward fill: per user, an
+    * HOURLY grid spanning that user's observed activity, each grid
+    * cell carrying the last-observed `value` (gap cells inherit it).
+    * This is the canonical regularization step before any windowed
+    * model over irregular event streams ("as-of state at every hour").
+    *
+    * Scale shape: the raw scan collapses FIRST to one row per
+    * (user, hour) — a map-side-combinable max(struct) aggregate that
+    * picks the in-hour last event by (ts, event_id) — so the grid
+    * explode and the forward-fill window run on the AGGREGATED frame
+    * (users × active-hours), never on raw events; the fill window is
+    * partitioned per user (bounded spans), no global ordering
+    * anywhere. The grid itself is scan-local `sequence`/`explode` —
+    * the same shape as c6's chunking.
+    *
+    * Determinism: filled values are COPIED doubles (no arithmetic),
+    * hour ids are integral `div`s, and the in-hour winner is pinned by
+    * the unique (us, event_id) pair — so the FULL oracle hash-matches
+    * bit-for-bit: DuckDB rebuilds the grid with `range()` and replays
+    * the fill with `last_value(... IGNORE NULLS)`.
+    */
+  val e16 = QueryDef.sql(
+    "e16_resample_gapfill",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id, value,
+      |         epoch_us(ts) // 3600000000 AS hour
+      |  FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0),
+      |r AS (
+      |  SELECT user_id, hour, value,
+      |         row_number() OVER (PARTITION BY user_id, hour
+      |                            ORDER BY us DESC, event_id DESC) AS rn
+      |  FROM e),
+      |ph AS (SELECT user_id, hour, value AS v FROM r WHERE rn = 1),
+      |span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+      |         FROM ph GROUP BY 1),
+      |grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS hour FROM span),
+      |j AS (SELECT g.user_id, g.hour, ph.v
+      |      FROM grid g LEFT JOIN ph USING (user_id, hour))
+      |SELECT user_id, CAST(hour AS BIGINT) AS hour,
+      |       last_value(v IGNORE NULLS) OVER (
+      |         PARTITION BY user_id ORDER BY hour
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS value_filled,
+      |       v IS NULL AS is_gap
+      |FROM j""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .filter(col("us") >= 0)
+      .withColumn("hour", expr("us div 3600000000"))
+    // one row per (user, hour): the in-hour last event's value —
+    // (us, event_id) is unique, so the struct max is total
+    val perHour = ev.groupBy("user_id", "hour")
+      .agg(max(struct(col("us"), col("event_id"), col("value"))).as("w"))
+      .select(col("user_id"), col("hour"), col("w.value").as("v"))
+    val grid = perHour.groupBy("user_id")
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val wFill = Window.partitionBy("user_id").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perHour, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour").cast("long").as("hour"),
+        last(col("v"), ignoreNulls = true).over(wFill).as("value_filled"),
+        col("v").isNull.as("is_gap"))
+  }
+
+  /** E17 — cohort retention matrix: users cohorted by first-activity
+    * week, then (cohort, weeks-since) cells count how many of the
+    * cohort were active that week — the growth-analytics staple. Two
+    * hash aggregates (first-touch per user; distinct (user, week)) and
+    * one broadcast-sized join of cohort sizes; all arithmetic integral
+    * except the final rate, derived from exact integer ratios and
+    * rounded at 6, so the FULL oracle hash-matches. Weeks are integral
+    * `div`s of epoch-days (no calendar/timezone semantics to diverge
+    * between engines).
+    */
+  val e17 = QueryDef.sql(
+    "e17_cohort_retention",
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+      |  FROM events WHERE ts IS NOT NULL AND epoch_us(ts) >= 0),
+      |first_w AS (SELECT user_id, min(week) AS cohort_week
+      |            FROM e GROUP BY 1),
+      |size_w AS (SELECT cohort_week, count(*) AS n_cohort
+      |           FROM first_w GROUP BY 1),
+      |act AS (
+      |  SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+      |         count(*) AS n_active
+      |  FROM e JOIN first_w f USING (user_id) GROUP BY 1, 2)
+      |SELECT a.cohort_week, CAST(a.week_offset AS BIGINT) AS week_offset,
+      |       CAST(a.n_active AS BIGINT) AS n_active,
+      |       CAST(s.n_cohort AS BIGINT) AS n_cohort,
+      |       round(CAST(a.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+      |FROM act a JOIN size_w s USING (cohort_week)""".stripMargin) { (s, d) =>
+    val e = Tables.events(s, d).filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .filter(col("us") >= 0)
+      .select(col("user_id"), expr("us div 604800000000").as("week"))
+      .distinct()
+    val firstW = e.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizeW = firstW.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
+    e.join(firstW, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizeW), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6)
+          .as("retention"))
+  }
+
   def all: Seq[QueryDef] = Seq(
     p1, p2, p3, p4, p5, j1, j3, j5, u1, u3, u4, u7, u8, a1, o2, o3, a4, a5,
-    a13, o5, e1, e2, e5, e6, e7, e8, e9, e10, e11, e12, e13, e15, k1, a14,
-    a15, a16, a19, a20, a22, j9, j10, scalars)
+    a13, o5, e1, e2, e5, e6, e7, e8, e9, e10, e11, e12, e13, e15, e16, e17,
+    k1, a14, a15, a16, a19, a20, a22, j9, j10, scalars)
 }

@@ -65,4 +65,38 @@ class CdcSpec extends SparkSpec {
       (1L, "x", 10L, 20L), (1L, "y", 20L, 30L), (1L, "z", 30L, -1L),
       (2L, "only", 5L, -1L)))
   }
+
+  test("snapshotDiff: classifies I/U/D, skips identical rows, " +
+      "null-safe on content") {
+    import spark.implicits._
+    val v1 = Seq((1L, Some("a"), 1.0), (2L, Some("b"), 2.0),
+      (3L, None: Option[String], 3.0), (4L, Some("d"), 4.0))
+      .toDF("k", "v", "x")
+    val v2 = Seq((1L, Some("a"), 1.0),            // unchanged → omitted
+      (2L, Some("B"), 2.0),                       // changed string
+      (3L, Some("c"), 3.0),                       // null → value = changed
+      (5L, Some("e"), 5.0))                       // inserted; 4 deleted
+      .toDF("k", "v", "x")
+    val got = Cdc.snapshotDiff(v1, v2, "k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getStruct(2).getString(0))).toSet
+    assert(got == Set((2L, "U", "B"), (3L, "U", "c"),
+      (5L, "I", "e"), (4L, "D", "d")))
+  }
+
+  test("snapshotDiff: replaying the derived changelog through " +
+      "applyChangelog reproduces v2 exactly") {
+    import spark.implicits._
+    val v1 = (1L to 50L).map(k => (k, s"v$k", k * 1.5)).toDF("k", "v", "x")
+    val v2 = (1L to 60L).filter(_ % 7 != 0)
+      .map(k => (k, if (k % 5 == 0) s"V$k" else s"v$k", k * 1.5))
+      .toDF("k", "v", "x")
+    val diff = Cdc.snapshotDiff(v1, v2, "k")
+      .select(col("k"), lit(1L).as("seq"),
+        when(col("op") === "D", "D").otherwise("U").as("op"),
+        col("row.v").as("v"), col("row.x").as("x"))
+    val replayed = Cdc.applyChangelog(v1, diff, "k", "seq", "op")
+    assert(replayed.select("k", "v", "x").collect().toSet ==
+      v2.collect().toSet)
+  }
 }

@@ -116,4 +116,39 @@ class GraphOpsSpec extends SparkSpec {
     val star = (2L to 40L).flatMap(l => Seq((l, 1L), (1L, l)))
     assert(tri(star).isEmpty)
   }
+
+  // ------------------------------------------------------------ BFS
+
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxRounds: Int = 16): Map[Long, Long] = {
+    import spark.implicits._
+    GraphOps.bfsDistances(edges.toDF("src", "dst"), seeds.toDF("node"),
+        maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("bfsDistances: chain distances from one seed; directed edges") {
+    // 1→2→3→4 directed: distances follow edge direction only
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(bfs(chain, Seq(1L)) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // seeding at 3 reaches only 4 (no back-edges)
+    assert(bfs(chain, Seq(3L)) == Map(3L -> 0L, 4L -> 1L))
+  }
+
+  test("bfsDistances: multi-seed takes the MINIMUM distance; " +
+      "disconnected nodes are omitted") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) } // undirect
+    val d = bfs(e, Seq(1L, 5L))
+    // node 3 is 2 hops from both seeds; 10/11 unreachable
+    assert(d == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsDistances: maxRounds truncates the horizon, never distorts " +
+      "distances inside it") {
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val d = bfs(chain, Seq(1L), maxRounds = 3)
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
 }
