@@ -1037,6 +1037,97 @@ object IoQueries {
          |FROM parquet_metadata('$auditCopyPath')
          |GROUP BY 1, 2, 3""".stripMargin))
 
+  /** Zone-map audit: per INT64 column, the row-group min/max footer
+    * stats aggregated to (n_groups, Σ(span), global min/max) — the
+    * metric that says whether row-group skipping will actually fire on
+    * a given predicate column. On a column the layout is sorted by,
+    * row-group ranges tile the domain (Σspan ≈ range); on an unsorted
+    * column every row group spans ~the whole domain
+    * (Σspan ≈ n_groups × range) and min/max pruning is useless. Same
+    * distributed footer-walk shape as [[parquetColumnAudit]]: tasks
+    * read footer bytes only, never data pages.
+    */
+  def parquetZoneMapAudit(s: org.apache.spark.sql.SparkSession,
+      dir: String, cols: Set[String]): org.apache.spark.sql.DataFrame = {
+    val files: Seq[String] = graft.util.Fs.walkFiles(new java.io.File(dir))
+      .filter(x => x.getName.endsWith(".parquet") && !x.getName.startsWith("."))
+      .map(_.getAbsolutePath)
+    val spark = s; import spark.implicits._
+    spark.sparkContext.parallelize(files, math.max(1, files.size / 16))
+      .flatMap { path =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(path), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.flatMap { block =>
+            block.getColumns.asScala.collect {
+              case c if cols.contains(c.getPath.toDotString) &&
+                  c.getPrimitiveType.getPrimitiveTypeName ==
+                    org.apache.parquet.schema.PrimitiveType
+                      .PrimitiveTypeName.INT64 &&
+                  c.getStatistics != null &&
+                  c.getStatistics.hasNonNullValue =>
+                val st = c.getStatistics
+                  .asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+                (c.getPath.toDotString, st.getMin, st.getMax)
+            }
+          }.toSeq
+        } finally reader.close()
+      }
+      .toDF("column", "rg_min", "rg_max")
+      .groupBy("column")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("rg_max") - col("rg_min") + 1L).as("span_sum"),
+        min(col("rg_min")).as("min_v"),
+        max(col("rg_max")).as("max_v"))
+  }
+
+  private def zonemapDir: String =
+    new java.io.File(s"$fixtureDir/s21_sorted_docs").getAbsolutePath
+
+  /** S21 — zone-map tightness of a sort-clustered layout, under a FULL
+    * parquet_metadata() oracle: the engine writes the corpus
+    * range-sorted by n_chars, walks the footers itself, and emits the
+    * per-column zone-map profile; DuckDB reads the SAME footers
+    * independently. Emission gates pin the layout claim the numbers
+    * exist to prove: the sort column's row-group spans TILE the domain
+    * (Σspan ≤ 2× the global range) while the unsorted column's spans
+    * cover it redundantly (Σspan ≥ 4× its range) — i.e. min/max
+    * skipping fires on n_chars scans and cannot on doc_id scans.
+    */
+  val s21 = QueryDef(
+    "s21_zonemap_audit",
+    { (s, d) =>
+      val docs = graft.Tables.documents(s, d)
+      docs.repartitionByRange(16, col("n_chars"))
+        .sortWithinPartitions("n_chars")
+        .write.mode("overwrite").parquet(zonemapDir)
+      val audit = parquetZoneMapAudit(s, zonemapDir, Set("n_chars", "doc_id"))
+      val rows = audit.collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toMap
+      val ok = rows.contains("n_chars") && rows.contains("doc_id") && {
+        val (_, spanC, minC, maxC) = rows("n_chars")
+        val (nG, spanI, minI, maxI) = rows("doc_id")
+        spanC <= 2L * (maxC - minC + 1) &&
+          spanI >= 4L * (maxI - minI + 1) && nG >= 8
+      }
+      audit.filter(lit(ok))
+    },
+    oracle = Some(
+      s"""SELECT path_in_schema AS "column",
+         |       CAST(count(*) AS BIGINT) AS n_groups,
+         |       CAST(sum(stats_max_value::BIGINT - stats_min_value::BIGINT
+         |                + 1) AS BIGINT) AS span_sum,
+         |       CAST(min(stats_min_value::BIGINT) AS BIGINT) AS min_v,
+         |       CAST(max(stats_max_value::BIGINT) AS BIGINT) AS max_v
+         |FROM parquet_metadata('$zonemapDir/*.parquet')
+         |WHERE path_in_schema IN ('n_chars', 'doc_id')
+         |GROUP BY 1""".stripMargin))
+
   def all: Seq[QueryDef] =
-    Seq(s1, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20)
+    Seq(s1, s8, s9, s10, s11, s12, s13, s14, s15, s16, s17, s18, s19, s20,
+      s21)
 }

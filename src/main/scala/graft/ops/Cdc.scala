@@ -179,7 +179,8 @@ object Cdc {
     * struct compare over every shared non-key column, evaluated
     * scan-local. No driver state at any table size.
     */
-  def snapshotDiff(v1: DataFrame, v2: DataFrame, keyCol: String): DataFrame = {
+  def snapshotDiff(v1: DataFrame, v2: DataFrame, keyCol: String,
+      keepOld: Boolean = false): DataFrame = {
     val cols = v1.columns.filter(_ != keyCol).toSeq
     require(v2.columns.filter(_ != keyCol).toSeq == cols,
       s"snapshotDiff: column sets differ: $cols vs ${v2.columns.toSeq}")
@@ -187,14 +188,18 @@ object Cdc {
       struct(cols.map(col): _*).as("__a"))
     val b = v2.select(col(keyCol).as("__k"),
       struct(cols.map(col): _*).as("__b"))
-    a.join(b, Seq("__k"), "full_outer")
+    val base = a.join(b, Seq("__k"), "full_outer")
       .withColumn("op",
         when(col("__b").isNull, "D")
           .when(col("__a").isNull, "I")
           .when(!(col("__a") <=> col("__b")), "U"))
       .filter(col("op").isNotNull)
-      .select(col("__k").as(keyCol), col("op"),
-        coalesce(col("__b"), col("__a")).as("row"))
+    // keepOld adds the pre-image (null for inserts) — what incremental
+    // aggregate maintenance needs to retract U/D contributions (u10)
+    val sel = Seq(col("__k").as(keyCol), col("op"),
+      coalesce(col("__b"), col("__a")).as("row")) ++
+      (if (keepOld) Seq(col("__a").as("row_old")) else Nil)
+    base.select(sel: _*)
   }
 
   /** U9 — changelog derivation between two deterministic versions of
@@ -244,5 +249,88 @@ object Cdc {
         sum(round(col("row.price") * 100).cast("long")).as("price_cents"))
   }
 
-  def all: Seq[QueryDef] = Seq(u5, u6, u9)
+  /** Incremental aggregate maintenance — the materialized-view delta
+    * pattern: apply a `keepOld = true` [[snapshotDiff]] changelog to a
+    * stored (group, n, v) count/sum aggregate WITHOUT rescanning the
+    * base table. Inserts apply the post-image, deletes retract the
+    * pre-image, updates do both (so rows that MOVE groups maintain
+    * both groups correctly). Work is O(|changelog| + |groups|) — at
+    * 100 TB the base table is never touched, which is the entire point
+    * of maintaining the aggregate. Count and sum are the self-
+    * maintainable aggregates (min/max need a re-scan on retraction of
+    * the extremum; avg derives from n and v).
+    *
+    * `baseAgg` contract: columns (groupField, n, v) with integral v.
+    * Groups whose maintained count reaches zero are dropped.
+    */
+  def maintainSumAgg(baseAgg: DataFrame, changelog: DataFrame,
+      groupField: String, valueField: String): DataFrame = {
+    val applies = changelog.filter(col("op").isin("I", "U"))
+      .select(col(s"row.$groupField").as("g"),
+        lit(1L).as("dn"), col(s"row.$valueField").cast("long").as("dv"))
+    val retracts = changelog.filter(col("op").isin("D", "U"))
+      .select(col(s"row_old.$groupField").as("g"),
+        lit(-1L).as("dn"), (-col(s"row_old.$valueField").cast("long")).as("dv"))
+    val delta = applies.unionByName(retracts)
+      .groupBy("g").agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
+    baseAgg.select(col(groupField).as("g"), col("n"), col("v"))
+      .join(delta, Seq("g"), "full_outer")
+      .select(col("g").as(groupField),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("v"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("v"))
+      .filter(col("n") > 0)
+  }
+
+  /** U10 — incremental maintenance of a per-status (count, cents-sum)
+    * aggregate under the u9 mutation (deletes, in-place updates, and
+    * inserts that LAND IN A NEW GROUP — exercising the retract+apply
+    * pair). The emitted frame is the INCREMENTALLY maintained
+    * aggregate; the oracle recomputes the v2 aggregate from scratch in
+    * DuckDB, so a hash match proves incremental == rescan across
+    * engines. The engine-side scratch-recompute equality gates
+    * emission too (belt and braces — a compensating pair of errors in
+    * both paths would still need to fool DuckDB's independent sum).
+    */
+  val u10 = QueryDef.sql(
+    "u10_incremental_agg",
+    """WITH v1 AS (
+      |  SELECT o_orderkey AS k,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |         o_orderstatus AS st
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT k, CASE WHEN k % 5 = 0 THEN cents * 2 ELSE cents END AS cents,
+      |         st
+      |  FROM v1 WHERE k % 13 <> 0
+      |  UNION ALL
+      |  SELECT k + 20000000, 9999, 'X' FROM v1 WHERE k <= 300)
+      |SELECT st, count(*) AS n,
+      |       CAST(sum(cents) AS BIGINT) AS price_cents
+      |FROM v2 GROUP BY 1""".stripMargin) { (s, d) =>
+    val v1 = Tables.load(s, d, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus").as("st"))
+    val v2 = v1.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("cents", when(col("o_orderkey") % 5 === 0,
+        col("cents") * 2).otherwise(col("cents")))
+      .unionByName(v1.filter(col("o_orderkey") <= 300)
+        .select((col("o_orderkey") + 20000000).as("o_orderkey"),
+          lit(9999L).as("cents"), lit("X").as("st")))
+    val base = v1.groupBy("st")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("v"))
+    val log = snapshotDiff(v1, v2, "o_orderkey", keepOld = true)
+    val maintained = maintainSumAgg(base, log, "st", "cents")
+    val direct = v2.groupBy("st")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("v"))
+    val ok = maintained.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      direct.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    maintained
+      .select(col("st"), col("n"), col("v").as("price_cents"))
+      .filter(lit(ok))
+  }
+
+  def all: Seq[QueryDef] = Seq(u5, u6, u9, u10)
 }

@@ -99,4 +99,24 @@ class CdcSpec extends SparkSpec {
     assert(replayed.select("k", "v", "x").collect().toSet ==
       v2.collect().toSet)
   }
+
+  test("maintainSumAgg: insert/delete/update incl. a GROUP MOVE " +
+      "maintain both groups; emptied groups drop") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "c", 40L)).toDF("k", "g", "v")
+    val v2 = Seq((1L, "a", 11L),  // in-place update
+      (2L, "b", 20L),             // group move a→b
+      (3L, "b", 30L),             // unchanged
+      (5L, "d", 50L))             // insert; 4 deleted → group c empties
+      .toDF("k", "g", "v")
+    val base = v1.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("v"))
+    val log = Cdc.snapshotDiff(v1, v2, "k", keepOld = true)
+    val got = Cdc.maintainSumAgg(base, log, "g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = v2.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(!got.exists(_._1 == "c")) // emptied group dropped
+  }
 }
