@@ -915,7 +915,16 @@ object Streams {
     * independent of stream length — the whole point at 100 TB/day
     * event volume.
     */
-  val st13 = QueryDef.fixture("st13_stream_hll_state") { (s, d) =>
+  /** FULL oracle on the EXACT side since r11 (the k2 recipe): the
+    * hashed columns are (event_type, exact_distinct) — DuckDB replays
+    * count(DISTINCT) over the same events — while the streamed and
+    * batch-twin HLL estimates move into the emission gate: an accuracy
+    * violation on any type drops its row and the driver flags the
+    * count mismatch.
+    */
+  val st13 = QueryDef(
+    "st13_stream_hll_state",
+    { (s, d) =>
     import s.implicits._
     val base = graft.util.Fixtures.dir + "/st13"
     graft.util.Fs.rmRecursive(new java.io.File(base))
@@ -966,12 +975,18 @@ object Streams {
         .agg(countDistinct(col("user_id")).as("exact_distinct")),
         "event_type")
     streamed.join(batchTwin, "event_type")
-      .select(col("event_type"), col("exact_distinct"),
-        col("stream_est"), col("batch_est"),
-        (abs(col("stream_est") - col("exact_distinct")) /
-          col("exact_distinct")).as("rel_err"))
-      .filter(col("rel_err") < 0.05)
-  }
+      .filter(abs(col("stream_est") - col("exact_distinct")) /
+        col("exact_distinct") < 0.05 &&
+        abs(col("batch_est") - col("exact_distinct")) /
+          col("exact_distinct") < 0.05)
+      .select(col("event_type"),
+        col("exact_distinct").cast("long").as("exact_distinct"))
+  },
+    oracle = Some(
+      """SELECT event_type,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1""".stripMargin),
+    benchEligible = false)
 
   /** ST14 — streaming ANN INDEX ingest: the production shape of an
     * embedding-index pipeline. The coarse quantizer is trained ONCE on
@@ -1086,7 +1101,18 @@ object Streams {
     * matches the same search over the batch postings; (3) the store is
     * physically bucketed (bucket= directories exist).
     */
-  val st15 = QueryDef.fixture("st15_stream_text_index_ingest") { (s, d) =>
+  /** FULL oracle since r11: the emitted frame is the per-term posting
+    * profile (df, Σtf, doc-id checksum) read FROM THE STREAMED STORE,
+    * and DuckDB rebuilds the same inverted index from the documents
+    * parquet with its own tokenizer (the v21 split-lower replay) — a
+    * micro-batch that dropped, duplicated, or re-tokenized a document
+    * hash-mismatches. The stream==batch fingerprint equalities (posting
+    * set AND a BM25 search panel over both stores) and the physical
+    * bucket layout stay as emission gates.
+    */
+  val st15 = QueryDef(
+    "st15_stream_text_index_ingest",
+    { (s, d) =>
     import s.implicits._
     val docs = Tables.documents(s, d)
       .filter(col("text").isNotNull && length(col("text")) > 0)
@@ -1126,12 +1152,26 @@ object Streams {
     val bucketDirs = Option(new java.io.File(postDir).listFiles())
       .map(_.count(f => f.isDirectory && f.getName.startsWith("bucket=")))
       .getOrElse(0)
-    Seq((postFpS._1, sFpS._1, bucketDirs.toLong,
-        postFpS == postFpB && sFpS == sFpB && postFpS._1 > 0 && sFpS._1 > 0))
-      .toDF("n_postings", "n_search_rows", "n_bucket_dirs",
-        "stream_matches_batch")
-      .filter(col("stream_matches_batch") && col("n_bucket_dirs") >= 2)
-  }
+    val ok = postFpS == postFpB && sFpS == sFpB && postFpS._1 > 0 &&
+      sFpS._1 > 0 && bucketDirs >= 2
+    streamed.groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).cast("long").as("tf_sum"),
+        sum(col("doc")).cast("long").as("doc_sum"))
+      .filter(lit(ok))
+  },
+    oracle = Some(
+      """WITH tok AS (
+        |  SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |post AS (
+        |  SELECT doc, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2)
+        |SELECT term, count(*) AS df,
+        |       CAST(sum(tf) AS BIGINT) AS tf_sum,
+        |       CAST(sum(doc) AS BIGINT) AS doc_sum
+        |FROM post GROUP BY 1""".stripMargin),
+    benchEligible = false)
 
   def all: Seq[QueryDef] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
