@@ -107,8 +107,75 @@ object VectorIndex {
     }
     require(coarse.forall(_ != null) && books.forall(_.forall(_ != null)),
       s"vector index at $dir has an incomplete codebook table")
-    Loaded(coarse, books, spark.read.parquet(s"$dir/codes"),
-      meta.getAs[Long]("n_vectors"))
+    // merge-on-read: live codes = stored codes minus tombstones. The
+    // anti-join's nid predicate sits ABOVE the scan, so search()'s
+    // cell IN-list still pushes to the partition directories.
+    val raw = spark.read.parquet(s"$dir/codes")
+    val codes =
+      if (new java.io.File(s"$dir/tombstones").exists())
+        raw.join(spark.read.parquet(s"$dir/tombstones")
+          .select(col("nid")), Seq("nid"), "left_anti")
+      else raw
+    Loaded(coarse, books, codes, meta.getAs[Long]("n_vectors"))
+  }
+
+  /** Delete vectors WITHOUT touching the code partitions — the
+    * merge-on-read shape (Iceberg/Delta delete files): deleted ids land
+    * in a tombstone table; [[load]] anti-joins it so every search sees
+    * only live rows. `deleted` must be the actual (vec_id, embedding)
+    * rows being removed: the meta fingerprint updates INCREMENTALLY
+    * (XOR is its own inverse — old ⊕ xor(deleted) IS the live-corpus
+    * fingerprint), so a later [[ensure]] over the live corpus validates
+    * without rebuild. Cost: O(|deleted|), zero store rewrite.
+    */
+  def delete(deleted: DataFrame, dir: String): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val (dn, dsum) = fingerprint(deleted)
+    deleted.select(col("vec_id").cast("long").as("nid"))
+      .repartition(1).write.mode("append").parquet(s"$dir/tombstones")
+    Seq((meta.getAs[Long]("n_vectors") - dn,
+        meta.getAs[Long]("checksum") ^ dsum,
+        meta.getAs[Int]("dim"), meta.getAs[Int]("n_cells"),
+        meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
+        meta.getAs[Int]("format_version")))
+      .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
+        "format_version")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Fold the tombstones into the store: rewrite ONLY the cell
+    * partitions that contain deleted rows (dynamic partition
+    * overwrite — s12's machinery), then drop the tombstone table.
+    * The maintenance pass that bounds merge-on-read's growing
+    * anti-join cost, exactly like s13 bounds small-file growth.
+    * The affected-cell rows pass through a localCheckpoint before the
+    * overwrite (Spark refuses to overwrite a path it is reading);
+    * at petabyte scale the per-cell rewrite would stage-and-swap
+    * directories instead — same layout, no materialization.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    if (!new java.io.File(s"$dir/tombstones").exists()) return
+    val tomb = spark.read.parquet(s"$dir/tombstones").select(col("nid"))
+    val raw = spark.read.parquet(s"$dir/codes")
+    val affected = raw.join(tomb, Seq("nid"), "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0))
+    if (affected.nonEmpty) {
+      // materialize the survivors BEFORE touching directories (eager
+      // localCheckpoint), then replace the affected cell dirs: dynamic
+      // overwrite alone would leave a fully-emptied cell's old files
+      // in place (it only replaces partitions PRESENT in the data)
+      val rewrite = raw
+        .filter(col("cell").isin(affected.map(Int.box).toSeq: _*))
+        .join(tomb, Seq("nid"), "left_anti")
+        .localCheckpoint(true)
+      affected.foreach(c =>
+        graft.util.Fs.rmRecursive(new java.io.File(s"$dir/codes/cell=$c")))
+      rewrite.repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    }
+    graft.util.Fs.rmRecursive(new java.io.File(s"$dir/tombstones"))
   }
 
   /** Load if the stored fingerprint matches `corpus`, else (re)build.
@@ -358,5 +425,80 @@ object VectorIndex {
         |      FROM s)
         |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(persisted, persistedFiltered)
+  private def deleteDirFor(sfDir: String): String =
+    graft.util.Fixtures.dir + "/v25_index/" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** V25 — index DELETION + COMPACTION: the maintenance story every
+    * long-lived vector store needs (GDPR erasure, re-crawl retirement).
+    * Builds the v19-shaped store on the full corpus, tombstones every
+    * vec_id ≡ 3 (mod 10), and gates, in order:
+    *   1. merge-on-read: searching the tombstoned store reaches
+    *      recall@1 ≥ 0.6 against the LIVE brute-force truth and never
+    *      returns a deleted id;
+    *   2. compaction folds the tombstones away with ONLY the affected
+    *      cell partitions rewritten, after which the same search
+    *      returns the IDENTICAL result set (merge-on-read ==
+    *      merge-on-write);
+    *   3. the incrementally-maintained fingerprint is exact: ensure()
+    *      over the live corpus validates the compacted store WITHOUT a
+    *      rebuild (buildsThisProcess unchanged), and counts reconcile.
+    * Emitted rows are the exact live-corpus truth — DuckDB replays
+    * them over `vec_id % 10 <> 3` (v19's oracle with the live filter).
+    */
+  val deleteCompact = QueryDef(
+    "v25_index_delete_compact",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .cache()
+      val dir = deleteDirFor(d)
+      build(emb, dir)
+      val deleted = emb.filter(col("vec_id") % 10 === 3)
+      val live = emb.filter(col("vec_id") % 10 =!= 3)
+      delete(deleted, dir)
+      val ixT = load(s, dir)
+      val queries = Similarity.probePanel(live)
+      val exact = Similarity.bruteForceTop1(queries, live)
+        .localCheckpoint(eager = true)
+      def resultSet(ix: Loaded): Set[(Long, Long)] =
+        search(ix, queries, live, k = 1)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val resT = resultSet(ixT)
+      val deletedIds = deleted.select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+      val noDeletedServed = resT.forall { case (_, nid) =>
+        !deletedIds.contains(nid)
+      }
+      compact(s, dir)
+      val builds0 = buildsThisProcess
+      val ixC = ensure(live, dir)
+      val noRebuild = buildsThisProcess == builds0
+      val resC = resultSet(ixC)
+      val nLive = live.count()
+      val nStored = ixC.codes.count()
+      val exactMap = exact.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val hits = resT.count { case (q, nid) => exactMap.get(q).contains(nid) }
+      val recallOk = exactMap.nonEmpty &&
+        hits.toDouble / exactMap.size >= 0.6
+      emb.unpersist()
+      exact.filter(lit(recallOk && noDeletedServed && resT == resC &&
+          noRebuild && nStored == nLive && ixC.nVectors == nLive))
+        .select(col("qid"), col("nid"), col("sim"))
+    },
+    oracle = Some(
+      """WITH live AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings WHERE vec_id % 10 <> 3),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM live WHERE vec_id < 40),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |             round(list_cosine_similarity(qv, e.v), 6) AS sim
+        |      FROM q, live e WHERE e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rn
+        |      FROM s)
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(persisted, persistedFiltered, deleteCompact)
 }

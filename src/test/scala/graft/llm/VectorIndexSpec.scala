@@ -141,4 +141,66 @@ class VectorIndexSpec extends SparkSpec {
     assert(reloaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
       built.books.map(_.map(_.toSeq).toSeq).toSeq)
   }
+
+  test("delete tombstones without rewriting; compact folds them in; " +
+      "fingerprint stays incremental") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/d"
+    val c = corpus(300).cache()
+    VectorIndex.build(c, dir)
+    val codeFiles = graft.util.Fs.walkFiles(new java.io.File(s"$dir/codes"))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    val deleted = c.filter(col("vec_id") % 3 === 0)
+    val live = c.filter(col("vec_id") % 3 =!= 0)
+    VectorIndex.delete(deleted, dir)
+    // merge-on-read: store untouched, loaded view excludes tombstones
+    val after = graft.util.Fs.walkFiles(new java.io.File(s"$dir/codes"))
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    assert(after == codeFiles, "delete must not rewrite code partitions")
+    val ixT = VectorIndex.load(spark, dir)
+    assert(ixT.codes.count() == live.count())
+    val delIds = deleted.select("vec_id").collect().map(_.getLong(0)).toSet
+    val q = live.filter(col("vec_id") < 10)
+    val resT = VectorIndex.search(ixT, q, live, k = 3)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(resT.forall { case (_, nid) => !delIds.contains(nid) })
+    // compact: tombstones fold away, same results, ensure() won't rebuild
+    VectorIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val builds = VectorIndex.buildsThisProcess
+    val ixC = VectorIndex.ensure(live, dir)
+    assert(VectorIndex.buildsThisProcess == builds,
+      "compacted store must fingerprint-validate against the live corpus")
+    assert(ixC.codes.count() == live.count())
+    val resC = VectorIndex.search(ixC, q, live, k = 3)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(resC == resT, "merge-on-read and compacted search must agree")
+    c.unpersist()
+  }
+
+  test("compact clears a fully-emptied cell's files") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/e"
+    val c = corpus(200).cache()
+    VectorIndex.build(c, dir)
+    // empty one whole cell: delete every vector assigned to cell 0
+    val cellOf = VectorIndex.load(spark, dir).codes
+      .select("nid", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cell0 = cellOf.collect { case (nid, 0) => nid }.toSet
+    assume(cell0.nonEmpty)
+    val deleted = c.filter(col("vec_id").isin(cell0.toSeq.map(Long.box): _*))
+    VectorIndex.delete(deleted, dir)
+    VectorIndex.compact(spark, dir)
+    val live = c.filter(!col("vec_id").isin(cell0.toSeq.map(Long.box): _*))
+    val ix = VectorIndex.load(spark, dir)
+    assert(ix.codes.filter(col("cell") === 0).count() == 0,
+      "emptied cell must hold no rows after compaction")
+    assert(ix.codes.count() == live.count())
+    c.unpersist()
+  }
 }
