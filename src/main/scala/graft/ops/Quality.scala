@@ -486,5 +486,73 @@ object Quality {
     perLabel.filter(lit(nDrifted == 1 && zeroDrifted == 1))
   }
 
-  def all: Seq[QueryDef] = Seq(dq1, dq2, dq3, dq4, dq5, dq6)
+  /** DQ7 — pairwise correlation profile of the lineitem numeric
+    * columns (the Deequ/profiling "correlations" panel dq1 doesn't
+    * carry): Pearson r for every pair, from ONE map-side-combinable
+    * aggregate over the scan — O(cols²) moments per partition, one
+    * reduce, 6 output rows at any table size.
+    *
+    * DETERMINISM: every measure is first made integral (quantity,
+    * price cents, discount/tax basis points), and every moment
+    * accumulates EXACTLY — Σxy for the price² pair reaches ~6e19 at
+    * sf0.1, past int64, so the sums run in Spark DECIMAL(38,0) /
+    * DuckDB HUGEINT (both exact); the r formula then derives from the
+    * exact sums through identical double expressions in both engines
+    * and rounds at 6. A double Σxy would carry ~ulp·n noise straight
+    * into r's 6th decimal.
+    */
+  val dq7 = QueryDef.sql(
+    "dq7_correlation_matrix", {
+      val cols = Seq("qty" -> "CAST(round(l_quantity) AS BIGINT)",
+        "price_c" -> "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "disc_bp" -> "CAST(round(l_discount * 100) AS BIGINT)",
+        "tax_bp" -> "CAST(round(l_tax * 100) AS BIGINT)")
+      val moments = cols.map { case (n, e) =>
+        s"CAST(sum(CAST($e AS HUGEINT)) AS DOUBLE) AS s_$n"
+      } ++ (for {
+        (i, (nx, ex)) <- cols.zipWithIndex.map(_.swap)
+        (ny, ey) <- cols.drop(i)
+      } yield s"CAST(sum(CAST($ex AS HUGEINT) * ($ey)) AS DOUBLE) AS s_${nx}_$ny")
+      val pairs = for {
+        (i, (nx, _)) <- cols.zipWithIndex.map(_.swap)
+        (ny, _) <- cols.drop(i + 1)
+      } yield
+        s"""SELECT '$nx' AS col_x, '$ny' AS col_y, n,
+           |  round((n * s_${nx}_$ny - s_$nx * s_$ny)
+           |        / sqrt((n * s_${nx}_$nx - s_$nx * s_$nx)
+           |               * (n * s_${ny}_$ny - s_$ny * s_$ny)), 6) AS r
+           |FROM m""".stripMargin
+      s"""WITH m AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, ${moments.mkString(",\n    ")}
+         |  FROM lineitem)
+         |${pairs.mkString("\nUNION ALL\n")}""".stripMargin
+    }) { (s, d) =>
+    val base = Tables.lineitem(s, d).select(
+      round(col("l_quantity")).cast("long").as("qty"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+      round(col("l_discount") * 100).cast("long").as("disc_bp"),
+      round(col("l_tax") * 100).cast("long").as("tax_bp"))
+    val names = Seq("qty", "price_c", "disc_bp", "tax_bp")
+    val dec = names.map(n => col(n).cast("decimal(18,0)").as(n))
+    val withDec = base.select(dec: _*)
+    val momentAggs =
+      names.map(n => sum(col(n)).cast("double").as(s"s_$n")) ++
+        (for {
+          (nx, i) <- names.zipWithIndex
+          ny <- names.drop(i)
+        } yield sum(col(nx) * col(ny)).cast("double").as(s"s_${nx}_$ny"))
+    val aggCols = count(lit(1)).cast("double").as("n") +: momentAggs
+    val m = withDec.agg(aggCols.head, aggCols.tail: _*)
+    val pairFrames = for {
+      (nx, i) <- names.zipWithIndex
+      ny <- names.drop(i + 1)
+    } yield m.select(lit(nx).as("col_x"), lit(ny).as("col_y"), col("n"),
+      round((col("n") * col(s"s_${nx}_$ny") - col(s"s_$nx") * col(s"s_$ny")) /
+        sqrt((col("n") * col(s"s_${nx}_$nx") - col(s"s_$nx") * col(s"s_$nx")) *
+          (col("n") * col(s"s_${ny}_$ny") - col(s"s_$ny") * col(s"s_$ny"))), 6)
+        .as("r"))
+    pairFrames.reduce(_ unionByName _)
+  }
+
+  def all: Seq[QueryDef] = Seq(dq1, dq2, dq3, dq4, dq5, dq6, dq7)
 }
