@@ -543,15 +543,19 @@ object Quality {
         } yield sum(col(nx) * col(ny)).cast("double").as(s"s_${nx}_$ny"))
     val aggCols = count(lit(1)).cast("double").as("n") +: momentAggs
     val m = withDec.agg(aggCols.head, aggCols.tail: _*)
-    val pairFrames = for {
+    // one struct per pair, exploded from the SINGLE aggregate row — a
+    // union of per-pair selects would re-run the aggregate (and its
+    // full scan) once per pair
+    val pairStructs = for {
       (nx, i) <- names.zipWithIndex
       ny <- names.drop(i + 1)
-    } yield m.select(lit(nx).as("col_x"), lit(ny).as("col_y"), col("n"),
+    } yield struct(lit(nx).as("col_x"), lit(ny).as("col_y"), col("n"),
       round((col("n") * col(s"s_${nx}_$ny") - col(s"s_$nx") * col(s"s_$ny")) /
         sqrt((col("n") * col(s"s_${nx}_$nx") - col(s"s_$nx") * col(s"s_$nx")) *
           (col("n") * col(s"s_${ny}_$ny") - col(s"s_$ny") * col(s"s_$ny"))), 6)
         .as("r"))
-    pairFrames.reduce(_ unionByName _)
+    m.select(explode(array(pairStructs: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("p.n"), col("p.r"))
   }
 
   def all: Seq[QueryDef] = Seq(dq1, dq2, dq3, dq4, dq5, dq6, dq7)

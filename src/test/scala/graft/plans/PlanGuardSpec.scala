@@ -339,4 +339,32 @@ class PlanGuardSpec extends SparkSpec {
     assert(pf.isDefined, s"no cell PartitionFilters on the codes scan:\n$p")
     assert(pf.get.contains(" IN "), s"cell filter not an IN list: ${pf.get}")
   }
+
+  test("e16: the fill window partitions per user; events scan prunes") {
+    val p = plan("e16_resample_gapfill")
+    assert(p.contains("Window"), s"fill window gone:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global window crept into the gap-fill:\n$p")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("props") && !read.contains("event_type"),
+      s"events scan reads unused columns: $read")
+  }
+
+  test("e17: cohort sizes broadcast; no sort-merge join") {
+    val p = plan("e17_cohort_retention")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cohort-size join lost its broadcast:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in retention:\n$p")
+  }
+
+  test("dq7: ONE aggregate feeds all six pairs — no join, no repeated scan") {
+    val p = plan("dq7_correlation_matrix")
+    assert(!p.contains("Join"), s"correlation profile joined:\n$p")
+    // the formatted explain names each node twice (tree + detail):
+    // count detail headers only
+    val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*"""))
+    assert(scans == 1, s"pair expansion re-scans the table ($scans):\n$p")
+    assert(p.contains("Generate"), s"explode-based expansion missing:\n$p")
+  }
 }
