@@ -1256,9 +1256,162 @@ object TextAnalysis {
         col("tf"), round(col("score"), 6).as("score"))
   }
 
+  /** HTML → main-content extraction: the first step of every web-crawl
+    * curation pipeline (WET-style text extraction; cf. the jusText /
+    * trafilatura line-classification approach, Pomikálek 2011).
+    * Four deterministic stages, all scan-local column expressions:
+    *   1. drop `<script>`/`<style>` blocks wholesale;
+    *   2. turn block-level closers (`</p> </div> </h1> </h2> </li>
+    *      </nav>`, `<br>`) into newlines — the line segmentation;
+    *   3. per line: strip remaining tags, then classify BOILERPLATE by
+    *      (a) link density — 2·(chars inside `<a>` anchors) ≥ visible
+    *      chars drops nav/pager lines, (b) length < 15 drops headers/
+    *      crumbs, (c) no stopword hit AND length < 80 drops footer
+    *      chrome (the jusText "short + low stop-density = bad" rule);
+    *   4. decode the six common HTML entities on kept lines and
+    *      re-join with newlines.
+    *
+    * Scale: ZERO shuffle — one projection per row. The per-line
+    * features (stripped text, anchor chars, stopword hits) are built
+    * ONCE into a struct array (`transform`), so the keep-predicate and
+    * every audit metric are O(1) field reads per line; the withColumn
+    * boundaries keep CollapseProject from duplicating the non-cheap
+    * array exprs into each consumer. At 100 TB this runs at parquet
+    * scan speed, partition-parallel, nothing on the driver.
+    */
+  private val entityPairs = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST: no double-decode
+
+  def htmlExtract(df: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val noScript = regexp_replace(col(htmlCol),
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", "")
+    val lined = regexp_replace(noScript,
+      "</(p|div|h1|h2|li|nav)>|<br/?>", "\n")
+    val lineFeats = transform(split(lined, "\n"), l => {
+      val st = trim(regexp_replace(l, "<[^>]*>", ""))
+      struct(
+        st.as("st"),
+        aggregate(regexp_extract_all(l, lit("<a[^>]*>([^<]*)</a>"), lit(1)),
+          lit(0), (acc, x) => acc + length(x)).as("alen"),
+        size(filter(split(lower(st), " "),
+          w => w.isin(stops("en"): _*))).as("stops"))
+    })
+    val decoded = (c: Column) => entityPairs.foldLeft(c) {
+      case (acc, (e, v)) => replace(acc, lit(e), lit(v))
+    }
+    val keepP = (p: Column) =>
+      length(p.getField("st")) >= 15 &&
+        p.getField("alen") * 2 < length(p.getField("st")) &&
+        (p.getField("stops") >= 1 || length(p.getField("st")) >= 80)
+    df.withColumn("__lines", lineFeats)
+      .withColumn("__kept", filter(col("__lines"), keepP))
+      .withColumn("extracted_text",
+        array_join(transform(col("__kept"), p => decoded(p.getField("st"))),
+          "\n"))
+  }
+
+  /** T22 — HTML main-content extraction under a FULL DuckDB oracle.
+    * Each document is wrapped in a deterministic page shell (head with
+    * script+style, a nav bar, an entity-bearing h1, the text as `<p>`,
+    * a pager div, an entity-bearing footer) so the extractor must
+    * remove script/style/nav/pager/footer by the CONTENT-AGNOSTIC
+    * rules alone — DuckDB replays synthesis AND extraction with the
+    * same regexes and list lambdas, and the md5-prefix hash of the
+    * extracted text pins byte-exact parity. Emitted audit columns
+    * (line/kept counts, anchor vs visible chars) are integer-exact.
+    */
+  val htmlExtractQ = QueryDef.sql(
+    "t22_html_extract",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         concat('<html><head><title>Doc ', doc_id,
+      |           '</title><style>p{margin:0}</style>',
+      |           '<script>var t=1;track(t);</script></head><body>',
+      |           '<nav><a href="/">Home</a> <a href="/s">', source,
+      |           '</a></nav><h1>', source, ' &amp; ', lang, '</h1><p>',
+      |           text, '</p>',
+      |           '<div><a href="/p">Previous page</a> | ',
+      |           '<a href="/n">Next page</a></div>',
+      |           '<div>Copyright &#39;operator&#39; &amp; co - ',
+      |           'rights reserved</div></body></html>') AS html
+      |  FROM documents WHERE text IS NOT NULL),
+      |l1 AS (SELECT doc_id,
+      |         regexp_replace(regexp_replace(html,
+      |           '(?s)<(script|style)[^>]*>.*?</(script|style)>', '', 'g'),
+      |           '</(p|div|h1|h2|li|nav)>|<br/?>', chr(10), 'g') AS lined
+      |       FROM h),
+      |l2 AS (SELECT doc_id,
+      |         list_transform(string_split(lined, chr(10)), l -> struct_pack(
+      |           st := trim(regexp_replace(l, '<[^>]*>', '', 'g')),
+      |           alen := CAST(coalesce(list_sum(list_transform(
+      |             regexp_extract_all(l, '<a[^>]*>([^<]*)</a>', 1),
+      |             x -> length(x))), 0) AS INTEGER),
+      |           stops := CAST(len(list_filter(string_split(lower(
+      |             trim(regexp_replace(l, '<[^>]*>', '', 'g'))), ' '),
+      |             w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS INTEGER)))
+      |           AS ps
+      |       FROM l1),
+      |k AS (SELECT doc_id, ps,
+      |        list_filter(ps, p ->
+      |          length(struct_extract(p, 'st')) >= 15
+      |          AND struct_extract(p, 'alen') * 2
+      |              < length(struct_extract(p, 'st'))
+      |          AND (struct_extract(p, 'stops') >= 1
+      |               OR length(struct_extract(p, 'st')) >= 80)) AS kept
+      |      FROM l2),
+      |e AS (SELECT doc_id, ps, kept,
+      |        -- array_to_string of an EMPTY list is NULL in DuckDB but
+      |        -- '' under Spark's array_join: coalesce for parity
+      |        coalesce(array_to_string(list_transform(kept, p ->
+      |          replace(replace(replace(replace(replace(replace(
+      |            struct_extract(p, 'st'),
+      |            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |            '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')),
+      |          chr(10)), '') AS extracted
+      |      FROM k)
+      |SELECT doc_id,
+      |       CAST(len(list_filter(ps, p ->
+      |           length(struct_extract(p, 'st')) > 0)) AS BIGINT) AS n_lines,
+      |       CAST(len(kept) AS BIGINT) AS n_kept,
+      |       CAST(coalesce(list_sum(list_transform(ps, p ->
+      |           struct_extract(p, 'alen'))), 0) AS BIGINT) AS anchor_chars,
+      |       CAST(coalesce(list_sum(list_transform(ps, p ->
+      |           length(struct_extract(p, 'st')))), 0) AS BIGINT) AS text_chars,
+      |       CAST(length(extracted) AS BIGINT) AS extract_len,
+      |       CAST(('0x' || substr(md5(extracted), 1, 8))::BIGINT AS BIGINT)
+      |         AS extract_hash
+      |FROM e""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val page = docs.withColumn("html", concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p{margin:0}</style>"),
+      lit("<script>var t=1;track(t);</script></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/s\">"), col("source"),
+      lit("</a></nav><h1>"), col("source"), lit(" &amp; "), col("lang"),
+      lit("</h1><p>"), col("text"), lit("</p>"),
+      lit("<div><a href=\"/p\">Previous page</a> | "),
+      lit("<a href=\"/n\">Next page</a></div>"),
+      lit("<div>Copyright &#39;operator&#39; &amp; co - "),
+      lit("rights reserved</div></body></html>")))
+    htmlExtract(page)
+      .select(col("doc_id"),
+        size(filter(col("__lines"), p => length(p.getField("st")) > 0))
+          .cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        aggregate(col("__lines"), lit(0L),
+          (a, p) => a + p.getField("alen").cast("long")).as("anchor_chars"),
+        aggregate(col("__lines"), lit(0L),
+          (a, p) => a + length(p.getField("st")).cast("long"))
+          .as("text_chars"),
+        length(col("extracted_text")).cast("long").as("extract_len"),
+        conv(substring(md5(col("extracted_text")), 1, 8), 16, 10)
+          .cast("long").as("extract_hash"))
+  }
+
   def all: Seq[QueryDef] =
     Seq(langId, quality, gopherQ, fingerprint, tokenBudget, rollingFp,
       repetition, piiRedact, tfidf, postings, compression, heavyHitters,
       perSourceTopTerms, unigramLp, bigramLp, normalizeQ, normalizeNfcQ,
-      lexDiversityQ, zipfQ, keywordsQ)
+      lexDiversityQ, zipfQ, keywordsQ, htmlExtractQ)
 }

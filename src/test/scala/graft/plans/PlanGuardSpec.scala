@@ -191,6 +191,16 @@ class PlanGuardSpec extends SparkSpec {
     assert(p.nonEmpty)
   }
 
+  test("t22: html extraction is ZERO-shuffle — one scan-local projection") {
+    val p = plan("t22_html_extract")
+    assert(!p.contains("Exchange"), s"t22 grew a shuffle:\n$p")
+    assert(!p.contains("Join"), s"t22 grew a join:\n$p")
+    // n_chars is never referenced — the scan must prune it
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("text") && !read.contains("n_chars"),
+      s"scan reads more than needed: $read")
+  }
+
   test("t18: lexical diversity is ZERO-shuffle — pure scan-local projection") {
     val p = plan("t18_lexical_diversity")
     assert(!p.contains("Exchange"), s"t18 grew a shuffle:\n$p")
