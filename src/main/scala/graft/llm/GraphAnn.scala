@@ -166,7 +166,7 @@ object GraphAnn {
     } catch { case _: Throwable => false }
     if (!valid) {
       buildsThisProcess += 1
-      graft.util.Fs.rmRecursive(new java.io.File(dir))
+      graft.util.Fs.rmTree(spark, dir)
       buildNeighborGraph(corpus, m, descentRounds, initCellSize)
         .write.mode("overwrite").parquet(s"$dir/edges")
       Seq((n, sum, m, nCells, descentRounds, 2))

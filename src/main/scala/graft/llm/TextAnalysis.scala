@@ -1409,9 +1409,69 @@ object TextAnalysis {
           .cast("long").as("extract_hash"))
   }
 
+  /** Hashing-trick linear classifier inference (the fastText shape,
+    * Joulin 2016; how FineWeb/DCLM-style learned quality filters run
+    * over a full crawl): each word unigram and bigram maps THROUGH A
+    * HASH to a weight — no vocabulary table, so inference needs no
+    * join, no broadcast, no OOV path, and memory is O(1) per row. The
+    * doc score is the mean feature weight; the label its sign.
+    *
+    * Weights here are derived arithmetically from the md5 of the gram
+    * (a fixed random projection), standing in for a trained weight
+    * array indexed by the same hash — the DATA PATH (gram extraction,
+    * hash, lookup-free weight, mean, threshold) is exactly production
+    * inference. Scale: ZERO shuffle, one scan-local projection; the
+    * score accumulates in INTEGER milli-units so the DuckDB replay is
+    * bit-exact (no float-order divergence).
+    */
+  def hashedNgramScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokensCol(col(textCol))
+    val n = size(toks)
+    // word bigrams via the shifted-slice zip (t15's shape); joiner ' '
+    // cannot collide with in-token characters (tokens are space-split)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val grams = concat(toks, bigrams)
+    // weight(gram) in [-500, 499] milli-units: md5-prefix mod 1000 - 500
+    val wExpr = (g: Column) =>
+      conv(substring(md5(g), 1, 6), 16, 10).cast("long") % 1000 - 500
+    df.withColumn("n_grams", size(grams).cast("long"))
+      .withColumn("score_units",
+        aggregate(grams, lit(0L), (acc, g) => acc + wExpr(g)))
+      .withColumn("ngram_score",
+        round(col("score_units").cast("double") / (col("n_grams") * 1000), 6))
+      .withColumn("ngram_keep", col("score_units") > 0)
+  }
+
+  /** T23 — hashed-n-gram classifier inference under a FULL DuckDB
+    * oracle: list lambdas replay gram extraction and the md5-derived
+    * weights; `score_units`/`n_grams` are integer-exact, the mean is
+    * one rounded division. */
+  val hashedNgramQ = QueryDef.sql(
+    "t23_hashed_ngram_score",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |           FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id,
+      |        list_concat(w, list_transform(generate_series(1, len(w) - 1),
+      |          i -> w[i] || ' ' || w[i + 1])) AS gs
+      |      FROM t),
+      |s AS (SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_grams,
+      |        CAST(coalesce(list_sum(list_transform(gs, x ->
+      |          ('0x' || substr(md5(x), 1, 6))::BIGINT % 1000 - 500)), 0)
+      |          AS BIGINT) AS score_units
+      |      FROM g)
+      |SELECT doc_id, n_grams, score_units,
+      |       round(CAST(score_units AS DOUBLE) / (n_grams * 1000), 6)
+      |         AS ngram_score,
+      |       score_units > 0 AS ngram_keep
+      |FROM s""".stripMargin) { (s, d) =>
+    hashedNgramScore(Tables.documents(s, d).filter(col("text").isNotNull))
+      .select("doc_id", "n_grams", "score_units", "ngram_score", "ngram_keep")
+  }
+
   def all: Seq[QueryDef] =
     Seq(langId, quality, gopherQ, fingerprint, tokenBudget, rollingFp,
       repetition, piiRedact, tfidf, postings, compression, heavyHitters,
       perSourceTopTerms, unigramLp, bigramLp, normalizeQ, normalizeNfcQ,
-      lexDiversityQ, zipfQ, keywordsQ, htmlExtractQ)
+      lexDiversityQ, zipfQ, keywordsQ, htmlExtractQ, hashedNgramQ)
 }

@@ -67,7 +67,7 @@ object VectorIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     buildsThisProcess += 1
-    graft.util.Fs.rmRecursive(new java.io.File(dir))
+    graft.util.Fs.rmTree(spark, dir)
     val (coarse, books) = Similarity.ivfPqTrain(corpus, nCells, m, kCodes)
     val (n, sum) = fingerprint(corpus)
     // repartition by cell before the partitioned write: without it every
@@ -112,7 +112,7 @@ object VectorIndex {
     // cell IN-list still pushes to the partition directories.
     val raw = spark.read.parquet(s"$dir/codes")
     val codes =
-      if (new java.io.File(s"$dir/tombstones").exists())
+      if (graft.util.Fs.exists(spark, s"$dir/tombstones"))
         raw.join(spark.read.parquet(s"$dir/tombstones")
           .select(col("nid")), Seq("nid"), "left_anti")
       else raw
@@ -156,7 +156,7 @@ object VectorIndex {
     * directories instead — same layout, no materialization.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    if (!new java.io.File(s"$dir/tombstones").exists()) return
+    if (!graft.util.Fs.exists(spark, s"$dir/tombstones")) return
     val tomb = spark.read.parquet(s"$dir/tombstones").select(col("nid"))
     val raw = spark.read.parquet(s"$dir/codes")
     val affected = raw.join(tomb, Seq("nid"), "left_semi")
@@ -171,11 +171,11 @@ object VectorIndex {
         .join(tomb, Seq("nid"), "left_anti")
         .localCheckpoint(true)
       affected.foreach(c =>
-        graft.util.Fs.rmRecursive(new java.io.File(s"$dir/codes/cell=$c")))
+        graft.util.Fs.rmTree(spark, s"$dir/codes/cell=$c"))
       rewrite.repartition(col("cell"))
         .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
     }
-    graft.util.Fs.rmRecursive(new java.io.File(s"$dir/tombstones"))
+    graft.util.Fs.rmTree(spark, s"$dir/tombstones")
   }
 
   /** Load if the stored fingerprint matches `corpus`, else (re)build.
@@ -268,7 +268,7 @@ object VectorIndex {
     val spark = corpus.sparkSession
     import spark.implicits._
     buildsThisProcess += 1
-    graft.util.Fs.rmRecursive(new java.io.File(dir))
+    graft.util.Fs.rmTree(spark, dir)
     val (coarse, books) = Similarity.ivfPqTrain(corpus, nCells, m, kCodes)
     val (n, sum) = fingerprint(corpus, Seq(filterCol))
     Similarity.ivfPqEncode(corpus, coarse, books, keepCols = Seq(filterCol))

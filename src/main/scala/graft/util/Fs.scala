@@ -8,6 +8,24 @@ import java.io.File
   * unreadable/non-existent dirs — both helpers guard it.
   */
 object Fs {
+
+  /** Storage-agnostic existence check through the Hadoop FileSystem
+    * API — the index-store surfaces (VectorIndex, GraphAnn) must work
+    * against whatever scheme the path carries (HDFS, S3A, local), not
+    * just java.io paths: at 100 TB the store lives on object storage.
+    */
+  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Recursive delete through the Hadoop FileSystem API (no-op when the
+    * path does not exist). */
+  def rmTree(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
+  }
+
   def rmRecursive(f: File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(rmRecursive)

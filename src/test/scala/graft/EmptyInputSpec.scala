@@ -173,6 +173,8 @@ class EmptyInputSpec extends SparkSpec {
     assert(graft.llm.TextAnalysis.gopherRuleCols(emptyDocs).count() == 0)
     assert(graft.llm.TextAnalysis.langIdCols(emptyDocs.withColumnRenamed(
       "doc_id", "id")).count() == 0)
+    assert(graft.llm.TextAnalysis.htmlExtract(
+      emptyDocs.withColumnRenamed("text", "html")).count() == 0)
   }
 
   test("round-8 operators: empty in, empty (or loud) out") {

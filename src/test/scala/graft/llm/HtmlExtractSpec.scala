@@ -47,6 +47,24 @@ class HtmlExtractSpec extends AnyFunSuite {
     assert(got == "the value is 1 < 2 && 3 > 2 \"true\" 'y' ok")
   }
 
+  test("hashedNgramScore matches a plain-JVM replay of the weight formula") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    def w(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      val hex = d.take(3).map("%02x".format(_)).mkString // 6 hex chars
+      java.lang.Long.parseLong(hex, 16) % 1000 - 500
+    }
+    val toks = text.split(" ").toSeq
+    val grams = toks ++ toks.sliding(2).map(_.mkString(" "))
+    val expUnits = grams.map(w).sum
+    val row = TextAnalysis.hashedNgramScore(Seq(text).toDF("text"))
+      .select("n_grams", "score_units", "ngram_keep").head()
+    assert(row.getLong(0) == grams.size.toLong)
+    assert(row.getLong(1) == expUnits)
+    assert(row.getBoolean(2) == (expUnits > 0))
+  }
+
   test("audit metrics count lines and anchor chars") {
     val df = TextAnalysis.htmlExtract(Seq(
       "<div><a href=\"/\">Home</a></div><p>the main body of this page is right here</p>"

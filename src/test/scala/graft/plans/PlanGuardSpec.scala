@@ -201,6 +201,14 @@ class PlanGuardSpec extends SparkSpec {
       s"scan reads more than needed: $read")
   }
 
+  test("t23: hashed-ngram inference is ZERO-shuffle and join-free") {
+    val p = plan("t23_hashed_ngram_score")
+    assert(!p.contains("Exchange"), s"t23 grew a shuffle:\n$p")
+    // the whole point of the hashing trick: no vocab join, no broadcast
+    assert(!p.contains("Join") && !p.contains("Broadcast"),
+      s"t23 grew a vocabulary join:\n$p")
+  }
+
   test("t18: lexical diversity is ZERO-shuffle — pure scan-local projection") {
     val p = plan("t18_lexical_diversity")
     assert(!p.contains("Exchange"), s"t18 grew a shuffle:\n$p")
