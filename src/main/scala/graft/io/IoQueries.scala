@@ -32,10 +32,16 @@ object IoQueries {
     * DOUBLE columns are exact. The .fam/width/cols-table invariants
     * stay as emission gates.
     */
+  // shared between the s1 query body and its oracle: tuning the
+  // fixture in one place cannot silently desynchronize the SNP-name
+  // list the oracle sums
+  private val s1Cfg = Sim.Config(n = 100L, p = 10, seed = 42L,
+    chunkRows = 25L)
+
   val s1 = QueryDef(
     "s1_plink_bundle_roundtrip",
     { (s, d) =>
-    val cfg = Sim.Config(n = 100L, p = 10, seed = 42L, chunkRows = 25L)
+    val cfg = s1Cfg
     val bundle = Sim.bundle(s, cfg)
     val names = Sim.snpNames(cfg.p, cfg.seed)
     // render the .raw text (100×10 fixture — driver-side by design)
@@ -91,7 +97,7 @@ object IoQueries {
       .toDF("n", "dosage_sum", "label_sum").filter(lit(ok))
   },
     oracle = Some {
-      val names = Sim.snpNames(10, 42L)
+      val names = Sim.snpNames(s1Cfg.p, s1Cfg.seed)
       val dosage = names.map(n => "\"" + n + "\"").mkString(" + ")
       s"""SELECT CAST(count(*) AS BIGINT) AS n,
          |       CAST(sum($dosage) AS DOUBLE) AS dosage_sum,
@@ -1015,14 +1021,24 @@ object IoQueries {
       summary.getLong(1) == summary.getLong(0) &&
       summary.getLong(2) == summary.getLong(0) &&
       summary.getDouble(3) < 0.8
-    val out = audit
+    // collect the (columns × row-groups)-sized audit rows BEFORE
+    // unpersisting, then emit from the collected rows — unpersisting
+    // under a still-lazy `out` would re-run the footer walk when the
+    // caller materializes it
+    import s.implicits._
+    val outRows = audit
       .select(col("column"), col("encodings"), col("codec"),
         col("n_values").cast("long").as("n_values"),
         col("compressed_bytes").cast("long").as("compressed_bytes"),
         col("uncompressed_bytes").cast("long").as("uncompressed_bytes"))
-      .filter(lit(ok))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
     audit.unpersist()
-    out
+    outRows.toSeq
+      .toDF("column", "encodings", "codec", "n_values",
+        "compressed_bytes", "uncompressed_bytes")
+      .filter(lit(ok))
   },
     oracle = Some(
       s"""SELECT path_in_schema AS "column",

@@ -1328,8 +1328,10 @@ object TextAnalysis {
       |         concat('<html><head><title>Doc ', doc_id,
       |           '</title><style>p{margin:0}</style>',
       |           '<script>var t=1;track(t);</script></head><body>',
-      |           '<nav><a href="/">Home</a> <a href="/s">', source,
-      |           '</a></nav><h1>', source, ' &amp; ', lang, '</h1><p>',
+      |           '<nav><a href="/">Home</a> <a href="/s">',
+      |           coalesce(source, ''), '</a></nav><h1>',
+      |           coalesce(source, ''), ' &amp; ', coalesce(lang, ''),
+      |           '</h1><p>',
       |           text, '</p>',
       |           '<div><a href="/p">Previous page</a> | ',
       |           '<a href="/n">Next page</a></div>',
@@ -1387,8 +1389,12 @@ object TextAnalysis {
       lit("<html><head><title>Doc "), col("doc_id").cast("string"),
       lit("</title><style>p{margin:0}</style>"),
       lit("<script>var t=1;track(t);</script></head><body>"),
-      lit("<nav><a href=\"/\">Home</a> <a href=\"/s\">"), col("source"),
-      lit("</a></nav><h1>"), col("source"), lit(" &amp; "), col("lang"),
+      // coalesce: DuckDB's concat SKIPS null args while Spark's concat
+      // nulls the whole row — null lang/source must not diverge engines
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/s\">"),
+      coalesce(col("source"), lit("")),
+      lit("</a></nav><h1>"), coalesce(col("source"), lit("")),
+      lit(" &amp; "), coalesce(col("lang"), lit("")),
       lit("</h1><p>"), col("text"), lit("</p>"),
       lit("<div><a href=\"/p\">Previous page</a> | "),
       lit("<a href=\"/n\">Next page</a></div>"),

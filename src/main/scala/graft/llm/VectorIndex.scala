@@ -470,6 +470,13 @@ object VectorIndex {
       val noDeletedServed = resT.forall { case (_, nid) =>
         !deletedIds.contains(nid)
       }
+      // the FALSIFIABLE merge-on-read check: the loaded codes relation
+      // itself must contain no tombstoned nid. (noDeletedServed alone
+      // is vacuous here — search() re-ranks by joining the LIVE corpus,
+      // which would mask a broken tombstone anti-join.)
+      val mergeOnReadApplied = ixT.codes
+        .join(deleted.select(col("vec_id").as("nid")), Seq("nid"),
+          "left_semi").count() == 0
       compact(s, dir)
       val builds0 = buildsThisProcess
       val ixC = ensure(live, dir)
@@ -483,8 +490,9 @@ object VectorIndex {
       val recallOk = exactMap.nonEmpty &&
         hits.toDouble / exactMap.size >= 0.6
       emb.unpersist()
-      exact.filter(lit(recallOk && noDeletedServed && resT == resC &&
-          noRebuild && nStored == nLive && ixC.nVectors == nLive))
+      exact.filter(lit(recallOk && noDeletedServed && mergeOnReadApplied &&
+          resT == resC && noRebuild && nStored == nLive &&
+          ixC.nVectors == nLive))
         .select(col("qid"), col("nid"), col("sim"))
     },
     oracle = Some(

@@ -807,17 +807,21 @@ object LdClump {
       case None =>
         geno.sparkSession.range(0)
           .select(col("id").as("id_a"), col("id").as("id_b"))
-      case Some(sized) =>
-        require(maxBucketSize >= 2,
-          s"maxBucketSize must be >= 2: $maxBucketSize")
-        val small = sized.filter(col("bsz") <= maxBucketSize)
-        val allPairs = small.alias("a").join(small.alias("b"),
-            col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-              col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        allPairs.unionByName(ibsChainFromSized(sized, maxBucketSize))
-          .distinct()
+      case Some(sized) => candidatePairsFromSized(sized, maxBucketSize)
     }
+
+  private def candidatePairsFromSized(sized: DataFrame,
+      maxBucketSize: Int): DataFrame = {
+    require(maxBucketSize >= 2,
+      s"maxBucketSize must be >= 2: $maxBucketSize")
+    val small = sized.filter(col("bsz") <= maxBucketSize)
+    val allPairs = small.alias("a").join(small.alias("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    allPairs.unionByName(ibsChainFromSized(sized, maxBucketSize))
+      .distinct()
+  }
 
   /** Shared signature builder for the banded IBS screen: one row per
     * (sample, band) carrying the band-slice content hash and the
@@ -884,14 +888,17 @@ object LdClump {
       case None => geno.sparkSession.range(0)
         .select(col("id").as("band"), col("id").as("n_buckets"),
           col("id").as("n_capped"), col("id").as("max_bucket"))
-      case Some(sized) =>
-        sized.select(col("band"), col("h"), col("bsz")).distinct()
-          .groupBy("band")
-          .agg(count(lit(1)).as("n_buckets"),
-            sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L))
-              .as("n_capped"),
-            max(col("bsz")).as("max_bucket"))
+      case Some(sized) => capStatsFromSized(sized, maxBucketSize)
     }
+
+  private def capStatsFromSized(sized: DataFrame,
+      maxBucketSize: Int): DataFrame =
+    sized.select(col("band"), col("h"), col("bsz")).distinct()
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("bsz") > maxBucketSize, 1L).otherwise(0L))
+          .as("n_capped"),
+        max(col("bsz")).as("max_bucket"))
 
   /** Blocked high-IBS screen: banded candidates → exact kernel. The
     * production path for `ibs ≥ threshold` queries — O(samples·bands)
@@ -924,14 +931,19 @@ object LdClump {
     { (s, _) =>
       val g = fixtureGeno(s)
       // no-silent-caps: the capped-bucket count rides on every output
-      // row, COMPUTED on both engines (here via ibsCapStats, in DuckDB
-      // by grouping samples on their exact band-slice tuples) — a
-      // screening run that silently degraded to chains would change
-      // this column and hash-mismatch loudly
-      val nCapped = ibsCapStats(g, "id", "features", bands = 3,
-          maxBucketSize = 2000)
+      // row, COMPUTED on both engines (here from the sized signature
+      // table, in DuckDB by grouping samples on their exact band-slice
+      // tuples) — a screening run that silently degraded to chains
+      // would change this column and hash-mismatch loudly. The sized
+      // table is built ONCE and checkpointed: cap stats and the
+      // candidate screen both read it (a second ibsSized call would
+      // re-pay the matrix slice-hash pass).
+      val sized = ibsSized(g, "id", "features", bands = 3)
+        .get.localCheckpoint(true)
+      val nCapped = capStatsFromSized(sized, maxBucketSize = 2000)
         .agg(coalesce(sum(col("n_capped")), lit(0L))).head().getLong(0)
-      ibsPairsScreened(g, "id", "features", bands = 3)
+      ibsOnPairs(candidatePairsFromSized(sized, maxBucketSize = 2000),
+          g, "id", "features")
         // filter on the RAW ratio exactly as the oracle does (the
         // rounded display column could disagree at a threshold edge)
         .filter(col("ibs_num").cast("double") /
@@ -987,11 +999,14 @@ object LdClump {
     "m23_ibs_capped_chain",
     { (s, _) =>
       val g = fixtureGeno(s)
-      val nCapped = ibsCapStats(g, "id", "features", bands = 3,
-          maxBucketSize = 40)
+      // one sized pass shared by cap stats and the chain branch (m21's
+      // single-build discipline)
+      val sized = ibsSized(g, "id", "features", bands = 3)
+        .get.localCheckpoint(true)
+      val nCapped = capStatsFromSized(sized, maxBucketSize = 40)
         .agg(coalesce(sum(col("n_capped")), lit(0L))).head().getLong(0)
-      ibsOnPairs(ibsChainPairs(g, "id", "features", bands = 3,
-          maxBucketSize = 40), g, "id", "features")
+      ibsOnPairs(ibsChainFromSized(sized, maxBucketSize = 40).distinct(),
+          g, "id", "features")
         .filter(col("ibs_num").cast("double") /
           (lit(2.0) * col("n_valid")) >= 0.85)
         .select(col("id_a"), col("id_b"), col("ibs_num"), col("n_valid"),

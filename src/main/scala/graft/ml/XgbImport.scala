@@ -106,9 +106,18 @@ object XgbImport {
       require(Seq(tree.splitIndices.length, tree.leftChildren.length,
           tree.rightChildren.length, tree.defaultLeft.length).forall(_ == n),
         s"xgb json: ragged tree arrays (n=$n)")
-      require(tree.leftChildren.zip(tree.rightChildren).forall { case (l, r) =>
-          (l == -1) == (r == -1) && l < n && r < n },
-        "xgb json: malformed child pointers")
+      // child pointers: -1/-1 marks a leaf; internal nodes must point
+      // STRICTLY FORWARD (XGBoost emits trees in BFS order, so parent
+      // index < child index always holds for well-formed files). The
+      // forward check is what makes traversal provably terminate —
+      // `l < n` alone admits self-loops (l == i) and stray negatives,
+      // which would spin or crash the executor UDF instead of failing
+      // loud at parse time.
+      require(tree.leftChildren.zip(tree.rightChildren).zipWithIndex
+          .forall { case ((l, r), i) =>
+            (l == -1 && r == -1) || (l > i && r > i && l < n && r < n) },
+        "xgb json: malformed child pointers (cycle, backward edge, or " +
+          "out-of-range index)")
       tree
     }.toArray
     require(trees.nonEmpty, "xgb json: zero trees")

@@ -182,8 +182,11 @@ object Cdc {
   def snapshotDiff(v1: DataFrame, v2: DataFrame, keyCol: String,
       keepOld: Boolean = false): DataFrame = {
     val cols = v1.columns.filter(_ != keyCol).toSeq
-    require(v2.columns.filter(_ != keyCol).toSeq == cols,
-      s"snapshotDiff: column sets differ: $cols vs ${v2.columns.toSeq}")
+    // set equality is the real precondition: both structs below select
+    // v2's columns in v1's ORDER, so a reordered v2 diffs correctly
+    require(v2.columns.filter(_ != keyCol).toSet == cols.toSet,
+      s"snapshotDiff: non-key column sets differ: $cols vs " +
+        s"${v2.columns.filter(_ != keyCol).toSeq}")
     val a = v1.select(col(keyCol).as("__k"),
       struct(cols.map(col): _*).as("__a"))
     val b = v2.select(col(keyCol).as("__k"),

@@ -43,10 +43,17 @@ object GraphOps {
     * fresh-child). The cached child keeps the isolation property (loop
     * conf overrides never touch the caller's session) at parent-session
     * cost after the first call. */
-  private val loopSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  // WeakHashMap keyed on the parent: a discarded parent session (a
+  // per-tenant/per-job newSession pattern) must not pin its child —
+  // and the child's sessionState/catalog — for the JVM lifetime. The
+  // synchronized wrapper is enough here: loop launches are rare and
+  // coarse, never a hot path.
+  private val loopSessions = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, SparkSession]())
   private def loopSessionFor(parent: SparkSession): SparkSession =
-    loopSessions.computeIfAbsent(parent, p => p.newSession())
+    loopSessions.synchronized {
+      loopSessions.computeIfAbsent(parent, p => p.newSession())
+    }
 
   /** PageRank with damping 17/20 (= 0.85) over `edges(src, dst)`.
     * Returns (node, rank_fp) where rank_fp is in units of 1e-12.

@@ -493,7 +493,7 @@ object Quality {
     * reduce, 6 output rows at any table size.
     *
     * DETERMINISM: every measure is first made integral (quantity,
-    * price cents, discount/tax basis points), and every moment
+    * price cents, discount/tax percent units (l_discount 0.07 -> 7)), and every moment
     * accumulates EXACTLY — Σxy for the price² pair reaches ~6e19 at
     * sf0.1, past int64, so the sums run in Spark DECIMAL(38,0) /
     * DuckDB HUGEINT (both exact); the r formula then derives from the
@@ -505,8 +505,8 @@ object Quality {
     "dq7_correlation_matrix", {
       val cols = Seq("qty" -> "CAST(round(l_quantity) AS BIGINT)",
         "price_c" -> "CAST(round(l_extendedprice * 100) AS BIGINT)",
-        "disc_bp" -> "CAST(round(l_discount * 100) AS BIGINT)",
-        "tax_bp" -> "CAST(round(l_tax * 100) AS BIGINT)")
+        "disc_pct" -> "CAST(round(l_discount * 100) AS BIGINT)",
+        "tax_pct" -> "CAST(round(l_tax * 100) AS BIGINT)")
       val moments = cols.map { case (n, e) =>
         s"CAST(sum(CAST($e AS HUGEINT)) AS DOUBLE) AS s_$n"
       } ++ (for {
@@ -530,9 +530,9 @@ object Quality {
     val base = Tables.lineitem(s, d).select(
       round(col("l_quantity")).cast("long").as("qty"),
       round(col("l_extendedprice") * 100).cast("long").as("price_c"),
-      round(col("l_discount") * 100).cast("long").as("disc_bp"),
-      round(col("l_tax") * 100).cast("long").as("tax_bp"))
-    val names = Seq("qty", "price_c", "disc_bp", "tax_bp")
+      round(col("l_discount") * 100).cast("long").as("disc_pct"),
+      round(col("l_tax") * 100).cast("long").as("tax_pct"))
+    val names = Seq("qty", "price_c", "disc_pct", "tax_pct")
     val dec = names.map(n => col(n).cast("decimal(18,0)").as(n))
     val withDec = base.select(dec: _*)
     val momentAggs =

@@ -162,7 +162,9 @@ object Streams {
         |       event_type, CAST(count(*) AS BIGINT) AS n,
         |       round(sum(CASE WHEN NOT isnan(value) THEN value END), 2)
         |         AS val_sum
-        |FROM events GROUP BY 1, 2""".stripMargin),
+        |-- Spark's window(ts) drops null-ts rows on both the stream and
+        |-- batch sides; mirror that (latent today: no null ts in fixture)
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin),
     benchEligible = false)
 
   /** The batch twin of windowedAgg (same expressions, no watermark). */
