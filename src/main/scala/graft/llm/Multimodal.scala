@@ -884,6 +884,133 @@ object Multimodal {
         round(col("match_frac"), 6).as("match_frac"))
   }
 
+  /** Shot-boundary detection over a frame-hash table (stride=1): a
+    * boundary is a consecutive-frame dHash Hamming jump above
+    * `maxIntraDist` — the classic cut detector, and the step that
+    * feeds keyframe extraction (one representative frame per shot)
+    * in video training-data pipelines. Input is [[videoFrameHashes]]
+    * output, so payloads never reach this stage: the lag window moves
+    * 8-byte hashes only, partitioned per video (groups bounded by
+    * frame count, never corpus size).
+    *
+    * Emits one row per frame: (id, frame_idx, dhash, dist — null on
+    * each video's first frame, is_boundary, shot_idx — running
+    * boundary count, so frames group into shots directly).
+    */
+  def videoShotBoundaries(frameHashes: DataFrame, idCol: String = "doc_id",
+      maxIntraDist: Int = 10): DataFrame = {
+    require(maxIntraDist >= 0, s"maxIntraDist must be >= 0: $maxIntraDist")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("frame_idx")
+    frameHashes.filter(col("dhash").isNotNull)
+      .withColumn("dist",
+        bit_count(lag(col("dhash"), 1).over(w).bitwiseXOR(col("dhash"))))
+      .withColumn("is_boundary",
+        coalesce(col("dist") > maxIntraDist, lit(false)))
+      .withColumn("shot_idx",
+        sum(when(col("is_boundary"), 1L).otherwise(0L)).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+  }
+
+  /** Multi-shot video fixture for mm5: 2 + (docId % 3) shots of 4
+    * frames each. Within a shot, frames share one random 9×8 base grid
+    * and differ by a single adjacent-cell swap confined to one row
+    * (≤ 3 dHash bits off the base, so any two frames of the shot are
+    * ≤ 6 apart); across shots the grids are independent (~32 expected
+    * bits apart), so maxIntraDist = 10 separates with huge margin.
+    */
+  private[llm] def syntheticShotFrame(shotSeed: Long, frame: Int): Array[Byte] = {
+    val g = new Array[Int](72)
+    var st = shotSeed * 2654435761L + 99991L
+    var i = 0
+    while (i < 72) {
+      st = st * 6364136223846793005L + 1442695040888963407L
+      g(i) = ((st >>> 33) % 256).toInt
+      i += 1
+    }
+    val r = frame % 8
+    val c = frame % 7
+    val t = g(r * 9 + c); g(r * 9 + c) = g(r * 9 + c + 1); g(r * 9 + c + 1) = t
+    val rgb = new Array[Byte](18 * 16 * 3)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 18) {
+        val value = g((y / 2) * 9 + (x / 2)).toByte
+        val o = (y * 18 + x) * 3
+        rgb(o) = value; rgb(o + 1) = value; rgb(o + 2) = value
+        x += 1
+      }
+      y += 1
+    }
+    encodeBmp24(18, 16, rgb)
+  }
+
+  private[llm] val shotFramesPerShot = 4
+  private[llm] def shotsFor(docId: Long): Int = 2 + (docId % 3).toInt
+
+  private[llm] def syntheticShotVideo(docId: Long): Array[Byte] = {
+    val nShots = shotsFor(docId)
+    encodeVideo((0 until nShots).flatMap { sIdx =>
+      val seed = docId * 31L + sIdx * 977L
+      (0 until shotFramesPerShot).map(f => syntheticShotFrame(seed, f))
+    })
+  }
+
+  /** MM5 — shot-boundary detection + keyframe census over the full
+    * pipeline: container decode → stride-1 frame hashing → lag-window
+    * cut detector. Golden gates: every video decodes; the DETECTED
+    * boundary set equals the PLANTED one exactly (both anti-join
+    * directions empty — no missed cut, no false cut, at any sf); the
+    * per-video shot count equals 1 + boundaries (shot_idx consistency);
+    * keyframes (first frame of each shot) number exactly n_shots.
+    */
+  val mm5 = QueryDef.rowsOnly("mm5_video_shot_detect") { (s, d) =>
+    val spark = s
+    val docs = Tables.documents(s, d).select("doc_id")
+    val assets = spark.createDataFrame(
+      docs.rdd.mapPartitions(_.map { row =>
+        val id = row.getLong(0)
+        Row(id, syntheticShotVideo(id))
+      }), StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false))))
+    val fh = videoFrameHashes(assets, stride = 1)
+    val marked = videoShotBoundaries(fh, "doc_id", maxIntraDist = 10)
+      .cache()
+    val detected = marked.filter(col("is_boundary"))
+      .select(col("doc_id"), col("frame_idx"))
+    // planted: a cut at every shot start (frames 4, 8, ...)
+    val planted = docs.select(col("doc_id"),
+        explode(sequence(lit(1),
+          (lit(1) + col("doc_id") % 3).cast("int"))).as("s"))
+      .select(col("doc_id"), (col("s") * shotFramesPerShot).as("frame_idx"))
+    val missed = planted.join(detected, Seq("doc_id", "frame_idx"),
+      "left_anti").count()
+    val spurious = detected.join(planted, Seq("doc_id", "frame_idx"),
+      "left_anti").count()
+    val perVideo = marked.groupBy("doc_id")
+      .agg(max(col("shot_idx")).as("max_shot"),
+        sum(when(col("is_boundary"), 1L).otherwise(0L)).as("n_bounds"),
+        countDistinct(when(col("frame_idx") % shotFramesPerShot === 0,
+          col("frame_idx"))).as("n_keyframes"))
+    val badShotIdx = perVideo
+      .filter(col("max_shot") =!= col("n_bounds") ||
+        col("n_keyframes") =!= col("n_bounds") + 1).count()
+    val nVideos = docs.count()
+    val nDecoded = marked.select("doc_id").distinct().count()
+    val nBoundaries = detected.count()
+    marked.unpersist()
+    import spark.implicits._
+    Seq((nVideos, nDecoded, nBoundaries, missed, spurious, badShotIdx))
+      .toDF("n_videos", "n_decoded", "n_boundaries", "n_missed",
+        "n_spurious", "n_bad_shot_idx")
+      .filter(col("n_videos") > 0 && col("n_decoded") === col("n_videos") &&
+        col("n_boundaries") > 0 && col("n_missed") === 0 &&
+        col("n_spurious") === 0 && col("n_bad_shot_idx") === 0)
+  }
+
   /** Deterministic video fixture: 50 scenes × 4 variants, 12 frames
     * each. A variant temporally shifts the scene by 2·v frames (even
     * shift keeps the stride-2 sampling lattice aligned — real CBVR
@@ -1011,5 +1138,5 @@ object Multimodal {
       .write.format("noop").mode("overwrite").save()
   }
 
-  def all: Seq[QueryDef] = Seq(mm, mm2, mm3, mm4)
+  def all: Seq[QueryDef] = Seq(mm, mm2, mm3, mm4, mm5)
 }

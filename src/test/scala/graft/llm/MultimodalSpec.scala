@@ -117,6 +117,54 @@ class MultimodalSpec extends SparkSpec {
   private def grayBmp(w: Int, h: Int, g: Array[Int]): Array[Byte] =
     Multimodal.encodeBmp24(w, h, Array.tabulate(w * h * 3)(i => g(i / 3).toByte))
 
+  test("shot fixture margins: intra-shot <= 6 bits, cross-shot > 10") {
+    def h(seed: Long, f: Int): Long =
+      dHash64(syntheticShotFrame(seed, f)).get
+    for (seed <- Seq(0L, 31L, 977L, 12345L)) {
+      val hs = (0 until shotFramesPerShot).map(h(seed, _))
+      for (a <- hs; b <- hs)
+        assert(java.lang.Long.bitCount(a ^ b) <= 6,
+          s"intra-shot distance blew the nudge bound for seed $seed")
+    }
+    // consecutive shots of the same video (the pairs the cut detector
+    // actually compares: last frame of shot s vs first of s+1)
+    for (doc <- 0L until 20L; sIdx <- 0 until (shotsFor(doc) - 1)) {
+      val a = h(doc * 31L + sIdx * 977L, shotFramesPerShot - 1)
+      val b = h(doc * 31L + (sIdx + 1) * 977L, 0)
+      assert(java.lang.Long.bitCount(a ^ b) > 10,
+        s"cross-shot distance under threshold for doc $doc shot $sIdx")
+    }
+  }
+
+  test("videoShotBoundaries: planted cuts detected exactly, shots indexed") {
+    import spark.implicits._
+    val assets = spark.createDataFrame(
+      Seq(3L, 4L, 5L).toDF("doc_id").rdd.map { r =>
+        org.apache.spark.sql.Row(r.getLong(0),
+          syntheticShotVideo(r.getLong(0)))
+      },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType, nullable = false))))
+    val marked = videoShotBoundaries(
+      videoFrameHashes(assets, stride = 1), "doc_id", maxIntraDist = 10)
+    val got = marked.filter(col("is_boundary"))
+      .select("doc_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = (for {
+      doc <- Seq(3L, 4L, 5L)
+      s <- 1 until shotsFor(doc)
+    } yield (doc, s * shotFramesPerShot)).toSet
+    assert(got == want)
+    // shot_idx labels every frame with its shot ordinal
+    val lastShot = marked.groupBy("doc_id")
+      .agg(max(col("shot_idx")).as("m")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(3L, 4L, 5L).forall(d => lastShot(d) == shotsFor(d) - 1L))
+  }
+
   test("dHash64: brightness shift preserves the hash; non-image is None") {
     val g = Array.tabulate(72)(i => (i * 37 + 11) % 200)
     val base = Multimodal.dHash64(grayBmp(9, 8, g)).get
