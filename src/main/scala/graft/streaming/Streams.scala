@@ -1175,7 +1175,113 @@ object Streams {
         |FROM post GROUP BY 1""".stripMargin),
     benchEligible = false)
 
+  /** ST16 — streaming MATERIALIZED-VIEW maintenance: a per-status
+    * (count, cents-sum) aggregate stored on disk is maintained by CDC
+    * changelog deltas arriving as a stream — [[graft.ops.Cdc
+    * .maintainSumAgg]] applied per micro-batch inside foreachBatch.
+    * The base table is NEVER rescanned: each batch costs
+    * O(|batch| + |groups|), which is the entire point of maintaining
+    * an aggregate at 100 TB instead of recomputing it.
+    *
+    * Exactly-once across redelivery: the sink persists the last
+    * applied batchId next to the aggregate and SKIPS any batchId it
+    * has already applied — the standard foreachBatch idempotence
+    * recipe (a delta double-applied would silently corrupt the view,
+    * unlike st9's naturally-idempotent partition overwrite). The gate
+    * re-delivers the captured final batch under its original batchId
+    * and requires the view byte-unchanged. In production the
+    * aggregate+marker write is one transactional commit (Delta/
+    * Iceberg); here they are two parquet writes, same plan shape.
+    *
+    * Changelog: the u9/u10 orders mutation (deletes, in-place updates,
+    * new-group inserts), split over 3 arrival batches by key residue.
+    * Group deltas commute, so arrival batching cannot change the
+    * result. FULL oracle = u10's: DuckDB recomputes the v2 aggregate
+    * from scratch — streamed-incremental == rescan, across engines.
+    */
+  val st16 = QueryDef(
+    "st16_stream_incremental_agg",
+    { (s, d) =>
+    import s.implicits._
+    val base = graft.util.Fixtures.dir + "/st16"
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val aggDir = s"$base/agg"
+    val metaDir = s"$base/meta"
+    val replayDir = s"$base/replay"
+    val v1 = Tables.load(s, d, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus").as("st"))
+    val v2 = v1.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("cents", when(col("o_orderkey") % 5 === 0,
+        col("cents") * 2).otherwise(col("cents")))
+      .unionByName(v1.filter(col("o_orderkey") <= 300)
+        .select((col("o_orderkey") + 20000000).as("o_orderkey"),
+          lit(9999L).as("cents"), lit("X").as("st")))
+    val log = graft.ops.Cdc.snapshotDiff(v1, v2, "o_orderkey",
+      keepOld = true)
+    // the stored view at v1
+    v1.groupBy("st").agg(count(lit(1)).as("n"), sum(col("cents")).as("v"))
+      .write.mode("overwrite").parquet(aggDir)
+    Seq(-1L).toDF("batch_id").write.mode("overwrite").parquet(metaDir)
+    def lastApplied(): Long =
+      s.read.parquet(metaDir).agg(max(col("batch_id"))).head().getLong(0)
+    def viewRows(): Set[(String, Long, Long)] =
+      s.read.parquet(aggDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def sink(batch: DataFrame, batchId: Long): Unit = {
+      if (batchId <= lastApplied()) return // exactly-once: already in
+      batch.write.mode("overwrite").parquet(replayDir)
+      val cur = batch.sparkSession.read.parquet(aggDir)
+      val next = graft.ops.Cdc.maintainSumAgg(cur, batch, "st", "cents")
+        .localCheckpoint(true) // materialize BEFORE overwriting its input
+      next.write.mode("overwrite").parquet(aggDir)
+      Seq(batchId).toDF("batch_id").write.mode("append").parquet(metaDir)
+    }
+    val feed = new FileFeed(s, "st16feed", log.schema)
+    val q = feed.source()
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch(sink _)
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      (0 until 3).foreach { k =>
+        feed.add(log.filter(pmod(col("o_orderkey"), lit(3)) === k))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val afterStream = viewRows()
+    // redelivery of the captured final batch under an already-applied
+    // id must be a no-op
+    sink(s.read.parquet(replayDir), lastApplied())
+    val afterRedeliver = viewRows()
+    val direct = v2.groupBy("st")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val ok = afterStream == direct && afterRedeliver == afterStream &&
+      afterStream.nonEmpty
+    s.read.parquet(aggDir)
+      .select(col("st"), col("n"), col("v").as("price_cents"))
+      .filter(lit(ok))
+  },
+    oracle = Some(
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |         o_orderstatus AS st
+        |  FROM orders),
+        |v2 AS (
+        |  SELECT k, CASE WHEN k % 5 = 0 THEN cents * 2 ELSE cents END AS cents,
+        |         st
+        |  FROM v1 WHERE k % 13 <> 0
+        |  UNION ALL
+        |  SELECT k + 20000000, 9999, 'X' FROM v1 WHERE k <= 300)
+        |SELECT st, count(*) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS price_cents
+        |FROM v2 GROUP BY 1""".stripMargin),
+    benchEligible = false)
+
   def all: Seq[QueryDef] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
-      st14, st15)
+      st14, st15, st16)
 }

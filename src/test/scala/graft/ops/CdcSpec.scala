@@ -119,4 +119,20 @@ class CdcSpec extends SparkSpec {
     assert(got == want)
     assert(!got.exists(_._1 == "c")) // emptied group dropped
   }
+
+  test("maintainSumAgg: double-applying a delta CORRUPTS the view " +
+      "(st16's exactly-once guard is load-bearing, not decorative)") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "g", "v")
+    val v2 = Seq((1L, "a", 15L), (2L, "b", 20L), (3L, "a", 5L))
+      .toDF("k", "g", "v")
+    val base = v1.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("v"))
+    val log = Cdc.snapshotDiff(v1, v2, "k", keepOld = true)
+    val once = Cdc.maintainSumAgg(base, log, "g", "v")
+    val twice = Cdc.maintainSumAgg(once, log, "g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = v2.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twice != want) // the redelivered delta really does corrupt
+  }
 }
