@@ -893,18 +893,26 @@ object Multimodal {
     * 8-byte hashes only, partitioned per video (groups bounded by
     * frame count, never corpus size).
     *
-    * Emits one row per frame: (id, frame_idx, dhash, dist — null on
-    * each video's first frame, is_boundary, shot_idx — running
-    * boundary count, so frames group into shots directly).
+    * Emits one row per INPUT frame — unhashable frames (null dhash,
+    * e.g. a non-BMP frame mid-container) are kept, never cut on, and
+    * inherit the current shot; the next hashed frame compares against
+    * the last HASHED predecessor (ignore-nulls lag), so a real cut
+    * separated by a bad frame is still attributed to the first frame
+    * that can prove it. Columns: (id, frame_idx, dhash, dist — null on
+    * each video's first hashed frame and on unhashable frames,
+    * is_boundary, shot_idx — running boundary count, so frames group
+    * into shots directly).
     */
   def videoShotBoundaries(frameHashes: DataFrame, idCol: String = "doc_id",
       maxIntraDist: Int = 10): DataFrame = {
     require(maxIntraDist >= 0, s"maxIntraDist must be >= 0: $maxIntraDist")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("frame_idx")
-    frameHashes.filter(col("dhash").isNotNull)
-      .withColumn("dist",
-        bit_count(lag(col("dhash"), 1).over(w).bitwiseXOR(col("dhash"))))
+    val prevHashed = last(col("dhash"), ignoreNulls = true).over(
+      w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1))
+    frameHashes
+      .withColumn("dist", bit_count(prevHashed.bitwiseXOR(col("dhash"))))
       .withColumn("is_boundary",
         coalesce(col("dist") > maxIntraDist, lit(false)))
       .withColumn("shot_idx",
@@ -914,19 +922,22 @@ object Multimodal {
   }
 
   /** Multi-shot video fixture for mm5: 2 + (docId % 3) shots of 4
-    * frames each. Within a shot, frames share one random 9×8 base grid
-    * and differ by a single adjacent-cell swap confined to one row
-    * (≤ 3 dHash bits off the base, so any two frames of the shot are
-    * ≤ 6 apart); across shots the grids are independent (~32 expected
-    * bits apart), so maxIntraDist = 10 separates with huge margin.
+    * frames each, with DETERMINISTIC margins at any scale factor (no
+    * probabilistic cross-shot hash distance anywhere — a random-grid
+    * fixture would fail some doc eventually at ~1e-8/boundary). Shots
+    * alternate a strictly-increasing / strictly-decreasing per-row
+    * brightness gradient, so the base dHash is all-ones / all-zeros:
+    * cross-shot distance is 64 minus the nudges' ≤ 3+3 bits ≥ 58.
+    * Within a shot, frames differ by a single adjacent-cell swap
+    * confined to one row (≤ 3 bits off the base ⇒ any two frames of
+    * the shot ≤ 6 apart). 6 < maxIntraDist = 10 < 58, both provable.
     */
-  private[llm] def syntheticShotFrame(shotSeed: Long, frame: Int): Array[Byte] = {
+  private[llm] def syntheticShotFrame(shotIdx: Int, frame: Int): Array[Byte] = {
     val g = new Array[Int](72)
-    var st = shotSeed * 2654435761L + 99991L
     var i = 0
     while (i < 72) {
-      st = st * 6364136223846793005L + 1442695040888963407L
-      g(i) = ((st >>> 33) % 256).toInt
+      val c = i % 9
+      g(i) = if (shotIdx % 2 == 0) c * 28 else (8 - c) * 28
       i += 1
     }
     val r = frame % 8
@@ -953,8 +964,7 @@ object Multimodal {
   private[llm] def syntheticShotVideo(docId: Long): Array[Byte] = {
     val nShots = shotsFor(docId)
     encodeVideo((0 until nShots).flatMap { sIdx =>
-      val seed = docId * 31L + sIdx * 977L
-      (0 until shotFramesPerShot).map(f => syntheticShotFrame(seed, f))
+      (0 until shotFramesPerShot).map(f => syntheticShotFrame(sIdx, f))
     })
   }
 
@@ -990,14 +1000,15 @@ object Multimodal {
       "left_anti").count()
     val spurious = detected.join(planted, Seq("doc_id", "frame_idx"),
       "left_anti").count()
+    // (no max(shot_idx)-vs-boundary-count check: shot_idx is the
+    // running sum of is_boundary over the same window, so the two are
+    // equal by construction — a tautology, not a gate)
     val perVideo = marked.groupBy("doc_id")
-      .agg(max(col("shot_idx")).as("max_shot"),
-        sum(when(col("is_boundary"), 1L).otherwise(0L)).as("n_bounds"),
+      .agg(sum(when(col("is_boundary"), 1L).otherwise(0L)).as("n_bounds"),
         countDistinct(when(col("frame_idx") % shotFramesPerShot === 0,
           col("frame_idx"))).as("n_keyframes"))
     val badShotIdx = perVideo
-      .filter(col("max_shot") =!= col("n_bounds") ||
-        col("n_keyframes") =!= col("n_bounds") + 1).count()
+      .filter(col("n_keyframes") =!= col("n_bounds") + 1).count()
     val nVideos = docs.count()
     val nDecoded = marked.select("doc_id").distinct().count()
     val nBoundaries = detected.count()

@@ -1441,7 +1441,10 @@ object TextAnalysis {
     // weight(gram) in [-500, 499] milli-units: md5-prefix mod 1000 - 500
     val wExpr = (g: Column) =>
       conv(substring(md5(g), 1, 6), 16, 10).cast("long") % 1000 - 500
-    df.withColumn("n_grams", size(grams).cast("long"))
+    // n unigrams + (n-1) bigrams, WITHOUT re-materializing the gram
+    // array (HOFs are interpreted; size(grams) would re-evaluate the
+    // whole split+slice+zip tree a second time per row)
+    df.withColumn("n_grams", (size(toks) * 2 - 1).cast("long"))
       .withColumn("score_units",
         aggregate(grams, lit(0L), (acc, g) => acc + wExpr(g)))
       .withColumn("ngram_score",

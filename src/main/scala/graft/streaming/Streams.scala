@@ -1218,8 +1218,11 @@ object Streams {
       .unionByName(v1.filter(col("o_orderkey") <= 300)
         .select((col("o_orderkey") + 20000000).as("o_orderkey"),
           lit(9999L).as("cents"), lit("X").as("st")))
+    // checkpoint the changelog ONCE: each feed.add below writes a
+    // filtered view of it, and the lazy full-outer join would re-run
+    // per batch otherwise (m21's single-build discipline)
     val log = graft.ops.Cdc.snapshotDiff(v1, v2, "o_orderkey",
-      keepOld = true)
+      keepOld = true).localCheckpoint(true)
     // the stored view at v1
     v1.groupBy("st").agg(count(lit(1)).as("n"), sum(col("cents")).as("v"))
       .write.mode("overwrite").parquet(aggDir)
