@@ -115,6 +115,17 @@ object Bench {
         .map(_.replaceAll("[^0-9]", "").toDouble / 1024.0).getOrElse(-1.0)
     } catch { case _: Throwable => -1.0 }
     val peakMb = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // Shared-host noise is the recurring confounder in round-over-round
+    // bench comparisons (r10/r11 both had 1.5-5x scatter on sub-second
+    // queries traced to ambient load). Record /proc/loadavg at start and
+    // end plus the core count so every artifact is self-describing: a
+    // load1 near 0 means the numbers are clean; load1 >> nCores/4 means
+    // treat regressions as suspect before A/B-ing code.
+    def loadAvg(): String = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(" ")
+    } catch { case _: Throwable => "unavailable" }
+    val loadStart = loadAvg()
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=d2_minhash_lsh,d4_… times
     // just those queries; unset (the driver's mode) runs everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -201,8 +212,10 @@ object Bench {
     val pks = peakMb.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val timing = if (reps > 1) "warm-median" else "cold-single-shot"
     val total = times.values.sum
+    val loadEnd = loadAvg()
+    val cores = Runtime.getRuntime.availableProcessors()
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"reps":$reps,"timing":${jstr(timing)},"n_samples":$nss,"peak_heap_mb":$pks,"peak_rss_mb":${vmHwmMb()},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"reps":$reps,"timing":${jstr(timing)},"n_samples":$nss,"peak_heap_mb":$pks,"peak_rss_mb":${vmHwmMb()},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"n_cores":$cores,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     // The result line goes out LAST, after the Spark session (and its
     // log chatter) is fully stopped, so no concurrent logger can splice
@@ -226,7 +239,7 @@ object Bench {
     val slow10 = times.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${times.size},"n_failed":${errors.size},"reps":$reps,"timing":${jstr(timing)},"peak_rss_mb":${vmHwmMb()},"queries":$slow10,"note":"slowest-10 only; full map in bench_out.json","sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${times.size},"n_failed":${errors.size},"reps":$reps,"timing":${jstr(timing)},"peak_rss_mb":${vmHwmMb()},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"n_cores":$cores,"queries":$slow10,"note":"slowest-10 only; full map in bench_out.json","sf":${jstr(sfDir)}}"""
     println(summary)
     Console.out.flush()
     System.err.println(summary)

@@ -89,9 +89,13 @@ object BinaryQuant {
       val joined = exact.join(approx, Seq("qid"), "left").cache()
       val nQ = joined.count().toDouble
       val hits = joined.filter(col("nid") === col("nid_b")).count().toDouble
+      // !isnan guard: Catalyst orders NaN GREATER than any value, so a
+      // bare `x > 0f` would set the bit for a NaN component while the
+      // signPack UDF's JVM `> 0f` is false for NaN — the cross-check
+      // must replay the kernel's IEEE semantics, not SQL's total order.
       val bitsExpr = aggregate(
         transform(col("embedding"), (x, i) =>
-          when(x > lit(0f),
+          when(!isnan(x) && x > lit(0f),
             call_function("shiftleft", lit(1L), pmod(i, lit(64))))
             .otherwise(lit(0L))),
         lit(0L), (acc, v) => acc.bitwiseXOR(v))

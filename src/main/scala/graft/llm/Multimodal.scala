@@ -1144,8 +1144,16 @@ object Multimodal {
       StructType(Seq(
         StructField("doc_id", LongType, nullable = false),
         StructField("payload", BinaryType, nullable = false))))
-    videoNearDupPairs(videoFrameHashes(assets, stride = 2), "doc_id",
-        maxDist = 3, minMatchFrac = 0.5)
+    val hashes = videoFrameHashes(assets, stride = 2)
+    videoNearDupPairs(hashes, "doc_id", maxDist = 3, minMatchFrac = 0.5)
+      .write.format("noop").mode("overwrite").save()
+    // mm5's lag-window path (last(ignoreNulls) over unbounded-preceding +
+    // bit_count + running boundary sum) is a different physical shape from
+    // the banded join above — r11's driver-run artifact showed mm5 at
+    // 11.2 s cold while the committed warm number was ~3 s, i.e. the shot
+    // detector's window machinery was still un-warmed. One miniature pass
+    // here eats that JIT outside the timed region.
+    videoShotBoundaries(hashes, "doc_id", maxIntraDist = 10)
       .write.format("noop").mode("overwrite").save()
   }
 

@@ -132,9 +132,33 @@ object VectorIndex {
     val spark = deleted.sparkSession
     import spark.implicits._
     val meta = spark.read.parquet(s"$dir/meta").head()
+    // The contract (every deleted row is a live stored row, exactly once)
+    // is ENFORCED, not just documented: XOR fingerprint maintenance is
+    // only exact under it — a double delete or a never-indexed row would
+    // silently drift n_vectors/checksum so a later ensure() validates
+    // against the wrong live corpus or rebuilds spuriously. Fail loud
+    // instead. Cost: one pass over the delete set + a semi-join against
+    // the (code-sized, not float-sized) store — cheap next to the
+    // corruption it prevents.
+    val ids = deleted.select(col("vec_id").cast("long").as("nid")).cache()
+    val nDel = ids.count()
+    val nDistinct = ids.distinct().count()
+    require(nDistinct == nDel,
+      s"delete set contains ${nDel - nDistinct} duplicate vec_ids")
+    val nStored = ids.join(spark.read.parquet(s"$dir/codes").select("nid"),
+      Seq("nid"), "left_semi").count()
+    require(nStored == nDel,
+      s"${nDel - nStored} of $nDel vec_ids are not present in the index at $dir")
+    if (graft.util.Fs.exists(spark, s"$dir/tombstones")) {
+      val nAlready = ids.join(
+        spark.read.parquet(s"$dir/tombstones").select("nid"),
+        Seq("nid"), "left_semi").count()
+      require(nAlready == 0,
+        s"$nAlready of $nDel vec_ids are already tombstoned (double delete)")
+    }
     val (dn, dsum) = fingerprint(deleted)
-    deleted.select(col("vec_id").cast("long").as("nid"))
-      .repartition(1).write.mode("append").parquet(s"$dir/tombstones")
+    ids.repartition(1).write.mode("append").parquet(s"$dir/tombstones")
+    ids.unpersist()
     Seq((meta.getAs[Long]("n_vectors") - dn,
         meta.getAs[Long]("checksum") ^ dsum,
         meta.getAs[Int]("dim"), meta.getAs[Int]("n_cells"),
@@ -146,34 +170,53 @@ object VectorIndex {
   }
 
   /** Fold the tombstones into the store: rewrite ONLY the cell
-    * partitions that contain deleted rows (dynamic partition
-    * overwrite — s12's machinery), then drop the tombstone table.
-    * The maintenance pass that bounds merge-on-read's growing
+    * partitions that contain deleted rows, then drop the tombstone
+    * table. The maintenance pass that bounds merge-on-read's growing
     * anti-join cost, exactly like s13 bounds small-file growth.
-    * The affected-cell rows pass through a localCheckpoint before the
-    * overwrite (Spark refuses to overwrite a path it is reading);
-    * at petabyte scale the per-cell rewrite would stage-and-swap
-    * directories instead — same layout, no materialization.
+    *
+    * Crash-safe via STAGE-AND-SWAP: survivors are written durably to
+    * `codes_staging/` first, then each affected `cell=` directory is
+    * removed and its staged replacement renamed in. Tombstones are
+    * dropped only after the full swap, so a crash anywhere leaves
+    * merge-on-read correct (the anti-join still hides deleted rows),
+    * and the next [[compact]] call RECOVERS: a staged cell whose live
+    * directory is missing (crash between rm and rename) is the only
+    * copy of that cell's survivors and is renamed into place before
+    * anything else; staged cells whose live directory survived are
+    * stale duplicates and are discarded.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
+    val staging = s"$dir/codes_staging"
+    // recovery: finish a previous compact that crashed mid-swap
+    graft.util.Fs.listDirNames(spark, staging)
+      .filter(_.startsWith("cell="))
+      .foreach { cellDir =>
+        if (!graft.util.Fs.exists(spark, s"$dir/codes/$cellDir"))
+          graft.util.Fs.rename(spark, s"$staging/$cellDir",
+            s"$dir/codes/$cellDir")
+      }
+    graft.util.Fs.rmTree(spark, staging)
     if (!graft.util.Fs.exists(spark, s"$dir/tombstones")) return
     val tomb = spark.read.parquet(s"$dir/tombstones").select(col("nid"))
     val raw = spark.read.parquet(s"$dir/codes")
     val affected = raw.join(tomb, Seq("nid"), "left_semi")
       .select("cell").distinct().collect().map(_.getInt(0))
     if (affected.nonEmpty) {
-      // materialize the survivors BEFORE touching directories (eager
-      // localCheckpoint), then replace the affected cell dirs: dynamic
-      // overwrite alone would leave a fully-emptied cell's old files
-      // in place (it only replaces partitions PRESENT in the data)
-      val rewrite = raw
-        .filter(col("cell").isin(affected.map(Int.box).toSeq: _*))
+      // stage: survivors land on STORAGE (not an executor-local
+      // checkpoint) before any live directory is touched. A fully-
+      // emptied cell simply writes no staging dir and gets no rename.
+      raw.filter(col("cell").isin(affected.map(Int.box).toSeq: _*))
         .join(tomb, Seq("nid"), "left_anti")
-        .localCheckpoint(true)
-      affected.foreach(c =>
-        graft.util.Fs.rmTree(spark, s"$dir/codes/cell=$c"))
-      rewrite.repartition(col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(staging)
+      // swap
+      affected.foreach { c =>
+        graft.util.Fs.rmTree(spark, s"$dir/codes/cell=$c")
+        if (graft.util.Fs.exists(spark, s"$staging/cell=$c"))
+          graft.util.Fs.rename(spark, s"$staging/cell=$c",
+            s"$dir/codes/cell=$c"): Unit
+      }
+      graft.util.Fs.rmTree(spark, staging)
     }
     graft.util.Fs.rmTree(spark, s"$dir/tombstones")
   }

@@ -90,9 +90,43 @@ object XgbImport {
     case other => sys.error(s"xgb json: expected array, got $other")
   }
 
+  /** Supported envelope (enforced, not just documented): single-target
+    * `gbtree` boosters with `num_parallel_tree == 1` and `num_class` ∈
+    * {0, 1} — i.e. plain boosted regression/binary-classification
+    * ensembles, the shape daxos trains. Everything outside it fails
+    * LOUD at parse time with a message naming the unsupported feature:
+    *  - dart / gblinear boosters (dart needs per-tree drop weights at
+    *    prediction time; gblinear is not a tree model at all);
+    *  - `num_parallel_tree > 1` boosted random forests (plain leaf
+    *    summation happens to match XGBoost for them, but we refuse to
+    *    guess silently until a truth fixture pins it);
+    *  - multi-class models (prediction needs `tree_info` class routing).
+    */
   def parse(json: String): XgbModel = {
     val root = org.json4s.jackson.JsonMethods.parse(json)
     val learner = root \ "learner"
+    (learner \ "gradient_booster" \ "name") match {
+      case JString("gbtree") => ()
+      case JString(other) => sys.error(
+        s"xgb json: unsupported booster '$other' — only 'gbtree' is " +
+          "supported (dart needs drop-weight handling, gblinear is not " +
+          "a tree ensemble)")
+      case JNothing => () // older dumps omit the name; trees[] shape decides
+      case other => sys.error(s"xgb json: booster name $other")
+    }
+    (learner \ "gradient_booster" \ "model" \ "gbtree_model_param" \
+        "num_parallel_tree") match {
+      case JString(s) if s.trim.toIntOption.exists(_ > 1) => sys.error(
+        s"xgb json: num_parallel_tree=$s — boosted random forests are " +
+          "not supported; retrain with num_parallel_tree=1")
+      case _ => ()
+    }
+    (learner \ "learner_model_param" \ "num_class") match {
+      case JString(s) if s.trim.toIntOption.exists(_ > 1) => sys.error(
+        s"xgb json: num_class=$s — multi-class boosters are not " +
+          "supported (prediction would need tree_info class routing)")
+      case _ => ()
+    }
     val treesJ = (learner \ "gradient_booster" \ "model" \ "trees") match {
       case JArray(ts) => ts
       case other => sys.error(s"xgb json: trees not an array: $other")
@@ -133,8 +167,30 @@ object XgbImport {
     XgbModel(trees, baseScore, objective)
   }
 
-  def loadFile(path: String): XgbModel =
-    parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+  /** Load a model FILE. Only the JSON format is supported; the two
+    * binary on-disk formats XGBoost's `Booster.save_model` can emit are
+    * detected by magic/shape and rejected with a message that names the
+    * fix, instead of surfacing as a cryptic JSON parse error:
+    *  - legacy binary `.model` files start with the `binf` magic;
+    *  - UBJSON `.ubj` files are binary-tagged (NUL/length-marker bytes
+    *    in the head, never valid JSON).
+    */
+  def loadFile(path: String): XgbModel = {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))
+    val head = bytes.take(256)
+    val isBinfMagic = head.length >= 4 &&
+      head(0) == 'b' && head(1) == 'i' && head(2) == 'n' && head(3) == 'f'
+    require(!isBinfMagic,
+      s"$path is a legacy XGBoost BINARY .model file (magic 'binf'); " +
+        "this importer reads the JSON format only — re-save it with " +
+        "Booster.save_model('model.json') and load that")
+    require(!head.exists(b => b == 0 || (b >= 0 && b < 9)),
+      s"$path is not JSON text (binary bytes in the head — a UBJSON " +
+        ".ubj or other binary dump?); re-save the booster with " +
+        "Booster.save_model('model.json') and load that")
+    parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   /** Distributed prediction: broadcast the parsed model, traverse per
     * row. `featuresCol` is array<double> (NaN = missing, the XGBoost

@@ -268,12 +268,23 @@ object Cdc {
     */
   def maintainSumAgg(baseAgg: DataFrame, changelog: DataFrame,
       groupField: String, valueField: String): DataFrame = {
+    // The integral-value contract is ENFORCED on the changelog, not just
+    // documented for baseAgg: a fractional value would otherwise truncate
+    // toward zero silently and corrupt the maintained view. raise_error
+    // fails the maintenance job loud at the first offending row.
+    def toLongExact(v: org.apache.spark.sql.Column) =
+      when(v.isNull, lit(null).cast("long"))
+        .when(v.cast("double") === v.cast("long").cast("double"), v.cast("long"))
+        .otherwise(raise_error(concat(
+          lit(s"maintainSumAgg: non-integral $valueField in changelog: "),
+          v.cast("string"))).cast("long"))
     val applies = changelog.filter(col("op").isin("I", "U"))
       .select(col(s"row.$groupField").as("g"),
-        lit(1L).as("dn"), col(s"row.$valueField").cast("long").as("dv"))
+        lit(1L).as("dn"), toLongExact(col(s"row.$valueField")).as("dv"))
     val retracts = changelog.filter(col("op").isin("D", "U"))
       .select(col(s"row_old.$groupField").as("g"),
-        lit(-1L).as("dn"), (-col(s"row_old.$valueField").cast("long")).as("dv"))
+        lit(-1L).as("dn"),
+        (-toLongExact(col(s"row_old.$valueField"))).as("dv"))
     val delta = applies.unionByName(retracts)
       .groupBy("g").agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
     baseAgg.select(col(groupField).as("g"), col("n"), col("v"))

@@ -26,6 +26,28 @@ object Fs {
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
   }
 
+  /** Rename through the Hadoop FileSystem API. Atomic on HDFS and local
+    * filesystems (the stage-and-swap primitive); object stores emulate it
+    * with copy+delete, which is why swap recovery must tolerate a
+    * half-finished rename. */
+  def rename(spark: org.apache.spark.sql.SparkSession, src: String,
+      dst: String): Boolean = {
+    val sp = new org.apache.hadoop.fs.Path(src)
+    sp.getFileSystem(spark.sessionState.newHadoopConf())
+      .rename(sp, new org.apache.hadoop.fs.Path(dst))
+  }
+
+  /** Names of the immediate child DIRECTORIES of `path` (empty when the
+    * path does not exist). Used by swap recovery to enumerate staged
+    * `cell=N` partitions. */
+  def listDirNames(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
   def rmRecursive(f: File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(rmRecursive)

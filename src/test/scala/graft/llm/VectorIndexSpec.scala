@@ -182,6 +182,74 @@ class VectorIndexSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("delete enforces the membership contract loud") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/g"
+    val c = corpus(200).cache()
+    VectorIndex.build(c, dir)
+    // rows never indexed: XOR maintenance would drift — must raise
+    val stranger = corpus(210).filter(col("vec_id") >= 200)
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndex.delete(stranger, dir)
+    }
+    assert(e1.getMessage.contains("not present"))
+    // duplicate ids within one delete set
+    val dup = c.filter(col("vec_id") < 5)
+      .unionAll(c.filter(col("vec_id") < 5))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.delete(dup, dir)
+    }
+    assert(e2.getMessage.contains("duplicate"))
+    // double delete across calls
+    VectorIndex.delete(c.filter(col("vec_id") < 5), dir)
+    val e3 = intercept[IllegalArgumentException] {
+      VectorIndex.delete(c.filter(col("vec_id") < 5), dir)
+    }
+    assert(e3.getMessage.contains("already tombstoned"))
+    // the failed calls must not have corrupted the meta: ensure() over
+    // the true live corpus validates without rebuild
+    val builds = VectorIndex.buildsThisProcess
+    VectorIndex.ensure(c.filter(col("vec_id") >= 5), dir)
+    assert(VectorIndex.buildsThisProcess == builds)
+    c.unpersist()
+  }
+
+  test("compact recovers a crash between cell-dir removal and rename") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/h"
+    val c = corpus(300).cache()
+    VectorIndex.build(c, dir)
+    val deleted = c.filter(col("vec_id") % 3 === 0)
+    val live = c.filter(col("vec_id") % 3 =!= 0)
+    VectorIndex.delete(deleted, dir)
+    // Fabricate the worst-window crash state by hand: survivors of ONE
+    // affected cell staged, its live directory already removed, rename
+    // never executed, tombstones still present.
+    val raw = spark.read.parquet(s"$dir/codes")
+    val tombIds = deleted.select(col("vec_id").as("nid"))
+    val firstCell = raw.join(tombIds, Seq("nid"), "left_semi")
+      .select("cell").distinct().orderBy("cell").head().getInt(0)
+    raw.filter(col("cell") === firstCell)
+      .join(tombIds, Seq("nid"), "left_anti")
+      .withColumn("cell", lit(firstCell))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/codes_staging")
+    graft.util.Fs.rmTree(spark, s"$dir/codes/cell=$firstCell")
+    // the staged copy is now the ONLY copy of that cell's survivors
+    VectorIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/codes_staging").exists())
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val ix = VectorIndex.load(spark, dir)
+    assert(ix.codes.count() == live.count(),
+      "recovery must restore the staged cell and finish the compaction")
+    // fingerprint still validates against the live corpus — no rebuild
+    val builds = VectorIndex.buildsThisProcess
+    VectorIndex.ensure(live, dir)
+    assert(VectorIndex.buildsThisProcess == builds)
+    c.unpersist()
+  }
+
   test("compact clears a fully-emptied cell's files") {
     graft.util.Fs.rmRecursive(new java.io.File(base))
     val dir = s"$base/e"

@@ -64,4 +64,53 @@ class XgbImportSpec extends SparkSpec {
         """"left_children": [1, -1, -1]""", """"left_children": [1, -1]"""))
     }
   }
+
+  test("unsupported envelope fails loud, naming the feature") {
+    // dart booster
+    val dart = intercept[Exception] {
+      XgbImport.parse(XgbImport.fixtureJson.replace(
+        """"name": "gbtree"""", """"name": "dart""""))
+    }
+    assert(dart.getMessage.contains("dart") ||
+      dart.getMessage.contains("booster"))
+    // boosted random forest
+    val rf = intercept[Exception] {
+      XgbImport.parse(XgbImport.fixtureJson.replace(
+        """"num_parallel_tree": "1"""", """"num_parallel_tree": "4""""))
+    }
+    assert(rf.getMessage.contains("num_parallel_tree"))
+    // multi-class
+    val mc = intercept[Exception] {
+      XgbImport.parse(XgbImport.fixtureJson.replace(
+        """"num_class": "0"""", """"num_class": "3""""))
+    }
+    assert(mc.getMessage.contains("num_class"))
+  }
+
+  test("binary model files are rejected with a format message") {
+    val dir = java.nio.file.Files.createTempDirectory("xgb").toFile
+    try {
+      // legacy binary .model: 'binf' magic followed by struct bytes
+      val legacy = new java.io.File(dir, "legacy.model")
+      java.nio.file.Files.write(legacy.toPath,
+        "binf".getBytes ++ Array[Byte](0, 0, 0, 1, 0, 0, 0, 2))
+      val e1 = intercept[IllegalArgumentException] {
+        XgbImport.loadFile(legacy.getAbsolutePath)
+      }
+      assert(e1.getMessage.contains("binf") &&
+        e1.getMessage.contains("save_model"))
+      // UBJSON-ish binary head (length-marker control bytes)
+      val ubj = new java.io.File(dir, "model.ubj")
+      java.nio.file.Files.write(ubj.toPath,
+        Array[Byte]('{', 'i', 7, 'l', 'e', 'a', 'r', 'n', 'e', 'r', '{'))
+      val e2 = intercept[IllegalArgumentException] {
+        XgbImport.loadFile(ubj.getAbsolutePath)
+      }
+      assert(e2.getMessage.contains("save_model"))
+      // the JSON path through loadFile still works
+      val ok = new java.io.File(dir, "model.json")
+      java.nio.file.Files.writeString(ok.toPath, XgbImport.fixtureJson)
+      assert(XgbImport.loadFile(ok.getAbsolutePath).trees.length == 2)
+    } finally graft.util.Fs.rmRecursive(dir)
+  }
 }

@@ -135,4 +135,28 @@ class CdcSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(twice != want) // the redelivered delta really does corrupt
   }
+
+  test("maintainSumAgg: a non-integral changelog value fails LOUD " +
+      "instead of silently truncating the maintained view") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v")
+    val v2 = Seq((1L, "a", 15.5), (2L, "b", 20.0)).toDF("k", "g", "v")
+    val base = v1.groupBy("g").agg(count(lit(1)).as("n"),
+      sum("v").cast("long").as("v"))
+    val log = Cdc.snapshotDiff(v1, v2, "k", keepOld = true)
+    val e = intercept[Exception] {
+      Cdc.maintainSumAgg(base, log, "g", "v").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("non-integral")),
+      s"expected the loud integral-contract error, got: $e")
+    // integral values still flow
+    val v3 = Seq((1L, "a", 15.0), (2L, "b", 20.0)).toDF("k", "g", "v")
+    val log3 = Cdc.snapshotDiff(v1, v3, "k", keepOld = true)
+    val got = Cdc.maintainSumAgg(base, log3, "g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("a", 1L, 15L), ("b", 1L, 20L)))
+  }
 }
