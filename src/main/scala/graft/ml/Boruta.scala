@@ -372,7 +372,17 @@ object Boruta {
   /** M12 rows-only entry: Boruta on the fixture must confirm both
     * planted SNPs and confirm nothing else.
     */
-  val m12 = QueryDef.fixture("m12_boruta_shap") { (s, d) =>
+  /** GOLDEN-PINNED oracle (round 12, same pattern as m6/m1): every
+    * stage — fixture, shadow permutations, GBT fits, SHAP ranking — is
+    * seed-deterministic (byte-identical at local[8] vs local[32] and
+    * across determinism double-runs), so the decision summary AND the
+    * full per-feature hit-count vector are pinned as a VALUES row. The
+    * hit vector makes the pin sharp: any drift in the shadow-threshold
+    * comparison changes some feature's hit count even when the final
+    * confirm/reject decisions survive. */
+  val m12 = QueryDef(
+    "m12_boruta_shap",
+    { (s, d) =>
     // seed 606: both planted SNPs have common MAFs (see a12 note) so
     // their SHAP importances clear the max-shadow threshold every iter.
     val cfg = Sim.Config(n = 1200L, p = 10, seed = 606L, chunkRows = 100L)
@@ -389,7 +399,11 @@ object Boruta {
       res.ranking(cfg.p - 1), res.hits.toSeq.mkString(",")))
       .toDF("planted_confirmed", "others_confirmed", "rank_or5", "hits")
       .filter(col("planted_confirmed") === 2 && col("others_confirmed") === 0)
-  }
+  },
+    oracle = Some(
+      """SELECT * FROM (VALUES (2, 0, 1, '0,0,0,0,2,2,0,0,8,8'))
+        |  t(planted_confirmed, others_confirmed, rank_or5, hits)""".stripMargin),
+    benchEligible = false)
 
   def all: Seq[QueryDef] = Seq(a12, m12)
 }

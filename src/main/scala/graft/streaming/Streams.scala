@@ -556,7 +556,9 @@ object Streams {
     * ingest stream. (Memory sink can't recover from a checkpoint; the
     * file sink is the recovery-capable production shape.)
     */
-  val st8 = QueryDef.fixture("st8_stream_checkpoint_recovery") { (s, d) =>
+  val st8 = QueryDef(
+    "st8_stream_checkpoint_recovery",
+    { (s, d) =>
     import s.implicits._
     val base = graft.util.Fixtures.dir + "/st8"
     val srcDir = new java.io.File(s"$base/src")
@@ -599,11 +601,18 @@ object Streams {
     val firstRunExact = ids1.toSet == half1Ids && ids1.size == half1Ids.size
     val noDups = idsAll.size == idsAll.toSet.size
     val complete = idsAll.toSet == allIds
-    Seq((ids1.size.toLong, (idsAll.size - ids1.size).toLong,
-        firstRunExact && noDups && complete))
-      .toDF("n_run1", "n_run2", "exactly_once")
-      .filter(col("exactly_once") && col("n_run1") > 0 && col("n_run2") > 0)
-  }
+    // FULL oracle (since r12): emit the recovered sink's CONTENT — after
+    // an exactly-once recovery it must equal the filtered source table,
+    // which DuckDB recomputes independently. The booleans still gate.
+    s.read.parquet(outDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .filter(lit(firstRunExact && noDups && complete &&
+        ids1.nonEmpty && idsAll.size > ids1.size))
+  },
+    oracle = Some(
+      """SELECT event_id, user_id, event_type
+        |FROM events WHERE ts IS NOT NULL""".stripMargin),
+    benchEligible = false)
 
   /** ST9 — idempotent foreachBatch sink: the production pattern for
     * streaming into a partitioned table when the built-in file sink's
