@@ -146,35 +146,169 @@ object GraphAnn {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** Merge-on-read load: stored edges minus every edge touching a
+    * tombstoned node — a deleted node must vanish BOTH as a source
+    * (its out-edges) and as a destination (its appearances in other
+    * nodes' top-M), so the anti-join runs on both endpoints. */
+  def load(spark: SparkSession, dir: String): DataFrame = {
+    val edges = spark.read.parquet(s"$dir/edges")
+    if (graft.util.Fs.exists(spark, s"$dir/tombstones")) {
+      val tomb = spark.read.parquet(s"$dir/tombstones")
+      edges
+        .join(tomb.select(col("nid").as("src")), Seq("src"), "left_anti")
+        .join(tomb.select(col("nid").as("dst")), Seq("dst"), "left_anti")
+    } else edges
+  }
+
   /** Load the stored graph if its fingerprint matches `corpus`, else
-    * (re)build and persist — v19's build-once contract. The derived
-    * init cell count (⌈n / initCellSize⌉ — scales WITH the corpus, not
-    * a fixed 16) is recorded in meta alongside the build params. */
+    * (re)build and persist — v19's build-once contract. Since round 12
+    * (format_version 3) the store also persists a `nodes/` table (the
+    * membership set [[delete]] validates against) and the RAW
+    * `init_cell_size` parameter (not the derived cell count, which
+    * would spuriously rebuild after a fingerprint-maintained delete
+    * changes n). */
   def ensure(corpus: DataFrame, dir: String, m: Int = 16,
       descentRounds: Int = 3, initCellSize: Int = 256): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (n, sum) = fingerprint(corpus)
-    val nCells = math.max(1L, (n + initCellSize - 1) / initCellSize)
     val valid = try {
       val meta = spark.read.parquet(s"$dir/meta").head()
       meta.getAs[Long]("n_vectors") == n &&
         meta.getAs[Long]("checksum") == sum &&
         meta.getAs[Int]("m") == m &&
-        meta.getAs[Long]("n_init_cells") == nCells &&
-        meta.getAs[Int]("descent_rounds") == descentRounds
+        meta.getAs[Int]("init_cell_size") == initCellSize &&
+        meta.getAs[Int]("descent_rounds") == descentRounds &&
+        meta.getAs[Int]("format_version") == 3 &&
+        graft.util.Fs.exists(spark, s"$dir/nodes")
     } catch { case _: Throwable => false }
     if (!valid) {
       buildsThisProcess += 1
       graft.util.Fs.rmTree(spark, dir)
       buildNeighborGraph(corpus, m, descentRounds, initCellSize)
         .write.mode("overwrite").parquet(s"$dir/edges")
-      Seq((n, sum, m, nCells, descentRounds, 2))
-        .toDF("n_vectors", "checksum", "m", "n_init_cells",
+      corpus.select(col("vec_id").cast("long").as("nid"))
+        .write.mode("overwrite").parquet(s"$dir/nodes")
+      Seq((n, sum, m, initCellSize, descentRounds, 3))
+        .toDF("n_vectors", "checksum", "m", "init_cell_size",
           "descent_rounds", "format_version")
         .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
     }
-    spark.read.parquet(s"$dir/edges")
+    load(spark, dir)
+  }
+
+  /** Delete nodes from the stored graph WITHOUT touching the edge
+    * table — v25's merge-on-read shape applied to the graph index:
+    * deleted ids land in a tombstone table that [[load]] anti-joins on
+    * BOTH edge endpoints, and the meta fingerprint updates
+    * incrementally (XOR is its own inverse) so a later [[ensure]] over
+    * the live corpus validates without rebuild. The membership
+    * contract (every deleted row is a live indexed node, exactly once)
+    * is enforced against the persisted `nodes/` table — same
+    * loud-failure rationale as [[VectorIndex.delete]]. */
+  def delete(deleted: DataFrame, dir: String): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val ids = deleted.select(col("vec_id").cast("long").as("nid")).cache()
+    val nDel = ids.count()
+    require(ids.distinct().count() == nDel,
+      s"delete set contains duplicate vec_ids")
+    val nMember = ids.join(spark.read.parquet(s"$dir/nodes"),
+      Seq("nid"), "left_semi").count()
+    require(nMember == nDel,
+      s"${nDel - nMember} of $nDel vec_ids are not indexed nodes at $dir")
+    if (graft.util.Fs.exists(spark, s"$dir/tombstones")) {
+      val nAlready = ids.join(
+        spark.read.parquet(s"$dir/tombstones").select("nid"),
+        Seq("nid"), "left_semi").count()
+      require(nAlready == 0,
+        s"$nAlready of $nDel vec_ids are already tombstoned (double delete)")
+    }
+    val (dn, dsum) = fingerprint(deleted)
+    ids.repartition(1).write.mode("append").parquet(s"$dir/tombstones")
+    ids.unpersist()
+    Seq((meta.getAs[Long]("n_vectors") - dn,
+        meta.getAs[Long]("checksum") ^ dsum,
+        meta.getAs[Int]("m"), meta.getAs[Int]("init_cell_size"),
+        meta.getAs[Int]("descent_rounds"),
+        meta.getAs[Int]("format_version")))
+      .toDF("n_vectors", "checksum", "m", "init_cell_size",
+        "descent_rounds", "format_version")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Fold the tombstones into the stored graph, with EDGE REPAIR (the
+    * FreshDiskANN delete-consolidation move, Singh et al. 2021): a
+    * node that lost edges to deleted neighbors gets the deleted nodes'
+    * live out-neighbors as bridge candidates (the 2-hop paths the
+    * deletion severed), scored exact against `corpus` (the LIVE
+    * corpus), and keeps its strongest 2M — without repair, every
+    * delete monotonically thins the graph and beam-search recall
+    * decays with churn. Only affected nodes re-rank; untouched nodes'
+    * edge lists pass through byte-identical.
+    *
+    * Crash-safe stage-and-swap like [[VectorIndex.compact]]: new
+    * `edges`/`nodes` tables land in staging first; a crash mid-swap is
+    * recovered on the next call (a staged table whose live directory
+    * is missing is the only copy — renamed in; otherwise the staged
+    * copy is stale and discarded). Tombstones are dropped last, so
+    * merge-on-read stays correct throughout.
+    */
+  def compact(corpus: DataFrame, dir: String, m: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    // recovery: finish a previous compact that crashed mid-swap
+    Seq("edges", "nodes").foreach { t =>
+      val stag = s"$dir/${t}_staging"
+      if (graft.util.Fs.exists(spark, stag)) {
+        if (!graft.util.Fs.exists(spark, s"$dir/$t"))
+          graft.util.Fs.rename(spark, stag, s"$dir/$t"): Unit
+        else graft.util.Fs.rmTree(spark, stag)
+      }
+    }
+    if (!graft.util.Fs.exists(spark, s"$dir/tombstones")) return
+    val tomb = spark.read.parquet(s"$dir/tombstones").select(col("nid"))
+    val raw = spark.read.parquet(s"$dir/edges")
+    val tombS = tomb.select(col("nid").as("src"))
+    val tombD = tomb.select(col("nid").as("dst"))
+    val live = raw.join(tombS, Seq("src"), "left_anti")
+      .join(tombD, Seq("dst"), "left_anti")
+    // live -> dead edges identify the affected nodes; dead -> live
+    // edges supply the bridge endpoints. Bridge count is bounded by
+    // |edges into dead| x 2M — candidate-bounded, never all-pairs.
+    val toDead = raw.join(tombD, Seq("dst"), "left_semi")
+      .join(tombS, Seq("src"), "left_anti")
+    val fromDead = raw.join(tombS, Seq("src"), "left_semi")
+      .join(tombD, Seq("dst"), "left_anti")
+    val bridges = toDead.select(col("src"), col("dst").as("mid"))
+      .join(fromDead.select(col("src").as("mid"), col("dst")), "mid")
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .join(corpus.select(col("vec_id").as("src"), col("embedding").as("sv")),
+        "src")
+      .join(corpus.select(col("vec_id").as("dst"), col("embedding").as("dv")),
+        "dst")
+      .withColumn("sim", round(Similarity.cosine(col("sv"), col("dv")), 6))
+      .select(col("src"), col("dst"), col("sim"))
+    val affected = toDead.select("src").distinct()
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+    val repaired = live.join(affected, Seq("src"), "left_semi")
+      .unionByName(bridges)
+      .groupBy("src", "dst").agg(max(col("sim")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2 * m)
+      .select(col("src"), col("dst"), col("sim"))
+    val untouched = live.join(affected, Seq("src"), "left_anti")
+    untouched.unionByName(repaired)
+      .write.mode("overwrite").parquet(s"$dir/edges_staging")
+    spark.read.parquet(s"$dir/nodes")
+      .join(tomb, Seq("nid"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/nodes_staging")
+    Seq("edges", "nodes").foreach { t =>
+      graft.util.Fs.rmTree(spark, s"$dir/$t")
+      graft.util.Fs.rename(spark, s"$dir/${t}_staging", s"$dir/$t"): Unit
+    }
+    graft.util.Fs.rmTree(spark, s"$dir/tombstones")
   }
 
   /** Batched beam search: every query walks the graph simultaneously;
@@ -373,5 +507,103 @@ object GraphAnn {
         |      FROM s)
         |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(graphAnn, graphPq)
+  private def deleteDirFor(sfDir: String): String =
+    graft.util.Fixtures.dir + "/v26_graph/" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** V26 — graph-index DELETION + REPAIRING COMPACTION (closes the
+    * maintenance gap v25 closed for the IVF-PQ store): builds the v20
+    * graph on the full corpus, tombstones every vec_id ≡ 3 (mod 10),
+    * and gates, in order:
+    *   1. merge-on-read is FALSIFIABLE: the loaded edge relation
+    *      contains NO tombstoned endpoint — neither as src (out-edges)
+    *      nor as dst (appearances in other nodes' top-M) — checked by
+    *      semi-join, not inferred from search output;
+    *   2. beam search over the tombstoned graph reaches recall@1 ≥ 0.6
+    *      against the LIVE brute-force truth;
+    *   3. compaction folds the tombstones away with FreshDiskANN-style
+    *      bridge repair: affected nodes keep at least their surviving
+    *      degree (provable: repair re-ranks surviving ∪ bridges) and
+    *      gain bridge edges on this fixture, and searching the
+    *      compacted graph still reaches recall@1 ≥ 0.6;
+    *   4. the incrementally-maintained fingerprint is exact: ensure()
+    *      over the live corpus validates the compacted store WITHOUT a
+    *      rebuild, and the nodes table reconciles with the live count.
+    * Emitted rows are the exact live-corpus truth — DuckDB replays
+    * them over `vec_id % 10 <> 3` (v25's oracle).
+    */
+  val graphDelete = QueryDef(
+    "v26_graph_delete",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .cache()
+      val dir = deleteDirFor(d)
+      graft.util.Fs.rmTree(s, dir)
+      ensure(emb, dir)
+      val deleted = emb.filter(col("vec_id") % 10 === 3)
+      val live = emb.filter(col("vec_id") % 10 =!= 3).cache()
+      delete(deleted, dir)
+      val edgesT = load(s, dir)
+      val tombIds = deleted.select(col("vec_id"))
+      val mergeOnReadApplied =
+        edgesT.join(tombIds.withColumnRenamed("vec_id", "src"),
+          Seq("src"), "left_semi").count() == 0 &&
+        edgesT.join(tombIds.withColumnRenamed("vec_id", "dst"),
+          Seq("dst"), "left_semi").count() == 0
+      val queries = Similarity.probePanel(live)
+      val exact = Similarity.bruteForceTop1(queries, live)
+        .localCheckpoint(eager = true)
+      val exactMap = exact.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def recallOf(graph: DataFrame): Double = {
+        val res = beamSearch(queries, graph, live, k = 1)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        if (exactMap.isEmpty) 0.0
+        else res.count { case (q, nid) =>
+          exactMap.get(q).contains(nid)
+        }.toDouble / exactMap.size
+      }
+      val recallT = recallOf(edgesT)
+      // degree accounting: the affected set (live nodes that lost ≥1
+      // edge to a deleted neighbor) is snapshotted from the RAW edge
+      // table BEFORE compaction rewrites it
+      val affectedNodes = s.read.parquet(s"$dir/edges")
+        .join(tombIds.withColumnRenamed("vec_id", "dst"),
+          Seq("dst"), "left_semi")
+        .join(tombIds.withColumnRenamed("vec_id", "src"),
+          Seq("src"), "left_anti")
+        .select("src").distinct().localCheckpoint(eager = true)
+      val survivingDeg = edgesT.join(affectedNodes, Seq("src"), "left_semi")
+        .count()
+      compact(live, dir, m = 16)
+      val builds0 = buildsThisProcess
+      val edgesC = ensure(live, dir)
+      val noRebuild = buildsThisProcess == builds0
+      val repairedDeg = edgesC.join(affectedNodes, Seq("src"), "left_semi")
+        .count()
+      val recallC = recallOf(edgesC)
+      val nNodes = s.read.parquet(s"$dir/nodes").count()
+      val nLive = live.count()
+      val noTombLeft = !graft.util.Fs.exists(s, s"$dir/tombstones")
+      emb.unpersist(); live.unpersist()
+      exact.filter(lit(mergeOnReadApplied && recallT >= 0.6 &&
+          recallC >= 0.6 && repairedDeg > survivingDeg &&
+          noRebuild && noTombLeft && nNodes == nLive))
+        .select(col("qid"), col("nid"), col("sim"))
+    },
+    oracle = Some(
+      """WITH live AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings WHERE vec_id % 10 <> 3),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM live WHERE vec_id < 40),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |             round(list_cosine_similarity(qv, e.v), 6) AS sim
+        |      FROM q, live e WHERE e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rn
+        |      FROM s)
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(graphAnn, graphPq, graphDelete)
 }

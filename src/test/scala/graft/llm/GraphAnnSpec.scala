@@ -68,4 +68,93 @@ class GraphAnnSpec extends SparkSpec {
     assert(GraphAnn.buildsThisProcess == before + 2)
     c.unpersist()
   }
+
+  test("delete hides a node from BOTH edge endpoints; membership enforced") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/d"
+    val c = corpus(300).cache()
+    GraphAnn.ensure(c, dir)
+    val deleted = c.filter(col("vec_id") % 7 === 0)
+    GraphAnn.delete(deleted, dir)
+    val edges = GraphAnn.load(spark, dir)
+    val delIds = deleted.select("vec_id").collect().map(_.getLong(0)).toSet
+    val remaining = edges.select("src", "dst").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(remaining.intersect(delIds).isEmpty,
+      "tombstoned nodes must vanish as src AND dst")
+    // membership contract: double delete and never-indexed ids raise
+    val e1 = intercept[IllegalArgumentException] {
+      GraphAnn.delete(deleted, dir)
+    }
+    assert(e1.getMessage.contains("already tombstoned"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraphAnn.delete(corpus(310).filter(col("vec_id") >= 300), dir)
+    }
+    assert(e2.getMessage.contains("not indexed"))
+    c.unpersist()
+  }
+
+  test("compact repairs severed 2-hop paths and fingerprint stays incremental") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/e"
+    val c = corpus(300).cache()
+    GraphAnn.ensure(c, dir)
+    val deleted = c.filter(col("vec_id") % 7 === 0)
+    val live = c.filter(col("vec_id") % 7 =!= 0).cache()
+    GraphAnn.delete(deleted, dir)
+    val tombIds = deleted.select(col("vec_id"))
+    val affected = spark.read.parquet(s"$dir/edges")
+      .join(tombIds.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_semi")
+      .join(tombIds.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+      .select("src").distinct().localCheckpoint(true)
+    val survivingDeg = GraphAnn.load(spark, dir)
+      .join(affected, Seq("src"), "left_semi").count()
+    GraphAnn.compact(live, dir, m = 16)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val edgesC = spark.read.parquet(s"$dir/edges")
+    val delIds = deleted.select("vec_id").collect().map(_.getLong(0)).toSet
+    val endpoints = edgesC.select("src", "dst").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(endpoints.intersect(delIds).isEmpty)
+    // repair: affected nodes regain degree via bridges (never lose any)
+    val repairedDeg = edgesC.join(affected, Seq("src"), "left_semi").count()
+    assert(repairedDeg > survivingDeg,
+      s"expected bridge edges: $repairedDeg vs $survivingDeg")
+    // degree cap still holds after repair
+    val maxDeg = edgesC.groupBy("src").count().agg(max("count"))
+      .head().getLong(0)
+    assert(maxDeg <= 32, s"degree $maxDeg exceeds 2m")
+    // fingerprint maintained incrementally: no rebuild over live corpus
+    val builds = GraphAnn.buildsThisProcess
+    GraphAnn.ensure(live, dir)
+    assert(GraphAnn.buildsThisProcess == builds)
+    assert(spark.read.parquet(s"$dir/nodes").count() == live.count())
+    c.unpersist(); live.unpersist()
+  }
+
+  test("compact recovers a crash between table removal and rename") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/f"
+    val c = corpus(300).cache()
+    GraphAnn.ensure(c, dir)
+    val deleted = c.filter(col("vec_id") % 7 === 0)
+    val live = c.filter(col("vec_id") % 7 =!= 0)
+    GraphAnn.delete(deleted, dir)
+    // fabricate the worst window: staged edges written, live edges dir
+    // already removed, rename never ran, tombstones still present
+    GraphAnn.load(spark, dir).localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$dir/edges_staging")
+    graft.util.Fs.rmTree(spark, s"$dir/edges")
+    GraphAnn.compact(live, dir, m = 16)
+    val edgesC = spark.read.parquet(s"$dir/edges")
+    val delIds = deleted.select("vec_id").collect().map(_.getLong(0)).toSet
+    val endpoints = edgesC.select("src", "dst").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(endpoints.intersect(delIds).isEmpty)
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val builds = GraphAnn.buildsThisProcess
+    GraphAnn.ensure(live, dir)
+    assert(GraphAnn.buildsThisProcess == builds)
+    c.unpersist()
+  }
 }
