@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// graft.ClusterTest-tagged suites fork real executor JVMs and
+// stop/start SparkContexts — they'd kill the shared test session, so
+// the default `sbt test` run excludes them. Opt in with:
+//   sbt 'set Test / testOptions := Seq()' "testOnly graft.LocalClusterSpec"
+// (a -n include cannot override a -l exclude of the same tag, hence
+// clearing the option instead)
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
+  "-l", "graft.ClusterTest")
+// local-cluster executors in tagged suites need SPARK_HOME, like run/
+Test / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13")
 // The bench/verify driver invokes `sbt "runMain graft.Bench"` and parses
 // the LAST stdout line as JSON. Two pieces of sbt decoration break that:
 // (a) the trailing `[success] Total time: …` banner printed AFTER the

@@ -1,38 +1,60 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
-/** Multi-executor deployment smoke: runs the m6 CV pipeline on
-  * `local-cluster[2,2,2048]` — Spark's standalone-in-miniature test
-  * master that forks two REAL executor JVMs (separate processes,
-  * separate heaps, real serialization and shuffle over the wire) —
-  * to prove the engine carries no hidden driver-locality assumption:
-  * every closure must serialize, every kernel class must load on a
-  * remote executor from `spark.executor.extraClassPath`, and shuffle /
-  * broadcast cross process boundaries. This is the deployment-shape
-  * analog of the reference's cluster bring-up
-  * (daxos/distribute.py:8-101 spin_cluster/wait_for_workers), which on
-  * Spark is the cluster manager's job — the engine-side obligation is
-  * exactly what this smoke checks. Run with:
+/** Multi-executor deployment checks on `local-cluster[2,2,2048]` —
+  * Spark's standalone-in-miniature test master that forks two REAL
+  * executor JVMs (separate processes, separate heaps, real
+  * serialization and shuffle over the wire) — proving the engine
+  * carries no hidden driver-locality assumption: every closure must
+  * serialize, every kernel class must load on a remote executor from
+  * `spark.executor.extraClassPath`, and shuffle / broadcast cross
+  * process boundaries. This is the deployment-shape analog of the
+  * reference's cluster bring-up (daxos/distribute.py:8-101
+  * spin_cluster/wait_for_workers), which on Spark is the cluster
+  * manager's job — the engine-side obligation is exactly what these
+  * checks cover. Two checks:
   *
-  *   sbt "runMain graft.LocalClusterSmoke"
+  *  1. [[pipelineCheck]] — the m6 CV pipeline (Sim fixture, chunked
+  *     k-fold, GBT fits, distributed AUC: the deepest
+  *     driver-vs-executor surface in the repo) plus one shuffle-heavy
+  *     relational query for the Exchange path.
+  *  2. [[storedIndexRoundTrip]] — builds a [[graft.llm.VectorIndex]]
+  *     store from one cluster session's EXECUTOR writes, stops that
+  *     session, and searches the store from a COMPLETELY FRESH cluster
+  *     session: fingerprint validation, partition-pruned scan, and
+  *     exact re-rank must all work with zero state carried over —
+  *     proving the store round-trip has no hidden driver locality
+  *     (nothing in the index lives only in the building JVM).
   *
-  * (SPARK_HOME is set by build.sbt for forked runs; executors need it
-  * to assemble their launch command.) Prints one PASS/FAIL line;
-  * exits nonzero on failure. See PLANS.md "Deployment shape" for the
-  * production spark-submit equivalent.
+  * Run as a main (`sbt "runMain graft.LocalClusterSmoke"`) or as the
+  * opt-in spec (`sbt 'set Test / testOptions := Seq()' "testOnly
+  * graft.LocalClusterSpec"` — excluded from the default `sbt test`
+  * run because it stops/starts SparkContexts, which a shared-session
+  * test JVM cannot tolerate mid-run). SPARK_HOME is set by build.sbt
+  * for forked runs; executors need it to assemble their launch
+  * command.
   */
 object LocalClusterSmoke {
-  def main(args: Array[String]): Unit = {
+
+  private val addOpens = Seq(
+    "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+    "java.net", "java.nio", "java.util", "java.util.concurrent",
+    "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+    "sun.security.action", "sun.util.calendar")
+    .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED").mkString(" ")
+
+  /** Fresh `local-cluster[2,2,2048]` session. Stops any live session
+    * first (builder.getOrCreate would silently return it otherwise —
+    * defeating the whole cross-JVM point), then waits for both remote
+    * executors to register. */
+  def newClusterSession(): SparkSession = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val classes =
       new java.io.File("target/scala-2.13/classes").getAbsolutePath
-    val addOpens = Seq(
-      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
-      "java.net", "java.nio", "java.util", "java.util.concurrent",
-      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
-      "sun.security.action", "sun.util.calendar")
-      .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED").mkString(" ")
-    val t0 = System.nanoTime()
     val spark = SparkSession.builder()
       .master("local-cluster[2,2,2048]")
       .config("spark.executor.extraClassPath", classes)
@@ -43,36 +65,96 @@ object LocalClusterSmoke {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // driver shows up in the memory-status map too, hence >= 3
+    var waited = 0
+    while (spark.sparkContext.getExecutorMemoryStatus.size < 3 &&
+        waited < 120) {
+      Thread.sleep(500); waited += 1
+    }
+    val nExec = spark.sparkContext.getExecutorMemoryStatus.size - 1
+    require(nExec >= 2, s"expected 2 remote executors, got $nExec")
+    spark
+  }
+
+  /** m6 CV pipeline + one shuffle-heavy relational query; returns the
+    * m6 row count (must be > 0). */
+  def pipelineCheck(spark: SparkSession, sfDir: String): Long = {
+    val n = SparkEntry.queries("m6_cv_driver")(spark, "unused").count()
+    require(n > 0, "m6 emitted zero rows on the multi-executor cluster")
+    require(SparkEntry.queries("a1_grouped_agg")(spark, sfDir).count() > 0,
+      "a1 emitted zero rows")
+    n
+  }
+
+  /** Build a VectorIndex store in ONE cluster session (executor-side
+    * partitioned writes), stop it, and search from a FRESH cluster
+    * session. Returns (stored code count, recall@1 vs the fresh
+    * session's own brute-force truth). The fresh session must
+    * fingerprint-validate WITHOUT rebuilding — the store alone carries
+    * everything. */
+  def storedIndexRoundTrip(sfDir: String): (Long, Double) = {
+    val dir = graft.util.Fixtures.dir + "/cluster_index"
+    val sA = newClusterSession()
     try {
-      // wait for both remote executors to register (driver shows up in
-      // the memory-status map too, hence >= 3)
-      val sc = spark.sparkContext
-      var waited = 0
-      while (sc.getExecutorMemoryStatus.size < 3 && waited < 120) {
-        Thread.sleep(500); waited += 1
-      }
-      val nExec = sc.getExecutorMemoryStatus.size - 1
-      require(nExec >= 2, s"expected 2 remote executors, got $nExec")
-      // the m6 pipeline end-to-end: Sim fixture generation, chunked
-      // k-fold splits, GBT fits, distributed AUC — the deepest
-      // driver-vs-executor surface in the repo
-      val out = SparkEntry.queries("m6_cv_driver")(spark, "unused")
-      val n = out.count()
-      require(n > 0, "m6 emitted zero rows on the multi-executor cluster")
-      // and one shuffle-heavy relational query for the Exchange path
-      val agg = SparkEntry.queries("a1_grouped_agg")(
-        spark, sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
-          "/root/testdata/sf0.001"))
-      require(agg.count() > 0, "a1 emitted zero rows")
+      val emb = Tables.embeddings(sA, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      graft.util.Fs.rmTree(sA, dir)
+      graft.llm.VectorIndex.build(emb, dir)
+    } finally {
+      sA.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+    val sB = newClusterSession()
+    try {
+      val emb = Tables.embeddings(sB, sfDir)
+        .select(col("vec_id"), col("embedding")).cache()
+      val before = graft.llm.VectorIndex.buildsThisProcess
+      val ix = graft.llm.VectorIndex.ensure(emb, dir)
+      require(graft.llm.VectorIndex.buildsThisProcess == before,
+        "fresh session failed to fingerprint-validate the stored index")
+      val queries = graft.llm.Similarity.probePanel(emb)
+      val exact = graft.llm.Similarity.bruteForceTop1(queries, emb)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val approx = graft.llm.VectorIndex.search(ix, queries, emb, k = 1)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val recall =
+        if (exact.isEmpty) 0.0
+        else approx.count { case (q, nid) =>
+          exact.get(q).contains(nid)
+        }.toDouble / exact.size
+      (ix.codes.count(), recall)
+    } finally {
+      sB.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.001")
+    val t0 = System.nanoTime()
+    try {
+      val spark = newClusterSession()
+      val nExec = spark.sparkContext.getExecutorMemoryStatus.size - 1
+      val n = pipelineCheck(spark, sfDir)
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val (nStored, recall) = storedIndexRoundTrip(sfDir)
+      require(recall >= 0.6, s"cross-session stored-index recall $recall")
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"PASS local-cluster[2,2,2048]: executors=$nExec " +
-        f"m6_rows=$n total=$secs%.1f s")
+        f"m6_rows=$n index_codes=$nStored index_recall=$recall%.3f " +
+        f"total=$secs%.1f s")
     } catch {
       case e: Throwable =>
         println(s"FAIL local-cluster smoke: ${e.getMessage}")
-        spark.stop()
+        SparkSession.getActiveSession.foreach(_.stop())
         sys.exit(1)
     }
-    spark.stop()
   }
 }
