@@ -347,4 +347,45 @@ object Cdc {
   }
 
   def all: Seq[QueryDef] = Seq(u5, u6, u9, u10)
+
+  /** Disk-backed maintained aggregate with an exactly-once batchId
+    * guard — st16's foreachBatch sink, factored out so the guard's
+    * DURABILITY is testable in isolation: ALL state (the aggregate and
+    * the applied-batch marker) lives on storage, never in the
+    * instance, so a brand-new instance (a restarted query, a new JVM)
+    * reconstructs the guard from disk and a redelivered batchId is
+    * still a no-op after the restart. In production the
+    * aggregate+marker write is one transactional commit
+    * (Delta/Iceberg); here they are two parquet writes, same shape.
+    */
+  final class MaintainedSumView(aggDir: String, metaDir: String,
+      groupField: String, valueField: String) extends Serializable {
+
+    /** Seed the stored view and reset the guard. */
+    def init(base: DataFrame): Unit = {
+      val spark = base.sparkSession
+      import spark.implicits._
+      base.write.mode("overwrite").parquet(aggDir)
+      Seq(-1L).toDF("batch_id").write.mode("overwrite").parquet(metaDir)
+    }
+
+    def lastApplied(spark: SparkSession): Long =
+      spark.read.parquet(metaDir).agg(max(col("batch_id")))
+        .head().getLong(0)
+
+    /** Apply one changelog micro-batch exactly once: an already-applied
+      * batchId (redelivery after a crash or restart) is skipped. */
+    def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      if (batchId <= lastApplied(spark)) return
+      val cur = spark.read.parquet(aggDir)
+      val next = maintainSumAgg(cur, batch, groupField, valueField)
+        .localCheckpoint(true) // materialize BEFORE overwriting its input
+      next.write.mode("overwrite").parquet(aggDir)
+      Seq(batchId).toDF("batch_id").write.mode("append").parquet(metaDir)
+    }
+
+    def rows(spark: SparkSession): DataFrame = spark.read.parquet(aggDir)
+  }
 }

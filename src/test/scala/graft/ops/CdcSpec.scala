@@ -136,6 +136,49 @@ class CdcSpec extends SparkSpec {
     assert(twice != want) // the redelivered delta really does corrupt
   }
 
+  test("MaintainedSumView: the batchId guard survives a restart — a " +
+      "FRESH instance reconstructs it from disk and skips redelivery") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("mv").toFile
+    try {
+      val aggDir = new java.io.File(base, "agg").getAbsolutePath
+      val metaDir = new java.io.File(base, "meta").getAbsolutePath
+      val v1 = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "g", "v")
+      val v2 = Seq((1L, "a", 15L), (2L, "b", 20L), (3L, "a", 5L))
+        .toDF("k", "g", "v")
+      val log = Cdc.snapshotDiff(v1, v2, "k", keepOld = true)
+        .localCheckpoint(true)
+      val viewA = new Cdc.MaintainedSumView(aggDir, metaDir, "g", "v")
+      viewA.init(v1.groupBy("g").agg(count(lit(1)).as("n"),
+        sum("v").as("v")))
+      viewA.applyBatch(log, 0L)
+      val want = v2.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      def got(view: Cdc.MaintainedSumView) = view.rows(spark).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got(viewA) == want)
+      // "restart": a brand-new instance — nothing carried over except
+      // the directories, exactly what a new JVM would see
+      val viewB = new Cdc.MaintainedSumView(aggDir, metaDir, "g", "v")
+      assert(viewB.lastApplied(spark) == 0L,
+        "guard must be reconstructed from disk")
+      viewB.applyBatch(log, 0L) // redelivery after the restart
+      assert(got(viewB) == want,
+        "redelivered batch must be a no-op on the fresh instance")
+      // and a genuinely new batch still applies
+      val v3 = Seq((1L, "a", 15L), (3L, "a", 5L)).toDF("k", "g", "v")
+      val log2 = Cdc.snapshotDiff(v2, v3, "k", keepOld = true)
+        .localCheckpoint(true)
+      viewB.applyBatch(log2, 1L)
+      val want3 = v3.groupBy("g").agg(count(lit(1)).as("n"), sum("v").as("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(got(viewB) == want3)
+      assert(viewB.lastApplied(spark) == 1L)
+    } finally graft.util.Fs.rmRecursive(base)
+  }
+
   test("maintainSumAgg: a non-integral changelog value fails LOUD " +
       "instead of silently truncating the maintained view") {
     import spark.implicits._
