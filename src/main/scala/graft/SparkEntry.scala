@@ -16,6 +16,7 @@ object SparkEntry {
     graft.ops.RelationalQueries.all ++
       graft.ops.AsofJoin.all ++
       graft.plans.AsofJoinNative.all ++
+      graft.plans.RangeJoinNative.all ++
       graft.ops.RangeJoin.all ++
       graft.ops.Splits.all ++
       graft.ops.Skew.all ++

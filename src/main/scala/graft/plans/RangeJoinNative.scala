@@ -1,0 +1,259 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The point-in-interval range join as a FIRST-CLASS Catalyst operator
+  * — the second (c)-tier operator after [[AsofJoinNative]], built from
+  * the same recipe (LogicalPlan + Strategy + Exec with DECLARED
+  * distribution/ordering), because the composed bucketized form
+  * ([[graft.ops.RangeJoin.rangeJoin]], which stays as the portable
+  * fallback and behavioral reference) pays two taxes the planner can't
+  * remove:
+  *
+  *  - the right side explodes to `span/width + 1` bucket copies BEFORE
+  *    the exchange — amplified shuffle bytes;
+  *  - every bucket-collision pair is materialized through the join and
+  *    then re-filtered by the exact containment predicate.
+  *
+  * Physical semantics (INNER join): emit (left, right-carry) for every
+  * right interval of the same key with `lo ≤ pt ≤ hi`. Both children
+  * are hash-clustered on the keys and sorted — left by (keys, pt),
+  * right by (keys, lo) — so each partition is one forward merge with a
+  * sliding ACTIVE-INTERVAL buffer: a right row enters the buffer when
+  * the merge frontier passes its `lo`, leaves when its `hi` falls
+  * behind the current point, and every buffered interval matches by
+  * construction (no post-filter). Per-partition cost
+  * O(|L| + |R| + matches), buffer bounded by the max number of
+  * intervals CONCURRENTLY open per key — the same quantity that bounds
+  * any interval-join's output row fan-out, never the corpus.
+  * EnsureRequirements plans the exchanges/sorts exactly as for a
+  * SortMergeJoin; a bucketed store joins with no shuffle at all.
+  *
+  * Preconditions (enforced by [[RangeJoinNative.rangeJoinNative]]):
+  * long (micros) axis columns, nulls filtered (inner-join semantics —
+  * identical to the composed form, where a null bucket drops the row).
+  */
+final case class RangeJoinNode(left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    pt: Attribute, lo: Attribute, hi: Attribute,
+    rightCarry: Seq[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ rightCarry
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object RangeJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case RangeJoinNode(l, r, lk, rk, pt, lo, hi, carry) =>
+      RangeJoinExec(lk, rk, pt, lo, hi, carry,
+        planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class RangeJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    pt: Attribute, lo: Attribute, hi: Attribute,
+    rightCarry: Seq[Attribute],
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ rightCarry
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(pt, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(lo, Ascending))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(pt, Ascending)
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeyExprs = leftKeys
+    val rKeyExprs = rightKeys
+    val ptExpr = pt
+    val loExpr = lo
+    val hiExpr = hi
+    val carryExprs = rightCarry
+    val keyTypes = leftKeys.map(_.dataType)
+    left.execute().zipPartitions(right.execute()) { (lit, rit) =>
+      val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+      val ptProj = UnsafeProjection.create(Seq(ptExpr), lOut)
+      val loProj = UnsafeProjection.create(Seq(loExpr), rOut)
+      val hiProj = UnsafeProjection.create(Seq(hiExpr), rOut)
+      val carryProj = UnsafeProjection.create(carryExprs, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val joiner = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      var curRight: InternalRow = if (rit.hasNext) rit.next() else null
+      var activeKey: UnsafeRow = null
+      // intervals of the current key whose lo the frontier has passed
+      // and whose hi is still ahead — every entry matches the current
+      // point by construction
+      val activeHi = new scala.collection.mutable.ArrayBuffer[Long]
+      val activeCarry = new scala.collection.mutable.ArrayBuffer[UnsafeRow]
+      lit.flatMap { lrow =>
+        val lk = lKeyProj(lrow)
+        val p = ptProj(lrow).getLong(0)
+        if (activeKey == null || keyOrd.compare(activeKey, lk) != 0) {
+          activeHi.clear(); activeCarry.clear()
+          activeKey = lk.copy()
+        }
+        var advance = curRight != null
+        while (advance) {
+          val rk = rKeyProj(curRight)
+          val cmp = keyOrd.compare(rk, lk)
+          if (cmp < 0) { // right key already behind every future left row
+            curRight = if (rit.hasNext) rit.next() else null
+            advance = curRight != null
+          } else if (cmp == 0 && loProj(curRight).getLong(0) <= p) {
+            val h = hiProj(curRight).getLong(0)
+            if (h >= p) { // an already-expired interval can never match
+              activeHi += h
+              activeCarry += carryProj(curRight).copy()
+            }
+            curRight = if (rit.hasNext) rit.next() else null
+            advance = curRight != null
+          } else advance = false
+        }
+        // evict intervals the frontier has passed (hi < pt), in place
+        var i = 0
+        var j = 0
+        while (i < activeHi.length) {
+          if (activeHi(i) >= p) {
+            if (j != i) {
+              activeHi(j) = activeHi(i); activeCarry(j) = activeCarry(i)
+            }
+            j += 1
+          }
+          i += 1
+        }
+        activeHi.remove(j, activeHi.length - j)
+        activeCarry.remove(j, activeCarry.length - j)
+        // every surviving buffer entry has lo <= pt <= hi — emit all.
+        // The inner iterator is exhausted before flatMap pulls the next
+        // left row, so referencing lrow/joiner here is safe (the same
+        // single-row validity window every Spark join relies on).
+        activeCarry.iterator.map(c => joiner(lrow, c))
+      }
+    }
+  }
+}
+
+object RangeJoinNative {
+
+  /** Install the planner strategy on a live session (idempotent). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy))
+      spark.experimental.extraStrategies =
+        RangeJoinStrategy +: spark.experimental.extraStrategies
+
+  /** Same surface and output schema as the composed
+    * [[graft.ops.RangeJoin.rangeJoin]] (every left column + every
+    * non-key right column, inner-join semantics), planned through
+    * [[RangeJoinExec]]. Axis columns must be long (micros). */
+  def rangeJoinNative(left: DataFrame, right: DataFrame,
+      keys: Seq[String], ptCol: String, loCol: String,
+      hiCol: String): DataFrame = {
+    require(keys.nonEmpty, "range join needs at least one equality key")
+    val spark = left.sparkSession
+    install(spark)
+    val wp = "__rngr_"
+    require(!left.columns.exists(_.startsWith(wp)) &&
+      !right.columns.exists(_.startsWith(wp)),
+      s"column names starting with $wp are reserved by rangeJoinNative")
+    Seq(loCol, hiCol).foreach(c => require(right.columns.contains(c),
+      s"right side has no column '$c' (${right.columns.mkString(", ")})"))
+    // inner-join semantics: null axis values can never match (the
+    // composed form's null bucket drops them identically)
+    val leftClean = left.filter(col(ptCol).isNotNull)
+    val rightClean = right
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+      .select(right.columns.map(c => col(c).as(wp + c)).toSeq: _*)
+    val lPlan = leftClean.queryExecution.analyzed
+    val rPlan = rightClean.queryExecution.analyzed
+    def attr(plan: LogicalPlan, name: String, side: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"$side side has no column '$name' " +
+            s"(${plan.output.map(_.name).mkString(", ")})"))
+    val lKeys = keys.map(attr(lPlan, _, "left"))
+    val rKeys = keys.map(k => attr(rPlan, wp + k, "right"))
+    val ptA = attr(lPlan, ptCol, "left")
+    val loA = attr(rPlan, wp + loCol, "right")
+    val hiA = attr(rPlan, wp + hiCol, "right")
+    Seq(ptA, loA, hiA).foreach(a => require(a.dataType == LongType,
+      s"range-join axis columns must be long (micros): ${a.name} is " +
+        a.dataType.simpleString))
+    lKeys.zip(rKeys).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"key type mismatch: ${l.name} ${l.dataType.simpleString} vs " +
+          s"${r.name} ${r.dataType.simpleString}")
+    }
+    val carry = rPlan.output.filterNot(a => keys.map(wp + _).contains(a.name))
+    val carryBare = carry.map(_.name.stripPrefix(wp))
+    val collisions = carryBare.filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"non-key columns present on both sides would be ambiguous after " +
+        s"the join: ${collisions.mkString(", ")} — rename before joining")
+    val node = RangeJoinNode(lPlan, rPlan, lKeys, rKeys, ptA, loA, hiA, carry)
+    val joined = org.apache.spark.sql.GraftFunctionRegistry
+      .dataFrame(spark, node)
+    joined.select(left.columns.toSeq.map(col) ++
+      carry.map(a => col(a.name).as(a.name.stripPrefix(wp))): _*)
+  }
+
+  /** J14 — the j7 range workload planned through [[RangeJoinExec]]
+    * against the SAME DuckDB inequality-join oracle: the custom
+    * physical operator hash-verified end to end (j8's pattern), with
+    * the composed bucketized j7 kept green beside it as the behavioral
+    * reference. */
+  val j14 = graft.QueryDef.sql(
+    "j14_range_join_native",
+    """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us
+      |           FROM events WHERE ts IS NOT NULL),
+      |r AS (SELECT user_id, event_id AS rid,
+      |             epoch_us(ts) - 300000000 AS lo,
+      |             epoch_us(ts) + 300000000 AS hi
+      |      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+      |SELECT count(*) AS n_pairs,
+      |       CAST(coalesce(sum(l.event_id + r.rid), 0) AS BIGINT)
+      |         AS pair_checksum
+      |FROM l JOIN r
+      |  ON l.user_id = r.user_id AND l.us BETWEEN r.lo AND r.hi""".stripMargin) {
+    (s, d) =>
+      import org.apache.spark.sql.functions._
+      val ev = graft.Tables.events(s, d).filter(col("ts").isNotNull)
+      val l = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("rid"),
+          (unix_micros(col("ts")) - 300000000L).as("lo"),
+          (unix_micros(col("ts")) + 300000000L).as("hi"))
+      rangeJoinNative(l, r, Seq("user_id"), "us", "lo", "hi")
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("event_id") + col("rid")), lit(0L))
+            .cast("long").as("pair_checksum"))
+  }
+
+  def all: Seq[graft.QueryDef] = Seq(j14)
+}

@@ -1,0 +1,245 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve harness: synthesizes 10x/100x versions of the sf0.1
+  * tables (seeded, deterministic — the replicate-and-perturb recipe
+  * Sim.scala uses for its fixtures) and times the heaviest operators
+  * at each factor, so the "designed for 100 TB" claims rest on a
+  * MEASURED wall-time-vs-rows curve instead of plan audits alone.
+  *
+  * Synthesis contract (per factor F):
+  *  - every row of the base table is replicated F times with its keys
+  *    offset by `rep * (maxKey + 1)` — key spaces stay disjoint, so
+  *    per-replica structure (graph components, near-dup clusters,
+  *    doc/vector geometry) is PRESERVED, and global structure scales
+  *    linearly, which is exactly the regime a bigger crawl/corpus has;
+  *  - text is re-vocabularied per replica (each word deterministically
+  *    suffixed via xxhash64(word, rep)) so shingle/window collisions
+  *    across replicas vanish — otherwise every document would acquire
+  *    F exact near-dup copies and the dedup candidate structure would
+  *    grow quadratically in F, which is a fixture artifact, not scale;
+  *  - embeddings get deterministic per-replica component noise
+  *    (±0.01), preserving intra-replica geometry while keeping
+  *    replicas from being byte-identical;
+  *  - foreign keys (o_orderkey = l_orderkey) share one offset so joins
+  *    keep their selectivity.
+  *
+  * Run:  sbt "runMain graft.tools.ScaleBench"
+  * Env:  SPARK_GRAFT_SF_DIR (base, default /root/testdata/sf0.1),
+  *       SPARK_GRAFT_SCALE_FACTORS (default "1,10,100"),
+  *       SPARK_GRAFT_SCALE_QUERIES (default: the 14 heaviest),
+  *       SPARK_GRAFT_CPUS (default 32).
+  * Output: one JSON line per (factor, query) plus a final summary
+  * line; the full artifact also lands in scale_out.json. Queries in
+  * the build-once index families run TWICE per factor — the second
+  * run fingerprint-validates the stored index, isolating the
+  * amortized search-only path from the build.
+  */
+object ScaleBench {
+
+  private val defaultQueries = Seq(
+    "d2_minhash_lsh", "d5_ngram_jaccard", "d12_repeated_substring_spans",
+    "d14_strip_repeated_spans",
+    "v19_persisted_ann_recall", "v20_graph_ann_recall",
+    "v24_graph_pq_recall", "v25_index_delete_compact",
+    "g1_pagerank", "g2_connected_components", "g6_bfs_distance",
+    "c2_budget_sample", "t8_tfidf_top_terms", "mm4_video_near_dup",
+    "j7_range_join", "j14_range_join_native")
+
+  /** Build-once stores: the second timed run is the search-only path. */
+  private val secondRun = Set(
+    "v19_persisted_ann_recall", "v20_graph_ann_recall",
+    "v24_graph_pq_recall")
+
+  private def replicate(spark: SparkSession, df: DataFrame,
+      f: Int): DataFrame =
+    df.crossJoin(broadcast(
+      spark.range(f).select(col("id").cast("long").as("rep"))))
+
+  private def maxOf(df: DataFrame, c: String): Long =
+    df.agg(max(col(c))).head().getLong(0) + 1
+
+  /** Deterministic per-replica word re-vocabulary: word -> word~k with
+    * k = xxhash64(word, rep) mod 97. Within a replica the mapping is a
+    * bijection on the vocabulary (frequency structure, near-dup
+    * clusters, span repeats all preserved); across replicas any given
+    * word matches with p = 1/97, so multi-token windows never do. */
+  private def perturbText(text: org.apache.spark.sql.Column,
+      rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(rep === 0, text).otherwise(
+      array_join(transform(split(text, " "),
+        w => concat(w, lit("~"),
+          pmod(xxhash64(w, rep), lit(97)).cast("string"))), " "))
+
+  def synthesize(spark: SparkSession, baseSf: String, f: Int,
+      outRoot: String): String = {
+    // base-specific directory + validated marker: a stale synthesis for
+    // a DIFFERENT base (or factor) must never be silently reused
+    val baseTag = baseSf.replaceAll("[^A-Za-z0-9._-]", "_")
+    val out = s"$outRoot/$baseTag/x$f"
+    val marker = s"$out/_SCALE_MARKER"
+    val reusable = try {
+      val m = spark.read.parquet(marker).head()
+      m.getAs[String]("base") == baseSf && m.getAs[Int]("factor") == f
+    } catch { case _: Throwable => false }
+    if (reusable) return out
+    graft.util.Fs.rmTree(spark, out)
+    def rd(t: String) = spark.read.parquet(s"$baseSf/$t.parquet")
+
+    val docs = rd("documents")
+    val maxDoc = maxOf(docs, "doc_id")
+    replicate(spark, docs, f)
+      .select((col("doc_id") + col("rep") * maxDoc).as("doc_id"),
+        perturbText(col("text"), col("rep")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(coalesce(col("text"), lit(""))))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = rd("embeddings")
+    val maxVec = maxOf(emb, "vec_id")
+    replicate(spark, emb, f)
+      .select((col("vec_id") + col("rep") * maxVec).as("vec_id"),
+        when(col("rep") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, i) =>
+            (x + (pmod(xxhash64(col("vec_id"), i, col("rep")), lit(1000))
+              .cast("double") / 1000.0 - 0.5) * 0.02).cast("float")))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val orders = rd("orders")
+    val li = rd("lineitem")
+    // one shared orderkey offset keeps the orders-lineitem join FK valid
+    val maxOrd = math.max(maxOf(orders, "o_orderkey"),
+      maxOf(li, "l_orderkey"))
+    val maxCust = maxOf(orders, "o_custkey")
+    val maxPart = maxOf(li, "l_partkey")
+    val maxSupp = maxOf(li, "l_suppkey")
+    replicate(spark, orders, f)
+      .select((col("o_orderkey") + col("rep") * maxOrd).as("o_orderkey"),
+        (col("o_custkey") + col("rep") * maxCust).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    replicate(spark, li, f)
+      .select((col("l_orderkey") + col("rep") * maxOrd).as("l_orderkey"),
+        (col("l_partkey") + col("rep") * maxPart).as("l_partkey"),
+        (col("l_suppkey") + col("rep") * maxSupp).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val ev = rd("events")
+    val maxEvent = maxOf(ev, "event_id")
+    val maxUser = maxOf(ev, "user_id")
+    // user spaces stay disjoint per replica: per-user event streams (and
+    // with them range/asof/session structure) replicate unchanged
+    replicate(spark, ev, f)
+      .select((col("event_id") + col("rep") * maxEvent).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * maxUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // the rest pass through unscaled (dimension tables / unused here)
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach { t =>
+        rd(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+    import spark.implicits._
+    Seq((baseSf, f)).toDF("base", "factor")
+      .repartition(1).write.mode("overwrite").parquet(marker)
+    out
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  def main(args: Array[String]): Unit = {
+    val baseSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val qNames = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(defaultQueries)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def loadAvg(): String = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(" ")
+    } catch { case _: Throwable => "unavailable" }
+    // generic JIT/session warmup (Bench's first block): the factor-1
+    // tier additionally serves as the operator-specific warmup for the
+    // 10x/100x tiers, which are the measurement that matters
+    try {
+      spark.range(1000).selectExpr("sum(id) as s").write
+        .format("noop").mode("overwrite").save()
+      graft.SparkEntry.queries.get("a1_grouped_agg").foreach { fn =>
+        fn(spark, baseSf).write.format("noop").mode("overwrite").save()
+      }
+    } catch { case _: Throwable => () }
+    val outRoot = "target/scale"
+    val results = scala.collection.mutable.ArrayBuffer[String]()
+    val loadStart = loadAvg()
+    factors.foreach { f =>
+      val dir =
+        if (f == 1) baseSf
+        else {
+          val t0 = System.nanoTime()
+          val d = synthesize(spark, baseSf, f, outRoot)
+          val secs = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[scale] synthesized x$f in $secs%.1f s")
+          d
+        }
+      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      qNames.foreach { name =>
+        val fn = graft.SparkEntry.queries(name)
+        val reps = if (secondRun.contains(name)) 2 else 1
+        var rep = 0
+        while (rep < reps) {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.valuesIterator
+            .foreach(_.unpersist(blocking = false))
+          System.gc()
+          val t0 = System.nanoTime()
+          val res = try {
+            fn(spark, dir).write.format("noop").mode("overwrite").save()
+            val secs = (System.nanoTime() - t0) / 1e9
+            f"""{"query":${jstr(name)},"factor":$f,"rep":$rep,"secs":${math.floor(secs * 100 + 0.5) / 100},"docs":$nDocs}"""
+          } catch {
+            case e: Throwable =>
+              s"""{"query":${jstr(name)},"factor":$f,"rep":$rep,"error":${jstr(
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(200))}}"""
+          }
+          results += res
+          System.err.println(s"[scale] $res")
+          rep += 1
+        }
+      }
+    }
+    val loadEnd = loadAvg()
+    val body = results.mkString("[", ",", "]")
+    val json = s"""{"metric":"scale","base":${jstr(baseSf)},"loadavg_start":${jstr(
+      loadStart)},"loadavg_end":${jstr(loadEnd)},"n_cores":${Runtime
+      .getRuntime.availableProcessors()},"results":$body}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("scale_out.json"), json + "\n")
+    spark.stop()
+    println(json)
+  }
+}

@@ -1,0 +1,110 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.ops.RangeJoin
+import org.apache.spark.sql.functions._
+
+/** The native merge range join must agree exactly with the composed
+  * bucketized formulation, and must actually plan through
+  * RangeJoinExec with catalyst-inserted exchanges/sorts — and WITHOUT
+  * the composed form's bucket explode.
+  */
+class RangeJoinNativeSpec extends SparkSpec {
+
+  private def randomCase(seed: Long) = {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val left = (1 to 500).map { i =>
+      (rnd.nextInt(8).toLong, i.toLong, rnd.nextInt(1000).toLong)
+    }.toDF("k", "lid", "pt")
+    // intervals of mixed spans: some tiny, some wide (nested and
+    // overlapping), some empty-match
+    val right = (1 to 200).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (rnd.nextInt(10).toLong, i.toLong, lo, lo + rnd.nextInt(120).toLong)
+    }.toDF("k", "rid", "lo", "hi")
+    (left, right)
+  }
+
+  test("native == composed on random keys, nested/overlapping intervals") {
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val (left, right) = randomCase(seed)
+      val native = RangeJoinNative
+        .rangeJoinNative(left, right, Seq("k"), "pt", "lo", "hi")
+        .select("k", "lid", "pt", "rid", "lo", "hi")
+        .collect().map(_.toSeq).toSet
+      val composed = RangeJoin
+        .rangeJoin(left, right, Seq("k"), "pt", "lo", "hi",
+          bucketWidth = 64L)
+        .select("k", "lid", "pt", "rid", "lo", "hi")
+        .collect().map(_.toSeq).toSet
+      assert(native == composed, s"seed $seed diverged")
+      assert(native.nonEmpty, s"seed $seed produced no matches — vacuous")
+    }
+  }
+
+  test("hand case: inclusive endpoints, nesting, key isolation, null drops") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 30L),
+      (2L, 4L, 10L), (3L, 5L, 50L))
+      .toDF("k", "lid", "pt")
+    val right = Seq(
+      (1L, 100L, Some(10L), Some(20L)), // matches pt=10 (lo tie) and 20 (hi tie)
+      (1L, 101L, Some(5L), Some(35L)),  // wide: nests the previous, matches all 3
+      (1L, 102L, Some(21L), Some(29L)), // matches none (gap)
+      (2L, 103L, Some(10L), Some(10L)), // degenerate single-point interval
+      (3L, 104L, None, Some(99L)))      // null lo — dropped
+      .toDF("k", "rid", "lo", "hi")
+    val out = RangeJoinNative
+      .rangeJoinNative(left, right, Seq("k"), "pt", "lo", "hi")
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 100L), (1L, 101L), (2L, 100L), (2L, 101L),
+      (3L, 101L), (4L, 103L)))
+  }
+
+  test("empty sides and all-expired intervals emit nothing") {
+    val s = spark; import s.implicits._
+    val left = Seq((1L, 1L, 100L)).toDF("k", "lid", "pt")
+    val right = Seq((1L, 9L, 1L, 5L)).toDF("k", "rid", "lo", "hi")
+    assert(RangeJoinNative
+      .rangeJoinNative(left, right, Seq("k"), "pt", "lo", "hi")
+      .count() == 0)
+    assert(RangeJoinNative
+      .rangeJoinNative(left.limit(0), right, Seq("k"), "pt", "lo", "hi")
+      .count() == 0)
+    assert(RangeJoinNative
+      .rangeJoinNative(left, right.limit(0), Seq("k"), "pt", "lo", "hi")
+      .count() == 0)
+  }
+
+  test("plans through RangeJoinExec with clustered exchanges and NO explode") {
+    val (left, right) = randomCase(7L)
+    val df = RangeJoinNative
+      .rangeJoinNative(left, right, Seq("k"), "pt", "lo", "hi")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeJoin"), s"native exec missing from plan:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Sort"), plan)
+    // the whole point vs the composed form: no bucket-explode Generate
+    assert(!plan.contains("Generate"), s"unexpected explode in plan:\n$plan")
+  }
+
+  test("pre-partitioned inputs join with NO new exchange (bucketed-store path)") {
+    val (left, right) = randomCase(11L)
+    val lp = left.repartition(col("k"))
+    val rp = right.repartition(col("k"))
+    val df = RangeJoinNative
+      .rangeJoinNative(lp, rp, Seq("k"), "pt", "lo", "hi")
+    val plan = df.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges == 2, s"expected only the input repartitions:\n$plan")
+    val native = df.select("k", "lid", "pt", "rid")
+      .collect().map(_.toSeq).toSet
+    val composed = RangeJoin
+      .rangeJoin(left, right, Seq("k"), "pt", "lo", "hi", bucketWidth = 64L)
+      .select("k", "lid", "pt", "rid")
+      .collect().map(_.toSeq).toSet
+    assert(native == composed)
+  }
+}
