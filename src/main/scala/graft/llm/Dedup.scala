@@ -1176,6 +1176,25 @@ object Dedup {
     * count toward `minDocs` (cross-document boilerplate is the
     * curation target; t6 covers within-doc repetition).
     */
+  /** Shuffle width for the window-hash aggregates, derived from the
+    * corpus' CHARACTER volume (≈ one window row per character): the
+    * session's fixed `spark.sql.shuffle.partitions` is sized for the
+    * candidate-fraction stages, but the first aggregate shuffles the
+    * FULL window table — at 32 partitions a 500M-char corpus puts
+    * ~15M rows in every task, overflowing execution memory into spill
+    * loops (measured in the r12 100x scale run: d12 482 s, ~9x over
+    * linear). ~2M rows (~80 MB) per task keeps the per-task hash map
+    * in memory at any corpus size; the 2048 cap matches a 4G-char
+    * local ceiling and would simply be raised on a real cluster. */
+  private def windowAggParts(docs: DataFrame, textCol: String): Int = {
+    val r = docs
+      .agg(sum(length(coalesce(col(textCol), lit(""))))).head()
+    val vol = if (r.isNullAt(0)) 0L else r.getLong(0)
+    val session = docs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    math.max(session, math.min(2048L, vol / 2000000L + 1L).toInt)
+  }
+
   def repeatedSubstringSpans(docs: DataFrame, win: Int = 50,
       minDocs: Int = 2, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -1184,7 +1203,14 @@ object Dedup {
     // materializing one row per character-window (~window × corpus) to
     // save a second scan would cost far more than the rescan at scale
     val wins = rollingHashWindows(docs, win, idCol, textCol)
-    val hotHashes = wins.select(col("h"), col(idCol)).distinct()
+    // repartition by h at volume-derived width: HashPartitioning(h)
+    // satisfies the clustering of BOTH the (h, id) distinct and the
+    // h-keyed count, so the whole hot-hash chain runs at this width
+    // with no further exchange
+    val parts = windowAggParts(docs, textCol)
+    val hotHashes = wins.select(col("h"), col(idCol))
+      .repartition(parts, col("h"))
+      .distinct()
       .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("h")
@@ -1198,6 +1224,9 @@ object Dedup {
         // surrogate-bearing docs. Producer positions are always valid,
         // so the expression's null channel never fires here.
         graft.expressions.Utf16Substr(col(textCol), col("pos"), lit(win)).as("s"))
+      // s-keyed at volume width: the content-verify distinct+count and
+      // the verified join all cluster by s — exchange-free downstream
+      .repartition(parts, col("s"))
       .localCheckpoint(eager = false)
     val hotS = candS.select(col("s"), col(idCol)).distinct()
       .groupBy("s").agg(count(lit(1)).as("nd"))
@@ -1296,6 +1325,14 @@ object Dedup {
       // pinned for its two consumers (keepers aggregate + losing join) —
       // the candS pattern from repeatedSubstringSpans: without it the
       // docs⋈spans join, explode, and substring extraction replay twice
+      // volume-derived shuffle width for the wc-keyed election (the
+      // same sizing fix as repeatedSubstringSpans' hot-hash chain —
+      // the r12 100x run OOM'd here at the session's 32 partitions):
+      // span volume is bounded by the corpus char volume, so sizing
+      // from the docs side needs no replay of the spans lineage, and
+      // HashPartitioning(wc) satisfies both the keeper aggregate and
+      // the losing join, so the chain runs at this width exchange-free
+      val parts = windowAggParts(docs, textCol)
       val winPos = withText
         .filter(col("span_end") - col("span_start") + 1 >= win)
         .select(col(idCol), col(textCol),
@@ -1309,6 +1346,7 @@ object Dedup {
         // windows; Utf16Substr's null channel filters them, keeping the
         // election universe identical to the producer's window universe
         .filter(col("wc").isNotNull)
+        .repartition(parts, col("wc"))
         .localCheckpoint(eager = false)
       val keepers = winPos.groupBy("wc").agg(min(col(idCol)).as("keeper_id"))
       val losing = winPos.join(keepers, "wc")

@@ -647,7 +647,7 @@ object TextAnalysis {
       |       CAST(max_df AS BIGINT) AS max_df,
       |       top_df_term,
       |       avg_idf,
-      |       (SELECT CAST(sum(('0x' || substr(md5(term), 1, 12))::BIGINT)
+      |       (SELECT CAST(bit_xor(('0x' || substr(md5(term), 1, 12))::BIGINT)
       |               AS BIGINT) FROM top WHERE rn = 1) AS top_term_checksum
       |FROM vocab""".stripMargin) {
     (s, d) =>
@@ -666,11 +666,16 @@ object TextAnalysis {
       try {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
           .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+        // XOR fold, not sum: the per-doc value is a 48-bit hash, so a
+        // SUM overflows Long past ~2^15 docs' worth of headroom — the
+        // r12 100x scale run crashed here with ARITHMETIC_OVERFLOW at
+        // 500k docs. bit_xor is order-independent and cannot overflow
+        // at ANY corpus size.
         val topChecksum = tf.join(df, "term")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
-          .agg(sum(conv(substring(md5(col("term")), 1, 12), 16, 10).cast("long"))
-            .cast("long")).head().getLong(0)
+          .agg(expr("bit_xor(cast(conv(substring(md5(term), 1, 12), 16, 10)" +
+            " as bigint))")).head().getLong(0)
         val maxDf = df.agg(max(col("df"))).head().getLong(0)
         val v = df.agg(
           count(lit(1)).as("vocab_size"),

@@ -79,6 +79,43 @@ object RangeJoin {
             .cast("long").as("pair_checksum"))
   }
 
+  /** J15 — the WIDE-interval range workload (±2 h windows): the regime
+    * where bucketization's costs actually bite — at the documented-best
+    * bucket width (≈ the interval span, here 4 h) every interval still
+    * explodes to ≤ 2 bucket copies, but each (user, 4 h) bucket now
+    * holds many candidate events, all materialized through the join
+    * and re-filtered. j16 runs the identical workload through the
+    * native merge operator; the pair is the measured comparison the
+    * narrow j7/j14 pair (sub-second, overhead-dominated) cannot give.
+    */
+  val j15 = QueryDef.sql(
+    "j15_range_join_wide",
+    """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us
+      |           FROM events WHERE ts IS NOT NULL),
+      |r AS (SELECT user_id, event_id AS rid,
+      |             epoch_us(ts) - 7200000000 AS lo,
+      |             epoch_us(ts) + 7200000000 AS hi
+      |      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+      |SELECT count(*) AS n_pairs,
+      |       CAST(coalesce(sum(l.event_id + r.rid), 0) AS BIGINT)
+      |         AS pair_checksum
+      |FROM l JOIN r
+      |  ON l.user_id = r.user_id AND l.us BETWEEN r.lo AND r.hi""".stripMargin) {
+    (s, d) =>
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      val l = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("rid"),
+          (unix_micros(col("ts")) - 7200000000L).as("lo"),
+          (unix_micros(col("ts")) + 7200000000L).as("hi"))
+      rangeJoin(l, r, Seq("user_id"), "us", "lo", "hi",
+          bucketWidth = 14400000000L) // 4 h ≈ span: ≤ 2 buckets/interval
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("event_id") + col("rid")), lit(0L))
+            .cast("long").as("pair_checksum"))
+  }
+
   /** Interval-OVERLAP join: pairs whose intervals intersect
     * (loL ≤ hiR ∧ loR ≤ hiL), with key equality — the session-vs-
     * session / outage-vs-deploy shape rangeJoin's point-in-interval
@@ -216,5 +253,5 @@ object RangeJoin {
         sum(col("n_source")).cast("long").as("n_events"))
   }
 
-  def all: Seq[QueryDef] = Seq(j7, j11, j13)
+  def all: Seq[QueryDef] = Seq(j7, j11, j13, j15)
 }

@@ -255,5 +255,39 @@ object RangeJoinNative {
             .cast("long").as("pair_checksum"))
   }
 
-  def all: Seq[graft.QueryDef] = Seq(j14)
+  /** J16 — j15's WIDE-interval workload (±2 h windows) through the
+    * native merge operator, same oracle. The narrow j7/j14 pair is
+    * overhead-dominated at bench scale; this pair is where the
+    * composed form's bucket-copy shuffle and candidate re-filter
+    * actually cost, and the merge's advantage is measurable (see
+    * SCALE.md for the 10x/100x numbers). */
+  val j16 = graft.QueryDef.sql(
+    "j16_range_join_wide_native",
+    """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us
+      |           FROM events WHERE ts IS NOT NULL),
+      |r AS (SELECT user_id, event_id AS rid,
+      |             epoch_us(ts) - 7200000000 AS lo,
+      |             epoch_us(ts) + 7200000000 AS hi
+      |      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+      |SELECT count(*) AS n_pairs,
+      |       CAST(coalesce(sum(l.event_id + r.rid), 0) AS BIGINT)
+      |         AS pair_checksum
+      |FROM l JOIN r
+      |  ON l.user_id = r.user_id AND l.us BETWEEN r.lo AND r.hi""".stripMargin) {
+    (s, d) =>
+      import org.apache.spark.sql.functions._
+      val ev = graft.Tables.events(s, d).filter(col("ts").isNotNull)
+      val l = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("rid"),
+          (unix_micros(col("ts")) - 7200000000L).as("lo"),
+          (unix_micros(col("ts")) + 7200000000L).as("hi"))
+      rangeJoinNative(l, r, Seq("user_id"), "us", "lo", "hi")
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("event_id") + col("rid")), lit(0L))
+            .cast("long").as("pair_checksum"))
+  }
+
+  def all: Seq[graft.QueryDef] = Seq(j14, j16)
 }

@@ -46,7 +46,8 @@ object ScaleBench {
     "v24_graph_pq_recall", "v25_index_delete_compact",
     "g1_pagerank", "g2_connected_components", "g6_bfs_distance",
     "c2_budget_sample", "t8_tfidf_top_terms", "mm4_video_near_dup",
-    "j7_range_join", "j14_range_join_native")
+    "j7_range_join", "j14_range_join_native",
+    "j15_range_join_wide", "j16_range_join_wide_native")
 
   /** Build-once stores: the second timed run is the search-only path. */
   private val secondRun = Set(
