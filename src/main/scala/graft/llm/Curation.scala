@@ -804,7 +804,9 @@ object Curation {
     * throughput — it runs in Verify but is excluded from Bench like
     * the other ML self-tests.
     */
-  val qualityFilter = QueryDef.fixture("c9_model_quality_filter") { (s, d) =>
+  val qualityFilter = QueryDef(
+    "c9_model_quality_filter",
+    { (s, d) =>
     val docs = Tables.documents(s, d)
       .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("text"))
@@ -838,9 +840,17 @@ object Curation {
       .filter(col("auc") >= 0.95 && col("n_test") > 0 &&
         col("kept_clean") >= nCleanTest * 0.9 &&
         col("kept_corrupt") <= nCorruptTest * 0.05)
-  }
+  },
+    // NOT golden-pinnable (r12 lesson): unlike the Sim-fixture gates
+    // (m1/m3/m4/m6/m8/m9/m10/m12) this query reads the sf-scaled
+    // documents TABLE, so its counts change with the sf dir — a VALUES
+    // pin green at sf0.01 would hash-mismatch the sf0.1 sweep. The
+    // GBT-bound result stays rows-only behind its behavioral gates.
+    oracle = None,
+    benchEligible = false)
 
   // ------------------------------ closed-form learned quality filter (c17)
+
 
   /** Shared c17 fixture: the c9 corrupt-every-3rd construction, reduced
     * to ONE SQL-replayable feature — lexical diversity x =

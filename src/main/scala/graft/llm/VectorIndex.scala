@@ -128,10 +128,23 @@ object VectorIndex {
     * fingerprint), so a later [[ensure]] over the live corpus validates
     * without rebuild. Cost: O(|deleted|), zero store rewrite.
     */
+  /** Maintenance entry points support the cell-partitioned store only:
+    * a [[buildFiltered]] store's codes live under (filterCol, cell)
+    * directories, so cell-keyed compaction paths and cell-only
+    * partitioned appends would silently mix layouts. Fail loud until
+    * the filtered variants exist. */
+  private def requireUnfiltered(meta: org.apache.spark.sql.Row,
+      dir: String, op: String): Unit =
+    require(!meta.schema.fieldNames.contains("filter_col"),
+      s"$op does not support the FILTERED (label, cell)-partitioned " +
+        s"store at $dir — rebuild via buildFiltered after changing the " +
+        "corpus instead")
+
   def delete(deleted: DataFrame, dir: String): Unit = {
     val spark = deleted.sparkSession
     import spark.implicits._
     val meta = spark.read.parquet(s"$dir/meta").head()
+    requireUnfiltered(meta, dir, "delete")
     // The contract (every deleted row is a live stored row, exactly once)
     // is ENFORCED, not just documented: XOR fingerprint maintenance is
     // only exact under it — a double delete or a never-indexed row would
@@ -197,6 +210,8 @@ object VectorIndex {
       }
     graft.util.Fs.rmTree(spark, staging)
     if (!graft.util.Fs.exists(spark, s"$dir/tombstones")) return
+    requireUnfiltered(spark.read.parquet(s"$dir/meta").head(), dir,
+      "compact")
     val tomb = spark.read.parquet(s"$dir/tombstones").select(col("nid"))
     val raw = spark.read.parquet(s"$dir/codes")
     val affected = raw.join(tomb, Seq("nid"), "left_semi")
@@ -258,6 +273,7 @@ object VectorIndex {
     import spark.implicits._
     val ix = load(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").head()
+    requireUnfiltered(meta, dir, "append")
     val (bn, bsum) = fingerprint(batch)
     // repartition by cell BEFORE the partitioned append, as build()
     // does: without it every task writes a file into every cell it

@@ -526,7 +526,9 @@ object Explain {
     * require per-row additivity |Σφ + bias − margin| < 1e-6 on EVERY row
     * and the strong planted SNP to top the mean-|SHAP| ranking.
     */
-  val m3 = QueryDef.fixture("m3_treeshap_additivity") { (s, d) =>
+  val m3 = QueryDef(
+    "m3_treeshap_additivity",
+    { (s, d) =>
     val cfg = Sim.Config(n = 800L, p = 12, seed = 77L, chunkRows = 100L)
     val bundle = Sim.bundle(s, cfg).cache()
     val nBlocks = (cfg.n + cfg.chunkRows - 1) / cfg.chunkRows
@@ -559,14 +561,23 @@ object Explain {
       .toDF("max_additivity_err", "planted_in_shap_top2", "sink_ok")
       .filter(col("max_additivity_err") < 1e-6 &&
         col("planted_in_shap_top2") === 2 && col("sink_ok"))
-  }
+  },
+    // GOLDEN-PINNED (r12): the max additivity error is a max over
+    // per-row kernel values (order-independent), byte-identical at
+    // local[8]/local[32]; the 1e-6 additivity gate still guards
+    oracle = Some(
+      """SELECT * FROM (VALUES (4.440892098500626e-16, 2, TRUE))
+        |  t(max_additivity_err, planted_in_shap_top2, sink_ok)""".stripMargin),
+    benchEligible = false)
 
   /** M4 rows-only entry (gated-off-by-default op, exercised at tiny p):
     * interaction symmetry φ_ij = φ_ji must EMERGE (it is a theorem of
     * the construction, computed from independent conditionings), and
     * the full matrix must sum to the margin.
     */
-  val m4 = QueryDef.fixture("m4_shap_interactions") { (s, d) =>
+  val m4 = QueryDef(
+    "m4_shap_interactions",
+    { (s, d) =>
     val cfg = Sim.Config(n = 400L, p = 6, seed = 88L, chunkRows = 100L)
     val bundle = Sim.bundle(s, cfg)
     val hp = HyperParams(0.2, 1.0, 1.0, 3, 5)
@@ -608,7 +619,17 @@ object Explain {
       .filter(col("max_asymmetry") < 1e-9 && col("max_sum_err") < 1e-9 &&
         col("sink_n") === 400 && col("sink_width_ok") &&
         col("sink_sum_err") < 1e-6)
-  }
+  },
+    // GOLDEN-PINNED (r12): maxes over per-row kernel values —
+    // order-independent, byte-identical at local[8]/local[32]; the
+    // symmetry/additivity theorems still gate
+    oracle = Some(
+      """SELECT * FROM (VALUES (1.3877787807814457e-16,
+        |  1.6653345369377348e-16, 10, CAST(400 AS BIGINT), TRUE,
+        |  6.661338147750939e-16))
+        |  t(max_asymmetry, max_sum_err, n_rows, sink_n, sink_width_ok,
+        |    sink_sum_err)""".stripMargin),
+    benchEligible = false)
 
   def all: Seq[QueryDef] = Seq(m3, m4)
 }

@@ -309,7 +309,9 @@ object Pipeline {
     * a sharp invariant; also checks calibration moved the mean toward
     * the base rate.
     */
-  val m10 = QueryDef.fixture("m10_platt_scaling") { (s, d) =>
+  val m10 = QueryDef(
+    "m10_platt_scaling",
+    { (s, d) =>
     val cfg = Sim.Config(n = 900L, p = 8, seed = 55L, chunkRows = 100L)
     val bundle = Sim.bundle(s, cfg).cache()
     val nBlocks = (cfg.n + cfg.chunkRows - 1) / cfg.chunkRows
@@ -330,7 +332,16 @@ object Pipeline {
       .toDF("auc_raw", "auc_platt", "platt_a", "p_min", "p_max")
       .filter(col("auc_raw") === col("auc_platt") && col("platt_a") > 0 &&
         col("p_min") >= 0 && col("p_max") <= 1)
-  }
+  },
+    // GOLDEN-PINNED (r12, the m6 pattern): seed-deterministic GBT +
+    // Platt fit — byte-identical at local[8]/local[32]; the monotone-
+    // AUC invariant still gates emission, and m10b keeps the
+    // independent cross-engine IRLS replay
+    oracle = Some(
+      """SELECT * FROM (VALUES (0.775797531, 0.775797531,
+        |  4.638031023908088, 0.13382370330350615, 0.8819532297410786))
+        |  t(auc_raw, auc_platt, platt_a, p_min, p_max)""".stripMargin),
+    benchEligible = false)
 
   /** The DuckDB replay of [[fitPlattIrls]]: the identical single-group
     * Newton recurrence unrolled one (stats, betas) CTE pair per step —
@@ -464,7 +475,9 @@ object Pipeline {
     * the base-rate predictor; a fourth warm-start round from the saved
     * state must not degrade AUC by more than noise.
     */
-  val m8 = QueryDef.fixture("m8_incremental_refit") { (s, d) =>
+  val m8 = QueryDef(
+    "m8_incremental_refit",
+    { (s, d) =>
     val cfg = Sim.Config(n = 1000L, p = 10, seed = 31L, chunkRows = 100L)
     val bundle = Sim.bundle(s, cfg).cache()
     val ckpt = graft.util.Fixtures.dir + "/incremental_ckpt"
@@ -494,13 +507,21 @@ object Pipeline {
       .toDF("auc_3_rounds", "auc_4_rounds", "n_trees", "resume_exact")
       .filter(col("auc_3_rounds") > 0.6 && col("auc_4_rounds") > col("auc_3_rounds") - 0.05 &&
         col("n_trees") === 8 && col("resume_exact"))
-  }
+  },
+    // GOLDEN-PINNED (r12): seed-deterministic staged boosting,
+    // byte-identical at local[8]/local[32]; behavioral gates keep
+    oracle = Some(
+      """SELECT * FROM (VALUES (0.785052, 0.788884, 8, TRUE))
+        |  t(auc_3_rounds, auc_4_rounds, n_trees, resume_exact)""".stripMargin),
+    benchEligible = false)
 
   /** M9+S11 rows-only entry: two-stage refit prunes to the used feature
     * set; the pruned model round-trips through save/load with identical
     * predictions.
     */
-  val m9 = QueryDef.fixture("m9_shap_refit_model_io") { (s, d) =>
+  val m9 = QueryDef(
+    "m9_shap_refit_model_io",
+    { (s, d) =>
     val cfg = Sim.Config(n = 800L, p = 14, seed = 19L, chunkRows = 100L)
     val bundle = Sim.bundle(s, cfg).cache()
     val hp = HyperParams(0.15, 0.9, 0.7, 3, 8)
@@ -522,7 +543,13 @@ object Pipeline {
       .toDF("n_used", "p", "auc_pruned", "n_trees", "io_exact")
       .filter(col("n_used") <= col("p") && col("n_used") > 0 &&
         col("auc_pruned") > 0.6 && col("io_exact"))
-  }
+  },
+    // GOLDEN-PINNED (r12): seed-deterministic refit+prune+IO chain,
+    // byte-identical at local[8]/local[32]; behavioral gates keep
+    oracle = Some(
+      """SELECT * FROM (VALUES (14, 14, 0.763128, 8, TRUE))
+        |  t(n_used, p, auc_pruned, n_trees, io_exact)""".stripMargin),
+    benchEligible = false)
 
   def all: Seq[QueryDef] = Seq(m10, m10b, m11, m11rf, m8, m9)
 }

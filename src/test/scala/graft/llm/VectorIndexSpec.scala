@@ -250,6 +250,30 @@ class VectorIndexSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("maintenance ops reject the FILTERED store loud (layout mismatch)") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/i"
+    val c = corpus(200)
+      .withColumn("label", (col("vec_id") % 3).cast("long")).cache()
+    VectorIndex.buildFiltered(c, dir, "label")
+    val batch = corpus(210).filter(col("vec_id") >= 200)
+      .withColumn("label", (col("vec_id") % 3).cast("long"))
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndex.append(batch, dir)
+    }
+    assert(e1.getMessage.contains("FILTERED"))
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndex.delete(c.filter(col("vec_id") < 5), dir)
+    }
+    assert(e2.getMessage.contains("FILTERED"))
+    // the store is untouched by the rejected calls: a filtered search
+    // still works and no tombstones were written
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    val ix = VectorIndex.load(spark, dir)
+    assert(ix.codes.count() == 200)
+    c.unpersist()
+  }
+
   test("compact clears a fully-emptied cell's files") {
     graft.util.Fs.rmRecursive(new java.io.File(base))
     val dir = s"$base/e"
