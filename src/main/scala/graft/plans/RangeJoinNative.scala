@@ -184,10 +184,14 @@ object RangeJoinNative {
     Seq(loCol, hiCol).foreach(c => require(right.columns.contains(c),
       s"right side has no column '$c' (${right.columns.mkString(", ")})"))
     // inner-join semantics: null axis values can never match (the
-    // composed form's null bucket drops them identically)
-    val leftClean = left.filter(col(ptCol).isNotNull)
+    // composed form's null bucket drops them identically), and null
+    // KEYS never equi-join — this must be filtered HERE because the
+    // merge's RowOrdering compares null keys as EQUAL, which would
+    // match two null-key rows where SQL join semantics match none
+    val keyNotNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    val leftClean = left.filter(col(ptCol).isNotNull && keyNotNull)
     val rightClean = right
-      .filter(col(loCol).isNotNull && col(hiCol).isNotNull)
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull && keyNotNull)
       .select(right.columns.map(c => col(c).as(wp + c)).toSeq: _*)
     val lPlan = leftClean.queryExecution.analyzed
     val rPlan = rightClean.queryExecution.analyzed

@@ -63,6 +63,27 @@ class RangeJoinNativeSpec extends SparkSpec {
       (3L, 101L), (4L, 103L)))
   }
 
+  test("null KEYS never join (SQL equi-join semantics, not ordering-equal)") {
+    val s = spark; import s.implicits._
+    // one null-key row on each side whose axis values WOULD match:
+    // RowOrdering compares null keys equal, so without the wrapper's
+    // key filter the native merge would fabricate this pair
+    val left = Seq((Some(1L), 1L, 10L), (None, 2L, 10L))
+      .toDF("k", "lid", "pt")
+    val right = Seq((Some(1L), 100L, 5L, 15L), (None, 101L, 5L, 15L))
+      .toDF("k", "rid", "lo", "hi")
+    val native = RangeJoinNative
+      .rangeJoinNative(left, right, Seq("k"), "pt", "lo", "hi")
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == Set((1L, 100L)))
+    val composed = RangeJoin
+      .rangeJoin(left, right, Seq("k"), "pt", "lo", "hi", bucketWidth = 8L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == composed)
+  }
+
   test("empty sides and all-expired intervals emit nothing") {
     val s = spark; import s.implicits._
     val left = Seq((1L, 1L, 100L)).toDF("k", "lid", "pt")
