@@ -79,7 +79,13 @@ object AsofJoin {
     val lSchema = left.schema
     // A null right ts must never match (ASOF semantics): nulls-first
     // ascending would otherwise make it the running fill for early rows.
-    val rightClean = right.filter(col(rightTs).isNotNull)
+    // A null-KEY right row must never match either (SQL/pandas
+    // merge_asof equi-key semantics — r12 self-review: the union's
+    // window partitioning groups null keys together, so a null-key
+    // LEFT row would otherwise be filled from a null-key RIGHT row;
+    // left null-key rows stay, unfilled, per left-join semantics).
+    val rightClean = right.filter(
+      keys.map(col(_).isNotNull).foldLeft(col(rightTs).isNotNull)(_ && _))
     val leftSide = left.select(
       lCols.map(col) ++ Seq(
         lit(null).cast(rStructType).as("__r"),

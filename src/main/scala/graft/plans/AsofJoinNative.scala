@@ -175,7 +175,13 @@ object AsofJoinNative {
       s"column names starting with $wp are reserved by asofJoinNative")
     require(right.columns.contains(rightTs),
       s"right side has no column '$rightTs' (${right.columns.mkString(", ")})")
-    val rightClean = right.filter(col(rightTs).isNotNull)
+    // null right ts and null-KEY right rows never match (the composed
+    // form's contract, r12: RowOrdering compares null keys EQUAL, so
+    // an unfiltered null-key right row would fill a null-key left row
+    // where SQL/pandas equi-key semantics fill none; left null-key
+    // rows pass through unfilled per left-join semantics)
+    val rightClean = right.filter(
+      keys.map(col(_).isNotNull).foldLeft(col(rightTs).isNotNull)(_ && _))
       .select(right.columns.map(c => col(c).as(wp + c)).toSeq: _*)
     val lPlan = left.queryExecution.analyzed
     val rPlan = rightClean.queryExecution.analyzed

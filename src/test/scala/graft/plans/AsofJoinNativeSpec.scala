@@ -91,6 +91,28 @@ class AsofJoinNativeSpec extends SparkSpec {
       (3L, 9L, 200L), (4L, -1L, -1L)))
   }
 
+  test("null KEYS never match in either form (SQL/pandas equi-key " +
+      "semantics); null-key left rows pass through unfilled") {
+    val s = spark; import s.implicits._
+    // the null-key right row is the latest at-or-before for the
+    // null-key left row — under ordering-equal null grouping it would
+    // fill; under equi-key semantics it must not
+    val left = Seq((Some(1L), 1L, 20L), (None, 2L, 20L))
+      .toDF("k", "lid", "lts")
+    val right = Seq((Some(1L), Some(10L), 100L), (None, Some(10L), 999L))
+      .toDF("k", "rts", "payload")
+    def res(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("lid").select("lid", "asof_payload").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq
+    val native = res(AsofJoinNative
+      .asofJoinNative(left, right, Seq("k"), "lts", "rts"))
+    val composed = res(graft.ops.AsofJoin
+      .asofJoin(left, right, Seq("k"), "lts", "rts"))
+    assert(native == Seq((1L, 100L), (2L, -1L)), s"native: $native")
+    assert(composed == native)
+  }
+
   test("plans through AsofJoinExec with clustered exchanges") {
     val (left, right) = randomCase(7L)
     val df = AsofJoinNative.asofJoinNative(left, right, Seq("k"), "lts", "rts")
