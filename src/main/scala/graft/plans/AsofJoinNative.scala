@@ -113,8 +113,14 @@ final case class AsofJoinExec(
       var fillTs: Long = Long.MinValue
       lit.map { lrow =>
         val lk = lKeyProj(lrow)
-        val lt = lTsProj(lrow).getLong(0)
-        var advance = curRight != null
+        val ltRow = lTsProj(lrow)
+        // a null left ts matches nothing (the composed form's
+        // semantics: nulls sort first, so no prior right row exists);
+        // reading it as getLong's 0 would also consume right rows a
+        // later NEGATIVE-micros left row still needs
+        val ltNull = ltRow.isNullAt(0)
+        val lt = ltRow.getLong(0)
+        var advance = !ltNull && curRight != null
         while (advance) {
           val rk = rKeyProj(curRight)
           val cmp = keyOrd.compare(rk, lk)
@@ -127,9 +133,14 @@ final case class AsofJoinExec(
           } else advance = false
         }
         // tolerance bound (pandas merge_asof semantics): a candidate
-        // older than `tol` micros does NOT match. fillTs <= lt here, so
-        // the subtraction cannot overflow for micros-scale values.
-        val matched = fillKey != null && keyOrd.compare(fillKey, lk) == 0 &&
+        // older than `tol` micros does NOT match. The explicit
+        // fillTs <= lt check restores the at-or-before invariant even
+        // when an earlier left row advanced the fill past this row's
+        // ts (reachable only via the null-first + negative-micros
+        // corner, but cheap to pin); with it, the subtraction cannot
+        // overflow for micros-scale values.
+        val matched = !ltNull && fillKey != null &&
+          keyOrd.compare(fillKey, lk) == 0 && fillTs <= lt &&
           lt - fillTs <= tol
         joiner(lrow, if (matched) fill else nullCarry)
       }

@@ -113,6 +113,31 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(composed == native)
   }
 
+  test("null left ts matches nothing, and negative-micros rows after a " +
+      "null-ts row still honor at-or-before (the fillTs <= lt invariant)") {
+    val s = spark; import s.implicits._
+    // nulls sort FIRST: the null-ts row is processed before the
+    // negative-ts row. Read as 0 it would consume the rts=-50 right
+    // row and hand it to lts=-100 — a FUTURE match
+    val left = Seq((1L, 1L, None), (1L, 2L, Some(-100L)),
+      (1L, 3L, Some(-40L)))
+      .toDF("k", "lid", "lts")
+    val right = Seq((1L, -50L, 500L)).toDF("k", "rts", "payload")
+    def res(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("lid").select("lid", "asof_payload").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq
+    val native = res(AsofJoinNative
+      .asofJoinNative(left, right, Seq("k"), "lts", "rts"))
+    // lid 1 (null ts): no match; lid 2 (-100): rts -50 is in its
+    // FUTURE — no match; lid 3 (-40): -50 <= -40 matches
+    assert(native == Seq((1L, -1L), (2L, -1L), (3L, 500L)),
+      s"native: $native")
+    val composed = res(graft.ops.AsofJoin
+      .asofJoin(left, right, Seq("k"), "lts", "rts"))
+    assert(composed == native)
+  }
+
   test("plans through AsofJoinExec with clustered exchanges") {
     val (left, right) = randomCase(7L)
     val df = AsofJoinNative.asofJoinNative(left, right, Seq("k"), "lts", "rts")
