@@ -128,17 +128,17 @@ object VectorIndex {
     * fingerprint), so a later [[ensure]] over the live corpus validates
     * without rebuild. Cost: O(|deleted|), zero store rewrite.
     */
-  /** Maintenance entry points support the cell-partitioned store only:
-    * a [[buildFiltered]] store's codes live under (filterCol, cell)
-    * directories, so cell-keyed compaction paths and cell-only
-    * partitioned appends would silently mix layouts. Fail loud until
-    * the filtered variants exist. */
+  /** The plain maintenance entry points support the cell-partitioned
+    * store only: a [[buildFiltered]] store's codes live under
+    * (filterCol, cell) directories, so cell-keyed compaction paths and
+    * cell-only partitioned appends would silently mix layouts. Fail
+    * loud and name the filtered twin ([[deleteFiltered]] /
+    * [[compactFiltered]] / [[appendFiltered]]). */
   private def requireUnfiltered(meta: org.apache.spark.sql.Row,
       dir: String, op: String): Unit =
     require(!meta.schema.fieldNames.contains("filter_col"),
       s"$op does not support the FILTERED (label, cell)-partitioned " +
-        s"store at $dir — rebuild via buildFiltered after changing the " +
-        "corpus instead")
+        s"store at $dir — use ${op}Filtered instead")
 
   def delete(deleted: DataFrame, dir: String): Unit = {
     val spark = deleted.sparkSession
@@ -391,6 +391,143 @@ object VectorIndex {
       k, nProbe, shortlist, filterCol = Some(filterCol))
   }
 
+  // ------------------------------------ filtered-store maintenance (v27)
+
+  private def requireFiltered(meta: org.apache.spark.sql.Row,
+      dir: String, filterCol: String, op: String): Unit = {
+    require(meta.schema.fieldNames.contains("filter_col") &&
+        meta.getAs[String]("filter_col") == filterCol,
+      s"$op expects a FILTERED store keyed by '$filterCol' at $dir — " +
+        "found " + (if (meta.schema.fieldNames.contains("filter_col"))
+          s"filter_col='${meta.getAs[String]("filter_col")}'"
+        else "an unfiltered store"))
+  }
+
+  /** [[delete]] for the (filterCol, cell)-partitioned store: identical
+    * tombstone + membership + XOR-fingerprint mechanics, but the
+    * fingerprint includes the filter column (a relabeled corpus must
+    * invalidate) — so `deleted` must carry (vec_id, embedding,
+    * filterCol). [[load]]'s nid anti-join is layout-independent, so
+    * merge-on-read works unchanged on the two-level store. */
+  def deleteFiltered(deleted: DataFrame, dir: String,
+      filterCol: String): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    requireFiltered(meta, dir, filterCol, "deleteFiltered")
+    val ids = deleted.select(col("vec_id").cast("long").as("nid")).cache()
+    val nDel = ids.count()
+    require(ids.distinct().count() == nDel,
+      s"delete set contains duplicate vec_ids")
+    val nStored = ids.join(spark.read.parquet(s"$dir/codes").select("nid"),
+      Seq("nid"), "left_semi").count()
+    require(nStored == nDel,
+      s"${nDel - nStored} of $nDel vec_ids are not present in the index at $dir")
+    if (graft.util.Fs.exists(spark, s"$dir/tombstones")) {
+      val nAlready = ids.join(
+        spark.read.parquet(s"$dir/tombstones").select("nid"),
+        Seq("nid"), "left_semi").count()
+      require(nAlready == 0,
+        s"$nAlready of $nDel vec_ids are already tombstoned (double delete)")
+    }
+    val (dn, dsum) = fingerprint(deleted, Seq(filterCol))
+    ids.repartition(1).write.mode("append").parquet(s"$dir/tombstones")
+    ids.unpersist()
+    Seq((meta.getAs[Long]("n_vectors") - dn,
+        meta.getAs[Long]("checksum") ^ dsum,
+        meta.getAs[Int]("dim"), meta.getAs[Int]("n_cells"),
+        meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
+        filterCol, meta.getAs[Int]("format_version")))
+      .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
+        "filter_col", "format_version")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** [[compact]] for the two-level (filterCol, cell) layout: rewrites
+    * ONLY the (value, cell) partition pairs that contain tombstoned
+    * rows, stage-and-swap with the same crash-recovery contract.
+    * Partition directory names are reconstructed from the pair values,
+    * so the filter column must be PATH-SAFE (integral or simple
+    * strings — the same values Spark writes verbatim into
+    * `filterCol=value/` directory names). */
+  def compactFiltered(spark: SparkSession, dir: String,
+      filterCol: String): Unit = {
+    val staging = s"$dir/codes_staging"
+    // recovery: a staged value=/cell= pair whose live dir is missing is
+    // the only copy of those survivors — rename it in; staged pairs
+    // whose live dir survived are stale and discarded
+    graft.util.Fs.listDirNames(spark, staging)
+      .filter(_.startsWith(s"$filterCol="))
+      .foreach { vDir =>
+        graft.util.Fs.listDirNames(spark, s"$staging/$vDir")
+          .filter(_.startsWith("cell="))
+          .foreach { cDir =>
+            if (!graft.util.Fs.exists(spark, s"$dir/codes/$vDir/$cDir")) {
+              graft.util.Fs.mkdirs(spark, s"$dir/codes/$vDir")
+              graft.util.Fs.rename(spark, s"$staging/$vDir/$cDir",
+                s"$dir/codes/$vDir/$cDir"): Unit
+            }
+          }
+      }
+    graft.util.Fs.rmTree(spark, staging)
+    if (!graft.util.Fs.exists(spark, s"$dir/tombstones")) return
+    requireFiltered(spark.read.parquet(s"$dir/meta").head(), dir,
+      filterCol, "compactFiltered")
+    val tomb = spark.read.parquet(s"$dir/tombstones").select(col("nid"))
+    val raw = spark.read.parquet(s"$dir/codes")
+    val affected = raw.join(tomb, Seq("nid"), "left_semi")
+      .select(col(filterCol).cast("string").as("v"), col("cell"))
+      .distinct().collect().map(r => (r.getString(0), r.getInt(1)))
+    if (affected.nonEmpty) {
+      val affectedSet = affected.toSet
+      val pairOf = concat(col(filterCol).cast("string"), lit("\u0001"),
+        col("cell").cast("string"))
+      val affectedKeys = affected.map { case (v, c) => s"$v\u0001$c" }
+      raw.filter(pairOf.isin(affectedKeys.toSeq: _*))
+        .join(tomb, Seq("nid"), "left_anti")
+        .repartition(col(filterCol), col("cell"))
+        .write.mode("overwrite").partitionBy(filterCol, "cell")
+        .parquet(staging)
+      affectedSet.foreach { case (v, c) =>
+        graft.util.Fs.rmTree(spark, s"$dir/codes/$filterCol=$v/cell=$c")
+        if (graft.util.Fs.exists(spark, s"$staging/$filterCol=$v/cell=$c")) {
+          graft.util.Fs.mkdirs(spark, s"$dir/codes/$filterCol=$v")
+          graft.util.Fs.rename(spark, s"$staging/$filterCol=$v/cell=$c",
+            s"$dir/codes/$filterCol=$v/cell=$c"): Unit
+        }
+      }
+      graft.util.Fs.rmTree(spark, staging)
+    }
+    graft.util.Fs.rmTree(spark, s"$dir/tombstones")
+  }
+
+  /** [[append]] for the filtered store: frozen quantizers, the batch
+    * encoded WITH its filter column and appended into the two-level
+    * partitions; fingerprint (which includes the filter column)
+    * updates incrementally. */
+  def appendFiltered(batch: DataFrame, dir: String,
+      filterCol: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ix = load(spark, dir)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    requireFiltered(meta, dir, filterCol, "appendFiltered")
+    val (bn, bsum) = fingerprint(batch, Seq(filterCol))
+    Similarity.ivfPqEncode(batch, ix.coarse, ix.books,
+        keepCols = Seq(filterCol))
+      .repartition(col(filterCol), col("cell"))
+      .write.mode("append").partitionBy(filterCol, "cell")
+      .parquet(s"$dir/codes")
+    Seq((meta.getAs[Long]("n_vectors") + bn,
+        meta.getAs[Long]("checksum") ^ bsum,
+        meta.getAs[Int]("dim"), meta.getAs[Int]("n_cells"),
+        meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
+        filterCol, meta.getAs[Int]("format_version")))
+      .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
+        "filter_col", "format_version")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
   private def indexDirFor(sfDir: String): String =
     graft.util.Fixtures.dir + "/v19_index/" +
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -567,5 +704,83 @@ object VectorIndex {
         |      FROM s)
         |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(persisted, persistedFiltered, deleteCompact)
+  private def filteredDeleteDirFor(sfDir: String): String =
+    graft.util.Fixtures.dir + "/v27_index/" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** V27 — deletion + compaction for the FILTERED (label, cell) store,
+    * completing the maintenance matrix (v25 = plain store, v26 = graph
+    * index): tombstone every vec_id ≡ 3 (mod 10), then gate
+    *   1. falsifiable merge-on-read (no tombstoned nid in the loaded
+    *      codes relation),
+    *   2. filtered search over the tombstoned store reaches within-
+    *      label recall@1 ≥ 0.6 vs the LIVE truth,
+    *   3. compaction rewrites only affected (label, cell) pairs and
+    *      the same search returns the IDENTICAL result set (pure fold,
+    *      no repair — merge-on-read == merge-on-write),
+    *   4. ensureFiltered over the live corpus validates WITHOUT
+    *      rebuild (label participates in the XOR fingerprint) and
+    *      counts reconcile.
+    * Emitted rows are the exact live within-label truth — v23's oracle
+    * with the live filter. */
+  val filteredDeleteCompact = QueryDef(
+    "v27_filtered_delete_compact",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label")).cache()
+      val dir = filteredDeleteDirFor(d)
+      graft.util.Fs.rmTree(s, dir)
+      buildFiltered(emb, dir, "label")
+      val deleted = emb.filter(col("vec_id") % 10 === 3)
+      val live = emb.filter(col("vec_id") % 10 =!= 3).cache()
+      deleteFiltered(deleted, dir, "label")
+      val ixT = load(s, dir)
+      val mergeOnReadApplied = ixT.codes
+        .join(deleted.select(col("vec_id").as("nid")), Seq("nid"),
+          "left_semi").count() == 0
+      val queries = Similarity.probePanel(live)
+      val exact = Similarity.bruteForceTop1Filtered(queries, live, "label")
+        .localCheckpoint(eager = true)
+      val exactMap = exact.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def resultSet(ix: Loaded): Set[(Long, Long)] =
+        searchFiltered(ix, queries, live, "label", k = 1)
+          .select(col("qid"), col("nid")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val resT = resultSet(ixT)
+      compactFiltered(s, dir, "label")
+      val builds0 = buildsThisProcess
+      val ixC = ensureFiltered(live, dir, "label")
+      val noRebuild = buildsThisProcess == builds0
+      val resC = resultSet(ixC)
+      val nLive = live.count()
+      val nStored = ixC.codes.count()
+      val hits = resT.count { case (q, nid) => exactMap.get(q).contains(nid) }
+      val recallOk = exactMap.nonEmpty &&
+        hits.toDouble / exactMap.size >= 0.6
+      val noTombLeft = !graft.util.Fs.exists(s, s"$dir/tombstones")
+      emb.unpersist(); live.unpersist()
+      exact.filter(lit(recallOk && mergeOnReadApplied && resT == resC &&
+          noRebuild && noTombLeft && nStored == nLive &&
+          ixC.nVectors == nLive))
+        .select(col("qid"), col("nid"), col("sim"))
+    },
+    oracle = Some(
+      """WITH live AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                     label
+        |              FROM embeddings WHERE vec_id % 10 <> 3),
+        |q AS (SELECT vec_id AS qid, v AS qv, label
+        |      FROM live WHERE vec_id < 40),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |             round(list_cosine_similarity(qv, e.v), 6) AS sim
+        |      FROM q JOIN live e
+        |        ON e.label = q.label AND e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rn
+        |      FROM s)
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
+
+  def all: Seq[QueryDef] =
+    Seq(persisted, persistedFiltered, deleteCompact, filteredDeleteCompact)
 }

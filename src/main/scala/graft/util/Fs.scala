@@ -48,6 +48,13 @@ object Fs {
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
   }
 
+  /** Create a directory (and parents) through the Hadoop FileSystem
+    * API — rename requires the destination's parent to exist. */
+  def mkdirs(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).mkdirs(p): Unit
+  }
+
   def rmRecursive(f: File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(rmRecursive)

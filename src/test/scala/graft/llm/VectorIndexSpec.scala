@@ -250,7 +250,7 @@ class VectorIndexSpec extends SparkSpec {
     c.unpersist()
   }
 
-  test("maintenance ops reject the FILTERED store loud (layout mismatch)") {
+  test("PLAIN maintenance ops reject the FILTERED store loud, naming the twin") {
     graft.util.Fs.rmRecursive(new java.io.File(base))
     val dir = s"$base/i"
     val c = corpus(200)
@@ -261,17 +261,123 @@ class VectorIndexSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       VectorIndex.append(batch, dir)
     }
-    assert(e1.getMessage.contains("FILTERED"))
+    assert(e1.getMessage.contains("appendFiltered"))
     val e2 = intercept[IllegalArgumentException] {
       VectorIndex.delete(c.filter(col("vec_id") < 5), dir)
     }
-    assert(e2.getMessage.contains("FILTERED"))
+    assert(e2.getMessage.contains("deleteFiltered"))
     // the store is untouched by the rejected calls: a filtered search
     // still works and no tombstones were written
     assert(!new java.io.File(s"$dir/tombstones").exists())
     val ix = VectorIndex.load(spark, dir)
     assert(ix.codes.count() == 200)
+    // ...and the filtered twins reject a PLAIN store symmetrically
+    VectorIndex.build(c.select("vec_id", "embedding"), s"$dir-plain")
+    val e3 = intercept[IllegalArgumentException] {
+      VectorIndex.deleteFiltered(c.filter(col("vec_id") < 5),
+        s"$dir-plain", "label")
+    }
+    assert(e3.getMessage.contains("unfiltered"))
     c.unpersist()
+  }
+
+  test("filtered delete/compact: two-level partition-pair rewrite, " +
+      "fingerprint incremental, crash recovery") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/j"
+    val c = corpus(300)
+      .withColumn("label", (col("vec_id") % 3).cast("long")).cache()
+    VectorIndex.buildFiltered(c, dir, "label")
+    val deleted = c.filter(col("vec_id") % 5 === 0)
+    val live = c.filter(col("vec_id") % 5 =!= 0).cache()
+    VectorIndex.deleteFiltered(deleted, dir, "label")
+    // merge-on-read on the two-level store
+    val ixT = VectorIndex.load(spark, dir)
+    assert(ixT.codes.count() == live.count())
+    val delIds = deleted.select("vec_id").collect().map(_.getLong(0)).toSet
+    // compact rewrites ONLY affected (label, cell) pairs: snapshot the
+    // files of one UNAFFECTED pair and require them untouched
+    val rawPre = spark.read.parquet(s"$dir/codes")
+    // partition columns come back type-INFERRED (int) — cast to long
+    val affectedPairs = rawPre
+      .join(deleted.select(col("vec_id").as("nid")), Seq("nid"), "left_semi")
+      .select(col("label").cast("long"), col("cell")).distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val allPairs = rawPre.select(col("label").cast("long"), col("cell"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val untouchedPair = (allPairs -- affectedPairs).headOption
+    val untouchedFiles = untouchedPair.map { case (l, cc) =>
+      graft.util.Fs.walkFiles(
+        new java.io.File(s"$dir/codes/label=$l/cell=$cc"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    VectorIndex.compactFiltered(spark, dir, "label")
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    untouchedPair.foreach { case (l, cc) =>
+      val after = graft.util.Fs.walkFiles(
+        new java.io.File(s"$dir/codes/label=$l/cell=$cc"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+      assert(after == untouchedFiles.get,
+        s"unaffected pair (label=$l, cell=$cc) was rewritten")
+    }
+    val ixC = VectorIndex.load(spark, dir)
+    assert(ixC.codes.count() == live.count())
+    assert(ixC.codes.select("nid").collect().map(_.getLong(0)).toSet
+      .intersect(delIds).isEmpty)
+    // fingerprint (label included) validates the live corpus — no rebuild
+    val builds = VectorIndex.buildsThisProcess
+    VectorIndex.ensureFiltered(live, dir, "label")
+    assert(VectorIndex.buildsThisProcess == builds)
+    // crash recovery: fabricate rm-before-rename on one affected pair
+    val deleted2 = live.filter(col("vec_id") % 7 === 0)
+    val live2 = live.filter(col("vec_id") % 7 =!= 0)
+    VectorIndex.deleteFiltered(deleted2, dir, "label")
+    val tombIds2 = deleted2.select(col("vec_id").as("nid"))
+    val raw2 = spark.read.parquet(s"$dir/codes")
+    val pair = raw2.join(tombIds2, Seq("nid"), "left_semi")
+      .select(col("label").cast("long"), col("cell")).distinct()
+      .orderBy("label", "cell").head()
+    val (pl, pc) = (pair.getLong(0), pair.getInt(1))
+    raw2.filter(col("label") === pl && col("cell") === pc)
+      .join(tombIds2, Seq("nid"), "left_anti")
+      .withColumn("label", lit(pl)).withColumn("cell", lit(pc))
+      .repartition(col("label"), col("cell"))
+      .write.mode("overwrite").partitionBy("label", "cell")
+      .parquet(s"$dir/codes_staging")
+    graft.util.Fs.rmTree(spark, s"$dir/codes/label=$pl/cell=$pc")
+    VectorIndex.compactFiltered(spark, dir, "label")
+    assert(!new java.io.File(s"$dir/codes_staging").exists())
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(VectorIndex.load(spark, dir).codes.count() == live2.count(),
+      "recovery must restore the staged pair and finish the compaction")
+    val builds2 = VectorIndex.buildsThisProcess
+    VectorIndex.ensureFiltered(live2, dir, "label")
+    assert(VectorIndex.buildsThisProcess == builds2)
+    c.unpersist(); live.unpersist()
+  }
+
+  test("filtered append: frozen quantizers, two-level partitions, " +
+      "incremental fingerprint") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/k"
+    val all = corpus(360)
+      .withColumn("label", (col("vec_id") % 3).cast("long")).cache()
+    val first = all.filter(col("vec_id") < 300)
+    val batch = all.filter(col("vec_id") >= 300)
+    VectorIndex.buildFiltered(first, dir, "label")
+    val builds = VectorIndex.buildsThisProcess
+    VectorIndex.appendFiltered(batch, dir, "label")
+    val ix = VectorIndex.ensureFiltered(all, dir, "label")
+    assert(VectorIndex.buildsThisProcess == builds,
+      "filtered append forced a rebuild")
+    assert(ix.nVectors == 360 && ix.codes.count() == 360)
+    // appended rows landed under their label partitions
+    val labels = spark.read.parquet(s"$dir/codes")
+      .filter(col("nid") >= 300).select(col("label").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(labels == Set(0L, 1L, 2L))
+    all.unpersist()
   }
 
   test("compact clears a fully-emptied cell's files") {
