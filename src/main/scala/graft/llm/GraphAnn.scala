@@ -426,6 +426,95 @@ object GraphAnn {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** Batch INSERT into the stored graph without a rebuild — the
+    * FreshDiskANN insert shape (Singh et al. 2021), batch-localized:
+    *
+    *  1. out-edges: each new node beam-searches the EXISTING graph for
+    *     its exact-scored top-M old neighbors (`corpus` = the already-
+    *     indexed live corpus, the float source of truth);
+    *  2. back-edges: the reversed out-edges give old nodes a path INTO
+    *     the batch (without them new nodes are unreachable);
+    *  3. new↔new edges: batch pairs sharing an old neighbor, scored
+    *     exact — the 2-hop-through-old local join, so batch nodes knit
+    *     together without a batch×batch product;
+    *  4. every AFFECTED source (batch nodes + old nodes that received
+    *     back-edges) re-ranks to its strongest 2M; untouched nodes'
+    *     edge lists pass through byte-identical.
+    *
+    * Cost is BATCH-local: O(|B|·(beam·rounds + M²)) — never a full
+    * refinement pass over the graph. Meta updates LAST (the commit
+    * point): a crash mid-append leaves a fingerprint mismatch, so the
+    * next [[ensure]] rebuilds rather than trusting a half-applied
+    * insert. Membership is enforced (a batch id already indexed fails
+    * loud — the XOR fingerprint would drift otherwise).
+    */
+  def append(batch: DataFrame, corpus: DataFrame, dir: String,
+      m: Int = 16, beam: Int = 32, rounds: Int = 4,
+      entries: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("format_version") == 3,
+      s"graph store at $dir predates format 3 — rebuild via ensure()")
+    require(!graft.util.Fs.exists(spark, s"$dir/tombstones"),
+      s"graph store at $dir has pending tombstones — compact before append")
+    val ids = batch.select(col("vec_id").cast("long").as("nid")).cache()
+    val bn = ids.count()
+    require(ids.distinct().count() == bn,
+      "append batch contains duplicate vec_ids")
+    val nAlready = ids.join(spark.read.parquet(s"$dir/nodes"),
+      Seq("nid"), "left_semi").count()
+    require(nAlready == 0,
+      s"$nAlready of $bn batch vec_ids are already indexed at $dir")
+    val graph = load(spark, dir)
+    val batchVec = batch.select(col("vec_id"), col("embedding"))
+    val outE = beamSearch(batchVec, graph, corpus, k = m, beam, rounds,
+        entries)
+      .select(col("qid").as("src"), col("nid").as("dst"), col("sim"))
+      .localCheckpoint(eager = true)
+    val backE = outE.select(col("dst").as("src"), col("src").as("dst"),
+      col("sim"))
+    val viaShared = outE.select(col("src").as("a"), col("dst"))
+      .join(outE.select(col("src").as("b"), col("dst")), "dst")
+      .filter(col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst")).distinct()
+      .join(batch.select(col("vec_id").as("src"),
+        col("embedding").as("sv")), "src")
+      .join(batch.select(col("vec_id").as("dst"),
+        col("embedding").as("dv")), "dst")
+      .withColumn("sim", round(Similarity.cosine(col("sv"), col("dv")), 6))
+      .select(col("src"), col("dst"), col("sim"))
+    val affectedSrc = outE.select(col("src"))
+      .unionByName(backE.select(col("src"))).distinct()
+    val w = Window.partitionBy("src").orderBy(col("sim").desc,
+      col("dst").asc)
+    val rewritten = graph.join(affectedSrc, Seq("src"), "left_semi")
+      .unionByName(outE).unionByName(backE).unionByName(viaShared)
+      .groupBy("src", "dst").agg(max(col("sim")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2 * m)
+      .select(col("src"), col("dst"), col("sim"))
+    val untouched = graph.join(affectedSrc, Seq("src"), "left_anti")
+    // stage-and-swap like compact; a crash before the meta write below
+    // is recovered by ensure()'s fingerprint-mismatch rebuild
+    val staging = s"$dir/edges_staging"
+    untouched.unionByName(rewritten)
+      .write.mode("overwrite").parquet(staging)
+    graft.util.Fs.rmTree(spark, s"$dir/edges")
+    graft.util.Fs.rename(spark, staging, s"$dir/edges"): Unit
+    ids.write.mode("append").parquet(s"$dir/nodes")
+    ids.unpersist()
+    val (dn, dsum) = fingerprint(batch)
+    Seq((meta.getAs[Long]("n_vectors") + dn,
+        meta.getAs[Long]("checksum") ^ dsum,
+        meta.getAs[Int]("m"), meta.getAs[Int]("init_cell_size"),
+        meta.getAs[Int]("descent_rounds"),
+        meta.getAs[Int]("format_version")))
+      .toDF("n_vectors", "checksum", "m", "init_cell_size",
+        "descent_rounds", "format_version")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
   private def graphDirFor(sfDir: String): String =
     graft.util.Fixtures.dir + "/v20_graph/" +
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -605,5 +694,77 @@ object GraphAnn {
         |      FROM s)
         |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(graphAnn, graphPq, graphDelete)
+  private def appendDirFor(sfDir: String): String =
+    graft.util.Fixtures.dir + "/v28_graph/" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** V28 — graph-index batch INSERT (closes the maintenance matrix:
+    * the graph store now has build / ensure / append / delete /
+    * compact, like the IVF-PQ stores): builds the graph on 90% of the
+    * corpus, [[append]]s the vec_id ≡ 7 (mod 10) remainder, and gates
+    *   1. the incrementally-maintained fingerprint is exact — ensure()
+    *      over the FULL corpus validates WITHOUT rebuild;
+    *   2. integration is falsifiable on the stored edge table itself:
+    *      every batch node has out-degree ≥ 1 (its beam-searched
+    *      neighbors) AND in-degree ≥ 1 (back-edges — without them new
+    *      nodes are unreachable), and the 2M degree cap still holds
+    *      graph-wide;
+    *   3. beam search over the appended graph reaches recall@1 ≥ 0.6
+    *      against the FULL-corpus brute-force truth — new nodes must
+    *      be REACHABLE as answers, not just present.
+    * Emitted rows are the exact full-corpus truth (v20's oracle).
+    */
+  val graphAppend = QueryDef(
+    "v28_graph_append",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .cache()
+      val dir = appendDirFor(d)
+      graft.util.Fs.rmTree(s, dir)
+      val old = emb.filter(col("vec_id") % 10 =!= 7).cache()
+      val batch = emb.filter(col("vec_id") % 10 === 7)
+      ensure(old, dir)
+      append(batch, old, dir)
+      val builds0 = buildsThisProcess
+      val edges = ensure(emb, dir)
+      val noRebuild = buildsThisProcess == builds0
+      val batchIds = batch.select(col("vec_id"))
+      val nBatch = batchIds.count()
+      val outDeg = edges.join(batchIds.withColumnRenamed("vec_id", "src"),
+        Seq("src"), "left_semi").select("src").distinct().count()
+      val inDeg = edges.join(batchIds.withColumnRenamed("vec_id", "dst"),
+        Seq("dst"), "left_semi").select("dst").distinct().count()
+      val maxDeg = edges.groupBy("src").count()
+        .agg(max(col("count"))).head().getLong(0)
+      val queries = Similarity.probePanel(emb)
+      val exact = Similarity.bruteForceTop1(queries, emb)
+        .localCheckpoint(eager = true)
+      val exactMap = exact.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val res = beamSearch(queries, edges, emb, k = 1)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val recall =
+        if (exactMap.isEmpty) 0.0
+        else res.count { case (q, nid) =>
+          exactMap.get(q).contains(nid)
+        }.toDouble / exactMap.size
+      emb.unpersist(); old.unpersist()
+      exact.filter(lit(noRebuild && nBatch > 0 && outDeg == nBatch &&
+          inDeg == nBatch && maxDeg <= 32 && recall >= 0.6))
+        .select(col("qid"), col("nid"), col("sim"))
+    },
+    oracle = Some(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 40),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rn
+        |      FROM s)
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(graphAnn, graphPq, graphDelete, graphAppend)
 }

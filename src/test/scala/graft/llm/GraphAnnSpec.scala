@@ -132,6 +132,55 @@ class GraphAnnSpec extends SparkSpec {
     c.unpersist(); live.unpersist()
   }
 
+  test("append inserts a batch without rebuild; new nodes reachable both ways") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/g"
+    val all = corpus(300).cache()
+    val old = all.filter(col("vec_id") < 270).cache()
+    val batch = all.filter(col("vec_id") >= 270)
+    GraphAnn.ensure(old, dir)
+    val builds = GraphAnn.buildsThisProcess
+    GraphAnn.append(batch, old, dir)
+    // fingerprint maintained incrementally: full corpus validates
+    val edges = GraphAnn.ensure(all, dir)
+    assert(GraphAnn.buildsThisProcess == builds, "append forced a rebuild")
+    // every batch node has out-edges AND back-edges into it
+    val batchIds = (270L until 300L).toSet
+    val srcs = edges.select("src").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val dsts = edges.select("dst").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(batchIds.subsetOf(srcs), "batch nodes missing out-edges")
+    assert(batchIds.subsetOf(dsts), "batch nodes missing back-edges")
+    // degree cap survives the insert
+    val maxDeg = edges.groupBy("src").count().agg(max("count"))
+      .head().getLong(0)
+    assert(maxDeg <= 32, s"degree $maxDeg exceeds 2m")
+    // search over the appended graph still recovers exact top-1 on the
+    // clustered fixture, INCLUDING when the true neighbor is new
+    val q = all.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTop1(q, all)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = GraphAnn.beamSearch(q, edges, all, k = 1)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = approx.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"post-append recall $recall")
+    // membership: re-appending the same batch fails loud
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.append(batch, old, dir)
+    }
+    assert(e.getMessage.contains("already indexed"))
+    // pending tombstones block append (compact first)
+    GraphAnn.delete(all.filter(col("vec_id") < 5), dir)
+    val e2 = intercept[IllegalArgumentException] {
+      GraphAnn.append(corpus(310).filter(col("vec_id") >= 300), all, dir)
+    }
+    assert(e2.getMessage.contains("tombstones"))
+    all.unpersist(); old.unpersist()
+  }
+
   test("compact recovers a crash between table removal and rename") {
     graft.util.Fs.rmRecursive(new java.io.File(base))
     val dir = s"$base/f"
