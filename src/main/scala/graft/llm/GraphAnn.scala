@@ -210,6 +210,9 @@ object GraphAnn {
     val spark = deleted.sparkSession
     import spark.implicits._
     val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.schema.fieldNames.contains("format_version") &&
+        meta.getAs[Int]("format_version") == 3,
+      s"graph store at $dir predates format 3 — rebuild via ensure()")
     val ids = deleted.select(col("vec_id").cast("long").as("nid")).cache()
     val nDel = ids.count()
     require(ids.distinct().count() == nDel,
@@ -255,8 +258,13 @@ object GraphAnn {
     * copy is stale and discarded). Tombstones are dropped last, so
     * merge-on-read stays correct throughout.
     */
-  def compact(corpus: DataFrame, dir: String, m: Int = 16): Unit = {
+  def compact(corpus: DataFrame, dir: String): Unit = {
     val spark = corpus.sparkSession
+    // The degree cap is the STORED graph's m, read from meta — a caller
+    // parameter here could silently re-rank only the affected nodes to
+    // a different 2M cap than the rest of the graph, breaking the
+    // graph-wide degree invariant v28's gate asserts.
+    val m = spark.read.parquet(s"$dir/meta").head().getAs[Int]("m")
     // recovery: finish a previous compact that crashed mid-swap
     Seq("edges", "nodes").foreach { t =>
       val stag = s"$dir/${t}_staging"
@@ -449,13 +457,17 @@ object GraphAnn {
     * loud — the XOR fingerprint would drift otherwise).
     */
   def append(batch: DataFrame, corpus: DataFrame, dir: String,
-      m: Int = 16, beam: Int = 32, rounds: Int = 4,
+      beam: Int = 32, rounds: Int = 4,
       entries: Int = 16): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val meta = spark.read.parquet(s"$dir/meta").head()
     require(meta.getAs[Int]("format_version") == 3,
       s"graph store at $dir predates format 3 — rebuild via ensure()")
+    // Degree cap from the STORED graph's m (see [[compact]]) — a
+    // caller-supplied m diverging from the stored value would break
+    // the graph-wide 2M degree invariant.
+    val m = meta.getAs[Int]("m")
     require(!graft.util.Fs.exists(spark, s"$dir/tombstones"),
       s"graph store at $dir has pending tombstones — compact before append")
     val ids = batch.select(col("vec_id").cast("long").as("nid")).cache()
@@ -665,7 +677,7 @@ object GraphAnn {
         .select("src").distinct().localCheckpoint(eager = true)
       val survivingDeg = edgesT.join(affectedNodes, Seq("src"), "left_semi")
         .count()
-      compact(live, dir, m = 16)
+      compact(live, dir)
       val builds0 = buildsThisProcess
       val edgesC = ensure(live, dir)
       val noRebuild = buildsThisProcess == builds0

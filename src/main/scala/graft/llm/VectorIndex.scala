@@ -199,6 +199,14 @@ object VectorIndex {
     * stale duplicates and are discarded.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
+    // Layout check FIRST, before the recovery sweep touches anything:
+    // the meta read is independent of staging, and running the sweep
+    // first on a FILTERED store would delete a crashed
+    // compactFiltered's staged survivors (the only copy of its
+    // affected pairs) before the fail-loud guard ever fired. The two
+    // variants also use distinct staging paths (belt and braces).
+    requireUnfiltered(spark.read.parquet(s"$dir/meta").head(), dir,
+      "compact")
     val staging = s"$dir/codes_staging"
     // recovery: finish a previous compact that crashed mid-swap
     graft.util.Fs.listDirNames(spark, staging)
@@ -210,8 +218,6 @@ object VectorIndex {
       }
     graft.util.Fs.rmTree(spark, staging)
     if (!graft.util.Fs.exists(spark, s"$dir/tombstones")) return
-    requireUnfiltered(spark.read.parquet(s"$dir/meta").head(), dir,
-      "compact")
     val tomb = spark.read.parquet(s"$dir/tombstones").select(col("nid"))
     val raw = spark.read.parquet(s"$dir/codes")
     val affected = raw.join(tomb, Seq("nid"), "left_semi")
@@ -452,7 +458,14 @@ object VectorIndex {
     * `filterCol=value/` directory names). */
   def compactFiltered(spark: SparkSession, dir: String,
       filterCol: String): Unit = {
-    val staging = s"$dir/codes_staging"
+    // Layout check BEFORE the recovery sweep (see [[compact]]): a
+    // filtered compact pointed at a plain store must fail loud before
+    // it can delete a crashed plain compact's staged survivors.
+    requireFiltered(spark.read.parquet(s"$dir/meta").head(), dir,
+      filterCol, "compactFiltered")
+    // distinct from the plain variant's codes_staging: even a caller
+    // bypassing the guard can never sweep the other variant's stage
+    val staging = s"$dir/codes_staging_filtered"
     // recovery: a staged value=/cell= pair whose live dir is missing is
     // the only copy of those survivors — rename it in; staged pairs
     // whose live dir survived are stale and discarded
@@ -471,8 +484,6 @@ object VectorIndex {
       }
     graft.util.Fs.rmTree(spark, staging)
     if (!graft.util.Fs.exists(spark, s"$dir/tombstones")) return
-    requireFiltered(spark.read.parquet(s"$dir/meta").head(), dir,
-      filterCol, "compactFiltered")
     val tomb = spark.read.parquet(s"$dir/tombstones").select(col("nid"))
     val raw = spark.read.parquet(s"$dir/codes")
     val affected = raw.join(tomb, Seq("nid"), "left_semi")

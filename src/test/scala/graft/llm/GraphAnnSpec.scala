@@ -109,7 +109,7 @@ class GraphAnnSpec extends SparkSpec {
       .select("src").distinct().localCheckpoint(true)
     val survivingDeg = GraphAnn.load(spark, dir)
       .join(affected, Seq("src"), "left_semi").count()
-    GraphAnn.compact(live, dir, m = 16)
+    GraphAnn.compact(live, dir)
     assert(!new java.io.File(s"$dir/tombstones").exists())
     val edgesC = spark.read.parquet(s"$dir/edges")
     val delIds = deleted.select("vec_id").collect().map(_.getLong(0)).toSet
@@ -194,7 +194,7 @@ class GraphAnnSpec extends SparkSpec {
     GraphAnn.load(spark, dir).localCheckpoint(true)
       .write.mode("overwrite").parquet(s"$dir/edges_staging")
     graft.util.Fs.rmTree(spark, s"$dir/edges")
-    GraphAnn.compact(live, dir, m = 16)
+    GraphAnn.compact(live, dir)
     val edgesC = spark.read.parquet(s"$dir/edges")
     val delIds = deleted.select("vec_id").collect().map(_.getLong(0)).toSet
     val endpoints = edgesC.select("src", "dst").collect()
@@ -204,6 +204,28 @@ class GraphAnnSpec extends SparkSpec {
     val builds = GraphAnn.buildsThisProcess
     GraphAnn.ensure(live, dir)
     assert(GraphAnn.buildsThisProcess == builds)
+    c.unpersist()
+  }
+
+  test("delete rejects a pre-format-3 store with the actionable message") {
+    import spark.implicits._
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/g"
+    val c = corpus(100).cache()
+    GraphAnn.ensure(c, dir)
+    // fabricate a legacy (format 2) meta: no nodes table contract
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    Seq((meta.getAs[Long]("n_vectors"), meta.getAs[Long]("checksum"),
+        meta.getAs[Int]("m"), meta.getAs[Int]("init_cell_size"),
+        meta.getAs[Int]("descent_rounds"), 2))
+      .toDF("n_vectors", "checksum", "m", "init_cell_size",
+        "descent_rounds", "format_version")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.delete(c.filter(col("vec_id") < 5), dir)
+    }
+    assert(e.getMessage.contains("rebuild via ensure()"),
+      s"expected the actionable format message, got: ${e.getMessage}")
     c.unpersist()
   }
 }

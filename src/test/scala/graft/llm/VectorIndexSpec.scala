@@ -281,6 +281,47 @@ class VectorIndexSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("cross-variant compact rejects BEFORE touching the other " +
+      "variant's in-flight staging (no cross-destruction)") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/x"
+    val c = corpus(120)
+      .withColumn("label", (col("vec_id") % 2).cast("long")).cache()
+    VectorIndex.buildFiltered(c, dir, "label")
+    // Fabricate a compactFiltered crash mid-swap: staged survivors are
+    // the ONLY copy of one (label, cell) pair
+    VectorIndex.deleteFiltered(c.filter(col("vec_id") % 4 === 0), dir,
+      "label")
+    val tombIds = c.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("nid"))
+    val raw = spark.read.parquet(s"$dir/codes")
+    val pair = raw.join(tombIds, Seq("nid"), "left_semi")
+      .select(col("label").cast("long"), col("cell")).distinct()
+      .orderBy("label", "cell").head()
+    val (pl, pc) = (pair.getLong(0), pair.getInt(1))
+    raw.filter(col("label") === pl && col("cell") === pc)
+      .join(tombIds, Seq("nid"), "left_anti")
+      .withColumn("label", lit(pl)).withColumn("cell", lit(pc))
+      .repartition(col("label"), col("cell"))
+      .write.mode("overwrite").partitionBy("label", "cell")
+      .parquet(s"$dir/codes_staging_filtered")
+    graft.util.Fs.rmTree(spark, s"$dir/codes/label=$pl/cell=$pc")
+    // A PLAIN compact aimed (wrongly) at this filtered store must fail
+    // loud BEFORE any staging sweep — the staged pair survives intact
+    val e = intercept[IllegalArgumentException] {
+      VectorIndex.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("compactFiltered"))
+    assert(new java.io.File(s"$dir/codes_staging_filtered").exists(),
+      "rejected cross-variant compact must not delete in-flight staging")
+    // ...and the CORRECT variant still recovers from the crash state
+    VectorIndex.compactFiltered(spark, dir, "label")
+    assert(!new java.io.File(s"$dir/codes_staging_filtered").exists())
+    assert(VectorIndex.load(spark, dir).codes.count() ==
+      c.filter(col("vec_id") % 4 =!= 0).count())
+    c.unpersist()
+  }
+
   test("filtered delete/compact: two-level partition-pair rewrite, " +
       "fingerprint incremental, crash recovery") {
     graft.util.Fs.rmRecursive(new java.io.File(base))
@@ -344,10 +385,10 @@ class VectorIndexSpec extends SparkSpec {
       .withColumn("label", lit(pl)).withColumn("cell", lit(pc))
       .repartition(col("label"), col("cell"))
       .write.mode("overwrite").partitionBy("label", "cell")
-      .parquet(s"$dir/codes_staging")
+      .parquet(s"$dir/codes_staging_filtered")
     graft.util.Fs.rmTree(spark, s"$dir/codes/label=$pl/cell=$pc")
     VectorIndex.compactFiltered(spark, dir, "label")
-    assert(!new java.io.File(s"$dir/codes_staging").exists())
+    assert(!new java.io.File(s"$dir/codes_staging_filtered").exists())
     assert(!new java.io.File(s"$dir/tombstones").exists())
     assert(VectorIndex.load(spark, dir).codes.count() == live2.count(),
       "recovery must restore the staged pair and finish the compaction")
