@@ -1199,24 +1199,28 @@ object Dedup {
       minDocs: Int = 2, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(minDocs >= 2, s"minDocs=$minDocs must be >= 2")
-    // `wins` is deliberately recomputed by the two consumers below:
-    // materializing one row per character-window (~window × corpus) to
-    // save a second scan would cost far more than the rescan at scale
-    val wins = rollingHashWindows(docs, win, idCol, textCol)
-    // repartition by h at volume-derived width: HashPartitioning(h)
-    // satisfies the clustering of BOTH the (h, id) distinct and the
-    // h-keyed count, so the whole hot-hash chain runs at this width
-    // with no further exchange
+    import org.apache.spark.sql.expressions.Window
+    // ONE compute + ONE shuffle of the full window table (~one row per
+    // character): the per-hash distinct-doc count is evaluated IN PLACE
+    // on the h-partitioned table with two stacked window functions
+    // (dense_rank over id ⇒ running distinct-doc index, max over the
+    // h-group ⇒ its count), so the hot-window candidate filter reads
+    // the same sorted partitions — no second rolling-hash pass over the
+    // corpus (the r12 design recomputed `wins` for the candidate join,
+    // doubling the chain's scan/CPU and its cache-pressure exposure at
+    // ×100) and no separately-built hot-hash side to broadcast.
     val parts = windowAggParts(docs, textCol)
-    val hotHashes = wins.select(col("h"), col(idCol))
+    val byH = rollingHashWindows(docs, win, idCol, textCol)
       .repartition(parts, col("h"))
-      .distinct()
-      .groupBy("h").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("h")
+    val wNd = Window.partitionBy("h")
+    val wNdOrd = Window.partitionBy("h").orderBy(idCol)
     // candidates are the small cross-doc-repeated fraction — pin them so
     // the verify's two consumers don't each replay the hash+join lineage
-    val candS = wins.join(hotHashes, "h")
+    val candS = byH
+      .withColumn("di", dense_rank().over(wNdOrd))
+      .withColumn("nd", max(col("di")).over(wNd))
+      .filter(col("nd") >= minDocs)
+      .select(col(idCol), col("pos"))
       .join(docs.select(col(idCol), col(textCol)), idCol)
       .select(col(idCol), col("pos"),
         // UTF-16 extraction to match the producer's offset units — the
@@ -1233,7 +1237,6 @@ object Dedup {
       .filter(col("nd") >= minDocs)
       .select("s")
     val verified = candS.join(hotS, "s").select(col(idCol), col("pos"))
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(idCol).orderBy("pos")
     val prevMaxEnd = max(col("pos") + (win - 1)).over(
       w.rowsBetween(Window.unboundedPreceding, -1))

@@ -226,6 +226,64 @@ object RangeJoinNative {
       carry.map(a => col(a.name).as(a.name.stripPrefix(wp))): _*)
   }
 
+  /** Skew-mitigated [[rangeJoinNative]]. The native merge declares
+    * `ClusteredDistribution(keys)`, so ALL of one key's work lands in
+    * one task — and unlike SortMergeJoin, AQE's skew-join splitting
+    * does not know this operator. A key whose point rows exceed
+    * `hotThreshold` is therefore SALTED: its left rows spread across
+    * `splits` sub-partitions (deterministic hash of the point column)
+    * and its intervals replicate to every split, then the merge runs
+    * on `keys :+ salt`. Each (point, interval) pair still meets exactly
+    * once — the point sits in one split, the interval is in all of
+    * them — so the result is row-identical to the unmitigated join
+    * (j17's DuckDB oracle is j14's, verbatim). Non-hot keys take
+    * salt 0 on both sides: zero replication, unchanged plan shape.
+    *
+    * Cost model: detection is one map-side-combined count over the
+    * left keys plus a broadcast of keys above threshold (≤ |L| /
+    * hotThreshold keys — bounded, tiny). Mitigation replicates ONLY
+    * hot keys' intervals `splits`×; a hot key's pair enumeration
+    * (points × concurrently-open intervals, the real cost) divides by
+    * `splits`. The threshold is deliberately ABSOLUTE, not relative:
+    * the quantity that matters is whether one key's merge fits a
+    * single task's budget, which does not change when the corpus
+    * grows around it (same rule as [[graft.llm.Dedup]]'s
+    * volume-derived widths). */
+  def rangeJoinSkew(left: DataFrame, right: DataFrame,
+      keys: Seq[String], ptCol: String, loCol: String, hiCol: String,
+      splits: Int = 32, hotThreshold: Long = 1000000L): DataFrame = {
+    require(splits >= 2, s"splits=$splits must be >= 2")
+    require(hotThreshold >= 1, s"hotThreshold=$hotThreshold must be >= 1")
+    // selective import: functions.{left,right} would shadow the params
+    import org.apache.spark.sql.functions.{array, broadcast, count,
+      explode, lit, pmod, sequence, when, xxhash64}
+    val salt = "__rngs_salt"
+    val hotFlag = "__rngs_hot"
+    Seq(salt, hotFlag).foreach { c =>
+      require(!left.columns.contains(c) && !right.columns.contains(c),
+        s"column name $c is reserved by rangeJoinSkew")
+    }
+    val hot = left.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__rngs_n"))
+      .filter(col("__rngs_n") > hotThreshold)
+      .select(keys.map(col): _*)
+      .withColumn(hotFlag, lit(1))
+    val lS = left.join(broadcast(hot), keys, "left")
+      .withColumn(salt,
+        when(col(hotFlag).isNotNull,
+          pmod(xxhash64(col(ptCol)), lit(splits)).cast("int"))
+          .otherwise(lit(0)))
+      .drop(hotFlag)
+    val rS = right.join(broadcast(hot), keys, "left")
+      .withColumn(salt, explode(
+        when(col(hotFlag).isNotNull,
+          sequence(lit(0), lit(splits - 1)))
+          .otherwise(array(lit(0)))))
+      .drop(hotFlag)
+    rangeJoinNative(lS, rS, keys :+ salt, ptCol, loCol, hiCol)
+      .drop(salt)
+  }
+
   /** J14 — the j7 range workload planned through [[RangeJoinExec]]
     * against the SAME DuckDB inequality-join oracle: the custom
     * physical operator hash-verified end to end (j8's pattern), with
@@ -293,5 +351,43 @@ object RangeJoinNative {
             .cast("long").as("pair_checksum"))
   }
 
-  def all: Seq[graft.QueryDef] = Seq(j14, j16)
+  /** J17 — [[rangeJoinSkew]] on the j14 workload, against j14's DuckDB
+    * oracle VERBATIM: salting must be row-invisible. The threshold (70)
+    * sits inside the per-user event-count distribution at every test
+    * sf (≈31% of users above it at sf0.01, 5/15 at sf0.001), so the
+    * gate exercises BOTH the salted-hot and the salt-0 pass-through
+    * branches and their union in one hash-verified result. Production
+    * callers keep the 1M-row default — hot means "one key's merge
+    * exceeds a task's budget", an absolute quantity (see
+    * [[rangeJoinSkew]]). */
+  val j17 = graft.QueryDef.sql(
+    "j17_range_join_skew",
+    """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us
+      |           FROM events WHERE ts IS NOT NULL),
+      |r AS (SELECT user_id, event_id AS rid,
+      |             epoch_us(ts) - 300000000 AS lo,
+      |             epoch_us(ts) + 300000000 AS hi
+      |      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+      |SELECT count(*) AS n_pairs,
+      |       CAST(coalesce(sum(l.event_id + r.rid), 0) AS BIGINT)
+      |         AS pair_checksum
+      |FROM l JOIN r
+      |  ON l.user_id = r.user_id AND l.us BETWEEN r.lo AND r.hi""".stripMargin) {
+    (s, d) =>
+      import org.apache.spark.sql.functions._
+      val ev = graft.Tables.events(s, d).filter(col("ts").isNotNull)
+      val l = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("rid"),
+          (unix_micros(col("ts")) - 300000000L).as("lo"),
+          (unix_micros(col("ts")) + 300000000L).as("hi"))
+      rangeJoinSkew(l, r, Seq("user_id"), "us", "lo", "hi",
+          splits = 4, hotThreshold = 70L)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("event_id") + col("rid")), lit(0L))
+            .cast("long").as("pair_checksum"))
+  }
+
+  def all: Seq[graft.QueryDef] = Seq(j14, j16, j17)
 }

