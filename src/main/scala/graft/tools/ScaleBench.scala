@@ -44,10 +44,29 @@ object ScaleBench {
     "d14_strip_repeated_spans",
     "v19_persisted_ann_recall", "v20_graph_ann_recall",
     "v24_graph_pq_recall", "v25_index_delete_compact",
+    "v26_graph_delete", "v27_filtered_delete_compact",
+    "v28_graph_append", "st16_stream_incremental_agg",
     "g1_pagerank", "g2_connected_components", "g6_bfs_distance",
     "c2_budget_sample", "t8_tfidf_top_terms", "mm4_video_near_dup",
     "j7_range_join", "j14_range_join_native",
     "j15_range_join_wide", "j16_range_join_wide_native")
+
+  /** SKEW tier (SPARK_GRAFT_SCALE_SKEW=1): the scaling campaign's
+    * key-offset replication preserves per-key structure, so it can
+    * never show what one HOT key does to the native merge joins —
+    * their ClusteredDistribution(keys) puts all of a key's work in one
+    * task, and AQE's skew splitting does not know these operators. The
+    * skew synthesis reroutes ~20% of all events to a single user; this
+    * set measures the composed form (bucket-salted by construction),
+    * the unmitigated native merges, and [[graft.plans.RangeJoinNative
+    * .rangeJoinSkew]] at production-shaped settings. The WIDE
+    * unmitigated native join is deliberately absent at this tier: the
+    * hot key's pair enumeration (points × concurrently-open intervals
+    * ≈ 2M × 2200 at ×100) is the documented single-task envelope the
+    * mitigation exists to break. */
+  private val skewDefaultQueries = Seq(
+    "j7_range_join", "j14_range_join_native", "j14_skew_mitigated",
+    "j15_range_join_wide", "j16_skew_mitigated", "j8_asof_native")
 
   /** Build-once stores: the second timed run is the search-only path. */
   private val secondRun = Set(
@@ -156,6 +175,71 @@ object ScaleBench {
     out
   }
 
+  /** Skew-tier variants that are not registry queries: the j14/j16
+    * workloads through the salted merge at production-shaped settings
+    * (absolute threshold sized to "one key's merge exceeds a task",
+    * catching ONLY the synthesized hot user — cold keys take the
+    * zero-replication salt-0 path). */
+  private def inlineQueries
+      : Map[String, (SparkSession, String) => DataFrame] = {
+    def workload(s: SparkSession, d: String, w: Long) = {
+      val ev = graft.Tables.events(s, d).filter(col("ts").isNotNull)
+      val l = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("rid"),
+          (unix_micros(col("ts")) - w).as("lo"),
+          (unix_micros(col("ts")) + w).as("hi"))
+      (l, r)
+    }
+    def agg(df: DataFrame) = df.agg(count(lit(1)).as("n_pairs"),
+      coalesce(sum(col("event_id") + col("rid")), lit(0L))
+        .cast("long").as("pair_checksum"))
+    def mitigated(w: Long): (SparkSession, String) => DataFrame =
+      (s, d) => {
+        val (l, r) = workload(s, d, w)
+        agg(graft.plans.RangeJoinNative.rangeJoinSkew(l, r,
+          Seq("user_id"), "us", "lo", "hi",
+          splits = 32, hotThreshold = 100000L))
+      }
+    Map("j14_skew_mitigated" -> mitigated(300000000L),
+      "j16_skew_mitigated" -> mitigated(7200000000L))
+  }
+
+  /** Skewed synthesis: normal replication, then ~20% of all events
+    * (deterministic hash of the replicated event id) reroute to the
+    * dedicated hot user −1 — an id no offset replica can produce, so
+    * the remaining users keep their exact per-replica structure. Only
+    * the events table is written (the skew set is join-only). */
+  def synthesizeSkew(spark: SparkSession, baseSf: String, f: Int,
+      outRoot: String): String = {
+    val baseTag = baseSf.replaceAll("[^A-Za-z0-9._-]", "_")
+    val out = s"$outRoot/$baseTag/x${f}skew"
+    val marker = s"$out/_SCALE_MARKER"
+    val reusable = try {
+      val m = spark.read.parquet(marker).head()
+      m.getAs[String]("base") == baseSf && m.getAs[Int]("factor") == f &&
+        m.getAs[Boolean]("skew")
+    } catch { case _: Throwable => false }
+    if (reusable) return out
+    graft.util.Fs.rmTree(spark, out)
+    val ev = spark.read.parquet(s"$baseSf/events.parquet")
+    val maxEvent = maxOf(ev, "event_id")
+    val maxUser = maxOf(ev, "user_id")
+    replicate(spark, ev, f)
+      .select((col("event_id") + col("rep") * maxEvent).as("event_id"),
+        col("ts"),
+        when(pmod(xxhash64(col("event_id") + col("rep") * maxEvent),
+          lit(5)) === 0, lit(-1L))
+          .otherwise(col("user_id") + col("rep") * maxUser).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    import spark.implicits._
+    Seq((baseSf, f, true)).toDF("base", "factor", "skew")
+      .repartition(1).write.mode("overwrite").parquet(marker)
+    out
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -168,9 +252,10 @@ object ScaleBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10,100")
       .split(",").map(_.trim.toInt).toSeq
+    val skewMode = sys.env.get("SPARK_GRAFT_SCALE_SKEW").contains("1")
     val qNames = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(defaultQueries)
+      .getOrElse(if (skewMode) skewDefaultQueries else defaultQueries)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -199,7 +284,15 @@ object ScaleBench {
     val loadStart = loadAvg()
     factors.foreach { f =>
       val dir =
-        if (f == 1) baseSf
+        if (skewMode) {
+          // skew mode synthesizes EVERY factor (including x1) so the
+          // 20%-hot-user structure is constant along the curve
+          val t0 = System.nanoTime()
+          val d = synthesizeSkew(spark, baseSf, f, outRoot)
+          val secs = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[scale] synthesized skewed x$f in $secs%.1f s")
+          d
+        } else if (f == 1) baseSf
         else {
           val t0 = System.nanoTime()
           val d = synthesize(spark, baseSf, f, outRoot)
@@ -207,9 +300,13 @@ object ScaleBench {
           System.err.println(f"[scale] synthesized x$f in $secs%.1f s")
           d
         }
-      val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+      val nDocs = spark.read.parquet(
+        if (skewMode) s"$dir/events.parquet"
+        else s"$dir/documents.parquet").count()
       qNames.foreach { name =>
-        val fn = graft.SparkEntry.queries(name)
+        val fn = graft.SparkEntry.queries.getOrElse(name,
+          inlineQueries.getOrElse(name, throw new IllegalArgumentException(
+            s"unknown scale query '$name'")))
         val reps = if (secondRun.contains(name)) 2 else 1
         var rep = 0
         while (rep < reps) {
@@ -235,11 +332,12 @@ object ScaleBench {
     }
     val loadEnd = loadAvg()
     val body = results.mkString("[", ",", "]")
-    val json = s"""{"metric":"scale","base":${jstr(baseSf)},"loadavg_start":${jstr(
+    val json = s"""{"metric":"scale","base":${jstr(baseSf)},"skew":$skewMode,"loadavg_start":${jstr(
       loadStart)},"loadavg_end":${jstr(loadEnd)},"n_cores":${Runtime
       .getRuntime.availableProcessors()},"results":$body}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("scale_out.json"), json + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      if (skewMode) "scale_out_skew.json" else "scale_out.json"),
+      json + "\n")
     spark.stop()
     println(json)
   }
