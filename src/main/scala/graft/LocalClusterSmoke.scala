@@ -133,6 +133,99 @@ object LocalClusterSmoke {
     }
   }
 
+  /** [[storedIndexRoundTrip]] for the GRAPH store (GraphAnn): build
+    * from one cluster session, stop it, beam-search from a fresh one.
+    * The fresh session must fingerprint-validate WITHOUT rebuilding.
+    * Returns (stored node count, recall@1 vs the fresh session's own
+    * brute-force truth). */
+  def storedGraphRoundTrip(sfDir: String): (Long, Double) = {
+    val dir = graft.util.Fixtures.dir + "/cluster_graph"
+    val sA = newClusterSession()
+    try {
+      val emb = Tables.embeddings(sA, sfDir)
+        .select(col("vec_id"), col("embedding"))
+      graft.util.Fs.rmTree(sA, dir)
+      graft.llm.GraphAnn.ensure(emb, dir): Unit
+    } finally {
+      sA.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+    val sB = newClusterSession()
+    try {
+      val emb = Tables.embeddings(sB, sfDir)
+        .select(col("vec_id"), col("embedding")).cache()
+      val before = graft.llm.GraphAnn.buildsThisProcess
+      val graph = graft.llm.GraphAnn.ensure(emb, dir)
+      require(graft.llm.GraphAnn.buildsThisProcess == before,
+        "fresh session failed to fingerprint-validate the stored graph")
+      val queries = graft.llm.Similarity.probePanel(emb)
+      val exact = graft.llm.Similarity.bruteForceTop1(queries, emb)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val approx = graft.llm.GraphAnn.beamSearch(queries, graph, emb, k = 1)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val recall =
+        if (exact.isEmpty) 0.0
+        else approx.count { case (q, nid) =>
+          exact.get(q).contains(nid)
+        }.toDouble / exact.size
+      (sB.read.parquet(s"$dir/nodes").count(), recall)
+    } finally {
+      sB.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  /** [[storedIndexRoundTrip]] for the FILTERED (label, cell) store:
+    * build from one cluster session, pre-filtered search from a fresh
+    * one against the within-label brute-force truth. Returns (stored
+    * code count, within-label recall@1). */
+  def storedFilteredRoundTrip(sfDir: String): (Long, Double) = {
+    val dir = graft.util.Fixtures.dir + "/cluster_filtered"
+    val sA = newClusterSession()
+    try {
+      val emb = Tables.embeddings(sA, sfDir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      graft.util.Fs.rmTree(sA, dir)
+      graft.llm.VectorIndex.buildFiltered(emb, dir, "label")
+    } finally {
+      sA.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+    val sB = newClusterSession()
+    try {
+      val emb = Tables.embeddings(sB, sfDir)
+        .select(col("vec_id"), col("embedding"), col("label")).cache()
+      val before = graft.llm.VectorIndex.buildsThisProcess
+      val ix = graft.llm.VectorIndex.ensureFiltered(emb, dir, "label")
+      require(graft.llm.VectorIndex.buildsThisProcess == before,
+        "fresh session failed to fingerprint-validate the filtered store")
+      val queries = graft.llm.Similarity.probePanel(emb)
+      val exact = graft.llm.Similarity
+        .bruteForceTop1Filtered(queries, emb, "label")
+        .select(col("qid"), col("nid")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val approx = graft.llm.VectorIndex
+        .searchFiltered(ix, queries, emb, "label", k = 1)
+        .select(col("qid"), col("nid")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val recall =
+        if (exact.isEmpty) 0.0
+        else approx.count { case (q, nid) =>
+          exact.get(q).contains(nid)
+        }.toDouble / exact.size
+      (ix.codes.count(), recall)
+    } finally {
+      sB.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.001")

@@ -568,6 +568,11 @@ object Multimodal {
     encodeBmp24(18, 16, rgb)
   }
 
+  /** Absolute so DuckDB (its own process, any cwd) reads the exact
+    * files this JVM's query wrote — the a12 exact-side-dump pattern. */
+  private def mm2HashDir: String =
+    new java.io.File(graft.util.Fixtures.dir + "/mm2_hashes").getAbsolutePath
+
   /** MM2 — image near-dup over REAL decoded pixels: every document id
     * renders a deterministic BMP (50 visual classes × 4 variants),
     * the dHash kernel runs decode→resize→hash distributed, and the
@@ -576,8 +581,24 @@ object Multimodal {
     * bounded per-class brute force (classes are small — group-local
     * quadratic work, never corpus-quadratic), every emitted pair must
     * verify ≤3 exactly, and all payloads must decode as BMP.
+    *
+    * FULL oracle since r13 (the a12 dump pattern): the decoded dHash
+    * table is persisted beside the run and DuckDB brute-forces the
+    * ENTIRE ≤3-bit pair graph over it — the 4×16 banding's pigeonhole
+    * recall guarantee is global, so the banded join's emitted pairs
+    * must equal the exhaustive truth set exactly, corpus-wide (a
+    * stronger check than the class-local gate, which stays as an
+    * emission condition on the decode side).
     */
-  val mm2 = QueryDef.rowsOnly("mm2_image_near_dup") { (s, d) =>
+  val mm2 = QueryDef.sql(
+    "mm2_image_near_dup",
+    s"""WITH h AS (SELECT doc_id, dhash
+       |           FROM read_parquet('$mm2HashDir/*.parquet')
+       |           WHERE dhash IS NOT NULL)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |       bit_count(xor(a.dhash, b.dhash)) AS dist
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin) { (s, d) =>
     val spark = s
     val docs = Tables.documents(s, d).select("doc_id")
     val pIdx = 0
@@ -590,15 +611,17 @@ object Multimodal {
         Row(id, syntheticBmp(id))
       }), schema)
     val hashed = imageDHash(assets).select("doc_id", "dhash").cache()
+    // the exact-side dump DuckDB replays the pair graph over
+    hashed.write.mode("overwrite").parquet(mm2HashDir)
     val nImages = hashed.count()
     val nDecoded = hashed.filter(col("dhash").isNotNull).count()
     val found = imageNearDupPairs(hashed, "doc_id", maxDist = 3)
-      .select("a", "b", "dist").cache()
+      .select("a", "b", "dist").localCheckpoint(true)
     // ground truth within classes: bounded group-local brute force
     val byClass = hashed.withColumn("cls", col("doc_id") % 50)
     val t = byClass.select(col("cls"), col("doc_id").as("a"), col("dhash").as("ha"))
-      .join(byClass.select(col("cls"), col("doc_id").as("b"), col("dhash").as("hb")),
-        Seq("cls"))
+      .join(byClass.select(col("cls"), col("doc_id").as("b"),
+        col("dhash").as("hb")), Seq("cls"))
       .filter(col("a") < col("b"))
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
       .select("a", "b")
@@ -606,14 +629,10 @@ object Multimodal {
     val missed = t.join(found, Seq("a", "b"), "left_anti").count()
     val badDist = found.filter(col("dist") > 3).count()
     val nFound = found.count()
-    hashed.unpersist(); found.unpersist()
-    import spark.implicits._
-    Seq((nImages, nDecoded, nFound, expected, missed, badDist))
-      .toDF("n_images", "n_decoded", "n_pairs", "n_same_class_pairs",
-        "n_missed", "n_bad_dist")
-      .filter(col("n_images") > 0 && col("n_decoded") === col("n_images") &&
-        col("n_same_class_pairs") > 0 && col("n_missed") === 0 &&
-        col("n_bad_dist") === 0 && col("n_pairs") >= col("n_same_class_pairs"))
+    hashed.unpersist()
+    val ok = nImages > 0 && nDecoded == nImages && expected > 0 &&
+      missed == 0L && badDist == 0L && nFound >= expected
+    found.filter(lit(ok))
   }
 
   // ------------------------------------------------ audio near-dup (envelope)
@@ -718,7 +737,21 @@ object Multimodal {
     * pairs must cover the bounded per-class brute-force truth
     * exactly, every pair verifies ≤ 3 bits, all payloads decode.
     */
-  val mm3 = QueryDef.rowsOnly("mm3_audio_near_dup") { (s, d) =>
+  private def mm3HashDir: String =
+    new java.io.File(graft.util.Fixtures.dir + "/mm3_hashes").getAbsolutePath
+
+  /** FULL oracle since r13, mirroring mm2: the decoded envelope-hash
+    * table is dumped and DuckDB brute-forces the global ≤3-bit pair
+    * graph over it — banded pairs must equal the exhaustive truth. */
+  val mm3 = QueryDef.sql(
+    "mm3_audio_near_dup",
+    s"""WITH h AS (SELECT doc_id, ahash
+       |           FROM read_parquet('$mm3HashDir/*.parquet')
+       |           WHERE ahash IS NOT NULL)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |       bit_count(xor(a.ahash, b.ahash)) AS dist
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin) { (s, d) =>
     val spark = s
     val docs = Tables.documents(s, d).select("doc_id")
     val schema = StructType(Seq(
@@ -730,10 +763,11 @@ object Multimodal {
         Row(id, syntheticWav(id))
       }), schema)
     val hashed = audioEnvelopeHash(assets).select("doc_id", "ahash").cache()
+    hashed.write.mode("overwrite").parquet(mm3HashDir)
     val nClips = hashed.count()
     val nDecoded = hashed.filter(col("ahash").isNotNull).count()
     val found = imageNearDupPairs(hashed, "doc_id", maxDist = 3,
-      hashCol = "ahash").select("a", "b", "dist").cache()
+      hashCol = "ahash").select("a", "b", "dist").localCheckpoint(true)
     val byClass = hashed.withColumn("cls", col("doc_id") % 50)
     val t = byClass.select(col("cls"), col("doc_id").as("a"), col("ahash").as("ha"))
       .join(byClass.select(col("cls"), col("doc_id").as("b"), col("ahash").as("hb")),
@@ -745,14 +779,10 @@ object Multimodal {
     val missed = t.join(found, Seq("a", "b"), "left_anti").count()
     val badDist = found.filter(col("dist") > 3).count()
     val nFound = found.count()
-    hashed.unpersist(); found.unpersist()
-    import spark.implicits._
-    Seq((nClips, nDecoded, nFound, expected, missed, badDist))
-      .toDF("n_clips", "n_decoded", "n_pairs", "n_same_class_pairs",
-        "n_missed", "n_bad_dist")
-      .filter(col("n_clips") > 0 && col("n_decoded") === col("n_clips") &&
-        col("n_same_class_pairs") > 0 && col("n_missed") === 0 &&
-        col("n_bad_dist") === 0 && col("n_pairs") >= col("n_same_class_pairs"))
+    hashed.unpersist()
+    val ok = nClips > 0 && nDecoded == nClips && expected > 0 &&
+      missed == 0L && badDist == 0L && nFound >= expected
+    found.filter(lit(ok))
   }
 
   // ------------------------------------------------ video frame pipeline

@@ -41,4 +41,19 @@ class LocalClusterSpec extends AnyFunSuite {
     assert(nStored > 0)
     assert(recall >= 0.6, s"cross-session stored-index recall $recall")
   }
+
+  test("GraphAnn store built by one cluster session beam-searches from " +
+      "a fresh session without rebuild", ClusterTest) {
+    val (nNodes, recall) = LocalClusterSmoke.storedGraphRoundTrip(sfDir)
+    assert(nNodes > 0)
+    assert(recall >= 0.6, s"cross-session stored-graph recall $recall")
+  }
+
+  test("filtered (label, cell) store built by one cluster session " +
+      "pre-filter-searches from a fresh session without rebuild",
+      ClusterTest) {
+    val (nStored, recall) = LocalClusterSmoke.storedFilteredRoundTrip(sfDir)
+    assert(nStored > 0)
+    assert(recall >= 0.6, s"cross-session filtered-store recall $recall")
+  }
 }

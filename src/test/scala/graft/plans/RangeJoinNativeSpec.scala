@@ -173,4 +173,81 @@ class RangeJoinNativeSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(none == plain)
   }
+
+  test("AQE re-planning preserves the native merges and their results") {
+    val (left, right) = randomCase(13L)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "false")
+    // expected result computed WITHOUT AQE first
+    val expected = RangeJoinNative
+      .rangeJoinNative(left, right, Seq("k"), "pt", "lo", "hi")
+      .select("k", "lid", "pt", "rid").collect().map(_.toSeq).toSet
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = RangeJoinNative
+        .rangeJoinNative(left, right, Seq("k"), "pt", "lo", "hi")
+      val got = df.select("k", "lid", "pt", "rid")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, "AQE changed the range-join result")
+      assert(got.nonEmpty)
+      // post-execution FINAL plan (not the pre-AQE sketch) still runs
+      // the custom exec — AQE re-planning must neither drop it nor
+      // fall back to some other join
+      val finalPlan = df.queryExecution.executedPlan
+      assert(finalPlan.toString.contains("AdaptiveSparkPlan"),
+        s"AQE did not engage:\n$finalPlan")
+      val adaptive = finalPlan.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a
+      }.get
+      val fin = adaptive.executedPlan.toString
+      assert(fin.contains("RangeJoin"),
+        s"RangeJoinExec missing from AQE final plan:\n$fin")
+      // same for the as-of merge
+      val l = left.select(col("k"), col("lid"), col("pt").as("ts"))
+      val r = right.select(col("k"), col("rid"), col("lo").as("rts"))
+      val asof = AsofJoinNative.asofJoinNative(l, r, Seq("k"), "ts", "rts")
+      val nAsof = asof.count()
+      assert(nAsof == l.count(), "as-of must emit one row per left row")
+      val asofFin = asof.queryExecution.executedPlan.collectFirst {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a
+      }.map(_.executedPlan.toString).getOrElse(
+        asof.queryExecution.executedPlan.toString)
+      assert(asofFin.contains("AsofJoin"),
+        s"AsofJoinExec missing from AQE final plan:\n$asofFin")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("PERSISTED bucketed tables take the zero-exchange path") {
+    val (left, right) = randomCase(19L)
+    spark.sql("DROP TABLE IF EXISTS rjn_lbuck")
+    spark.sql("DROP TABLE IF EXISTS rjn_rbuck")
+    try {
+      left.write.mode("overwrite")
+        .bucketBy(8, "k").sortBy("k", "pt").saveAsTable("rjn_lbuck")
+      right.write.mode("overwrite")
+        .bucketBy(8, "k").sortBy("k", "lo").saveAsTable("rjn_rbuck")
+      val lp = spark.table("rjn_lbuck")
+      val rp = spark.table("rjn_rbuck")
+      val df = RangeJoinNative
+        .rangeJoinNative(lp, rp, Seq("k"), "pt", "lo", "hi")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed store still shuffled:\n$plan")
+      assert(plan.contains("RangeJoin"), plan)
+      // and the zero-exchange plan is still CORRECT vs the composed form
+      val native = df.select("k", "lid", "pt", "rid")
+        .collect().map(_.toSeq).toSet
+      val composed = RangeJoin
+        .rangeJoin(left, right, Seq("k"), "pt", "lo", "hi",
+          bucketWidth = 64L)
+        .select("k", "lid", "pt", "rid")
+        .collect().map(_.toSeq).toSet
+      assert(native == composed)
+      assert(native.nonEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS rjn_lbuck")
+      spark.sql("DROP TABLE IF EXISTS rjn_rbuck")
+    }
+  }
 }
