@@ -1214,9 +1214,16 @@ object Dedup {
       .repartition(parts, col("h"))
     val wNd = Window.partitionBy("h")
     val wNdOrd = Window.partitionBy("h").orderBy(idCol)
-    // candidates are the small cross-doc-repeated fraction — pin them so
-    // the verify's two consumers don't each replay the hash+join lineage
-    val candS = byH
+    // candidates are the small cross-doc-repeated fraction; the exact
+    // CONTENT verify (hash collisions only ever ADD candidates — this
+    // re-group by the actual substring keeps recall and precision
+    // exact) uses the same in-place window shape as the hash stage:
+    // one s-keyed shuffle, one sort, distinct-doc count via
+    // dense_rank/max, filter — no second read of the 100-byte-string
+    // candidate table and no sort-merge join back onto it.
+    val wS = Window.partitionBy("s")
+    val wSOrd = Window.partitionBy("s").orderBy(idCol)
+    val verified = byH
       .withColumn("di", dense_rank().over(wNdOrd))
       .withColumn("nd", max(col("di")).over(wNd))
       .filter(col("nd") >= minDocs)
@@ -1228,15 +1235,12 @@ object Dedup {
         // surrogate-bearing docs. Producer positions are always valid,
         // so the expression's null channel never fires here.
         graft.expressions.Utf16Substr(col(textCol), col("pos"), lit(win)).as("s"))
-      // s-keyed at volume width: the content-verify distinct+count and
-      // the verified join all cluster by s — exchange-free downstream
+      // s-keyed at volume width, then verify in place
       .repartition(parts, col("s"))
-      .localCheckpoint(eager = false)
-    val hotS = candS.select(col("s"), col(idCol)).distinct()
-      .groupBy("s").agg(count(lit(1)).as("nd"))
+      .withColumn("di", dense_rank().over(wSOrd))
+      .withColumn("nd", max(col("di")).over(wS))
       .filter(col("nd") >= minDocs)
-      .select("s")
-    val verified = candS.join(hotS, "s").select(col(idCol), col("pos"))
+      .select(col(idCol), col("pos"))
     val w = Window.partitionBy(idCol).orderBy("pos")
     val prevMaxEnd = max(col("pos") + (win - 1)).over(
       w.rowsBetween(Window.unboundedPreceding, -1))
