@@ -1006,7 +1006,31 @@ object Multimodal {
     * per-video shot count equals 1 + boundaries (shot_idx consistency);
     * keyframes (first frame of each shot) number exactly n_shots.
     */
-  val mm5 = QueryDef.rowsOnly("mm5_video_shot_detect") { (s, d) =>
+  private def mm5HashDir: String =
+    new java.io.File(graft.util.Fixtures.dir + "/mm5_hashes").getAbsolutePath
+
+  /** FULL oracle since r13 (the dump pattern): the decoded frame-hash
+    * table is persisted and DuckDB replays the cut detector — last
+    * non-null hash over the preceding frames, Hamming jump > 10 — so
+    * the emitted boundary set is externally hash-verified; the planted
+    * missed/spurious gates stay as emission conditions. */
+  val mm5 = QueryDef(
+    "mm5_video_shot_detect",
+    mm5Fn,
+    oracle = Some(
+      s"""WITH fh AS (SELECT doc_id, frame_idx, dhash
+         |            FROM read_parquet('$mm5HashDir/*.parquet')),
+         |w AS (SELECT doc_id, frame_idx, dhash,
+         |             last_value(dhash IGNORE NULLS) OVER (
+         |               PARTITION BY doc_id ORDER BY frame_idx
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |               AS ph
+         |      FROM fh)
+         |SELECT doc_id, frame_idx FROM w
+         |WHERE ph IS NOT NULL AND dhash IS NOT NULL
+         |  AND bit_count(xor(dhash, ph)) > 10""".stripMargin))
+
+  private def mm5Fn: (org.apache.spark.sql.SparkSession, String) => DataFrame = { (s, d) =>
     val spark = s
     val docs = Tables.documents(s, d).select("doc_id")
     val assets = spark.createDataFrame(
@@ -1017,6 +1041,8 @@ object Multimodal {
         StructField("doc_id", LongType, nullable = false),
         StructField("payload", BinaryType, nullable = false))))
     val fh = videoFrameHashes(assets, stride = 1)
+    fh.select(col("doc_id"), col("frame_idx"), col("dhash"))
+      .write.mode("overwrite").parquet(mm5HashDir)
     val marked = videoShotBoundaries(fh, "doc_id", maxIntraDist = 10)
       .cache()
     val detected = marked.filter(col("is_boundary"))
@@ -1041,15 +1067,12 @@ object Multimodal {
       .filter(col("n_keyframes") =!= col("n_bounds") + 1).count()
     val nVideos = docs.count()
     val nDecoded = marked.select("doc_id").distinct().count()
-    val nBoundaries = detected.count()
+    val detectedP = detected.localCheckpoint(true)
+    val nBoundaries = detectedP.count()
     marked.unpersist()
-    import spark.implicits._
-    Seq((nVideos, nDecoded, nBoundaries, missed, spurious, badShotIdx))
-      .toDF("n_videos", "n_decoded", "n_boundaries", "n_missed",
-        "n_spurious", "n_bad_shot_idx")
-      .filter(col("n_videos") > 0 && col("n_decoded") === col("n_videos") &&
-        col("n_boundaries") > 0 && col("n_missed") === 0 &&
-        col("n_spurious") === 0 && col("n_bad_shot_idx") === 0)
+    val ok = nVideos > 0 && nDecoded == nVideos && nBoundaries > 0 &&
+      missed == 0L && spurious == 0L && badShotIdx == 0L
+    detectedP.filter(lit(ok))
   }
 
   /** Deterministic video fixture: 50 scenes × 4 variants, 12 frames
@@ -1104,7 +1127,36 @@ object Multimodal {
     * under the bounded per-scene brute force (pigeonhole recall per
     * frame makes this exact); every emitted pair re-verifies.
     */
-  val mm4 = QueryDef.rowsOnly("mm4_video_near_dup") { (s, d) =>
+  private def mm4HashDir: String =
+    new java.io.File(graft.util.Fixtures.dir + "/mm4_hashes").getAbsolutePath
+
+  /** FULL oracle since r13 (the dump pattern): the sampled frame-hash
+    * table is persisted and DuckDB brute-forces the GLOBAL overlap
+    * criterion over it — every video pair with ≥ 50% of the smaller
+    * id's frames matched at ≤ 3 bits. Per-frame pigeonhole recall
+    * makes the engine's banded candidate set globally complete, so
+    * the emitted pairs must equal the exhaustive truth corpus-wide
+    * (stronger than the scene-local gate, which stays as an emission
+    * condition). */
+  val mm4 = QueryDef(
+    "mm4_video_near_dup",
+    mm4Fn,
+    oracle = Some(
+      s"""WITH fh AS (SELECT doc_id, frame_idx, dhash
+         |            FROM read_parquet('$mm4HashDir/*.parquet')
+         |            WHERE dhash IS NOT NULL),
+         |p AS (SELECT a.doc_id AS a, b.doc_id AS b, a.frame_idx AS ia
+         |      FROM fh a JOIN fh b ON a.doc_id < b.doc_id
+         |       AND bit_count(xor(a.dhash, b.dhash)) <= 3),
+         |m AS (SELECT a, b, count(DISTINCT ia) AS matched_a
+         |      FROM p GROUP BY 1, 2),
+         |n AS (SELECT doc_id AS a, count(*) AS n_a FROM fh GROUP BY 1)
+         |SELECT m.a, m.b, matched_a, n_a,
+         |       round(matched_a * 1.0 / n_a, 6) AS match_frac
+         |FROM m JOIN n USING (a)
+         |WHERE matched_a * 1.0 / n_a >= 0.5""".stripMargin))
+
+  private def mm4Fn: (org.apache.spark.sql.SparkSession, String) => DataFrame = { (s, d) =>
     val spark = s
     val docs = Tables.documents(s, d).select("doc_id")
     // scene count scales WITH the corpus (≥50, ~10 videos/scene), so
@@ -1122,10 +1174,12 @@ object Multimodal {
         StructField("payload", BinaryType, nullable = false))))
     val nVideos = nDocs
     val fh = videoFrameHashes(assets, stride = 2).cache()
+    fh.select(col("doc_id"), col("frame_idx"), col("dhash"))
+      .write.mode("overwrite").parquet(mm4HashDir)
     val nHashed = fh.filter(col("dhash").isNotNull)
       .select("doc_id").distinct().count()
     val found = videoNearDupPairs(fh, "doc_id", maxDist = 3,
-      minMatchFrac = 0.5).cache()
+      minMatchFrac = 0.5).localCheckpoint(true)
     // truth: same-scene pairs under the SAME criterion, scene-local
     // brute force (scenes are bounded groups, never corpus-quadratic)
     val byCls = fh.filter(col("dhash").isNotNull)
@@ -1148,14 +1202,10 @@ object Multimodal {
     val badFrac = found.filter(col("match_frac") > 1.0 ||
       col("match_frac") < 0.5).count()
     val nFound = found.count()
-    fh.unpersist(); found.unpersist(); truth.unpersist()
-    import spark.implicits._
-    Seq((nVideos, nHashed, nFound, nTruth, missed, badFrac))
-      .toDF("n_videos", "n_decoded", "n_pairs", "n_scene_pairs",
-        "n_missed", "n_bad_frac")
-      .filter(col("n_videos") > 0 && col("n_decoded") === col("n_videos") &&
-        col("n_scene_pairs") > 0 && col("n_missed") === 0 &&
-        col("n_bad_frac") === 0 && col("n_pairs") >= col("n_scene_pairs"))
+    fh.unpersist(); truth.unpersist()
+    val ok = nVideos > 0 && nHashed == nVideos && nTruth > 0 &&
+      missed == 0L && badFrac == 0L && nFound >= nTruth
+    found.filter(lit(ok))
   }
 
   /** First-touch warm-up for the codec/fingerprint kernels (called by
