@@ -40,6 +40,7 @@ object SparkEntry {
       graft.llm.Tokenizer.all ++
       graft.llm.Curation.all ++
       graft.llm.Dedup.all ++
+      graft.llm.DedupIndex.all ++
       graft.llm.Contamination.all ++
       graft.llm.Similarity.all ++
       graft.llm.VectorIndex.all ++

@@ -1,0 +1,490 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted n-gram-Jaccard DEDUP SIGNATURE STORE — the dedup analog of
+  * the vector/graph index-maintenance matrix: build / ensure / probe /
+  * append / delete / compact over a gram-prefix index on storage, so
+  * deduplicating a new crawl batch against the accepted corpus costs
+  * O(batch + candidates) instead of re-shingling the whole corpus per
+  * ingest (which is what [[Dedup.incrementalDedup]] — the one-shot,
+  * storeless form — must do, and what no 100 TB ingest loop can afford).
+  *
+  * Index shape (AllPairs/PPJoin prefix filtering — Bayardo WWW'07, Xiao
+  * WWW'08 — under a FIXED universal gram order):
+  *
+  *   - `prefix/bucket=B/` — (id, gram, set_sz) for each indexed doc's
+  *     PREFIX grams only. [[Dedup.shingleHashes]] returns each doc's
+  *     distinct gram hashes SORTED ascending, and the prefix-filter
+  *     lemma holds under any fixed total order, so the prefix is simply
+  *     the first `n − ceil(t0·n) + 1` elements — no document-frequency
+  *     ranking. That trade is deliberate: df order shrinks candidate
+  *     lists, but df DRIFTS as the corpus grows, and a drifting order
+  *     would force re-ranking every stored prefix on every append —
+  *     the hash order is append-only-friendly and never re-ranks.
+  *     Partitioned by `bucket = pmod(gram, nBuckets)` so a probe scans
+  *     only the partition directories its own prefix grams hash into.
+  *   - `sets/sbucket=S/` — (id, sh) full sorted gram arrays, the
+  *     verify side; partitioned by `sbucket = pmod(id, nIdBuckets)` so
+  *     candidate verification fetches only the directories that hold
+  *     candidate ids.
+  *   - `tombstones/` — merge-on-read deletes ([[delete]]); every probe
+  *     anti-joins it, [[compact]] folds it away rewriting ONLY affected
+  *     partitions (stage-and-swap, crash-recoverable — the
+  *     [[VectorIndex]] pattern).
+  *   - `meta/` — doc count, XOR fingerprint (incrementally maintained:
+  *     append XORs survivors in, delete XORs them back out, so
+  *     [[ensure]] over the live corpus validates WITHOUT rebuild),
+  *     store threshold t0, bucket counts, max indexed id (the
+  *     monotonic-id ingest contract), format_version.
+  *
+  * Keeper semantics match [[Dedup.incrementalDedup]] (and its DuckDB
+  * oracle): batch ids are all greater than every stored id (enforced),
+  * and a batch doc drops iff it is the HIGHER id of any verified
+  * Jaccard-≥-t pair — against a live stored doc or against a lower-id
+  * batch doc. Null-text batch docs produce no grams, match nothing,
+  * and are always kept (they are not indexable and not deletable).
+  *
+  * Scale posture: the probe's only collects are the distinct probed
+  * prefix buckets (≤ nBuckets values) and the distinct candidate set
+  * buckets (≤ nIdBuckets values) — bounded IN-lists that prune the
+  * partitioned scans, the same shape as [[VectorIndex.search]]'s probed
+  * cells. Nothing rescans or rewrites unaffected partitions.
+  *
+  * Reference anchor: the dedup mandate (SURVEY.md §2.12); store shapes
+  * follow the public Iceberg/Delta merge-on-read pattern.
+  */
+object DedupIndex {
+
+  /** Incremented on every [[build]] so specs and gates can assert a
+    * later [[ensure]] was a pure fingerprint-validated load. */
+  @volatile var buildsThisProcess: Int = 0
+
+  private val Format = 1
+  private val Eps = 1e-9
+
+  private def indexable(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+
+  /** (count, XOR of per-row hashes) over the INDEXABLE rows — the same
+    * incremental-XOR contract as the vector stores: build sets it,
+    * append XORs survivors in, delete XORs them out, ensure compares. */
+  private def fingerprint(docs: DataFrame, idCol: String,
+      textCol: String): (Long, Long) = {
+    val r = indexable(docs, idCol, textCol)
+      .agg(count(lit(1)), expr(s"bit_xor(xxhash64($idCol, $textCol))"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Prefix grams of already-shingled docs at threshold `t`:
+    * (id, gram, set_sz, bucket). `sh` is sorted ascending (the fixed
+    * universal order), so the prefix is a plain head slice. */
+  private def prefixGrams(grams: DataFrame, idCol: String, t: Double,
+      nBuckets: Int): DataFrame =
+    grams
+      .select(col(idCol), col("sh"), size(col("sh")).as("set_sz"))
+      .withColumn("pref", expr(
+        s"slice(sh, 1, CAST(set_sz - ceil($t * set_sz - $Eps) + 1 AS INT))"))
+      .select(col(idCol), col("set_sz"), explode(col("pref")).as("gram"))
+      .withColumn("bucket", pmod(col("gram"), lit(nBuckets)).cast("int"))
+
+  private def readMeta(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/meta").head()
+
+  private def writeMeta(spark: SparkSession, dir: String, nDocs: Long,
+      checksum: Long, maxId: Long, t0: Double, nBuckets: Int,
+      nIdBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq((nDocs, checksum, maxId, t0, nBuckets, nIdBuckets, Format))
+      .toDF("n_docs", "checksum", "max_id", "threshold", "n_buckets",
+        "n_id_buckets", "format_version")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Shingle the corpus ONCE, write prefix + sets + meta. The
+    * once-per-corpus cost every later [[probe]]/[[append]] amortizes. */
+  def build(docs: DataFrame, dir: String, threshold: Double,
+      nBuckets: Int = 64, nIdBuckets: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]: $threshold")
+    val spark = docs.sparkSession
+    buildsThisProcess += 1
+    graft.util.Fs.rmTree(spark, dir)
+    val idx = indexable(docs, idCol, textCol)
+    val grams = Dedup.shingleHashes(idx, idCol, textCol)
+      .localCheckpoint(eager = true)
+    grams
+      .withColumn("sbucket", pmod(col(idCol), lit(nIdBuckets)).cast("int"))
+      .repartition(col("sbucket"))
+      .write.mode("overwrite").partitionBy("sbucket").parquet(s"$dir/sets")
+    prefixGrams(grams, idCol, threshold, nBuckets)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/prefix")
+    val (n, sum) = fingerprint(docs, idCol, textCol)
+    val maxId = docs.agg(coalesce(max(col(idCol)).cast("long"),
+      lit(Long.MinValue))).head().getLong(0)
+    writeMeta(spark, dir, n, sum, maxId, threshold, nBuckets, nIdBuckets)
+  }
+
+  /** Load-or-build: one fingerprint aggregate over the corpus against
+    * the incrementally-maintained meta — a maintained store (any number
+    * of appends/deletes later) validates WITHOUT rebuild. */
+  def ensure(docs: DataFrame, dir: String, threshold: Double,
+      nBuckets: Int = 64, nIdBuckets: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val valid = try {
+      val meta = readMeta(spark, dir)
+      val (n, sum) = fingerprint(docs, idCol, textCol)
+      meta.getAs[Int]("format_version") == Format &&
+        meta.getAs[Long]("n_docs") == n &&
+        meta.getAs[Long]("checksum") == sum &&
+        math.abs(meta.getAs[Double]("threshold") - threshold) < Eps &&
+        meta.getAs[Int]("n_buckets") == nBuckets &&
+        meta.getAs[Int]("n_id_buckets") == nIdBuckets
+    } catch { case _: Throwable => false }
+    if (!valid) build(docs, dir, threshold, nBuckets, nIdBuckets,
+      idCol, textCol)
+  }
+
+  /** Verified near-dup pairs of `batch` against the live store AND
+    * within the batch: (doc_a, doc_b, jaccard) with jaccard ≥ t,
+    * doc_a < doc_b (store ids are always below batch ids by the
+    * monotonic-id contract; batch-internal pairs are id-ordered).
+    * READ-ONLY — the store is not touched. Probe threshold must be ≥
+    * the store threshold t0: stored prefixes were cut at t0, and a
+    * lower-t probe would need LONGER prefixes than the store holds
+    * (silent recall loss — fail loud instead). */
+  def probePairs(batch: DataFrame, dir: String, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = readMeta(spark, dir)
+    require(meta.getAs[Int]("format_version") == Format,
+      s"dedup index at $dir has format ${meta.getAs[Int]("format_version")}" +
+        s", expected $Format — rebuild via ensure()")
+    val t0 = meta.getAs[Double]("threshold")
+    require(threshold >= t0 - Eps,
+      s"probe threshold $threshold is below the store threshold $t0 — " +
+        "stored prefixes are too short for it; rebuild at the lower " +
+        "threshold")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val nIdBuckets = meta.getAs[Int]("n_id_buckets")
+    val bMin = batch.agg(coalesce(min(col(idCol)).cast("long"),
+      lit(Long.MaxValue))).head().getLong(0)
+    require(meta.getAs[Long]("max_id") < bMin,
+      s"probe needs all batch ids > every stored id " +
+        s"(store max ${meta.getAs[Long]("max_id")}, batch min $bMin)")
+    val gramsB = Dedup.shingleHashes(indexable(batch, idCol, textCol),
+      idCol, textCol).localCheckpoint(eager = true)
+    val prefB = prefixGrams(gramsB, idCol, threshold, nBuckets)
+      .localCheckpoint(eager = true)
+    // bounded collect: ≤ nBuckets distinct values → partition IN-list
+    val probeBuckets = prefB.select("bucket").distinct()
+      .collect().map(_.getInt(0))
+    val tombPath = s"$dir/tombstones"
+    val rawPref = spark.read.parquet(s"$dir/prefix")
+      .filter(col("bucket").isin(probeBuckets.map(Int.box).toSeq: _*))
+    val storePref =
+      if (graft.util.Fs.exists(spark, tombPath))
+        rawPref.join(spark.read.parquet(tombPath)
+          .select(col("nid").as(idCol)), Seq(idCol), "left_anti")
+      else rawPref
+    def sizeOk(a: String, b: String) =
+      col(s"$a.set_sz") >= lit(threshold) * col(s"$b.set_sz") - Eps &&
+        col(s"$b.set_sz") >= lit(threshold) * col(s"$a.set_sz") - Eps
+    val candSB = storePref.alias("x").join(prefB.alias("y"),
+        col("x.gram") === col("y.gram") && sizeOk("x", "y"))
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+    val candBB = prefB.alias("x").join(prefB.alias("y"),
+        col("x.gram") === col("y.gram") &&
+          col(s"x.$idCol") < col(s"y.$idCol") && sizeOk("x", "y"))
+      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+    val cands = candSB.unionByName(candBB).distinct()
+      .localCheckpoint(eager = true)
+    // verify fetch: only the sbucket partitions that hold candidates
+    val candStore = cands.select(col("doc_a").as(idCol))
+      .join(gramsB.select(col(idCol)), Seq(idCol), "left_anti").distinct()
+    val candSbuckets = candStore
+      .select(pmod(col(idCol), lit(nIdBuckets)).cast("int").as("sb"))
+      .distinct().collect().map(_.getInt(0))
+    val setsStore =
+      if (candSbuckets.isEmpty) gramsB.select(col(idCol), col("sh")).limit(0)
+      else spark.read.parquet(s"$dir/sets")
+        .filter(col("sbucket").isin(candSbuckets.map(Int.box).toSeq: _*))
+        .join(candStore, Seq(idCol), "left_semi")
+        .select(col(idCol), col("sh"))
+    val setsAll = setsStore.unionByName(gramsB.select(col(idCol), col("sh")))
+    Dedup.verifyJaccard(cands, setsAll, idCol)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Kept batch ids after dedup against the live store and the batch
+    * itself — [[Dedup.incrementalDedup]] semantics, O(batch) cost. */
+  def probe(batch: DataFrame, dir: String, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val drops = probePairs(batch, dir, threshold, idCol, textCol)
+      .select(col("doc_b").as(idCol)).distinct()
+    batch.select(col(idCol)).join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Probe, then INGEST the survivors: their full gram sets and
+    * t0-prefixes append to the partitioned store (repartition by the
+    * partition key first — the tasks × partitions small-files rule),
+    * and the meta fingerprint XORs them in so a later [[ensure]] over
+    * the union corpus validates without rebuild. Returns the kept ids.
+    * Cost: one batch shingle pass + candidate-bounded verify; existing
+    * partitions are appended to, never rewritten. */
+  def append(batch: DataFrame, dir: String, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val meta = readMeta(spark, dir)
+    val t0 = meta.getAs[Double]("threshold")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val nIdBuckets = meta.getAs[Int]("n_id_buckets")
+    val kept = probe(batch, dir, threshold, idCol, textCol)
+      .localCheckpoint(eager = true)
+    val survivors = batch.join(kept, Seq(idCol), "left_semi")
+    val gramsS = Dedup.shingleHashes(indexable(survivors, idCol, textCol),
+      idCol, textCol).localCheckpoint(eager = true)
+    gramsS
+      .withColumn("sbucket", pmod(col(idCol), lit(nIdBuckets)).cast("int"))
+      .repartition(col("sbucket"))
+      .write.mode("append").partitionBy("sbucket").parquet(s"$dir/sets")
+    prefixGrams(gramsS, idCol, t0, nBuckets)
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/prefix")
+    val (sn, ssum) = fingerprint(survivors, idCol, textCol)
+    val bMax = batch.agg(coalesce(max(col(idCol)).cast("long"),
+      lit(Long.MinValue))).head().getLong(0)
+    writeMeta(spark, dir, meta.getAs[Long]("n_docs") + sn,
+      meta.getAs[Long]("checksum") ^ ssum,
+      math.max(meta.getAs[Long]("max_id"), bMax), t0, nBuckets, nIdBuckets)
+    kept
+  }
+
+  /** Merge-on-read delete: ids land in a tombstone table every probe
+    * anti-joins; no partition is touched. `deleted` must be the actual
+    * live indexed (id, text) rows, each exactly once — ENFORCED, because
+    * the XOR fingerprint is only exact under that contract (a double
+    * delete or a never-indexed row would silently drift it). */
+  def delete(deleted: DataFrame, dir: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = deleted.sparkSession
+    import spark.implicits._
+    val meta = readMeta(spark, dir)
+    val nIdx = indexable(deleted, idCol, textCol).count()
+    val ids = deleted.select(col(idCol).cast("long").as("nid")).cache()
+    val nDel = ids.count()
+    require(nIdx == nDel,
+      s"${nDel - nIdx} of $nDel delete rows have null $textCol — " +
+        "null-text docs are never indexed and cannot be deleted")
+    require(ids.distinct().count() == nDel,
+      s"delete set contains duplicate ${idCol}s")
+    val nStored = ids.join(
+      spark.read.parquet(s"$dir/sets").select(col(idCol).as("nid")),
+      Seq("nid"), "left_semi").count()
+    require(nStored == nDel,
+      s"${nDel - nStored} of $nDel ${idCol}s are not in the index at $dir")
+    if (graft.util.Fs.exists(spark, s"$dir/tombstones")) {
+      val nAlready = ids.join(spark.read.parquet(s"$dir/tombstones")
+        .select("nid"), Seq("nid"), "left_semi").count()
+      require(nAlready == 0,
+        s"$nAlready of $nDel ${idCol}s are already tombstoned (double delete)")
+    }
+    val (dn, dsum) = fingerprint(deleted, idCol, textCol)
+    ids.repartition(1).write.mode("append").parquet(s"$dir/tombstones")
+    ids.unpersist()
+    writeMeta(spark, dir, meta.getAs[Long]("n_docs") - dn,
+      meta.getAs[Long]("checksum") ^ dsum, meta.getAs[Long]("max_id"),
+      meta.getAs[Double]("threshold"), meta.getAs[Int]("n_buckets"),
+      meta.getAs[Int]("n_id_buckets"))
+  }
+
+  /** Fold tombstones into the store: rewrite ONLY the prefix buckets
+    * and set sbuckets that contain deleted rows — stage-and-swap with
+    * crash recovery, the [[VectorIndex.compact]] shape applied to two
+    * partitioned tables. Tombstones drop LAST, so merge-on-read stays
+    * correct through any crash; a staged partition whose live directory
+    * is missing (crash between rm and rename) is the only copy of its
+    * survivors and is renamed in before anything else. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    require(readMeta(spark, dir).getAs[Int]("format_version") == Format,
+      s"dedup index at $dir has an unexpected format — rebuild via ensure()")
+    def recover(staging: String, live: String, part: String): Unit = {
+      graft.util.Fs.listDirNames(spark, staging)
+        .filter(_.startsWith(s"$part="))
+        .foreach { d =>
+          if (!graft.util.Fs.exists(spark, s"$live/$d"))
+            graft.util.Fs.rename(spark, s"$staging/$d", s"$live/$d"): Unit
+        }
+      graft.util.Fs.rmTree(spark, staging)
+    }
+    val prefStaging = s"$dir/prefix_staging"
+    val setsStaging = s"$dir/sets_staging"
+    recover(prefStaging, s"$dir/prefix", "bucket")
+    recover(setsStaging, s"$dir/sets", "sbucket")
+    if (!graft.util.Fs.exists(spark, s"$dir/tombstones")) return
+    val tomb = spark.read.parquet(s"$dir/tombstones").select(col("nid"))
+    val idCol = spark.read.parquet(s"$dir/sets").columns
+      .find(c => c != "sh" && c != "sbucket").get
+    val rawPref = spark.read.parquet(s"$dir/prefix")
+    val rawSets = spark.read.parquet(s"$dir/sets")
+    val affB = rawPref.join(tomb.withColumnRenamed("nid", idCol),
+        Seq(idCol), "left_semi")
+      .select("bucket").distinct().collect().map(_.getInt(0))
+    val affS = rawSets.join(tomb.withColumnRenamed("nid", idCol),
+        Seq(idCol), "left_semi")
+      .select("sbucket").distinct().collect().map(_.getInt(0))
+    if (affB.nonEmpty) {
+      rawPref.filter(col("bucket").isin(affB.map(Int.box).toSeq: _*))
+        .join(tomb.withColumnRenamed("nid", idCol), Seq(idCol), "left_anti")
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(prefStaging)
+      affB.foreach { b =>
+        graft.util.Fs.rmTree(spark, s"$dir/prefix/bucket=$b")
+        if (graft.util.Fs.exists(spark, s"$prefStaging/bucket=$b"))
+          graft.util.Fs.rename(spark, s"$prefStaging/bucket=$b",
+            s"$dir/prefix/bucket=$b"): Unit
+      }
+      graft.util.Fs.rmTree(spark, prefStaging)
+    }
+    if (affS.nonEmpty) {
+      rawSets.filter(col("sbucket").isin(affS.map(Int.box).toSeq: _*))
+        .join(tomb.withColumnRenamed("nid", idCol), Seq(idCol), "left_anti")
+        .repartition(col("sbucket"))
+        .write.mode("overwrite").partitionBy("sbucket").parquet(setsStaging)
+      affS.foreach { s =>
+        graft.util.Fs.rmTree(spark, s"$dir/sets/sbucket=$s")
+        if (graft.util.Fs.exists(spark, s"$setsStaging/sbucket=$s"))
+          graft.util.Fs.rename(spark, s"$setsStaging/sbucket=$s",
+            s"$dir/sets/sbucket=$s"): Unit
+      }
+      graft.util.Fs.rmTree(spark, setsStaging)
+    }
+    graft.util.Fs.rmTree(spark, s"$dir/tombstones")
+  }
+
+  // ------------------------------------------------------------------
+  // d17 — full lifecycle gate on the d9 fixture (same oracle semantics)
+  // ------------------------------------------------------------------
+
+  private def indexDirFor(sfDir: String): String =
+    graft.util.Fixtures.dir + "/dedup_index_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** d17 — dedup-index ingest lifecycle. Same fixture and keeper
+    * semantics as d9 (so the DuckDB oracle is d9's, verbatim): corpus =
+    * docs with id % 3 ≠ 0; batch = the id % 3 = 0 docs re-keyed +2 M
+    * (genuinely new) plus re-crawls of corpus docs with id % 5 = 0
+    * re-keyed +3 M (guaranteed dups). In-query gates beyond the oracle:
+    *   1. ensure() after build is a pure load (no rebuild);
+    *   2. after append(batch), ensure() over corpus ∪ survivors
+    *      validates WITHOUT rebuild — the XOR fingerprint is exact
+    *      through ingest;
+    *   3. merge-on-read delete is EXACT at pair level: probePairs of a
+    *      fixed re-crawl equals the pre-delete pairs minus precisely
+    *      the pairs whose store side was deleted;
+    *   4. compact() changes NOTHING a probe can see (same pairs), drops
+    *      the tombstone table, and the surviving sets row count equals
+    *      the maintained meta doc count.
+    * Emitted row: kept count + id checksum of the APPEND survivors —
+    * hash-checked against the DuckDB brute-force pair graph. */
+  val ingest = QueryDef(
+    "d17_dedup_index_ingest",
+    { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      require(mx < 1000000L,
+        s"d17 fixture re-keying assumes doc_id < 1e6, got max $mx")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+        .unionByName(
+          docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+      val dir = indexDirFor(d)
+      graft.util.Fs.rmTree(s, dir)
+      build(corpus, dir, threshold = 0.9)
+      val b0 = buildsThisProcess
+      ensure(corpus, dir, threshold = 0.9)
+      val noRebuild0 = buildsThisProcess == b0
+      val kept = append(batch, dir, threshold = 0.9)
+        .localCheckpoint(eager = true)
+      val live = corpus.unionByName(batch.join(kept, Seq("doc_id"),
+        "left_semi"))
+      val b1 = buildsThisProcess
+      ensure(live, dir, threshold = 0.9)
+      val noRebuild1 = buildsThisProcess == b1
+      // fixed re-crawl probe: copies of the soon-deleted docs (+4 M)
+      // and copies of live corpus docs (+5 M); both id spaces sit above
+      // every stored id
+      val delSet = batch.join(kept, Seq("doc_id"), "left_semi")
+        .filter(col("doc_id") % 7 === 0 && col("text").isNotNull)
+        .localCheckpoint(eager = true)
+      val recrawl = delSet
+        .select((col("doc_id") + 4000000).as("doc_id"), col("text"))
+        .unionByName(corpus
+          .filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 5000000).as("doc_id"), col("text")))
+      def pairsOf(): DataFrame =
+        probePairs(recrawl, dir, threshold = 0.9)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint(eager = true)
+      val pairsBefore = pairsOf()
+      delete(delSet, dir)
+      val pairsAfter = pairsOf()
+      val expectedAfter = pairsBefore.join(
+        delSet.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      val mergeOnReadExact =
+        pairsAfter.exceptAll(expectedAfter).count() == 0 &&
+          expectedAfter.exceptAll(pairsAfter).count() == 0
+      compact(s, dir)
+      val pairsCompacted = pairsOf()
+      val compactInvisible =
+        pairsCompacted.exceptAll(pairsAfter).count() == 0 &&
+          pairsAfter.exceptAll(pairsCompacted).count() == 0
+      val noTombLeft = !graft.util.Fs.exists(s, s"$dir/tombstones")
+      val setsCount = s.read.parquet(s"$dir/sets").count()
+      val metaDocs = readMeta(s, dir).getAs[Long]("n_docs")
+      val deletedGone = delSet.count() > 0 && setsCount == metaDocs
+      kept
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("kept_checksum"))
+        .filter(lit(noRebuild0 && noRebuild1 && mergeOnReadExact &&
+          compactInvisible && noTombLeft && deletedGone))
+    },
+    oracle = Some(
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |batch AS (SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |          WHERE doc_id % 3 = 0
+        |          UNION ALL
+        |          SELECT doc_id + 3000000, text FROM documents
+        |          WHERE doc_id % 3 <> 0 AND doc_id % 5 = 0),
+        |u AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |         FROM u WHERE text IS NOT NULL),
+        |tri AS (SELECT doc_id,
+        |               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                    ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |               END AS sh
+        |        FROM toks),
+        |shd AS (SELECT doc_id, unnest(sh) AS s FROM tri),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS ix
+        |          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |prs AS (SELECT pa, pb FROM inter
+        |        JOIN cnt ca ON pa = ca.doc_id JOIN cnt cb ON pb = cb.doc_id
+        |        WHERE ix * 1.0 / (ca.c + cb.c - ix) >= 0.9),
+        |drops AS (SELECT DISTINCT pb AS id FROM prs WHERE pb >= 2000000)
+        |SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_checksum
+        |FROM batch WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(ingest)
+}

@@ -1,0 +1,174 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupIndexSpec extends SparkSpec {
+
+  private val base = graft.util.Fixtures.dir + "/spec_dedup_index"
+
+  /** Ten-word docs; doc i and doc i+100 share 9 of 10 words when
+    * planted as near-dups (word-3-gram Jaccard well above 0.9 needs
+    * near-identical text, so dups here are exact copies and the
+    * "near" case is checked via the recall property test). */
+  private def doc(i: Int): String =
+    (0 until 10).map(w => s"w${i}_$w").mkString(" ")
+
+  private def df(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("lifecycle: build, probe drops exact copies, append ingests " +
+      "survivors, fingerprint stays ensure-valid") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/a"
+    val corpus = df((0L until 20L).map(i => (i, doc(i.toInt))))
+    DedupIndex.build(corpus, dir, threshold = 0.9)
+    val b0 = DedupIndex.buildsThisProcess
+    DedupIndex.ensure(corpus, dir, threshold = 0.9)
+    assert(DedupIndex.buildsThisProcess == b0, "ensure after build rebuilt")
+    // batch: 3 new docs, 2 exact copies of corpus docs, 1 null text,
+    // and an exact copy OF A BATCH DOC (internal dup, higher id drops)
+    val batch = df(Seq(
+      (100L, doc(100)), (101L, doc(101)), (102L, doc(102)),
+      (103L, doc(3)), (104L, doc(7)),
+      (105L, null.asInstanceOf[String]),
+      (106L, doc(100))))
+    val kept = DedupIndex.probe(batch, dir, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L, 101L, 102L, 105L),
+      s"probe kept $kept")
+    val keptA = DedupIndex.append(batch, dir, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptA == kept)
+    // ensure over the live corpus: no rebuild (XOR maintenance exact)
+    val live = corpus.unionByName(
+      batch.filter(col("doc_id").isin(kept.toSeq.map(Long.box): _*)))
+    val b1 = DedupIndex.buildsThisProcess
+    DedupIndex.ensure(live, dir, threshold = 0.9)
+    assert(DedupIndex.buildsThisProcess == b1,
+      "ensure after append rebuilt — fingerprint maintenance drifted")
+    // a re-crawl of an ingested batch doc now drops against the store
+    val re = df(Seq((200L, doc(100)), (201L, doc(999))))
+    val keptR = DedupIndex.probe(re, dir, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptR == Set(201L), s"re-crawl kept $keptR")
+  }
+
+  test("delete is merge-on-read exact; compact folds tombstones and " +
+      "leaves unaffected partitions byte-untouched") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/b"
+    val corpus = df((0L until 40L).map(i => (i, doc(i.toInt))))
+    DedupIndex.build(corpus, dir, threshold = 0.9, nIdBuckets = 8)
+    val delSet = df(Seq((5L, doc(5)), (13L, doc(13))))
+    DedupIndex.delete(delSet, dir)
+    // re-crawls of deleted docs are now KEPT; of live docs still drop
+    val re = df(Seq((100L, doc(5)), (101L, doc(13)), (102L, doc(20))))
+    val keptD = DedupIndex.probe(re, dir, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptD == Set(100L, 101L), s"post-delete probe kept $keptD")
+    // snapshot the files of an UNAFFECTED sbucket (ids 5 % 8 = 5,
+    // 13 % 8 = 5 — sbucket 5 is the only affected one)
+    def filesOf(p: String): Set[(String, Long)] = {
+      val d = new java.io.File(p)
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length())).toSet
+    }
+    val untouchedBefore = filesOf(s"$dir/sets/sbucket=0")
+    DedupIndex.compact(spark, dir)
+    assert(!graft.util.Fs.exists(spark, s"$dir/tombstones"))
+    assert(filesOf(s"$dir/sets/sbucket=0") == untouchedBefore,
+      "compact rewrote an unaffected sbucket")
+    assert(spark.read.parquet(s"$dir/sets").count() == 38)
+    val keptC = DedupIndex.probe(re, dir, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptC == keptD, "compact changed probe results")
+    // deleted ids really gone from storage
+    assert(spark.read.parquet(s"$dir/sets")
+      .filter(col("doc_id").isin(5L, 13L)).count() == 0)
+  }
+
+  test("compact recovery: a staged partition whose live dir is missing " +
+      "is renamed in, not destroyed") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/c"
+    val corpus = df((0L until 16L).map(i => (i, doc(i.toInt))))
+    DedupIndex.build(corpus, dir, threshold = 0.9, nIdBuckets = 4)
+    DedupIndex.delete(df(Seq((6L, doc(6)))), dir) // sbucket 2
+    // fabricate the crash state: survivors staged, live dir removed,
+    // tombstones still present (compact crashed between rm and rename)
+    val stage = s"$dir/sets_staging"
+    spark.read.parquet(s"$dir/sets").filter(col("sbucket") === 2)
+      .filter(col("doc_id") =!= 6L)
+      .repartition(col("sbucket"))
+      .write.mode("overwrite").partitionBy("sbucket").parquet(stage)
+    graft.util.Fs.rmTree(spark, s"$dir/sets/sbucket=2")
+    // merge-on-read still correct BEFORE recovery: probe sees live rows
+    DedupIndex.compact(spark, dir)
+    val ids = spark.read.parquet(s"$dir/sets")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 16L).toSet - 6L,
+      s"recovery lost rows: ${((0L until 16L).toSet - 6L) -- ids}")
+  }
+
+  test("guards: monotonic ids, threshold floor, double delete, " +
+      "null-text delete, non-member delete") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/d"
+    val corpus = df((10L until 20L).map(i => (i, doc(i.toInt))))
+    DedupIndex.build(corpus, dir, threshold = 0.9)
+    intercept[IllegalArgumentException] { // batch id not above store max
+      DedupIndex.probe(df(Seq((15L, doc(99)))), dir, threshold = 0.9)
+        .count()
+    }
+    intercept[IllegalArgumentException] { // probe below store threshold
+      DedupIndex.probe(df(Seq((100L, doc(99)))), dir, threshold = 0.8)
+        .count()
+    }
+    intercept[IllegalArgumentException] { // not a member
+      DedupIndex.delete(df(Seq((999L, doc(999)))), dir)
+    }
+    intercept[IllegalArgumentException] { // null text not deletable
+      DedupIndex.delete(df(Seq((11L, null.asInstanceOf[String]))), dir)
+    }
+    DedupIndex.delete(df(Seq((11L, doc(11)))), dir)
+    intercept[IllegalArgumentException] { // double delete
+      DedupIndex.delete(df(Seq((11L, doc(11)))), dir)
+    }
+  }
+
+  test("prefix-filter recall is exact: store+batch pairs equal the " +
+      "brute-force Jaccard pair graph") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/e"
+    // overlapping vocab so NEAR (not only exact) dups exist: doc i uses
+    // words [i, i+12); i and i+1 share 11/13 grams-ish
+    def near(i: Int): String =
+      (i until i + 12).map(w => s"v$w").mkString(" ")
+    val corpus = df((0L until 30L).map(i => (i, near(i.toInt * 2))))
+    val batch = df((100L until 120L).map(i =>
+      (i, near(((i - 100L) * 3).toInt))))
+    val t = 0.5
+    DedupIndex.build(corpus, dir, threshold = t)
+    val got = DedupIndex.probePairs(batch, dir, threshold = t)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over corpus ∪ batch, pairs must involve a batch doc
+    val all = corpus.unionByName(batch)
+    val sh = Dedup.shingleHashes(all, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val idsAll = sh.keys.toSeq.sorted
+    val want = (for {
+      a <- idsAll; b <- idsAll if a < b && b >= 100L
+      inter = (sh(a) intersect sh(b)).size.toDouble
+      j = inter / (sh(a).size + sh(b).size - inter)
+      if j >= t
+    } yield (a, b)).toSet
+    assert(got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+  }
+}
