@@ -226,6 +226,61 @@ object LocalClusterSmoke {
     }
   }
 
+  /** [[storedIndexRoundTrip]] for the DEDUP signature store
+    * ([[graft.llm.DedupIndex]]): build the prefix/sets store from one
+    * cluster session, stop it, probe a mixed batch from a fresh one.
+    * The fresh session must fingerprint-validate WITHOUT rebuilding;
+    * exact re-crawls of stored docs must drop and genuinely-new docs
+    * must survive. Returns (stored set count, probe accuracy — the
+    * fraction of batch docs classified as expected; must be 1.0). */
+  def storedDedupRoundTrip(sfDir: String): (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.util.Fixtures.dir + "/cluster_dedup"
+    val sA = newClusterSession()
+    try {
+      val corpus = Tables.documents(sA, sfDir)
+        .select(col("doc_id"), col("text"))
+      graft.util.Fs.rmTree(sA, dir)
+      graft.llm.DedupIndex.build(corpus, dir, threshold = 0.9)
+    } finally {
+      sA.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+    val sB = newClusterSession()
+    try {
+      val corpus = Tables.documents(sB, sfDir)
+        .select(col("doc_id"), col("text"))
+      val before = graft.llm.DedupIndex.buildsThisProcess
+      graft.llm.DedupIndex.ensure(corpus, dir, threshold = 0.9)
+      require(graft.llm.DedupIndex.buildsThisProcess == before,
+        "fresh session failed to fingerprint-validate the dedup store")
+      // exact re-crawls of every 5th stored doc MUST drop; synthetic
+      // docs over a per-id-unique vocabulary MUST survive
+      val dups = corpus
+        .filter(col("doc_id") % 5 === 0 && col("text").isNotNull)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val fresh = sB.range(3000000L, 3000020L)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 12).map(w =>
+            concat(lit(s"uniq${w}_"), col("id"))): _*).as("text"))
+      val batch = dups.unionByName(fresh)
+      val kept = graft.llm.DedupIndex.probe(batch, dir, threshold = 0.9)
+        .collect().map(_.getLong(0)).toSet
+      val mustDrop = dups.select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      val mustKeep = (3000000L until 3000020L).toSet
+      val correct = mustDrop.count(!kept.contains(_)) +
+        mustKeep.count(kept.contains)
+      val accuracy = correct.toDouble / (mustDrop.size + mustKeep.size)
+      (sB.read.parquet(s"$dir/sets").count(), accuracy)
+    } finally {
+      sB.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.001")

@@ -56,4 +56,12 @@ class LocalClusterSpec extends AnyFunSuite {
     assert(nStored > 0)
     assert(recall >= 0.6, s"cross-session filtered-store recall $recall")
   }
+
+  test("dedup signature store built by one cluster session probes from " +
+      "a fresh session without rebuild: re-crawls drop, new docs survive",
+      ClusterTest) {
+    val (nStored, accuracy) = LocalClusterSmoke.storedDedupRoundTrip(sfDir)
+    assert(nStored > 0)
+    assert(accuracy == 1.0, s"cross-session dedup probe accuracy $accuracy")
+  }
 }
