@@ -186,14 +186,7 @@ object DedupIndex {
     // bounded collect: ≤ nBuckets distinct values → partition IN-list
     val probeBuckets = prefB.select("bucket").distinct()
       .collect().map(_.getInt(0))
-    val tombPath = s"$dir/tombstones"
-    val rawPref = spark.read.parquet(s"$dir/prefix")
-      .filter(col("bucket").isin(probeBuckets.map(Int.box).toSeq: _*))
-    val storePref =
-      if (graft.util.Fs.exists(spark, tombPath))
-        rawPref.join(spark.read.parquet(tombPath)
-          .select(col("nid").as(idCol)), Seq(idCol), "left_anti")
-      else rawPref
+    val storePref = storePrefixScan(spark, dir, probeBuckets, idCol)
     def sizeOk(a: String, b: String) =
       col(s"$a.set_sz") >= lit(threshold) * col(s"$b.set_sz") - Eps &&
         col(s"$b.set_sz") >= lit(threshold) * col(s"$a.set_sz") - Eps
@@ -221,6 +214,21 @@ object DedupIndex {
     val setsAll = setsStore.unionByName(gramsB.select(col(idCol), col("sh")))
     Dedup.verifyJaccard(cands, setsAll, idCol)
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** The store side of a probe: prefix partitions restricted to the
+    * probed buckets (a partition-column IN list — directory-level
+    * pruning, plan-asserted in PlanGuardSpec) with tombstoned docs
+    * anti-joined out ABOVE the pruned scan (merge-on-read). */
+  private[llm] def storePrefixScan(spark: SparkSession, dir: String,
+      probeBuckets: Seq[Int], idCol: String): DataFrame = {
+    val tombPath = s"$dir/tombstones"
+    val rawPref = spark.read.parquet(s"$dir/prefix")
+      .filter(col("bucket").isin(probeBuckets.map(Int.box): _*))
+    if (graft.util.Fs.exists(spark, tombPath))
+      rawPref.join(spark.read.parquet(tombPath)
+        .select(col("nid").as(idCol)), Seq(idCol), "left_anti")
+    else rawPref
   }
 
   /** Kept batch ids after dedup against the live store and the batch

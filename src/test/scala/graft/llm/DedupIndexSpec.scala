@@ -141,6 +141,37 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("probe plans prune: prefix scan carries a bucket IN " +
+      "PartitionFilters under the tombstone anti-join; verify side " +
+      "prunes sbucket") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/f"
+    val corpus = df((0L until 20L).map(i => (i, doc(i.toInt))))
+    DedupIndex.build(corpus, dir, threshold = 0.9)
+    DedupIndex.delete(df(Seq((7L, doc(7)))), dir) // tombstone in play
+    def fmt(d: DataFrame): String = d.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val p = fmt(DedupIndex.storePrefixScan(spark, dir, Seq(3, 17), "doc_id"))
+    val pf = p.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("bucket"))
+    assert(pf.isDefined, s"no bucket PartitionFilters on prefix scan:\n$p")
+    assert(pf.get.contains(" IN "), s"bucket filter not an IN list: ${pf.get}")
+    assert(p.contains("LeftAnti"), s"tombstone anti-join missing:\n$p")
+    // a probe with a guaranteed store-side candidate: the final plan's
+    // sets (verify) scan must prune to the candidates' sbuckets
+    val pairs = DedupIndex.probePairs(df(Seq((100L, doc(3)))), dir,
+      threshold = 0.9)
+    val p2 = fmt(pairs)
+    val pf2 = p2.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("sbucket"))
+    assert(pf2.isDefined, s"no sbucket PartitionFilters on sets scan:\n$p2")
+    // one candidate sbucket folds the IN list to an equality — both are
+    // directory-level pruning
+    assert(pf2.get.contains(" IN ") || pf2.get.contains("sbucket") &&
+      pf2.get.contains("= 3"),
+      s"sbucket filter neither IN list nor equality: ${pf2.get}")
+  }
+
   test("prefix-filter recall is exact: store+batch pairs equal the " +
       "brute-force Jaccard pair graph") {
     graft.util.Fs.rmRecursive(new java.io.File(base))
