@@ -1359,7 +1359,136 @@ object Streams {
         |FROM v2 GROUP BY 1""".stripMargin),
     benchEligible = false)
 
+  /** ST17 — streaming dedup-on-ingest through the PERSISTED signature
+    * store ([[graft.llm.DedupIndex]]): st10's production shape, scaled.
+    * st10 re-runs `incrementalDedup` per micro-batch, which re-shingles
+    * the whole ACCEPTED corpus every batch — O(corpus) per ingest, the
+    * exact cost a 100 TB crawl loop cannot pay. Here the first batch
+    * bootstrap-builds the store (after an internal self-dedup) and
+    * every later batch is one `DedupIndex.append`: shingle the BATCH,
+    * scan only the prefix partitions its own grams hash into, verify
+    * only candidates — O(batch + candidates) per ingest, with the
+    * corpus's signatures amortized on storage. Redelivered batches
+    * fail LOUD (the store's monotonic-id guard rejects ids at or below
+    * its high-water mark) rather than silently double-ingesting; a
+    * production sink gates on batchId (st16's recipe) before calling
+    * append.
+    *
+    * Fixture: st10's exactly — pre-cleaned originals (pairwise non-dup
+    * under the operator's own metric) split over 4 arrival batches,
+    * batch k re-delivering exact copies of batch k−1's docs as
+    * re-crawls, so the outcome is provably order-independent. Gates:
+    * every original accepted, every re-crawl dropped, the final store
+    * fingerprint ensure()-validates over the accepted corpus WITHOUT
+    * rebuild (XOR maintenance exact through bootstrap + 3 appends),
+    * and sets row count == maintained meta count. FULL oracle: the
+    * emitted frame is the final store CONTENT — (doc_id, n_grams) per
+    * accepted doc read back from the sets table — and DuckDB
+    * independently derives both the kept set (d9's brute-force pair
+    * graph under the keep-smaller-id policy) and each survivor's
+    * distinct-trigram count from the documents table. */
+  val st17 = QueryDef(
+    "st17_stream_dedup_index_ingest",
+    { (s, d) =>
+      import s.implicits._
+      val threshold = 0.9
+      val base = graft.util.Fixtures.dir + "/st17"
+      graft.util.Fs.rmRecursive(new java.io.File(base))
+      val dir = s"$base/store"
+      val raw = Tables.documents(s, d)
+        .filter(col("text").isNotNull && length(col("text")) >= 20)
+        .select(col("doc_id"), col("text"))
+      val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
+      require(maxId < 5000000L,
+        s"st17 id packing assumes doc_id < 5,000,000; testdata now has " +
+          s"$maxId — widen the k*10M/+5M packing ranges")
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val cleanIds = graft.llm.Dedup.incrementalDedup(
+        empty, raw, "doc_id", "text", threshold)
+      val clean = raw.join(cleanIds, Seq("doc_id"), "left_semi")
+      val nSlices = 4
+      def slice(k: Int): DataFrame =
+        clean.filter(pmod(col("doc_id"), lit(nSlices)) === k)
+      def rekey(df: DataFrame, k: Int, off: Long): DataFrame =
+        df.select((col("doc_id") + lit(k * 10000000L + off)).as("doc_id"),
+          col("text"))
+      val batches = (0 until nSlices).map { k =>
+        val originals = rekey(slice(k), k, 0L)
+        if (k > 0) originals.unionAll(rekey(slice(k - 1), k, 5000000L))
+        else originals
+      }
+      def sink(batch: DataFrame, batchId: Long): Unit = {
+        if (!graft.util.Fs.exists(s, s"$dir/meta")) {
+          // bootstrap: self-dedup the first batch, build the store
+          val kept = graft.llm.Dedup.incrementalDedup(
+            empty, batch, "doc_id", "text", threshold)
+          graft.llm.DedupIndex.build(
+            batch.join(kept, Seq("doc_id"), "left_semi"), dir, threshold)
+        } else {
+          graft.llm.DedupIndex.append(batch, dir, threshold).count(): Unit
+        }
+      }
+      val feed = new FileFeed(s, "st17feed", raw.schema)
+      val q = feed.source()
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch(sink _)
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try {
+        batches.foreach { b => feed.add(b); q.processAllAvailable() }
+      } finally q.stop()
+      val sets = s.read.parquet(s"$dir/sets")
+      def sig(df: DataFrame): (Long, Long, Long) = {
+        val r = df.agg(count(lit(1)),
+          coalesce(sum(col("doc_id")), lit(0L)),
+          coalesce(expr("bit_xor(doc_id)"), lit(0L))).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val expected = (0 until nSlices).map(k => rekey(slice(k), k, 0L))
+        .reduce(_ unionAll _)
+      val expSig = sig(expected)
+      val gotSig = sig(sets.select(col("doc_id")))
+      val nRecrawlsKept =
+        sets.filter(col("doc_id") % 10000000L >= 5000000L).count()
+      // accepted live corpus = the batches' rows the store kept; the
+      // maintained XOR fingerprint must validate it without rebuild
+      val live = batches.reduce(_ unionAll _)
+        .join(sets.select("doc_id"), Seq("doc_id"), "left_semi")
+      val b0 = graft.llm.DedupIndex.buildsThisProcess
+      graft.llm.DedupIndex.ensure(live, dir, threshold)
+      val noRebuild = graft.llm.DedupIndex.buildsThisProcess == b0
+      val metaDocs = s.read.parquet(s"$dir/meta").head()
+        .getAs[Long]("n_docs")
+      val ok = gotSig == expSig && gotSig._1 > 0L &&
+        nRecrawlsKept == 0L && noRebuild && metaDocs == gotSig._1
+      sets.select(col("doc_id"), size(col("sh")).as("n_grams"))
+        .filter(lit(ok))
+    },
+    oracle = Some(
+      """WITH raw AS (SELECT doc_id, text FROM documents
+        |             WHERE text IS NOT NULL AND length(text) >= 20),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM raw),
+        |tri AS (SELECT doc_id,
+        |               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                    ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |               END AS sh
+        |        FROM toks),
+        |cnt AS (SELECT doc_id, len(sh) AS n_grams FROM tri),
+        |shd AS (SELECT doc_id, unnest(sh) AS s FROM tri),
+        |inter AS (SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS ix
+        |          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |drops AS (SELECT DISTINCT pb AS id FROM inter
+        |          JOIN cnt ca ON pa = ca.doc_id JOIN cnt cb ON pb = cb.doc_id
+        |          WHERE ix * 1.0 / (ca.n_grams + cb.n_grams - ix) >= 0.9),
+        |clean AS (SELECT doc_id FROM raw
+        |          WHERE doc_id NOT IN (SELECT id FROM drops))
+        |SELECT c.doc_id + (c.doc_id % 4) * 10000000 AS doc_id, g.n_grams
+        |FROM clean c JOIN cnt g ON c.doc_id = g.doc_id""".stripMargin),
+    benchEligible = false)
+
   def all: Seq[QueryDef] =
     Seq(st1, st2, st3, st4, st5, st6, st7, st8, st9, st10, st11, st12, st13,
-      st14, st15, st16)
+      st14, st15, st16, st17)
 }
