@@ -141,6 +141,33 @@ class DedupIndexSpec extends SparkSpec {
     }
   }
 
+  test("probing ABOVE the store threshold is exact: t0-prefixes are " +
+      "long enough for any t' >= t0") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/g"
+    def near(i: Int): String =
+      (i until i + 12).map(w => s"v$w").mkString(" ")
+    val corpus = df((0L until 30L).map(i => (i, near(i.toInt * 2))))
+    val batch = df((100L until 120L).map(i =>
+      (i, near(((i - 100L) * 3).toInt))))
+    DedupIndex.build(corpus, dir, threshold = 0.5)
+    val tHi = 0.8
+    val got = DedupIndex.probePairs(batch, dir, threshold = tHi)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = corpus.unionByName(batch)
+    val sh = Dedup.shingleHashes(all, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val idsAll = sh.keys.toSeq.sorted
+    val want = (for {
+      a <- idsAll; b <- idsAll if a < b && b >= 100L
+      inter = (sh(a) intersect sh(b)).size.toDouble
+      j = inter / (sh(a).size + sh(b).size - inter)
+      if j >= tHi
+    } yield (a, b)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("probe plans prune: prefix scan carries a bucket IN " +
       "PartitionFilters under the tombstone anti-join; verify side " +
       "prunes sbucket") {
