@@ -46,6 +46,7 @@ object ScaleBench {
     "v24_graph_pq_recall", "v25_index_delete_compact",
     "v26_graph_delete", "v27_filtered_delete_compact",
     "v28_graph_append", "st16_stream_incremental_agg",
+    "d17_dedup_index_ingest", "st17_stream_dedup_index_ingest",
     "g1_pagerank", "g2_connected_components", "g6_bfs_distance",
     "c2_budget_sample", "t8_tfidf_top_terms", "mm4_video_near_dup",
     "j7_range_join", "j14_range_join_native",
