@@ -65,6 +65,13 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.build(corpus, dir, threshold = 0.9, nIdBuckets = 8)
     val delSet = df(Seq((5L, doc(5)), (13L, doc(13))))
     DedupIndex.delete(delSet, dir)
+    // the XOR fingerprint is exact through deletes too: ensure over
+    // the post-delete live corpus must be a pure load
+    val b0 = DedupIndex.buildsThisProcess
+    DedupIndex.ensure(corpus.filter(!col("doc_id").isin(5L, 13L)), dir,
+      threshold = 0.9, nIdBuckets = 8)
+    assert(DedupIndex.buildsThisProcess == b0,
+      "ensure after delete rebuilt — fingerprint maintenance drifted")
     // re-crawls of deleted docs are now KEPT; of live docs still drop
     val re = df(Seq((100L, doc(5)), (101L, doc(13)), (102L, doc(20))))
     val keptD = DedupIndex.probe(re, dir, threshold = 0.9)
