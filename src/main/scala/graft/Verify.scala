@@ -55,8 +55,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // {{SF_TAG}} scopes oracle-side dump paths per sf dir (see
+    // Fixtures.sfTag): substitute the run's own tag so DuckDB reads
+    // exactly the files THIS run's engine queries wrote — concurrent
+    // Verify runs at different scales can no longer clobber each
+    // other's dumps between the engine run and the compare.
+    val sfTag = graft.util.Fixtures.sfTag(sfDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("{{SF_TAG}}", sfTag))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val failedJson = failed
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -133,21 +133,38 @@ object DedupIndex {
 
   /** Load-or-build: one fingerprint aggregate over the corpus against
     * the incrementally-maintained meta — a maintained store (any number
-    * of appends/deletes later) validates WITHOUT rebuild. */
+    * of appends/deletes later) validates WITHOUT rebuild.
+    *
+    * Failure separation (r13 advice): only the META read and its field
+    * shape are allowed to mean "store invalid → rebuild" (and only on
+    * NonFatal errors — an OOM propagates). The corpus-side fingerprint
+    * aggregate is NOT caught: a transient I/O failure reading the
+    * corpus RETHROWS instead of being treated as a mismatch, because
+    * the rebuild it would trigger starts by deleting the healthy store
+    * — a transient error must never destroy the only copy of the
+    * index. A crashed-append marker ([[graft.util.IngestMarker]])
+    * counts as invalid: rebuild is exactly the documented recovery. */
   def ensure(docs: DataFrame, dir: String, threshold: Double,
       nBuckets: Int = 64, nIdBuckets: Int = 32, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
-    val valid = try {
-      val meta = readMeta(spark, dir)
-      val (n, sum) = fingerprint(docs, idCol, textCol)
-      meta.getAs[Int]("format_version") == Format &&
+    val metaOpt =
+      if (graft.util.IngestMarker.present(spark, dir)) None
+      else try Some(readMeta(spark, dir))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val valid = metaOpt.exists { meta =>
+      val shapeOk = try {
+        meta.getAs[Int]("format_version") == Format &&
+          math.abs(meta.getAs[Double]("threshold") - threshold) < Eps &&
+          meta.getAs[Int]("n_buckets") == nBuckets &&
+          meta.getAs[Int]("n_id_buckets") == nIdBuckets
+      } catch { case scala.util.control.NonFatal(_) => false }
+      shapeOk && {
+        val (n, sum) = fingerprint(docs, idCol, textCol) // NOT caught
         meta.getAs[Long]("n_docs") == n &&
-        meta.getAs[Long]("checksum") == sum &&
-        math.abs(meta.getAs[Double]("threshold") - threshold) < Eps &&
-        meta.getAs[Int]("n_buckets") == nBuckets &&
-        meta.getAs[Int]("n_id_buckets") == nIdBuckets
-    } catch { case _: Throwable => false }
+          meta.getAs[Long]("checksum") == sum
+      }
+    }
     if (!valid) build(docs, dir, threshold, nBuckets, nIdBuckets,
       idCol, textCol)
   }
@@ -163,6 +180,7 @@ object DedupIndex {
   def probePairs(batch: DataFrame, dir: String, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = batch.sparkSession
+    graft.util.IngestMarker.requireAbsent(spark, dir, "probe")
     val meta = readMeta(spark, dir)
     require(meta.getAs[Int]("format_version") == Format,
       s"dedup index at $dir has format ${meta.getAs[Int]("format_version")}" +
@@ -246,10 +264,20 @@ object DedupIndex {
     * and the meta fingerprint XORs them in so a later [[ensure]] over
     * the union corpus validates without rebuild. Returns the kept ids.
     * Cost: one batch shingle pass + candidate-bounded verify; existing
-    * partitions are appended to, never rewritten. */
+    * partitions are appended to, never rewritten.
+    *
+    * Crash contract (r13 advice): the data appends and the meta commit
+    * are two separate writes, so an [[graft.util.IngestMarker]] goes
+    * down BEFORE the first data file and clears AFTER the meta write.
+    * A crash in between leaves the marker, and every later
+    * probe/append/delete/compact fails LOUD instead of letting a
+    * redelivered batch self-match its half-ingested rows (J = 1) and
+    * silently drop genuine survivors; [[ensure]] sees the marker and
+    * rebuilds — the documented recovery. */
   def append(batch: DataFrame, dir: String, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = batch.sparkSession
+    graft.util.IngestMarker.requireAbsent(spark, dir, "append")
     val meta = readMeta(spark, dir)
     val t0 = meta.getAs[Double]("threshold")
     val nBuckets = meta.getAs[Int]("n_buckets")
@@ -259,6 +287,8 @@ object DedupIndex {
     val survivors = batch.join(kept, Seq(idCol), "left_semi")
     val gramsS = Dedup.shingleHashes(indexable(survivors, idCol, textCol),
       idCol, textCol).localCheckpoint(eager = true)
+    graft.util.IngestMarker.write(spark, dir,
+      s"append of ${kept.count()} survivors in flight")
     gramsS
       .withColumn("sbucket", pmod(col(idCol), lit(nIdBuckets)).cast("int"))
       .repartition(col("sbucket"))
@@ -272,6 +302,7 @@ object DedupIndex {
     writeMeta(spark, dir, meta.getAs[Long]("n_docs") + sn,
       meta.getAs[Long]("checksum") ^ ssum,
       math.max(meta.getAs[Long]("max_id"), bMax), t0, nBuckets, nIdBuckets)
+    graft.util.IngestMarker.clear(spark, dir)
     kept
   }
 
@@ -284,6 +315,7 @@ object DedupIndex {
       textCol: String = "text"): Unit = {
     val spark = deleted.sparkSession
     import spark.implicits._
+    graft.util.IngestMarker.requireAbsent(spark, dir, "delete")
     val meta = readMeta(spark, dir)
     val nIdx = indexable(deleted, idCol, textCol).count()
     val ids = deleted.select(col(idCol).cast("long").as("nid")).cache()
@@ -320,9 +352,13 @@ object DedupIndex {
     * correct through any crash; a staged partition whose live directory
     * is missing (crash between rm and rename) is the only copy of its
     * survivors and is renamed in before anything else. */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    require(readMeta(spark, dir).getAs[Int]("format_version") == Format,
-      s"dedup index at $dir has an unexpected format — rebuild via ensure()")
+  /** Finish any crashed stage-and-swap ([[compact]] or
+    * [[compactFiles]] — they share staging paths, so either pass
+    * recovers the other's crash): a staged partition whose live
+    * directory is missing is the only copy of its rows and is renamed
+    * in; staged partitions whose live directory survived are stale
+    * duplicates and are discarded with the staging root. */
+  private def recoverStaging(spark: SparkSession, dir: String): Unit = {
     def recover(staging: String, live: String, part: String): Unit = {
       graft.util.Fs.listDirNames(spark, staging)
         .filter(_.startsWith(s"$part="))
@@ -332,10 +368,17 @@ object DedupIndex {
         }
       graft.util.Fs.rmTree(spark, staging)
     }
+    recover(s"$dir/prefix_staging", s"$dir/prefix", "bucket")
+    recover(s"$dir/sets_staging", s"$dir/sets", "sbucket")
+  }
+
+  def compact(spark: SparkSession, dir: String): Unit = {
+    graft.util.IngestMarker.requireAbsent(spark, dir, "compact")
+    require(readMeta(spark, dir).getAs[Int]("format_version") == Format,
+      s"dedup index at $dir has an unexpected format — rebuild via ensure()")
     val prefStaging = s"$dir/prefix_staging"
     val setsStaging = s"$dir/sets_staging"
-    recover(prefStaging, s"$dir/prefix", "bucket")
-    recover(setsStaging, s"$dir/sets", "sbucket")
+    recoverStaging(spark, dir)
     if (!graft.util.Fs.exists(spark, s"$dir/tombstones")) return
     val tomb = spark.read.parquet(s"$dir/tombstones").select(col("nid"))
     val idCol = spark.read.parquet(s"$dir/sets").columns
@@ -375,6 +418,62 @@ object DedupIndex {
       graft.util.Fs.rmTree(spark, setsStaging)
     }
     graft.util.Fs.rmTree(spark, s"$dir/tombstones")
+  }
+
+  /** FILE-MERGE maintenance (the append-history bound): every
+    * [[append]] lands one new file per partition directory it touches
+    * — [[compact]] only folds tombstones — so a K-ingest history
+    * accumulates O(K) files per bucket and probe SCAN TASKS grow with
+    * history rather than data (measured:
+    * `graft.tools.StoreHistoryBench`, SCALE.md append-history curve).
+    * This pass rewrites ONLY partition directories whose data-file
+    * count exceeds `maxFiles`, merging each back to one task's output
+    * (one file per directory at probe-batch row counts;
+    * `maxRecordsPerFile` re-splits a genuinely huge bucket so a merge
+    * can never produce an unsplittable monster file). Stage-and-swap
+    * through the SAME staging paths as [[compact]], so either pass
+    * recovers the other's crash; rows pass through verbatim —
+    * tombstones are deliberately NOT folded here, the two maintenance
+    * costs stay independently schedulable.
+    *
+    * Trigger rule: run when the per-partition file count approaches
+    * the store's append cadence budget — at one append per
+    * micro-batch, `maxFiles = 16` keeps every probe's per-bucket task
+    * count constant at ≤ 16 for the cost of one bounded rewrite every
+    * 16 batches (amortized O(1) files touched per ingested row). */
+  def compactFiles(spark: SparkSession, dir: String, maxFiles: Int = 16,
+      maxRecordsPerFile: Long = 8000000L): Unit = {
+    graft.util.IngestMarker.requireAbsent(spark, dir, "compactFiles")
+    require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
+    require(readMeta(spark, dir).getAs[Int]("format_version") == Format,
+      s"dedup index at $dir has an unexpected format — rebuild via ensure()")
+    recoverStaging(spark, dir)
+    def fold(table: String, part: String): Unit = {
+      val live = s"$dir/$table"
+      val staging = s"$dir/${table}_staging"
+      val over = graft.util.Fs.listDirNames(spark, live)
+        .filter(_.startsWith(s"$part="))
+        .filter(d =>
+          graft.util.Fs.dataFileCount(spark, s"$live/$d") > maxFiles)
+        .map(_.stripPrefix(s"$part=").toInt)
+      if (over.nonEmpty) {
+        spark.read.parquet(live)
+          .filter(col(part).isin(over.map(Int.box): _*))
+          .repartition(col(part))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .partitionBy(part).parquet(staging)
+        over.foreach { v =>
+          graft.util.Fs.rmTree(spark, s"$live/$part=$v")
+          if (graft.util.Fs.exists(spark, s"$staging/$part=$v"))
+            graft.util.Fs.rename(spark, s"$staging/$part=$v",
+              s"$live/$part=$v"): Unit
+        }
+        graft.util.Fs.rmTree(spark, staging)
+      }
+    }
+    fold("prefix", "bucket")
+    fold("sets", "sbucket")
   }
 
   // ------------------------------------------------------------------

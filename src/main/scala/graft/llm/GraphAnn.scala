@@ -171,7 +171,10 @@ object GraphAnn {
       descentRounds: Int = 3, initCellSize: Int = 256): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val (n, sum) = fingerprint(corpus)
+    val (n, sum) = fingerprint(corpus) // corpus-side failure RETHROWS
+    // NonFatal only (r13 advice): a fatal error (OOM) during the meta
+    // read must propagate, not count as "store invalid" and trigger
+    // the rebuild's delete of a healthy store.
     val valid = try {
       val meta = spark.read.parquet(s"$dir/meta").head()
       meta.getAs[Long]("n_vectors") == n &&
@@ -181,7 +184,7 @@ object GraphAnn {
         meta.getAs[Int]("descent_rounds") == descentRounds &&
         meta.getAs[Int]("format_version") == 3 &&
         graft.util.Fs.exists(spark, s"$dir/nodes")
-    } catch { case _: Throwable => false }
+    } catch { case scala.util.control.NonFatal(_) => false }
     if (!valid) {
       buildsThisProcess += 1
       graft.util.Fs.rmTree(spark, dir)

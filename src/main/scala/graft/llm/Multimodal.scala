@@ -569,9 +569,21 @@ object Multimodal {
   }
 
   /** Absolute so DuckDB (its own process, any cwd) reads the exact
-    * files this JVM's query wrote — the a12 exact-side-dump pattern. */
+    * files this JVM's query wrote — the a12 exact-side-dump pattern.
+    * The `{{SF_TAG}}` segment scopes the dump PER SF DIRECTORY (r13
+    * advice): concurrent Verify runs at different scales write
+    * disjoint dumps, and Verify substitutes the placeholder with the
+    * run's own [[graft.util.Fixtures.sfTag]] when it emits
+    * oracle_sql.json, so DuckDB reads exactly this run's files. The
+    * engine side resolves it via [[resolvedDump]]. */
   private def mm2HashDir: String =
-    new java.io.File(graft.util.Fixtures.dir + "/mm2_hashes").getAbsolutePath
+    new java.io.File(graft.util.Fixtures.dir + "/mm2_hashes")
+      .getAbsolutePath + "/{{SF_TAG}}"
+
+  /** Engine-side resolution of the `{{SF_TAG}}` dump-path placeholder
+    * — must match Verify's substitution exactly. */
+  private def resolvedDump(template: String, sfDir: String): String =
+    template.replace("{{SF_TAG}}", graft.util.Fixtures.sfTag(sfDir))
 
   /** MM2 — image near-dup over REAL decoded pixels: every document id
     * renders a deterministic BMP (50 visual classes × 4 variants),
@@ -612,7 +624,7 @@ object Multimodal {
       }), schema)
     val hashed = imageDHash(assets).select("doc_id", "dhash").cache()
     // the exact-side dump DuckDB replays the pair graph over
-    hashed.write.mode("overwrite").parquet(mm2HashDir)
+    hashed.write.mode("overwrite").parquet(resolvedDump(mm2HashDir, d))
     val nImages = hashed.count()
     val nDecoded = hashed.filter(col("dhash").isNotNull).count()
     val found = imageNearDupPairs(hashed, "doc_id", maxDist = 3)
@@ -738,7 +750,8 @@ object Multimodal {
     * exactly, every pair verifies ≤ 3 bits, all payloads decode.
     */
   private def mm3HashDir: String =
-    new java.io.File(graft.util.Fixtures.dir + "/mm3_hashes").getAbsolutePath
+    new java.io.File(graft.util.Fixtures.dir + "/mm3_hashes")
+      .getAbsolutePath + "/{{SF_TAG}}"
 
   /** FULL oracle since r13, mirroring mm2: the decoded envelope-hash
     * table is dumped and DuckDB brute-forces the global ≤3-bit pair
@@ -763,7 +776,7 @@ object Multimodal {
         Row(id, syntheticWav(id))
       }), schema)
     val hashed = audioEnvelopeHash(assets).select("doc_id", "ahash").cache()
-    hashed.write.mode("overwrite").parquet(mm3HashDir)
+    hashed.write.mode("overwrite").parquet(resolvedDump(mm3HashDir, d))
     val nClips = hashed.count()
     val nDecoded = hashed.filter(col("ahash").isNotNull).count()
     val found = imageNearDupPairs(hashed, "doc_id", maxDist = 3,
@@ -1007,7 +1020,8 @@ object Multimodal {
     * keyframes (first frame of each shot) number exactly n_shots.
     */
   private def mm5HashDir: String =
-    new java.io.File(graft.util.Fixtures.dir + "/mm5_hashes").getAbsolutePath
+    new java.io.File(graft.util.Fixtures.dir + "/mm5_hashes")
+      .getAbsolutePath + "/{{SF_TAG}}"
 
   /** FULL oracle since r13 (the dump pattern): the decoded frame-hash
     * table is persisted and DuckDB replays the cut detector — last
@@ -1042,7 +1056,7 @@ object Multimodal {
         StructField("payload", BinaryType, nullable = false))))
     val fh = videoFrameHashes(assets, stride = 1)
     fh.select(col("doc_id"), col("frame_idx"), col("dhash"))
-      .write.mode("overwrite").parquet(mm5HashDir)
+      .write.mode("overwrite").parquet(resolvedDump(mm5HashDir, d))
     val marked = videoShotBoundaries(fh, "doc_id", maxIntraDist = 10)
       .cache()
     val detected = marked.filter(col("is_boundary"))
@@ -1128,7 +1142,8 @@ object Multimodal {
     * frame makes this exact); every emitted pair re-verifies.
     */
   private def mm4HashDir: String =
-    new java.io.File(graft.util.Fixtures.dir + "/mm4_hashes").getAbsolutePath
+    new java.io.File(graft.util.Fixtures.dir + "/mm4_hashes")
+      .getAbsolutePath + "/{{SF_TAG}}"
 
   /** FULL oracle since r13 (the dump pattern): the sampled frame-hash
     * table is persisted and DuckDB brute-forces the GLOBAL overlap
@@ -1175,7 +1190,7 @@ object Multimodal {
     val nVideos = nDocs
     val fh = videoFrameHashes(assets, stride = 2).cache()
     fh.select(col("doc_id"), col("frame_idx"), col("dhash"))
-      .write.mode("overwrite").parquet(mm4HashDir)
+      .write.mode("overwrite").parquet(resolvedDump(mm4HashDir, d))
     val nHashed = fh.filter(col("dhash").isNotNull)
       .select("doc_id").distinct().count()
     val found = videoNearDupPairs(fh, "doc_id", maxDist = 3,

@@ -92,6 +92,10 @@ object VectorIndex {
   }
 
   def load(spark: SparkSession, dir: String): Loaded = {
+    // a crashed append ([[graft.util.IngestMarker]]) may have landed
+    // half a batch in the code partitions — searching it would
+    // silently return phantom rows; fail loud at the gateway instead
+    graft.util.IngestMarker.requireAbsent(spark, dir, "load/search")
     val meta = spark.read.parquet(s"$dir/meta").head()
     val nCells = meta.getAs[Int]("n_cells")
     val m = meta.getAs[Int]("m")
@@ -143,6 +147,7 @@ object VectorIndex {
   def delete(deleted: DataFrame, dir: String): Unit = {
     val spark = deleted.sparkSession
     import spark.implicits._
+    graft.util.IngestMarker.requireAbsent(spark, dir, "delete")
     val meta = spark.read.parquet(s"$dir/meta").head()
     requireUnfiltered(meta, dir, "delete")
     // The contract (every deleted row is a live stored row, exactly once)
@@ -199,6 +204,7 @@ object VectorIndex {
     * stale duplicates and are discarded.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
+    graft.util.IngestMarker.requireAbsent(spark, dir, "compact")
     // Layout check FIRST, before the recovery sweep touches anything:
     // the meta read is independent of staging, and running the sweep
     // first on a FILTERED store would delete a crashed
@@ -208,15 +214,7 @@ object VectorIndex {
     requireUnfiltered(spark.read.parquet(s"$dir/meta").head(), dir,
       "compact")
     val staging = s"$dir/codes_staging"
-    // recovery: finish a previous compact that crashed mid-swap
-    graft.util.Fs.listDirNames(spark, staging)
-      .filter(_.startsWith("cell="))
-      .foreach { cellDir =>
-        if (!graft.util.Fs.exists(spark, s"$dir/codes/$cellDir"))
-          graft.util.Fs.rename(spark, s"$staging/$cellDir",
-            s"$dir/codes/$cellDir")
-      }
-    graft.util.Fs.rmTree(spark, staging)
+    sweepPlainStaging(spark, dir, staging)
     if (!graft.util.Fs.exists(spark, s"$dir/tombstones")) return
     val tomb = spark.read.parquet(s"$dir/tombstones").select(col("nid"))
     val raw = spark.read.parquet(s"$dir/codes")
@@ -242,6 +240,62 @@ object VectorIndex {
     graft.util.Fs.rmTree(spark, s"$dir/tombstones")
   }
 
+  /** Recovery for a crashed single-level stage-and-swap ([[compact]] /
+    * [[compactFiles]] — shared staging, either recovers the other): a
+    * staged cell whose live directory is missing is the only copy of
+    * its rows and is renamed in; the rest is stale and discarded. */
+  private def sweepPlainStaging(spark: SparkSession, dir: String,
+      staging: String): Unit = {
+    graft.util.Fs.listDirNames(spark, staging)
+      .filter(_.startsWith("cell="))
+      .foreach { cellDir =>
+        if (!graft.util.Fs.exists(spark, s"$dir/codes/$cellDir"))
+          graft.util.Fs.rename(spark, s"$staging/$cellDir",
+            s"$dir/codes/$cellDir")
+      }
+    graft.util.Fs.rmTree(spark, staging)
+  }
+
+  /** FILE-MERGE maintenance for the plain store (the append-history
+    * bound, [[graft.llm.DedupIndex.compactFiles]]'s contract applied
+    * to the cell layout): every [[append]] lands one file per touched
+    * `cell=` directory and [[compact]] only folds tombstones, so a
+    * K-ingest history accumulates O(K) files per cell and search scan
+    * tasks grow with history rather than data. Rewrites ONLY cell
+    * directories whose data-file count exceeds `maxFiles`, verbatim
+    * rows, stage-and-swap through [[compact]]'s staging path (either
+    * pass recovers the other's crash). `maxRecordsPerFile` re-splits
+    * a genuinely huge cell so the merge cannot produce one monster
+    * file. */
+  def compactFiles(spark: SparkSession, dir: String, maxFiles: Int = 16,
+      maxRecordsPerFile: Long = 8000000L): Unit = {
+    graft.util.IngestMarker.requireAbsent(spark, dir, "compactFiles")
+    require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
+    requireUnfiltered(spark.read.parquet(s"$dir/meta").head(), dir,
+      "compactFiles")
+    val staging = s"$dir/codes_staging"
+    sweepPlainStaging(spark, dir, staging)
+    val live = s"$dir/codes"
+    val over = graft.util.Fs.listDirNames(spark, live)
+      .filter(_.startsWith("cell="))
+      .filter(d => graft.util.Fs.dataFileCount(spark, s"$live/$d") > maxFiles)
+      .map(_.stripPrefix("cell=").toInt)
+    if (over.isEmpty) return
+    spark.read.parquet(live)
+      .filter(col("cell").isin(over.map(Int.box): _*))
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("cell").parquet(staging)
+    over.foreach { c =>
+      graft.util.Fs.rmTree(spark, s"$live/cell=$c")
+      if (graft.util.Fs.exists(spark, s"$staging/cell=$c"))
+        graft.util.Fs.rename(spark, s"$staging/cell=$c",
+          s"$live/cell=$c"): Unit
+    }
+    graft.util.Fs.rmTree(spark, staging)
+  }
+
   /** Load if the stored fingerprint matches `corpus`, else (re)build.
     * The check costs one aggregate over the corpus — vastly cheaper
     * than the two Lloyd trainings plus encode a rebuild costs, and it
@@ -250,14 +304,26 @@ object VectorIndex {
   def ensure(corpus: DataFrame, dir: String, nCells: Int = 16,
       m: Int = 16, kCodes: Int = 16): Loaded = {
     val spark = corpus.sparkSession
-    val valid = try {
-      val meta = spark.read.parquet(s"$dir/meta").head()
-      val (n, sum) = fingerprint(corpus)
-      meta.getAs[Long]("n_vectors") == n &&
-        meta.getAs[Long]("checksum") == sum &&
+    // Failure separation (r13 advice, same as DedupIndex.ensure): only
+    // a missing/corrupt META (NonFatal) or a crashed-append marker
+    // means "rebuild"; the corpus-side fingerprint aggregate RETHROWS
+    // on failure — a transient I/O error must never trigger the
+    // rebuild's delete of a healthy store.
+    val metaOpt =
+      if (graft.util.IngestMarker.present(spark, dir)) None
+      else try Some(spark.read.parquet(s"$dir/meta").head())
+      catch { case scala.util.control.NonFatal(_) => None }
+    val valid = metaOpt.exists { meta =>
+      val shapeOk = try {
         meta.getAs[Int]("n_cells") == nCells &&
-        meta.getAs[Int]("m") == m && meta.getAs[Int]("k_codes") == kCodes
-    } catch { case _: Throwable => false }
+          meta.getAs[Int]("m") == m && meta.getAs[Int]("k_codes") == kCodes
+      } catch { case scala.util.control.NonFatal(_) => false }
+      shapeOk && {
+        val (n, sum) = fingerprint(corpus) // NOT caught
+        meta.getAs[Long]("n_vectors") == n &&
+          meta.getAs[Long]("checksum") == sum
+      }
+    }
     if (!valid) build(corpus, dir, nCells, m, kCodes)
     load(spark, dir)
   }
@@ -277,10 +343,18 @@ object VectorIndex {
   def append(batch: DataFrame, dir: String): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val ix = load(spark, dir)
+    val ix = load(spark, dir) // marker-checked at the gateway
     val meta = spark.read.parquet(s"$dir/meta").head()
     requireUnfiltered(meta, dir, "append")
     val (bn, bsum) = fingerprint(batch)
+    // Crash contract: the codes append and the meta commit are two
+    // writes; without a marker a crash between them lets a REDELIVERED
+    // batch double-encode its rows while the corpus-side XOR
+    // fingerprint lands on the correct-looking union value — phantom
+    // duplicates ensure() can never detect. Marker down first, cleared
+    // after the meta commit; ensure() rebuilds on sight of it.
+    graft.util.IngestMarker.write(spark, dir,
+      s"append of $bn vectors in flight")
     // repartition by cell BEFORE the partitioned append, as build()
     // does: without it every task writes a file into every cell it
     // touches — the tasks x cells small-files explosion
@@ -295,6 +369,7 @@ object VectorIndex {
       .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
         "format_version")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    graft.util.IngestMarker.clear(spark, dir)
   }
 
   /** Search the stored index: distinct probed cells of the query set
@@ -357,15 +432,23 @@ object VectorIndex {
   def ensureFiltered(corpus: DataFrame, dir: String, filterCol: String,
       nCells: Int = 16, m: Int = 16, kCodes: Int = 16): Loaded = {
     val spark = corpus.sparkSession
-    val valid = try {
-      val meta = spark.read.parquet(s"$dir/meta").head()
-      val (n, sum) = fingerprint(corpus, Seq(filterCol))
-      meta.getAs[Long]("n_vectors") == n &&
-        meta.getAs[Long]("checksum") == sum &&
+    // same failure separation as [[ensure]]
+    val metaOpt =
+      if (graft.util.IngestMarker.present(spark, dir)) None
+      else try Some(spark.read.parquet(s"$dir/meta").head())
+      catch { case scala.util.control.NonFatal(_) => None }
+    val valid = metaOpt.exists { meta =>
+      val shapeOk = try {
         meta.getAs[String]("filter_col") == filterCol &&
-        meta.getAs[Int]("n_cells") == nCells &&
-        meta.getAs[Int]("m") == m && meta.getAs[Int]("k_codes") == kCodes
-    } catch { case _: Throwable => false }
+          meta.getAs[Int]("n_cells") == nCells &&
+          meta.getAs[Int]("m") == m && meta.getAs[Int]("k_codes") == kCodes
+      } catch { case scala.util.control.NonFatal(_) => false }
+      shapeOk && {
+        val (n, sum) = fingerprint(corpus, Seq(filterCol)) // NOT caught
+        meta.getAs[Long]("n_vectors") == n &&
+          meta.getAs[Long]("checksum") == sum
+      }
+    }
     if (!valid) buildFiltered(corpus, dir, filterCol, nCells, m, kCodes)
     load(spark, dir)
   }
@@ -419,6 +502,7 @@ object VectorIndex {
       filterCol: String): Unit = {
     val spark = deleted.sparkSession
     import spark.implicits._
+    graft.util.IngestMarker.requireAbsent(spark, dir, "deleteFiltered")
     val meta = spark.read.parquet(s"$dir/meta").head()
     requireFiltered(meta, dir, filterCol, "deleteFiltered")
     val ids = deleted.select(col("vec_id").cast("long").as("nid")).cache()
@@ -456,19 +540,12 @@ object VectorIndex {
     * so the filter column must be PATH-SAFE (integral or simple
     * strings — the same values Spark writes verbatim into
     * `filterCol=value/` directory names). */
-  def compactFiltered(spark: SparkSession, dir: String,
-      filterCol: String): Unit = {
-    // Layout check BEFORE the recovery sweep (see [[compact]]): a
-    // filtered compact pointed at a plain store must fail loud before
-    // it can delete a crashed plain compact's staged survivors.
-    requireFiltered(spark.read.parquet(s"$dir/meta").head(), dir,
-      filterCol, "compactFiltered")
-    // distinct from the plain variant's codes_staging: even a caller
-    // bypassing the guard can never sweep the other variant's stage
-    val staging = s"$dir/codes_staging_filtered"
-    // recovery: a staged value=/cell= pair whose live dir is missing is
-    // the only copy of those survivors — rename it in; staged pairs
-    // whose live dir survived are stale and discarded
+  /** Recovery sweep for a crashed two-level stage-and-swap: a staged
+    * value=/cell= pair whose live dir is missing is the only copy of
+    * those survivors — rename it in; staged pairs whose live dir
+    * survived are stale and discarded with the staging root. */
+  private def sweepFilteredStaging(spark: SparkSession, dir: String,
+      filterCol: String, staging: String): Unit = {
     graft.util.Fs.listDirNames(spark, staging)
       .filter(_.startsWith(s"$filterCol="))
       .foreach { vDir =>
@@ -483,6 +560,29 @@ object VectorIndex {
           }
       }
     graft.util.Fs.rmTree(spark, staging)
+  }
+
+  def compactFiltered(spark: SparkSession, dir: String,
+      filterCol: String): Unit = {
+    graft.util.IngestMarker.requireAbsent(spark, dir, "compactFiltered")
+    // Layout check BEFORE the recovery sweep (see [[compact]]): a
+    // filtered compact pointed at a plain store must fail loud before
+    // it can delete a crashed plain compact's staged survivors.
+    requireFiltered(spark.read.parquet(s"$dir/meta").head(), dir,
+      filterCol, "compactFiltered")
+    // distinct from the plain variant's codes_staging: even a caller
+    // bypassing the guard can never sweep the other variant's stage
+    val staging = s"$dir/codes_staging_filtered"
+    // LEGACY sweep first (r13 advice): before the staging dir was
+    // renamed to codes_staging_filtered, a filtered compact staged
+    // into codes_staging — a pre-upgrade crash mid-swap left its only
+    // copy of survivors there, which the renamed path's sweep would
+    // never restore (and the plain compact now REJECTS filtered
+    // stores before its own sweep runs). On a store whose meta says
+    // filtered, anything under codes_staging with the two-level shape
+    // is that crash state: recover it by the same staged-pair rule.
+    sweepFilteredStaging(spark, dir, filterCol, s"$dir/codes_staging")
+    sweepFilteredStaging(spark, dir, filterCol, staging)
     if (!graft.util.Fs.exists(spark, s"$dir/tombstones")) return
     val tomb = spark.read.parquet(s"$dir/tombstones").select(col("nid"))
     val raw = spark.read.parquet(s"$dir/codes")
@@ -512,6 +612,53 @@ object VectorIndex {
     graft.util.Fs.rmTree(spark, s"$dir/tombstones")
   }
 
+  /** [[compactFiles]] for the two-level (filterCol, cell) layout:
+    * merges the (value, cell) partition pairs whose data-file count
+    * exceeds `maxFiles`, verbatim rows, stage-and-swap through
+    * [[compactFiltered]]'s staging path (and its legacy sweep). */
+  def compactFilesFiltered(spark: SparkSession, dir: String,
+      filterCol: String, maxFiles: Int = 16,
+      maxRecordsPerFile: Long = 8000000L): Unit = {
+    graft.util.IngestMarker.requireAbsent(spark, dir,
+      "compactFilesFiltered")
+    require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
+    requireFiltered(spark.read.parquet(s"$dir/meta").head(), dir,
+      filterCol, "compactFilesFiltered")
+    sweepFilteredStaging(spark, dir, filterCol, s"$dir/codes_staging")
+    val staging = s"$dir/codes_staging_filtered"
+    sweepFilteredStaging(spark, dir, filterCol, staging)
+    val live = s"$dir/codes"
+    val over: Seq[(String, Int)] = graft.util.Fs
+      .listDirNames(spark, live).filter(_.startsWith(s"$filterCol="))
+      .flatMap { vDir =>
+        graft.util.Fs.listDirNames(spark, s"$live/$vDir")
+          .filter(_.startsWith("cell="))
+          .filter(cDir => graft.util.Fs.dataFileCount(spark,
+            s"$live/$vDir/$cDir") > maxFiles)
+          .map(cDir => (vDir.stripPrefix(s"$filterCol="),
+            cDir.stripPrefix("cell=").toInt))
+      }
+    if (over.isEmpty) return
+    val pairOf = concat(col(filterCol).cast("string"), lit("\u0001"),
+      col("cell").cast("string"))
+    val overKeys = over.map { case (v, c) => s"$v\u0001$c" }
+    spark.read.parquet(live)
+      .filter(pairOf.isin(overKeys: _*))
+      .repartition(col(filterCol), col("cell"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(filterCol, "cell").parquet(staging)
+    over.foreach { case (v, c) =>
+      graft.util.Fs.rmTree(spark, s"$live/$filterCol=$v/cell=$c")
+      if (graft.util.Fs.exists(spark, s"$staging/$filterCol=$v/cell=$c")) {
+        graft.util.Fs.mkdirs(spark, s"$live/$filterCol=$v")
+        graft.util.Fs.rename(spark, s"$staging/$filterCol=$v/cell=$c",
+          s"$live/$filterCol=$v/cell=$c"): Unit
+      }
+    }
+    graft.util.Fs.rmTree(spark, staging)
+  }
+
   /** [[append]] for the filtered store: frozen quantizers, the batch
     * encoded WITH its filter column and appended into the two-level
     * partitions; fingerprint (which includes the filter column)
@@ -520,10 +667,13 @@ object VectorIndex {
       filterCol: String): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val ix = load(spark, dir)
+    val ix = load(spark, dir) // marker-checked at the gateway
     val meta = spark.read.parquet(s"$dir/meta").head()
     requireFiltered(meta, dir, filterCol, "appendFiltered")
     val (bn, bsum) = fingerprint(batch, Seq(filterCol))
+    // same crash contract as [[append]]
+    graft.util.IngestMarker.write(spark, dir,
+      s"appendFiltered of $bn vectors in flight")
     Similarity.ivfPqEncode(batch, ix.coarse, ix.books,
         keepCols = Seq(filterCol))
       .repartition(col(filterCol), col("cell"))
@@ -537,6 +687,7 @@ object VectorIndex {
       .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
         "filter_col", "format_version")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    graft.util.IngestMarker.clear(spark, dir)
   }
 
   private def indexDirFor(sfDir: String): String =

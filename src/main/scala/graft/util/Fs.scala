@@ -48,6 +48,21 @@ object Fs {
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
   }
 
+  /** Number of data files directly inside `path` (0 when the path does
+    * not exist). Counts `part-*` only — commit markers (`_SUCCESS`) and
+    * checksums don't contribute to scan task fan-out. Drives the
+    * file-merge maintenance trigger of the persisted stores: every
+    * append lands one file per partition directory, so an ingest
+    * loop's file count grows linearly with append history. */
+  def dataFileCount(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p)
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
+  }
+
   /** Create a directory (and parents) through the Hadoop FileSystem
     * API — rename requires the destination's parent to exist. */
   def mkdirs(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {

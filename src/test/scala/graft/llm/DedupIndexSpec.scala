@@ -206,6 +206,134 @@ class DedupIndexSpec extends SparkSpec {
       s"sbucket filter neither IN list nor equality: ${pf2.get}")
   }
 
+  test("crashed append is LOUD: the in-progress marker blocks every " +
+      "store op, and ensure() rebuilds through it") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/h"
+    val corpus = df((0L until 20L).map(i => (i, doc(i.toInt))))
+    DedupIndex.build(corpus, dir, threshold = 0.9)
+    // fabricate the crash state: a previous append died between its
+    // data and meta writes — the marker is still down
+    graft.util.IngestMarker.write(spark, dir, "spec-fabricated crash")
+    val batch = df(Seq((100L, doc(100))))
+    intercept[IllegalArgumentException] {
+      DedupIndex.probe(batch, dir, threshold = 0.9).count()
+    }
+    intercept[IllegalArgumentException] {
+      DedupIndex.append(batch, dir, threshold = 0.9).count()
+    }
+    intercept[IllegalArgumentException] {
+      DedupIndex.delete(df(Seq((3L, doc(3)))), dir)
+    }
+    intercept[IllegalArgumentException] { DedupIndex.compact(spark, dir) }
+    intercept[IllegalArgumentException] {
+      DedupIndex.compactFiles(spark, dir)
+    }
+    // ensure() is the documented recovery: marker ⇒ rebuild
+    val b0 = DedupIndex.buildsThisProcess
+    DedupIndex.ensure(corpus, dir, threshold = 0.9)
+    assert(DedupIndex.buildsThisProcess == b0 + 1,
+      "ensure did not rebuild through the crash marker")
+    assert(!graft.util.IngestMarker.present(spark, dir),
+      "rebuild left the marker in place")
+    val kept = DedupIndex.probe(batch, dir, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L), s"recovered store probe kept $kept")
+  }
+
+  test("ensure RETHROWS a corpus-side failure instead of deleting the " +
+      "healthy store") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/i"
+    val corpus = df((0L until 20L).map(i => (i, doc(i.toInt))))
+    DedupIndex.build(corpus, dir, threshold = 0.9)
+    val b0 = DedupIndex.buildsThisProcess
+    // a corpus whose scan fails mid-aggregate stands in for transient
+    // I/O: the fingerprint read must propagate, NOT count as mismatch
+    val boom = udf((s: String) =>
+      if (s != null) throw new RuntimeException("transient read failure")
+      else s)
+    val bad = corpus.select(col("doc_id"), boom(col("text")).as("text"))
+    intercept[Exception] {
+      DedupIndex.ensure(bad, dir, threshold = 0.9)
+    }
+    assert(DedupIndex.buildsThisProcess == b0,
+      "a transient corpus failure triggered a rebuild")
+    assert(graft.util.Fs.exists(spark, s"$dir/meta"),
+      "the healthy store was destroyed on a transient failure")
+    // store still serves probes
+    val kept = DedupIndex.probe(df(Seq((100L, doc(3)))), dir,
+      threshold = 0.9).collect().map(_.getLong(0)).toSet
+    assert(kept.isEmpty, s"store unhealthy after rethrow: kept $kept")
+  }
+
+  test("compactFiles bounds append-history file growth and is " +
+      "probe-invisible") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/j"
+    val corpus = df((0L until 10L).map(i => (i, doc(i.toInt))))
+    DedupIndex.build(corpus, dir, threshold = 0.9, nBuckets = 4,
+      nIdBuckets = 2)
+    // 6 appends: each lands one new file per touched partition dir
+    var next = 100L
+    (0 until 6).foreach { _ =>
+      DedupIndex.append(
+        df(Seq((next, doc(next.toInt)), (next + 1, doc(next.toInt + 1)))),
+        dir, threshold = 0.9).count()
+      next += 2
+    }
+    val grown = graft.util.Fs.listDirNames(spark, s"$dir/sets")
+      .filter(_.startsWith("sbucket="))
+      .map(d => graft.util.Fs.dataFileCount(spark, s"$dir/sets/$d"))
+    assert(grown.exists(_ > 2),
+      s"fixture failed to grow files per partition: $grown")
+    val recrawl = df(Seq((500L, doc(3)), (501L, doc(102)), (502L, doc(999))))
+    val before = DedupIndex.probePairs(recrawl, dir, threshold = 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before.nonEmpty, "fixture probe found no pairs")
+    DedupIndex.compactFiles(spark, dir, maxFiles = 2)
+    Seq("prefix" -> "bucket", "sets" -> "sbucket").foreach {
+      case (t, p) =>
+        graft.util.Fs.listDirNames(spark, s"$dir/$t")
+          .filter(_.startsWith(s"$p=")).foreach { d =>
+            val n = graft.util.Fs.dataFileCount(spark, s"$dir/$t/$d")
+            assert(n <= 2, s"$t/$d still has $n files after the merge")
+          }
+    }
+    val after = DedupIndex.probePairs(recrawl, dir, threshold = 0.9)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, "compactFiles changed probe results")
+    // the maintained fingerprint still validates: pure load
+    val live = corpus.unionByName(df((100L until next).map(i =>
+      (i, doc(i.toInt)))))
+    val b1 = DedupIndex.buildsThisProcess
+    DedupIndex.ensure(live, dir, threshold = 0.9, nBuckets = 4,
+      nIdBuckets = 2)
+    assert(DedupIndex.buildsThisProcess == b1,
+      "compactFiles drifted the fingerprint")
+  }
+
+  test("compactFiles crash recovery: a staged merged partition whose " +
+      "live dir is missing is renamed in") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/k"
+    val corpus = df((0L until 16L).map(i => (i, doc(i.toInt))))
+    DedupIndex.build(corpus, dir, threshold = 0.9, nIdBuckets = 4)
+    // fabricate: merge staged for sbucket=1, live dir already removed
+    val stage = s"$dir/sets_staging"
+    spark.read.parquet(s"$dir/sets").filter(col("sbucket") === 1)
+      .repartition(col("sbucket"))
+      .write.mode("overwrite").partitionBy("sbucket").parquet(stage)
+    graft.util.Fs.rmTree(spark, s"$dir/sets/sbucket=1")
+    DedupIndex.compactFiles(spark, dir, maxFiles = 64)
+    val ids = spark.read.parquet(s"$dir/sets")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 16L).toSet,
+      s"recovery lost rows: ${(0L until 16L).toSet -- ids}")
+  }
+
   test("prefix-filter recall is exact: store+batch pairs equal the " +
       "brute-force Jaccard pair graph") {
     graft.util.Fs.rmRecursive(new java.io.File(base))

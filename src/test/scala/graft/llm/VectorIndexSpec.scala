@@ -281,6 +281,119 @@ class VectorIndexSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("crashed append is LOUD: the in-progress marker blocks " +
+      "load/search, delete, and compaction; ensure() rebuilds through it") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/m"
+    val c = corpus(200).cache()
+    VectorIndex.build(c, dir)
+    graft.util.IngestMarker.write(spark, dir, "spec-fabricated crash")
+    intercept[IllegalArgumentException] { VectorIndex.load(spark, dir) }
+    intercept[IllegalArgumentException] {
+      VectorIndex.delete(c.filter(col("vec_id") < 5), dir)
+    }
+    intercept[IllegalArgumentException] { VectorIndex.compact(spark, dir) }
+    intercept[IllegalArgumentException] {
+      VectorIndex.compactFiles(spark, dir)
+    }
+    // ensure() is the recovery: marker ⇒ rebuild, marker cleared
+    val b0 = VectorIndex.buildsThisProcess
+    val ix = VectorIndex.ensure(c, dir)
+    assert(VectorIndex.buildsThisProcess == b0 + 1,
+      "ensure did not rebuild through the crash marker")
+    assert(ix.codes.count() == 200)
+    c.unpersist()
+  }
+
+  test("ensure RETHROWS a corpus-side failure instead of deleting the " +
+      "healthy store") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/n"
+    val c = corpus(200).cache()
+    VectorIndex.build(c, dir)
+    val b0 = VectorIndex.buildsThisProcess
+    val boom = udf((id: Long) =>
+      if (id >= 0) throw new RuntimeException("transient read failure")
+      else id)
+    val bad = c.select(boom(col("vec_id")).as("vec_id"), col("embedding"))
+    intercept[Exception] { VectorIndex.ensure(bad, dir) }
+    assert(VectorIndex.buildsThisProcess == b0,
+      "a transient corpus failure triggered a rebuild")
+    // the healthy store still loads and searches
+    val ix = VectorIndex.load(spark, dir)
+    assert(ix.codes.count() == 200)
+    c.unpersist()
+  }
+
+  test("compactFiles bounds append-history file growth and is " +
+      "search-invisible") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/o"
+    val all = corpus(420).cache()
+    VectorIndex.build(all.filter(col("vec_id") < 300), dir)
+    (0 until 6).foreach { k =>
+      VectorIndex.append(all.filter(
+        col("vec_id") >= 300 + k * 20 && col("vec_id") < 320 + k * 20), dir)
+    }
+    val cells = graft.util.Fs.listDirNames(spark, s"$dir/codes")
+      .filter(_.startsWith("cell="))
+    val grown = cells.map(d =>
+      graft.util.Fs.dataFileCount(spark, s"$dir/codes/$d"))
+    assert(grown.exists(_ > 2),
+      s"fixture failed to grow files per cell: $grown")
+    val q = all.filter(col("vec_id") < 10)
+    def res(ix: VectorIndex.Loaded) = VectorIndex.search(ix, q, all, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val before = res(VectorIndex.load(spark, dir))
+    VectorIndex.compactFiles(spark, dir, maxFiles = 2)
+    cells.foreach { d =>
+      val n = graft.util.Fs.dataFileCount(spark, s"$dir/codes/$d")
+      assert(n <= 2, s"codes/$d still has $n files after the merge")
+    }
+    assert(res(VectorIndex.load(spark, dir)) == before,
+      "compactFiles changed search results")
+    // fingerprint untouched: ensure over the union corpus is a pure load
+    val builds = VectorIndex.buildsThisProcess
+    VectorIndex.ensure(all, dir)
+    assert(VectorIndex.buildsThisProcess == builds,
+      "compactFiles drifted the fingerprint")
+    all.unpersist()
+  }
+
+  test("compactFiltered recovers a LEGACY codes_staging crash (the " +
+      "pre-rename staging path) on a filtered store") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/p"
+    val c = corpus(120)
+      .withColumn("label", (col("vec_id") % 2).cast("long")).cache()
+    VectorIndex.buildFiltered(c, dir, "label")
+    VectorIndex.deleteFiltered(c.filter(col("vec_id") % 4 === 0), dir,
+      "label")
+    val tombIds = c.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("nid"))
+    val raw = spark.read.parquet(s"$dir/codes")
+    val pair = raw.join(tombIds, Seq("nid"), "left_semi")
+      .select(col("label").cast("long"), col("cell")).distinct()
+      .orderBy("label", "cell").head()
+    val (pl, pc) = (pair.getLong(0), pair.getInt(1))
+    // fabricate the PRE-UPGRADE crash: survivors staged under the OLD
+    // codes_staging path, live pair dir already removed — its only copy
+    raw.filter(col("label") === pl && col("cell") === pc)
+      .join(tombIds, Seq("nid"), "left_anti")
+      .withColumn("label", lit(pl)).withColumn("cell", lit(pc))
+      .repartition(col("label"), col("cell"))
+      .write.mode("overwrite").partitionBy("label", "cell")
+      .parquet(s"$dir/codes_staging")
+    graft.util.Fs.rmTree(spark, s"$dir/codes/label=$pl/cell=$pc")
+    VectorIndex.compactFiltered(spark, dir, "label")
+    assert(!new java.io.File(s"$dir/codes_staging").exists(),
+      "legacy staging not swept")
+    assert(VectorIndex.load(spark, dir).codes.count() ==
+      c.filter(col("vec_id") % 4 =!= 0).count(),
+      "legacy staged survivors were lost")
+    c.unpersist()
+  }
+
   test("cross-variant compact rejects BEFORE touching the other " +
       "variant's in-flight staging (no cross-destruction)") {
     graft.util.Fs.rmRecursive(new java.io.File(base))
