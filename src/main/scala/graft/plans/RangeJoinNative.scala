@@ -284,6 +284,94 @@ object RangeJoinNative {
       .drop(salt)
   }
 
+  /** The decision input the router measures, and the form it picks.
+    * Exposed so specs can assert the regime mapping directly and so a
+    * caller can audit why a plan was chosen. */
+  final case class RangeJoinChoice(
+      form: String, // "native" | "composed" | "salted"
+      nHotKeys: Long,
+      bucketWidth: Long,
+      effectiveBuckets: Long)
+
+  /** Measure the three routing inputs (r13 verdict item 2): per-key
+    * left counts (the [[rangeJoinSkew]] detection aggregate — one
+    * map-side-combined count), the max interval width, and the axis
+    * span. Decision rule, from the measured ×100-skew trade
+    * (SCALE.md skew tier):
+    *
+    *  - NO hot key → the native merge ([[rangeJoinNative]]): fastest
+    *    unskewed at every measured factor (5.4-5.5 vs 5.9-6.8 s at
+    *    ×100), zero exchanges from bucketed stores, sorted output.
+    *  - hot key AND `span / bucketWidth ≥ splits` → the COMPOSED
+    *    bucketized join with `bucketWidth = maxWidth` (≤ 2 bucket
+    *    copies per interval): the time-bucket key is an implicit salt
+    *    that divides a hot key into span/width sub-keys — MORE
+    *    parallelism than `splits` whenever intervals are narrow
+    *    relative to the axis, and measured fastest in both hot
+    *    regimes (7.7 s narrow, 13.1 s wide, vs 10.7/28.4 s salted).
+    *  - hot key AND `span / bucketWidth < splits` → the SALTED native
+    *    merge ([[rangeJoinSkew]]): intervals so wide relative to the
+    *    axis that bucketing cannot split the hot key (the composed
+    *    form degenerates toward one giant bucket), while the salt
+    *    still divides the point side `splits` ways. Also the fallback
+    *    for a negative axis, where the composed form's truncating
+    *    `div` is not a floor.
+    */
+  def chooseRangeJoinForm(left: DataFrame, right: DataFrame,
+      keys: Seq[String], ptCol: String, loCol: String, hiCol: String,
+      splits: Int = 32, hotThreshold: Long = 1000000L): RangeJoinChoice = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    // bounded result: ≤ |L| / hotThreshold keys survive the filter
+    val nHot = left.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__rja_n"))
+      .filter(col("__rja_n") > hotThreshold)
+      .count()
+    if (nHot == 0) return RangeJoinChoice("native", 0L, 0L, 0L)
+    val s = right.agg(
+      max(col(hiCol) - col(loCol)).as("w"),
+      min(col(loCol)).as("lo"),
+      max(col(hiCol)).as("hi")).head()
+    if (s.isNullAt(0)) return RangeJoinChoice("native", nHot, 0L, 0L)
+    val bucketWidth = math.max(1L, s.getLong(0))
+    val span = s.getLong(2) - s.getLong(1)
+    val effectiveBuckets = span / bucketWidth + 1
+    val form =
+      if (s.getLong(1) < 0) "salted" // composed div ≠ floor below zero
+      else if (effectiveBuckets >= splits) "composed"
+      else "salted"
+    RangeJoinChoice(form, nHot, bucketWidth, effectiveBuckets)
+  }
+
+  /** Skew/width ROUTER over the three range-join forms — same surface
+    * and row-identical output as [[rangeJoinNative]] (all three forms
+    * verify against the same DuckDB inequality-join oracle; j18).
+    * Detection costs one map-side count over the left keys plus one
+    * three-value aggregate over the right side; the salted branch
+    * re-runs the hot-key aggregate inside [[rangeJoinSkew]] (kept —
+    * one cheap extra pass beats threading private state between the
+    * forms). See [[chooseRangeJoinForm]] for the measured decision
+    * rule. */
+  def rangeJoinAuto(left: DataFrame, right: DataFrame,
+      keys: Seq[String], ptCol: String, loCol: String, hiCol: String,
+      splits: Int = 32, hotThreshold: Long = 1000000L): DataFrame = {
+    val choice = chooseRangeJoinForm(left, right, keys, ptCol, loCol,
+      hiCol, splits, hotThreshold)
+    choice.form match {
+      case "native" =>
+        rangeJoinNative(left, right, keys, ptCol, loCol, hiCol)
+      case "composed" =>
+        // normalize to the native form's column order (left columns
+        // then right carry) — the using-column join reorders keys first
+        graft.ops.RangeJoin.rangeJoin(left, right, keys, ptCol, loCol,
+            hiCol, bucketWidth = choice.bucketWidth)
+          .select((left.columns ++ right.columns.filterNot(keys.contains))
+            .map(col).toSeq: _*)
+      case _ =>
+        rangeJoinSkew(left, right, keys, ptCol, loCol, hiCol, splits,
+          hotThreshold)
+    }
+  }
+
   /** J14 — the j7 range workload planned through [[RangeJoinExec]]
     * against the SAME DuckDB inequality-join oracle: the custom
     * physical operator hash-verified end to end (j8's pattern), with
@@ -389,5 +477,44 @@ object RangeJoinNative {
             .cast("long").as("pair_checksum"))
   }
 
-  def all: Seq[graft.QueryDef] = Seq(j14, j16, j17)
+  /** J18 — [[rangeJoinAuto]] on the j14 workload, against j14's DuckDB
+    * oracle VERBATIM: whatever form the router picks must be
+    * row-invisible. With hotThreshold = 70 (inside the per-user count
+    * distribution at every test sf — j17's setting) hot keys EXIST and
+    * the narrow ±5 min intervals against the events axis give
+    * span/width ≫ splits, so the registry gate exercises detection +
+    * the COMPOSED routing hash-verified end to end; the native and
+    * salted branches are hash-verified by j14/j17 and the regime
+    * mapping itself is spec-asserted on planted fixtures
+    * (RangeJoinNativeSpec). */
+  val j18 = graft.QueryDef.sql(
+    "j18_range_join_auto",
+    """WITH l AS (SELECT user_id, event_id, epoch_us(ts) AS us
+      |           FROM events WHERE ts IS NOT NULL),
+      |r AS (SELECT user_id, event_id AS rid,
+      |             epoch_us(ts) - 300000000 AS lo,
+      |             epoch_us(ts) + 300000000 AS hi
+      |      FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL)
+      |SELECT count(*) AS n_pairs,
+      |       CAST(coalesce(sum(l.event_id + r.rid), 0) AS BIGINT)
+      |         AS pair_checksum
+      |FROM l JOIN r
+      |  ON l.user_id = r.user_id AND l.us BETWEEN r.lo AND r.hi""".stripMargin) {
+    (s, d) =>
+      import org.apache.spark.sql.functions._
+      val ev = graft.Tables.events(s, d).filter(col("ts").isNotNull)
+      val l = ev.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("rid"),
+          (unix_micros(col("ts")) - 300000000L).as("lo"),
+          (unix_micros(col("ts")) + 300000000L).as("hi"))
+      rangeJoinAuto(l, r, Seq("user_id"), "us", "lo", "hi",
+          splits = 4, hotThreshold = 70L)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("event_id") + col("rid")), lit(0L))
+            .cast("long").as("pair_checksum"))
+  }
+
+  def all: Seq[graft.QueryDef] = Seq(j14, j16, j17, j18)
 }

@@ -174,6 +174,72 @@ class RangeJoinNativeSpec extends SparkSpec {
     assert(none == plain)
   }
 
+  test("router: measured inputs map to the right form, and every " +
+      "branch is row-identical to the native merge") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23L)
+    // hot key 0 (400 points) + cold keys; threshold 100 marks only key 0
+    val lHot = ((1 to 400).map(i => (0L, i.toLong, (i % 900).toLong))
+      ++ (401 to 520).map(i =>
+        (1L + rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(900).toLong)))
+      .toDF("k", "lid", "pt")
+    // NARROW: width ≤ 12 against a ~900 axis → span/width ≫ splits
+    val rNarrow = (1 to 60).map { i =>
+      val lo = (i * 15).toLong
+      (rnd.nextInt(6).toLong, i.toLong, lo, lo + 2L + rnd.nextInt(10))
+    }.toDF("k", "rid", "lo", "hi")
+    // WIDE: every interval covers most of the axis → span/width < splits
+    val rWide = (1 to 8).map { i =>
+      (rnd.nextInt(6).toLong, i.toLong, rnd.nextInt(30).toLong,
+        850L + rnd.nextInt(60))
+    }.toDF("k", "rid", "lo", "hi")
+    // NEGATIVE axis: the composed div is not a floor below zero
+    val rNeg = (1 to 20).map { i =>
+      val lo = -500L + i * 40
+      (rnd.nextInt(6).toLong, i.toLong, lo, lo + 9L)
+    }.toDF("k", "rid", "lo", "hi")
+    val lNeg = lHot.withColumn("pt", col("pt") - 450L)
+    def choice(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame, thr: Long) =
+      RangeJoinNative.chooseRangeJoinForm(l, r, Seq("k"), "pt", "lo",
+        "hi", splits = 4, hotThreshold = thr)
+    // regime mapping
+    assert(choice(lHot, rNarrow, 100000L).form == "native", "unskewed")
+    assert(choice(lHot, rNarrow, 100L).form == "composed",
+      "hot+narrow should bucket-salt via the composed form")
+    assert(choice(lHot, rWide, 100L).form == "salted",
+      "hot+wide (span/width < splits) should salt the native merge")
+    assert(choice(lNeg, rNeg, 100L).form == "salted",
+      "negative axis must avoid the composed form")
+    // row-identity of the routed output on every branch
+    for (((l, r, thr), tag) <- Seq(
+      ((lHot, rNarrow, 100000L), "native"),
+      ((lHot, rNarrow, 100L), "composed"),
+      ((lHot, rWide, 100L), "salted"),
+      ((lNeg, rNeg, 100L), "salted-neg"))) {
+      val auto = RangeJoinNative
+        .rangeJoinAuto(l, r, Seq("k"), "pt", "lo", "hi",
+          splits = 4, hotThreshold = thr)
+      assert(auto.columns.toSeq == Seq("k", "lid", "pt", "rid", "lo", "hi"),
+        s"$tag: routed column order diverged: ${auto.columns.toSeq}")
+      val got = auto.collect().map(_.toSeq).toSet
+      val want = RangeJoinNative
+        .rangeJoinNative(l, r, Seq("k"), "pt", "lo", "hi")
+        .select("k", "lid", "pt", "rid", "lo", "hi")
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"$tag branch diverged from the native merge")
+      assert(got.nonEmpty, s"$tag branch vacuous")
+    }
+    // the routed plan really changes family: unskewed → RangeJoinExec;
+    // hot+narrow → composed (no RangeJoinExec in the plan)
+    def hasExec(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("RangeJoin")
+    assert(hasExec(RangeJoinNative.rangeJoinAuto(lHot, rNarrow,
+      Seq("k"), "pt", "lo", "hi", splits = 4, hotThreshold = 100000L)))
+    assert(!hasExec(RangeJoinNative.rangeJoinAuto(lHot, rNarrow,
+      Seq("k"), "pt", "lo", "hi", splits = 4, hotThreshold = 100L)))
+  }
+
   test("AQE re-planning preserves the native merges and their results") {
     val (left, right) = randomCase(13L)
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "false")
