@@ -390,14 +390,31 @@ object Multimodal {
 
   // ---------------------------------------------------------------- queries
 
-  /** Rows-only entry: schema contract + decode/featurize batch shape.
-    * Checks: every row produces a frame of exactly targetBytes, a
-    * 16-bin unit-sum histogram; determinism (two runs, same checksum);
-    * metadata consistent with payload length; and the REAL codec path —
-    * a generated 24-bit BMP and PCM-16 WAV must decode with correct
+  /** Dump dir for mm1's FULL oracle (the mm2-family pattern): per-sf
+    * scoped, placeholder substituted by Verify. */
+  private def mm1FeatDir: String =
+    new java.io.File(graft.util.Fixtures.dir + "/mm1_feats")
+      .getAbsolutePath + "/{{SF_TAG}}"
+
+  /** Decode/featurize pipeline entry. In-query gates: every row
+    * produces a frame of exactly targetBytes, a 16-bin unit-sum
+    * histogram; determinism (two runs, same checksum); metadata
+    * consistent with payload length; and the REAL codec path — a
+    * generated 24-bit BMP and PCM-16 WAV must decode with correct
     * dimensions while garbage falls back to the stub without error.
+    *
+    * FULL oracle since r14 (was rows-only; the dump pattern): the
+    * emitted frame is the per-asset (asset_id, payload_len, frame_crc)
+    * table; DuckDB re-derives asset_id AND payload_len INDEPENDENTLY
+    * from the documents table (asset ids are doc ids; the payload is
+    * the UTF-8 text encoding, so payload_len = octet_length(encode(
+    * text))) and replays only the codec-bound frame_crc from the dump
+    * — the id space and payload plumbing are cross-engine-verified,
+    * the decode stage stays gate-verified (planted BMP/WAV/garbage).
     */
-  val mm = QueryDef.fixture("mm1_multimodal_pipeline") { (s, d) =>
+  val mm = QueryDef(
+    "mm1_multimodal_pipeline",
+    { (s, d) =>
     val assets = assetsFromDocuments(Tables.documents(s, d)).cache()
     val feat = decodeAndFeaturize(assets, targetBytes = 256).cache()
     val stats = feat.agg(
@@ -412,6 +429,12 @@ object Multimodal {
     val cks1 = feat.agg(sum(crc32(col("frame")))).head().getLong(0)
     val cks2 = decodeAndFeaturize(assets, 256).agg(sum(crc32(col("frame"))))
       .head().getLong(0)
+    // the exact-side dump DuckDB joins back to the documents table
+    val dump = resolvedDump(mm1FeatDir, d)
+    feat.select(col("asset_id"),
+        length(col("payload")).cast("long").as("payload_len"),
+        crc32(col("frame")).as("frame_crc"))
+      .write.mode("overwrite").parquet(dump)
     assets.unpersist(); feat.unpersist()
     val spark = s; import spark.implicits._
     // real-codec gate: planted BMP (5×3 RGB) + WAV (64 stereo samples →
@@ -443,16 +466,20 @@ object Multimodal {
         (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
     val resizeOk = rez(1L) == 8 * 4 * 3 && rez(2L) == -1 && rez(3L) == -1
     val audioOk = au(2L) == 2 && au(1L) == -1 && au(3L) == -1
-    Seq((stats.getLong(0), stats.getLong(1), stats.getLong(2),
-      stats.getDouble(3), stats.getLong(4), cks1 == cks2, codecOk,
-      resizeOk, audioOk))
-      .toDF("n", "bad_frames", "bad_feats", "max_hist_err", "bad_meta",
-        "deterministic", "codec_ok", "resize_ok", "audio_ok")
-      .filter(col("n") > 0 && col("bad_frames") === 0 && col("bad_feats") === 0 &&
-        col("max_hist_err") < 1e-9 && col("bad_meta") === 0 &&
-        col("deterministic") && col("codec_ok") &&
-        col("resize_ok") && col("audio_ok"))
-  }
+    val ok = stats.getLong(0) > 0 && stats.getLong(1) == 0 &&
+      stats.getLong(2) == 0 && stats.getDouble(3) < 1e-9 &&
+      stats.getLong(4) == 0 && cks1 == cks2 && codecOk &&
+      resizeOk && audioOk
+    s.read.parquet(dump).filter(lit(ok))
+    },
+    oracle = Some(
+      s"""SELECT doc_id AS asset_id,
+         |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
+         |       f.frame_crc
+         |FROM documents
+         |JOIN read_parquet('$mm1FeatDir/*.parquet') f
+         |  ON doc_id = f.asset_id""".stripMargin),
+    benchEligible = false)
 
   // ------------------------------------------------ image near-dup (dHash)
 
