@@ -322,6 +322,40 @@ object GraphAnn {
     graft.util.Fs.rmTree(spark, s"$dir/tombstones")
   }
 
+  /** FILE-MERGE maintenance (the append-history bound): every
+    * [[append]] lands one file set into `nodes/` (edges are rewritten
+    * whole each insert, so only a crash can fragment them), so a
+    * K-ingest history accumulates O(K) node files and the membership
+    * scans of delete/append grow with history rather than data.
+    * Rewrites any table whose data-file count exceeds `maxFiles` to
+    * ~`targetBytes`-sized output files, stage-and-swap through
+    * [[compact]]'s staging paths (either pass recovers the other's
+    * crash — a staged table whose live dir is missing is renamed in). */
+  def compactFiles(spark: SparkSession, dir: String, maxFiles: Int = 16,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
+    Seq("edges", "nodes").foreach { t =>
+      val stag = s"$dir/${t}_staging"
+      if (graft.util.Fs.exists(spark, stag)) {
+        if (!graft.util.Fs.exists(spark, s"$dir/$t"))
+          graft.util.Fs.rename(spark, stag, s"$dir/$t"): Unit
+        else graft.util.Fs.rmTree(spark, stag)
+      }
+    }
+    Seq("edges", "nodes").foreach { t =>
+      val live = s"$dir/$t"
+      if (graft.util.Fs.dataFileCount(spark, live) > maxFiles) {
+        val nOut = math.max(1L,
+          graft.util.Fs.dataSize(spark, live) / targetBytes + 1).toInt
+        val stag = s"$dir/${t}_staging"
+        spark.read.parquet(live).repartition(nOut)
+          .write.mode("overwrite").parquet(stag)
+        graft.util.Fs.rmTree(spark, live)
+        graft.util.Fs.rename(spark, stag, live): Unit
+      }
+    }
+  }
+
   /** Batched beam search: every query walks the graph simultaneously;
     * one edge join + one window per round. Entry nodes are the
     * `entries` lowest corpus ids past the probe panel (deterministic,

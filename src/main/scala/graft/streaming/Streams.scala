@@ -90,7 +90,7 @@ object Streams {
     * storage, not driver heap. Parquet (not json) so timestamps
     * round-trip to the microsecond and fingerprints stay exact.
     */
-  private final class FileFeed(s: SparkSession, name: String,
+  private[graft] final class FileFeed(s: SparkSession, name: String,
       schema: org.apache.spark.sql.types.StructType) {
     private val base = graft.util.Fixtures.dir + "/" + name
     graft.util.Fs.rmRecursive(new java.io.File(base))

@@ -1,0 +1,278 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Append-HISTORY campaign for the persisted index stores (r13 verdict
+  * item 1 + 3): a 100 TB ingest loop runs thousands of appends, and
+  * each `DedupIndex.append` / `VectorIndex.append` lands one new file
+  * per partition directory it touches while `compact` only folds
+  * tombstones — so probe/search scan-task counts grow with APPEND
+  * HISTORY, not data. d17/st17's lifecycle gates exercise ≤ 4 appends;
+  * this campaign drives ~100 (and a 50-micro-batch streaming ingest),
+  * measuring probe/search latency and per-partition file counts along
+  * the curve, then `compactFiles` and the post-maintenance point.
+  *
+  * What the curve should show (and SCALE.md records): latency rising
+  * with append count at fixed corpus size (pure file-count effect — a
+  * probe batch is constant work), dropping back to the early-history
+  * level after `compactFiles`, with probe/search results invariant.
+  * The streaming tier runs the st17 ingest form twice — without and
+  * with a compactFiles trigger every 16 batches — so the maintenance
+  * cadence that keeps per-batch latency flat is MEASURED, not claimed.
+  *
+  * Run:  sbt "runMain graft.tools.StoreHistoryBench"
+  * Env:  SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  *       SPARK_GRAFT_CPUS (32),
+  *       SPARK_GRAFT_HISTORY_APPENDS (100),
+  *       SPARK_GRAFT_HISTORY_EVERY (10, probe cadence),
+  *       SPARK_GRAFT_HISTORY_STREAM_BATCHES (50).
+  * Output: one JSON line (stdout + store_history.json).
+  */
+object StoreHistoryBench {
+
+  private def jnum(d: Double): String =
+    (math.floor(d * 1000 + 0.5) / 1000).toString
+
+  private def secs[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def maxFilesUnder(spark: SparkSession, table: String,
+      part: String): Int = {
+    val dirs = graft.util.Fs.listDirNames(spark, table)
+      .filter(_.startsWith(s"$part="))
+    if (dirs.isEmpty) 0
+    else dirs.map(d => graft.util.Fs.dataFileCount(spark, s"$table/$d")).max
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nAppends = sys.env.getOrElse("SPARK_GRAFT_HISTORY_APPENDS", "100").toInt
+    val every = sys.env.getOrElse("SPARK_GRAFT_HISTORY_EVERY", "10").toInt
+    val nStream = sys.env
+      .getOrElse("SPARK_GRAFT_HISTORY_STREAM_BATCHES", "50").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def loadAvg(): String = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(" ")
+    } catch { case _: Throwable => "unavailable" }
+    val loadStart = loadAvg()
+    val root = "target/store_history"
+    graft.util.Fs.rmTree(spark, root)
+
+    // ---------------------------------------------------------- dedup
+    val docs = graft.Tables.documents(spark, baseSf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val corpus = docs.filter(col("doc_id") % 10 < 3)
+    val rest = docs.filter(col("doc_id") % 10 >= 3)
+    val dDir = s"$root/dedup"
+    graft.llm.DedupIndex.build(corpus, dDir, threshold = 0.9)
+    // fixed-content probe: copies of 100 corpus docs (guaranteed
+    // candidate work) + the same count of unseen synthetics; re-keyed
+    // per measurement round so ids stay above the growing store max
+    val probeSrc = corpus.filter(col("doc_id") % 3 === 0).limit(100)
+      .localCheckpoint(true)
+    var probeRound = 0
+    def dedupProbeSecs(): Double = {
+      probeRound += 1
+      val off = 5000000000L + probeRound * 1000000L
+      val batch = probeSrc.select((col("doc_id") + off).as("doc_id"),
+        col("text"))
+      val (_, s) = secs(
+        graft.llm.DedupIndex.probe(batch, dDir, threshold = 0.9).count())
+      s
+    }
+    val dedupCurve = scala.collection.mutable.ArrayBuffer[String]()
+    def dedupPoint(after: Int): Unit = {
+      val p = dedupProbeSecs()
+      val fPref = maxFilesUnder(spark, s"$dDir/prefix", "bucket")
+      val fSets = maxFilesUnder(spark, s"$dDir/sets", "sbucket")
+      val row = s"""{"after":$after,"probe_secs":${jnum(p)},"max_prefix_files":$fPref,"max_sets_files":$fSets}"""
+      dedupCurve += row
+      System.err.println(s"[history] dedup $row")
+    }
+    dedupPoint(0)
+    var k = 0
+    while (k < nAppends) {
+      val batch = rest.filter(col("doc_id") % nAppends === k)
+        .select((col("doc_id") + (k + 1) * 10000000L).as("doc_id"),
+          col("text"))
+      graft.llm.DedupIndex.append(batch, dDir, threshold = 0.9).count()
+      k += 1
+      if (k % every == 0) dedupPoint(k)
+    }
+    val keptPre = {
+      probeRound += 1
+      val off = 5000000000L + probeRound * 1000000L
+      graft.llm.DedupIndex.probe(probeSrc.select(
+          (col("doc_id") + off).as("doc_id"), col("text")),
+        dDir, threshold = 0.9).count()
+    }
+    val (_, dedupCompactSecs) =
+      secs(graft.llm.DedupIndex.compactFiles(spark, dDir, maxFiles = 16))
+    val keptPost = {
+      val off = 5000000000L + probeRound * 1000000L // same ids as keptPre
+      graft.llm.DedupIndex.probe(probeSrc.select(
+          (col("doc_id") + off).as("doc_id"), col("text")),
+        dDir, threshold = 0.9).count()
+    }
+    dedupPoint(-1) // post-maintenance point (after = -1 marks it)
+
+    // --------------------------------------------------------- vector
+    val emb = graft.Tables.embeddings(spark, baseSf)
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val vCorpus0 = emb.filter(col("vec_id") % 10 < 3)
+    val vRest = emb.filter(col("vec_id") % 10 >= 3)
+    val vDir = s"$root/vector"
+    graft.llm.VectorIndex.build(vCorpus0, vDir)
+    val panel = vCorpus0.limit(32).localCheckpoint(true)
+    var vLive: DataFrame = vCorpus0
+    def vectorPoint(after: Int): String = {
+      val (_, s) = secs {
+        val ix = graft.llm.VectorIndex.load(spark, vDir)
+        graft.llm.VectorIndex.search(ix, panel, vLive, k = 3).count()
+      }
+      val f = maxFilesUnder(spark, s"$vDir/codes", "cell")
+      val row = s"""{"after":$after,"search_secs":${jnum(s)},"max_cell_files":$f}"""
+      System.err.println(s"[history] vector $row")
+      row
+    }
+    val vectorCurve = scala.collection.mutable.ArrayBuffer[String]()
+    vectorCurve += vectorPoint(0)
+    k = 0
+    while (k < nAppends) {
+      val batch = vRest.filter(col("vec_id") % nAppends === k)
+        .localCheckpoint(true)
+      graft.llm.VectorIndex.append(batch, vDir)
+      vLive = vLive.unionByName(batch)
+      k += 1
+      if (k % every == 0) vectorCurve += vectorPoint(k)
+    }
+    vLive = vLive.localCheckpoint(true)
+    val searchPre = {
+      val ix = graft.llm.VectorIndex.load(spark, vDir)
+      graft.llm.VectorIndex.search(ix, panel, vLive, k = 3)
+        .agg(sum(col("nid"))).head().getLong(0)
+    }
+    val (_, vectorCompactSecs) =
+      secs(graft.llm.VectorIndex.compactFiles(spark, vDir, maxFiles = 16))
+    val searchPost = {
+      val ix = graft.llm.VectorIndex.load(spark, vDir)
+      graft.llm.VectorIndex.search(ix, panel, vLive, k = 3)
+        .agg(sum(col("nid"))).head().getLong(0)
+    }
+    vectorCurve += vectorPoint(-1)
+
+    // ---------------------------------------------------------- graph
+    val gAppends = math.max(1, nAppends / 4)
+    val gDir = s"$root/graph"
+    val gCorpus0 = emb.filter(col("vec_id") % 10 < 3)
+    graft.llm.GraphAnn.ensure(gCorpus0, gDir)
+    var gLive: DataFrame = gCorpus0.localCheckpoint(true)
+    def graphPoint(after: Int): String = {
+      val (_, s) = secs {
+        val g = graft.llm.GraphAnn.load(spark, gDir)
+        graft.llm.GraphAnn.beamSearch(panel, g, gLive, k = 1).count()
+      }
+      val fN = graft.util.Fs.dataFileCount(spark, s"$gDir/nodes")
+      val fE = graft.util.Fs.dataFileCount(spark, s"$gDir/edges")
+      val row = s"""{"after":$after,"search_secs":${jnum(s)},"node_files":$fN,"edge_files":$fE}"""
+      System.err.println(s"[history] graph $row")
+      row
+    }
+    val graphCurve = scala.collection.mutable.ArrayBuffer[String]()
+    graphCurve += graphPoint(0)
+    k = 0
+    while (k < gAppends) {
+      val batch = vRest.filter(col("vec_id") % gAppends === k)
+        .localCheckpoint(true)
+      graft.llm.GraphAnn.append(batch, gLive, gDir)
+      gLive = gLive.unionByName(batch).localCheckpoint(true)
+      k += 1
+      if (k % math.max(1, every / 2) == 0) graphCurve += graphPoint(k)
+    }
+    val (_, graphCompactSecs) =
+      secs(graft.llm.GraphAnn.compactFiles(spark, gDir, maxFiles = 16))
+    graphCurve += graphPoint(-1)
+
+    // ---------------------- streaming sustained ingest (st17's form)
+    // the same store-append-per-micro-batch sink st17 gates; run twice:
+    // without maintenance (per-batch time rises with file count) and
+    // with compactFiles every 16 batches (flat, the documented trigger)
+    def streamRun(tag: String, trigger: Boolean): Seq[Double] = {
+      val sDir = s"$root/stream_$tag"
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      val src = docs.filter(col("doc_id") % 10 >= 3)
+      val feed = new graft.streaming.Streams.FileFeed(spark,
+        s"history_feed_$tag", src.schema)
+      def sink(batch: DataFrame, batchId: Long): Unit = {
+        val t0 = System.nanoTime()
+        if (!graft.util.Fs.exists(spark, s"$sDir/meta"))
+          graft.llm.DedupIndex.build(batch, sDir, threshold = 0.9)
+        else {
+          graft.llm.DedupIndex.append(batch, sDir, threshold = 0.9)
+            .count(): Unit
+          if (trigger && (batchId + 1) % 16 == 0)
+            graft.llm.DedupIndex.compactFiles(spark, sDir, maxFiles = 16)
+        }
+        times += (System.nanoTime() - t0) / 1e9
+      }
+      val q = feed.source()
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch(sink _)
+        .option("checkpointLocation", s"$root/ckpt_$tag")
+        .start()
+      try {
+        var b = 0
+        while (b < nStream) {
+          val chunk = src.filter(col("doc_id") % nStream === b)
+            .select((col("doc_id") + (b + 1) * 10000000L).as("doc_id"),
+              col("text"))
+          feed.add(chunk)
+          q.processAllAvailable()
+          b += 1
+        }
+      } finally q.stop()
+      System.err.println(s"[history] stream/$tag per-batch: " +
+        times.map(jnum).mkString(","))
+      times.toSeq
+    }
+    val streamPlain = streamRun("plain", trigger = false)
+    val streamMaint = streamRun("maint", trigger = true)
+
+    val loadEnd = loadAvg()
+    val json =
+      s"""{"metric":"store_history","base":"$baseSf","appends":$nAppends,""" +
+      s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+      s""""dedup":{"curve":[${dedupCurve.mkString(",")}],""" +
+      s""""compact_files_secs":${jnum(dedupCompactSecs)},""" +
+      s""""probe_invariant":${keptPre == keptPost}},""" +
+      s""""vector":{"curve":[${vectorCurve.mkString(",")}],""" +
+      s""""compact_files_secs":${jnum(vectorCompactSecs)},""" +
+      s""""search_invariant":${searchPre == searchPost}},""" +
+      s""""graph":{"appends":$gAppends,"curve":[${graphCurve.mkString(",")}],""" +
+      s""""compact_files_secs":${jnum(graphCompactSecs)}},""" +
+      s""""stream":{"batches":$nStream,"trigger_every":16,""" +
+      s""""plain_secs":[${streamPlain.map(jnum).mkString(",")}],""" +
+      s""""maint_secs":[${streamMaint.map(jnum).mkString(",")}]}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("store_history.json"), json + "\n")
+    spark.stop()
+    println(json)
+  }
+}

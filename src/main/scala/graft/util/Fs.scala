@@ -63,6 +63,20 @@ object Fs {
       .count(s => s.isFile && s.getPath.getName.startsWith("part-"))
   }
 
+  /** Total bytes of data files directly inside `path` (0 when absent).
+    * Sizes the output file count of an unpartitioned file-merge so a
+    * rewrite targets ~`targetBytes` files instead of either one
+    * monster file or the input's fragmentation. */
+  def dataSize(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+  }
+
   /** Create a directory (and parents) through the Hadoop FileSystem
     * API — rename requires the destination's parent to exist. */
   def mkdirs(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
