@@ -213,6 +213,59 @@ object Tokenizer {
     BpeModel(merges)
   }
 
+  /** Per-sf dump dir for t14's oracle inputs (the mm2-family pattern —
+    * `{{SF_TAG}}` is substituted by Verify on the oracle side and by
+    * [[t14DirFor]] on the engine side, so concurrent runs at different
+    * scales never clobber each other's dumps). */
+  private def t14DirTemplate: String =
+    new java.io.File(graft.util.Fixtures.dir + "/t14_bpe")
+      .getAbsolutePath + "/{{SF_TAG}}"
+
+  private def t14DirFor(sfDir: String): String =
+    t14DirTemplate.replace("{{SF_TAG}}", graft.util.Fixtures.sfTag(sfDir))
+
+  /** T14's DuckDB oracle (r13 verdict stretch 8 — the per-run dump
+    * pattern): the engine dumps the learned merge table and the encode
+    * of every DISTINCT corpus word; DuckDB re-tokenizes `documents`
+    * with the same regex and RE-DERIVES every emitted aggregate —
+    * doc count, total tokens (words joined to the dumped per-word
+    * encodes), total symbols, distinct-token vocabulary — plus the
+    * lossless invariant (concat of a word's dumped tokens must equal
+    * the word) folded in as a count that must be zero. What the oracle
+    * inherits from the dump is the greedy MERGE SELECTION itself (the
+    * iterative trainer; its apply semantics are independently replayed
+    * merge-by-merge in DuckDB by t21) — same acceptance level as the
+    * mm2-mm5 frame-hash dumps. A wrong tokenization, a word the engine
+    * failed to encode, a lossy encode, or a wrong aggregate all
+    * hash-mismatch. */
+  private def t14OracleSql: String =
+    s"""WITH enc AS (SELECT word, string_split(tokens, chr(1)) AS toks,
+       |                    n_tokens
+       |             FROM read_parquet('$t14DirTemplate/words/*.parquet')),
+       |dw AS (SELECT doc_id,
+       |              unnest(regexp_extract_all(text,
+       |                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS word
+       |       FROM documents WHERE text IS NOT NULL),
+       |docs_all AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+       |perdoc AS (SELECT d.doc_id, sum(e.n_tokens) AS n_tok,
+       |                  sum(length(d.word)) AS n_sym
+       |           FROM dw d JOIN enc e USING (word) GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT t.tok) AS n_vocab
+       |        FROM (SELECT DISTINCT word FROM dw) w
+       |        JOIN enc e USING (word), UNNEST(e.toks) AS t(tok)),
+       |bad AS (SELECT count(*) AS n FROM enc
+       |        WHERE array_to_string(toks, '') != word
+       |           OR len(toks) != n_tokens)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(coalesce(sum(p.n_tok), 0) + (SELECT n FROM bad)
+       |            AS BIGINT) AS total_tokens,
+       |       CAST(coalesce(sum(p.n_sym), 0) AS BIGINT) AS total_symbols,
+       |       CAST((SELECT n_vocab FROM voc) AS BIGINT) AS n_vocab,
+       |       CAST((SELECT count(*) FROM
+       |             read_parquet('$t14DirTemplate/merges/*.parquet'))
+       |            AS BIGINT) AS n_merges
+       |FROM docs_all a LEFT JOIN perdoc p USING (doc_id)""".stripMargin
+
   /** T14 — train a BPE tokenizer on the corpus, encode the corpus with
     * it, and gate the invariants that define a correct BPE:
     * - lossless: per doc, concat(tokens) == concat(pre-tokenized words);
@@ -220,15 +273,34 @@ object Tokenizer {
     *   symbols (the merges actually fired);
     * - vocab-bounded: distinct tokens used ≤ distinct base codepoints +
     *   numMerges (each merge mints at most one new symbol).
-    * Rows-only: the merge loop is iterative/driver-seeded, not
-    * SQL-expressible; the gates above are the correctness contract.
-    */
-  val t14 = QueryDef.rowsOnly("t14_bpe_tokenizer") { (s, d) =>
+    * FULL oracle via [[t14OracleSql]]'s per-run dump (the training
+    * loop itself is iterative/driver-seeded, so the merge table is
+    * dumped, not re-derived; everything downstream of it is). */
+  val t14 = QueryDef(
+    "t14_bpe_tokenizer",
+    { (s, d) =>
     val docs = Tables.documents(s, d)
     val numMerges = 200
     val hist = wordHistogram(docs, "text", maxWords = 20000)
     val model = trainBpe(hist, numMerges)
     val enc = encodeDocs(docs, "doc_id", "text", model)
+
+    val dumpDir = t14DirFor(d)
+    save(model, s, s"$dumpDir/merges")
+    val distinctWords = docs.filter(col("text").isNotNull)
+      .select(explode(regexp_extract_all(col("text"),
+        lit(TextAnalysis.bpeTokenPattern), lit(0))).as("word"))
+      .distinct()
+      .withColumn("wid", monotonically_increasing_id())
+      .localCheckpoint(eager = true)
+    encodeDocs(distinctWords.select(col("wid"), col("word")),
+        "wid", "word", model)
+      .join(distinctWords, "wid")
+      .select(col("word"),
+        concat_ws("\u0001", col("tokens")).as("tokens"),
+        size(col("tokens")).cast("long").as("n_tokens"))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dumpDir/words")
 
     val joinedWords = docs.filter(col("text").isNotNull)
       .select(col("doc_id").cast("long").as("doc_id"),
@@ -255,13 +327,14 @@ object Tokenizer {
       .agg(count_distinct(col("t"))).head().getLong(0)
     val spark = s; import spark.implicits._
     Seq((agg.getLong(0), agg.getLong(2), agg.getLong(3), nVocab,
-      model.merges.length.toLong,
-      agg.getInt(1) == 1 && agg.getLong(2) < agg.getLong(3) &&
-        nVocab <= nBase + numMerges && model.merges.nonEmpty))
+      model.merges.length.toLong))
       .toDF("n_docs", "total_tokens", "total_symbols", "n_vocab",
-        "n_merges", "ok")
-      .filter(col("ok") && col("n_docs") > 0)
-  }
+        "n_merges")
+      .filter(lit(agg.getInt(1) == 1 && agg.getLong(2) < agg.getLong(3) &&
+        nVocab <= nBase + numMerges && model.merges.nonEmpty) &&
+        col("n_docs") > 0)
+  },
+    oracle = Some(t14OracleSql))
 
   /** Absolute path so the driver's DuckDB (own process, own cwd) reads
     * the exact files this JVM wrote. */

@@ -67,7 +67,32 @@ object ScaleBench {
     * mitigation exists to break. */
   private val skewDefaultQueries = Seq(
     "j7_range_join", "j14_range_join_native", "j14_skew_mitigated",
-    "j15_range_join_wide", "j16_skew_mitigated", "j8_asof_native")
+    "j14_auto", "j15_range_join_wide", "j16_skew_mitigated",
+    "j16_auto", "j8_asof_native")
+
+  /** STORE-skew tier (SPARK_GRAFT_SCALE_STORESKEW=1, r13 verdict
+    * item 6): the join-skew tier covers the native merges only; the
+    * analogous single-task bounds for the dedup/ANN stores are a hot
+    * SHINGLE (a stop-phrase every crawl shares → one gram's join
+    * bucket holds 20% of the corpus) and a hot IVF CELL (a dense
+    * embedding cluster → one cell holds 20% of the vectors). The
+    * synthesis plants three hotnesses on top of the normal replication:
+    *   - hot BLOCK (~0.2% of docs): identical boilerplate + unique
+    *     tail — mutually near-dup, so every LSH band maps them to ONE
+    *     bucket; crosses d2's maxBucketSize=2000 cap only at ×100,
+    *     putting the cap's chain path ON the measured curve;
+    *   - hot PHRASE (20% of docs): a shared 12-token prefix on
+    *     otherwise-unique text — the hot gram. PPJoin prefix ordering
+    *     (rarest-first) must keep it OUT of every prefix, or d17's
+    *     candidate join goes quadratic;
+    *   - hot CELL (20% of vectors): a tight cluster (±0.001/component)
+    *     that lands in one IVF cell — its scan must parallelize by
+    *     FILES, not collapse into one task per cell key.
+    * The registered queries run UNCHANGED; linear-ish slopes here are
+    * the proof the caps/ordering bound the hot keys. */
+  private val storeSkewDefaultQueries = Seq(
+    "d2_minhash_lsh", "d17_dedup_index_ingest",
+    "v19_persisted_ann_recall")
 
   /** Build-once stores: the second timed run is the search-only path. */
   private val secondRun = Set(
@@ -203,8 +228,17 @@ object ScaleBench {
           Seq("user_id"), "us", "lo", "hi",
           splits = 32, hotThreshold = 100000L))
       }
+    def auto(w: Long): (SparkSession, String) => DataFrame =
+      (s, d) => {
+        val (l, r) = workload(s, d, w)
+        agg(graft.plans.RangeJoinNative.rangeJoinAuto(l, r,
+          Seq("user_id"), "us", "lo", "hi",
+          splits = 32, hotThreshold = 100000L))
+      }
     Map("j14_skew_mitigated" -> mitigated(300000000L),
-      "j16_skew_mitigated" -> mitigated(7200000000L))
+      "j16_skew_mitigated" -> mitigated(7200000000L),
+      "j14_auto" -> auto(300000000L),
+      "j16_auto" -> auto(7200000000L))
   }
 
   /** Skewed synthesis: normal replication, then ~20% of all events
@@ -241,6 +275,83 @@ object ScaleBench {
     out
   }
 
+  /** The planted hot boilerplate block (~200 tokens): hot-block docs
+    * are this text plus a unique one-token tail, so pairwise Jaccard
+    * ≈ 0.97 ≥ the d2/d17 threshold 0.9 — a genuine near-dup CLUSTER,
+    * every member colliding in every LSH band. Token shapes avoid the
+    * fixture vocabulary and the `~k` re-vocabulary suffixes. */
+  private val hotBlock: String =
+    (0 until 200).map(i => "boiler" + ((i * 2654435761L) % 9973)).mkString(" ")
+
+  /** The planted hot stop-phrase (12 tokens): prepended verbatim to
+    * 20% of docs ACROSS replicas (deliberately not re-vocabularied),
+    * so its grams' document frequency is 0.2·n at every factor. */
+  private val hotPhrase: String =
+    (0 until 12).map(i => "stopword" + ((i * 40503L) % 997)).mkString(" ")
+
+  /** Store-skew synthesis: normal documents/embeddings replication
+    * (same re-vocabulary / component-noise recipe as [[synthesize]]),
+    * then the three plantings documented on [[storeSkewDefaultQueries]].
+    * Only the two tables the store queries read are written. */
+  def synthesizeStoreSkew(spark: SparkSession, baseSf: String, f: Int,
+      outRoot: String): String = {
+    val baseTag = baseSf.replaceAll("[^A-Za-z0-9._-]", "_")
+    val out = s"$outRoot/$baseTag/x${f}storeskew"
+    val marker = s"$out/_SCALE_MARKER"
+    val reusable = try {
+      val m = spark.read.parquet(marker).head()
+      m.getAs[String]("base") == baseSf && m.getAs[Int]("factor") == f &&
+        m.getAs[Boolean]("storeskew")
+    } catch { case _: Throwable => false }
+    if (reusable) return out
+    graft.util.Fs.rmTree(spark, out)
+    def rd(t: String) = spark.read.parquet(s"$baseSf/$t.parquet")
+
+    val docs = rd("documents")
+    val maxDoc = maxOf(docs, "doc_id")
+    val base = replicate(spark, docs, f)
+      .select((col("doc_id") + col("rep") * maxDoc).as("doc_id"),
+        perturbText(col("text"), col("rep")).as("text"),
+        col("lang"), col("source"))
+    base
+      .select(col("doc_id"),
+        // hot BLOCK: 1-in-500 docs; hot PHRASE: 1-in-5 of the rest
+        when(pmod(xxhash64(col("doc_id")), lit(500)) === 0,
+          concat(lit(hotBlock + " u"), col("doc_id").cast("string")))
+          .when(pmod(xxhash64(col("doc_id"), lit(1)), lit(5)) === 0,
+            concat(lit(hotPhrase + " "), coalesce(col("text"), lit(""))))
+          .otherwise(col("text")).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(coalesce(col("text"), lit(""))))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = rd("embeddings")
+    val maxVec = maxOf(emb, "vec_id")
+    replicate(spark, emb, f)
+      .select((col("vec_id") + col("rep") * maxVec).as("vec_id"),
+        // hot CELL: 1-in-5 vectors become centroid + ±0.001 jitter
+        when(pmod(xxhash64(col("vec_id") + col("rep") * maxVec, lit(7)),
+          lit(5)) === 0,
+          transform(col("embedding"), (_, i) =>
+            ((pmod(xxhash64(lit(42L), i), lit(1000)).cast("double")
+              / 1000.0 - 0.5)
+              + (pmod(xxhash64(col("vec_id"), col("rep"), i), lit(1000))
+                .cast("double") / 1000.0 - 0.5) * 0.002).cast("float")))
+          .when(col("rep") === 0, col("embedding"))
+          .otherwise(
+            transform(col("embedding"), (x, i) =>
+              (x + (pmod(xxhash64(col("vec_id"), i, col("rep")), lit(1000))
+                .cast("double") / 1000.0 - 0.5) * 0.02).cast("float")))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    import spark.implicits._
+    Seq((baseSf, f, true)).toDF("base", "factor", "storeskew")
+      .repartition(1).write.mode("overwrite").parquet(marker)
+    out
+  }
+
   private def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -254,9 +365,15 @@ object ScaleBench {
     val factors = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTORS", "1,10,100")
       .split(",").map(_.trim.toInt).toSeq
     val skewMode = sys.env.get("SPARK_GRAFT_SCALE_SKEW").contains("1")
+    val storeSkewMode =
+      sys.env.get("SPARK_GRAFT_SCALE_STORESKEW").contains("1")
+    require(!(skewMode && storeSkewMode),
+      "SPARK_GRAFT_SCALE_SKEW and SPARK_GRAFT_SCALE_STORESKEW are exclusive")
     val qNames = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(if (skewMode) skewDefaultQueries else defaultQueries)
+      .getOrElse(if (skewMode) skewDefaultQueries
+      else if (storeSkewMode) storeSkewDefaultQueries
+      else defaultQueries)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -292,6 +409,15 @@ object ScaleBench {
           val d = synthesizeSkew(spark, baseSf, f, outRoot)
           val secs = (System.nanoTime() - t0) / 1e9
           System.err.println(f"[scale] synthesized skewed x$f in $secs%.1f s")
+          d
+        } else if (storeSkewMode) {
+          // store-skew mode also synthesizes x1 so the planted-hot
+          // structure is constant along the curve
+          val t0 = System.nanoTime()
+          val d = synthesizeStoreSkew(spark, baseSf, f, outRoot)
+          val secs = (System.nanoTime() - t0) / 1e9
+          System.err.println(
+            f"[scale] synthesized store-skewed x$f in $secs%.1f s")
           d
         } else if (f == 1) baseSf
         else {
@@ -333,11 +459,13 @@ object ScaleBench {
     }
     val loadEnd = loadAvg()
     val body = results.mkString("[", ",", "]")
-    val json = s"""{"metric":"scale","base":${jstr(baseSf)},"skew":$skewMode,"loadavg_start":${jstr(
+    val json = s"""{"metric":"scale","base":${jstr(baseSf)},"skew":$skewMode,"storeskew":$storeSkewMode,"loadavg_start":${jstr(
       loadStart)},"loadavg_end":${jstr(loadEnd)},"n_cores":${Runtime
       .getRuntime.availableProcessors()},"results":$body}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      if (skewMode) "scale_out_skew.json" else "scale_out.json"),
+      if (skewMode) "scale_out_skew.json"
+      else if (storeSkewMode) "scale_out_storeskew.json"
+      else "scale_out.json"),
       json + "\n")
     spark.stop()
     println(json)
