@@ -95,6 +95,45 @@ object DedupIndex {
   private def readMeta(spark: SparkSession, dir: String) =
     spark.read.parquet(s"$dir/meta").head()
 
+  /** The store tables' fixed schemas ([[Dedup.shingleHashes]] casts the
+    * id to long, so these hold for every store regardless of the
+    * caller's idCol). Probe/delete reads pass them EXPLICITLY: schema
+    * inference on a partitioned dir with zero data files throws
+    * UNABLE_TO_INFER_SCHEMA, and a store legitimately HAS zero files
+    * when it was bootstrapped from an empty first micro-batch (the
+    * st17 streaming ingest contract — batch 0 of a real feed can be
+    * empty). An explicit schema makes the empty store a valid store
+    * (probes find nothing, appends grow it) and skips the footer read
+    * on every probe besides. */
+  private def setsSchema(idCol: String) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sh",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("sbucket",
+        org.apache.spark.sql.types.IntegerType)))
+
+  private def prefixSchema(idCol: String) =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("set_sz",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("gram",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType)))
+
+  private def readSets(spark: SparkSession, dir: String,
+      idCol: String): DataFrame =
+    spark.read.schema(setsSchema(idCol)).parquet(s"$dir/sets")
+
+  private def readPrefixTable(spark: SparkSession, dir: String,
+      idCol: String): DataFrame =
+    spark.read.schema(prefixSchema(idCol)).parquet(s"$dir/prefix")
+
   private def writeMeta(spark: SparkSession, dir: String, nDocs: Long,
       checksum: Long, maxId: Long, t0: Double, nBuckets: Int,
       nIdBuckets: Int): Unit = {
@@ -225,7 +264,7 @@ object DedupIndex {
       .distinct().collect().map(_.getInt(0))
     val setsStore =
       if (candSbuckets.isEmpty) gramsB.select(col(idCol), col("sh")).limit(0)
-      else spark.read.parquet(s"$dir/sets")
+      else readSets(spark, dir, idCol)
         .filter(col("sbucket").isin(candSbuckets.map(Int.box).toSeq: _*))
         .join(candStore, Seq(idCol), "left_semi")
         .select(col(idCol), col("sh"))
@@ -241,7 +280,7 @@ object DedupIndex {
   private[llm] def storePrefixScan(spark: SparkSession, dir: String,
       probeBuckets: Seq[Int], idCol: String): DataFrame = {
     val tombPath = s"$dir/tombstones"
-    val rawPref = spark.read.parquet(s"$dir/prefix")
+    val rawPref = readPrefixTable(spark, dir, idCol)
       .filter(col("bucket").isin(probeBuckets.map(Int.box): _*))
     if (graft.util.Fs.exists(spark, tombPath))
       rawPref.join(spark.read.parquet(tombPath)
@@ -326,7 +365,7 @@ object DedupIndex {
     require(ids.distinct().count() == nDel,
       s"delete set contains duplicate ${idCol}s")
     val nStored = ids.join(
-      spark.read.parquet(s"$dir/sets").select(col(idCol).as("nid")),
+      readSets(spark, dir, idCol).select(col(idCol).as("nid")),
       Seq("nid"), "left_semi").count()
     require(nStored == nDel,
       s"${nDel - nStored} of $nDel ${idCol}s are not in the index at $dir")

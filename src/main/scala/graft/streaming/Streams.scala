@@ -101,7 +101,15 @@ object Streams {
     def add(chunk: DataFrame): Unit = {
       val tmp = s"$base/tmp$n"
       n += 1
-      chunk.coalesce(2).write.mode("overwrite").parquet(tmp)
+      // ONE file per add, moved with ONE atomic rename: the running
+      // FileStreamSource lists the dir concurrently, so a multi-file
+      // move can be listed mid-add and split one logical batch across
+      // two micro-batches — breaking every gate (and guard) that
+      // relies on the feed's batch boundaries (e.g. st17's
+      // monotonic-id ingest guard saw the second fragment as a
+      // redelivery). A single parquet file is still splittable by row
+      // group, so downstream parallelism is unaffected.
+      chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
       new java.io.File(tmp).listFiles()
         .filter(f => f.getName.startsWith("part-") &&
           f.getName.endsWith(".parquet"))

@@ -109,7 +109,7 @@ object StoreHistoryBench {
     dedupPoint(0)
     var k = 0
     while (k < nAppends) {
-      val batch = rest.filter(col("doc_id") % nAppends === k)
+      val batch = rest.filter(pmod(xxhash64(col("doc_id")), lit(nAppends)) === k)
         .select((col("doc_id") + (k + 1) * 10000000L).as("doc_id"),
           col("text"))
       graft.llm.DedupIndex.append(batch, dDir, threshold = 0.9).count()
@@ -156,7 +156,7 @@ object StoreHistoryBench {
     vectorCurve += vectorPoint(0)
     k = 0
     while (k < nAppends) {
-      val batch = vRest.filter(col("vec_id") % nAppends === k)
+      val batch = vRest.filter(pmod(xxhash64(col("vec_id")), lit(nAppends)) === k)
         .localCheckpoint(true)
       graft.llm.VectorIndex.append(batch, vDir)
       vLive = vLive.unionByName(batch)
@@ -199,7 +199,7 @@ object StoreHistoryBench {
     graphCurve += graphPoint(0)
     k = 0
     while (k < gAppends) {
-      val batch = vRest.filter(col("vec_id") % gAppends === k)
+      val batch = vRest.filter(pmod(xxhash64(col("vec_id")), lit(gAppends)) === k)
         .localCheckpoint(true)
       graft.llm.GraphAnn.append(batch, gLive, gDir)
       gLive = gLive.unionByName(batch).localCheckpoint(true)
@@ -240,7 +240,7 @@ object StoreHistoryBench {
       try {
         var b = 0
         while (b < nStream) {
-          val chunk = src.filter(col("doc_id") % nStream === b)
+          val chunk = src.filter(pmod(xxhash64(col("doc_id")), lit(nStream)) === b)
             .select((col("doc_id") + (b + 1) * 10000000L).as("doc_id"),
               col("text"))
           feed.add(chunk)

@@ -57,6 +57,35 @@ class DedupIndexSpec extends SparkSpec {
     assert(keptR == Set(201L), s"re-crawl kept $keptR")
   }
 
+  test("empty bootstrap: build on an empty corpus yields a VALID store " +
+      "that probes everything through and grows by append") {
+    // a real ingest feed's first micro-batch can be empty — the store
+    // must not be poisoned by a zero-file partitioned table (schema
+    // inference would throw on every later probe; reads are
+    // schema-explicit instead)
+    val dir = s"$base/empty_boot"
+    graft.util.Fs.rmRecursive(new java.io.File(dir))
+    DedupIndex.build(df(Seq.empty), dir, threshold = 0.9)
+    val b0 = DedupIndex.buildsThisProcess
+    DedupIndex.ensure(df(Seq.empty), dir, threshold = 0.9)
+    assert(DedupIndex.buildsThisProcess == b0,
+      "ensure after empty build rebuilt — empty fingerprint drifted")
+    // probe against the empty store: nothing stored, everything kept
+    val b1 = df(Seq((10L, doc(1)), (11L, doc(2))))
+    assert(DedupIndex.probe(b1, dir, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet == Set(10L, 11L))
+    // append grows the empty store; a re-crawl then drops against it
+    assert(DedupIndex.append(b1, dir, threshold = 0.9).count() == 2)
+    val keptR = DedupIndex.probe(df(Seq((20L, doc(1)), (21L, doc(9)))),
+      dir, threshold = 0.9).collect().map(_.getLong(0)).toSet
+    assert(keptR == Set(21L), s"re-crawl kept $keptR")
+    // delete + compact stay well-defined through the grown store
+    DedupIndex.delete(df(Seq((10L, doc(1)))), dir)
+    DedupIndex.compact(spark, dir)
+    assert(DedupIndex.probe(df(Seq((30L, doc(1)))), dir, threshold = 0.9)
+      .count() == 1, "deleted doc still dropping probes")
+  }
+
   test("delete is merge-on-read exact; compact folds tombstones and " +
       "leaves unaffected partitions byte-untouched") {
     graft.util.Fs.rmRecursive(new java.io.File(base))
