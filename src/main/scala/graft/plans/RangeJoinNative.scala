@@ -321,16 +321,27 @@ object RangeJoinNative {
       keys: Seq[String], ptCol: String, loCol: String, hiCol: String,
       splits: Int = 32, hotThreshold: Long = 1000000L): RangeJoinChoice = {
     import org.apache.spark.sql.functions.{count, lit, max, min}
+    // the two detection aggregates touch DIFFERENT tables, so they run
+    // as CONCURRENT Spark jobs: detection wall cost is max(left count,
+    // right width/span) instead of their sum — the left count is one
+    // column-pruned scan with a map-side-combined aggregate, and the
+    // right aggregate is wasted work only on a cold workload, where it
+    // overlaps the left scan and adds no wall time
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     // bounded result: ≤ |L| / hotThreshold keys survive the filter
-    val nHot = left.groupBy(keys.map(col): _*)
+    val nHotF = Future(left.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__rja_n"))
       .filter(col("__rja_n") > hotThreshold)
-      .count()
-    if (nHot == 0) return RangeJoinChoice("native", 0L, 0L, 0L)
-    val s = right.agg(
+      .count())
+    val spanF = Future(right.agg(
       max(col(hiCol) - col(loCol)).as("w"),
       min(col(loCol)).as("lo"),
-      max(col(hiCol)).as("hi")).head()
+      max(col(hiCol)).as("hi")).head())
+    val nHot = Await.result(nHotF, Duration.Inf)
+    val s = Await.result(spanF, Duration.Inf)
+    if (nHot == 0) return RangeJoinChoice("native", 0L, 0L, 0L)
     if (s.isNullAt(0)) return RangeJoinChoice("native", nHot, 0L, 0L)
     val bucketWidth = math.max(1L, s.getLong(0))
     val span = s.getLong(2) - s.getLong(1)
@@ -353,9 +364,23 @@ object RangeJoinNative {
     * rule. */
   def rangeJoinAuto(left: DataFrame, right: DataFrame,
       keys: Seq[String], ptCol: String, loCol: String, hiCol: String,
+      splits: Int = 32, hotThreshold: Long = 1000000L): DataFrame =
+    rangeJoinChosen(left, right, keys, ptCol, loCol, hiCol,
+      chooseRangeJoinForm(left, right, keys, ptCol, loCol, hiCol,
+        splits, hotThreshold),
+      splits, hotThreshold)
+
+  /** Dispatch a PRECOMPUTED [[RangeJoinChoice]] — the amortization hook
+    * for repeat callers (a nightly join over a slowly-drifting key
+    * distribution pays [[chooseRangeJoinForm]]'s two aggregates once
+    * and reuses the choice): dispatch adds NO operator over the chosen
+    * form, so the amortized cost IS the chosen form's own cost. All
+    * forms are row-identical (j18's oracle), so a stale choice can
+    * only cost time, never correctness. */
+  def rangeJoinChosen(left: DataFrame, right: DataFrame,
+      keys: Seq[String], ptCol: String, loCol: String, hiCol: String,
+      choice: RangeJoinChoice,
       splits: Int = 32, hotThreshold: Long = 1000000L): DataFrame = {
-    val choice = chooseRangeJoinForm(left, right, keys, ptCol, loCol,
-      hiCol, splits, hotThreshold)
     choice.form match {
       case "native" =>
         rangeJoinNative(left, right, keys, ptCol, loCol, hiCol)

@@ -77,11 +77,17 @@ object ScaleBench {
     * bucket holds 20% of the corpus) and a hot IVF CELL (a dense
     * embedding cluster → one cell holds 20% of the vectors). The
     * synthesis plants three hotnesses on top of the normal replication:
-    *   - hot BLOCK (1% of docs): identical boilerplate + unique
+    *   - hot BLOCK (1-in-200 docs): identical boilerplate + unique
     *     tail — mutually near-dup, so every LSH band maps them to ONE
-    *     bucket (~5 k docs at ×100 on the 5 k-doc sf0.1 base); crosses
-    *     d2's maxBucketSize=2000 cap only at ×100, putting the cap's
-    *     chain path ON the measured curve;
+    *     bucket (~2.5 k docs at ×100 on the 5 k-doc sf0.1 base);
+    *     crosses d2's maxBucketSize=2000 cap only at ×100, putting the
+    *     cap's chain path ON the measured curve. Kept just above the
+    *     cap deliberately: the dup-CLUSTER's pair graph is
+    *     output-quadratic in cluster size (every re-crawl truly
+    *     near-dups every stored copy), and the store contract assumes
+    *     a pre-deduped corpus (the real ingest path self-dedups at
+    *     bootstrap) — the planting stresses the candidate machinery,
+    *     not the fixture's memory budget;
     *   - hot PHRASE (20% of docs): a shared 12-token prefix on
     *     otherwise-unique text — the hot gram. PPJoin prefix ordering
     *     (rarest-first) must keep it OUT of every prefix, or d17's
@@ -316,8 +322,8 @@ object ScaleBench {
         col("lang"), col("source"))
     base
       .select(col("doc_id"),
-        // hot BLOCK: 1-in-100 docs; hot PHRASE: 1-in-5 of the rest
-        when(pmod(xxhash64(col("doc_id")), lit(100)) === 0,
+        // hot BLOCK: 1-in-200 docs; hot PHRASE: 1-in-5 of the rest
+        when(pmod(xxhash64(col("doc_id")), lit(200)) === 0,
           concat(lit(hotBlock + " u"), col("doc_id").cast("string")))
           .when(pmod(xxhash64(col("doc_id"), lit(1)), lit(5)) === 0,
             concat(lit(hotPhrase + " "), coalesce(col("text"), lit(""))))

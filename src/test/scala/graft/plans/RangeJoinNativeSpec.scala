@@ -238,6 +238,21 @@ class RangeJoinNativeSpec extends SparkSpec {
       Seq("k"), "pt", "lo", "hi", splits = 4, hotThreshold = 100000L)))
     assert(!hasExec(RangeJoinNative.rangeJoinAuto(lHot, rNarrow,
       Seq("k"), "pt", "lo", "hi", splits = 4, hotThreshold = 100L)))
+    // amortization hook: dispatching a PRECOMPUTED choice (even one a
+    // drifted distribution has made stale) stays row-identical — a
+    // stale choice can cost time, never correctness
+    val want = RangeJoinNative
+      .rangeJoinNative(lHot, rNarrow, Seq("k"), "pt", "lo", "hi")
+      .select("k", "lid", "pt", "rid", "lo", "hi")
+      .collect().map(_.toSeq).toSet
+    for (form <- Seq("native", "composed", "salted")) {
+      val ch = RangeJoinNative.RangeJoinChoice(form, 1L, 4L, 100L)
+      val got = RangeJoinNative.rangeJoinChosen(lHot, rNarrow,
+          Seq("k"), "pt", "lo", "hi", ch, splits = 4,
+          hotThreshold = 100L)
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"chosen($form) diverged from the native merge")
+    }
   }
 
   test("AQE re-planning preserves the native merges and their results") {
