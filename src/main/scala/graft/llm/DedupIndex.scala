@@ -16,16 +16,22 @@ import org.apache.spark.sql.functions._
   * WWW'08 — under a FIXED universal gram order):
   *
   *   - `prefix/bucket=B/` — (id, gram, set_sz) for each indexed doc's
-  *     PREFIX grams only. [[Dedup.shingleHashes]] returns each doc's
-  *     distinct gram hashes SORTED ascending, and the prefix-filter
-  *     lemma holds under any fixed total order, so the prefix is simply
-  *     the first `n − ceil(t0·n) + 1` elements — no document-frequency
-  *     ranking. That trade is deliberate: df order shrinks candidate
-  *     lists, but df DRIFTS as the corpus grows, and a drifting order
-  *     would force re-ranking every stored prefix on every append —
-  *     the hash order is append-only-friendly and never re-ranks.
-  *     Partitioned by `bucket = pmod(gram, nBuckets)` so a probe scans
-  *     only the partition directories its own prefix grams hash into.
+  *     PREFIX grams only, cut under the store's FROZEN total order
+  *     (build-time-hot flag, then gram hash — see [[prefixGrams]]).
+  *     The prefix-filter lemma holds under any fixed total order; full
+  *     document-frequency ranking is deliberately NOT used (df drifts
+  *     as the corpus grows and would force re-ranking every stored
+  *     prefix on every append), but the bounded hot-gram set gives the
+  *     rarest-first insight where it matters: a corpus-wide
+  *     boilerplate gram sorts last and leaves every prefix, killing
+  *     the (share·n)² candidate blowup a ubiquitous gram otherwise
+  *     causes. Partitioned by `bucket = pmod(gram, nBuckets)` so a
+  *     probe scans only the partition directories its own prefix grams
+  *     hash into.
+  *   - `hotgrams/` — the frozen hot set (grams with build-time df >
+  *     max(64, 0.002·n_docs); provably ≤ (grams/doc)/0.002 rows —
+  *     broadcast-sized at ANY corpus size). Read back by every
+  *     probe/append so all prefix cuts forever share one order.
   *   - `sets/sbucket=S/` — (id, sh) full sorted gram arrays, the
   *     verify side; partitioned by `sbucket = pmod(id, nIdBuckets)` so
   *     candidate verification fetches only the directories that hold
@@ -62,7 +68,7 @@ object DedupIndex {
     * later [[ensure]] was a pure fingerprint-validated load. */
   @volatile var buildsThisProcess: Int = 0
 
-  private val Format = 1
+  private val Format = 2
   private val Eps = 1e-9
 
   private def indexable(docs: DataFrame, idCol: String,
@@ -81,16 +87,60 @@ object DedupIndex {
   }
 
   /** Prefix grams of already-shingled docs at threshold `t`:
-    * (id, gram, set_sz, bucket). `sh` is sorted ascending (the fixed
-    * universal order), so the prefix is a plain head slice. */
+    * (id, gram, set_sz, bucket), cut under the store's FROZEN total
+    * order: (is-hot-at-build, gram hash) — common grams sort LAST, so
+    * a corpus-wide stop-phrase gram leaves every prefix (the PPJoin
+    * rarest-first insight, applied with a build-time-frozen hot SET
+    * instead of full DF ranks so appends never re-rank: the
+    * prefix-filter completeness theorem holds under ANY fixed total
+    * order, and both sides of every candidate join cut under this
+    * one). Without the defense a prefix-resident gram shared by 20% of
+    * the corpus yields (0.2·n)² candidate pairs — measured as an OOM
+    * at the store-skew tier's ×100 before this fix
+    * (`artifacts/scale_campaign_r14_storeskew{2,3}.log`). The hot set
+    * is provably broadcast-sized: #grams with df > f·n_docs ≤
+    * (avg grams/doc)/f, INDEPENDENT of corpus size. Hot grams can
+    * still appear in a prefix when a doc is nearly all boilerplate —
+    * then its near-dups are true pairs and the work is output-bound.
+    * Drift contract: grams that become hot only AFTER build keep their
+    * cold rank until the next rebuild (same freeze rule as the gram
+    * order itself). */
   private def prefixGrams(grams: DataFrame, idCol: String, t: Double,
-      nBuckets: Int): DataFrame =
+      nBuckets: Int, hotGrams: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__hot"), col("gram"))
     grams
-      .select(col(idCol), col("sh"), size(col("sh")).as("set_sz"))
-      .withColumn("pref", expr(
-        s"slice(sh, 1, CAST(set_sz - ceil($t * set_sz - $Eps) + 1 AS INT))"))
-      .select(col(idCol), col("set_sz"), explode(col("pref")).as("gram"))
+      .select(col(idCol), size(col("sh")).as("set_sz"),
+        explode(col("sh")).as("gram"))
+      .join(broadcast(hotGrams.select(col("gram"),
+        lit(1).as("__hot_flag"))), Seq("gram"), "left")
+      .withColumn("__hot", coalesce(col("__hot_flag"), lit(0)))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <=
+        expr(s"CAST(set_sz - ceil($t * set_sz - $Eps) + 1 AS INT)"))
+      .select(col(idCol), col("set_sz"), col("gram"))
       .withColumn("bucket", pmod(col("gram"), lit(nBuckets)).cast("int"))
+  }
+
+  /** Grams whose build-time document frequency exceeds
+    * max(64, HotGramFraction · n_docs) — the frozen hot set. */
+  private val HotGramFraction = 0.002
+
+  private def computeHotGrams(grams: DataFrame, nDocs: Long): DataFrame =
+    grams.select(explode(col("sh")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > math.max(64L,
+        (HotGramFraction * nDocs).toLong))
+      .select("gram")
+
+  private def hotGramsSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("gram",
+        org.apache.spark.sql.types.LongType)))
+
+  private def readHotGrams(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(hotGramsSchema).parquet(s"$dir/hotgrams")
 
   private def readMeta(spark: SparkSession, dir: String) =
     spark.read.parquet(s"$dir/meta").head()
@@ -161,7 +211,15 @@ object DedupIndex {
       .withColumn("sbucket", pmod(col(idCol), lit(nIdBuckets)).cast("int"))
       .repartition(col("sbucket"))
       .write.mode("overwrite").partitionBy("sbucket").parquet(s"$dir/sets")
-    prefixGrams(grams, idCol, threshold, nBuckets)
+    // the frozen hot set MUST be persisted before any prefix is cut:
+    // every later prefix (probe, append) reads it back so both sides
+    // of every candidate join share one total order forever
+    val nIdx = grams.count()
+    computeHotGrams(grams, nIdx)
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/hotgrams")
+    prefixGrams(grams, idCol, threshold, nBuckets,
+        readHotGrams(spark, dir))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/prefix")
     val (n, sum) = fingerprint(docs, idCol, textCol)
@@ -238,7 +296,8 @@ object DedupIndex {
         s"(store max ${meta.getAs[Long]("max_id")}, batch min $bMin)")
     val gramsB = Dedup.shingleHashes(indexable(batch, idCol, textCol),
       idCol, textCol).localCheckpoint(eager = true)
-    val prefB = prefixGrams(gramsB, idCol, threshold, nBuckets)
+    val prefB = prefixGrams(gramsB, idCol, threshold, nBuckets,
+        readHotGrams(spark, dir))
       .localCheckpoint(eager = true)
     // bounded collect: ≤ nBuckets distinct values → partition IN-list
     val probeBuckets = prefB.select("bucket").distinct()
@@ -247,8 +306,23 @@ object DedupIndex {
     def sizeOk(a: String, b: String) =
       col(s"$a.set_sz") >= lit(threshold) * col(s"$b.set_sz") - Eps &&
         col(s"$b.set_sz") >= lit(threshold) * col(s"$a.set_sz") - Eps
-    val candSB = storePref.alias("x").join(prefB.alias("y"),
-        col("x.gram") === col("y.gram") && sizeOk("x", "y"))
+    // store-vs-batch candidate join SALTED on pmod(store id, 32): the
+    // store's fixed-hash gram order has no document-frequency defense,
+    // so a corpus-wide stop-phrase gram that hashes low sits in the
+    // prefix of EVERY doc containing it and its posting list becomes
+    // one join key = ONE task (the single-task hot-key bound, measured
+    // in the r14 store-skew campaign). The salt splits each gram's
+    // store posting across ≤ 32 key values; the batch side explodes
+    // all 32 salts — a 32× blowup of the O(micro-batch) SMALL side —
+    // and the output is identical. Cold grams pay one finer shuffle
+    // key, nothing else.
+    val candSB = storePref
+      .withColumn("__salt", pmod(col(idCol), lit(32)).cast("int"))
+      .alias("x")
+      .join(prefB.withColumn("__salt",
+          explode(sequence(lit(0), lit(31)))).alias("y"),
+        col("x.gram") === col("y.gram") &&
+          col("x.__salt") === col("y.__salt") && sizeOk("x", "y"))
       .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
     val candBB = prefB.alias("x").join(prefB.alias("y"),
         col("x.gram") === col("y.gram") &&
@@ -332,7 +406,8 @@ object DedupIndex {
       .withColumn("sbucket", pmod(col(idCol), lit(nIdBuckets)).cast("int"))
       .repartition(col("sbucket"))
       .write.mode("append").partitionBy("sbucket").parquet(s"$dir/sets")
-    prefixGrams(gramsS, idCol, t0, nBuckets)
+    prefixGrams(gramsS, idCol, t0, nBuckets,
+        readHotGrams(spark, dir))
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/prefix")
     val (sn, ssum) = fingerprint(survivors, idCol, textCol)

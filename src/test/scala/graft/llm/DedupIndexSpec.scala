@@ -393,4 +393,48 @@ class DedupIndexSpec extends SparkSpec {
     assert(got == want,
       s"missing=${want -- got} extra=${got -- want}")
   }
+
+  test("hot-gram defense: a corpus-wide stop-phrase leaves every " +
+      "prefix and exactness survives") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/hot"
+    // 200 docs; EVERY doc shares a 6-word stop-phrase prefix (so its
+    // grams' df = n >> max(64, 0.002 n)) followed by 12 unique words;
+    // docs i and i+1 overlap on 11 of those, giving true near pairs
+    val phrase = (0 until 6).map(k => s"stop$k").mkString(" ")
+    def txt(i: Int): String =
+      phrase + " " + (i until i + 12).map(w => s"u$w").mkString(" ")
+    val corpus = df((0L until 200L).map(i => (i, txt(i.toInt * 2))))
+    val batch = df((500L until 540L).map(i =>
+      (i, txt(((i - 500L) * 3).toInt))))
+    val t = 0.5
+    DedupIndex.build(corpus, dir, threshold = t)
+    // the phrase grams are hot, and NONE of them is in any prefix —
+    // each doc has 12+ rare own-grams, more than its prefix length
+    val hot = spark.read.parquet(s"$dir/hotgrams")
+      .collect().map(_.getLong(0)).toSet
+    assert(hot.nonEmpty, "stop-phrase grams not detected as hot")
+    val prefGrams = spark.read.parquet(s"$dir/prefix")
+      .select("gram").collect().map(_.getLong(0)).toSet
+    assert(prefGrams.intersect(hot).isEmpty,
+      "hot grams leaked into prefixes — the (share*n)^2 blowup path")
+    // exactness is unchanged by the reordering (prefix-filter lemma
+    // holds under the frozen (hot, hash) total order)
+    val got = DedupIndex.probePairs(batch, dir, threshold = t)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = corpus.unionByName(batch)
+    val sh = Dedup.shingleHashes(all, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val idsAll = sh.keys.toSeq.sorted
+    val want = (for {
+      a <- idsAll; b <- idsAll if a < b && b >= 500L
+      inter = (sh(a) intersect sh(b)).size.toDouble
+      j = inter / (sh(a).size + sh(b).size - inter)
+      if j >= t
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "fixture vacuous — no true near pairs")
+    assert(got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+  }
 }
