@@ -239,8 +239,7 @@ object Tokenizer {
     * failed to encode, a lossy encode, or a wrong aggregate all
     * hash-mismatch. */
   private def t14OracleSql: String =
-    s"""WITH enc AS (SELECT word, string_split(tokens, chr(1)) AS toks,
-       |                    n_tokens
+    s"""WITH enc AS (SELECT word, toks, n_tokens
        |             FROM read_parquet('$t14DirTemplate/words/*.parquet')),
        |dw AS (SELECT doc_id,
        |              unnest(regexp_extract_all(text,
@@ -296,8 +295,12 @@ object Tokenizer {
     encodeDocs(distinctWords.select(col("wid"), col("word")),
         "wid", "word", model)
       .join(distinctWords, "wid")
-      .select(col("word"),
-        concat_ws("\u0001", col("tokens")).as("tokens"),
+      // tokens dump as a NATIVE array<string> column (r14 advice): a
+      // join-on-chr(1) dump corrupts on corpus words containing control
+      // characters (the pre-tokenizer's symbol class matches them),
+      // turning a fixture artifact into a false oracle mismatch --
+      // DuckDB reads the parquet list directly, no delimiter exists
+      .select(col("word"), col("tokens").as("toks"),
         size(col("tokens")).cast("long").as("n_tokens"))
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dumpDir/words")

@@ -339,9 +339,15 @@ object RangeJoinNative {
       max(col(hiCol) - col(loCol)).as("w"),
       min(col(loCol)).as("lo"),
       max(col(hiCol)).as("hi")).head())
+    // await the LEFT aggregate first and decide "native" on nHot == 0
+    // WITHOUT awaiting the right side (r14 advice): on a cold workload
+    // the right aggregate is wasted-work overlap only, and a failure or
+    // hang scanning the right table must not fail/block a call that
+    // never needed it — the speculative future's error goes unobserved
+    // by design
     val nHot = Await.result(nHotF, Duration.Inf)
-    val s = Await.result(spanF, Duration.Inf)
     if (nHot == 0) return RangeJoinChoice("native", 0L, 0L, 0L)
+    val s = Await.result(spanF, Duration.Inf)
     if (s.isNullAt(0)) return RangeJoinChoice("native", nHot, 0L, 0L)
     val bucketWidth = math.max(1L, s.getLong(0))
     val span = s.getLong(2) - s.getLong(1)
