@@ -99,6 +99,7 @@ object LocalClusterSmoke {
       val emb = Tables.embeddings(sA, sfDir)
         .select(col("vec_id"), col("embedding"))
       graft.util.Fs.rmTree(sA, dir)
+      graft.util.StoreLease.break(sA, dir) // fixture dir
       graft.llm.VectorIndex.build(emb, dir)
     } finally {
       sA.stop()
@@ -145,6 +146,7 @@ object LocalClusterSmoke {
       val emb = Tables.embeddings(sA, sfDir)
         .select(col("vec_id"), col("embedding"))
       graft.util.Fs.rmTree(sA, dir)
+      graft.util.StoreLease.break(sA, dir) // fixture dir
       graft.llm.GraphAnn.ensure(emb, dir): Unit
     } finally {
       sA.stop()
@@ -190,6 +192,7 @@ object LocalClusterSmoke {
       val emb = Tables.embeddings(sA, sfDir)
         .select(col("vec_id"), col("embedding"), col("label"))
       graft.util.Fs.rmTree(sA, dir)
+      graft.util.StoreLease.break(sA, dir) // fixture dir
       graft.llm.VectorIndex.buildFiltered(emb, dir, "label")
     } finally {
       sA.stop()
@@ -241,6 +244,7 @@ object LocalClusterSmoke {
       val corpus = Tables.documents(sA, sfDir)
         .select(col("doc_id"), col("text"))
       graft.util.Fs.rmTree(sA, dir)
+      graft.util.StoreLease.break(sA, dir) // fixture dir
       graft.llm.DedupIndex.build(corpus, dir, threshold = 0.9)
     } finally {
       sA.stop()

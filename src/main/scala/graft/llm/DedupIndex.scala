@@ -28,10 +28,12 @@ import org.apache.spark.sql.functions._
   *     causes. Partitioned by `bucket = pmod(gram, nBuckets)` so a
   *     probe scans only the partition directories its own prefix grams
   *     hash into.
-  *   - `hotgrams/` — the frozen hot set (grams with build-time df >
-  *     max(64, 0.002·n_docs); provably ≤ (grams/doc)/0.002 rows —
-  *     broadcast-sized at ANY corpus size). Read back by every
-  *     probe/append so all prefix cuts forever share one order.
+  *   - `hotgrams/` — the frozen hot set (grams with df >
+  *     max(64, 0.002·n_docs) at build, GROW-ONLY extended by
+  *     [[refreshHotGrams]] as post-build appends drift the df;
+  *     provably ≤ (grams/doc)/0.002 rows — broadcast-sized at ANY
+  *     corpus size). Read back by every probe/append so all prefix
+  *     cuts forever share one order.
   *   - `sets/sbucket=S/` — (id, sh) full sorted gram arrays, the
   *     verify side; partitioned by `sbucket = pmod(id, nIdBuckets)` so
   *     candidate verification fetches only the directories that hold
@@ -103,23 +105,52 @@ object DedupIndex {
     * still appear in a prefix when a doc is nearly all boilerplate —
     * then its near-dups are true pairs and the work is output-bound.
     * Drift contract: grams that become hot only AFTER build keep their
-    * cold rank until the next rebuild (same freeze rule as the gram
-    * order itself). */
+    * cold rank until a [[refreshHotGrams]] (or rebuild) extends the
+    * frozen set.
+    *
+    * Shape (r14 advice): a partition-local kernel, NOT
+    * explode + join + window — `sh` is already sorted ascending, so the
+    * frozen (hot, hash) order is exactly coldAsc ++ hotAsc, two stable
+    * in-order passes against the broadcast hot set, and the prefix cut
+    * is a head-count. Zero shuffle on every build, probe, and append
+    * (the window form paid a full per-doc sort of every gram each
+    * time, undermining the O(batch) probe posture). */
   private def prefixGrams(grams: DataFrame, idCol: String, t: Double,
       nBuckets: Int, hotGrams: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("__hot"), col("gram"))
-    grams
-      .select(col(idCol), size(col("sh")).as("set_sz"),
-        explode(col("sh")).as("gram"))
-      .join(broadcast(hotGrams.select(col("gram"),
-        lit(1).as("__hot_flag"))), Seq("gram"), "left")
-      .withColumn("__hot", coalesce(col("__hot_flag"), lit(0)))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <=
-        expr(s"CAST(set_sz - ceil($t * set_sz - $Eps) + 1 AS INT)"))
-      .select(col(idCol), col("set_sz"), col("gram"))
+    val spark = grams.sparkSession
+    import spark.implicits._
+    // bounded collect: ≤ (grams/doc)/HotGramFraction rows by the
+    // df-threshold lemma, independent of corpus size
+    val hot = hotGrams.select(col("gram")).collect().map(_.getLong(0))
+    val hotB = spark.sparkContext.broadcast {
+      val s = new java.util.HashSet[java.lang.Long](hot.length * 2 + 16)
+      hot.foreach(g => s.add(g): Unit)
+      s
+    }
+    grams.select(col(idCol).cast("long"), col("sh"))
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, sh) =>
+        val hs = hotB.value
+        val n = sh.length
+        val prefLen = n - math.ceil(t * n - Eps).toInt + 1
+        if (prefLen <= 0) Iterator.empty
+        else {
+          val out = Array.newBuilder[(Long, Int, Long)]
+          var taken = 0
+          var i = 0
+          while (i < n && taken < prefLen) {
+            if (!hs.contains(sh(i))) { out += ((id, n, sh(i))); taken += 1 }
+            i += 1
+          }
+          i = 0
+          while (i < n && taken < prefLen) {
+            if (hs.contains(sh(i))) { out += ((id, n, sh(i))); taken += 1 }
+            i += 1
+          }
+          out.result().iterator
+        }
+      }
+      .toDF(idCol, "set_sz", "gram")
       .withColumn("bucket", pmod(col("gram"), lit(nBuckets)).cast("int"))
   }
 
@@ -195,13 +226,16 @@ object DedupIndex {
   }
 
   /** Shingle the corpus ONCE, write prefix + sets + meta. The
-    * once-per-corpus cost every later [[probe]]/[[append]] amortizes. */
+    * once-per-corpus cost every later [[probe]]/[[append]] amortizes.
+    * Holds the store's single-writer lease ([[graft.util.StoreLease]])
+    * like every mutating op. */
   def build(docs: DataFrame, dir: String, threshold: Double,
       nBuckets: Int = 64, nIdBuckets: Int = 32, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1]: $threshold")
     val spark = docs.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "build") {
     buildsThisProcess += 1
     graft.util.Fs.rmTree(spark, dir)
     val idx = indexable(docs, idCol, textCol)
@@ -226,6 +260,7 @@ object DedupIndex {
     val maxId = docs.agg(coalesce(max(col(idCol)).cast("long"),
       lit(Long.MinValue))).head().getLong(0)
     writeMeta(spark, dir, n, sum, maxId, threshold, nBuckets, nIdBuckets)
+    }
   }
 
   /** Load-or-build: one fingerprint aggregate over the corpus against
@@ -390,8 +425,12 @@ object DedupIndex {
   def append(batch: DataFrame, dir: String, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = batch.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "append") {
     graft.util.IngestMarker.requireAbsent(spark, dir, "append")
     val meta = readMeta(spark, dir)
+    require(meta.getAs[Int]("format_version") == Format,
+      s"dedup index at $dir has format ${meta.getAs[Int]("format_version")}" +
+        s", expected $Format — rebuild via ensure()")
     val t0 = meta.getAs[Double]("threshold")
     val nBuckets = meta.getAs[Int]("n_buckets")
     val nIdBuckets = meta.getAs[Int]("n_id_buckets")
@@ -418,6 +457,7 @@ object DedupIndex {
       math.max(meta.getAs[Long]("max_id"), bMax), t0, nBuckets, nIdBuckets)
     graft.util.IngestMarker.clear(spark, dir)
     kept
+    }
   }
 
   /** Merge-on-read delete: ids land in a tombstone table every probe
@@ -429,8 +469,16 @@ object DedupIndex {
       textCol: String = "text"): Unit = {
     val spark = deleted.sparkSession
     import spark.implicits._
+    graft.util.StoreLease.withLease(spark, dir, "delete") {
     graft.util.IngestMarker.requireAbsent(spark, dir, "delete")
     val meta = readMeta(spark, dir)
+    // same guard as probePairs/compact/compactFiles (r14 advice): a
+    // format-1 store must fail LOUD here too — without it, delete's
+    // writeMeta stamps the current format and silently relabels a
+    // legacy store that has no hotgrams/ table, wedging every later op
+    require(meta.getAs[Int]("format_version") == Format,
+      s"dedup index at $dir has format ${meta.getAs[Int]("format_version")}" +
+        s", expected $Format — rebuild via ensure()")
     val nIdx = indexable(deleted, idCol, textCol).count()
     val ids = deleted.select(col(idCol).cast("long").as("nid")).cache()
     val nDel = ids.count()
@@ -457,6 +505,7 @@ object DedupIndex {
       meta.getAs[Long]("checksum") ^ dsum, meta.getAs[Long]("max_id"),
       meta.getAs[Double]("threshold"), meta.getAs[Int]("n_buckets"),
       meta.getAs[Int]("n_id_buckets"))
+    }
   }
 
   /** Fold tombstones into the store: rewrite ONLY the prefix buckets
@@ -487,6 +536,7 @@ object DedupIndex {
   }
 
   def compact(spark: SparkSession, dir: String): Unit = {
+    graft.util.StoreLease.withLease(spark, dir, "compact") {
     graft.util.IngestMarker.requireAbsent(spark, dir, "compact")
     require(readMeta(spark, dir).getAs[Int]("format_version") == Format,
       s"dedup index at $dir has an unexpected format — rebuild via ensure()")
@@ -532,6 +582,7 @@ object DedupIndex {
       graft.util.Fs.rmTree(spark, setsStaging)
     }
     graft.util.Fs.rmTree(spark, s"$dir/tombstones")
+    }
   }
 
   /** FILE-MERGE maintenance (the append-history bound): every
@@ -556,12 +607,18 @@ object DedupIndex {
     * count constant at ≤ 16 for the cost of one bounded rewrite every
     * 16 batches (amortized O(1) files touched per ingested row). */
   def compactFiles(spark: SparkSession, dir: String, maxFiles: Int = 16,
-      maxRecordsPerFile: Long = 8000000L): Unit = {
+      maxRecordsPerFile: Long = 8000000L, refreshHot: Boolean = true): Unit = {
+    graft.util.StoreLease.withLease(spark, dir, "compactFiles") {
     graft.util.IngestMarker.requireAbsent(spark, dir, "compactFiles")
     require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
     require(readMeta(spark, dir).getAs[Int]("format_version") == Format,
       s"dedup index at $dir has an unexpected format — rebuild via ensure()")
     recoverStaging(spark, dir)
+    // hot-gram drift maintenance rides the file-merge cadence (r14
+    // verdict item 1): recutting affected docs' prefixes rewrites
+    // whole buckets to one task's output anyway, so refresh-then-fold
+    // never merges a bucket twice
+    if (refreshHot) refreshHotGramsLocked(spark, dir): Unit
     def fold(table: String, part: String): Unit = {
       val live = s"$dir/$table"
       val staging = s"$dir/${table}_staging"
@@ -588,6 +645,141 @@ object DedupIndex {
     }
     fold("prefix", "bucket")
     fold("sets", "sbucket")
+    }
+  }
+
+  /** Grow-only HOT-GRAM REFRESH — drift maintenance for the frozen
+    * hot set (the r14 verdict's top item). The build-time freeze
+    * provably bounds BUILD-time-hot grams, but a months-long ingest
+    * loop is exactly where new boilerplate emerges (a new crawl
+    * source's banner): a gram whose document frequency crosses the
+    * threshold only through appends keeps its cold rank and re-opens
+    * the measured (share·n)² candidate blowup — and before this pass,
+    * the only remedy was a FULL rebuild, the one cost the store exists
+    * to avoid.
+    *
+    * Pass shape:
+    *   1. recompute df over the LIVE sets (one scan + map-side-combined
+    *      aggregate; tombstoned docs excluded) and take grams over
+    *      max(64, [[HotGramFraction]]·n_docs) not already in
+    *      `hotgrams/` — bounded by the same ≤ (grams/doc)/fraction
+    *      lemma as the build-time set;
+    *   2. GROW-ONLY extend `hotgrams/`: a doc containing NONE of the
+    *      newly-hot grams has the exact same prefix under the extended
+    *      order (removing grams a doc doesn't hold can't reorder the
+    *      grams it does), so ONLY docs containing a newly-hot gram
+    *      need recutting — selected by a broadcast-set kernel pass,
+    *      bounded by the df lemma;
+    *   3. recut those docs' prefixes under the extended order and
+    *      stage-and-swap ONLY the buckets holding their old or new
+    *      rows (bounded partition IN-lists, the [[compact]] shape).
+    * After the pass, EVERY stored prefix equals its cut under the
+    * extended total order, so probe-vs-store completeness holds again
+    * with zero probe-side change (proved in DedupIndexSpec).
+    *
+    * Crash contract: steps 2–3 are one atomicity domain — a probe
+    * against an extended hot set with un-recut prefixes (or vice
+    * versa) could silently miss pairs, so an [[graft.util
+    * .IngestMarker]] goes down before the first mutation and clears
+    * after the swap; a crash in between fails every later op LOUD and
+    * ensure() rebuilds (the documented recovery).
+    *
+    * Runs automatically inside [[compactFiles]] (the maintenance
+    * cadence a streaming ingest already pays — `refreshHot = false`
+    * opts out); callable standalone. Returns the number of grams
+    * promoted. */
+  def refreshHotGrams(spark: SparkSession, dir: String): Long =
+    graft.util.StoreLease.withLease(spark, dir, "refreshHotGrams") {
+      graft.util.IngestMarker.requireAbsent(spark, dir, "refreshHotGrams")
+      require(readMeta(spark, dir).getAs[Int]("format_version") == Format,
+        s"dedup index at $dir has an unexpected format — rebuild via ensure()")
+      recoverStaging(spark, dir)
+      refreshHotGramsLocked(spark, dir)
+    }
+
+  /** [[refreshHotGrams]] body; caller holds the lease and has run the
+    * marker/format/staging gates. */
+  private def refreshHotGramsLocked(spark: SparkSession,
+      dir: String): Long = {
+    import spark.implicits._
+    val meta = readMeta(spark, dir)
+    val nDocs = meta.getAs[Long]("n_docs")
+    if (nDocs == 0) return 0L
+    val t0 = meta.getAs[Double]("threshold")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val idCol = spark.read.parquet(s"$dir/sets").columns
+      .find(c => c != "sh" && c != "sbucket").get
+    val tombPath = s"$dir/tombstones"
+    val liveSets = {
+      val raw = readSets(spark, dir, idCol).select(col(idCol), col("sh"))
+      if (graft.util.Fs.exists(spark, tombPath))
+        raw.join(spark.read.parquet(tombPath)
+          .select(col("nid").as(idCol)), Seq(idCol), "left_anti")
+      else raw
+    }
+    // bounded collect: ≤ (grams/doc)/HotGramFraction newly-hot grams
+    val newHot = liveSets.select(explode(col("sh")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > math.max(64L, (HotGramFraction * nDocs).toLong))
+      .select(col("gram"))
+      .join(readHotGrams(spark, dir), Seq("gram"), "left_anti")
+      .collect().map(_.getLong(0))
+    if (newHot.isEmpty) return 0L
+    // LOUD two-phase window: the extended order and the recut prefixes
+    // must land together — a probe seeing one without the other could
+    // silently miss pairs, so the whole mutation sits behind a marker
+    graft.util.IngestMarker.write(spark, dir,
+      s"hot-gram refresh of ${newHot.length} grams in flight")
+    newHot.toSeq.toDF("gram")
+      .repartition(1).write.mode("append").parquet(s"$dir/hotgrams")
+    val nhB = spark.sparkContext.broadcast {
+      val s = new java.util.HashSet[java.lang.Long](newHot.length * 2 + 16)
+      newHot.foreach(g => s.add(g): Unit)
+      s
+    }
+    // affected docs: live docs whose gram set holds a newly-hot gram —
+    // kernel filter against the broadcast set, no explode/shuffle
+    val affSets = liveSets.select(col(idCol).cast("long"), col("sh"))
+      .as[(Long, Array[Long])]
+      .filter { case (_, sh) =>
+        val hs = nhB.value
+        var i = 0
+        var found = false
+        while (!found && i < sh.length) { found = hs.contains(sh(i)); i += 1 }
+        found
+      }
+      .toDF(idCol, "sh")
+      .localCheckpoint(eager = true)
+    val affIds = affSets.select(col(idCol))
+    val newPref = prefixGrams(affSets, idCol, t0, nBuckets,
+        readHotGrams(spark, dir)) // the EXTENDED set, read back
+      .localCheckpoint(eager = true)
+    // bounded collects: ≤ nBuckets values each — the buckets holding
+    // affected docs' OLD rows and those receiving their NEW rows
+    val oldB = readPrefixTable(spark, dir, idCol)
+      .join(affIds, Seq(idCol), "left_semi")
+      .select("bucket").distinct().collect().map(_.getInt(0))
+    val newB = newPref.select("bucket").distinct().collect().map(_.getInt(0))
+    val affB = (oldB ++ newB).distinct.toSeq
+    if (affB.nonEmpty) {
+      val staging = s"$dir/prefix_staging"
+      readPrefixTable(spark, dir, idCol)
+        .filter(col("bucket").isin(affB.map(Int.box): _*))
+        .join(affIds, Seq(idCol), "left_anti")
+        .unionByName(newPref
+          .filter(col("bucket").isin(affB.map(Int.box): _*)))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+      affB.foreach { b =>
+        graft.util.Fs.rmTree(spark, s"$dir/prefix/bucket=$b")
+        if (graft.util.Fs.exists(spark, s"$staging/bucket=$b"))
+          graft.util.Fs.rename(spark, s"$staging/bucket=$b",
+            s"$dir/prefix/bucket=$b"): Unit
+      }
+      graft.util.Fs.rmTree(spark, staging)
+    }
+    graft.util.IngestMarker.clear(spark, dir)
+    newHot.length.toLong
   }
 
   // ------------------------------------------------------------------
@@ -629,6 +821,7 @@ object DedupIndex {
           docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
             .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
       val dir = indexDirFor(d)
+      graft.util.StoreLease.break(s, dir) // fixture dir
       graft.util.Fs.rmTree(s, dir)
       build(corpus, dir, threshold = 0.9)
       val b0 = buildsThisProcess

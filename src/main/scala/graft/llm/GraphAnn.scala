@@ -185,7 +185,7 @@ object GraphAnn {
         meta.getAs[Int]("format_version") == 3 &&
         graft.util.Fs.exists(spark, s"$dir/nodes")
     } catch { case scala.util.control.NonFatal(_) => false }
-    if (!valid) {
+    if (!valid) graft.util.StoreLease.withLease(spark, dir, "build") {
       buildsThisProcess += 1
       graft.util.Fs.rmTree(spark, dir)
       buildNeighborGraph(corpus, m, descentRounds, initCellSize)
@@ -211,6 +211,7 @@ object GraphAnn {
     * loud-failure rationale as [[VectorIndex.delete]]. */
   def delete(deleted: DataFrame, dir: String): Unit = {
     val spark = deleted.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "delete") {
     import spark.implicits._
     val meta = spark.read.parquet(s"$dir/meta").head()
     require(meta.schema.fieldNames.contains("format_version") &&
@@ -242,6 +243,7 @@ object GraphAnn {
       .toDF("n_vectors", "checksum", "m", "init_cell_size",
         "descent_rounds", "format_version")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
   }
 
   /** Fold the tombstones into the stored graph, with EDGE REPAIR (the
@@ -263,6 +265,7 @@ object GraphAnn {
     */
   def compact(corpus: DataFrame, dir: String): Unit = {
     val spark = corpus.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "compact") {
     // The degree cap is the STORED graph's m, read from meta — a caller
     // parameter here could silently re-rank only the affected nodes to
     // a different 2M cap than the rest of the graph, breaking the
@@ -320,6 +323,7 @@ object GraphAnn {
       graft.util.Fs.rename(spark, s"$dir/${t}_staging", s"$dir/$t"): Unit
     }
     graft.util.Fs.rmTree(spark, s"$dir/tombstones")
+    }
   }
 
   /** FILE-MERGE maintenance (the append-history bound): every
@@ -333,6 +337,7 @@ object GraphAnn {
     * crash — a staged table whose live dir is missing is renamed in). */
   def compactFiles(spark: SparkSession, dir: String, maxFiles: Int = 16,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    graft.util.StoreLease.withLease(spark, dir, "compactFiles") {
     require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
     Seq("edges", "nodes").foreach { t =>
       val stag = s"$dir/${t}_staging"
@@ -354,6 +359,7 @@ object GraphAnn {
         graft.util.Fs.rename(spark, stag, live): Unit
       }
     }
+      }
   }
 
   /** Batched beam search: every query walks the graph simultaneously;
@@ -497,6 +503,7 @@ object GraphAnn {
       beam: Int = 32, rounds: Int = 4,
       entries: Int = 16): Unit = {
     val spark = batch.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "append") {
     import spark.implicits._
     val meta = spark.read.parquet(s"$dir/meta").head()
     require(meta.getAs[Int]("format_version") == 3,
@@ -562,6 +569,7 @@ object GraphAnn {
       .toDF("n_vectors", "checksum", "m", "init_cell_size",
         "descent_rounds", "format_version")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
   }
 
   private def graphDirFor(sfDir: String): String =
@@ -580,6 +588,7 @@ object GraphAnn {
     { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
         .cache()
+      graft.util.StoreLease.break(s, graphDirFor(d)) // fixture dir
       val graph = ensure(emb, graphDirFor(d))
       val queries = Similarity.probePanel(emb)
       val exact = Similarity.bruteForceTop1(queries, emb)
@@ -619,6 +628,7 @@ object GraphAnn {
     { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
         .cache()
+      graft.util.StoreLease.break(s, graphDirFor(d)) // fixture dir
       val graph = ensure(emb, graphDirFor(d))
       val codebooks = Similarity.pqTrain(emb, m = 16, k = 16)
       val queries = Similarity.probePanel(emb)
@@ -676,6 +686,7 @@ object GraphAnn {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
         .cache()
       val dir = deleteDirFor(d)
+      graft.util.StoreLease.break(s, dir) // fixture dir
       graft.util.Fs.rmTree(s, dir)
       ensure(emb, dir)
       val deleted = emb.filter(col("vec_id") % 10 === 3)
@@ -769,6 +780,7 @@ object GraphAnn {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
         .cache()
       val dir = appendDirFor(d)
+      graft.util.StoreLease.break(s, dir) // fixture dir
       graft.util.Fs.rmTree(s, dir)
       val old = emb.filter(col("vec_id") % 10 =!= 7).cache()
       val batch = emb.filter(col("vec_id") % 10 === 7)

@@ -65,6 +65,7 @@ object VectorIndex {
   def build(corpus: DataFrame, dir: String, nCells: Int = 16,
       m: Int = 16, kCodes: Int = 16): Unit = {
     val spark = corpus.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "build") {
     import spark.implicits._
     buildsThisProcess += 1
     graft.util.Fs.rmTree(spark, dir)
@@ -89,6 +90,7 @@ object VectorIndex {
       .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
         "format_version")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
   }
 
   def load(spark: SparkSession, dir: String): Loaded = {
@@ -146,6 +148,7 @@ object VectorIndex {
 
   def delete(deleted: DataFrame, dir: String): Unit = {
     val spark = deleted.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "delete") {
     import spark.implicits._
     graft.util.IngestMarker.requireAbsent(spark, dir, "delete")
     val meta = spark.read.parquet(s"$dir/meta").head()
@@ -185,6 +188,7 @@ object VectorIndex {
       .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
         "format_version")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
   }
 
   /** Fold the tombstones into the store: rewrite ONLY the cell
@@ -204,6 +208,7 @@ object VectorIndex {
     * stale duplicates and are discarded.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
+    graft.util.StoreLease.withLease(spark, dir, "compact") {
     graft.util.IngestMarker.requireAbsent(spark, dir, "compact")
     // Layout check FIRST, before the recovery sweep touches anything:
     // the meta read is independent of staging, and running the sweep
@@ -238,6 +243,7 @@ object VectorIndex {
       graft.util.Fs.rmTree(spark, staging)
     }
     graft.util.Fs.rmTree(spark, s"$dir/tombstones")
+      }
   }
 
   /** Recovery for a crashed single-level stage-and-swap ([[compact]] /
@@ -269,6 +275,7 @@ object VectorIndex {
     * file. */
   def compactFiles(spark: SparkSession, dir: String, maxFiles: Int = 16,
       maxRecordsPerFile: Long = 8000000L): Unit = {
+    graft.util.StoreLease.withLease(spark, dir, "compactFiles") {
     graft.util.IngestMarker.requireAbsent(spark, dir, "compactFiles")
     require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
     requireUnfiltered(spark.read.parquet(s"$dir/meta").head(), dir,
@@ -294,6 +301,7 @@ object VectorIndex {
           s"$live/cell=$c"): Unit
     }
     graft.util.Fs.rmTree(spark, staging)
+      }
   }
 
   /** Load if the stored fingerprint matches `corpus`, else (re)build.
@@ -342,6 +350,7 @@ object VectorIndex {
     */
   def append(batch: DataFrame, dir: String): Unit = {
     val spark = batch.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "append") {
     import spark.implicits._
     val ix = load(spark, dir) // marker-checked at the gateway
     val meta = spark.read.parquet(s"$dir/meta").head()
@@ -370,6 +379,7 @@ object VectorIndex {
         "format_version")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
     graft.util.IngestMarker.clear(spark, dir)
+    }
   }
 
   /** Search the stored index: distinct probed cells of the query set
@@ -406,6 +416,7 @@ object VectorIndex {
   def buildFiltered(corpus: DataFrame, dir: String, filterCol: String,
       nCells: Int = 16, m: Int = 16, kCodes: Int = 16): Unit = {
     val spark = corpus.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "buildFiltered") {
     import spark.implicits._
     buildsThisProcess += 1
     graft.util.Fs.rmTree(spark, dir)
@@ -427,6 +438,7 @@ object VectorIndex {
       .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
         "filter_col", "format_version")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
   }
 
   def ensureFiltered(corpus: DataFrame, dir: String, filterCol: String,
@@ -501,6 +513,7 @@ object VectorIndex {
   def deleteFiltered(deleted: DataFrame, dir: String,
       filterCol: String): Unit = {
     val spark = deleted.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "deleteFiltered") {
     import spark.implicits._
     graft.util.IngestMarker.requireAbsent(spark, dir, "deleteFiltered")
     val meta = spark.read.parquet(s"$dir/meta").head()
@@ -531,6 +544,7 @@ object VectorIndex {
       .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
         "filter_col", "format_version")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    }
   }
 
   /** [[compact]] for the two-level (filterCol, cell) layout: rewrites
@@ -564,6 +578,7 @@ object VectorIndex {
 
   def compactFiltered(spark: SparkSession, dir: String,
       filterCol: String): Unit = {
+    graft.util.StoreLease.withLease(spark, dir, "compactFiltered") {
     graft.util.IngestMarker.requireAbsent(spark, dir, "compactFiltered")
     // Layout check BEFORE the recovery sweep (see [[compact]]): a
     // filtered compact pointed at a plain store must fail loud before
@@ -610,6 +625,7 @@ object VectorIndex {
       graft.util.Fs.rmTree(spark, staging)
     }
     graft.util.Fs.rmTree(spark, s"$dir/tombstones")
+      }
   }
 
   /** [[compactFiles]] for the two-level (filterCol, cell) layout:
@@ -619,6 +635,7 @@ object VectorIndex {
   def compactFilesFiltered(spark: SparkSession, dir: String,
       filterCol: String, maxFiles: Int = 16,
       maxRecordsPerFile: Long = 8000000L): Unit = {
+    graft.util.StoreLease.withLease(spark, dir, "compactFilesFiltered") {
     graft.util.IngestMarker.requireAbsent(spark, dir,
       "compactFilesFiltered")
     require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
@@ -657,6 +674,7 @@ object VectorIndex {
       }
     }
     graft.util.Fs.rmTree(spark, staging)
+      }
   }
 
   /** [[append]] for the filtered store: frozen quantizers, the batch
@@ -666,6 +684,7 @@ object VectorIndex {
   def appendFiltered(batch: DataFrame, dir: String,
       filterCol: String): Unit = {
     val spark = batch.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "appendFiltered") {
     import spark.implicits._
     val ix = load(spark, dir) // marker-checked at the gateway
     val meta = spark.read.parquet(s"$dir/meta").head()
@@ -688,6 +707,7 @@ object VectorIndex {
         "filter_col", "format_version")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
     graft.util.IngestMarker.clear(spark, dir)
+    }
   }
 
   private def indexDirFor(sfDir: String): String =
@@ -713,6 +733,9 @@ object VectorIndex {
     { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
         .cache()
+      // fixture-owned store dir: clear a lease left by a KILLED
+      // previous run (production stores must fail loud instead)
+      graft.util.StoreLease.break(s, indexDirFor(d))
       val ix = ensure(emb, indexDirFor(d))
       val queries = Similarity.probePanel(emb)
       val exact = Similarity.bruteForceTop1(queries, emb)
@@ -753,6 +776,7 @@ object VectorIndex {
     { (s, d) =>
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label")).cache()
+      graft.util.StoreLease.break(s, filteredDirFor(d)) // fixture dir
       val ix = ensureFiltered(emb, filteredDirFor(d), "label")
       val queries = Similarity.probePanel(emb)
       val exact = Similarity.bruteForceTop1Filtered(queries, emb, "label")
@@ -810,6 +834,7 @@ object VectorIndex {
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
         .cache()
       val dir = deleteDirFor(d)
+      graft.util.StoreLease.break(s, dir) // fixture dir
       build(emb, dir)
       val deleted = emb.filter(col("vec_id") % 10 === 3)
       val live = emb.filter(col("vec_id") % 10 =!= 3)
@@ -891,6 +916,7 @@ object VectorIndex {
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label")).cache()
       val dir = filteredDeleteDirFor(d)
+      graft.util.StoreLease.break(s, dir) // fixture dir
       graft.util.Fs.rmTree(s, dir)
       buildFiltered(emb, dir, "label")
       val deleted = emb.filter(col("vec_id") % 10 === 3)

@@ -99,7 +99,13 @@ object ScaleBench {
     * the proof the caps/ordering bound the hot keys. */
   private val storeSkewDefaultQueries = Seq(
     "d2_minhash_lsh", "d17_dedup_index_ingest",
-    "v19_persisted_ann_recall")
+    "v19_persisted_ann_recall",
+    // graph store under the hot CELL (r14 verdict item 4): 20% of all
+    // vectors in one tight cluster makes that cluster a dense
+    // neighborhood / hot-hub region of the kNN graph — the beam walks
+    // (v20) and the append's insertion searches (v28) must stay
+    // bounded by the degree cap 2M, not blow up with cluster size
+    "v20_graph_ann_recall", "v28_graph_append")
 
   /** Build-once stores: the second timed run is the search-only path. */
   private val secondRun = Set(

@@ -27,8 +27,21 @@ import org.apache.spark.sql.streaming.OutputMode
   *       SPARK_GRAFT_CPUS (32),
   *       SPARK_GRAFT_HISTORY_APPENDS (100),
   *       SPARK_GRAFT_HISTORY_EVERY (10, probe cadence),
-  *       SPARK_GRAFT_HISTORY_STREAM_BATCHES (50).
-  * Output: one JSON line (stdout + store_history.json).
+  *       SPARK_GRAFT_HISTORY_STREAM_BATCHES (50),
+  *       SPARK_GRAFT_HISTORY_STORESKEW (0) — when 1, the r14-verdict
+  *       SKEW × HISTORY interaction tier: docs/embeddings come from
+  *       [[ScaleBench.synthesizeStoreSkew]] at
+  *       SPARK_GRAFT_HISTORY_FACTOR (default 10) — hot stop-phrase,
+  *       hot dup-block, hot IVF cell — and the question under
+  *       measurement is whether `compactFiles`' file-merge costs the
+  *       hot structures the FILE-parallelism the store-skew tier
+  *       showed they depend on (the hot cell's scan parallelizes by
+  *       files; merging it toward one file per partition could
+  *       single-task it). The streaming tier is skipped in this mode;
+  *       the max-cell file counts before/after the merge land in the
+  *       JSON beside the search timings.
+  * Output: one JSON line (stdout + store_history.json, or
+  * store_history_storeskew.json in the skew mode).
   */
 object StoreHistoryBench {
 
@@ -57,6 +70,10 @@ object StoreHistoryBench {
     val every = sys.env.getOrElse("SPARK_GRAFT_HISTORY_EVERY", "10").toInt
     val nStream = sys.env
       .getOrElse("SPARK_GRAFT_HISTORY_STREAM_BATCHES", "50").toInt
+    val storeSkew =
+      sys.env.get("SPARK_GRAFT_HISTORY_STORESKEW").contains("1")
+    val skewFactor =
+      sys.env.getOrElse("SPARK_GRAFT_HISTORY_FACTOR", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -71,11 +88,19 @@ object StoreHistoryBench {
         .split("\\s+").take(3).mkString(" ")
     } catch { case _: Throwable => "unavailable" }
     val loadStart = loadAvg()
-    val root = "target/store_history"
+    val root =
+      if (storeSkew) "target/store_history_skew" else "target/store_history"
     graft.util.Fs.rmTree(spark, root)
+    // skew × history: the same campaign over the store-skew synthesis
+    // (planted hot phrase / hot block / hot cell at every factor)
+    val dataDir =
+      if (storeSkew)
+        ScaleBench.synthesizeStoreSkew(spark, baseSf, skewFactor,
+          "target/scale")
+      else baseSf
 
     // ---------------------------------------------------------- dedup
-    val docs = graft.Tables.documents(spark, baseSf)
+    val docs = graft.Tables.documents(spark, dataDir)
       .filter(col("text").isNotNull)
       .select(col("doc_id"), col("text")).localCheckpoint(true)
     val corpus = docs.filter(col("doc_id") % 10 < 3)
@@ -134,7 +159,9 @@ object StoreHistoryBench {
     dedupPoint(-1) // post-maintenance point (after = -1 marks it)
 
     // --------------------------------------------------------- vector
-    val emb = graft.Tables.embeddings(spark, baseSf)
+    val embAll = graft.Tables.embeddings(spark, dataDir)
+      .localCheckpoint(true)
+    val emb = embAll
       .select(col("vec_id"), col("embedding")).localCheckpoint(true)
     val vCorpus0 = emb.filter(col("vec_id") % 10 < 3)
     val vRest = emb.filter(col("vec_id") % 10 >= 3)
@@ -210,6 +237,64 @@ object StoreHistoryBench {
       secs(graft.llm.GraphAnn.compactFiles(spark, gDir, maxFiles = 16))
     graphCurve += graphPoint(-1)
 
+    // ------------------------------------------------------- filtered
+    // the r14 gap: compactFiles(+Filtered) shipped but the history
+    // curve covered plain/dedup/graph only — same protocol over the
+    // two-level (label, cell) store
+    val fEmb = embAll.select(col("vec_id"), col("embedding"), col("label"))
+      .localCheckpoint(true)
+    val fCorpus0 = fEmb.filter(col("vec_id") % 10 < 3)
+    val fRest = fEmb.filter(col("vec_id") % 10 >= 3)
+    val fDir = s"$root/filtered"
+    graft.llm.VectorIndex.buildFiltered(fCorpus0, fDir, "label")
+    val fPanel = fCorpus0.limit(32).localCheckpoint(true)
+    var fLive: DataFrame = fCorpus0
+    def maxPairFiles(): Int = {
+      val live = s"$fDir/codes"
+      val pairs = graft.util.Fs.listDirNames(spark, live)
+        .filter(_.startsWith("label="))
+        .flatMap(v => graft.util.Fs.listDirNames(spark, s"$live/$v")
+          .filter(_.startsWith("cell=")).map(c => s"$live/$v/$c"))
+      if (pairs.isEmpty) 0
+      else pairs.map(p => graft.util.Fs.dataFileCount(spark, p)).max
+    }
+    def filteredPoint(after: Int): String = {
+      val (_, s) = secs {
+        val ix = graft.llm.VectorIndex.load(spark, fDir)
+        graft.llm.VectorIndex.searchFiltered(ix, fPanel, fLive, "label",
+          k = 3).count()
+      }
+      val row = s"""{"after":$after,"search_secs":${jnum(s)},"max_pair_files":${maxPairFiles()}}"""
+      System.err.println(s"[history] filtered $row")
+      row
+    }
+    val filteredCurve = scala.collection.mutable.ArrayBuffer[String]()
+    filteredCurve += filteredPoint(0)
+    k = 0
+    while (k < nAppends) {
+      val batch = fRest.filter(pmod(xxhash64(col("vec_id")), lit(nAppends)) === k)
+        .localCheckpoint(true)
+      graft.llm.VectorIndex.appendFiltered(batch, fDir, "label")
+      fLive = fLive.unionByName(batch)
+      k += 1
+      if (k % every == 0) filteredCurve += filteredPoint(k)
+    }
+    fLive = fLive.localCheckpoint(true)
+    val fSearchPre = {
+      val ix = graft.llm.VectorIndex.load(spark, fDir)
+      graft.llm.VectorIndex.searchFiltered(ix, fPanel, fLive, "label", k = 3)
+        .agg(sum(col("nid"))).head().getLong(0)
+    }
+    val (_, filteredCompactSecs) = secs(
+      graft.llm.VectorIndex.compactFilesFiltered(spark, fDir, "label",
+        maxFiles = 16))
+    val fSearchPost = {
+      val ix = graft.llm.VectorIndex.load(spark, fDir)
+      graft.llm.VectorIndex.searchFiltered(ix, fPanel, fLive, "label", k = 3)
+        .agg(sum(col("nid"))).head().getLong(0)
+    }
+    filteredCurve += filteredPoint(-1)
+
     // ---------------------- streaming sustained ingest (st17's form)
     // the same store-append-per-micro-batch sink st17 gates; run twice:
     // without maintenance (per-batch time rises with file count) and
@@ -252,12 +337,17 @@ object StoreHistoryBench {
         times.map(jnum).mkString(","))
       times.toSeq
     }
-    val streamPlain = streamRun("plain", trigger = false)
-    val streamMaint = streamRun("maint", trigger = true)
+    // the streaming tier is a plain-corpus cadence measurement; the
+    // skew tier's question is answered by the store curves above
+    val (streamPlain, streamMaint) =
+      if (storeSkew) (Seq.empty[Double], Seq.empty[Double])
+      else (streamRun("plain", trigger = false),
+        streamRun("maint", trigger = true))
 
     val loadEnd = loadAvg()
     val json =
       s"""{"metric":"store_history","base":"$baseSf","appends":$nAppends,""" +
+      s""""storeskew":$storeSkew,"factor":${if (storeSkew) skewFactor else 1},""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
       s""""dedup":{"curve":[${dedupCurve.mkString(",")}],""" +
       s""""compact_files_secs":${jnum(dedupCompactSecs)},""" +
@@ -267,11 +357,16 @@ object StoreHistoryBench {
       s""""search_invariant":${searchPre == searchPost}},""" +
       s""""graph":{"appends":$gAppends,"curve":[${graphCurve.mkString(",")}],""" +
       s""""compact_files_secs":${jnum(graphCompactSecs)}},""" +
-      s""""stream":{"batches":$nStream,"trigger_every":16,""" +
+      s""""filtered":{"curve":[${filteredCurve.mkString(",")}],""" +
+      s""""compact_files_secs":${jnum(filteredCompactSecs)},""" +
+      s""""search_invariant":${fSearchPre == fSearchPost}},""" +
+      s""""stream":{"batches":${if (storeSkew) 0 else nStream},"trigger_every":16,""" +
       s""""plain_secs":[${streamPlain.map(jnum).mkString(",")}],""" +
       s""""maint_secs":[${streamMaint.map(jnum).mkString(",")}]}}"""
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("store_history.json"), json + "\n")
+      java.nio.file.Paths.get(if (storeSkew)
+        "store_history_storeskew.json" else "store_history.json"),
+      json + "\n")
     spark.stop()
     println(json)
   }

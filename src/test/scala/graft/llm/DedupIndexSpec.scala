@@ -437,4 +437,120 @@ class DedupIndexSpec extends SparkSpec {
     assert(got == want,
       s"missing=${want -- got} extra=${got -- want}")
   }
+
+  test("hot-gram DRIFT refresh: a gram hot only from post-build appends " +
+      "is promoted grow-only, affected prefixes recut, probe results " +
+      "identical, fingerprint untouched") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/drift"
+    // corpus: 150 unique docs, NO shared phrase — nothing is hot at
+    // build time (df threshold floor is 64)
+    def uniq(i: Int): String =
+      (i until i + 12).map(w => s"c$w").mkString(" ")
+    val corpus = df((0L until 150L).map(i => (i, uniq(i.toInt * 20))))
+    val t = 0.5
+    DedupIndex.build(corpus, dir, threshold = t)
+    val hot0 = spark.read.parquet(s"$dir/hotgrams").count()
+    // drift: 100 APPENDED docs all share a 6-word banner (df = 100 >
+    // 64) followed by 12 unique words — the new-crawl-source scenario
+    val banner = (0 until 6).map(k => s"ban$k").mkString(" ")
+    def drifted(i: Int): String =
+      banner + " " + (i until i + 12).map(w => s"d$w").mkString(" ")
+    val batch1 = df((1000L until 1050L).map(i => (i, drifted(i.toInt * 20))))
+    val batch2 = df((2000L until 2050L).map(i => (i, drifted(i.toInt * 20))))
+    assert(DedupIndex.append(batch1, dir, threshold = t).count() == 50)
+    assert(DedupIndex.append(batch2, dir, threshold = t).count() == 50)
+    // the drift hazard is REAL pre-refresh: banner grams sit in
+    // prefixes at their frozen cold rank
+    val hotAfterAppend = spark.read.parquet(s"$dir/hotgrams")
+      .collect().map(_.getLong(0)).toSet
+    assert(hotAfterAppend.size == hot0,
+      "append itself must never extend the frozen set")
+    def prefixGramSet() = spark.read.parquet(s"$dir/prefix")
+      .select("gram").collect().map(_.getLong(0)).toSet
+    val bannerGrams = Dedup.shingleHashes(
+        df(Seq((1L, banner + " zzz1 zzz2 zzz3"))), "doc_id", "text")
+      .collect().flatMap(_.getSeq[Long](1))
+      .toSet.intersect(Dedup.shingleHashes(
+        df(Seq((2L, banner + " yyy1 yyy2 yyy3"))), "doc_id", "text")
+        .collect().flatMap(_.getSeq[Long](1)).toSet)
+    assert(bannerGrams.nonEmpty, "fixture banner produced no shared grams")
+    assert(prefixGramSet().intersect(bannerGrams).nonEmpty,
+      "fixture vacuous — banner grams never reached a prefix")
+    // fixed re-crawl: near-dups of appended docs + unseen docs
+    val recrawl = df((5000L until 5020L).map(i =>
+      (i, drifted(((i - 5000L) * 20 + 1000L * 20).toInt))))
+    def pairsOf() = DedupIndex.probePairs(recrawl, dir, threshold = t)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairsOf()
+    assert(before.nonEmpty, "fixture vacuous — re-crawl matched nothing")
+    val promoted = DedupIndex.refreshHotGrams(spark, dir)
+    assert(promoted > 0, "no grams promoted despite df = 100 > 64")
+    // grow-only: the old set survives, the banner grams joined it
+    val hot1 = spark.read.parquet(s"$dir/hotgrams")
+      .collect().map(_.getLong(0)).toSet
+    assert(hot1.size == hot0 + promoted, "refresh not grow-only")
+    assert(bannerGrams.subsetOf(hot1), "banner grams not promoted")
+    // the quadratic path is closed: banner grams left every prefix
+    // (every drifted doc has 12+ rare own-grams > its prefix length)
+    assert(prefixGramSet().intersect(bannerGrams).isEmpty,
+      "banner grams still in prefixes after refresh")
+    // completeness under the extended order: identical pairs
+    assert(pairsOf() == before, "refresh changed probe results")
+    // refresh mutates no membership: ensure is still a pure load
+    val live = corpus.unionByName(batch1).unionByName(batch2)
+    val b0 = DedupIndex.buildsThisProcess
+    DedupIndex.ensure(live, dir, threshold = t)
+    assert(DedupIndex.buildsThisProcess == b0,
+      "refresh drifted the fingerprint — ensure rebuilt")
+    // idempotent: nothing newly hot on a second pass
+    assert(DedupIndex.refreshHotGrams(spark, dir) == 0L)
+    // and compactFiles runs it implicitly: no-op here, still green
+    DedupIndex.compactFiles(spark, dir)
+    assert(pairsOf() == before, "compactFiles-with-refresh changed results")
+  }
+
+  test("single-writer lease: every mutating op fails LOUD while a " +
+      "writer holds the store, probes stay lock-free, and a failed op " +
+      "releases") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/lease"
+    val corpus = df((0L until 20L).map(i => (i, doc(i.toInt))))
+    DedupIndex.build(corpus, dir, threshold = 0.9)
+    // an in-flight append holds the lease for its whole critical
+    // section, so "hold it from the spec" IS the interleaved-append
+    // scenario: the second writer must fail LOUD, not silently
+    // interleave data/meta writes (fingerprint drift)
+    graft.util.StoreLease.acquire(spark, dir, "spec-writer")
+    val batch = df(Seq((100L, doc(100))))
+    intercept[IllegalStateException] {
+      DedupIndex.append(batch, dir, threshold = 0.9).count()
+    }
+    intercept[IllegalStateException] {
+      DedupIndex.delete(df(Seq((3L, doc(3)))), dir)
+    }
+    intercept[IllegalStateException] { DedupIndex.compact(spark, dir) }
+    intercept[IllegalStateException] { DedupIndex.compactFiles(spark, dir) }
+    intercept[IllegalStateException] {
+      DedupIndex.refreshHotGrams(spark, dir)
+    }
+    intercept[IllegalStateException] {
+      DedupIndex.build(corpus, dir, threshold = 0.9)
+    }
+    // reads are lock-free — a probe during a long append window is fine
+    assert(DedupIndex.probe(batch, dir, threshold = 0.9).count() == 1)
+    graft.util.StoreLease.release(spark, dir)
+    assert(DedupIndex.append(batch, dir, threshold = 0.9).count() == 1)
+    // a FAILED mutating op releases the lease (state safety belongs to
+    // the marker/fingerprint guards, the lease only serializes writers)
+    intercept[IllegalArgumentException] { // non-monotonic ids
+      DedupIndex.append(df(Seq((5L, doc(5)))), dir, threshold = 0.9)
+        .count()
+    }
+    assert(graft.util.StoreLease.heldBy(spark, dir).isEmpty,
+      "failed append left the lease held")
+    assert(DedupIndex.append(df(Seq((200L, doc(200)))), dir,
+      threshold = 0.9).count() == 1)
+  }
 }

@@ -1,0 +1,114 @@
+package graft.util
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class StoreLeaseSpec extends SparkSpec {
+
+  private val base = Fixtures.dir + "/spec_store_lease"
+
+  private def emb(rows: Range): DataFrame = {
+    import spark.implicits._
+    rows.map(i => (i.toLong, Array.tabulate(16)(j =>
+      ((i * 31 + j * 7) % 100) / 100.0f))).toDF("vec_id", "embedding")
+  }
+
+  test("acquire is first-wins under a genuine N-thread race") {
+    Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/race"
+    Fs.mkdirs(spark, dir)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val n = 8
+    val start = new CountDownLatch(1)
+    val done = new CountDownLatch(n)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = Executors.newFixedThreadPool(n)
+    (0 until n).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try {
+            StoreLease.acquire(spark, dir, s"racer-$i")
+            wins.incrementAndGet(): Unit
+          } catch { case _: IllegalStateException => () }
+          finally done.countDown()
+        }
+      }): Unit
+    }
+    start.countDown()
+    assert(done.await(30, TimeUnit.SECONDS), "racers did not finish")
+    pool.shutdown()
+    assert(wins.get() == 1, s"${wins.get()} racers acquired the lease")
+    assert(StoreLease.heldBy(spark, dir).isDefined)
+    StoreLease.release(spark, dir)
+    assert(StoreLease.heldBy(spark, dir).isEmpty)
+  }
+
+  test("release is idempotent; break clears a dead holder's lease; " +
+      "the fail-loud message names the holder") {
+    Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/ops"
+    Fs.mkdirs(spark, dir)
+    StoreLease.release(spark, dir) // nothing held — no-op
+    StoreLease.acquire(spark, dir, "first-writer")
+    val e = intercept[IllegalStateException] {
+      StoreLease.acquire(spark, dir, "second-writer")
+    }
+    assert(e.getMessage.contains("first-writer"),
+      s"holder not named in: ${e.getMessage}")
+    assert(StoreLease.heldBy(spark, dir).exists(_.contains("first-writer")))
+    StoreLease.break(spark, dir) // operator-confirmed dead holder
+    StoreLease.acquire(spark, dir, "after-break")
+    StoreLease.release(spark, dir)
+  }
+
+  test("vector store: a held lease makes append/delete/compactFiles " +
+      "fail LOUD and search stays lock-free") {
+    Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/vector"
+    val corpus = emb(0 until 64)
+    graft.llm.VectorIndex.build(corpus, dir)
+    StoreLease.acquire(spark, dir, "in-flight-append")
+    intercept[IllegalStateException] {
+      graft.llm.VectorIndex.append(emb(64 until 80), dir)
+    }
+    intercept[IllegalStateException] {
+      graft.llm.VectorIndex.delete(emb(0 until 4), dir)
+    }
+    intercept[IllegalStateException] {
+      graft.llm.VectorIndex.compactFiles(spark, dir)
+    }
+    // reads don't take the lease
+    val ix = graft.llm.VectorIndex.load(spark, dir)
+    assert(graft.llm.VectorIndex.search(ix, emb(0 until 2), corpus, k = 1)
+      .count() == 2)
+    StoreLease.release(spark, dir)
+    graft.llm.VectorIndex.append(emb(64 until 80), dir)
+    // the incremental fingerprint is intact after the serialized append
+    val b0 = graft.llm.VectorIndex.buildsThisProcess
+    graft.llm.VectorIndex.ensure(emb(0 until 80), dir): Unit
+    assert(graft.llm.VectorIndex.buildsThisProcess == b0,
+      "serialized append drifted the fingerprint")
+  }
+
+  test("graph store: a held lease makes append/delete fail LOUD") {
+    Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/graph"
+    val corpus = emb(0 until 64).localCheckpoint(true)
+    graft.llm.GraphAnn.ensure(corpus, dir): Unit
+    StoreLease.acquire(spark, dir, "in-flight-append")
+    intercept[IllegalStateException] {
+      graft.llm.GraphAnn.append(emb(100 until 108), corpus, dir)
+    }
+    intercept[IllegalStateException] {
+      graft.llm.GraphAnn.delete(emb(0 until 4), dir)
+    }
+    // beam search (read) unaffected
+    val g = graft.llm.GraphAnn.load(spark, dir)
+    assert(graft.llm.GraphAnn.beamSearch(emb(0 until 2), g, corpus, k = 1)
+      .count() > 0)
+    StoreLease.release(spark, dir)
+    graft.llm.GraphAnn.append(emb(100 until 108), corpus, dir)
+  }
+}
