@@ -176,6 +176,71 @@ object DedupIndex {
   private def readMeta(spark: SparkSession, dir: String) =
     spark.read.parquet(s"$dir/meta").head()
 
+  /** Per-bucket prefix-row STATISTICS (`prefstats/`) — the
+    * [[graft.plans.RangeJoinNative.rangeJoinChosen]] pattern applied
+    * to the store (r14 stretch): [[build]] writes exact per-bucket
+    * counts, every [[append]] adds DELTA rows (src = "append"), and
+    * maintenance ([[compact]]/[[compactFiles]]/[[refreshHotGrams]])
+    * rewrites the table exactly (src = "maint"). Two consumers:
+    *   - [[probePairs]] sums counts over its probed buckets (one tiny
+    *     read) and ROUTES the store-side candidate join: a probed
+    *     store slice under [[BroadcastStoreRows]] becomes a broadcast
+    *     build side — zero shuffle, no 32× salt explosion of the
+    *     batch side — while a large slice takes the salted shuffle
+    *     join (the hot-gram-safe form);
+    *   - [[refreshHotGramsLocked]]'s trigger: the O(corpus) df
+    *     recompute runs only when append-delta mass since the last
+    *     maintenance exceeds [[RefreshDueFraction]] of the table —
+    *     amortized O(1) per ingested row even when `compactFiles`
+    *     fires every few micro-batches on a huge store.
+    * Counts OVER-state live rows (merge-on-read deletes never
+    * decrement) — conservative for both consumers. A store without
+    * the table (pre-r15 layout) routes to the salted join and an
+    * always-due refresh: the safe legacy defaults. */
+  private val BroadcastStoreRows = 1000000L
+  private val RefreshDueFraction = 0.02
+
+  private def statsPath(dir: String) = s"$dir/prefstats"
+
+  private def statsSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("src",
+        org.apache.spark.sql.types.StringType)))
+
+  private def readStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(statsSchema).parquet(statsPath(dir))
+
+  /** (total prefix rows, rows appended since last maintenance), or
+    * None when the table is absent/unreadable (legacy store). */
+  private def statsTotals(spark: SparkSession,
+      dir: String): Option[(Long, Long)] =
+    if (!graft.util.Fs.exists(spark, statsPath(dir))) None
+    else try {
+      val r = readStats(spark, dir).agg(
+        coalesce(sum(col("n_rows")), lit(0L)),
+        coalesce(sum(when(col("src") === "append", col("n_rows"))
+          .otherwise(0L)), lit(0L))).head()
+      Some((r.getLong(0), r.getLong(1)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Exact rewrite from the live prefix table (maintenance commit). */
+  private def rewriteStats(spark: SparkSession, dir: String): Unit = {
+    val counts = try {
+      spark.read.parquet(s"$dir/prefix")
+        .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+    } catch { // zero-file store: a valid empty stats table
+      case scala.util.control.NonFatal(_) =>
+        spark.range(0).select(col("id").cast("int").as("bucket"),
+          col("id").as("n_rows"))
+    }
+    counts.withColumn("src", lit("maint"))
+      .repartition(1).write.mode("overwrite").parquet(statsPath(dir))
+  }
+
   /** The store tables' fixed schemas ([[Dedup.shingleHashes]] casts the
     * id to long, so these hold for every store regardless of the
     * caller's idCol). Probe/delete reads pass them EXPLICITLY: schema
@@ -256,6 +321,7 @@ object DedupIndex {
         readHotGrams(spark, dir))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/prefix")
+    rewriteStats(spark, dir) // exact per-bucket counts at build
     val (n, sum) = fingerprint(docs, idCol, textCol)
     val maxId = docs.agg(coalesce(max(col(idCol)).cast("long"),
       lit(Long.MinValue))).head().getLong(0)
@@ -341,24 +407,48 @@ object DedupIndex {
     def sizeOk(a: String, b: String) =
       col(s"$a.set_sz") >= lit(threshold) * col(s"$b.set_sz") - Eps &&
         col(s"$b.set_sz") >= lit(threshold) * col(s"$a.set_sz") - Eps
-    // store-vs-batch candidate join SALTED on pmod(store id, 32): the
-    // store's fixed-hash gram order has no document-frequency defense,
-    // so a corpus-wide stop-phrase gram that hashes low sits in the
-    // prefix of EVERY doc containing it and its posting list becomes
-    // one join key = ONE task (the single-task hot-key bound, measured
-    // in the r14 store-skew campaign). The salt splits each gram's
-    // store posting across ≤ 32 key values; the batch side explodes
-    // all 32 salts — a 32× blowup of the O(micro-batch) SMALL side —
-    // and the output is identical. Cold grams pay one finer shuffle
-    // key, nothing else.
-    val candSB = storePref
-      .withColumn("__salt", pmod(col(idCol), lit(32)).cast("int"))
-      .alias("x")
-      .join(prefB.withColumn("__salt",
-          explode(sequence(lit(0), lit(31)))).alias("y"),
-        col("x.gram") === col("y.gram") &&
-          col("x.__salt") === col("y.__salt") && sizeOk("x", "y"))
-      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+    // store-vs-batch candidate join, STATS-ROUTED (the rangeJoinChosen
+    // pattern): one tiny prefstats read sums the probed buckets' row
+    // counts.
+    //  - small slice (≤ BroadcastStoreRows): the store side BROADCASTS
+    //    — zero shuffle, no salt explosion, and a hot gram costs
+    //    nothing extra because a broadcast join has no per-key tasks.
+    //    This is every early-ingest-loop probe and the whole d17/st17
+    //    fixture scale.
+    //  - large slice (or no/unreadable stats — legacy store): SALTED
+    //    shuffle join on pmod(store id, 32). The store's fixed-hash
+    //    gram order has no document-frequency defense, so a
+    //    corpus-wide stop-phrase gram that hashes low sits in the
+    //    prefix of EVERY doc containing it and its posting list
+    //    becomes one join key = ONE task (the single-task hot-key
+    //    bound, measured in the r14 store-skew campaign). The salt
+    //    splits each gram's store posting across ≤ 32 key values; the
+    //    batch side explodes all 32 salts — a 32× blowup of the
+    //    O(micro-batch) SMALL side — and the output is identical.
+    // Both forms are row-identical (asserted in DedupIndexSpec by
+    // deleting prefstats and re-probing).
+    val probedStoreRows = statsTotals(spark, dir) match {
+      case None => Long.MaxValue
+      case Some(_) =>
+        try readStats(spark, dir)
+          .filter(col("bucket").isin(probeBuckets.map(Int.box).toSeq: _*))
+          .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
+        catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    }
+    val candSB =
+      if (probedStoreRows <= BroadcastStoreRows)
+        broadcast(storePref).alias("x")
+          .join(prefB.alias("y"),
+            col("x.gram") === col("y.gram") && sizeOk("x", "y"))
+          .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+      else storePref
+        .withColumn("__salt", pmod(col(idCol), lit(32)).cast("int"))
+        .alias("x")
+        .join(prefB.withColumn("__salt",
+            explode(sequence(lit(0), lit(31)))).alias("y"),
+          col("x.gram") === col("y.gram") &&
+            col("x.__salt") === col("y.__salt") && sizeOk("x", "y"))
+        .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
     val candBB = prefB.alias("x").join(prefB.alias("y"),
         col("x.gram") === col("y.gram") &&
           col(s"x.$idCol") < col(s"y.$idCol") && sizeOk("x", "y"))
@@ -445,10 +535,21 @@ object DedupIndex {
       .withColumn("sbucket", pmod(col(idCol), lit(nIdBuckets)).cast("int"))
       .repartition(col("sbucket"))
       .write.mode("append").partitionBy("sbucket").parquet(s"$dir/sets")
-    prefixGrams(gramsS, idCol, t0, nBuckets,
+    val prefS = prefixGrams(gramsS, idCol, t0, nBuckets,
         readHotGrams(spark, dir))
+      .localCheckpoint(eager = true)
+    prefS
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/prefix")
+    // stats DELTA: one tiny aggregate of the (checkpointed) batch
+    // prefix. A legacy store WITHOUT the table gets a one-time full
+    // rewrite instead — a delta-only table would under-count the base
+    // rows and could mis-route a huge store to the broadcast join.
+    if (graft.util.Fs.exists(spark, statsPath(dir)))
+      prefS.groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+        .withColumn("src", lit("append"))
+        .repartition(1).write.mode("append").parquet(statsPath(dir))
+    else rewriteStats(spark, dir)
     val (sn, ssum) = fingerprint(survivors, idCol, textCol)
     val bMax = batch.agg(coalesce(max(col(idCol)).cast("long"),
       lit(Long.MinValue))).head().getLong(0)
@@ -582,6 +683,7 @@ object DedupIndex {
       graft.util.Fs.rmTree(spark, setsStaging)
     }
     graft.util.Fs.rmTree(spark, s"$dir/tombstones")
+    rewriteStats(spark, dir) // folded rows leave the stats too
     }
   }
 
@@ -686,25 +788,37 @@ object DedupIndex {
     *
     * Runs automatically inside [[compactFiles]] (the maintenance
     * cadence a streaming ingest already pays — `refreshHot = false`
-    * opts out); callable standalone. Returns the number of grams
+    * opts out); callable standalone. The df recompute is the pass's
+    * only O(corpus) term, so its TRIGGER is stats-driven: it runs
+    * only when the `prefstats/` append-delta mass since the last
+    * maintenance reaches [[RefreshDueFraction]] of the table
+    * (`force = true` overrides) — a huge store whose ingest trickle
+    * is below the threshold pays nothing. Returns the number of grams
     * promoted. */
-  def refreshHotGrams(spark: SparkSession, dir: String): Long =
+  def refreshHotGrams(spark: SparkSession, dir: String,
+      force: Boolean = false): Long =
     graft.util.StoreLease.withLease(spark, dir, "refreshHotGrams") {
       graft.util.IngestMarker.requireAbsent(spark, dir, "refreshHotGrams")
       require(readMeta(spark, dir).getAs[Int]("format_version") == Format,
         s"dedup index at $dir has an unexpected format — rebuild via ensure()")
       recoverStaging(spark, dir)
-      refreshHotGramsLocked(spark, dir)
+      refreshHotGramsLocked(spark, dir, force)
     }
 
   /** [[refreshHotGrams]] body; caller holds the lease and has run the
     * marker/format/staging gates. */
   private def refreshHotGramsLocked(spark: SparkSession,
-      dir: String): Long = {
+      dir: String, force: Boolean = false): Long = {
     import spark.implicits._
     val meta = readMeta(spark, dir)
     val nDocs = meta.getAs[Long]("n_docs")
     if (nDocs == 0) return 0L
+    val due = statsTotals(spark, dir) match {
+      case None => true // legacy store without stats: always due
+      case Some((total, appended)) =>
+        total == 0 || appended.toDouble >= RefreshDueFraction * total
+    }
+    if (!force && !due) return 0L
     val t0 = meta.getAs[Double]("threshold")
     val nBuckets = meta.getAs[Int]("n_buckets")
     val idCol = spark.read.parquet(s"$dir/sets").columns
@@ -724,7 +838,12 @@ object DedupIndex {
       .select(col("gram"))
       .join(readHotGrams(spark, dir), Seq("gram"), "left_anti")
       .collect().map(_.getLong(0))
-    if (newHot.isEmpty) return 0L
+    if (newHot.isEmpty) {
+      // the recompute RAN: reset the append-delta accounting so the
+      // trigger re-arms from here instead of staying permanently due
+      rewriteStats(spark, dir)
+      return 0L
+    }
     // LOUD two-phase window: the extended order and the recut prefixes
     // must land together — a probe seeing one without the other could
     // silently miss pairs, so the whole mutation sits behind a marker
@@ -778,6 +897,7 @@ object DedupIndex {
       }
       graft.util.Fs.rmTree(spark, staging)
     }
+    rewriteStats(spark, dir) // recut buckets + re-armed trigger
     graft.util.IngestMarker.clear(spark, dir)
     newHot.length.toLong
   }

@@ -321,6 +321,16 @@ object RangeJoinNative {
       keys: Seq[String], ptCol: String, loCol: String, hiCol: String,
       splits: Int = 32, hotThreshold: Long = 1000000L): RangeJoinChoice = {
     import org.apache.spark.sql.functions.{count, lit, max, min}
+    // the width/span probe reads the aggregate row with getLong — make
+    // the long-axis assumption (fine for the epoch-µs domain) LOUD for
+    // any other axis type instead of a ClassCastException mid-detection
+    Seq(ptCol -> left, loCol -> right, hiCol -> right).foreach {
+      case (c, side) =>
+        val dt = side.schema(c).dataType
+        require(dt == org.apache.spark.sql.types.LongType,
+          s"chooseRangeJoinForm needs a LongType axis; $c is $dt — " +
+            "cast the axis (e.g. unix_micros) before routing")
+    }
     // the two detection aggregates touch DIFFERENT tables, so they run
     // as CONCURRENT Spark jobs: detection wall cost is max(left count,
     // right width/span) instead of their sum — the left count is one

@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * Protocol, per factor F (plain replicated corpus, no build-time
   * planting, so the build-time hot set never contains the banner):
   *   - corpus = half the docs → build at t = 0.9;
-  *   - K append batches from the other half, a 20% slice of each batch
-  *     carrying a 12-token banner prefix — banner df crosses the
-  *     max(64, 0.002·n) threshold within the first batches and keeps
-  *     growing;
+  *   - K append batches from the other half, HALF of each batch
+  *     replaced by short banner docs (12-token banner + 6 unique tail
+  *     tokens — prefix length 2, so pre-refresh prefixes are almost
+  *     surely banner grams and one gram's posting holds every banner
+  *     doc, while ≥ 6 rare tail grams make every prefix all-cold
+  *     after refresh) — banner df crosses the max(64, 0.002·n)
+  *     threshold within the first batches and keeps growing;
   *   - two stores, same batch sequence: "plain" (no maintenance — the
   *     drift hazard curve) and "maint" (`DedupIndex.refreshHotGrams`
   *     every R appends — the bounded curve);
@@ -94,15 +97,30 @@ object DriftBench {
         .select(col("doc_id"), col("text")).localCheckpoint(true)
       val corpus = docs.filter(col("doc_id") % 2 === 0)
       val appendSrc = docs.filter(col("doc_id") % 2 =!= 0)
-      // banner planted on a 20% slice of every APPEND batch only
+      // banner docs: banner + 6 per-doc-unique tail tokens. The shape
+      // is the sharpest refreshABLE drift case: 16 grams, prefix
+      // length 2, ten shared banner grams — pre-refresh the two
+      // lowest-hash grams are almost surely banner grams (one gram's
+      // posting list holds ~every banner doc → the quadratic), while
+      // the 6-token tail yields ≥ 6 rare grams, more than the prefix,
+      // so POST-refresh every prefix is all-cold and candidates
+      // collapse. (A tail shorter than the prefix would be the
+      // documented output-bound-boilerplate case refresh cannot and
+      // should not fix.) Pairwise banner-doc Jaccard ≈ 10/22 < 0.9,
+      // so nothing actually drops — pure candidate pressure.
+      def tail6(id: org.apache.spark.sql.Column) =
+        concat_ws(" ", (0 until 6).map(j =>
+          concat(lit(s"tl$j"), pmod(id + j * 7919, lit(1000003))
+            .cast("string"))): _*)
+      // banner planted on HALF of every APPEND batch only
       def withBanner(batch: DataFrame): DataFrame = batch.select(
         col("doc_id"),
-        when(pmod(xxhash64(col("doc_id"), lit(3)), lit(5)) === 0,
-          concat(lit(banner + " "), col("text")))
+        when(pmod(xxhash64(col("doc_id"), lit(3)), lit(2)) === 0,
+          concat(lit(banner + " "), tail6(col("doc_id"))))
           .otherwise(col("text")).as("text"))
-      // fixed banner-bearing probe: re-crawls of 50 corpus docs plus
-      // 50 banner-carrying versions of them — re-keyed per round so
-      // ids stay above the growing store max
+      // fixed probe shape: re-crawls of 50 corpus docs plus 50
+      // banner-shaped docs — re-keyed per round so ids stay above the
+      // growing store max
       val probeSrc = corpus.orderBy(col("doc_id")).limit(50)
         .localCheckpoint(true)
       // one store per mode, fed the identical batch sequence
@@ -121,7 +139,8 @@ object DriftBench {
               col("text"))
             .unionByName(probeSrc.select(
               (col("doc_id") + off + 500000L).as("doc_id"),
-              concat(lit(banner + " "), col("text")).as("text")))
+              concat(lit(banner + " "),
+                tail6(col("doc_id") + off)).as("text")))
           val (_, s) = secs(graft.llm.DedupIndex.probe(batch, dir,
             threshold = 0.9).count())
           s

@@ -504,11 +504,43 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.ensure(live, dir, threshold = t)
     assert(DedupIndex.buildsThisProcess == b0,
       "refresh drifted the fingerprint — ensure rebuilt")
-    // idempotent: nothing newly hot on a second pass
+    // idempotent: a FORCED second recompute finds nothing newly hot
+    assert(DedupIndex.refreshHotGrams(spark, dir, force = true) == 0L)
+    // the stats-driven trigger: right after maintenance nothing has
+    // been appended, so an unforced refresh is skipped for free
     assert(DedupIndex.refreshHotGrams(spark, dir) == 0L)
     // and compactFiles runs it implicitly: no-op here, still green
     DedupIndex.compactFiles(spark, dir)
     assert(pairsOf() == before, "compactFiles-with-refresh changed results")
+  }
+
+  test("stats-routed candidate join: broadcast and salted forms are " +
+      "row-identical; a store without prefstats takes the salted path") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/route"
+    def near(i: Int): String =
+      (i until i + 12).map(w => s"r$w").mkString(" ")
+    val corpus = df((0L until 40L).map(i => (i, near(i.toInt * 2))))
+    val batch = df((100L until 130L).map(i =>
+      (i, near(((i - 100L) * 3).toInt))))
+    DedupIndex.build(corpus, dir, threshold = 0.5)
+    assert(graft.util.Fs.exists(spark, s"$dir/prefstats"),
+      "build wrote no prefstats table")
+    def pairs() = DedupIndex.probePairs(batch, dir, threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBroadcast = pairs() // fixture scale → stats route broadcast
+    assert(viaBroadcast.nonEmpty, "fixture vacuous")
+    // deleting the stats table forces the legacy/salted route
+    graft.util.Fs.rmTree(spark, s"$dir/prefstats")
+    assert(pairs() == viaBroadcast,
+      "salted and broadcast candidate joins disagree")
+    // append works without stats (legacy store) and re-creates deltas;
+    // probe results stay exact afterwards
+    assert(DedupIndex.append(df(Seq((500L, near(4)))), dir,
+      threshold = 0.5).count() == 0) // near(4) dups corpus doc 2
+    assert(graft.util.Fs.exists(spark, s"$dir/prefstats"),
+      "append wrote no stats delta")
   }
 
   test("single-writer lease: every mutating op fails LOUD while a " +
