@@ -1020,5 +1020,153 @@ object DedupIndex {
         |SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_checksum
         |FROM batch WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin))
 
-  def all: Seq[QueryDef] = Seq(ingest)
+  // ------------------------------------------------------------------
+  // d18 — hot-gram DRIFT lifecycle under the d9 pair-graph oracle
+  // ------------------------------------------------------------------
+
+  private def driftDirFor(sfDir: String): String =
+    graft.util.Fixtures.dir + "/dedup_drift_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The planted drift banner: 12 tokens outside the fixture
+    * vocabulary, literal-identical in the oracle SQL. */
+  private val DriftBanner: String =
+    (0 until 12).map(i => s"zzdrift$i").mkString(" ")
+
+  /** d18 — dedup-index DRIFT lifecycle: the banner exists in NO corpus
+    * doc (so the build-time hot set cannot contain its grams) and is
+    * planted on half of each of two APPEND batches — the
+    * new-crawl-source scenario whose df crosses the hot threshold only
+    * after build. Sequence: build → append(b1) → append(b2) →
+    * probePairs(fixed re-crawl) → [[refreshHotGrams]] →
+    * probePairs again. In-query gates beyond the oracle:
+    *   1. the refresh PROMOTED the banner (≥ 10 grams — its interior
+    *      windows — promoted; the unforced trigger path fires because
+    *      the two appends are well over the 2% stats threshold);
+    *   2. refresh is probe-INVISIBLE: the two probePairs results are
+    *      row-identical (completeness under the extended order);
+    *   3. the banner's own grams are absent from every stored prefix
+    *      after the refresh (the quadratic path is closed);
+    *   4. ensure() over the live corpus after the refresh is a pure
+    *      load — refresh never touches membership or fingerprint.
+    * Emitted row: kept count + id checksum of BOTH appends' survivors,
+    * hash-checked against the DuckDB brute-force pair graph with the
+    * banner planting and the two-stage keeper semantics replayed in
+    * SQL (a batch-1 doc that dropped is not in the store when batch 2
+    * probes, so it cannot cause batch-2 drops). */
+  val drift = QueryDef(
+    "d18_dedup_index_drift",
+    { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      require(mx < 1000000L,
+        s"d18 fixture re-keying assumes doc_id < 1e6, got max $mx")
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      def plant(mod4: Int, mod8: Int, off: Long): DataFrame =
+        docs.filter(col("doc_id") % 4 === mod4)
+          .select((col("doc_id") + off).as("doc_id"),
+            when(col("doc_id") % 8 === mod8 && col("text").isNotNull,
+              concat(lit(DriftBanner + " "), col("text")))
+              .otherwise(col("text")).as("text"))
+      val b1 = plant(1, 1, 2000000L)
+      val b2 = plant(3, 3, 3000000L)
+      val dir = driftDirFor(d)
+      graft.util.StoreLease.break(s, dir) // fixture dir
+      graft.util.Fs.rmTree(s, dir)
+      build(corpus, dir, threshold = 0.9)
+      val kept1 = append(b1, dir, threshold = 0.9)
+        .localCheckpoint(eager = true)
+      val kept2 = append(b2, dir, threshold = 0.9)
+        .localCheckpoint(eager = true)
+      // fixed re-crawl: exact copies of corpus docs (guaranteed pairs)
+      // plus banner-carrying copies — both id spaces above the store
+      val recrawl = corpus.filter(col("doc_id") % 10 === 2 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + 4000000).as("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 10 === 4 &&
+            col("text").isNotNull)
+          .select((col("doc_id") + 5000000).as("doc_id"),
+            concat(lit(DriftBanner + " "), col("text")).as("text")))
+      def pairsOf(): DataFrame =
+        probePairs(recrawl, dir, threshold = 0.9)
+          .select(col("doc_a"), col("doc_b"))
+          .localCheckpoint(eager = true)
+      val before = pairsOf()
+      val promoted = refreshHotGrams(s, dir) // unforced: trigger path
+      val after = pairsOf()
+      val refreshInvisible =
+        after.exceptAll(before).count() == 0 &&
+          before.exceptAll(after).count() == 0
+      // the banner's own grams: interior windows shared by any two
+      // banner docs regardless of their tails
+      val bannerGrams = {
+        import s.implicits._
+        val two = Seq((1L, DriftBanner + " qa1 qa2 qa3"),
+          (2L, DriftBanner + " qb1 qb2 qb3")).toDF("doc_id", "text")
+        Dedup.shingleHashes(two, "doc_id", "text")
+          .collect().map(_.getSeq[Long](1).toSet).reduce(_ intersect _)
+      }
+      val bannerInPrefix = s.read.parquet(s"$dir/prefix")
+        .filter(col("gram").isin(bannerGrams.toSeq.map(Long.box): _*))
+        .count()
+      val live = corpus
+        .unionByName(b1.join(kept1, Seq("doc_id"), "left_semi"))
+        .unionByName(b2.join(kept2, Seq("doc_id"), "left_semi"))
+      val builds0 = buildsThisProcess
+      ensure(live, dir, threshold = 0.9)
+      val noRebuild = buildsThisProcess == builds0
+      kept1.unionByName(kept2)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("kept_checksum"))
+        .filter(lit(promoted >= 10 && refreshInvisible &&
+          bannerInPrefix == 0 && noRebuild && before.count() > 0))
+    },
+    oracle = Some {
+      val ban = DriftBanner
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |b1 AS (SELECT doc_id + 2000000 AS doc_id,
+        |              CASE WHEN flag THEN '$ban ' || text ELSE text END AS text
+        |       FROM (SELECT doc_id, text,
+        |                    (doc_id % 8 = 1 AND text IS NOT NULL) AS flag
+        |             FROM documents WHERE doc_id % 4 = 1)),
+        |b2 AS (SELECT doc_id + 3000000 AS doc_id,
+        |              CASE WHEN flag THEN '$ban ' || text ELSE text END AS text
+        |       FROM (SELECT doc_id, text,
+        |                    (doc_id % 8 = 3 AND text IS NOT NULL) AS flag
+        |             FROM documents WHERE doc_id % 4 = 3)),
+        |u AS (SELECT * FROM corpus UNION ALL SELECT * FROM b1
+        |      UNION ALL SELECT * FROM b2),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |         FROM u WHERE text IS NOT NULL),
+        |tri AS (SELECT doc_id,
+        |               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |                    ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |               END AS sh
+        |        FROM toks),
+        |shd AS (SELECT doc_id, unnest(sh) AS s FROM tri),
+        |cnt AS (SELECT doc_id, count(*) AS c FROM shd GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS pa, b.doc_id AS pb, count(*) AS ix
+        |          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |prs AS (SELECT pa, pb FROM inter
+        |        JOIN cnt ca ON pa = ca.doc_id JOIN cnt cb ON pb = cb.doc_id
+        |        WHERE ix * 1.0 / (ca.c + cb.c - ix) >= 0.9),
+        |drops1 AS (SELECT DISTINCT pb AS id FROM prs
+        |           WHERE pb >= 2000000 AND pb < 3000000 AND pa < 3000000),
+        |drops2 AS (SELECT DISTINCT pb AS id FROM prs
+        |           WHERE pb >= 3000000
+        |             AND (pa < 2000000 OR pa >= 3000000
+        |                  OR (pa >= 2000000 AND pa < 3000000
+        |                      AND pa NOT IN (SELECT id FROM drops1))))
+        |SELECT count(*) AS n_kept,
+        |       CAST(sum(doc_id) AS BIGINT) AS kept_checksum
+        |FROM (SELECT doc_id FROM b1
+        |      WHERE doc_id NOT IN (SELECT id FROM drops1)
+        |      UNION ALL
+        |      SELECT doc_id FROM b2
+        |      WHERE doc_id NOT IN (SELECT id FROM drops2))""".stripMargin
+    })
+
+  def all: Seq[QueryDef] = Seq(ingest, drift)
 }
