@@ -197,7 +197,12 @@ object DedupIndex {
     * decrement) — conservative for both consumers. A store without
     * the table (pre-r15 layout) routes to the salted join and an
     * always-due refresh: the safe legacy defaults. */
-  private val BroadcastStoreRows = 1000000L
+  // ~256k prefix rows ≈ 6 MB columnar / tens of MB as a built
+  // broadcast relation — safe for a default-memory driver (the
+  // BroadcastExchange build amplifies; a 1M-row limit courted OOM on
+  // 1g drivers while buying nothing: the regime this path serves —
+  // early ingest loops and fixture scale — sits far below either)
+  private val BroadcastStoreRows = 262144L
   private val RefreshDueFraction = 0.02
 
   private def statsPath(dir: String) = s"$dir/prefstats"
