@@ -432,14 +432,12 @@ object DedupIndex {
     //    O(micro-batch) SMALL side — and the output is identical.
     // Both forms are row-identical (asserted in DedupIndexSpec by
     // deleting prefstats and re-probing).
-    val probedStoreRows = statsTotals(spark, dir) match {
-      case None => Long.MaxValue
-      case Some(_) =>
-        try readStats(spark, dir)
-          .filter(col("bucket").isin(probeBuckets.map(Int.box).toSeq: _*))
-          .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
-        catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
-    }
+    val probedStoreRows =
+      if (!graft.util.Fs.exists(spark, statsPath(dir))) Long.MaxValue
+      else try readStats(spark, dir)
+        .filter(col("bucket").isin(probeBuckets.map(Int.box).toSeq: _*))
+        .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     val candSB =
       if (probedStoreRows <= BroadcastStoreRows)
         broadcast(storePref).alias("x")
