@@ -317,18 +317,33 @@ object RangeJoinNative {
     *    for a negative axis, where the composed form's truncating
     *    `div` is not a floor.
     */
+  /** Detection wall-clock bound (r15 verdict nit): a hung scan on
+    * either side must not block the router forever — past the bound
+    * the router falls back to SALTED, the always-correct form (all
+    * three are row-identical; a suboptimal choice costs time, never
+    * rows). Overridable via -Dgraft.rangejoin.detectTimeoutSec. */
+  private def detectTimeout: scala.concurrent.duration.Duration =
+    scala.concurrent.duration.Duration(
+      sys.props.get("graft.rangejoin.detectTimeoutSec")
+        .flatMap(_.toLongOption).filter(_ > 0).getOrElse(600L),
+      java.util.concurrent.TimeUnit.SECONDS)
+
   def chooseRangeJoinForm(left: DataFrame, right: DataFrame,
       keys: Seq[String], ptCol: String, loCol: String, hiCol: String,
       splits: Int = 32, hotThreshold: Long = 1000000L): RangeJoinChoice = {
     import org.apache.spark.sql.functions.{count, lit, max, min}
-    // the width/span probe reads the aggregate row with getLong — make
-    // the long-axis assumption (fine for the epoch-µs domain) LOUD for
-    // any other axis type instead of a ClassCastException mid-detection
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    // the width/span probe reads the aggregate row with getLong, so the
+    // detection aggregates CAST the axis to long — any integral axis
+    // routes (r15 advice: the strict LongType require rejected int/short
+    // axes the forms themselves accept after rangeJoinAuto's widening);
+    // a non-integral axis (string, decimal) still fails LOUD here
     Seq(ptCol -> left, loCol -> right, hiCol -> right).foreach {
       case (c, side) =>
         val dt = side.schema(c).dataType
-        require(dt == org.apache.spark.sql.types.LongType,
-          s"chooseRangeJoinForm needs a LongType axis; $c is $dt — " +
+        require(Seq(org.apache.spark.sql.types.LongType, IntegerType,
+          ShortType, ByteType).contains(dt),
+          s"chooseRangeJoinForm needs an integral axis; $c is $dt — " +
             "cast the axis (e.g. unix_micros) before routing")
     }
     // the two detection aggregates touch DIFFERENT tables, so they run
@@ -339,25 +354,65 @@ object RangeJoinNative {
     // overlaps the left scan and adds no wall time
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
+    // both detection jobs run in a dedicated JOB GROUP (r15 advice): an
+    // early return cancels the still-running speculative right-side
+    // aggregate instead of leaving it consuming cluster resources, and
+    // a failure it hits before cancellation is logged at WARN rather
+    // than silently dropped
+    val sc = left.sparkSession.sparkContext
+    val groupId =
+      s"graft-rangejoin-detect-${java.util.UUID.randomUUID()}"
+    @volatile var abandoned = false
+    def inGroup[T](body: => T): T = {
+      sc.setJobGroup(groupId, "rangeJoin form detection",
+        interruptOnCancel = true)
+      try body finally sc.clearJobGroup()
+    }
+    def abandon(): Unit = { abandoned = true; sc.cancelJobGroup(groupId) }
     // bounded result: ≤ |L| / hotThreshold keys survive the filter
-    val nHotF = Future(left.groupBy(keys.map(col): _*)
+    val nHotF = Future(inGroup(left.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__rja_n"))
       .filter(col("__rja_n") > hotThreshold)
-      .count())
-    val spanF = Future(right.agg(
-      max(col(hiCol) - col(loCol)).as("w"),
-      min(col(loCol)).as("lo"),
-      max(col(hiCol)).as("hi")).head())
+      .count()))
+    val spanF = Future(
+      if (abandoned) null
+      else inGroup(right.agg(
+        max(col(hiCol).cast("long") - col(loCol).cast("long")).as("w"),
+        min(col(loCol).cast("long")).as("lo"),
+        max(col(hiCol).cast("long")).as("hi")).head()))
+    spanF.onComplete {
+      case scala.util.Failure(e) if !abandoned =>
+        System.err.println("[rangeJoinAuto] WARN speculative right-side " +
+          s"span aggregate failed: ${Option(e.getMessage)
+            .getOrElse(e.getClass.getName).take(200)}")
+      case _ => ()
+    }
     // await the LEFT aggregate first and decide "native" on nHot == 0
     // WITHOUT awaiting the right side (r14 advice): on a cold workload
     // the right aggregate is wasted-work overlap only, and a failure or
     // hang scanning the right table must not fail/block a call that
-    // never needed it — the speculative future's error goes unobserved
-    // by design
-    val nHot = Await.result(nHotF, Duration.Inf)
-    if (nHot == 0) return RangeJoinChoice("native", 0L, 0L, 0L)
-    val s = Await.result(spanF, Duration.Inf)
+    // never needed it. The await is BOUNDED (r15 nit): a hung left scan
+    // abandons detection and routes to the salted form.
+    val nHot =
+      try Await.result(nHotF, detectTimeout)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          abandon()
+          System.err.println("[rangeJoinAuto] WARN detection timed out " +
+            s"after $detectTimeout — routing to the salted form")
+          return RangeJoinChoice("salted", -1L, 0L, 0L)
+      }
+    if (nHot == 0) { abandon(); return RangeJoinChoice("native", 0L, 0L, 0L) }
+    val s =
+      try Await.result(spanF, detectTimeout)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          abandon()
+          System.err.println("[rangeJoinAuto] WARN span detection timed " +
+            s"out after $detectTimeout — routing to the salted form")
+          return RangeJoinChoice("salted", nHot, 0L, 0L)
+      }
+    if (s == null) return RangeJoinChoice("salted", nHot, 0L, 0L)
     if (s.isNullAt(0)) return RangeJoinChoice("native", nHot, 0L, 0L)
     val bucketWidth = math.max(1L, s.getLong(0))
     val span = s.getLong(2) - s.getLong(1)
@@ -380,11 +435,29 @@ object RangeJoinNative {
     * rule. */
   def rangeJoinAuto(left: DataFrame, right: DataFrame,
       keys: Seq[String], ptCol: String, loCol: String, hiCol: String,
-      splits: Int = 32, hotThreshold: Long = 1000000L): DataFrame =
-    rangeJoinChosen(left, right, keys, ptCol, loCol, hiCol,
-      chooseRangeJoinForm(left, right, keys, ptCol, loCol, hiCol,
+      splits: Int = 32, hotThreshold: Long = 1000000L): DataFrame = {
+    // widen any integral axis to long ONCE so the router and all three
+    // forms share the long-axis contract (r15 advice: int/short axes
+    // must route instead of failing at the router's entry), then cast
+    // back so the caller's output schema is exactly the input's —
+    // widening is value-preserving for every integral type
+    import org.apache.spark.sql.types.DataType
+    val ptT = left.schema(ptCol).dataType
+    val loT = right.schema(loCol).dataType
+    val hiT = right.schema(hiCol).dataType
+    def widen(df: DataFrame, c: String, t: DataType): DataFrame =
+      if (t == LongType) df else df.withColumn(c, col(c).cast(LongType))
+    val l = widen(left, ptCol, ptT)
+    val r = widen(widen(right, loCol, loT), hiCol, hiT)
+    val out = rangeJoinChosen(l, r, keys, ptCol, loCol, hiCol,
+      chooseRangeJoinForm(l, r, keys, ptCol, loCol, hiCol,
         splits, hotThreshold),
       splits, hotThreshold)
+    def narrow(df: DataFrame, c: String, t: DataType): DataFrame =
+      if (t == LongType || !df.columns.contains(c)) df
+      else df.withColumn(c, col(c).cast(t))
+    narrow(narrow(narrow(out, ptCol, ptT), loCol, loT), hiCol, hiT)
+  }
 
   /** Dispatch a PRECOMPUTED [[RangeJoinChoice]] — the amortization hook
     * for repeat callers (a nightly join over a slowly-drifting key

@@ -210,8 +210,13 @@ object DriftBench {
           bannerGrams.count(hot.contains)},"banner_prefix_rows":$inPrefix}"""
         System.err.println(s"[drift] ${results.last}")
       }
-      val invariant = checks.get("plain").zip(checks.get("maint"))
-        .forall { case (a, b) => a.zip(b).forall(t => t._1 == t._2) }
+      // a mode that errored mid-campaign must FAIL the invariant, not
+      // vacuously pass it (r15 advice): both modes must be present,
+      // have completed the same number of appends, and agree exactly
+      val invariant = (checks.get("plain"), checks.get("maint")) match {
+        case (Some(a), Some(b)) => a.size == b.size && a == b
+        case _ => false
+      }
       results += s"""{"factor":$f,"kept_invariant":$invariant,"plain_appends":${
         checks.getOrElse("plain", Nil).size},"maint_appends":${
         checks.getOrElse("maint", Nil).size}}"""

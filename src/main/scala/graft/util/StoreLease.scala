@@ -21,13 +21,20 @@ import org.apache.hadoop.fs.Path
   * an ingest loop's scheduler owns retry policy, and a silent wait
   * here would just hide the overlap the lease exists to surface.
   *
-  * Atomicity: on `file:` the lock is created with POSIX
-  * O_CREAT|O_EXCL (`File.createNewFile`); on HDFS,
-  * `FileSystem.create(p, overwrite = false)` is an atomic
-  * namespace operation. Object stores without atomic
-  * create-if-absent (plain S3) would need their conditional-put
-  * primitive; the Hadoop-API fallback is best-effort there — the
-  * same caveat the stage-and-swap rename already documents.
+  * Atomicity: on `file:` the lock is created with
+  * `Files.writeString(..., CREATE_NEW)` — one atomic create WITH the
+  * owner line, so a racing loser (or a post-crash reader) can never
+  * observe an empty/anonymous holder; on HDFS,
+  * `FileSystem.create(p, overwrite = false)` is an atomic namespace
+  * operation. Object stores without atomic create-if-absent (plain
+  * S3) need their conditional-put primitive plugged in via
+  * [[LockPrimitive]]/[[setPrimitive]] (S3 conditional writes, GCS
+  * if-generation-match, ABFS ETag-if-none-match all fit the
+  * interface); under the DEFAULT primitive a known-non-atomic scheme
+  * fails HARD when `-Dgraft.lease.requireAtomic=true` and otherwise
+  * logs one loud WARN per scheme — the two-writer window silently
+  * reopening on exactly the storage class a 100 TB deployment runs
+  * on was the r15 "Missing #2".
   *
   * Crash recovery: a holder that dies leaves the lock file. Every
   * later mutating op fails LOUD naming the dead holder (pid, op,
@@ -38,7 +45,94 @@ import org.apache.hadoop.fs.Path
   * live writer (a straggling 100 TB append) be silently overlapped,
   * which is exactly the corruption this guards against.
   */
+/** The one operation a correct lease needs from storage: create the
+  * lock file WITH its owner content if and only if it does not already
+  * exist, atomically. Pluggable so an object-store deployment can
+  * supply its conditional-put (S3 If-None-Match, GCS
+  * if-generation-match, DynamoDB conditional item, ...) without
+  * touching any store code. */
+trait LockPrimitive {
+  /** True iff this call created the lock (and wrote `owner` into it)
+    * atomically; false iff it already existed. Throw for anything
+    * else. */
+  def tryCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      owner: String): Boolean
+
+  /** Schemes on which [[tryCreate]] is NOT atomic for this primitive
+    * (create-if-absent races). Empty for a conditional-put
+    * implementation. */
+  def nonAtomicSchemes: Set[String]
+}
+
+/** Default primitive: POSIX atomic create-with-content on `file:`,
+  * Hadoop atomic-namespace create on HDFS-like filesystems. Plain
+  * object-store schemes are declared non-atomic (their Hadoop
+  * connectors implement create(overwrite=false) as check-then-put). */
+object HadoopAtomicCreate extends LockPrimitive {
+  def tryCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      owner: String): Boolean =
+    if (fs.getScheme == "file") {
+      // one atomic O_CREAT|O_EXCL create WITH the owner line (r15
+      // advice: a createNewFile-then-write pair has a window where a
+      // racing loser reads an empty holder)
+      try {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(p.toUri.getPath), owner,
+          java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try {
+        val out = fs.create(p, false) // atomic namespace op on HDFS
+        out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+
+  val nonAtomicSchemes: Set[String] = Set(
+    "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos", "swift")
+}
+
 object StoreLease {
+
+  @volatile private var primitive: LockPrimitive = HadoopAtomicCreate
+
+  /** Install a deployment's lock primitive (e.g. an S3 conditional-put
+    * implementation). Returns the previous one so tests can restore. */
+  def setPrimitive(p: LockPrimitive): LockPrimitive = {
+    val prev = primitive
+    primitive = p
+    prev
+  }
+
+  private val warnedSchemes =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Fail hard (flag-gated) or warn LOUD once per scheme when the
+    * active primitive cannot create-if-absent atomically on `scheme` —
+    * the silent two-writer window must never be silent. Exposed
+    * package-private so the spec can drive it without mounting an
+    * object store. */
+  private[util] def requireAtomicCreate(scheme: String): Unit =
+    if (primitive.nonAtomicSchemes.contains(scheme)) {
+      if (sys.props.get("graft.lease.requireAtomic").contains("true"))
+        throw new IllegalStateException(
+          s"store lease on scheme '$scheme' has NO atomic " +
+            "create-if-absent under the current lock primitive — two " +
+            "concurrent writers could both acquire it. Plug a " +
+            "conditional-put LockPrimitive via StoreLease.setPrimitive " +
+            "or unset -Dgraft.lease.requireAtomic to accept " +
+            "best-effort locking.")
+      else if (warnedSchemes.add(scheme))
+        System.err.println(s"[StoreLease] WARN scheme '$scheme' has no " +
+          "atomic create-if-absent: the writer lease is BEST-EFFORT " +
+          "(two racing writers may both acquire). Plug a " +
+          "conditional-put LockPrimitive via StoreLease.setPrimitive, " +
+          "or set -Dgraft.lease.requireAtomic=true to fail instead.")
+    }
 
   private def lockPath(dir: String): Path = {
     val d = if (dir.endsWith("/")) dir.dropRight(1) else dir
@@ -63,21 +157,8 @@ object StoreLease {
     val owner = s"pid=${ProcessHandle.current().pid()} " +
       s"thread=${Thread.currentThread().getName} op=$op " +
       s"acquired_ms=${System.currentTimeMillis()}"
-    val acquired =
-      if (fs.getScheme == "file") {
-        val f = new java.io.File(p.toUri.getPath)
-        val created = f.createNewFile() // O_CREAT|O_EXCL — atomic
-        if (created)
-          java.nio.file.Files.writeString(f.toPath, owner): Unit
-        created
-      } else {
-        try {
-          val out = fs.create(p, false) // atomic namespace op on HDFS
-          out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          out.close()
-          true
-        } catch { case _: java.io.IOException => false }
-      }
+    requireAtomicCreate(fs.getScheme)
+    val acquired = primitive.tryCreate(fs, p, owner)
     if (!acquired) {
       val holder = try {
         val in = fs.open(p)

@@ -255,6 +255,77 @@ class RangeJoinNativeSpec extends SparkSpec {
     }
   }
 
+  test("router: an INT axis routes (widened internally) and the routed " +
+      "output preserves the caller's int schema and rows") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(31L)
+    val leftI = (1 to 300).map(i =>
+      (rnd.nextInt(6).toLong, i.toLong, rnd.nextInt(900)))
+      .toDF("k", "lid", "pt") // pt: IntegerType
+    val rightI = (1 to 60).map { i =>
+      val lo = i * 15
+      (rnd.nextInt(6).toLong, i.toLong, lo, lo + 2 + rnd.nextInt(10))
+    }.toDF("k", "rid", "lo", "hi") // lo/hi: IntegerType
+    val ch = RangeJoinNative.chooseRangeJoinForm(leftI, rightI,
+      Seq("k"), "pt", "lo", "hi", splits = 4, hotThreshold = 10L)
+    assert(Seq("native", "composed", "salted").contains(ch.form))
+    val auto = RangeJoinNative.rangeJoinAuto(leftI, rightI,
+      Seq("k"), "pt", "lo", "hi", splits = 4, hotThreshold = 10L)
+    // schema round-trip: the widening is internal
+    import org.apache.spark.sql.types.IntegerType
+    assert(auto.schema("pt").dataType == IntegerType &&
+      auto.schema("lo").dataType == IntegerType &&
+      auto.schema("hi").dataType == IntegerType,
+      s"int axis schema not preserved: ${auto.schema.simpleString}")
+    val got = auto.select("k", "lid", "pt", "rid", "lo", "hi")
+      .collect().map(_.toSeq).toSet
+    val want = RangeJoinNative.rangeJoinNative(
+        leftI.withColumn("pt", col("pt").cast("long")),
+        rightI.withColumn("lo", col("lo").cast("long"))
+          .withColumn("hi", col("hi").cast("long")),
+        Seq("k"), "pt", "lo", "hi")
+      .select("k", "lid", "pt", "rid", "lo", "hi")
+      .collect().map(r => Seq(r.getLong(0), r.getLong(1),
+        r.getLong(2).toInt, r.getLong(3), r.getLong(4).toInt,
+        r.getLong(5).toInt)).toSet
+    assert(got == want && got.nonEmpty, "int-axis routed join diverged")
+    // a genuinely non-integral axis still fails loud at the router
+    val eBad = intercept[IllegalArgumentException] {
+      RangeJoinNative.chooseRangeJoinForm(
+        leftI.withColumn("pt", col("pt").cast("string")), rightI,
+        Seq("k"), "pt", "lo", "hi")
+    }
+    assert(eBad.getMessage.contains("integral"))
+  }
+
+  test("router: a hung left scan hits the detection timeout and falls " +
+      "back to the always-correct salted form") {
+    val s = spark; import s.implicits._
+    val slow = udf { (x: Long) => Thread.sleep(30000L); x }
+    val leftSlow = s.range(2).select(slow(col("id")).as("k"),
+      col("id").as("lid"), col("id").as("pt"))
+    val right = Seq((0L, 1L, 0L, 10L)).toDF("k", "rid", "lo", "hi")
+    val prev = sys.props.put("graft.rangejoin.detectTimeoutSec", "1")
+    try {
+      val t0 = System.nanoTime()
+      val ch = RangeJoinNative.chooseRangeJoinForm(leftSlow, right,
+        Seq("k"), "pt", "lo", "hi")
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      assert(ch.form == "salted",
+        s"timeout must route to salted, got ${ch.form}")
+      assert(ch.nHotKeys == -1L, "timeout choice must be marked unmeasured")
+      assert(elapsed < 25.0,
+        s"router blocked $elapsed s — the await bound did not hold")
+    } finally {
+      prev match {
+        case Some(v) =>
+          sys.props.put("graft.rangejoin.detectTimeoutSec", v): Unit
+        case None =>
+          sys.props.remove("graft.rangejoin.detectTimeoutSec"): Unit
+      }
+    }
+  }
+
   test("AQE re-planning preserves the native merges and their results") {
     val (left, right) = randomCase(13L)
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "false")

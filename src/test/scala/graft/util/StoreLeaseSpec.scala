@@ -63,6 +63,94 @@ class StoreLeaseSpec extends SparkSpec {
     StoreLease.release(spark, dir)
   }
 
+  test("the owner line is written atomically with the lock: a reader " +
+      "immediately after acquire never sees an empty holder") {
+    Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/atomic"
+    Fs.mkdirs(spark, dir)
+    StoreLease.acquire(spark, dir, "atomic-writer")
+    val held = StoreLease.heldBy(spark, dir)
+    assert(held.exists(h => h.contains("pid=") && h.contains("atomic-writer")),
+      s"holder line missing or empty: $held")
+    StoreLease.release(spark, dir)
+  }
+
+  test("non-atomic scheme guard: warns by default, fails hard under " +
+      "-Dgraft.lease.requireAtomic=true, and tracks the primitive's " +
+      "own declaration (simulated non-atomic filesystem)") {
+    // the default primitive declares plain object-store schemes
+    // non-atomic: loud-warn path must not throw
+    StoreLease.requireAtomicCreate("s3a")
+    // flag-gated hard failure
+    val prev = sys.props.put("graft.lease.requireAtomic", "true")
+    try {
+      val e = intercept[IllegalStateException] {
+        StoreLease.requireAtomicCreate("s3a")
+      }
+      assert(e.getMessage.contains("conditional-put"),
+        s"remedy not named in: ${e.getMessage}")
+      // a SIMULATED non-atomic local filesystem: a primitive that
+      // declares file: non-atomic makes every acquire on file: fail
+      // while the flag is up — the guard follows the primitive, not a
+      // hardcoded list
+      val old = StoreLease.setPrimitive(new LockPrimitive {
+        def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
+            p: org.apache.hadoop.fs.Path, owner: String): Boolean =
+          HadoopAtomicCreate.tryCreate(fs, p, owner)
+        val nonAtomicSchemes: Set[String] = Set("file")
+      })
+      try {
+        Fs.rmRecursive(new java.io.File(base))
+        val dir = s"$base/nonatomic"
+        Fs.mkdirs(spark, dir)
+        intercept[IllegalStateException] {
+          StoreLease.acquire(spark, dir, "doomed-writer")
+        }
+        assert(StoreLease.heldBy(spark, dir).isEmpty,
+          "guard failure must not leave a lock behind")
+      } finally StoreLease.setPrimitive(old): Unit
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.lease.requireAtomic", v): Unit
+        case None => sys.props.remove("graft.lease.requireAtomic"): Unit
+      }
+    }
+  }
+
+  test("a plugged conditional-put primitive is the acquisition path " +
+      "and an atomic one silences the scheme guard") {
+    Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/plugged"
+    Fs.mkdirs(spark, dir)
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val old = StoreLease.setPrimitive(new LockPrimitive {
+      def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
+          p: org.apache.hadoop.fs.Path, owner: String): Boolean = {
+        calls.incrementAndGet(): Unit
+        HadoopAtomicCreate.tryCreate(fs, p, owner)
+      }
+      val nonAtomicSchemes: Set[String] = Set.empty // conditional-put
+    })
+    try {
+      // an atomic primitive silences the guard even under the flag
+      val prev = sys.props.put("graft.lease.requireAtomic", "true")
+      try StoreLease.requireAtomicCreate("s3a")
+      finally {
+        prev match {
+          case Some(v) => sys.props.put("graft.lease.requireAtomic", v): Unit
+          case None => sys.props.remove("graft.lease.requireAtomic"): Unit
+        }
+      }
+      StoreLease.acquire(spark, dir, "plugged-writer")
+      assert(calls.get() == 1, s"primitive called ${calls.get()} times")
+      intercept[IllegalStateException] {
+        StoreLease.acquire(spark, dir, "second-writer")
+      }
+      assert(calls.get() == 2)
+      StoreLease.release(spark, dir)
+    } finally StoreLease.setPrimitive(old): Unit
+  }
+
   test("vector store: a held lease makes append/delete/compactFiles " +
       "fail LOUD and search stays lock-free") {
     Fs.rmRecursive(new java.io.File(base))
