@@ -42,6 +42,11 @@ import org.apache.spark.sql.functions._
   *     anti-joins it, [[compact]] folds it away rewriting ONLY affected
   *     partitions (stage-and-swap, crash-recoverable — the
   *     [[VectorIndex]] pattern).
+  *   - `gramdf/` — incrementally-maintained per-gram document
+  *     frequency (base + signed per-batch deltas, merge-on-read like
+  *     the tombstones, folded at maintenance), so the hot-gram refresh
+  *     tick costs O(appended) instead of re-exploding the corpus while
+  *     holding the writer lease.
   *   - `meta/` — doc count, XOR fingerprint (incrementally maintained:
   *     append XORs survivors in, delete XORs them back out, so
   *     [[ensure]] over the live corpus validates WITHOUT rebuild),
@@ -158,17 +163,106 @@ object DedupIndex {
     * max(64, HotGramFraction · n_docs) — the frozen hot set. */
   private val HotGramFraction = 0.002
 
-  private def computeHotGrams(grams: DataFrame, nDocs: Long): DataFrame =
-    grams.select(explode(col("sh")).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > math.max(64L,
-        (HotGramFraction * nDocs).toLong))
-      .select("gram")
-
   private def hotGramsSchema =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("gram",
         org.apache.spark.sql.types.LongType)))
+
+  // ------------------------------------------------------------------
+  // gramdf/ — incrementally-maintained document frequency (r15 verdict
+  // item 1). The hot-gram refresh needs exact per-gram df over the LIVE
+  // corpus; recomputing it by exploding every stored gram set is an
+  // O(corpus) shuffle executed while holding the single-writer lease —
+  // an ingest stall recurring every ~2% growth. Instead df is
+  // maintained like the tombstones: `gramdf/base/` holds exact (gram,
+  // df) as of build (or the last fold), every append writes a tiny
+  // POSITIVE delta for the survivors' grams, every delete a NEGATIVE
+  // delta for the deleted docs' grams, and merged-on-read sums are
+  // exact at any moment. The refresh tick then needs only the grams
+  // whose count CHANGED since the last evaluation — exactly the grams
+  // present in unfolded deltas — because under a non-decreasing
+  // threshold an unchanged count can never newly cross (every gram was
+  // below its evaluation threshold when last evaluated, and thresholds
+  // only grow with appends). Deletes can shrink the threshold; that
+  // rare case takes a full merged pass — still a scan of the
+  // aggregated df table, never a re-explode of `sets/`. Deltas fold
+  // into base only at maintenance ([[compact]] always, [[compactFiles]]
+  // when the delta file count passes its budget), so a refresh tick
+  // writes nothing corpus-sized.
+  // ------------------------------------------------------------------
+
+  private def gramDfSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("gram",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("df",
+        org.apache.spark.sql.types.LongType)))
+
+  private def gramDfBase(dir: String) = s"$dir/gramdf/base"
+  private def gramDfDelta(dir: String) = s"$dir/gramdf/delta"
+  private def gramDfEval(dir: String) = s"$dir/gramdf/evalmeta"
+
+  private def hasGramDf(spark: SparkSession, dir: String): Boolean =
+    graft.util.Fs.exists(spark, gramDfBase(dir))
+
+  /** Exact per-gram document frequency by explosion — the build-time
+    * seed and the legacy-store fallback. O(total grams in `grams`). */
+  private def gramDfOf(grams: DataFrame): DataFrame =
+    grams.select(explode(col("sh")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+
+  /** The hot-set count threshold at `nDocs` live docs. */
+  private def hotThresholdFor(nDocs: Long): Long =
+    math.max(64L, (HotGramFraction * nDocs).toLong)
+
+  private def writeGramDfEval(spark: SparkSession, dir: String,
+      tEval: Long): Unit = {
+    import spark.implicits._
+    Seq(tEval).toDF("t_eval")
+      .repartition(1).write.mode("overwrite").parquet(gramDfEval(dir))
+  }
+
+  private def readGramDfEval(spark: SparkSession, dir: String): Option[Long] =
+    if (!graft.util.Fs.exists(spark, gramDfEval(dir))) None
+    else try Some(spark.read.parquet(gramDfEval(dir)).head().getLong(0))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Signed per-batch df delta for `grams` (each doc's grams are
+    * distinct, so a per-gram row count IS a doc count). O(batch). */
+  private def writeGramDfDelta(spark: SparkSession, dir: String,
+      grams: DataFrame, sign: Int): Unit =
+    gramDfOf(grams)
+      .select(col("gram"), (col("df") * sign).cast("long").as("df"))
+      .repartition(1).write.mode("append").parquet(gramDfDelta(dir))
+
+  /** Merged-on-read exact df: base plus the signed unfolded deltas.
+    * Grams whose live count reached zero carry df = 0 rows. */
+  private[llm] def mergedGramDf(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.schema(gramDfSchema).parquet(gramDfBase(dir))
+    if (!graft.util.Fs.exists(spark, gramDfDelta(dir))) base
+    else base.unionByName(
+        spark.read.schema(gramDfSchema).parquet(gramDfDelta(dir)))
+      .groupBy("gram").agg(sum(col("df")).as("df"))
+  }
+
+  /** Fold unfolded deltas into an exact rewritten base (maintenance
+    * commit). The base rewrite and delta drop are one atomicity domain
+    * — a crash in between would double-count every folded delta — so
+    * the fold sits behind an [[graft.util.IngestMarker]]: a crash fails
+    * every later op LOUD and ensure() rebuilds, the documented
+    * recovery. Caller holds the writer lease. */
+  private def foldGramDf(spark: SparkSession, dir: String): Unit = {
+    if (!hasGramDf(spark, dir) ||
+      !graft.util.Fs.exists(spark, gramDfDelta(dir))) return
+    val staging = s"$dir/gramdf/base_staging"
+    graft.util.IngestMarker.write(spark, dir, "gramdf delta fold in flight")
+    mergedGramDf(spark, dir).filter(col("df") =!= 0L)
+      .write.mode("overwrite").parquet(staging)
+    graft.util.Fs.rmTree(spark, gramDfBase(dir))
+    graft.util.Fs.rename(spark, staging, gramDfBase(dir)): Unit
+    graft.util.Fs.rmTree(spark, gramDfDelta(dir))
+    graft.util.IngestMarker.clear(spark, dir)
+  }
 
   private def readHotGrams(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(hotGramsSchema).parquet(s"$dir/hotgrams")
@@ -317,9 +411,17 @@ object DedupIndex {
       .write.mode("overwrite").partitionBy("sbucket").parquet(s"$dir/sets")
     // the frozen hot set MUST be persisted before any prefix is cut:
     // every later prefix (probe, append) reads it back so both sides
-    // of every candidate join share one total order forever
+    // of every candidate join share one total order forever. The full
+    // per-gram df aggregate is persisted as `gramdf/base` (ONE
+    // explode+groupBy, reused for the hot cut), seeding the
+    // incrementally-maintained df the refresh tick reads instead of
+    // re-exploding the corpus.
     val nIdx = grams.count()
-    computeHotGrams(grams, nIdx)
+    val tBuild = hotThresholdFor(nIdx)
+    gramDfOf(grams).write.mode("overwrite").parquet(gramDfBase(dir))
+    writeGramDfEval(spark, dir, tBuild)
+    spark.read.schema(gramDfSchema).parquet(gramDfBase(dir))
+      .filter(col("df") > tBuild).select("gram")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$dir/hotgrams")
     prefixGrams(grams, idCol, threshold, nBuckets,
@@ -553,6 +655,12 @@ object DedupIndex {
         .withColumn("src", lit("append"))
         .repartition(1).write.mode("append").parquet(statsPath(dir))
     else rewriteStats(spark, dir)
+    // df DELTA: one tiny aggregate of the survivors' grams, inside the
+    // same marker window as the data writes. A legacy store without
+    // gramdf/ skips it — the refresh's legacy path recomputes and
+    // seeds the table there.
+    if (hasGramDf(spark, dir))
+      writeGramDfDelta(spark, dir, gramsS, sign = 1)
     val (sn, ssum) = fingerprint(survivors, idCol, textCol)
     val bMax = batch.agg(coalesce(max(col(idCol)).cast("long"),
       lit(Long.MinValue))).head().getLong(0)
@@ -603,12 +711,24 @@ object DedupIndex {
         s"$nAlready of $nDel ${idCol}s are already tombstoned (double delete)")
     }
     val (dn, dsum) = fingerprint(deleted, idCol, textCol)
+    // tombstones, the NEGATIVE df delta, and the meta commit are one
+    // atomicity domain now that gramdf/ must stay exact (a crash
+    // between them would leave df overstated and the fingerprint
+    // stale): marker down before the first write, cleared after —
+    // a crash fails later ops LOUD and ensure() rebuilds.
+    graft.util.IngestMarker.write(spark, dir,
+      s"delete of $nDel docs in flight")
     ids.repartition(1).write.mode("append").parquet(s"$dir/tombstones")
+    if (hasGramDf(spark, dir))
+      writeGramDfDelta(spark, dir,
+        Dedup.shingleHashes(indexable(deleted, idCol, textCol),
+          idCol, textCol), sign = -1)
     ids.unpersist()
     writeMeta(spark, dir, meta.getAs[Long]("n_docs") - dn,
       meta.getAs[Long]("checksum") ^ dsum, meta.getAs[Long]("max_id"),
       meta.getAs[Double]("threshold"), meta.getAs[Int]("n_buckets"),
       meta.getAs[Int]("n_id_buckets"))
+    graft.util.IngestMarker.clear(spark, dir)
     }
   }
 
@@ -647,6 +767,12 @@ object DedupIndex {
     val prefStaging = s"$dir/prefix_staging"
     val setsStaging = s"$dir/sets_staging"
     recoverStaging(spark, dir)
+    // gramdf maintenance first (compact is the heavyweight commit):
+    // evaluate — the cheap candidate tick unless deletes lowered the
+    // threshold — then FORCE-fold deltas and hotgrams back to exact
+    // single tables, so a compacted store always reads one base
+    refreshHotGramsLocked(spark, dir, force = true): Unit
+    maybeFoldGramDf(spark, dir, force = true)
     if (!graft.util.Fs.exists(spark, s"$dir/tombstones")) return
     val tomb = spark.read.parquet(s"$dir/tombstones").select(col("nid"))
     val idCol = spark.read.parquet(s"$dir/sets").columns
@@ -816,12 +942,20 @@ object DedupIndex {
     val meta = readMeta(spark, dir)
     val nDocs = meta.getAs[Long]("n_docs")
     if (nDocs == 0) return 0L
-    val due = statsTotals(spark, dir) match {
+    val statsDue = statsTotals(spark, dir) match {
       case None => true // legacy store without stats: always due
       case Some((total, appended)) =>
         total == 0 || appended.toDouble >= RefreshDueFraction * total
     }
-    if (!force && !due) return 0L
+    // a trickle ingest on a huge store can sit under the 2% mass
+    // trigger for a long history while delta files pile up one per
+    // append — and folding is only safe right after an evaluation, so
+    // file buildup itself makes a tick due (the tick is O(appended)
+    // now, so the extra evaluations cost nothing corpus-sized)
+    val filesDue = hasGramDf(spark, dir) &&
+      graft.util.Fs.exists(spark, gramDfDelta(dir)) &&
+      graft.util.Fs.dataFileCount(spark, gramDfDelta(dir)) > GramDfFoldFiles
+    if (!force && !statsDue && !filesDue) return 0L
     val t0 = meta.getAs[Double]("threshold")
     val nBuckets = meta.getAs[Int]("n_buckets")
     val idCol = spark.read.parquet(s"$dir/sets").columns
@@ -834,17 +968,73 @@ object DedupIndex {
           .select(col("nid").as(idCol)), Seq(idCol), "left_anti")
       else raw
     }
-    // bounded collect: ≤ (grams/doc)/HotGramFraction newly-hot grams
-    val newHot = liveSets.select(explode(col("sh")).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > math.max(64L, (HotGramFraction * nDocs).toLong))
-      .select(col("gram"))
-      .join(readHotGrams(spark, dir), Seq("gram"), "left_anti")
-      .collect().map(_.getLong(0))
+    val tNow = hotThresholdFor(nDocs)
+    // bounded collect: ≤ (grams/doc)/HotGramFraction newly-hot grams.
+    // Three tiers, cheapest first (r15 verdict item 1 — the tick must
+    // not re-explode the corpus while holding the writer lease):
+    //  - CANDIDATE path (the normal tick): thresholds are
+    //    non-decreasing since the last evaluation, so a gram whose
+    //    count did not change cannot newly cross — and the grams whose
+    //    count changed are EXACTLY the unfolded gramdf/delta grams.
+    //    Cost: one aggregated-df-table scan pruned to candidates by a
+    //    broadcast semi-join (zero shuffle) plus an O(candidates)
+    //    merge — O(appended-since-fold), independent of corpus size.
+    //  - FULL MERGED path (deletes lowered the threshold, or evalmeta
+    //    unreadable): one pass over base ∪ delta — a scan+groupBy of
+    //    the aggregated table, still never an explode of sets/.
+    //  - LEGACY path (pre-r16 store without gramdf/): the one
+    //    remaining O(corpus) recompute, which also SEEDS gramdf/ so
+    //    every later tick is delta-driven.
+    val newHot: Array[Long] =
+      if (!hasGramDf(spark, dir)) {
+        // the base seed is safe to land before anything else (it is
+        // exact df bookkeeping either way); evalmeta is NOT written
+        // here — it lands only after promotion completes, so a crash
+        // in between leaves the next tick on the full path, which
+        // re-finds these grams
+        val dfAll = gramDfOf(liveSets).localCheckpoint(eager = true)
+        dfAll.write.mode("overwrite").parquet(gramDfBase(dir))
+        System.err.println(s"[DedupIndex] legacy store at $dir: seeded " +
+          "gramdf/ with a one-time full df recompute")
+        dfAll.filter(col("df") > tNow).select(col("gram"))
+          .join(readHotGrams(spark, dir), Seq("gram"), "left_anti")
+          .collect().map(_.getLong(0))
+      } else {
+        val tEval = readGramDfEval(spark, dir)
+        val deltaExists = graft.util.Fs.exists(spark, gramDfDelta(dir))
+        val merged: DataFrame =
+          if (tEval.exists(_ <= tNow)) {
+            if (!deltaExists)
+              spark.range(0).select(col("id").as("gram"), col("id").as("df"))
+            else {
+              val deltaAgg = spark.read.schema(gramDfSchema)
+                .parquet(gramDfDelta(dir))
+                .groupBy("gram").agg(sum(col("df")).as("df"))
+                .localCheckpoint(eager = true)
+              // base side: broadcast LEFT-SEMI prune — one shuffle-free
+              // scan of the aggregated table, output O(candidates)
+              spark.read.schema(gramDfSchema).parquet(gramDfBase(dir))
+                .join(broadcast(deltaAgg.select("gram")),
+                  Seq("gram"), "left_semi")
+                .unionByName(deltaAgg)
+                .groupBy("gram").agg(sum(col("df")).as("df"))
+            }
+          } else mergedGramDf(spark, dir)
+        merged.filter(col("df") > tNow).select(col("gram"))
+          .join(readHotGrams(spark, dir), Seq("gram"), "left_anti")
+          .collect().map(_.getLong(0))
+      }
     if (newHot.isEmpty) {
-      // the recompute RAN: reset the append-delta accounting so the
-      // trigger re-arms from here instead of staying permanently due
+      // the evaluation RAN and promoted everything due (nothing):
+      // committing evalmeta = tNow arms the next tick's candidate
+      // shortcut; reset the append-delta accounting so the mass
+      // trigger re-arms; fold the evaluated deltas if over budget
+      // (folding is only safe right after an evaluation — a fold
+      // before one would erase the change-tracking the candidate
+      // shortcut relies on)
+      writeGramDfEval(spark, dir, tNow)
       rewriteStats(spark, dir)
+      maybeFoldGramDf(spark, dir)
       return 0L
     }
     // LOUD two-phase window: the extended order and the recut prefixes
@@ -902,7 +1092,49 @@ object DedupIndex {
     }
     rewriteStats(spark, dir) // recut buckets + re-armed trigger
     graft.util.IngestMarker.clear(spark, dir)
+    // promotion COMPLETE — only now may evalmeta advance (a crash
+    // before this line leaves the old evalmeta, so the next tick
+    // re-evaluates and re-finds these grams instead of losing them)
+    writeGramDfEval(spark, dir, tNow)
+    maybeFoldGramDf(spark, dir)
     newHot.length.toLong
+  }
+
+  /** One delta/hotgrams file per append/refresh accumulates O(history)
+    * files whose every read re-lists and re-merges them; past this
+    * budget the maintenance tick folds them (same rule as
+    * [[compactFiles]]' `maxFiles`). */
+  private val GramDfFoldFiles = 16
+
+  /** Fold gramdf deltas (and the grow-only hotgrams appends) when
+    * their file counts pass the budget. ONLY called right after an
+    * evaluation — a fold before one would erase the change-tracking
+    * the candidate shortcut relies on. Caller holds the lease. */
+  private def maybeFoldGramDf(spark: SparkSession, dir: String,
+      force: Boolean = false): Unit = {
+    if (!hasGramDf(spark, dir)) return
+    val deltaOver = graft.util.Fs.exists(spark, gramDfDelta(dir)) &&
+      (force ||
+        graft.util.Fs.dataFileCount(spark, gramDfDelta(dir)) > GramDfFoldFiles)
+    if (deltaOver) foldGramDf(spark, dir)
+    // hotgrams/: every refresh appends one single-file delta and every
+    // build/probe/append collects the whole table (r15 advice) — fold
+    // to one file past the budget and LOG the set size so drift of the
+    // broadcast-sized assumption is visible
+    if (force ||
+      graft.util.Fs.dataFileCount(spark, s"$dir/hotgrams") > GramDfFoldFiles) {
+      import spark.implicits._
+      val hot = readHotGrams(spark, dir).collect().map(_.getLong(0))
+      val staging = s"$dir/hotgrams_staging"
+      graft.util.IngestMarker.write(spark, dir, "hotgrams fold in flight")
+      hot.toSeq.toDF("gram")
+        .repartition(1).write.mode("overwrite").parquet(staging)
+      graft.util.Fs.rmTree(spark, s"$dir/hotgrams")
+      graft.util.Fs.rename(spark, staging, s"$dir/hotgrams"): Unit
+      graft.util.IngestMarker.clear(spark, dir)
+      System.err.println(s"[DedupIndex] hotgrams at $dir folded to one " +
+        s"file: ${hot.length} grams (broadcast-sized by the df lemma)")
+    }
   }
 
   // ------------------------------------------------------------------

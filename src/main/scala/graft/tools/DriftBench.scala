@@ -88,6 +88,63 @@ object DriftBench {
     graft.util.Fs.rmTree(spark, root)
     val results = scala.collection.mutable.ArrayBuffer[String]()
 
+    // TICK-COST campaign (SPARK_GRAFT_DRIFT_MODE=ticks — r16): isolate
+    // the refresh tick's wall time as a function of CORPUS size under a
+    // FIXED-size append. The gramdf delta path must stay ~flat across
+    // factors (O(appended)); the legacy path (gramdf/ removed, the
+    // pre-r16 full df recompute) grows with the corpus — the measured
+    // gap is the ingest-stall the delta table removes from under the
+    // writer lease.
+    if (sys.env.get("SPARK_GRAFT_DRIFT_MODE").contains("ticks")) {
+      // fixed-size batch of genuinely NEW docs (16 hash-keyed tokens
+      // each — pairwise Jaccard ≈ 0, so every doc survives and its
+      // grams land in gramdf/delta): identical at every factor, which
+      // is the controlled variable
+      val appendDocs = spark.range(2000).select(
+          (col("id") + 900000000000000L).as("doc_id"),
+          concat_ws(" ", (0 until 16).map(j =>
+            concat(lit(s"tk${j}_"),
+              pmod(col("id") * 7919 + j * 104729, lit(1000003))
+                .cast("string"))): _*).as("text"))
+        .localCheckpoint(true)
+      factors.foreach { f =>
+        val dataDir =
+          if (f == 1) baseSf
+          else ScaleBench.synthesize(spark, baseSf, f, "target/scale")
+        val corpus = graft.Tables.documents(spark, dataDir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).localCheckpoint(true)
+        val nCorpus = corpus.count()
+        val dir = s"$root/tick_x$f"
+        graft.util.StoreLease.break(spark, dir) // fixture dir
+        graft.util.Fs.rmTree(spark, dir)
+        graft.llm.DedupIndex.build(corpus, dir, threshold = 0.9)
+        val nKept = graft.llm.DedupIndex
+          .append(appendDocs, dir, threshold = 0.9).count()
+        val (pDelta, sDelta) = secs(
+          graft.llm.DedupIndex.refreshHotGrams(spark, dir, force = true))
+        // strip gramdf/ to measure the legacy full-recompute tick on
+        // the IDENTICAL store state (the refresh re-seeds the table)
+        graft.util.Fs.rmTree(spark, s"$dir/gramdf")
+        val (pLegacy, sLegacy) = secs(
+          graft.llm.DedupIndex.refreshHotGrams(spark, dir, force = true))
+        val row = s"""{"factor":$f,"corpus_docs":$nCorpus,""" +
+          s""""append_kept":$nKept,"tick_delta_secs":${jnum(sDelta)},""" +
+          s""""tick_legacy_secs":${jnum(sLegacy)},""" +
+          s""""promoted_delta":$pDelta,"promoted_legacy":$pLegacy}"""
+        results += row
+        System.err.println(s"[drift-ticks] $row")
+      }
+      val json = s"""{"metric":"dedup_refresh_tick","base":"$baseSf",""" +
+        s""""loadavg_start":"$loadStart","loadavg_end":"${loadAvg()}",""" +
+        s""""results":[${results.mkString(",")}]}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("drift_ticks_out.json"), json + "\n")
+      spark.stop()
+      println(json)
+      return
+    }
+
     factors.foreach { f =>
       val dataDir =
         if (f == 1) baseSf
@@ -181,6 +238,11 @@ object DriftBench {
             if (rEvery > 0 && k % rEvery == 0) {
               val (n, rs) = secs(
                 graft.llm.DedupIndex.refreshHotGrams(spark, dir))
+              // the tick wall time is first-class evidence now (r15
+              // verdict item 1's "Done" column): recorded per refresh,
+              // not just logged
+              results += s"""{"factor":$f,"mode":"$mode","refresh_after":$k,""" +
+                s""""refresh_secs":${jnum(rs)},"promoted":$n}"""
               System.err.println(
                 f"[drift] x$f/$mode refresh after $k: $n grams in $rs%.2f s")
             }

@@ -514,6 +514,89 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairsOf() == before, "compactFiles-with-refresh changed results")
   }
 
+  test("gramdf delta maintenance: merged df is EXACT through " +
+      "append/delete/refresh/compact, the candidate tick promotes the " +
+      "same set as the legacy full recompute, and a forced full-eval " +
+      "pass agrees") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    def uniq(i: Int): String =
+      (i until i + 12).map(w => s"g$w").mkString(" ")
+    val banner = (0 until 6).map(k => s"gban$k").mkString(" ")
+    def drifted(i: Int): String =
+      banner + " " + (i until i + 12).map(w => s"gd$w").mkString(" ")
+    val t = 0.5
+    val corpus = df((0L until 120L).map(i => (i, uniq(i.toInt * 20))))
+    val batch1 = df((1000L until 1040L).map(i => (i, drifted(i.toInt * 20))))
+    val batch2 = df((2000L until 2040L).map(i => (i, drifted(i.toInt * 20))))
+    def bruteDf(live: DataFrame): Set[(Long, Long)] =
+      Dedup.shingleHashes(live.filter(col("text").isNotNull),
+          "doc_id", "text")
+        .select(explode(col("sh")).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def mergedDf(dir: String): Set[(Long, Long)] = {
+      val rows = DedupIndex.mergedGramDf(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(!rows.exists(_._2 < 0),
+        "merged gramdf went NEGATIVE — delta bookkeeping over-deleted")
+      rows.filter(_._2 > 0).toSet
+    }
+    // two stores, identical feed: dir1 refreshes on the maintained
+    // delta path, dir2 has gramdf/ removed first so its refresh takes
+    // the legacy O(corpus) recompute (and seeds gramdf) — the promoted
+    // sets must be identical
+    val dir1 = s"$base/gramdf1"
+    val dir2 = s"$base/gramdf2"
+    Seq(dir1, dir2).foreach { dir =>
+      DedupIndex.build(corpus, dir, threshold = t)
+      assert(DedupIndex.append(batch1, dir, threshold = t).count() == 40)
+      assert(DedupIndex.append(batch2, dir, threshold = t).count() == 40)
+    }
+    val live0 = corpus.unionByName(batch1).unionByName(batch2)
+    assert(mergedDf(dir1) == bruteDf(live0),
+      "merged df drifted from ground truth after two appends")
+    graft.util.Fs.rmTree(spark, s"$dir2/gramdf")
+    val p1 = DedupIndex.refreshHotGrams(spark, dir1)
+    val p2 = DedupIndex.refreshHotGrams(spark, dir2)
+    assert(p1 > 0, "candidate-path refresh promoted nothing")
+    assert(p1 == p2, s"delta path promoted $p1, legacy recompute $p2")
+    def hotSet(dir: String) = spark.read.parquet(s"$dir/hotgrams")
+      .collect().map(_.getLong(0)).toSet
+    assert(hotSet(dir1) == hotSet(dir2),
+      "candidate tick and legacy recompute disagree on the hot set")
+    // the legacy refresh SEEDED gramdf: both stores now delta-exact
+    assert(mergedDf(dir2) == bruteDf(live0), "legacy seed df inexact")
+    // delete writes a NEGATIVE delta: merged df tracks the live corpus
+    val delSet = batch1.filter(col("doc_id") % 4 === 0)
+    DedupIndex.delete(delSet, dir1)
+    val live1 = live0.join(delSet.select("doc_id"), Seq("doc_id"),
+      "left_anti")
+    assert(mergedDf(dir1) == bruteDf(live1),
+      "merged df drifted after a merge-on-read delete")
+    // compact folds deltas into an exact single base (delta dir gone)
+    DedupIndex.compact(spark, dir1)
+    assert(!graft.util.Fs.exists(spark, s"$dir1/gramdf/delta"),
+      "compact left unfolded gramdf deltas")
+    assert(mergedDf(dir1) == bruteDf(live1),
+      "gramdf fold at compact changed the merged counts")
+    // forced FULL-eval path (evalmeta claiming a higher past threshold
+    // — the deletes-shrank-the-corpus shape): must terminate, promote
+    // nothing new, and leave the store exact
+    import spark.implicits._
+    Seq(Long.MaxValue).toDF("t_eval").repartition(1)
+      .write.mode("overwrite").parquet(s"$dir1/gramdf/evalmeta")
+    assert(DedupIndex.refreshHotGrams(spark, dir1, force = true) == 0L)
+    assert(mergedDf(dir1) == bruteDf(live1), "full-eval pass drifted df")
+    // probe equivalence across the two maintenance histories
+    val recrawl = df((9000L until 9010L).map(i =>
+      (i, drifted(((i - 9000L) * 20 + 1000L * 20).toInt))))
+    def pairsOf(dir: String) =
+      DedupIndex.probePairs(recrawl, dir, threshold = t)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(dir2).nonEmpty, "fixture vacuous — re-crawl matched nothing")
+  }
+
   test("stats-routed candidate join: broadcast and salted forms are " +
       "row-identical; a store without prefstats takes the salted path") {
     graft.util.Fs.rmRecursive(new java.io.File(base))
