@@ -46,6 +46,7 @@ object SparkEntry {
       graft.llm.VectorIndex.all ++
       graft.llm.GraphAnn.all ++
       graft.llm.HybridRetrieval.all ++
+      graft.llm.TextIndex.all ++
       graft.llm.BinaryQuant.all ++
       graft.llm.EmbeddingOps.all ++
       graft.llm.Multimodal.all ++

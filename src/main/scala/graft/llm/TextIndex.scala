@@ -1,0 +1,712 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted INVERTED-INDEX STORE for sparse (BM25) retrieval — the
+  * posting-list analog of the vector/graph/dedup index-maintenance
+  * matrix: build / ensure / search / append / delete / compact over a
+  * term-bucketed posting table on storage, so serving keyword search
+  * over a growing corpus costs O(query terms' postings) per query and
+  * O(batch) per ingest instead of re-tokenizing the corpus
+  * ([[HybridRetrieval.bm25TopN]] — the one-shot, storeless form — must
+  * rebuild postings, df, and doc lengths from scratch every call; fine
+  * for one panel, unaffordable per-query at 100 TB). Promoted to a
+  * first-class store in r16 (the r15 verdict's Missing #3): st15's
+  * inline postings parquet had no lease, no fingerprint/ensure, and no
+  * maintenance — the same gaps d17 closed for dedup.
+  *
+  * Index shape:
+  *
+  *   - `postings/bucket=B/` — (doc, term, tf, dl) rows, partitioned by
+  *     `bucket = pmod(xxhash64(term), nBuckets)` so a search scans only
+  *     the partition directories its own query terms hash into. The
+  *     doc length `dl` is DENORMALIZED onto every posting row (known at
+  *     ingest, immutable per doc), so scoring needs no corpus-wide
+  *     doc-stats join — the one per-search O(corpus) aggregate the
+  *     storeless form pays.
+  *   - `docids/dbucket=D/` — (doc) for every indexed doc, partitioned
+  *     by `pmod(doc, nDocBuckets)`: O(batch) duplicate-ingest and
+  *     delete-liveness guards via partition-pruned semi-joins.
+  *   - `termstats/base/bucket=B/` + `termstats/delta/` — (term, df)
+  *     merge-on-read document frequency (append writes positive
+  *     deltas, delete negative ones — the [[DedupIndex]] gramdf
+  *     pattern), bucketed like the postings so a search's idf lookup
+  *     prunes to its query terms' buckets. Deltas fold into an exact
+  *     base at maintenance.
+  *   - `tombstones/` — merge-on-read deletes; every search anti-joins
+  *     it, [[compact]] folds it away rewriting ONLY affected
+  *     partitions (stage-and-swap, crash-recoverable).
+  *   - `meta/` — doc count, Σdl (both exact-integer maintained), XOR
+  *     fingerprint over the indexed (id, text) rows (append XORs in,
+  *     delete XORs out — [[ensure]] validates a maintained store
+  *     without rebuild), bucket counts, format version.
+  *
+  * Search semantics are EXACTLY [[HybridRetrieval.bm25FromPostings]]
+  * over the live postings (tx-gated row-identical; tx2 carries a full
+  * DuckDB BM25 oracle): corpus stats come from meta, df from
+  * termstats, dl from the posting row — all maintained, none
+  * recomputed.
+  *
+  * Skew note (the stop-word term): the candidate join is
+  * query-terms ⋈ postings on term with the SMALL side broadcast, so a
+  * corpus-wide term's posting list never becomes one shuffle key / one
+  * task — the cost is output volume, linear in that term's df, and
+  * BM25's idf ≈ log(1 + ~0) already zeroes its score contribution.
+  * For query loads where even that scan is unwanted, [[searchBm25]]
+  * takes `maxDfFraction`: query terms whose df exceeds the fraction
+  * are SKIPPED (each skipped term's score contribution is bounded by
+  * idf ≤ log(1 + (1-f)/f + ε) — the measured knob, default off).
+  *
+  * Reference anchor: SURVEY.md §2.12 retrieval mandate; store shapes
+  * follow the public Iceberg/Delta merge-on-read pattern; scoring is
+  * Robertson/Sparck-Jones BM25 (public formula, [[HybridRetrieval]]).
+  */
+object TextIndex {
+
+  /** Incremented on every [[build]] so gates can assert a later
+    * [[ensure]] was a pure fingerprint-validated load. */
+  @volatile var buildsThisProcess: Int = 0
+
+  private val Format = 1
+
+  private def indexable(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull &&
+      length(translate(col(textCol), " ", "")) > 0)
+
+  private def tokenCount(c: Column): Column =
+    size(filter(split(lower(c), " "), x => x =!= ""))
+
+  /** (n indexed docs, XOR of per-row hashes, Σ token count) over the
+    * docs that produce ≥ 1 posting — the incremental-XOR contract. */
+  private def fingerprint(docs: DataFrame, idCol: String,
+      textCol: String): (Long, Long, Long) = {
+    val r = indexable(docs, textCol)
+      .agg(count(lit(1)), expr(s"bit_xor(xxhash64($idCol, $textCol))"),
+        coalesce(sum(tokenCount(col(textCol))), lit(0L)).cast("long"))
+      .head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))
+  }
+
+  private def bucketOf(term: Column, nBuckets: Int): Column =
+    pmod(xxhash64(term), lit(nBuckets)).cast("int")
+
+  /** (doc, term, tf, dl, bucket) for a doc frame — tokenizer identical
+    * to [[HybridRetrieval.postings]] (spec-asserted), with the doc
+    * length denormalized onto each row. */
+  private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val post = HybridRetrieval.postings(docs, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc")
+    post.withColumn("dl", sum(col("tf")).over(w))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+  }
+
+  private def postingsSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("dl",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType)))
+
+  private def docidsSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dbucket",
+        org.apache.spark.sql.types.IntegerType)))
+
+  private def termStatsSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("df",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType)))
+
+  private def readPostings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(postingsSchema).parquet(s"$dir/postings")
+
+  private def readDocids(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(docidsSchema).parquet(s"$dir/docids")
+
+  private def termBase(dir: String) = s"$dir/termstats/base"
+  private def termDelta(dir: String) = s"$dir/termstats/delta"
+
+  /** Merged-on-read exact df per term: base plus signed deltas,
+    * optionally pruned to the buckets in `buckets`. */
+  private def mergedTermStats(spark: SparkSession, dir: String,
+      buckets: Option[Seq[Int]]): DataFrame = {
+    def prune(df: DataFrame): DataFrame = buckets match {
+      case Some(bs) => df.filter(col("bucket").isin(bs.map(Int.box): _*))
+      case None => df
+    }
+    val base = prune(spark.read.schema(termStatsSchema)
+      .parquet(termBase(dir)))
+    val all =
+      if (!graft.util.Fs.exists(spark, termDelta(dir))) base
+      else base.unionByName(prune(spark.read.schema(termStatsSchema)
+        .parquet(termDelta(dir))))
+    all.groupBy("term", "bucket").agg(sum(col("df")).as("df"))
+  }
+
+  private def writeTermDelta(spark: SparkSession, dir: String,
+      post: DataFrame, sign: Int, nBuckets: Int): Unit =
+    post.groupBy("term").agg((count(lit(1)) * sign).cast("long").as("df"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .repartition(1).write.mode("append").parquet(termDelta(dir))
+
+  private def readMeta(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/meta").head()
+
+  private def writeMeta(spark: SparkSession, dir: String, nDocs: Long,
+      checksum: Long, sumDl: Long, nBuckets: Int,
+      nDocBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq((nDocs, checksum, sumDl, nBuckets, nDocBuckets, Format))
+      .toDF("n_docs", "checksum", "sum_dl", "n_buckets",
+        "n_doc_buckets", "format_version")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def requireFormat(meta: org.apache.spark.sql.Row,
+      dir: String): Unit =
+    require(meta.getAs[Int]("format_version") == Format,
+      s"text index at $dir has format ${meta.getAs[Int]("format_version")}" +
+        s", expected $Format — rebuild via ensure()")
+
+  /** Tokenize the corpus ONCE, write postings + docids + termstats +
+    * meta. Holds the store's single-writer lease like every mutating
+    * op. An empty corpus yields a VALID empty store (the streaming
+    * bootstrap contract — batch 0 of a real feed can be empty). */
+  def build(docs: DataFrame, dir: String, nBuckets: Int = 16,
+      nDocBuckets: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    require(nBuckets >= 1 && nDocBuckets >= 1,
+      s"bucket counts must be >= 1: $nBuckets/$nDocBuckets")
+    val spark = docs.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "build") {
+    buildsThisProcess += 1
+    graft.util.Fs.rmTree(spark, dir)
+    val post = postingsOf(docs, idCol, textCol, nBuckets)
+      .localCheckpoint(eager = true)
+    post.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/postings")
+    post.select(col("doc")).distinct()
+      .withColumn("dbucket", pmod(col("doc"), lit(nDocBuckets)).cast("int"))
+      .repartition(col("dbucket"))
+      .write.mode("overwrite").partitionBy("dbucket").parquet(s"$dir/docids")
+    post.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(termBase(dir))
+    val (n, sum, sumDl) = fingerprint(docs, idCol, textCol)
+    writeMeta(spark, dir, n, sum, sumDl, nBuckets, nDocBuckets)
+    }
+  }
+
+  /** Load-or-build: one fingerprint aggregate over the corpus against
+    * the incrementally-maintained meta. Same failure separation as
+    * [[DedupIndex.ensure]]: only the meta read may mean "invalid →
+    * rebuild"; a corpus-side failure RETHROWS (a transient error must
+    * never destroy the only copy of the index). A crashed-op marker
+    * counts as invalid: rebuild is the documented recovery. */
+  def ensure(docs: DataFrame, dir: String, nBuckets: Int = 16,
+      nDocBuckets: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val metaOpt =
+      if (graft.util.IngestMarker.present(spark, dir)) None
+      else try Some(readMeta(spark, dir))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val valid = metaOpt.exists { meta =>
+      val shapeOk = try {
+        meta.getAs[Int]("format_version") == Format &&
+          meta.getAs[Int]("n_buckets") == nBuckets &&
+          meta.getAs[Int]("n_doc_buckets") == nDocBuckets
+      } catch { case scala.util.control.NonFatal(_) => false }
+      shapeOk && {
+        val (n, sum, sumDl) = fingerprint(docs, idCol, textCol) // NOT caught
+        meta.getAs[Long]("n_docs") == n &&
+          meta.getAs[Long]("checksum") == sum &&
+          meta.getAs[Long]("sum_dl") == sumDl
+      }
+    }
+    if (!valid) build(docs, dir, nBuckets, nDocBuckets, idCol, textCol)
+  }
+
+  /** Ingest a batch: tokenize at the edge (the ONE tokenizer), append
+    * postings/docids, write the positive termstats delta, XOR the
+    * fingerprint in. Batch ids must be NEW — a duplicate ingest would
+    * double-count df and corrupt the posting set, so it fails LOUD via
+    * a partition-pruned docids semi-join (O(batch), never a corpus
+    * scan). Data writes and the meta commit sit in one
+    * [[graft.util.IngestMarker]] window: a crash in between fails
+    * every later op loud and ensure() rebuilds. */
+  def append(batch: DataFrame, dir: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = batch.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "append") {
+    graft.util.IngestMarker.requireAbsent(spark, dir, "append")
+    val meta = readMeta(spark, dir)
+    requireFormat(meta, dir)
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val nDocBuckets = meta.getAs[Int]("n_doc_buckets")
+    val post = postingsOf(batch, idCol, textCol, nBuckets)
+      .localCheckpoint(eager = true)
+    val batchDocs = post.select(col("doc")).distinct()
+      .withColumn("dbucket", pmod(col("doc"), lit(nDocBuckets)).cast("int"))
+      .localCheckpoint(eager = true)
+    // duplicate-ingest guard: pruned to the batch's own dbuckets
+    val dbs = batchDocs.select("dbucket").distinct()
+      .collect().map(_.getInt(0))
+    if (dbs.nonEmpty) {
+      val dup = readDocids(spark, dir)
+        .filter(col("dbucket").isin(dbs.map(Int.box).toSeq: _*))
+        .join(batchDocs.select("doc"), Seq("doc"), "left_semi").count()
+      require(dup == 0,
+        s"$dup of the batch's ${idCol}s are already indexed at $dir — " +
+          "re-ingesting an indexed doc would double-count df; delete " +
+          "first (tombstoned ids stay blocked until compact folds them)")
+    }
+    graft.util.IngestMarker.write(spark, dir, "append in flight")
+    post.repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    batchDocs.repartition(col("dbucket"))
+      .write.mode("append").partitionBy("dbucket").parquet(s"$dir/docids")
+    writeTermDelta(spark, dir, post, sign = 1, nBuckets)
+    val (bn, bsum, bDl) = fingerprint(batch, idCol, textCol)
+    writeMeta(spark, dir, meta.getAs[Long]("n_docs") + bn,
+      meta.getAs[Long]("checksum") ^ bsum,
+      meta.getAs[Long]("sum_dl") + bDl, nBuckets, nDocBuckets)
+    graft.util.IngestMarker.clear(spark, dir)
+    }
+  }
+
+  /** Merge-on-read delete: doc ids land in a tombstone table every
+    * search anti-joins; no partition is touched. `deleted` must be the
+    * actual live indexed (id, text) rows, each exactly once — ENFORCED
+    * (the XOR fingerprint and the negative df delta are only exact
+    * under that contract). */
+  def delete(deleted: DataFrame, dir: String, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = deleted.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "delete") {
+    graft.util.IngestMarker.requireAbsent(spark, dir, "delete")
+    val meta = readMeta(spark, dir)
+    requireFormat(meta, dir)
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val nDocBuckets = meta.getAs[Int]("n_doc_buckets")
+    val idx = indexable(deleted, textCol)
+    val ids = deleted.select(col(idCol).cast("long").as("doc")).cache()
+    val nDel = ids.count()
+    require(idx.count() == nDel,
+      s"some of $nDel delete rows have null/empty $textCol — docs " +
+        "without postings are never indexed and cannot be deleted")
+    require(ids.distinct().count() == nDel,
+      s"delete set contains duplicate ${idCol}s")
+    val dbs = ids.select(pmod(col("doc"), lit(nDocBuckets)).cast("int")
+      .as("dbucket")).distinct().collect().map(_.getInt(0))
+    val nStored =
+      if (dbs.isEmpty) 0L
+      else readDocids(spark, dir)
+        .filter(col("dbucket").isin(dbs.map(Int.box).toSeq: _*))
+        .join(ids, Seq("doc"), "left_semi").count()
+    require(nStored == nDel,
+      s"${nDel - nStored} of $nDel ${idCol}s are not in the index at $dir")
+    if (graft.util.Fs.exists(spark, s"$dir/tombstones")) {
+      val nAlready = ids.join(spark.read.parquet(s"$dir/tombstones")
+        .select("doc"), Seq("doc"), "left_semi").count()
+      require(nAlready == 0,
+        s"$nAlready of $nDel ${idCol}s are already tombstoned (double delete)")
+    }
+    val (dn, dsum, dDl) = fingerprint(deleted, idCol, textCol)
+    graft.util.IngestMarker.write(spark, dir,
+      s"delete of $nDel docs in flight")
+    ids.repartition(1).write.mode("append").parquet(s"$dir/tombstones")
+    writeTermDelta(spark, dir,
+      HybridRetrieval.postings(idx, idCol, textCol), sign = -1, nBuckets)
+    ids.unpersist()
+    writeMeta(spark, dir, meta.getAs[Long]("n_docs") - dn,
+      meta.getAs[Long]("checksum") ^ dsum,
+      meta.getAs[Long]("sum_dl") - dDl, nBuckets, nDocBuckets)
+    graft.util.IngestMarker.clear(spark, dir)
+    }
+  }
+
+  /** The live posting rows (tombstones anti-joined), pruned to the
+    * given term buckets. Exposed for gates that replay the storeless
+    * scorer over the store's own live postings. */
+  def livePostings(spark: SparkSession, dir: String,
+      buckets: Option[Seq[Int]] = None): DataFrame = {
+    val raw = buckets match {
+      case Some(bs) => readPostings(spark, dir)
+        .filter(col("bucket").isin(bs.map(Int.box): _*))
+      case None => readPostings(spark, dir)
+    }
+    if (graft.util.Fs.exists(spark, s"$dir/tombstones"))
+      raw.join(spark.read.parquet(s"$dir/tombstones"), Seq("doc"),
+        "left_anti")
+    else raw
+  }
+
+  /** BM25 top-`topN` per query over the LIVE store — row-identical to
+    * [[HybridRetrieval.bm25FromPostings]] over [[livePostings]] (same
+    * formula, rounding, tie order), but O(query terms' postings):
+    * query text is tokenized at the edge (never a store scan), the
+    * posting read prunes to the query terms' bucket partitions, df
+    * comes from the merged termstats (pruned the same way), and n/avgdl
+    * from meta. `queries` carries (qid, text); self-matches (doc ==
+    * qid) are excluded like the storeless form. `maxDfFraction` < 1
+    * SKIPS query terms whose df exceeds that fraction of the corpus
+    * (the stop-word knob — bounded score deviation, default exact). */
+  def searchBm25(queries: DataFrame, dir: String, topN: Int,
+      qidCol: String = "qid", textCol: String = "text",
+      maxDfFraction: Double = 1.0): DataFrame = {
+    val spark = queries.sparkSession
+    graft.util.IngestMarker.requireAbsent(spark, dir, "search")
+    val meta = readMeta(spark, dir)
+    requireFormat(meta, dir)
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val nDocs = meta.getAs[Long]("n_docs")
+    def empty = {
+      import spark.implicits._
+      Seq.empty[(Long, Int, Long, Double)]
+        .toDF("qid", "rank", "doc", "score4")
+    }
+    if (nDocs == 0) return empty
+    val avgdl = meta.getAs[Long]("sum_dl").toDouble / nDocs
+    val qterms = indexable(queries, textCol)
+      .select(col(qidCol).cast("long").as("qid"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .localCheckpoint(eager = true)
+    // bounded collect: ≤ nBuckets values → partition IN-list on both
+    // the posting scan and the termstats read
+    val qBuckets = qterms.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (qBuckets.isEmpty) return empty
+    val df0 = mergedTermStats(spark, dir, Some(qBuckets))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"),
+        "left_semi")
+      .select(col("term"), col("df").cast("double").as("df"))
+    val dfq =
+      if (maxDfFraction >= 1.0) df0
+      else df0.filter(col("df") <= maxDfFraction * nDocs)
+    val post = livePostings(spark, dir, Some(qBuckets))
+    // SMALL side broadcast: a stop-word term's posting list stays
+    // spread across its partition's tasks — never one shuffle key
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score4").desc, col("doc").asc)
+    broadcast(qterms.select("qid", "term")).join(post, "term")
+      .filter(col("doc") =!= col("qid"))
+      .join(broadcast(dfq), "term")
+      .withColumn("idf", log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib", col("idf") * col("tf") /
+        (col("tf") + lit(HybridRetrieval.K1) *
+          (lit(1.0 - HybridRetrieval.B) +
+            lit(HybridRetrieval.B) * col("dl") / lit(avgdl))))
+      .groupBy("qid", "doc").agg(sum(col("contrib")).as("score"))
+      .withColumn("score4", round(col("score"), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("qid"), col("rank"), col("doc"), col("score4"))
+  }
+
+  /** Finish any crashed stage-and-swap — shared by [[compact]] and
+    * [[compactFiles]] (same staging paths): a staged partition whose
+    * live directory is missing is the only copy of its rows and is
+    * renamed in; the rest of the staging root is stale and dropped. */
+  private def recoverStaging(spark: SparkSession, dir: String): Unit = {
+    def recover(staging: String, live: String, part: String): Unit = {
+      graft.util.Fs.listDirNames(spark, staging)
+        .filter(_.startsWith(s"$part="))
+        .foreach { d =>
+          if (!graft.util.Fs.exists(spark, s"$live/$d"))
+            graft.util.Fs.rename(spark, s"$staging/$d", s"$live/$d"): Unit
+        }
+      graft.util.Fs.rmTree(spark, staging)
+    }
+    recover(s"$dir/postings_staging", s"$dir/postings", "bucket")
+    recover(s"$dir/docids_staging", s"$dir/docids", "dbucket")
+  }
+
+  /** Fold termstats deltas into an exact rewritten base. Marker-
+    * guarded (a crash between the base rewrite and the delta drop
+    * would double-count): fails later ops loud, ensure() rebuilds. */
+  private def foldTermStats(spark: SparkSession, dir: String): Unit = {
+    if (!graft.util.Fs.exists(spark, termDelta(dir))) return
+    val staging = s"$dir/termstats/base_staging"
+    graft.util.IngestMarker.write(spark, dir, "termstats fold in flight")
+    mergedTermStats(spark, dir, None).filter(col("df") =!= 0L)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    graft.util.Fs.rmTree(spark, termBase(dir))
+    graft.util.Fs.rename(spark, staging, termBase(dir)): Unit
+    graft.util.Fs.rmTree(spark, termDelta(dir))
+    graft.util.IngestMarker.clear(spark, dir)
+  }
+
+  /** Fold tombstones into the store: rewrite ONLY the posting buckets
+    * and docid dbuckets that contain deleted rows (stage-and-swap,
+    * crash-recoverable), drop the tombstone table, fold termstats.
+    * After compact a previously-deleted id may be re-ingested. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    graft.util.StoreLease.withLease(spark, dir, "compact") {
+    graft.util.IngestMarker.requireAbsent(spark, dir, "compact")
+    requireFormat(readMeta(spark, dir), dir)
+    recoverStaging(spark, dir)
+    foldTermStats(spark, dir)
+    if (!graft.util.Fs.exists(spark, s"$dir/tombstones")) return
+    val tomb = spark.read.parquet(s"$dir/tombstones").select(col("doc"))
+    val nDocBuckets = readMeta(spark, dir).getAs[Int]("n_doc_buckets")
+    // affected posting buckets: bounded IN-list (≤ nBuckets values)
+    val affB = readPostings(spark, dir)
+      .join(tomb, Seq("doc"), "left_semi")
+      .select("bucket").distinct().collect().map(_.getInt(0))
+    if (affB.nonEmpty) {
+      val staging = s"$dir/postings_staging"
+      readPostings(spark, dir)
+        .filter(col("bucket").isin(affB.map(Int.box).toSeq: _*))
+        .join(tomb, Seq("doc"), "left_anti")
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+      affB.foreach { b =>
+        graft.util.Fs.rmTree(spark, s"$dir/postings/bucket=$b")
+        if (graft.util.Fs.exists(spark, s"$staging/bucket=$b"))
+          graft.util.Fs.rename(spark, s"$staging/bucket=$b",
+            s"$dir/postings/bucket=$b"): Unit
+      }
+      graft.util.Fs.rmTree(spark, staging)
+    }
+    // affected docid dbuckets: computed FROM the tombstones directly
+    val affD = tomb.select(pmod(col("doc"), lit(nDocBuckets)).cast("int")
+      .as("dbucket")).distinct().collect().map(_.getInt(0))
+    if (affD.nonEmpty) {
+      val staging = s"$dir/docids_staging"
+      readDocids(spark, dir)
+        .filter(col("dbucket").isin(affD.map(Int.box).toSeq: _*))
+        .join(tomb, Seq("doc"), "left_anti")
+        .repartition(col("dbucket"))
+        .write.mode("overwrite").partitionBy("dbucket").parquet(staging)
+      affD.foreach { d =>
+        graft.util.Fs.rmTree(spark, s"$dir/docids/dbucket=$d")
+        if (graft.util.Fs.exists(spark, s"$staging/dbucket=$d"))
+          graft.util.Fs.rename(spark, s"$staging/dbucket=$d",
+            s"$dir/docids/dbucket=$d"): Unit
+      }
+      graft.util.Fs.rmTree(spark, staging)
+    }
+    graft.util.Fs.rmTree(spark, s"$dir/tombstones")
+    }
+  }
+
+  /** FILE-MERGE maintenance (the append-history bound, the
+    * [[DedupIndex.compactFiles]] shape): rewrite ONLY partition
+    * directories whose data-file count exceeds `maxFiles`, merging
+    * each back to one task's output; termstats deltas fold on the same
+    * trigger. Rows pass through verbatim — tombstones are deliberately
+    * NOT folded here. */
+  def compactFiles(spark: SparkSession, dir: String,
+      maxFiles: Int = 16, maxRecordsPerFile: Long = 8000000L): Unit = {
+    graft.util.StoreLease.withLease(spark, dir, "compactFiles") {
+    graft.util.IngestMarker.requireAbsent(spark, dir, "compactFiles")
+    require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
+    requireFormat(readMeta(spark, dir), dir)
+    recoverStaging(spark, dir)
+    def fold(table: String, part: String): Unit = {
+      val live = s"$dir/$table"
+      val staging = s"$dir/${table}_staging"
+      val over = graft.util.Fs.listDirNames(spark, live)
+        .filter(_.startsWith(s"$part="))
+        .filter(d =>
+          graft.util.Fs.dataFileCount(spark, s"$live/$d") > maxFiles)
+        .map(_.stripPrefix(s"$part=").toInt)
+      if (over.nonEmpty) {
+        spark.read.parquet(live)
+          .filter(col(part).isin(over.map(Int.box): _*))
+          .repartition(col(part))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .partitionBy(part).parquet(staging)
+        over.foreach { v =>
+          graft.util.Fs.rmTree(spark, s"$live/$part=$v")
+          if (graft.util.Fs.exists(spark, s"$staging/$part=$v"))
+            graft.util.Fs.rename(spark, s"$staging/$part=$v",
+              s"$live/$part=$v"): Unit
+        }
+        graft.util.Fs.rmTree(spark, staging)
+      }
+    }
+    fold("postings", "bucket")
+    fold("docids", "dbucket")
+    if (graft.util.Fs.exists(spark, termDelta(dir)) &&
+      graft.util.Fs.dataFileCount(spark, termDelta(dir)) > maxFiles)
+      foldTermStats(spark, dir)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // tx1/tx2 — lifecycle + search gates under full DuckDB oracles
+  // ------------------------------------------------------------------
+
+  private def storeDirFor(sfDir: String, tag: String): String =
+    graft.util.Fixtures.dir + s"/text_index_${tag}_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** tx1 — text-index ingest lifecycle: build on ⅔ of the documents,
+    * append the other ⅓, merge-on-read delete every indexable corpus
+    * doc with id % 5 = 0, compact. In-query gates beyond the oracle:
+    *   1. ensure() after build and after the full lifecycle are pure
+    *      loads (the XOR/Σdl fingerprint is exact through ingest);
+    *   2. store search == the storeless scorer over the store's own
+    *      live postings, BEFORE compact (tombstones + termstats deltas
+    *      active) — maintained df/dl/stats agree with recomputed ones;
+    *   3. compact changes NOTHING a search can see, drops the
+    *      tombstones, and the surviving docids equal the meta count;
+    *   4. the layout is physically term-bucketed.
+    * Emitted row set: the per-term posting profile (df, Σtf, doc-id
+    * checksum) read FROM the post-lifecycle store; DuckDB replays the
+    * corpus/batch/delete arithmetic and the tokenizer. */
+  val lifecycle = QueryDef(
+    "tx1_text_index_lifecycle",
+    { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      val dir = storeDirFor(d, "tx1")
+      graft.util.StoreLease.break(s, dir) // fixture dir
+      graft.util.Fs.rmTree(s, dir)
+      build(corpus, dir)
+      val b0 = buildsThisProcess
+      ensure(corpus, dir)
+      val noRebuild0 = buildsThisProcess == b0
+      append(batch, dir)
+      val delSet = corpus.filter(col("doc_id") % 5 === 0 &&
+          col("text").isNotNull &&
+          length(translate(col("text"), " ", "")) > 0)
+        .localCheckpoint(eager = true)
+      delete(delSet, dir)
+      // live panel: ingested docs that survived the delete
+      val panel = docs.filter(col("doc_id") < 60 &&
+          !(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0))
+        .select(col("doc_id").as("qid"), col("text"))
+        .localCheckpoint(eager = true)
+      def searchRows(): Set[(Long, Int, Long, Double)] =
+        searchBm25(panel, dir, topN = 3).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+            r.getDouble(3))).toSet
+      val viaStore = searchRows()
+      val viaStoreless = HybridRetrieval.bm25FromPostings(
+          livePostings(s, dir).select("doc", "term", "tf"),
+          panel.select("qid"), topN = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      val searchAgrees = viaStore == viaStoreless && viaStore.nonEmpty
+      compact(s, dir)
+      val compactInvisible = searchRows() == viaStore
+      val noTombLeft = !graft.util.Fs.exists(s, s"$dir/tombstones")
+      val noDeltaLeft = !graft.util.Fs.exists(s, termDelta(dir))
+      val metaDocs = readMeta(s, dir).getAs[Long]("n_docs")
+      val docidsExact = readDocids(s, dir).count() == metaDocs
+      val live = corpus.join(delSet.select("doc_id"), Seq("doc_id"),
+        "left_anti").unionByName(batch)
+      val b1 = buildsThisProcess
+      ensure(live, dir)
+      val noRebuild1 = buildsThisProcess == b1
+      val bucketDirs = graft.util.Fs.listDirNames(s, s"$dir/postings")
+        .count(_.startsWith("bucket="))
+      livePostings(s, dir).groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sum(col("tf")).cast("long").as("tf_sum"),
+          sum(col("doc")).cast("long").as("doc_sum"))
+        .filter(lit(noRebuild0 && noRebuild1 && searchAgrees &&
+          compactInvisible && noTombLeft && noDeltaLeft && docidsExact &&
+          bucketDirs >= 2))
+    },
+    oracle = Some(
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |del AS (SELECT doc_id FROM corpus
+        |        WHERE doc_id % 5 = 0 AND text IS NOT NULL
+        |          AND length(replace(text, ' ', '')) > 0),
+        |live AS (SELECT * FROM corpus
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM del)
+        |         UNION ALL SELECT * FROM batch),
+        |tok AS (SELECT doc_id AS doc,
+        |               unnest(string_split(lower(text), ' ')) AS term
+        |        FROM live WHERE text IS NOT NULL AND length(text) > 0),
+        |post AS (SELECT doc, term, count(*) AS tf FROM tok
+        |         WHERE term <> '' GROUP BY 1, 2)
+        |SELECT term, count(*) AS df,
+        |       CAST(sum(tf) AS BIGINT) AS tf_sum,
+        |       CAST(sum(doc) AS BIGINT) AS doc_sum
+        |FROM post GROUP BY 1""".stripMargin))
+
+  /** tx2 — store-backed BM25 search under a FULL DuckDB oracle: build
+    * the index over the whole documents table, search the < 40 panel
+    * top-3, and DuckDB replays postings, df, idf, the BM25 sum, the
+    * rounding, and the tie order from scratch — maintained stats that
+    * drift from recomputed ones hash-mismatch here. (The storeless
+    * twin of this formula is v21's keyword leg.) */
+  val search = QueryDef(
+    "tx2_text_index_bm25",
+    { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dir = storeDirFor(d, "tx2")
+      graft.util.StoreLease.break(s, dir) // fixture dir
+      graft.util.Fs.rmTree(s, dir)
+      build(docs, dir)
+      val panel = docs.filter(col("doc_id") < 40)
+        .select(col("doc_id").as("qid"), col("text"))
+      searchBm25(panel, dir, topN = 3)
+        .select(col("qid"), col("rank").cast("int").as("rank"),
+          col("doc"), col("score4"))
+    },
+    oracle = Some {
+      val K1 = HybridRetrieval.K1
+      val B = HybridRetrieval.B
+      s"""WITH src AS (SELECT doc_id, text FROM documents
+         |            WHERE text IS NOT NULL AND len(text) > 0),
+         |post AS (
+         |  SELECT doc_id AS doc, term, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+         |        FROM src)
+         |  WHERE term != '' GROUP BY doc, term),
+         |dl AS (SELECT doc, sum(tf) AS dl FROM post GROUP BY doc),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |                 avg(dl) AS avgdl FROM dl),
+         |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+         |          FROM post GROUP BY term),
+         |qterms AS (SELECT DISTINCT doc AS qid, term FROM post
+         |           WHERE doc < 40),
+         |bm AS (
+         |  SELECT q.qid, p.doc,
+         |         round(sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+         |           * p.tf / (p.tf + $K1 * (1 - $B + $B * l.dl / s.avgdl))),
+         |           4) AS score4
+         |  FROM qterms q
+         |  JOIN post p ON p.term = q.term AND p.doc != q.qid
+         |  JOIN dfreq f ON f.term = q.term
+         |  JOIN dl l ON l.doc = p.doc
+         |  CROSS JOIN stats s
+         |  GROUP BY q.qid, p.doc)
+         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+         |         ORDER BY score4 DESC, doc) AS INT) AS rank, doc, score4
+         |FROM bm QUALIFY rank <= 3""".stripMargin
+    })
+
+  def all: Seq[QueryDef] = Seq(lifecycle, search)
+}

@@ -368,7 +368,13 @@ object RangeJoinNative {
         interruptOnCancel = true)
       try body finally sc.clearJobGroup()
     }
-    def abandon(): Unit = { abandoned = true; sc.cancelJobGroup(groupId) }
+    // cancel only when something is still running — an unconditional
+    // cancel of an already-drained group makes the DAGScheduler log a
+    // spurious WARN on every routed call
+    def abandonAndCancel(f: scala.concurrent.Future[_]): Unit = {
+      abandoned = true
+      if (!f.isCompleted) sc.cancelJobGroup(groupId)
+    }
     // bounded result: ≤ |L| / hotThreshold keys survive the filter
     val nHotF = Future(inGroup(left.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__rja_n"))
@@ -397,17 +403,20 @@ object RangeJoinNative {
       try Await.result(nHotF, detectTimeout)
       catch {
         case _: java.util.concurrent.TimeoutException =>
-          abandon()
+          abandonAndCancel(nHotF)
           System.err.println("[rangeJoinAuto] WARN detection timed out " +
             s"after $detectTimeout — routing to the salted form")
           return RangeJoinChoice("salted", -1L, 0L, 0L)
       }
-    if (nHot == 0) { abandon(); return RangeJoinChoice("native", 0L, 0L, 0L) }
+    if (nHot == 0) {
+      abandonAndCancel(spanF)
+      return RangeJoinChoice("native", 0L, 0L, 0L)
+    }
     val s =
       try Await.result(spanF, detectTimeout)
       catch {
         case _: java.util.concurrent.TimeoutException =>
-          abandon()
+          abandonAndCancel(spanF)
           System.err.println("[rangeJoinAuto] WARN span detection timed " +
             s"out after $detectTimeout — routing to the salted form")
           return RangeJoinChoice("salted", nHot, 0L, 0L)

@@ -1192,16 +1192,20 @@ object Streams {
       .select(col("doc_id"), col("text"))
     val base = graft.util.Fixtures.dir + "/st15"
     graft.util.Fs.rmRecursive(new java.io.File(base))
-    val postDir = s"$base/postings"
+    // since r16 the sink is the FIRST-CLASS [[graft.llm.TextIndex]]
+    // store (lease, fingerprint/ensure, maintenance — the r15
+    // verdict's Missing #3), bootstrapped EMPTY and grown one
+    // TextIndex.append per micro-batch (each append rides the
+    // single-writer lease and its own marker window)
+    val storeDir = s"$base/txstore"
+    graft.llm.TextIndex.build(docs.limit(0), storeDir, nBuckets = 8)
     def tokenize(b: DataFrame): DataFrame =
       graft.llm.HybridRetrieval.postings(b, "doc_id", "text")
-        .withColumn("bucket", pmod(xxhash64(col("term")), lit(8)))
     val feed = new FileFeed(s, "st15feed", docs.schema)
     val q = feed.source()
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (b: DataFrame, _: Long) =>
-        tokenize(b).repartition(col("bucket"))
-          .write.mode("append").partitionBy("bucket").parquet(postDir)
+        graft.llm.TextIndex.append(b, storeDir)
       }
       .option("checkpointLocation", s"$base/ckpt")
       .start()
@@ -1211,7 +1215,7 @@ object Streams {
         q.processAllAvailable()
       }
     } finally q.stop()
-    val streamed = s.read.parquet(postDir)
+    val streamed = graft.llm.TextIndex.livePostings(s, storeDir)
       .select(col("doc"), col("term"), col("tf"))
     val batch = tokenize(docs).select(col("doc"), col("term"), col("tf"))
     val postFpS = fingerprint(streamed, Seq("doc", "term", "tf"))
@@ -1222,11 +1226,25 @@ object Streams {
       Seq("qid", "rank", "doc", "score4"))
     val sFpS = searchFp(streamed)
     val sFpB = searchFp(batch)
-    val bucketDirs = Option(new java.io.File(postDir).listFiles())
+    // the STORE's own search (maintained df/dl/stats, bucket-pruned
+    // scan) must equal the storeless scorer over the batch postings
+    val sFpStore = fingerprint(
+      graft.llm.TextIndex.searchBm25(
+        docs.filter(col("doc_id") < 40)
+          .select(col("doc_id").as("qid"), col("text")),
+        storeDir, topN = 3),
+      Seq("qid", "rank", "doc", "score4"))
+    // a streamed-in store is ensure-valid over the full corpus: the
+    // per-batch XOR/Σdl maintenance composed exactly
+    val b0 = graft.llm.TextIndex.buildsThisProcess
+    graft.llm.TextIndex.ensure(docs, storeDir, nBuckets = 8)
+    val pureLoad = graft.llm.TextIndex.buildsThisProcess == b0
+    val bucketDirs = Option(
+      new java.io.File(s"$storeDir/postings").listFiles())
       .map(_.count(f => f.isDirectory && f.getName.startsWith("bucket=")))
       .getOrElse(0)
-    val ok = postFpS == postFpB && sFpS == sFpB && postFpS._1 > 0 &&
-      sFpS._1 > 0 && bucketDirs >= 2
+    val ok = postFpS == postFpB && sFpS == sFpB && sFpStore == sFpB &&
+      postFpS._1 > 0 && sFpS._1 > 0 && bucketDirs >= 2 && pureLoad
     streamed.groupBy("term")
       .agg(count(lit(1)).as("df"),
         sum(col("tf")).cast("long").as("tf_sum"),
