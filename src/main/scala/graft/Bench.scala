@@ -214,8 +214,12 @@ object Bench {
     val total = times.values.sum
     val loadEnd = loadAvg()
     val cores = Runtime.getRuntime.availableProcessors()
+    // names whose timing is the store-ops-only bench variant (full
+    // gate choreography runs in Verify only) — self-describing artifact
+    val variants = SparkEntry.benchVariantNames
+      .map(jstr).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"reps":$reps,"timing":${jstr(timing)},"n_samples":$nss,"peak_heap_mb":$pks,"peak_rss_mb":${vmHwmMb()},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"n_cores":$cores,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"reps":$reps,"timing":${jstr(timing)},"store_ops_only":$variants,"n_samples":$nss,"peak_heap_mb":$pks,"peak_rss_mb":${vmHwmMb()},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"n_cores":$cores,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     // The result line goes out LAST, after the Spark session (and its
     // log chatter) is fully stopped, so no concurrent logger can splice

@@ -68,7 +68,15 @@ object SparkEntry {
     * engine's data-scale throughput.
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.filter(_.benchEligible).map(q => q.name -> q.fn).toMap
+    registry.filter(_.benchEligible)
+      .map(q => q.name -> q.benchFn.getOrElse(q.fn)).toMap
+
+  /** Queries whose BENCH timing is the store-ops-only variant (gate
+    * choreography stripped; Verify still runs the full-gate form) —
+    * surfaced in the bench artifact so readers know what was timed. */
+  def benchVariantNames: Seq[String] =
+    registry.filter(q => q.benchEligible && q.benchFn.isDefined)
+      .map(_.name).sorted
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

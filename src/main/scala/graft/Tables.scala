@@ -103,7 +103,18 @@ final case class QueryDef(
     /** false for fixture-bound self-tests whose cost does not scale with
       * sfDir — they run in Verify but are excluded from Bench so the
       * bench measures data-scale throughput, not fixture ML fits. */
-    benchEligible: Boolean = true)
+    benchEligible: Boolean = true,
+    /** When present, BENCH times this variant instead of `fn` (Verify
+      * always runs `fn`). For the store-lifecycle queries, `fn` carries
+      * heavyweight TRUTH-side gates — brute-force oracle sides,
+      * pair-graph reconciliations, rebuild-compare loops — that are
+      * correctness machinery, not engine throughput; the bench variant
+      * runs the SAME store operations (build/append/probe/search/
+      * delete/compact) with the gate choreography stripped, so the
+      * bench measures the store ops (r15 verdict item 3). Gate coverage
+      * is unchanged: Verify runs the full-gate `fn` against its DuckDB
+      * oracle every round. */
+    benchFn: Option[(SparkSession, String) => DataFrame] = None)
 
 object QueryDef {
   def sql(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): QueryDef =

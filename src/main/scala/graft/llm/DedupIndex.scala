@@ -768,11 +768,20 @@ object DedupIndex {
     val setsStaging = s"$dir/sets_staging"
     recoverStaging(spark, dir)
     // gramdf maintenance first (compact is the heavyweight commit):
-    // evaluate — the cheap candidate tick unless deletes lowered the
-    // threshold — then FORCE-fold deltas and hotgrams back to exact
-    // single tables, so a compacted store always reads one base
-    refreshHotGramsLocked(spark, dir, force = true): Unit
-    maybeFoldGramDf(spark, dir, force = true)
+    // when unfolded deltas exist, evaluate — the cheap candidate tick
+    // unless deletes lowered the threshold — then FORCE-fold them back
+    // to one exact base, so a compacted store always reads one table.
+    // No deltas → base is already exact; the ordinary due-trigger tick
+    // still runs (free when not due). The hotgrams fold is
+    // content-preserving and safe either way.
+    if (hasGramDf(spark, dir) &&
+      graft.util.Fs.exists(spark, gramDfDelta(dir))) {
+      refreshHotGramsLocked(spark, dir, force = true): Unit
+      maybeFoldGramDf(spark, dir, force = true)
+    } else {
+      refreshHotGramsLocked(spark, dir): Unit
+      maybeFoldGramDf(spark, dir, force = true)
+    }
     if (!graft.util.Fs.exists(spark, s"$dir/tombstones")) return
     val tomb = spark.read.parquet(s"$dir/tombstones").select(col("nid"))
     val idCol = spark.read.parquet(s"$dir/sets").columns
@@ -1120,9 +1129,10 @@ object DedupIndex {
     // hotgrams/: every refresh appends one single-file delta and every
     // build/probe/append collects the whole table (r15 advice) — fold
     // to one file past the budget and LOG the set size so drift of the
-    // broadcast-sized assumption is visible
-    if (force ||
-      graft.util.Fs.dataFileCount(spark, s"$dir/hotgrams") > GramDfFoldFiles) {
+    // broadcast-sized assumption is visible. Already-single-file sets
+    // skip even under force: the rewrite would change nothing.
+    val hotFiles = graft.util.Fs.dataFileCount(spark, s"$dir/hotgrams")
+    if ((force && hotFiles > 1) || hotFiles > GramDfFoldFiles) {
       import spark.implicits._
       val hot = readHotGrams(spark, dir).collect().map(_.getLong(0))
       val staging = s"$dir/hotgrams_staging"
@@ -1253,7 +1263,40 @@ object DedupIndex {
         |        WHERE ix * 1.0 / (ca.c + cb.c - ix) >= 0.9),
         |drops AS (SELECT DISTINCT pb AS id FROM prs WHERE pb >= 2000000)
         |SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS kept_checksum
-        |FROM batch WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin))
+        |FROM batch WHERE doc_id NOT IN (SELECT id FROM drops)""".stripMargin),
+    // store-ops-only bench variant (r15 verdict item 3): the identical
+    // lifecycle — build, append, probe, delete, compact, probe — with
+    // the truth-side reconciliations (exceptAll pair-graph compares,
+    // double ensure fingerprints, tombstone-layout asserts) stripped;
+    // Verify still runs the full-gate form above
+    benchFn = Some { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+        .unionByName(
+          docs.filter(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+      val dir = indexDirFor(d)
+      graft.util.StoreLease.break(s, dir)
+      graft.util.Fs.rmTree(s, dir)
+      build(corpus, dir, threshold = 0.9)
+      val kept = append(batch, dir, threshold = 0.9)
+        .localCheckpoint(eager = true)
+      val delSet = batch.join(kept, Seq("doc_id"), "left_semi")
+        .filter(col("doc_id") % 7 === 0 && col("text").isNotNull)
+        .localCheckpoint(eager = true)
+      val recrawl = delSet
+        .select((col("doc_id") + 4000000).as("doc_id"), col("text"))
+        .unionByName(corpus
+          .filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 5000000).as("doc_id"), col("text")))
+      probePairs(recrawl, dir, threshold = 0.9).count(): Unit
+      delete(delSet, dir)
+      compact(s, dir)
+      probePairs(recrawl, dir, threshold = 0.9)
+        .select(col("doc_a"), col("doc_b"))
+    })
 
   // ------------------------------------------------------------------
   // d18 — hot-gram DRIFT lifecycle under the d9 pair-graph oracle
@@ -1401,6 +1444,38 @@ object DedupIndex {
         |      UNION ALL
         |      SELECT doc_id FROM b2
         |      WHERE doc_id NOT IN (SELECT id FROM drops2))""".stripMargin
+    },
+    // store-ops-only bench variant: build, two drifting appends, the
+    // pre-refresh probe, the refresh tick, the post-refresh probe —
+    // without the banner-gram prefix audits, the ensure fingerprint
+    // pass, or the exceptAll invariance compares (all still gated in
+    // Verify's full form above)
+    benchFn = Some { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      def plant(mod4: Int, mod8: Int, off: Long): DataFrame =
+        docs.filter(col("doc_id") % 4 === mod4)
+          .select((col("doc_id") + off).as("doc_id"),
+            when(col("doc_id") % 8 === mod8 && col("text").isNotNull,
+              concat(lit(DriftBanner + " "), col("text")))
+              .otherwise(col("text")).as("text"))
+      val dir = driftDirFor(d)
+      graft.util.StoreLease.break(s, dir)
+      graft.util.Fs.rmTree(s, dir)
+      build(corpus, dir, threshold = 0.9)
+      append(plant(1, 1, 2000000L), dir, threshold = 0.9).count(): Unit
+      append(plant(3, 3, 3000000L), dir, threshold = 0.9).count(): Unit
+      val recrawl = corpus.filter(col("doc_id") % 10 === 2 &&
+          col("text").isNotNull)
+        .select((col("doc_id") + 4000000).as("doc_id"), col("text"))
+        .unionByName(corpus.filter(col("doc_id") % 10 === 4 &&
+            col("text").isNotNull)
+          .select((col("doc_id") + 5000000).as("doc_id"),
+            concat(lit(DriftBanner + " "), col("text")).as("text")))
+      probePairs(recrawl, dir, threshold = 0.9).count(): Unit
+      refreshHotGrams(s, dir): Unit
+      probePairs(recrawl, dir, threshold = 0.9)
+        .select(col("doc_a"), col("doc_b"))
     })
 
   def all: Seq[QueryDef] = Seq(ingest, drift)

@@ -752,7 +752,30 @@ object GraphAnn {
         |             row_number() OVER (PARTITION BY qid
         |                                ORDER BY sim DESC, nid) AS rn
         |      FROM s)
-        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin),
+    // store-ops-only bench variant: build, delete, tombstoned beam
+    // search, repairing compact, ensure, compacted beam search —
+    // without the brute-force truth side and the degree accounting
+    // (Verify runs the full-gate form above)
+    benchFn = Some { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding")).cache()
+      val dir = deleteDirFor(d)
+      graft.util.StoreLease.break(s, dir)
+      graft.util.Fs.rmTree(s, dir)
+      ensure(emb, dir): Unit
+      val deleted = emb.filter(col("vec_id") % 10 === 3)
+      val live = emb.filter(col("vec_id") % 10 =!= 3).cache()
+      delete(deleted, dir)
+      val queries = Similarity.probePanel(live)
+      beamSearch(queries, load(s, dir), live, k = 1).count(): Unit
+      compact(live, dir)
+      val edgesC = ensure(live, dir)
+      val out = beamSearch(queries, edgesC, live, k = 1)
+        .localCheckpoint(eager = true)
+      emb.unpersist(); live.unpersist()
+      out
+    })
 
   private def appendDirFor(sfDir: String): String =
     graft.util.Fixtures.dir + "/v28_graph/" +
@@ -825,7 +848,27 @@ object GraphAnn {
         |             row_number() OVER (PARTITION BY qid
         |                                ORDER BY sim DESC, nid) AS rn
         |      FROM s)
-        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin),
+    // store-ops-only bench variant: build on 90%, append the rest,
+    // ensure, beam search — without the brute-force truth side and
+    // the degree audits (Verify runs the full-gate form above)
+    benchFn = Some { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding")).cache()
+      val dir = appendDirFor(d)
+      graft.util.StoreLease.break(s, dir)
+      graft.util.Fs.rmTree(s, dir)
+      val old = emb.filter(col("vec_id") % 10 =!= 7).cache()
+      val batch = emb.filter(col("vec_id") % 10 === 7)
+      ensure(old, dir): Unit
+      append(batch, old, dir)
+      val edges = ensure(emb, dir)
+      val queries = Similarity.probePanel(emb)
+      val out = beamSearch(queries, edges, emb, k = 1)
+        .localCheckpoint(eager = true)
+      emb.unpersist(); old.unpersist()
+      out
+    })
 
   def all: Seq[QueryDef] = Seq(graphAnn, graphPq, graphDelete, graphAppend)
 }

@@ -889,7 +889,29 @@ object VectorIndex {
         |             row_number() OVER (PARTITION BY qid
         |                                ORDER BY sim DESC, nid) AS rn
         |      FROM s)
-        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin),
+    // store-ops-only bench variant: build, delete, tombstoned search,
+    // compact, ensure, compacted search — without the brute-force
+    // truth side and result-set reconciliations (Verify runs the
+    // full-gate form above)
+    benchFn = Some { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding")).cache()
+      val dir = deleteDirFor(d)
+      graft.util.StoreLease.break(s, dir)
+      build(emb, dir)
+      val deleted = emb.filter(col("vec_id") % 10 === 3)
+      val live = emb.filter(col("vec_id") % 10 =!= 3)
+      delete(deleted, dir)
+      val queries = Similarity.probePanel(live)
+      search(load(s, dir), queries, live, k = 1).count(): Unit
+      compact(s, dir)
+      val ixC = ensure(live, dir)
+      val out = search(ixC, queries, live, k = 1)
+        .localCheckpoint(eager = true)
+      emb.unpersist()
+      out
+    })
 
   private def filteredDeleteDirFor(sfDir: String): String =
     graft.util.Fixtures.dir + "/v27_index/" +
@@ -967,7 +989,28 @@ object VectorIndex {
         |             row_number() OVER (PARTITION BY qid
         |                                ORDER BY sim DESC, nid) AS rn
         |      FROM s)
-        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin))
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin),
+    // store-ops-only bench variant (see v25's) for the filtered store
+    benchFn = Some { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label")).cache()
+      val dir = filteredDeleteDirFor(d)
+      graft.util.StoreLease.break(s, dir)
+      graft.util.Fs.rmTree(s, dir)
+      buildFiltered(emb, dir, "label")
+      val deleted = emb.filter(col("vec_id") % 10 === 3)
+      val live = emb.filter(col("vec_id") % 10 =!= 3).cache()
+      deleteFiltered(deleted, dir, "label")
+      val queries = Similarity.probePanel(live)
+      searchFiltered(load(s, dir), queries, live, "label", k = 1)
+        .count(): Unit
+      compactFiltered(s, dir, "label")
+      val ixC = ensureFiltered(live, dir, "label")
+      val out = searchFiltered(ixC, queries, live, "label", k = 1)
+        .localCheckpoint(eager = true)
+      emb.unpersist(); live.unpersist()
+      out
+    })
 
   def all: Seq[QueryDef] =
     Seq(persisted, persistedFiltered, deleteCompact, filteredDeleteCompact)
