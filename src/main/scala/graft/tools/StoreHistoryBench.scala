@@ -206,9 +206,24 @@ object StoreHistoryBench {
     vectorCurve += vectorPoint(-1)
 
     // ---------------------------------------------------------- graph
-    val gAppends = math.max(1, nAppends / 4)
+    // skew mode (r15 stretch 7): the graph tier drives a full-length
+    // append HISTORY aimed INTO the hot cluster — batches drawn from
+    // the synthesis' hot-cell members (centroid ± jitter vectors), so
+    // every append lands new neighbors on the same dense hub and the
+    // question is whether hub-concentrated appends degrade search or
+    // compactFiles. Plain mode keeps the shorter hash-spread history.
+    val gAppends = if (storeSkew) nAppends else math.max(1, nAppends / 4)
     val gDir = s"$root/graph"
     val gCorpus0 = emb.filter(col("vec_id") % 10 < 3)
+    val gRest =
+      if (storeSkew) {
+        val hot = vRest.filter(
+          pmod(xxhash64(col("vec_id"), lit(7)), lit(5)) === 0)
+          .localCheckpoint(true)
+        System.err.println(s"[history] graph hot-hub append pool: " +
+          s"${hot.count()} hot-cell vectors")
+        hot
+      } else vRest
     graft.llm.GraphAnn.ensure(gCorpus0, gDir)
     var gLive: DataFrame = gCorpus0.localCheckpoint(true)
     def graphPoint(after: Int): String = {
@@ -226,7 +241,7 @@ object StoreHistoryBench {
     graphCurve += graphPoint(0)
     k = 0
     while (k < gAppends) {
-      val batch = vRest.filter(pmod(xxhash64(col("vec_id")), lit(gAppends)) === k)
+      val batch = gRest.filter(pmod(xxhash64(col("vec_id")), lit(gAppends)) === k)
         .localCheckpoint(true)
       graft.llm.GraphAnn.append(batch, gLive, gDir)
       gLive = gLive.unionByName(batch).localCheckpoint(true)
@@ -295,6 +310,65 @@ object StoreHistoryBench {
     }
     filteredCurve += filteredPoint(-1)
 
+    // ------------------------------------------------------------ text
+    // r16: the TextIndex store's history + STOP-WORD tier. A stop-word
+    // token is planted on 1-in-5 ingested docs (build and appends), so
+    // its posting list is corpus-wide and keeps growing — the text
+    // analog of the dedup hot gram. Three searches are timed per
+    // point: a plain panel, a HOT panel whose every query carries the
+    // stop-word (forcing the hot posting list through scoring — the
+    // measured cost is output volume, by construction never one
+    // shuffle key), and the hot panel under the df-cap knob
+    // (maxDfFraction = 0.5 — the bound).
+    val tDir = s"$root/text"
+    val stopWord = "zzstopword"
+    def plantStop(b: DataFrame): DataFrame = b.select(col("doc_id"),
+      when(pmod(xxhash64(col("doc_id"), lit(5)), lit(5)) === 0,
+        concat(lit(stopWord + " "), coalesce(col("text"), lit(""))))
+        .otherwise(col("text")).as("text"))
+    graft.llm.TextIndex.build(plantStop(corpus), tDir)
+    val tPanel = corpus.filter(col("text").isNotNull).limit(32)
+      .select(col("doc_id").as("qid"), col("text")).localCheckpoint(true)
+    val tPanelHot = tPanel.select(col("qid"),
+      concat(lit(stopWord + " "), col("text")).as("text"))
+      .localCheckpoint(true)
+    def textSearchSecs(panel: DataFrame, cap: Double): Double = {
+      val (_, s) = secs(graft.llm.TextIndex.searchBm25(panel, tDir,
+        topN = 3, maxDfFraction = cap).count())
+      s
+    }
+    val textCurve = scala.collection.mutable.ArrayBuffer[String]()
+    def textPoint(after: Int): Unit = {
+      val p = textSearchSecs(tPanel, 1.0)
+      val h = textSearchSecs(tPanelHot, 1.0)
+      val c = textSearchSecs(tPanelHot, 0.5)
+      val f = maxFilesUnder(spark, s"$tDir/postings", "bucket")
+      val row = s"""{"after":$after,"search_secs":${jnum(p)},""" +
+        s""""hot_search_secs":${jnum(h)},"capped_secs":${jnum(c)},""" +
+        s""""max_bucket_files":$f}"""
+      textCurve += row
+      System.err.println(s"[history] text $row")
+    }
+    textPoint(0)
+    k = 0
+    while (k < nAppends) {
+      val batch = plantStop(
+        rest.filter(pmod(xxhash64(col("doc_id"), lit(3)), lit(nAppends)) === k)
+          .select((col("doc_id") + 7000000000L).as("doc_id"), col("text")))
+      graft.llm.TextIndex.append(batch, tDir)
+      k += 1
+      if (k % every == 0) textPoint(k)
+    }
+    def textFp(): Long =
+      graft.llm.TextIndex.searchBm25(tPanelHot, tDir, topN = 3)
+        .agg(coalesce(sum(col("doc") * 31 + col("rank")), lit(0L))
+          .cast("long")).head().getLong(0)
+    val tSearchPre = textFp()
+    val (_, textCompactSecs) =
+      secs(graft.llm.TextIndex.compactFiles(spark, tDir, maxFiles = 16))
+    val tSearchPost = textFp()
+    textPoint(-1)
+
     // ---------------------- streaming sustained ingest (st17's form)
     // the same store-append-per-micro-batch sink st17 gates; run twice:
     // without maintenance (per-batch time rises with file count) and
@@ -360,6 +434,9 @@ object StoreHistoryBench {
       s""""filtered":{"curve":[${filteredCurve.mkString(",")}],""" +
       s""""compact_files_secs":${jnum(filteredCompactSecs)},""" +
       s""""search_invariant":${fSearchPre == fSearchPost}},""" +
+      s""""text":{"curve":[${textCurve.mkString(",")}],""" +
+      s""""compact_files_secs":${jnum(textCompactSecs)},""" +
+      s""""search_invariant":${tSearchPre == tSearchPost}},""" +
       s""""stream":{"batches":${if (storeSkew) 0 else nStream},"trigger_every":16,""" +
       s""""plain_secs":[${streamPlain.map(jnum).mkString(",")}],""" +
       s""""maint_secs":[${streamMaint.map(jnum).mkString(",")}]}}"""
