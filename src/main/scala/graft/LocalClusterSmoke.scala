@@ -285,6 +285,51 @@ object LocalClusterSmoke {
     }
   }
 
+  /** TextIndex store: built by one cluster session, fingerprint-
+    * validated and searched from a FRESH one; the store-backed BM25
+    * must agree row-for-row with the storeless scorer over the store's
+    * own live postings. Returns (posting rows, 1.0 iff identical). */
+  def storedTextRoundTrip(sfDir: String): (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.util.Fixtures.dir + "/cluster_text"
+    val sA = newClusterSession()
+    try {
+      val docs = Tables.documents(sA, sfDir)
+        .select(col("doc_id"), col("text"))
+      graft.util.Fs.rmTree(sA, dir)
+      graft.util.StoreLease.break(sA, dir) // fixture dir
+      graft.llm.TextIndex.build(docs, dir)
+    } finally {
+      sA.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+    val sB = newClusterSession()
+    try {
+      val docs = Tables.documents(sB, sfDir)
+        .select(col("doc_id"), col("text"))
+      val before = graft.llm.TextIndex.buildsThisProcess
+      graft.llm.TextIndex.ensure(docs, dir)
+      require(graft.llm.TextIndex.buildsThisProcess == before,
+        "fresh session failed to fingerprint-validate the text store")
+      val panel = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("text"))
+      val store = graft.llm.TextIndex.searchBm25(panel, dir, topN = 3)
+        .collect().map(_.toSeq).toSet
+      val storeless = graft.llm.HybridRetrieval.bm25FromPostings(
+          graft.llm.TextIndex.livePostings(sB, dir)
+            .select("doc", "term", "tf"),
+          panel.select("qid"), topN = 3)
+        .collect().map(_.toSeq).toSet
+      val agree = if (store == storeless && store.nonEmpty) 1.0 else 0.0
+      (sB.read.parquet(s"$dir/postings").count(), agree)
+    } finally {
+      sB.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.001")

@@ -64,4 +64,12 @@ class LocalClusterSpec extends AnyFunSuite {
     assert(nStored > 0)
     assert(accuracy == 1.0, s"cross-session dedup probe accuracy $accuracy")
   }
+
+  test("text posting store built by one cluster session searches from " +
+      "a fresh session without rebuild, identical to the storeless " +
+      "scorer", ClusterTest) {
+    val (nPostings, agree) = LocalClusterSmoke.storedTextRoundTrip(sfDir)
+    assert(nPostings > 0)
+    assert(agree == 1.0, "cross-session store search diverged")
+  }
 }
