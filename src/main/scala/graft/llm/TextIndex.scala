@@ -653,7 +653,32 @@ object TextIndex {
         |SELECT term, count(*) AS df,
         |       CAST(sum(tf) AS BIGINT) AS tf_sum,
         |       CAST(sum(doc) AS BIGINT) AS doc_sum
-        |FROM post GROUP BY 1""".stripMargin))
+        |FROM post GROUP BY 1""".stripMargin),
+    // store-ops-only bench variant (the d17 pattern): the identical
+    // lifecycle — build, append, delete, search, compact, search —
+    // without the storeless-scorer replay, the double-ensure
+    // fingerprints, or the layout audits (all still gated in Verify)
+    benchFn = Some { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      val dir = storeDirFor(d, "tx1")
+      graft.util.StoreLease.break(s, dir)
+      graft.util.Fs.rmTree(s, dir)
+      build(corpus, dir)
+      append(batch, dir)
+      val delSet = corpus.filter(col("doc_id") % 5 === 0 &&
+          col("text").isNotNull &&
+          length(translate(col("text"), " ", "")) > 0)
+        .localCheckpoint(eager = true)
+      delete(delSet, dir)
+      val panel = docs.filter(col("doc_id") < 60 &&
+          !(col("doc_id") % 3 =!= 0 && col("doc_id") % 5 === 0))
+        .select(col("doc_id").as("qid"), col("text"))
+      searchBm25(panel, dir, topN = 3).count(): Unit
+      compact(s, dir)
+      searchBm25(panel, dir, topN = 3)
+    })
 
   /** tx2 — store-backed BM25 search under a FULL DuckDB oracle: build
     * the index over the whole documents table, search the < 40 panel
