@@ -62,6 +62,20 @@ object StoreHistoryBench {
     else dirs.map(d => graft.util.Fs.dataFileCount(spark, s"$table/$d")).max
   }
 
+  /** Keep the growing live-corpus frame WELL-CONDITIONED: a naive
+    * per-append `union(...).localCheckpoint` builds a K-deep chain
+    * whose partition count grows with history, and a search that joins
+    * the corpus per beam round pays K-fold task-scheduling overhead —
+    * measured at ×10: graph search read 8.7 s on a 66-partition
+    * 32-union chain vs ~3 s on the same data repartitioned (a pure
+    * harness artifact: a real ingest loop reads its corpus from a
+    * compacted table). Every live-frame update re-pins through one
+    * repartition. */
+  private def grow(live: DataFrame, batch: DataFrame): DataFrame =
+    live.unionByName(batch)
+      .repartition(live.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+
   def main(args: Array[String]): Unit = {
     val baseSf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
@@ -186,7 +200,7 @@ object StoreHistoryBench {
       val batch = vRest.filter(pmod(xxhash64(col("vec_id")), lit(nAppends)) === k)
         .localCheckpoint(true)
       graft.llm.VectorIndex.append(batch, vDir)
-      vLive = vLive.unionByName(batch)
+      vLive = grow(vLive, batch)
       k += 1
       if (k % every == 0) vectorCurve += vectorPoint(k)
     }
@@ -244,7 +258,7 @@ object StoreHistoryBench {
       val batch = gRest.filter(pmod(xxhash64(col("vec_id")), lit(gAppends)) === k)
         .localCheckpoint(true)
       graft.llm.GraphAnn.append(batch, gLive, gDir)
-      gLive = gLive.unionByName(batch).localCheckpoint(true)
+      gLive = grow(gLive, batch)
       k += 1
       if (k % math.max(1, every / 2) == 0) graphCurve += graphPoint(k)
     }
@@ -290,7 +304,7 @@ object StoreHistoryBench {
       val batch = fRest.filter(pmod(xxhash64(col("vec_id")), lit(nAppends)) === k)
         .localCheckpoint(true)
       graft.llm.VectorIndex.appendFiltered(batch, fDir, "label")
-      fLive = fLive.unionByName(batch)
+      fLive = grow(fLive, batch)
       k += 1
       if (k % every == 0) filteredCurve += filteredPoint(k)
     }
