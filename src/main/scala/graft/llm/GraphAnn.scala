@@ -870,5 +870,116 @@ object GraphAnn {
       out
     })
 
+  /** DENSITY repair — the round-16 campaign's measured residual closed
+    * at the store: hub-CONCENTRATED appends (every batch lands inside
+    * one tight cluster) saturate the affected nodes' 2M degree caps
+    * with near-duplicate neighbors — measured at ×10 skew: +24% total
+    * edges (+55% inside the hub) vs a fresh rebuild on the identical
+    * corpus, and 2.2× the beam-search cost, because the beam's frontier
+    * inside a dense clique-like hub is all mutual near-duplicates that
+    * never let it move. Top-by-similarity re-ranking cannot fix this:
+    * similarity is exactly what saturates the cap.
+    *
+    * The remedy is the OCCLUSION rule from the public graph-ANN line
+    * (HNSW's `selectNeighborsHeuristic`, Malkov & Yashunin TPAMI 2020;
+    * DiskANN's RobustPrune, Subramanya et al. NeurIPS 2019): scan a
+    * node's candidates strongest-first and DROP candidate c when an
+    * already-kept neighbor s is closer to c than c is to the node
+    * (`cos(c, s) > alpha * cos(c, src)`) — each kept edge then covers a
+    * distinct direction, so a dense hub keeps a few representatives
+    * plus its long-range edges instead of 2M clones. Nodes below the
+    * saturation threshold are untouched (their lists are already
+    * sparse); the kept list is floored at `m` by back-filling the
+    * strongest occluded candidates (HNSW's keep-pruned-connections
+    * flag) so no node is ever left under-connected.
+    *
+    * Standalone maintenance (like [[compactFiles]]): rewrites ONLY
+    * saturated nodes' out-lists, stage-and-swap through the compact
+    * staging path, meta untouched (edges are derived data — the
+    * corpus fingerprint still validates, so ensure() stays a pure
+    * load). Cost: O(saturated · (2M)² · dim) kernel work — the
+    * candidate lists are degree-capped, never corpus-sized. */
+  def repairDensity(corpus: DataFrame, dir: String,
+      alpha: Double = 1.0): Long = {
+    val spark = corpus.sparkSession
+    graft.util.StoreLease.withLease(spark, dir, "repairDensity") {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    require(meta.getAs[Int]("format_version") == 3,
+      s"graph store at $dir predates format 3 — rebuild via ensure()")
+    val m = meta.getAs[Int]("m")
+    require(!graft.util.Fs.exists(spark, s"$dir/tombstones"),
+      s"graph store at $dir has pending tombstones — compact before " +
+        "repairDensity")
+    val edges = spark.read.parquet(s"$dir/edges")
+    val saturated = edges.groupBy("src")
+      .agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= 2 * m)
+      .select("src")
+    val nSat = saturated.count()
+    if (nSat == 0) return 0L
+    // per-saturated-node candidate lists with both endpoint vectors;
+    // bounded: 2M rows per node, dim floats per row
+    val cands = edges.join(saturated, Seq("src"), "left_semi")
+      .join(corpus.select(col("vec_id").as("dst"),
+        col("embedding").as("dv")), "dst")
+      .groupBy("src")
+      .agg(collect_list(struct(col("dst"), col("sim"), col("dv")))
+        .as("cands"))
+      .join(corpus.select(col("vec_id").as("src"),
+        col("embedding").as("sv")), "src")
+    // occlusion compares RAW cosines recomputed from the vectors, not
+    // the stored 6-digit-rounded sim: in a clone hub the stored sim
+    // saturates to exactly 1.0 and `cos(c, s) > 1.0` can never fire —
+    // precisely the regime this pass exists for. The stored sim is
+    // kept for the EMITTED rows (the table's round-6 invariant).
+    val diversifyA = udf {
+      (sv: Seq[Float], cands: Seq[org.apache.spark.sql.Row],
+          alphaV: Double, mV: Int) => {
+        def cos(a: Seq[Float], b: Seq[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+            nb += b(i).toDouble * b(i); i += 1
+          }
+          if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+        }
+        val sorted = cands.map { r =>
+          val dv = r.getSeq[Float](2)
+          (r.getLong(0), r.getDouble(1), cos(dv, sv), dv)
+        }.sortBy { case (dst, _, raw, _) => (-raw, dst) }
+        val kept = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double, Double, Seq[Float])]
+        val occluded = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Double)]
+        sorted.foreach { case (dst, sim, raw, dv) =>
+          val occ = kept.exists { case (_, _, _, kv) =>
+            cos(dv, kv) > alphaV * raw
+          }
+          if (!occ) kept += ((dst, sim, raw, dv))
+          else occluded += ((dst, sim))
+        }
+        // diverse edges first, floored at mV with the strongest
+        // occluded (keep-pruned-connections), hard-capped at 2·mV
+        val floor = kept.map(t => (t._1, t._2)) ++
+          occluded.take(math.max(0, mV - kept.size))
+        floor.take(2 * mV).toSeq
+      }
+    }
+    val diversified = cands.select(col("src"),
+        explode(diversifyA(col("sv"), col("cands"), lit(alpha), lit(m)))
+          .as("kept"))
+      .select(col("src"), col("kept._1").as("dst"),
+        col("kept._2").as("sim"))
+    val untouched = edges.join(saturated, Seq("src"), "left_anti")
+    val staging = s"$dir/edges_staging"
+    untouched.unionByName(diversified)
+      .write.mode("overwrite").parquet(staging)
+    graft.util.Fs.rmTree(spark, s"$dir/edges")
+    graft.util.Fs.rename(spark, staging, s"$dir/edges"): Unit
+    nSat
+    }
+  }
+
   def all: Seq[QueryDef] = Seq(graphAnn, graphPq, graphDelete, graphAppend)
 }

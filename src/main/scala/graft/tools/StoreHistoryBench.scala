@@ -305,6 +305,26 @@ object StoreHistoryBench {
       s""""rebuilt_search_secs":${jnum(refCold)},""" +
       s""""rebuilt_warm_secs":${jnum(refWarm)}}"""
     System.err.println(s"[history] graph-ref $graphRef")
+    // the REMEDY, measured in place (r16): occlusion-diversify the
+    // appended store's saturated hub nodes (GraphAnn.repairDensity —
+    // the HNSW/DiskANN prune), then the same search on the repaired
+    // store — the structural-bloat recovery without a rebuild
+    val nRep = graft.llm.GraphAnn.repairDensity(gLive, gDir)
+    def repairSample(): Double = {
+      val (_, s) = secs {
+        val g = graft.llm.GraphAnn.load(spark, gDir)
+        graft.llm.GraphAnn.beamSearch(panel, g, gLive, k = 1).count()
+      }
+      s
+    }
+    val repCold = repairSample()
+    val repWarm = repairSample()
+    val graphRepair = s"""{"repaired_nodes":$nRep,""" +
+      s""""edges_after_repair":${
+        graft.llm.GraphAnn.load(spark, gDir).count()},""" +
+      s""""repair_search_secs":${jnum(repCold)},""" +
+      s""""repair_warm_secs":${jnum(repWarm)}}"""
+    System.err.println(s"[history] graph-repair $graphRepair")
 
     // ------------------------------------------------------- filtered
     // the r14 gap: compactFiles(+Filtered) shipped but the history
@@ -485,7 +505,8 @@ object StoreHistoryBench {
       s""""search_invariant":${searchPre == searchPost}},""" +
       s""""graph":{"appends":$gAppends,"curve":[${graphCurve.mkString(",")}],""" +
       s""""compact_files_secs":${jnum(graphCompactSecs)},""" +
-      s""""rebuilt_reference":$graphRef},""" +
+      s""""rebuilt_reference":$graphRef,""" +
+      s""""density_repair":$graphRepair},""" +
       s""""filtered":{"curve":[${filteredCurve.mkString(",")}],""" +
       s""""compact_files_secs":${jnum(filteredCompactSecs)},""" +
       s""""search_invariant":${fSearchPre == fSearchPost}},""" +

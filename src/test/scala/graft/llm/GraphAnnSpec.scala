@@ -207,6 +207,97 @@ class GraphAnnSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("repairDensity diversifies saturated hub nodes: degrees drop, " +
+      "recall holds, untouched nodes byte-identical, meta untouched") {
+    import spark.implicits._
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/density"
+    val c = corpus(300).cache()
+    // hub batches: near-identical vectors (one anchor + tiny noise) —
+    // the hot-cell append shape from the store-skew campaign
+    def hub(ids: Range): DataFrame = ids.map { i =>
+      val v = Array.tabulate(64) { j =>
+        (if (j % 8 == 0) 2.0f else 0.0f) + noiseF(i * 64 + j) * 0.02f
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    GraphAnn.ensure(c, dir): Unit
+    var live = c
+    (0 until 4).foreach { b =>
+      val batch = hub((1000 + b * 50) until (1000 + (b + 1) * 50))
+      GraphAnn.append(batch, live, dir)
+      live = live.unionByName(batch).localCheckpoint(true)
+    }
+    // localCheckpoint, NOT cache(): the cache manager substitutes a
+    // cached relation into any plan-identical later query, so a cached
+    // `before` would make the post-repair load() return the PRE-repair
+    // rows (same parquet path = same analyzed plan)
+    val before = GraphAnn.load(spark, dir).localCheckpoint(true)
+    val m = 16
+    val satBefore = before.groupBy("src").count()
+      .filter(col("count") >= 2 * m).count()
+    assert(satBefore > 0, "fixture vacuous — no node saturated its cap")
+    val q = live.filter(col("vec_id") < 10)
+    def recallOf(g: DataFrame): Double = {
+      val exact = Similarity.bruteForceTop1(q, live)
+        .select(col("qid"), col("nid"))
+      val approx = GraphAnn.beamSearch(q, g, live, k = 1)
+        .select(col("qid"), col("nid").as("na"))
+      exact.join(approx, Seq("qid"))
+        .filter(col("nid") === col("na")).count().toDouble / 10.0
+    }
+    val recallBefore = recallOf(before)
+    val metaBefore = spark.read.parquet(s"$dir/meta").head().toSeq
+    val nRepaired = GraphAnn.repairDensity(live, dir)
+    assert(nRepaired == satBefore,
+      s"repaired $nRepaired of $satBefore saturated nodes")
+    val after = GraphAnn.load(spark, dir).localCheckpoint(true)
+    // diversification SHRANK the saturated nodes' lists (a dense hub
+    // keeps representatives + long-range edges, not 2M clones), never
+    // below the m floor, no self-loops
+    val satSrc = before.groupBy("src").count()
+      .filter(col("count") >= 2 * m).select("src")
+    val degAfter = after.join(satSrc, Seq("src"), "left_semi")
+      .groupBy("src").count()
+    // a saturated node with 32 genuinely direction-distinct neighbors
+    // legitimately keeps them all, so the evidence is AGGREGATE: the
+    // saturated set's edge mass shrinks materially, the cap holds, and
+    // the m floor holds
+    val edgesBefore = before.join(satSrc, Seq("src"), "left_semi").count()
+    val edgesAfter = after.join(satSrc, Seq("src"), "left_semi").count()
+    assert(edgesAfter <= (edgesBefore * 0.9).toLong,
+      s"saturated edge mass barely moved: $edgesBefore -> $edgesAfter")
+    assert(degAfter.agg(max("count")).head().getLong(0) <= 2 * m,
+      "degree cap violated after repair")
+    assert(degAfter.agg(min("count")).head().getLong(0) >= m,
+      "a repaired node fell below the m floor")
+    assert(after.filter(col("src") === col("dst")).count() == 0)
+    // untouched nodes' lists pass through identical
+    val beforeU = before.join(satSrc, Seq("src"), "left_anti")
+    val afterU = after.join(satSrc, Seq("src"), "left_anti")
+    assert(beforeU.exceptAll(afterU).count() == 0 &&
+      afterU.exceptAll(beforeU).count() == 0,
+      "repairDensity touched a non-saturated node")
+    // navigability preserved (the occlusion rule's whole point)
+    val recallAfter = recallOf(after)
+    assert(recallAfter >= math.min(recallBefore, 0.9),
+      s"recall $recallBefore -> $recallAfter after repair")
+    // edges are derived data: meta untouched, ensure stays a pure load
+    assert(spark.read.parquet(s"$dir/meta").head().toSeq == metaBefore)
+    val b0 = GraphAnn.buildsThisProcess
+    GraphAnn.ensure(live, dir): Unit
+    assert(GraphAnn.buildsThisProcess == b0,
+      "repairDensity drifted the fingerprint")
+    // converged: a second pass is a fixed point (a node that kept 2m
+    // genuinely diverse edges is re-selected identically)
+    GraphAnn.repairDensity(live, dir): Unit
+    val after2 = GraphAnn.load(spark, dir)
+    assert(after2.exceptAll(after).count() == 0 &&
+      after.exceptAll(after2).count() == 0,
+      "second repairDensity pass changed the graph")
+    c.unpersist()
+  }
+
   test("delete rejects a pre-format-3 store with the actionable message") {
     import spark.implicits._
     graft.util.Fs.rmRecursive(new java.io.File(base))
