@@ -92,12 +92,24 @@ object TextIndex {
   private def bucketOf(term: Column, nBuckets: Int): Column =
     pmod(xxhash64(term), lit(nBuckets)).cast("int")
 
-  /** (doc, term, tf, dl, bucket) for a doc frame — tokenizer identical
-    * to [[HybridRetrieval.postings]] (spec-asserted), with the doc
-    * length denormalized onto each row. */
+  /** (doc, term, tf, positions, dl, bucket) for a doc frame — the
+    * tokenizer is [[HybridRetrieval.postings]]' split-lower
+    * (spec-asserted identical on (doc, term, tf)), with 0-based token
+    * POSITIONS kept per posting (sorted — collect order is not
+    * deterministic) and the doc length denormalized onto each row.
+    * Positions index the RAW split (empty tokens from double spaces
+    * keep their slot, like t9's `generate_subscripts - 1` oracle), so
+    * phrase adjacency means adjacency in the original text. */
   private def postingsOf(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame = {
-    val post = HybridRetrieval.postings(docs, idCol, textCol)
+    val toks = docs
+      .filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("doc"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val post = toks.groupBy("doc", "term")
+      .agg(count(lit(1)).cast("double").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc")
     post.withColumn("dl", sum(col("tf")).over(w))
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
@@ -111,6 +123,9 @@ object TextIndex {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("tf",
         org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("positions",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)),
       org.apache.spark.sql.types.StructField("dl",
         org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("bucket",
@@ -425,6 +440,54 @@ object TextIndex {
       .select(col("qid"), col("rank"), col("doc"), col("score4"))
   }
 
+  /** Exact PHRASE match over the live store: for each query phrase,
+    * every live doc containing the phrase's tokens CONSECUTIVELY (at
+    * the stored token positions), with the match count. The classic
+    * positional-index algorithm (Manning/Raghavan/Schütze IR ch. 2)
+    * batch-shaped: each query token i joins its posting list
+    * (bucket-pruned scan, the small query side broadcast), every
+    * stored occurrence at position p votes for alignment base p − i,
+    * and a base with ALL k distinct token indices aligned is one
+    * phrase occurrence — O(Σ matched postings), never a text rescan.
+    * Duplicate tokens inside a phrase are handled exactly (a doc
+    * position can vote for several i's, at different bases).
+    * Returns (qid, doc, n_matches), n_matches ≥ 1. Queries whose
+    * phrase has no indexable token return no rows. */
+  def phraseCount(queries: DataFrame, dir: String,
+      qidCol: String = "qid", textCol: String = "text"): DataFrame = {
+    val spark = queries.sparkSession
+    graft.util.IngestMarker.requireAbsent(spark, dir, "phraseCount")
+    val meta = readMeta(spark, dir)
+    requireFormat(meta, dir)
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val qt = indexable(queries, textCol)
+      .select(col(qidCol).cast("long").as("qid"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("i", "term")))
+      .filter(col("term") =!= "")
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .localCheckpoint(eager = true)
+    val qBuckets = qt.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (qBuckets.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("qid", "doc", "n_matches")
+    }
+    val qLen = qt.groupBy("qid")
+      .agg(countDistinct(col("i")).as("__k"))
+    val post = livePostings(spark, dir, Some(qBuckets))
+      .select(col("doc"), col("term"), col("positions"))
+    broadcast(qt.select("qid", "i", "term")).join(post, "term")
+      .select(col("qid"), col("doc"), col("i"),
+        explode(col("positions")).as("pos"))
+      .withColumn("base", col("pos") - col("i"))
+      .groupBy("qid", "doc", "base")
+      .agg(countDistinct(col("i")).as("__hits"))
+      .join(broadcast(qLen), "qid")
+      .filter(col("__hits") === col("__k"))
+      .groupBy("qid", "doc")
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Finish any crashed stage-and-swap — shared by [[compact]] and
     * [[compactFiles]] (same staging paths): a staged partition whose
     * live directory is missing is the only copy of its rows and is
@@ -733,5 +796,59 @@ object TextIndex {
          |FROM bm QUALIFY rank <= 3""".stripMargin
     })
 
-  def all: Seq[QueryDef] = Seq(lifecycle, search)
+  /** tx3 — exact PHRASE search over the store under a FULL DuckDB
+    * oracle: the panel's phrases are each sub-40-id document's first
+    * three raw tokens, and DuckDB replays the positional-index
+    * algorithm from scratch (split positions, per-token alignment
+    * votes, all-k-aligned bases, match counts). Shares tx2's store via
+    * ensure() (pure load when tx2 already built it this run; a
+    * standalone run builds). In-query gate: every panel doc matches
+    * ITSELF (its own first-3-token phrase occurs in it at base 0). */
+  val phrase = QueryDef(
+    "tx3_text_index_phrase",
+    { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val dir = storeDirFor(d, "tx2")
+      ensure(docs, dir)
+      val panel = docs.filter(col("doc_id") < 20 &&
+          col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id").as("qid"),
+          array_join(slice(split(lower(col("text")), " "), 1, 3), " ")
+            .as("text"))
+        .localCheckpoint(eager = true)
+      val out = phraseCount(panel, dir).localCheckpoint(eager = true)
+      val nPanel = panel.filter(
+        length(translate(col("text"), " ", "")) > 0).count()
+      val selfMatches = out.filter(col("qid") === col("doc")).count()
+      out.filter(lit(selfMatches == nPanel && nPanel > 0))
+    },
+    oracle = Some(
+      """WITH src AS (SELECT doc_id, text FROM documents
+        |            WHERE text IS NOT NULL AND length(text) > 0),
+        |q AS (SELECT doc_id AS qid,
+        |             array_to_string(string_split(lower(text), ' ')[1:3],
+        |                             ' ') AS phrase
+        |      FROM src WHERE doc_id < 20),
+        |qt AS (SELECT qid,
+        |              unnest(string_split(phrase, ' ')) AS term,
+        |              generate_subscripts(string_split(phrase, ' '), 1) - 1
+        |                AS i
+        |       FROM q),
+        |qtf AS (SELECT * FROM qt WHERE term <> ''),
+        |tok AS (SELECT doc_id AS doc,
+        |               unnest(string_split(lower(text), ' ')) AS term,
+        |               generate_subscripts(string_split(lower(text), ' '), 1)
+        |                 - 1 AS pos
+        |        FROM src),
+        |tokf AS (SELECT * FROM tok WHERE term <> ''),
+        |ql AS (SELECT qid, count(DISTINCT i) AS k FROM qtf GROUP BY 1),
+        |al AS (SELECT q.qid, t.doc, t.pos - q.i AS base, q.i AS i
+        |       FROM qtf q JOIN tokf t ON t.term = q.term),
+        |hits AS (SELECT qid, doc, base, count(DISTINCT i) AS h
+        |         FROM al GROUP BY 1, 2, 3)
+        |SELECT h.qid, h.doc, CAST(count(*) AS BIGINT) AS n_matches
+        |FROM hits h JOIN ql ON ql.qid = h.qid
+        |WHERE h.h = ql.k GROUP BY 1, 2""".stripMargin))
+
+  def all: Seq[QueryDef] = Seq(lifecycle, search, phrase)
 }

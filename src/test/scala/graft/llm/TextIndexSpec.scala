@@ -211,6 +211,40 @@ class TextIndexSpec extends SparkSpec {
       "compactFiles changed search results")
   }
 
+  test("phraseCount: exact adjacency at stored positions, duplicate " +
+      "phrase tokens handled, multi-occurrence counted, merge-on-read " +
+      "deletes respected") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/phrase"
+    val corpus = df(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "beta gamma alpha"),          // phrase tokens, wrong order
+      (3L, "x alpha beta gamma y alpha beta gamma"), // 2 occurrences
+      (4L, "alpha x beta gamma"),        // gap breaks adjacency
+      (5L, "the the end"),               // duplicate-token phrase target
+      (6L, "z the the end q"),
+      (7L, "the end the")))              // has "the end" but not "the the end"
+    TextIndex.build(corpus, dir)
+    def matches(phrase: String): Set[(Long, Long, Long)] =
+      TextIndex.phraseCount(
+          df(Seq((100L, phrase))).select(col("doc_id").as("qid"),
+            col("text")),
+          dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(matches("alpha beta gamma") ==
+      Set((100L, 1L, 1L), (100L, 3L, 2L)),
+      "adjacency/multi-occurrence wrong")
+    assert(matches("the the end") == Set((100L, 5L, 1L), (100L, 6L, 1L)),
+      "duplicate-token phrase wrong")
+    assert(matches("gamma alpha") == Set((100L, 2L, 1L)))
+    assert(matches("no such tokens") == Set.empty)
+    // deletes hide a doc's phrases merge-on-read
+    TextIndex.delete(df(Seq((3L, "x alpha beta gamma y alpha beta gamma"))),
+      dir)
+    assert(matches("alpha beta gamma") == Set((100L, 1L, 1L)))
+  }
+
   test("search plans prune: the posting scan carries a bucket " +
       "partition IN-list from the query's own terms") {
     graft.util.Fs.rmRecursive(new java.io.File(base))
