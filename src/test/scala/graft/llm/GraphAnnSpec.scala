@@ -207,20 +207,36 @@ class GraphAnnSpec extends SparkSpec {
     c.unpersist()
   }
 
-  test("repairDensity diversifies saturated hub nodes: degrees drop, " +
-      "recall holds, untouched nodes byte-identical, meta untouched") {
+  // hub batches: near-identical vectors (one anchor + tiny noise) —
+  // the hot-cell append shape from the store-skew campaign
+  private def hub(ids: Range): DataFrame = {
     import spark.implicits._
-    graft.util.Fs.rmRecursive(new java.io.File(base))
-    val dir = s"$base/density"
-    val c = corpus(300).cache()
-    // hub batches: near-identical vectors (one anchor + tiny noise) —
-    // the hot-cell append shape from the store-skew campaign
-    def hub(ids: Range): DataFrame = ids.map { i =>
+    ids.map { i =>
       val v = Array.tabulate(64) { j =>
         (if (j % 8 == 0) 2.0f else 0.0f) + noiseF(i * 64 + j) * 0.02f
       }
       (i.toLong, v)
     }.toDF("vec_id", "embedding")
+  }
+
+  /** Run `body` with the append/compact auto-repair trigger disabled,
+    * restoring the previous setting — the manual-repair tests need an
+    * UNMAINTAINED saturated store to exercise. */
+  private def withAutoRepair[T](enabled: Boolean)(body: => T): T = {
+    val prev = sys.props.get("graft.graph.autoRepair")
+    sys.props("graft.graph.autoRepair") = enabled.toString
+    try body finally prev match {
+      case Some(v) => sys.props("graft.graph.autoRepair") = v
+      case None => sys.props.remove("graft.graph.autoRepair"): Unit
+    }
+  }
+
+  test("repairDensity diversifies saturated hub nodes: degrees drop, " +
+      "recall holds, untouched nodes byte-identical, meta untouched") {
+    withAutoRepair(false) {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/density"
+    val c = corpus(300).cache()
     GraphAnn.ensure(c, dir): Unit
     var live = c
     (0 until 4).foreach { b =>
@@ -295,6 +311,69 @@ class GraphAnnSpec extends SparkSpec {
     assert(after2.exceptAll(after).count() == 0 &&
       after.exceptAll(after2).count() == 0,
       "second repairDensity pass changed the graph")
+    c.unpersist()
+    }
+  }
+
+  test("append maintains the saturation odometer and auto-triggers the " +
+      "density repair; a spread history with the trigger off keeps more " +
+      "edges") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val c = corpus(300).cache()
+    // identical hub-append history into two stores: trigger OFF (the
+    // unmaintained baseline) vs trigger ON at default thresholds
+    def history(dir: String): DataFrame = {
+      GraphAnn.ensure(c, dir): Unit
+      var live: DataFrame = c
+      (0 until 4).foreach { b =>
+        val batch = hub((1000 + b * 50) until (1000 + (b + 1) * 50))
+        GraphAnn.append(batch, live, dir)
+        live = live.unionByName(batch).localCheckpoint(true)
+      }
+      live
+    }
+    val offDir = s"$base/auto_off"
+    val onDir = s"$base/auto_on"
+    val repairs0 = GraphAnn.repairsThisProcess
+    withAutoRepair(false)(history(offDir)): Unit
+    assert(GraphAnn.repairsThisProcess == repairs0,
+      "auto-repair fired with the trigger disabled")
+    // the odometer exists and armed on the unmaintained store
+    val (offTotal, offAppended) = GraphAnn.readSatStats(spark, offDir).get
+    assert(offTotal > 0 && offAppended > 0,
+      s"odometer never armed: total=$offTotal appended=$offAppended")
+    val live = history(onDir)
+    assert(GraphAnn.repairsThisProcess > repairs0,
+      "hub-concentrated appends never auto-triggered the density repair")
+    // the maintained store carries materially less edge mass than the
+    // unmaintained one on the identical history
+    val offEdges = GraphAnn.load(spark, offDir).count()
+    val onEdges = GraphAnn.load(spark, onDir).count()
+    assert(onEdges < offEdges,
+      s"auto-repair kept edge mass at the unmaintained level: " +
+        s"on=$onEdges off=$offEdges")
+    // the odometer reset after the repair (saturated-but-diverse nodes
+    // do not re-arm it)
+    val (_, onAppended) = GraphAnn.readSatStats(spark, onDir).get
+    assert(onAppended < offAppended,
+      s"odometer never reset: on=$onAppended off=$offAppended")
+    // the maintained store still navigates: recall against the live
+    // brute force holds the v20 bar
+    val q = live.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTop1(q, live)
+      .select(col("qid"), col("nid"))
+    val approx = GraphAnn.beamSearch(q, GraphAnn.load(spark, onDir), live,
+        k = 1)
+      .select(col("qid"), col("nid").as("na"))
+    val hits = exact.join(approx, Seq("qid"))
+      .filter(col("nid") === col("na")).count()
+    assert(hits >= 6, s"recall ${hits / 10.0} after auto-repair")
+    // the repair stayed maintenance-only: ensure() over the live corpus
+    // is a pure load (fingerprint untouched)
+    val b0 = GraphAnn.buildsThisProcess
+    GraphAnn.ensure(live, onDir): Unit
+    assert(GraphAnn.buildsThisProcess == b0,
+      "auto-repair drifted the fingerprint")
     c.unpersist()
   }
 
