@@ -998,6 +998,141 @@ object GraphAnn {
       out
     })
 
+  private def densityDirFor(sfDir: String): String =
+    graft.util.Fixtures.dir + "/v29_graph/" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** The v29 fixture's hub-clone append history: ~1/16 of the corpus
+    * (outside the probe panel) each gets `clonesPer` near-duplicate
+    * clones — every element perturbed by a deterministic ±0.6%
+    * (id, position)-hashed factor, so clones are near-dup-but-NOT-
+    * identical (exact ties are precisely what the occlusion rule
+    * correctly never prunes). Appended hub-concentrated in `batches`
+    * batches: the measured regime that saturates 2M degree caps. */
+  private def cloneBatches(emb: DataFrame, maxId: Long,
+      batches: Int): Seq[DataFrame] = {
+    val hubSrc = emb
+      .filter(col("vec_id") >= Similarity.ProbePanelSize)
+      .filter(pmod(xxhash64(col("vec_id"), lit(29)), lit(16)) === 0)
+    (0 until batches).map { b =>
+      val cs = Seq(2 * b, 2 * b + 1)
+      cs.map { c =>
+        hubSrc.select(
+          (lit(maxId + 1) + col("vec_id") * 8 + lit(c)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x * (lit(1.0f) +
+              (pmod(col("vec_id") * 31 + i * 7 + lit(c), lit(13)) - 6)
+                .cast("float") * lit(0.001f))).cast("float"))
+            .as("embedding"))
+      }.reduce(_.unionByName(_))
+    }
+  }
+
+  /** V29 — DENSITY-REPAIR maintenance gate (the r16 verdict's Missing
+    * #2): the occlusion repair under the driver's determinism
+    * double-run like every other op. Builds the v20 graph on the full
+    * corpus, then drives a hub-concentrated near-duplicate append
+    * history (the measured cap-saturating regime) with the AUTO-repair
+    * trigger at production defaults, and gates, in order:
+    *   1. the saturation odometer armed and the density repair fired
+    *      AUTOMATICALLY from append's maintenance path — no manual
+    *      call (closes "repairDensity is operator-invoked only");
+    *   2. a manual [[repairDensity]] afterwards converges: a second
+    *      pass is a FIXED POINT (byte-identical edge relation) — the
+    *      occlusion rule re-selects saturated-but-diverse lists
+    *      identically;
+    *   3. beam search over the maintained store reaches recall@1 ≥ 0.6
+    *      against the LIVE (corpus + clones) brute-force truth — the
+    *      repair preserved navigability in exactly the regime it
+    *      thins;
+    *   4. the store survived history + repairs fingerprint-exact:
+    *      ensure() over the live corpus is a pure load (edges are
+    *      derived data; repair never touches meta).
+    * Emitted rows are the exact brute-force truth over the ORIGINAL
+    * corpus (v20's oracle — the clone synthesis lives entirely on the
+    * gate side, so no cross-engine float fixture is needed). */
+  val graphDensityRepair = QueryDef(
+    "v29_graph_density_repair",
+    { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .cache()
+      val dir = densityDirFor(d)
+      graft.util.StoreLease.break(s, dir) // fixture dir
+      graft.util.Fs.rmTree(s, dir)
+      ensure(emb, dir): Unit
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val repairs0 = repairsThisProcess
+      var live: DataFrame = emb
+      cloneBatches(emb, maxId, batches = 4).foreach { batch =>
+        val b = batch.localCheckpoint(eager = true)
+        append(b, live, dir)
+        live = live.unionByName(b).localCheckpoint(eager = true)
+      }
+      val autoFired = repairsThisProcess > repairs0
+      // manual entry point still converges: second pass is a fixed point
+      repairDensity(live, dir): Unit
+      val e1 = load(s, dir).localCheckpoint(eager = true)
+      repairDensity(live, dir): Unit
+      val e2 = load(s, dir).localCheckpoint(eager = true)
+      val fixedPoint = e1.exceptAll(e2).count() == 0 &&
+        e2.exceptAll(e1).count() == 0
+      val queries = Similarity.probePanel(emb)
+      val exactLive = Similarity.bruteForceTop1(queries, live)
+        .localCheckpoint(eager = true)
+      val approx = beamSearch(queries, e2, live, k = 1)
+        .select(col("qid"), col("nid").as("nid_g"))
+      val joined = exactLive.join(approx, Seq("qid"), "left").cache()
+      val nQ = joined.count().toDouble
+      val hits = joined.filter(col("nid") === col("nid_g")).count().toDouble
+      joined.unpersist()
+      val builds0 = buildsThisProcess
+      ensure(live, dir): Unit
+      val noRebuild = buildsThisProcess == builds0
+      // emitted truth: the ORIGINAL corpus (v20's oracle), clones are
+      // gate-side only
+      val exact = Similarity.bruteForceTop1(queries, emb)
+      emb.unpersist()
+      exact.filter(lit(autoFired && fixedPoint && nQ > 0 &&
+          hits / nQ >= 0.6 && noRebuild))
+        .select(col("qid"), col("nid"), col("sim"))
+    },
+    oracle = Some(
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 40),
+        |s AS (SELECT qid, e.vec_id AS nid,
+        |             round(list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |      FROM q, embeddings e WHERE e.vec_id != qid),
+        |r AS (SELECT qid, nid, sim,
+        |             row_number() OVER (PARTITION BY qid
+        |                                ORDER BY sim DESC, nid) AS rn
+        |      FROM s)
+        |SELECT qid, nid, sim FROM r WHERE rn = 1""".stripMargin),
+    // store-ops-only bench variant: build, the clone-append history
+    // (auto-repair included — it IS the maintenance path under test),
+    // one manual repair, beam search — without the brute-force truth
+    // sides and the fixed-point double-pass
+    benchFn = Some { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding")).cache()
+      val dir = densityDirFor(d)
+      graft.util.StoreLease.break(s, dir)
+      graft.util.Fs.rmTree(s, dir)
+      ensure(emb, dir): Unit
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      var live: DataFrame = emb
+      cloneBatches(emb, maxId, batches = 4).foreach { batch =>
+        val b = batch.localCheckpoint(eager = true)
+        append(b, live, dir)
+        live = live.unionByName(b).localCheckpoint(eager = true)
+      }
+      repairDensity(live, dir): Unit
+      val out = beamSearch(Similarity.probePanel(emb), load(s, dir), live,
+          k = 1)
+        .localCheckpoint(eager = true)
+      emb.unpersist()
+      out
+    })
+
   /** DENSITY repair — the round-16 campaign's measured residual closed
     * at the store: hub-CONCENTRATED appends (every batch lands inside
     * one tight cluster) saturate the affected nodes' 2M degree caps
@@ -1137,5 +1272,6 @@ object GraphAnn {
     nSat
   }
 
-  def all: Seq[QueryDef] = Seq(graphAnn, graphPq, graphDelete, graphAppend)
+  def all: Seq[QueryDef] =
+    Seq(graphAnn, graphPq, graphDelete, graphAppend, graphDensityRepair)
 }
