@@ -179,6 +179,26 @@ object TextIndex {
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
       .repartition(1).write.mode("append").parquet(termDelta(dir))
 
+  /** Search broadcasts the tokenized QUERY side so a stop-word posting
+    * list is never one shuffle key — correct for the intended small
+    * probe-panel contract, but a caller feeding a corpus-sized "query"
+    * set would get a silent driver-side broadcast blowup instead of an
+    * error. Same bound and rationale as [[DedupIndex]]'s probe router:
+    * ~256k (qid, term) rows ≈ a few MB columnar, tens of MB as a built
+    * broadcast relation — safe on a default driver. Beyond it, fail
+    * LOUD with the fix (the r16 verdict's nit #4). */
+  private def maxQueryRows: Long =
+    sys.props.get("graft.textindex.maxQueryRows").map(_.toLong)
+      .getOrElse(262144L)
+
+  private def requireBoundedQuerySide(nRows: Long, op: String): Unit =
+    require(nRows <= maxQueryRows,
+      s"$op query side has $nRows (qid, term) rows — beyond the " +
+        s"$maxQueryRows broadcast budget. This API serves bounded query " +
+        "panels; for a corpus-sized query set, batch the panel or join " +
+        "postings yourself with a shuffle join " +
+        "(-Dgraft.textindex.maxQueryRows raises the bound).")
+
   private def readMeta(spark: SparkSession, dir: String) =
     spark.read.parquet(s"$dir/meta").head()
 
@@ -407,6 +427,7 @@ object TextIndex {
       .distinct()
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
       .localCheckpoint(eager = true)
+    requireBoundedQuerySide(qterms.count(), "searchBm25")
     // bounded collect: ≤ nBuckets values → partition IN-list on both
     // the posting scan and the termstats read
     val qBuckets = qterms.select("bucket").distinct()
@@ -466,6 +487,7 @@ object TextIndex {
       .filter(col("term") =!= "")
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
       .localCheckpoint(eager = true)
+    requireBoundedQuerySide(qt.count(), "phraseCount")
     val qBuckets = qt.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (qBuckets.isEmpty) {

@@ -211,6 +211,33 @@ class TextIndexSpec extends SparkSpec {
       "compactFiles changed search results")
   }
 
+  test("search fails LOUD past the query-side broadcast budget " +
+      "(bounded panels only), and the same panel passes under the bound") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/guard"
+    TextIndex.build(df((0L until 30L).map(i => (i, doc(i.toInt)))), dir)
+    val panel = df((0L until 16L).map(i => (i, doc(i.toInt))))
+      .select(col("doc_id").as("qid"), col("text"))
+    val prev = sys.props.get("graft.textindex.maxQueryRows")
+    sys.props("graft.textindex.maxQueryRows") = "8"
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        TextIndex.searchBm25(panel, dir, topN = 3)
+      }
+      assert(e1.getMessage.contains("broadcast budget"))
+      val e2 = intercept[IllegalArgumentException] {
+        TextIndex.phraseCount(panel, dir)
+      }
+      assert(e2.getMessage.contains("broadcast budget"))
+    } finally prev match {
+      case Some(v) => sys.props("graft.textindex.maxQueryRows") = v
+      case None => sys.props.remove("graft.textindex.maxQueryRows"): Unit
+    }
+    // under the default bound the identical panel serves normally
+    assert(TextIndex.searchBm25(panel, dir, topN = 3).count() > 0)
+    assert(TextIndex.phraseCount(panel, dir).count() > 0)
+  }
+
   test("phraseCount: exact adjacency at stored positions, duplicate " +
       "phrase tokens handled, multi-occurrence counted, merge-on-read " +
       "deletes respected") {
