@@ -123,6 +123,36 @@ object DriftBench {
           .append(appendDocs, dir, threshold = 0.9).count()
         val (pDelta, sDelta) = secs(
           graft.llm.DedupIndex.refreshHotGrams(spark, dir, force = true))
+        // TRICKLE tick (r17): gramdf/base is bucket-partitioned, so a
+        // tick whose unfolded delta touches few buckets prunes the base
+        // SCAN itself (partition dirs, not just rows). Fold the big
+        // delta first (compact), then a 1-doc append — the trickle
+        // shape the file-buildup trigger exists for — and account the
+        // bytes the pruned tick reads vs the whole base.
+        graft.llm.DedupIndex.compact(spark, dir)
+        val trickle = spark.range(1).select(
+            (col("id") + 910000000000000L).as("doc_id"),
+            concat_ws(" ", (0 until 16).map(j =>
+              concat(lit(s"tr${j}_"),
+                pmod(col("id") * 6007 + j * 31337, lit(999983))
+                  .cast("string"))): _*).as("text"))
+          .localCheckpoint(true)
+        graft.llm.DedupIndex.append(trickle, dir, threshold = 0.9)
+          .count(): Unit
+        val candB = spark.read.parquet(s"$dir/gramdf/delta")
+          .select(pmod(col("gram"), lit(64)).cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val baseBuckets = graft.util.Fs
+          .listDirNames(spark, s"$dir/gramdf/base")
+          .filter(_.startsWith("gbucket="))
+        val bytesTotal = baseBuckets.map(d => graft.util.Fs
+          .dataSize(spark, s"$dir/gramdf/base/$d")).sum
+        val bytesPruned = candB.map(b => graft.util.Fs
+          .dataSize(spark, s"$dir/gramdf/base/gbucket=$b")).sum
+        val baseRows = spark.read
+          .parquet(s"$dir/gramdf/base").count()
+        val (pTrickle, sTrickle) = secs(
+          graft.llm.DedupIndex.refreshHotGrams(spark, dir, force = true))
         // strip gramdf/ to measure the legacy full-recompute tick on
         // the IDENTICAL store state (the refresh re-seeds the table)
         graft.util.Fs.rmTree(spark, s"$dir/gramdf")
@@ -131,7 +161,13 @@ object DriftBench {
         val row = s"""{"factor":$f,"corpus_docs":$nCorpus,""" +
           s""""append_kept":$nKept,"tick_delta_secs":${jnum(sDelta)},""" +
           s""""tick_legacy_secs":${jnum(sLegacy)},""" +
-          s""""promoted_delta":$pDelta,"promoted_legacy":$pLegacy}"""
+          s""""promoted_delta":$pDelta,"promoted_legacy":$pLegacy,""" +
+          s""""base_rows":$baseRows,"base_buckets":${baseBuckets.length},""" +
+          s""""trickle_cand_buckets":${candB.length},""" +
+          s""""base_bytes_total":$bytesTotal,""" +
+          s""""base_bytes_pruned_scan":$bytesPruned,""" +
+          s""""tick_trickle_secs":${jnum(sTrickle)},""" +
+          s""""promoted_trickle":$pTrickle}"""
         results += row
         System.err.println(s"[drift-ticks] $row")
       }

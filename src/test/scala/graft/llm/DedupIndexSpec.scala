@@ -597,6 +597,54 @@ class DedupIndexSpec extends SparkSpec {
     assert(pairsOf(dir2).nonEmpty, "fixture vacuous — re-crawl matched nothing")
   }
 
+  test("gramdf/base is bucket-partitioned so the tick prunes partitions; " +
+      "a legacy unpartitioned base reads exactly and upgrades at the " +
+      "next fold") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/gramdf_layout"
+    def uniq(i: Int): String =
+      (i until i + 12).map(w => s"h$w").mkString(" ")
+    val t = 0.5
+    val corpus = df((0L until 80L).map(i => (i, uniq(i.toInt * 20))))
+    DedupIndex.build(corpus, dir, threshold = t)
+    def partitioned: Boolean =
+      graft.util.Fs.listDirNames(spark, s"$dir/gramdf/base")
+        .exists(_.startsWith("gbucket="))
+    assert(partitioned, "build wrote an unpartitioned gramdf/base")
+    def bruteDf(live: DataFrame): Set[(Long, Long)] =
+      Dedup.shingleHashes(live, "doc_id", "text")
+        .select(explode(col("sh")).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def mergedDf(): Set[(Long, Long)] =
+      DedupIndex.mergedGramDf(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter(_._2 > 0).toSet
+    assert(mergedDf() == bruteDf(corpus))
+    // simulate the r16 (pre-partitioned) layout: flatten the base
+    val flat = DedupIndex.mergedGramDf(spark, dir)
+      .localCheckpoint(true)
+    graft.util.Fs.rmTree(spark, s"$dir/gramdf/base")
+    flat.select(col("gram"), col("df"))
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$dir/gramdf/base")
+    assert(!partitioned)
+    assert(mergedDf() == bruteDf(corpus),
+      "legacy unpartitioned base no longer reads exactly")
+    // the candidate tick still runs over the legacy base (unpruned)
+    val batch = df((1000L until 1020L).map(i => (i, uniq(i.toInt * 20))))
+    assert(DedupIndex.append(batch, dir, threshold = t).count() == 20)
+    val live = corpus.unionByName(batch)
+    assert(mergedDf() == bruteDf(live))
+    DedupIndex.refreshHotGrams(spark, dir, force = true): Unit
+    assert(mergedDf() == bruteDf(live),
+      "tick over a legacy base drifted the merged df")
+    // the fold (compact) rewrites to the partitioned layout
+    DedupIndex.compact(spark, dir)
+    assert(partitioned, "fold did not upgrade the base layout")
+    assert(mergedDf() == bruteDf(live), "layout upgrade changed counts")
+  }
+
   test("stats-routed candidate join: broadcast and salted forms are " +
       "row-identical; a store without prefstats takes the salted path") {
     graft.util.Fs.rmRecursive(new java.io.File(base))
