@@ -330,6 +330,61 @@ object LocalClusterSmoke {
     }
   }
 
+  /** Two cluster sessions CONTEND for one store's writer lease through
+    * the [[graft.util.HardLinkConditionalPut]] reference primitive —
+    * the stage-then-conditional-publish shape an object-store
+    * deployment substitutes its S3/GCS/ABFS conditional write into.
+    * Session A builds the store and leaves holding the lease (the
+    * live-or-dead rival writer); session B's append must fail LOUD
+    * naming the holder, and after the operator's documented
+    * `break()` the same append succeeds. Returns (blockedLoud,
+    * appendedAfterBreak). */
+  def leaseContentionRoundTrip(sfDir: String): (Boolean, Boolean) = {
+    import org.apache.spark.sql.functions._
+    val dir = graft.util.Fixtures.dir + "/cluster_lease_text"
+    val old = graft.util.StoreLease.setPrimitive(
+      graft.util.HardLinkConditionalPut)
+    try {
+      val sA = newClusterSession()
+      try {
+        val docs = Tables.documents(sA, sfDir)
+          .select(col("doc_id"), col("text"))
+        graft.util.StoreLease.break(sA, dir) // fixture dir
+        graft.util.Fs.rmTree(sA, dir)
+        graft.llm.TextIndex.build(docs.filter(col("doc_id") % 2 === 0), dir)
+        // the rival: session A acquires through the conditional-put
+        // primitive and "dies" holding it
+        graft.util.StoreLease.acquire(sA, dir, "clusterA-rival-writer")
+      } finally {
+        sA.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+      val sB = newClusterSession()
+      try {
+        val batch = Tables.documents(sB, sfDir)
+          .select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 2 === 1)
+        val n0 = sB.read.parquet(s"$dir/docids").count()
+        val blocked = try {
+          graft.llm.TextIndex.append(batch, dir); false
+        } catch {
+          case e: IllegalStateException =>
+            e.getMessage.contains("clusterA-rival-writer")
+        }
+        val untouched = sB.read.parquet(s"$dir/docids").count() == n0
+        graft.util.StoreLease.break(sB, dir)
+        graft.llm.TextIndex.append(batch, dir)
+        val appended = sB.read.parquet(s"$dir/docids").count() > n0
+        (blocked && untouched, appended)
+      } finally {
+        sB.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    } finally graft.util.StoreLease.setPrimitive(old): Unit
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.001")

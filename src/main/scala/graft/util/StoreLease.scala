@@ -96,6 +96,51 @@ object HadoopAtomicCreate extends LockPrimitive {
     "s3", "s3a", "s3n", "gs", "wasb", "wasbs", "oss", "cos", "swift")
 }
 
+/** REFERENCE conditional-put primitive: the exact two-step shape an
+  * object-store deployment implements against its own conditional
+  * write — stage the owner content under a unique temporary key, then
+  * attempt ONE atomic publish of it at the lock key that fails iff the
+  * key already exists. Here the publish is `link(2)` (POSIX hard-link
+  * creation is atomic and EEXIST-fails on a present target — the
+  * classic mail-spool lockfile protocol); the production mappings are
+  *   - S3:   `PutObject` with `If-None-Match: *` (conditional writes),
+  *   - GCS:  upload with `ifGenerationMatch=0`,
+  *   - ABFS: create with ETag `If-None-Match: *`,
+  * each substituting its conditional call for the link while keeping
+  * this class's stage/publish/cleanup skeleton verbatim. Declares NO
+  * non-atomic schemes — on the one scheme it serves the publish IS
+  * atomic, and any other scheme fails loud instead of downgrading to
+  * check-then-put. */
+object HardLinkConditionalPut extends LockPrimitive {
+  def tryCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      owner: String): Boolean = {
+    if (fs.getScheme != "file")
+      throw new UnsupportedOperationException(
+        s"HardLinkConditionalPut is the file: reference implementation " +
+          s"(got scheme '${fs.getScheme}'); supply your object store's " +
+          "conditional-put primitive instead")
+    val lock = java.nio.file.Paths.get(p.toUri.getPath)
+    // stage: content lands under a key no rival can collide with
+    val tmp = lock.resolveSibling(
+      s".${lock.getFileName}.${ProcessHandle.current().pid()}." +
+        s"${Thread.currentThread().getId}.tmp")
+    java.nio.file.Files.writeString(tmp, owner,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING): Unit
+    try {
+      // publish: one atomic create-if-absent WITH the staged content
+      java.nio.file.Files.createLink(lock, tmp): Unit
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp): Unit
+    }
+  }
+
+  val nonAtomicSchemes: Set[String] = Set.empty
+}
+
 object StoreLease {
 
   @volatile private var primitive: LockPrimitive = HadoopAtomicCreate

@@ -72,4 +72,13 @@ class LocalClusterSpec extends AnyFunSuite {
     assert(nPostings > 0)
     assert(agree == 1.0, "cross-session store search diverged")
   }
+
+  test("two cluster sessions contend for a store's writer lease through " +
+      "the conditional-put reference primitive: the rival blocks the " +
+      "append LOUD, break() recovers", ClusterTest) {
+    val (blocked, appended) = LocalClusterSmoke.leaseContentionRoundTrip(sfDir)
+    assert(blocked,
+      "session B's append did not fail loud naming the rival holder")
+    assert(appended, "append after break() did not land")
+  }
 }

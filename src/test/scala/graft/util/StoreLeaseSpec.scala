@@ -151,6 +151,71 @@ class StoreLeaseSpec extends SparkSpec {
     } finally StoreLease.setPrimitive(old): Unit
   }
 
+  test("HardLinkConditionalPut: first-wins under an N-thread race, " +
+      "the loser reads the winner's full owner line, and a non-file " +
+      "scheme fails loud instead of downgrading") {
+    Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/hardlink"
+    Fs.mkdirs(spark, dir)
+    val old = StoreLease.setPrimitive(HardLinkConditionalPut)
+    try {
+      // the conditional-put primitive declares atomic everywhere it
+      // runs: the scheme guard stays silent even under the hard flag
+      val prev = sys.props.put("graft.lease.requireAtomic", "true")
+      try StoreLease.requireAtomicCreate("s3a")
+      finally prev match {
+        case Some(v) => sys.props.put("graft.lease.requireAtomic", v): Unit
+        case None => sys.props.remove("graft.lease.requireAtomic"): Unit
+      }
+      import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+      val n = 8
+      val start = new CountDownLatch(1)
+      val done = new CountDownLatch(n)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = Executors.newFixedThreadPool(n)
+      (0 until n).foreach { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            start.await()
+            try {
+              StoreLease.acquire(spark, dir, s"cput-racer-$i")
+              wins.incrementAndGet(): Unit
+            } catch { case _: IllegalStateException => () }
+            finally done.countDown()
+          }
+        }): Unit
+      }
+      start.countDown()
+      assert(done.await(30, TimeUnit.SECONDS), "racers did not finish")
+      pool.shutdown()
+      assert(wins.get() == 1, s"${wins.get()} racers acquired the lease")
+      // the loser observes the winner's complete owner line — the
+      // stage-then-publish order means no empty-holder window exists
+      val holder = StoreLease.heldBy(spark, dir).get
+      assert(holder.contains("op=cput-racer-") && holder.contains("pid="),
+        s"owner line incomplete: $holder")
+      // no staged temp keys left behind
+      val leftovers = new java.io.File(base).listFiles()
+        .filter(_.getName.contains(".tmp"))
+      assert(leftovers.isEmpty,
+        s"staged keys leaked: ${leftovers.map(_.getName).mkString(",")}")
+      StoreLease.release(spark, dir)
+      // a second acquire-release cycle works after contention
+      StoreLease.acquire(spark, dir, "after-race")
+      StoreLease.release(spark, dir)
+      // non-file scheme: loud refusal, not silent check-then-put
+      val fakeFs = new org.apache.hadoop.fs.RawLocalFileSystem {
+        override def getScheme: String = "s3a"
+      }
+      fakeFs.initialize(java.net.URI.create("file:///"),
+        spark.sessionState.newHadoopConf())
+      intercept[UnsupportedOperationException] {
+        HardLinkConditionalPut.tryCreate(fakeFs,
+          new org.apache.hadoop.fs.Path(s"$dir.__lock2"), "x")
+      }
+    } finally StoreLease.setPrimitive(old): Unit
+  }
+
   test("vector store: a held lease makes append/delete/compactFiles " +
       "fail LOUD and search stays lock-free") {
     Fs.rmRecursive(new java.io.File(base))
