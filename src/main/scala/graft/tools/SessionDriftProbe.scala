@@ -59,20 +59,26 @@ object SessionDriftProbe {
       .getOrCreate()
     spark0.sparkContext.setLogLevel("WARN")
 
-    // fixed measurement subject: the v20 graph store over a ×10 corpus
+    // fixed measurement subject: the v20 graph store over a ×10 corpus.
+    // The subject frames are RE-READ FROM PARQUET per measurement (no
+    // checkpoint/cache dependency), so every remediation step below —
+    // including a blanket unpersist of all tracked RDDs — leaves the
+    // measurement itself valid.
     val dataDir = ScaleBench.synthesize(spark0, baseSf, 10, "target/scale")
-    val emb = graft.Tables.embeddings(spark0, dataDir)
+    val embPath = "target/session_drift/emb"
+    graft.Tables.embeddings(spark0, dataDir)
       .select(col("vec_id"), col("embedding"))
       .repartition(spark0.sparkContext.defaultParallelism)
-      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(embPath)
+    def embOf(spark: SparkSession): DataFrame = spark.read.parquet(embPath)
     val dir = "target/session_drift/graph"
     graft.util.StoreLease.break(spark0, dir)
     graft.util.Fs.rmTree(spark0, dir)
-    graft.llm.GraphAnn.ensure(emb, dir): Unit
-    val panel = graft.llm.Similarity.probePanel(emb)
-      .localCheckpoint(true)
+    graft.llm.GraphAnn.ensure(embOf(spark0), dir): Unit
 
-    def warmMedian(spark: SparkSession, live: DataFrame): Double = {
+    def warmMedian(spark: SparkSession): Double = {
+      val live = embOf(spark)
+      val panel = graft.llm.Similarity.probePanel(live)
       def one(): Double = secs {
         val g = graft.llm.GraphAnn.load(spark, dir)
         graft.llm.GraphAnn.beamSearch(panel, g, live, k = 1).count()
@@ -82,52 +88,59 @@ object SessionDriftProbe {
       xs(1)
     }
 
-    val early = warmMedian(spark0, emb)
+    val early = warmMedian(spark0)
     System.err.println(s"[session-drift] early warm median ${jnum(early)} s")
 
     // synthetic session load: the campaign's own allocation shape —
-    // localCheckpointed frames and broadcast joins created per round
-    // and dropped (references go out of scope, blocks linger until
-    // the ContextCleaner reaps them)
+    // per-round localCheckpointed frames (store ops pin working frames
+    // eagerly), broadcast joins, a shuffle, and a parquet write, all
+    // dropped after the round (references out of scope, blocks linger
+    // until the JVM GCs the handles and the ContextCleaner reaps them)
     var r = 0
     while (r < loadRounds) {
-      val chunk = emb.filter(pmod(col("vec_id"), lit(loadRounds)) === r)
+      val emb = embOf(spark0)
+      val chunk = emb
+        .withColumn("salt", pmod(col("vec_id") + r, lit(7)))
         .localCheckpoint(true)
-      emb.join(broadcast(chunk.select(col("vec_id"))), Seq("vec_id"),
-        "left_semi").count(): Unit
-      chunk.unionByName(chunk).localCheckpoint(true).count(): Unit
+      chunk.groupBy("salt")
+        .agg(count(lit(1))).localCheckpoint(true).count(): Unit
+      emb.join(broadcast(chunk.select(col("vec_id")).limit(2000)),
+        Seq("vec_id"), "left_semi").count(): Unit
+      chunk.unionByName(chunk).localCheckpoint(true)
+        .write.mode("overwrite")
+        .parquet(s"target/session_drift/load_scratch")
       r += 1
     }
-    val degraded = warmMedian(spark0, emb)
+    val degraded = warmMedian(spark0)
     System.err.println(
       s"[session-drift] post-load warm median ${jnum(degraded)} s")
 
     // remediation ladder — measure after each step, in order
     System.gc(); Thread.sleep(500); System.gc(); Thread.sleep(500)
-    val afterGc = warmMedian(spark0, emb)
+    val afterGc = warmMedian(spark0)
     System.err.println(s"[session-drift] after GC ${jnum(afterGc)} s")
 
     spark0.catalog.clearCache()
-    val afterClearCache = warmMedian(spark0, emb)
+    val afterClearCache = warmMedian(spark0)
     System.err.println(
       s"[session-drift] after clearCache ${jnum(afterClearCache)} s")
 
-    // unpersist every RDD the context still tracks EXCEPT the pinned
-    // subject frames (emb, panel) — lingering localCheckpoint blocks
-    val keep = Set(emb.rdd.id, panel.rdd.id)
+    // unpersist EVERY RDD the context still tracks — lingering
+    // localCheckpoint blocks whose frame references died but whose
+    // handles the GC has not collected (safe here: the measurement
+    // frames re-read parquet)
     val tracked = spark0.sparkContext.getPersistentRDDs
     val nTracked = tracked.size
-    tracked.foreach { case (id, rdd) =>
-      if (!keep.contains(id)) rdd.unpersist(blocking = false): Unit
+    tracked.foreach { case (_, rdd) =>
+      rdd.unpersist(blocking = false): Unit
     }
     System.gc(); Thread.sleep(500)
-    // NOTE: emb/panel localCheckpoints survive (kept); re-pin defensively
-    val afterUnpersist = warmMedian(spark0, emb)
+    val afterUnpersist = warmMedian(spark0)
     System.err.println(s"[session-drift] after unpersist of " +
       s"$nTracked tracked RDDs ${jnum(afterUnpersist)} s")
 
     val spark1 = spark0.newSession()
-    val afterNewSession = warmMedian(spark1, emb)
+    val afterNewSession = warmMedian(spark1)
     System.err.println(
       s"[session-drift] fresh session, same context " +
         s"${jnum(afterNewSession)} s")
