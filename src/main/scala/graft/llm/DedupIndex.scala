@@ -237,8 +237,9 @@ object DedupIndex {
 
   /** Base reader: partition-pruned to `buckets` on the new layout;
     * a legacy unpartitioned base reads whole (no prune — correct,
-    * just unpruned until the next fold rewrites it). */
-  private def readGramDfBase(spark: SparkSession, dir: String,
+    * just unpruned until the next fold rewrites it). `private[llm]`
+    * so the spec can assert the prune lands as PartitionFilters. */
+  private[llm] def readGramDfBase(spark: SparkSession, dir: String,
       buckets: Option[Seq[Int]]): DataFrame =
     if (gramDfBasePartitioned(spark, dir)) {
       val raw = spark.read.schema(gramDfPartSchema).parquet(gramDfBase(dir))

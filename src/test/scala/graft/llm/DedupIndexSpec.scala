@@ -643,6 +643,16 @@ class DedupIndexSpec extends SparkSpec {
     DedupIndex.compact(spark, dir)
     assert(partitioned, "fold did not upgrade the base layout")
     assert(mergedDf() == bruteDf(live), "layout upgrade changed counts")
+    // the pruned read the tick builds lands as DIRECTORY-level pruning
+    // (PartitionFilters on gbucket), not a post-scan row filter
+    val pruned = DedupIndex.readGramDfBase(spark, dir, Some(Seq(3, 7)))
+    val plan = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("gbucket"))
+    assert(pf.isDefined, s"no gbucket PartitionFilters on base scan:\n$plan")
+    assert(pf.get.contains(" IN ") || pf.get.contains("= 3"),
+      s"gbucket filter not an IN/equality prune: ${pf.get}")
   }
 
   test("stats-routed candidate join: broadcast and salted forms are " +
