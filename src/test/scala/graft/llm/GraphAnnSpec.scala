@@ -377,6 +377,49 @@ class GraphAnnSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("a repairing compact: an odometer armed by un-repaired appends " +
+      "fires the density repair from compact's maintenance path") {
+    graft.util.Fs.rmRecursive(new java.io.File(base))
+    val dir = s"$base/compact_repair"
+    val c = corpus(300).cache()
+    // arm the odometer with the trigger OFF (an ingest loop running a
+    // build predating the trigger, or with it disabled)
+    var live: DataFrame = withAutoRepair(false) {
+      GraphAnn.ensure(c, dir): Unit
+      var l: DataFrame = c
+      (0 until 4).foreach { b =>
+        val batch = hub((1000 + b * 50) until (1000 + (b + 1) * 50))
+        GraphAnn.append(batch, l, dir)
+        l = l.unionByName(batch).localCheckpoint(true)
+      }
+      l
+    }
+    val (_, armed) = GraphAnn.readSatStats(spark, dir).get
+    assert(armed > 0, "fixture vacuous — odometer never armed")
+    val edgesBefore = GraphAnn.load(spark, dir).count()
+    // delete a few nodes so compact has tombstones to fold, then let
+    // its maintenance tail fire the repair (trigger back at defaults)
+    val deleted = live.filter(col("vec_id") % 29 === 0)
+    live = live.join(deleted.select("vec_id"), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true)
+    GraphAnn.delete(deleted, dir)
+    val repairs0 = GraphAnn.repairsThisProcess
+    GraphAnn.compact(live, dir)
+    assert(GraphAnn.repairsThisProcess > repairs0,
+      "compact never fired the due density repair")
+    val (_, afterApp) = GraphAnn.readSatStats(spark, dir).get
+    assert(afterApp == 0, s"odometer not reset by the repair: $afterApp")
+    assert(GraphAnn.load(spark, dir).count() < edgesBefore,
+      "repairing compact left the saturated edge mass in place")
+    // store stays consistent: ensure() over the live corpus is a pure
+    // load after delete + compact + repair
+    val b0 = GraphAnn.buildsThisProcess
+    GraphAnn.ensure(live, dir): Unit
+    assert(GraphAnn.buildsThisProcess == b0,
+      "repairing compact drifted the fingerprint")
+    c.unpersist()
+  }
+
   test("delete rejects a pre-format-3 store with the actionable message") {
     import spark.implicits._
     graft.util.Fs.rmRecursive(new java.io.File(base))
