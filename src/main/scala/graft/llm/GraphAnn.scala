@@ -82,12 +82,14 @@ object GraphAnn {
       org.apache.spark.sql.types.StructField("sat_appended",
         org.apache.spark.sql.types.LongType)))
 
+  // sidecar I/O is driver-side ([[graft.util.Sidecar]]): a two-long
+  // stats row never needs a Spark job — the write/read round-trips
+  // here run on every append, and the cluster round-trip per op was
+  // measured as a material slice of the store-op bench queries
   private def writeSatStats(spark: SparkSession, dir: String,
-      total: Long, appended: Long): Unit = {
-    import spark.implicits._
-    Seq((total, appended)).toDF("sat_total", "sat_appended")
-      .repartition(1).write.mode("overwrite").parquet(satStatsPath(dir))
-  }
+      total: Long, appended: Long): Unit =
+    graft.util.Sidecar.write(spark, satStatsPath(dir), satStatsSchema,
+      Seq(Seq(total, appended)))
 
   /** None for a legacy (pre-satstats) store — seeded on its next
     * append with one full degree scan, the gramdf legacy pattern. */
@@ -95,10 +97,37 @@ object GraphAnn {
       dir: String): Option[(Long, Long)] =
     if (!graft.util.Fs.exists(spark, satStatsPath(dir))) None
     else try {
-      val r = spark.read.schema(satStatsSchema)
-        .parquet(satStatsPath(dir)).head()
-      Some((r.getLong(0), r.getLong(1)))
+      val r = graft.util.Sidecar.readHead(spark, satStatsPath(dir))
+      Some((r.getAs[Long]("sat_total"), r.getAs[Long]("sat_appended")))
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def graphMetaSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_vectors",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("checksum",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("m",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("init_cell_size",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("descent_rounds",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("format_version",
+        org.apache.spark.sql.types.IntegerType)))
+
+  /** Driver-side meta commit/read (the Delta/Iceberg manifest shape):
+    * the one-row meta table is consulted at the top of every store op
+    * and committed at the end of every mutation — neither needs a
+    * Spark job. On-disk format unchanged (plain parquet). */
+  private def writeGraphMeta(spark: SparkSession, dir: String, n: Long,
+      sum: Long, m: Int, initCellSize: Int, descentRounds: Int): Unit =
+    graft.util.Sidecar.write(spark, s"$dir/meta", graphMetaSchema,
+      Seq(Seq(n, sum, m, initCellSize, descentRounds, 3)))
+
+  private def readGraphMeta(spark: SparkSession,
+      dir: String): org.apache.spark.sql.Row =
+    graft.util.Sidecar.readHead(spark, s"$dir/meta")
 
   /** Nodes of `edges` at (or beyond) the 2M degree cap. */
   private def saturatedCount(edges: DataFrame, m: Int): Long =
@@ -253,7 +282,7 @@ object GraphAnn {
     // read must propagate, not count as "store invalid" and trigger
     // the rebuild's delete of a healthy store.
     val valid = try {
-      val meta = spark.read.parquet(s"$dir/meta").head()
+      val meta = readGraphMeta(spark, dir)
       meta.getAs[Long]("n_vectors") == n &&
         meta.getAs[Long]("checksum") == sum &&
         meta.getAs[Int]("m") == m &&
@@ -274,10 +303,7 @@ object GraphAnn {
       // appended mass zero
       writeSatStats(spark, dir,
         saturatedCount(spark.read.parquet(s"$dir/edges"), m), 0L)
-      Seq((n, sum, m, initCellSize, descentRounds, 3))
-        .toDF("n_vectors", "checksum", "m", "init_cell_size",
-          "descent_rounds", "format_version")
-        .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+      writeGraphMeta(spark, dir, n, sum, m, initCellSize, descentRounds)
     }
     load(spark, dir)
   }
@@ -294,14 +320,17 @@ object GraphAnn {
   def delete(deleted: DataFrame, dir: String): Unit = {
     val spark = deleted.sparkSession
     graft.util.StoreLease.withLease(spark, dir, "delete") {
-    import spark.implicits._
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readGraphMeta(spark, dir)
     require(meta.schema.fieldNames.contains("format_version") &&
         meta.getAs[Int]("format_version") == 3,
       s"graph store at $dir predates format 3 — rebuild via ensure()")
-    val ids = deleted.select(col("vec_id").cast("long").as("nid")).cache()
-    val nDel = ids.count()
-    require(ids.distinct().count() == nDel,
+    val ids = deleted.select(col("vec_id").cast("long").as("nid"))
+      .localCheckpoint(eager = true)
+    // one aggregate answers both audit counts (total + distinct) —
+    // the separate count()/distinct().count() pair was two full jobs
+    val cnt = ids.agg(count(lit(1)), countDistinct(col("nid"))).head()
+    val nDel = cnt.getLong(0)
+    require(cnt.getLong(1) == nDel,
       s"delete set contains duplicate vec_ids")
     val nMember = ids.join(spark.read.parquet(s"$dir/nodes"),
       Seq("nid"), "left_semi").count()
@@ -316,15 +345,10 @@ object GraphAnn {
     }
     val (dn, dsum) = fingerprint(deleted)
     ids.repartition(1).write.mode("append").parquet(s"$dir/tombstones")
-    ids.unpersist()
-    Seq((meta.getAs[Long]("n_vectors") - dn,
-        meta.getAs[Long]("checksum") ^ dsum,
-        meta.getAs[Int]("m"), meta.getAs[Int]("init_cell_size"),
-        meta.getAs[Int]("descent_rounds"),
-        meta.getAs[Int]("format_version")))
-      .toDF("n_vectors", "checksum", "m", "init_cell_size",
-        "descent_rounds", "format_version")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeGraphMeta(spark, dir, meta.getAs[Long]("n_vectors") - dn,
+      meta.getAs[Long]("checksum") ^ dsum,
+      meta.getAs[Int]("m"), meta.getAs[Int]("init_cell_size"),
+      meta.getAs[Int]("descent_rounds"))
     }
   }
 
@@ -352,7 +376,7 @@ object GraphAnn {
     // parameter here could silently re-rank only the affected nodes to
     // a different 2M cap than the rest of the graph, breaking the
     // graph-wide degree invariant v28's gate asserts.
-    val m = spark.read.parquet(s"$dir/meta").head().getAs[Int]("m")
+    val m = readGraphMeta(spark, dir).getAs[Int]("m")
     // recovery: finish a previous compact that crashed mid-swap
     Seq("edges", "nodes").foreach { t =>
       val stag = s"$dir/${t}_staging"
@@ -412,8 +436,7 @@ object GraphAnn {
     val appended = readSatStats(spark, dir).map(_._2).getOrElse(0L)
     writeSatStats(spark, dir,
       saturatedCount(spark.read.parquet(s"$dir/edges"), m), appended)
-    val nLive = spark.read.parquet(s"$dir/meta").head()
-      .getAs[Long]("n_vectors")
+    val nLive = readGraphMeta(spark, dir).getAs[Long]("n_vectors")
     if (repairDue(spark, dir, nLive)) {
       System.err.println(s"[GraphAnn] density repair due at $dir " +
         "after compact")
@@ -600,8 +623,7 @@ object GraphAnn {
       entries: Int = 16): Unit = {
     val spark = batch.sparkSession
     graft.util.StoreLease.withLease(spark, dir, "append") {
-    import spark.implicits._
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readGraphMeta(spark, dir)
     require(meta.getAs[Int]("format_version") == 3,
       s"graph store at $dir predates format 3 — rebuild via ensure()")
     // Degree cap from the STORED graph's m (see [[compact]]) — a
@@ -610,9 +632,12 @@ object GraphAnn {
     val m = meta.getAs[Int]("m")
     require(!graft.util.Fs.exists(spark, s"$dir/tombstones"),
       s"graph store at $dir has pending tombstones — compact before append")
-    val ids = batch.select(col("vec_id").cast("long").as("nid")).cache()
-    val bn = ids.count()
-    require(ids.distinct().count() == bn,
+    val ids = batch.select(col("vec_id").cast("long").as("nid"))
+      .localCheckpoint(eager = true)
+    // one aggregate answers both audit counts (see [[delete]])
+    val cnt = ids.agg(count(lit(1)), countDistinct(col("nid"))).head()
+    val bn = cnt.getLong(0)
+    require(cnt.getLong(1) == bn,
       "append batch contains duplicate vec_ids")
     val nAlready = ids.join(spark.read.parquet(s"$dir/nodes"),
       Seq("nid"), "left_semi").count()
@@ -648,12 +673,19 @@ object GraphAnn {
       graph.join(affectedSrc, Seq("src"), "left_semi"), m)
     val w = Window.partitionBy("src").orderBy(col("sim").desc,
       col("dst").asc)
+    // pinned: feeds the staging write AND the post-rewrite saturation
+    // count — the count previously re-read the whole swapped-in edge
+    // table from disk and semi-joined it back to the affected set;
+    // `rewritten` IS that relation (untouched rows are src-disjoint),
+    // so the checkpoint replaces a full-table rescan with a bounded
+    // batch-local materialization
     val rewritten = graph.join(affectedSrc, Seq("src"), "left_semi")
       .unionByName(outE).unionByName(backE).unionByName(viaShared)
       .groupBy("src", "dst").agg(max(col("sim")).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 2 * m)
       .select(col("src"), col("dst"), col("sim"))
+      .localCheckpoint(eager = true)
     val untouched = graph.join(affectedSrc, Seq("src"), "left_anti")
     // stage-and-swap like compact; a crash before the meta write below
     // is recovered by ensure()'s fingerprint-mismatch rebuild
@@ -663,28 +695,21 @@ object GraphAnn {
     graft.util.Fs.rmTree(spark, s"$dir/edges")
     graft.util.Fs.rename(spark, staging, s"$dir/edges"): Unit
     ids.write.mode("append").parquet(s"$dir/nodes")
-    ids.unpersist()
     val (dn, dsum) = fingerprint(batch)
-    Seq((meta.getAs[Long]("n_vectors") + dn,
-        meta.getAs[Long]("checksum") ^ dsum,
-        meta.getAs[Int]("m"), meta.getAs[Int]("init_cell_size"),
-        meta.getAs[Int]("descent_rounds"),
-        meta.getAs[Int]("format_version")))
-      .toDF("n_vectors", "checksum", "m", "init_cell_size",
-        "descent_rounds", "format_version")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeGraphMeta(spark, dir, meta.getAs[Long]("n_vectors") + dn,
+      meta.getAs[Long]("checksum") ^ dsum,
+      meta.getAs[Int]("m"), meta.getAs[Int]("init_cell_size"),
+      meta.getAs[Int]("descent_rounds"))
     // saturation odometer advance (after the commit point — the stats
     // are derived maintenance state, like the edges themselves): the
     // affected set's post-rewrite saturated count vs satBefore is this
     // append's contribution
-    val newEdges = spark.read.parquet(s"$dir/edges")
-    val satAfter = saturatedCount(
-      newEdges.join(affectedSrc, Seq("src"), "left_semi"), m)
+    val satAfter = saturatedCount(rewritten, m)
     val newlySat = math.max(0L, satAfter - satBefore)
     val (satTotal, satAppended) = readSatStats(spark, dir) match {
       case Some((t, a)) => (t - satBefore + satAfter, a + newlySat)
       case None => // legacy store: one-time full-degree seed
-        (saturatedCount(newEdges, m), newlySat)
+        (saturatedCount(spark.read.parquet(s"$dir/edges"), m), newlySat)
     }
     writeSatStats(spark, dir, satTotal, satAppended)
     val nLive = meta.getAs[Long]("n_vectors") + dn
@@ -1179,7 +1204,7 @@ object GraphAnn {
       alpha: Double = 1.0): Long = {
     val spark = corpus.sparkSession
     require(alpha > 0, s"alpha must be positive: $alpha")
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readGraphMeta(spark, dir)
     require(meta.getAs[Int]("format_version") == 3,
       s"graph store at $dir predates format 3 — rebuild via ensure()")
     val m = meta.getAs[Int]("m")
@@ -1250,11 +1275,17 @@ object GraphAnn {
         floor.take(2 * mV).toSeq
       }
     }
+    // pinned: feeds the staging write AND the post-repair saturation
+    // count — `diversified` IS the swapped-in table restricted to the
+    // previously-saturated set (untouched nodes are < 2M by
+    // definition), so counting it directly replaces the full-table
+    // re-read + semi-join the old post-swap count paid
     val diversified = cands.select(col("src"),
         explode(diversifyA(col("sv"), col("cands"), lit(alpha), lit(m)))
           .as("kept"))
       .select(col("src"), col("kept._1").as("dst"),
         col("kept._2").as("sim"))
+      .localCheckpoint(eager = true)
     val untouched = edges.join(saturated, Seq("src"), "left_anti")
     val staging = s"$dir/edges_staging"
     untouched.unionByName(diversified)
@@ -1262,12 +1293,9 @@ object GraphAnn {
     graft.util.Fs.rmTree(spark, s"$dir/edges")
     graft.util.Fs.rename(spark, staging, s"$dir/edges"): Unit
     // odometer reset: post-repair sat_total = repaired nodes that
-    // legitimately kept 2M diverse edges (untouched nodes are < 2M by
-    // definition); appended mass back to zero so those nodes never
-    // re-arm the trigger by themselves
-    writeSatStats(spark, dir,
-      saturatedCount(spark.read.parquet(s"$dir/edges")
-        .join(saturated, Seq("src"), "left_semi"), m), 0L)
+    // legitimately kept 2M diverse edges; appended mass back to zero
+    // so those nodes never re-arm the trigger by themselves
+    writeSatStats(spark, dir, saturatedCount(diversified, m), 0L)
     repairsThisProcess += 1
     nSat
   }
