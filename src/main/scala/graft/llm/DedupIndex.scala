@@ -121,12 +121,12 @@ object DedupIndex {
     * (the window form paid a full per-doc sort of every gram each
     * time, undermining the O(batch) probe posture). */
   private def prefixGrams(grams: DataFrame, idCol: String, t: Double,
-      nBuckets: Int, hotGrams: DataFrame): DataFrame = {
+      nBuckets: Int, hot: Array[Long]): DataFrame = {
     val spark = grams.sparkSession
     import spark.implicits._
-    // bounded collect: ≤ (grams/doc)/HotGramFraction rows by the
-    // df-threshold lemma, independent of corpus size
-    val hot = hotGrams.select(col("gram")).collect().map(_.getLong(0))
+    // `hot` is bounded: ≤ (grams/doc)/HotGramFraction rows by the
+    // df-threshold lemma, independent of corpus size — read driver-side
+    // ([[readHotGramsArr]]), no per-cut collect job
     val hotB = spark.sparkContext.broadcast {
       val s = new java.util.HashSet[java.lang.Long](hot.length * 2 + 16)
       hot.foreach(g => s.add(g): Unit)
@@ -210,14 +210,45 @@ object DedupIndex {
     * distinct-gram table is billions of rows, and the refresh tick's
     * candidate semi-join — though shuffle-free — still had to SCAN
     * every row of an unpartitioned base. With the partition column the
-    * tick prunes to the ≤ [[GramDfBuckets]] partitions its own delta
+    * tick prunes to the ≤ [[gramDfBucketsOf]] partitions its own delta
     * grams hash into, so tick scan bytes track the APPEND, not the
     * corpus. Legacy (unpartitioned, r16) bases read fine without
     * pruning and upgrade to the partitioned layout at the next fold. */
-  private val GramDfBuckets = 64
+  private val GramDfBucketsLegacy = 64
 
-  private def gramBucketOf(gram: Column): Column =
-    pmod(gram, lit(GramDfBuckets)).cast("int")
+  /** SCALE-ADAPTIVE partition counts (guide §2: derive partitioning
+    * from input size, not a constant tuned for one scale): a
+    * fixture-sized store paying 64 partition directories per write is
+    * pure committer/listing overhead (measured ~40% of the d17/d18
+    * store-op bench), while the caps keep today's at-scale layout.
+    * Callers passing an explicit count (the 0-sentinel default means
+    * derive) get exactly that count — the spec/layout contract. */
+  private def autoBuckets(nDocs: Long, cap: Int): Int =
+    math.max(4L, math.min(cap.toLong, nDocs / 1000L)).toInt
+
+  /** The gramdf/ bucket count is a PER-STORE layout fact: recorded in
+    * a `gramdf/layout` sidecar at build/seed, preserved by folds;
+    * absent (every pre-r18 store) means the legacy constant 64. Write
+    * and prune must always agree, so nothing ever consults a global. */
+  private def gramDfLayout(dir: String) = s"$dir/gramdf/layout"
+
+  private def gramDfBucketsOf(spark: SparkSession, dir: String): Int =
+    if (!graft.util.Fs.exists(spark, gramDfLayout(dir)))
+      GramDfBucketsLegacy
+    else try graft.util.Sidecar.readHead(spark, gramDfLayout(dir))
+      .getAs[Int]("gbuckets")
+    catch { case scala.util.control.NonFatal(_) => GramDfBucketsLegacy }
+
+  private def writeGramDfLayout(spark: SparkSession, dir: String,
+      nb: Int): Unit =
+    graft.util.Sidecar.write(spark, gramDfLayout(dir),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("gbuckets",
+          org.apache.spark.sql.types.IntegerType))),
+      Seq(Seq[Any](nb)))
+
+  private def gramBucketOf(gram: Column, nb: Int): Column =
+    pmod(gram, lit(nb)).cast("int")
 
   private def gramDfPartSchema =
     org.apache.spark.sql.types.StructType(gramDfSchema.fields :+
@@ -229,9 +260,10 @@ object DedupIndex {
     graft.util.Fs.listDirNames(spark, gramDfBase(dir))
       .exists(_.startsWith("gbucket="))
 
-  private def writeGramDfBase(df: DataFrame, path: String): Unit =
+  private def writeGramDfBase(df: DataFrame, path: String,
+      nb: Int): Unit =
     df.select(col("gram"), col("df"))
-      .withColumn("gbucket", gramBucketOf(col("gram")))
+      .withColumn("gbucket", gramBucketOf(col("gram"), nb))
       .repartition(col("gbucket"))
       .write.mode("overwrite").partitionBy("gbucket").parquet(path)
 
@@ -260,16 +292,20 @@ object DedupIndex {
   private def hotThresholdFor(nDocs: Long): Long =
     math.max(64L, (HotGramFraction * nDocs).toLong)
 
+  // evalmeta is a one-long sidecar — driver-side I/O ([[graft.util
+  // .Sidecar]]), no Spark job per tick
   private def writeGramDfEval(spark: SparkSession, dir: String,
-      tEval: Long): Unit = {
-    import spark.implicits._
-    Seq(tEval).toDF("t_eval")
-      .repartition(1).write.mode("overwrite").parquet(gramDfEval(dir))
-  }
+      tEval: Long): Unit =
+    graft.util.Sidecar.write(spark, gramDfEval(dir),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("t_eval",
+          org.apache.spark.sql.types.LongType))),
+      Seq(Seq[Any](tEval)))
 
   private def readGramDfEval(spark: SparkSession, dir: String): Option[Long] =
     if (!graft.util.Fs.exists(spark, gramDfEval(dir))) None
-    else try Some(spark.read.parquet(gramDfEval(dir)).head().getLong(0))
+    else try Some(graft.util.Sidecar.readHead(spark, gramDfEval(dir))
+      .getAs[Long]("t_eval"))
     catch { case scala.util.control.NonFatal(_) => None }
 
   /** Signed per-batch df delta for `grams` (each doc's grams are
@@ -302,20 +338,40 @@ object DedupIndex {
     val staging = s"$dir/gramdf/base_staging"
     graft.util.IngestMarker.write(spark, dir, "gramdf delta fold in flight")
     // the fold rewrites to the BUCKET-PARTITIONED layout (upgrading a
-    // legacy unpartitioned base in passing)
+    // legacy unpartitioned base in passing), PRESERVING the store's
+    // recorded gramdf bucket count
+    val nb = gramDfBucketsOf(spark, dir)
     writeGramDfBase(mergedGramDf(spark, dir).filter(col("df") =!= 0L),
-      staging)
+      staging, nb)
     graft.util.Fs.rmTree(spark, gramDfBase(dir))
     graft.util.Fs.rename(spark, staging, gramDfBase(dir)): Unit
+    writeGramDfLayout(spark, dir, nb)
     graft.util.Fs.rmTree(spark, gramDfDelta(dir))
     graft.util.IngestMarker.clear(spark, dir)
   }
 
-  private def readHotGrams(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(hotGramsSchema).parquet(s"$dir/hotgrams")
+  /** The frozen hot set, driver-side (bounded by the df lemma — every
+    * consumer collected it anyway, so the Spark-job read bought
+    * nothing). Files may be Spark-written (legacy) or sidecar-written;
+    * both read identically. */
+  private def readHotGramsArr(spark: SparkSession,
+      dir: String): Array[Long] =
+    graft.util.Sidecar.readRows(spark, s"$dir/hotgrams")
+      .map(_.getAs[Long]("gram")).toArray
+
+  private def writeHotGrams(spark: SparkSession, dir: String,
+      grams: Seq[Long], overwrite: Boolean): Unit = {
+    val rows = grams.map(g => Seq[Any](g))
+    if (overwrite)
+      graft.util.Sidecar.write(spark, s"$dir/hotgrams",
+        hotGramsSchema, rows)
+    else
+      graft.util.Sidecar.append(spark, s"$dir/hotgrams",
+        hotGramsSchema, rows)
+  }
 
   private def readMeta(spark: SparkSession, dir: String) =
-    spark.read.parquet(s"$dir/meta").head()
+    graft.util.Sidecar.readHead(spark, s"$dir/meta")
 
   /** Per-bucket prefix-row STATISTICS (`prefstats/`) — the
     * [[graft.plans.RangeJoinNative.rangeJoinChosen]] pattern applied
@@ -357,8 +413,13 @@ object DedupIndex {
       org.apache.spark.sql.types.StructField("src",
         org.apache.spark.sql.types.StringType)))
 
-  private def readStats(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(statsSchema).parquet(statsPath(dir))
+  /** All prefstats rows, driver-side: ≤ nBuckets rows per file-set by
+    * construction — a sidecar, not a table. */
+  private def readStatsRows(spark: SparkSession,
+      dir: String): Seq[(Int, Long, String)] =
+    graft.util.Sidecar.readRows(spark, statsPath(dir))
+      .map(r => (r.getAs[Int]("bucket"), r.getAs[Long]("n_rows"),
+        r.getAs[String]("src")))
 
   /** (total prefix rows, rows appended since last maintenance), or
     * None when the table is absent/unreadable (legacy store). */
@@ -366,25 +427,24 @@ object DedupIndex {
       dir: String): Option[(Long, Long)] =
     if (!graft.util.Fs.exists(spark, statsPath(dir))) None
     else try {
-      val r = readStats(spark, dir).agg(
-        coalesce(sum(col("n_rows")), lit(0L)),
-        coalesce(sum(when(col("src") === "append", col("n_rows"))
-          .otherwise(0L)), lit(0L))).head()
-      Some((r.getLong(0), r.getLong(1)))
+      val rows = readStatsRows(spark, dir)
+      Some((rows.map(_._2).sum,
+        rows.collect { case (_, n, "append") => n }.sum))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Exact rewrite from the live prefix table (maintenance commit). */
+  /** Exact rewrite from the live prefix table (maintenance commit):
+    * one bounded aggregate job (≤ nBuckets result rows), committed
+    * driver-side. */
   private def rewriteStats(spark: SparkSession, dir: String): Unit = {
     val counts = try {
       spark.read.parquet(s"$dir/prefix")
         .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
     } catch { // zero-file store: a valid empty stats table
-      case scala.util.control.NonFatal(_) =>
-        spark.range(0).select(col("id").cast("int").as("bucket"),
-          col("id").as("n_rows"))
+      case scala.util.control.NonFatal(_) => Seq.empty[(Int, Long)]
     }
-    counts.withColumn("src", lit("maint"))
-      .repartition(1).write.mode("overwrite").parquet(statsPath(dir))
+    graft.util.Sidecar.write(spark, statsPath(dir), statsSchema,
+      counts.map { case (b, n) => Seq[Any](b, n, "maint") })
   }
 
   /** The store tables' fixed schemas ([[Dedup.shingleHashes]] casts the
@@ -426,22 +486,46 @@ object DedupIndex {
       idCol: String): DataFrame =
     spark.read.schema(prefixSchema(idCol)).parquet(s"$dir/prefix")
 
+  private def metaSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("checksum",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("max_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("threshold",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("n_buckets",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_id_buckets",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("format_version",
+        org.apache.spark.sql.types.IntegerType)))
+
+  // driver-side meta commit ([[graft.util.Sidecar]]) — read at the top
+  // of every op, written at the end of every mutation
   private def writeMeta(spark: SparkSession, dir: String, nDocs: Long,
       checksum: Long, maxId: Long, t0: Double, nBuckets: Int,
-      nIdBuckets: Int): Unit = {
-    import spark.implicits._
-    Seq((nDocs, checksum, maxId, t0, nBuckets, nIdBuckets, Format))
-      .toDF("n_docs", "checksum", "max_id", "threshold", "n_buckets",
-        "n_id_buckets", "format_version")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
-  }
+      nIdBuckets: Int): Unit =
+    // Seq[Any]: mixed numeric literals must NOT unify to a wider type
+    // (a Long checksum widened through Double loses bits)
+    graft.util.Sidecar.write(spark, s"$dir/meta", metaSchema,
+      Seq(Seq[Any](nDocs, checksum, maxId, t0, nBuckets, nIdBuckets,
+        Format)))
 
   /** Shingle the corpus ONCE, write prefix + sets + meta. The
     * once-per-corpus cost every later [[probe]]/[[append]] amortizes.
     * Holds the store's single-writer lease ([[graft.util.StoreLease]])
-    * like every mutating op. */
+    * like every mutating op.
+    *
+    * `nBuckets`/`nIdBuckets` = 0 (the default) derives the partition
+    * counts from the indexed-corpus size ([[autoBuckets]], capped at
+    * the legacy 64/32); an explicit count is honored verbatim. Every
+    * later op reads the counts back from meta, so the derivation is a
+    * build-time-only decision. */
   def build(docs: DataFrame, dir: String, threshold: Double,
-      nBuckets: Int = 64, nIdBuckets: Int = 32, idCol: String = "doc_id",
+      nBuckets: Int = 0, nIdBuckets: Int = 0, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1]: $threshold")
@@ -452,8 +536,11 @@ object DedupIndex {
     val idx = indexable(docs, idCol, textCol)
     val grams = Dedup.shingleHashes(idx, idCol, textCol)
       .localCheckpoint(eager = true)
+    val nIdx = grams.count()
+    val nb = if (nBuckets > 0) nBuckets else autoBuckets(nIdx, 64)
+    val nib = if (nIdBuckets > 0) nIdBuckets else autoBuckets(nIdx, 32)
     grams
-      .withColumn("sbucket", pmod(col(idCol), lit(nIdBuckets)).cast("int"))
+      .withColumn("sbucket", pmod(col(idCol), lit(nib)).cast("int"))
       .repartition(col("sbucket"))
       .write.mode("overwrite").partitionBy("sbucket").parquet(s"$dir/sets")
     // the frozen hot set MUST be persisted before any prefix is cut:
@@ -463,23 +550,25 @@ object DedupIndex {
     // explode+groupBy, reused for the hot cut), seeding the
     // incrementally-maintained df the refresh tick reads instead of
     // re-exploding the corpus.
-    val nIdx = grams.count()
     val tBuild = hotThresholdFor(nIdx)
-    writeGramDfBase(gramDfOf(grams), gramDfBase(dir))
+    writeGramDfBase(gramDfOf(grams), gramDfBase(dir), nb)
+    writeGramDfLayout(spark, dir, nb)
     writeGramDfEval(spark, dir, tBuild)
-    readGramDfBase(spark, dir, None)
+    // bounded collect (the df lemma): the hot set is committed
+    // driver-side and handed straight to the prefix cut — previously a
+    // Spark write plus a read-back collect
+    val hotArr = readGramDfBase(spark, dir, None)
       .filter(col("df") > tBuild).select("gram")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$dir/hotgrams")
-    prefixGrams(grams, idCol, threshold, nBuckets,
-        readHotGrams(spark, dir))
+      .collect().map(_.getLong(0))
+    writeHotGrams(spark, dir, hotArr.toSeq, overwrite = true)
+    prefixGrams(grams, idCol, threshold, nb, hotArr)
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/prefix")
     rewriteStats(spark, dir) // exact per-bucket counts at build
     val (n, sum) = fingerprint(docs, idCol, textCol)
     val maxId = docs.agg(coalesce(max(col(idCol)).cast("long"),
       lit(Long.MinValue))).head().getLong(0)
-    writeMeta(spark, dir, n, sum, maxId, threshold, nBuckets, nIdBuckets)
+    writeMeta(spark, dir, n, sum, maxId, threshold, nb, nib)
     }
   }
 
@@ -497,7 +586,7 @@ object DedupIndex {
     * index. A crashed-append marker ([[graft.util.IngestMarker]])
     * counts as invalid: rebuild is exactly the documented recovery. */
   def ensure(docs: DataFrame, dir: String, threshold: Double,
-      nBuckets: Int = 64, nIdBuckets: Int = 32, idCol: String = "doc_id",
+      nBuckets: Int = 0, nIdBuckets: Int = 0, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     val metaOpt =
@@ -506,10 +595,16 @@ object DedupIndex {
       catch { case scala.util.control.NonFatal(_) => None }
     val valid = metaOpt.exists { meta =>
       val shapeOk = try {
+        // bucket counts are a LAYOUT fact the store carries in meta; a
+        // caller on the derive-default (0) accepts whatever the store
+        // was built with (a maintained store's corpus has grown since
+        // build, so re-deriving here would spuriously rebuild) — only
+        // an EXPLICIT count is a contract to enforce
         meta.getAs[Int]("format_version") == Format &&
           math.abs(meta.getAs[Double]("threshold") - threshold) < Eps &&
-          meta.getAs[Int]("n_buckets") == nBuckets &&
-          meta.getAs[Int]("n_id_buckets") == nIdBuckets
+          (nBuckets == 0 || meta.getAs[Int]("n_buckets") == nBuckets) &&
+          (nIdBuckets == 0 ||
+            meta.getAs[Int]("n_id_buckets") == nIdBuckets)
       } catch { case scala.util.control.NonFatal(_) => false }
       shapeOk && {
         val (n, sum) = fingerprint(docs, idCol, textCol) // NOT caught
@@ -552,7 +647,7 @@ object DedupIndex {
     val gramsB = Dedup.shingleHashes(indexable(batch, idCol, textCol),
       idCol, textCol).localCheckpoint(eager = true)
     val prefB = prefixGrams(gramsB, idCol, threshold, nBuckets,
-        readHotGrams(spark, dir))
+        readHotGramsArr(spark, dir))
       .localCheckpoint(eager = true)
     // bounded collect: ≤ nBuckets distinct values → partition IN-list
     val probeBuckets = prefB.select("bucket").distinct()
@@ -583,10 +678,11 @@ object DedupIndex {
     // deleting prefstats and re-probing).
     val probedStoreRows =
       if (!graft.util.Fs.exists(spark, statsPath(dir))) Long.MaxValue
-      else try readStats(spark, dir)
-        .filter(col("bucket").isin(probeBuckets.map(Int.box).toSeq: _*))
-        .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
-      catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+      else try {
+        val probed = probeBuckets.toSet
+        readStatsRows(spark, dir)
+          .collect { case (b, n, _) if probed(b) => n }.sum
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     val candSB =
       if (probedStoreRows <= BroadcastStoreRows)
         broadcast(storePref).alias("x")
@@ -681,26 +777,29 @@ object DedupIndex {
     val survivors = batch.join(kept, Seq(idCol), "left_semi")
     val gramsS = Dedup.shingleHashes(indexable(survivors, idCol, textCol),
       idCol, textCol).localCheckpoint(eager = true)
-    graft.util.IngestMarker.write(spark, dir,
-      s"append of ${kept.count()} survivors in flight")
+    // marker content is diagnostic only — naming the op costs nothing,
+    // counting the survivors cost one extra job
+    graft.util.IngestMarker.write(spark, dir, "append in flight")
     gramsS
       .withColumn("sbucket", pmod(col(idCol), lit(nIdBuckets)).cast("int"))
       .repartition(col("sbucket"))
       .write.mode("append").partitionBy("sbucket").parquet(s"$dir/sets")
     val prefS = prefixGrams(gramsS, idCol, t0, nBuckets,
-        readHotGrams(spark, dir))
+        readHotGramsArr(spark, dir))
       .localCheckpoint(eager = true)
     prefS
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$dir/prefix")
     // stats DELTA: one tiny aggregate of the (checkpointed) batch
-    // prefix. A legacy store WITHOUT the table gets a one-time full
-    // rewrite instead — a delta-only table would under-count the base
-    // rows and could mis-route a huge store to the broadcast join.
+    // prefix (≤ nBuckets result rows), committed driver-side. A legacy
+    // store WITHOUT the table gets a one-time full rewrite instead — a
+    // delta-only table would under-count the base rows and could
+    // mis-route a huge store to the broadcast join.
     if (graft.util.Fs.exists(spark, statsPath(dir)))
-      prefS.groupBy("bucket").agg(count(lit(1)).as("n_rows"))
-        .withColumn("src", lit("append"))
-        .repartition(1).write.mode("append").parquet(statsPath(dir))
+      graft.util.Sidecar.append(spark, statsPath(dir), statsSchema,
+        prefS.groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+          .collect().map(r => Seq[Any](r.getInt(0), r.getLong(1), "append"))
+          .toSeq)
     else rewriteStats(spark, dir)
     // df DELTA: one tiny aggregate of the survivors' grams, inside the
     // same marker window as the data writes. A legacy store without
@@ -738,13 +837,24 @@ object DedupIndex {
     require(meta.getAs[Int]("format_version") == Format,
       s"dedup index at $dir has format ${meta.getAs[Int]("format_version")}" +
         s", expected $Format — rebuild via ensure()")
-    val nIdx = indexable(deleted, idCol, textCol).count()
-    val ids = deleted.select(col(idCol).cast("long").as("nid")).cache()
-    val nDel = ids.count()
+    val ids = deleted.select(col(idCol).cast("long").as("nid"))
+      .localCheckpoint(eager = true)
+    // ONE aggregate answers every row-shaped audit (total, indexable,
+    // distinct) AND the fingerprint — previously four separate jobs.
+    // The bit_xor skips null-text rows exactly like fingerprint() does
+    // (they are never indexed, so they must not contribute).
+    val audit = deleted.agg(
+      count(lit(1)),
+      count(col(textCol)),
+      countDistinct(col(idCol)),
+      expr(s"bit_xor(CASE WHEN $textCol IS NOT NULL " +
+        s"THEN xxhash64($idCol, $textCol) END)")).head()
+    val nDel = audit.getLong(0)
+    val nIdx = audit.getLong(1)
     require(nIdx == nDel,
       s"${nDel - nIdx} of $nDel delete rows have null $textCol — " +
         "null-text docs are never indexed and cannot be deleted")
-    require(ids.distinct().count() == nDel,
+    require(audit.getLong(2) == nDel,
       s"delete set contains duplicate ${idCol}s")
     val nStored = ids.join(
       readSets(spark, dir, idCol).select(col(idCol).as("nid")),
@@ -757,7 +867,8 @@ object DedupIndex {
       require(nAlready == 0,
         s"$nAlready of $nDel ${idCol}s are already tombstoned (double delete)")
     }
-    val (dn, dsum) = fingerprint(deleted, idCol, textCol)
+    val dn = nIdx
+    val dsum = if (audit.isNullAt(3)) 0L else audit.getLong(3)
     // tombstones, the NEGATIVE df delta, and the meta commit are one
     // atomicity domain now that gramdf/ must stay exact (a crash
     // between them would leave df overstated and the fingerprint
@@ -770,7 +881,6 @@ object DedupIndex {
       writeGramDfDelta(spark, dir,
         Dedup.shingleHashes(indexable(deleted, idCol, textCol),
           idCol, textCol), sign = -1)
-    ids.unpersist()
     writeMeta(spark, dir, meta.getAs[Long]("n_docs") - dn,
       meta.getAs[Long]("checksum") ^ dsum, meta.getAs[Long]("max_id"),
       meta.getAs[Double]("threshold"), meta.getAs[Int]("n_buckets"),
@@ -1041,6 +1151,9 @@ object DedupIndex {
     //  - LEGACY path (pre-r16 store without gramdf/): the one
     //    remaining O(corpus) recompute, which also SEEDS gramdf/ so
     //    every later tick is delta-driven.
+    // the frozen hot set, driver-side — consulted by both tiers below
+    // and previously re-scanned as an anti-join build side each time
+    val hotNow = readHotGramsArr(spark, dir).toSet
     val newHot: Array[Long] =
       if (!hasGramDf(spark, dir)) {
         // the base seed is safe to land before anything else (it is
@@ -1049,12 +1162,12 @@ object DedupIndex {
         // in between leaves the next tick on the full path, which
         // re-finds these grams
         val dfAll = gramDfOf(liveSets).localCheckpoint(eager = true)
-        writeGramDfBase(dfAll, gramDfBase(dir))
+        writeGramDfBase(dfAll, gramDfBase(dir),
+          gramDfBucketsOf(spark, dir))
         System.err.println(s"[DedupIndex] legacy store at $dir: seeded " +
           "gramdf/ with a one-time full df recompute")
         dfAll.filter(col("df") > tNow).select(col("gram"))
-          .join(readHotGrams(spark, dir), Seq("gram"), "left_anti")
-          .collect().map(_.getLong(0))
+          .collect().map(_.getLong(0)).filterNot(hotNow)
       } else {
         val tEval = readGramDfEval(spark, dir)
         val deltaExists = graft.util.Fs.exists(spark, gramDfDelta(dir))
@@ -1067,11 +1180,12 @@ object DedupIndex {
                 .parquet(gramDfDelta(dir))
                 .groupBy("gram").agg(sum(col("df")).as("df"))
                 .localCheckpoint(eager = true)
-              // bounded collect: ≤ GramDfBuckets values — the delta
-              // grams' partitions, the only base partitions any
-              // candidate can live in
+              // bounded collect: ≤ the store's gramdf bucket count —
+              // the delta grams' partitions, the only base partitions
+              // any candidate can live in
               val candBuckets = deltaAgg
-                .select(gramBucketOf(col("gram")).as("gbucket"))
+                .select(gramBucketOf(col("gram"),
+                  gramDfBucketsOf(spark, dir)).as("gbucket"))
                 .distinct().collect().map(_.getInt(0)).toSeq
               // base side: partition prune to the candidate buckets,
               // THEN the broadcast LEFT-SEMI row prune — scan bytes
@@ -1085,8 +1199,7 @@ object DedupIndex {
             }
           } else mergedGramDf(spark, dir)
         merged.filter(col("df") > tNow).select(col("gram"))
-          .join(readHotGrams(spark, dir), Seq("gram"), "left_anti")
-          .collect().map(_.getLong(0))
+          .collect().map(_.getLong(0)).filterNot(hotNow)
       }
     if (newHot.isEmpty) {
       // the evaluation RAN and promoted everything due (nothing):
@@ -1106,8 +1219,7 @@ object DedupIndex {
     // silently miss pairs, so the whole mutation sits behind a marker
     graft.util.IngestMarker.write(spark, dir,
       s"hot-gram refresh of ${newHot.length} grams in flight")
-    newHot.toSeq.toDF("gram")
-      .repartition(1).write.mode("append").parquet(s"$dir/hotgrams")
+    writeHotGrams(spark, dir, newHot.toSeq, overwrite = false)
     val nhB = spark.sparkContext.broadcast {
       val s = new java.util.HashSet[java.lang.Long](newHot.length * 2 + 16)
       newHot.foreach(g => s.add(g): Unit)
@@ -1128,7 +1240,7 @@ object DedupIndex {
       .localCheckpoint(eager = true)
     val affIds = affSets.select(col(idCol))
     val newPref = prefixGrams(affSets, idCol, t0, nBuckets,
-        readHotGrams(spark, dir)) // the EXTENDED set, read back
+        readHotGramsArr(spark, dir)) // the EXTENDED set, read back
       .localCheckpoint(eager = true)
     // bounded collects: ≤ nBuckets values each — the buckets holding
     // affected docs' OLD rows and those receiving their NEW rows
@@ -1188,12 +1300,11 @@ object DedupIndex {
     // skip even under force: the rewrite would change nothing.
     val hotFiles = graft.util.Fs.dataFileCount(spark, s"$dir/hotgrams")
     if ((force && hotFiles > 1) || hotFiles > GramDfFoldFiles) {
-      import spark.implicits._
-      val hot = readHotGrams(spark, dir).collect().map(_.getLong(0))
+      val hot = readHotGramsArr(spark, dir)
       val staging = s"$dir/hotgrams_staging"
       graft.util.IngestMarker.write(spark, dir, "hotgrams fold in flight")
-      hot.toSeq.toDF("gram")
-        .repartition(1).write.mode("overwrite").parquet(staging)
+      graft.util.Sidecar.write(spark, staging, hotGramsSchema,
+        hot.toSeq.map(g => Seq[Any](g)))
       graft.util.Fs.rmTree(spark, s"$dir/hotgrams")
       graft.util.Fs.rename(spark, staging, s"$dir/hotgrams"): Unit
       graft.util.IngestMarker.clear(spark, dir)

@@ -89,7 +89,7 @@ object GraphAnn {
   private def writeSatStats(spark: SparkSession, dir: String,
       total: Long, appended: Long): Unit =
     graft.util.Sidecar.write(spark, satStatsPath(dir), satStatsSchema,
-      Seq(Seq(total, appended)))
+      Seq(Seq[Any](total, appended)))
 
   /** None for a legacy (pre-satstats) store — seeded on its next
     * append with one full degree scan, the gramdf legacy pattern. */
@@ -123,7 +123,7 @@ object GraphAnn {
   private def writeGraphMeta(spark: SparkSession, dir: String, n: Long,
       sum: Long, m: Int, initCellSize: Int, descentRounds: Int): Unit =
     graft.util.Sidecar.write(spark, s"$dir/meta", graphMetaSchema,
-      Seq(Seq(n, sum, m, initCellSize, descentRounds, 3)))
+      Seq(Seq[Any](n, sum, m, initCellSize, descentRounds, 3)))
 
   private def readGraphMeta(spark: SparkSession,
       dir: String): org.apache.spark.sql.Row =

@@ -200,17 +200,39 @@ object TextIndex {
         "(-Dgraft.textindex.maxQueryRows raises the bound).")
 
   private def readMeta(spark: SparkSession, dir: String) =
-    spark.read.parquet(s"$dir/meta").head()
+    graft.util.Sidecar.readHead(spark, s"$dir/meta")
 
+  private def metaSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("checksum",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("sum_dl",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_buckets",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("n_doc_buckets",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("format_version",
+        org.apache.spark.sql.types.IntegerType)))
+
+  // driver-side meta commit ([[graft.util.Sidecar]]) — read at the top
+  // of every op, written at the end of every mutation
   private def writeMeta(spark: SparkSession, dir: String, nDocs: Long,
       checksum: Long, sumDl: Long, nBuckets: Int,
-      nDocBuckets: Int): Unit = {
-    import spark.implicits._
-    Seq((nDocs, checksum, sumDl, nBuckets, nDocBuckets, Format))
-      .toDF("n_docs", "checksum", "sum_dl", "n_buckets",
-        "n_doc_buckets", "format_version")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
-  }
+      nDocBuckets: Int): Unit =
+    graft.util.Sidecar.write(spark, s"$dir/meta", metaSchema,
+      Seq(Seq[Any](nDocs, checksum, sumDl, nBuckets, nDocBuckets,
+        Format)))
+
+  /** Scale-adaptive partition counts (guide §2): 0 = derive from the
+    * indexable doc count, capped at the legacy 16 — a fixture-sized
+    * store paying 16 partition directories per write is committer
+    * overhead, while the cap keeps today's at-scale layout. Every
+    * later op reads the counts back from meta. */
+  private def autoBuckets(nDocs: Long): Int =
+    math.max(4L, math.min(16L, nDocs / 1000L)).toInt
 
   private def requireFormat(meta: org.apache.spark.sql.Row,
       dir: String): Unit =
@@ -222,30 +244,32 @@ object TextIndex {
     * meta. Holds the store's single-writer lease like every mutating
     * op. An empty corpus yields a VALID empty store (the streaming
     * bootstrap contract — batch 0 of a real feed can be empty). */
-  def build(docs: DataFrame, dir: String, nBuckets: Int = 16,
-      nDocBuckets: Int = 16, idCol: String = "doc_id",
+  def build(docs: DataFrame, dir: String, nBuckets: Int = 0,
+      nDocBuckets: Int = 0, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    require(nBuckets >= 1 && nDocBuckets >= 1,
-      s"bucket counts must be >= 1: $nBuckets/$nDocBuckets")
+    require(nBuckets >= 0 && nDocBuckets >= 0,
+      s"bucket counts must be >= 0 (0 = derive): $nBuckets/$nDocBuckets")
     val spark = docs.sparkSession
     graft.util.StoreLease.withLease(spark, dir, "build") {
     buildsThisProcess += 1
     graft.util.Fs.rmTree(spark, dir)
-    val post = postingsOf(docs, idCol, textCol, nBuckets)
+    val (n, sum, sumDl) = fingerprint(docs, idCol, textCol)
+    val nb = if (nBuckets > 0) nBuckets else autoBuckets(n)
+    val ndb = if (nDocBuckets > 0) nDocBuckets else autoBuckets(n)
+    val post = postingsOf(docs, idCol, textCol, nb)
       .localCheckpoint(eager = true)
     post.repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/postings")
     post.select(col("doc")).distinct()
-      .withColumn("dbucket", pmod(col("doc"), lit(nDocBuckets)).cast("int"))
+      .withColumn("dbucket", pmod(col("doc"), lit(ndb)).cast("int"))
       .repartition(col("dbucket"))
       .write.mode("overwrite").partitionBy("dbucket").parquet(s"$dir/docids")
     post.groupBy("term").agg(count(lit(1)).as("df"))
-      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .withColumn("bucket", bucketOf(col("term"), nb))
       .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(termBase(dir))
-    val (n, sum, sumDl) = fingerprint(docs, idCol, textCol)
-    writeMeta(spark, dir, n, sum, sumDl, nBuckets, nDocBuckets)
+    writeMeta(spark, dir, n, sum, sumDl, nb, ndb)
     }
   }
 
@@ -255,8 +279,8 @@ object TextIndex {
     * rebuild"; a corpus-side failure RETHROWS (a transient error must
     * never destroy the only copy of the index). A crashed-op marker
     * counts as invalid: rebuild is the documented recovery. */
-  def ensure(docs: DataFrame, dir: String, nBuckets: Int = 16,
-      nDocBuckets: Int = 16, idCol: String = "doc_id",
+  def ensure(docs: DataFrame, dir: String, nBuckets: Int = 0,
+      nDocBuckets: Int = 0, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     val metaOpt =
@@ -265,9 +289,12 @@ object TextIndex {
       catch { case scala.util.control.NonFatal(_) => None }
     val valid = metaOpt.exists { meta =>
       val shapeOk = try {
+        // derive-default (0) accepts the store's own layout — only an
+        // explicit count is a contract (see [[DedupIndex.ensure]])
         meta.getAs[Int]("format_version") == Format &&
-          meta.getAs[Int]("n_buckets") == nBuckets &&
-          meta.getAs[Int]("n_doc_buckets") == nDocBuckets
+          (nBuckets == 0 || meta.getAs[Int]("n_buckets") == nBuckets) &&
+          (nDocBuckets == 0 ||
+            meta.getAs[Int]("n_doc_buckets") == nDocBuckets)
       } catch { case scala.util.control.NonFatal(_) => false }
       shapeOk && {
         val (n, sum, sumDl) = fingerprint(docs, idCol, textCol) // NOT caught

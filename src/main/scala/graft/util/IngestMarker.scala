@@ -25,12 +25,15 @@ object IngestMarker {
   private def path(dir: String) = s"$dir/ingest_inprogress"
 
   /** Write the marker (one-row parquet carrying a diagnostic string —
-    * which batch was in flight) BEFORE any data append lands. */
-  def write(spark: SparkSession, dir: String, info: String): Unit = {
-    import spark.implicits._
-    Seq(info).toDF("info").repartition(1)
-      .write.mode("overwrite").parquet(path(dir))
-  }
+    * which batch was in flight) BEFORE any data append lands.
+    * Driver-side ([[Sidecar]]): a one-string flag file needs no Spark
+    * job, and markers bracket every store mutation. */
+  def write(spark: SparkSession, dir: String, info: String): Unit =
+    Sidecar.write(spark, path(dir),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("info",
+          org.apache.spark.sql.types.StringType))),
+      Seq(Seq(info)))
 
   /** Clear after the meta commit — the append's commit point. */
   def clear(spark: SparkSession, dir: String): Unit =

@@ -95,8 +95,19 @@ object Sidecar {
           // inference widens mixed Int/Long literals to Long, so a
           // strict cast would throw on an int column)
           schema(i).dataType match {
-            case LongType => g.add(i, v.asInstanceOf[Number].longValue())
+            case LongType =>
+              // a Long that was silently widened to Double by Scala's
+              // Seq inference would lose bits past 2^53 — refuse
+              // floating inputs to integral columns (callers pass
+              // Seq[Any] to stop the widening)
+              require(v.isInstanceOf[Long] || v.isInstanceOf[Int],
+                s"non-integral ${v.getClass.getSimpleName} for long " +
+                  s"column ${schema(i).name} — widened literal?")
+              g.add(i, v.asInstanceOf[Number].longValue())
             case IntegerType =>
+              require(v.isInstanceOf[Long] || v.isInstanceOf[Int],
+                s"non-integral ${v.getClass.getSimpleName} for int " +
+                  s"column ${schema(i).name} — widened literal?")
               val n = v.asInstanceOf[Number]
               require(n.longValue() == n.intValue(),
                 s"value $n overflows int column ${schema(i).name}")
