@@ -50,6 +50,35 @@ object VectorIndex {
       codes: DataFrame,
       nVectors: Long)
 
+  // driver-side meta I/O ([[graft.util.Sidecar]]) — the one-row meta
+  // table is read at the top of every op and committed at the end of
+  // every mutation; neither needs a Spark job. Two shapes: the plain
+  // store's six fields, the filtered store's with `filter_col`.
+  private def readVMeta(spark: SparkSession, dir: String) =
+    graft.util.Sidecar.readHead(spark, s"$dir/meta")
+
+  private def vMetaSchema(filtered: Boolean) = {
+    import org.apache.spark.sql.types._
+    val base = Seq(
+      StructField("n_vectors", LongType), StructField("checksum", LongType),
+      StructField("dim", IntegerType), StructField("n_cells", IntegerType),
+      StructField("m", IntegerType), StructField("k_codes", IntegerType))
+    val tail =
+      if (filtered) Seq(StructField("filter_col", StringType),
+        StructField("format_version", IntegerType))
+      else Seq(StructField("format_version", IntegerType))
+    StructType(base ++ tail)
+  }
+
+  private def writeVMeta(spark: SparkSession, dir: String, n: Long,
+      sum: Long, dim: Int, nCells: Int, m: Int, kCodes: Int,
+      filterCol: Option[String], fv: Int): Unit = {
+    val row = Seq[Any](n, sum, dim, nCells, m, kCodes) ++
+      filterCol.toSeq :+ fv
+    graft.util.Sidecar.write(spark, s"$dir/meta",
+      vMetaSchema(filterCol.isDefined), Seq(row))
+  }
+
   private def fingerprint(corpus: DataFrame,
       extraCols: Seq[String] = Nil): (Long, Long) = {
     val hashed = ("vec_id" +: "embedding" +: extraCols).mkString(", ")
@@ -86,10 +115,8 @@ object VectorIndex {
     (coarseRows.toSeq ++ bookRows)
       .toDF("level", "sub", "code", "vals")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    Seq((n, sum, coarse(0).length, nCells, m, kCodes, 1))
-      .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
-        "format_version")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeVMeta(spark, dir, n, sum, coarse(0).length, nCells, m, kCodes,
+      None, 1)
     }
   }
 
@@ -98,7 +125,7 @@ object VectorIndex {
     // half a batch in the code partitions — searching it would
     // silently return phantom rows; fail loud at the gateway instead
     graft.util.IngestMarker.requireAbsent(spark, dir, "load/search")
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readVMeta(spark, dir)
     val nCells = meta.getAs[Int]("n_cells")
     val m = meta.getAs[Int]("m")
     val kCodes = meta.getAs[Int]("k_codes")
@@ -151,7 +178,7 @@ object VectorIndex {
     graft.util.StoreLease.withLease(spark, dir, "delete") {
     import spark.implicits._
     graft.util.IngestMarker.requireAbsent(spark, dir, "delete")
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readVMeta(spark, dir)
     requireUnfiltered(meta, dir, "delete")
     // The contract (every deleted row is a live stored row, exactly once)
     // is ENFORCED, not just documented: XOR fingerprint maintenance is
@@ -161,9 +188,15 @@ object VectorIndex {
     // instead. Cost: one pass over the delete set + a semi-join against
     // the (code-sized, not float-sized) store — cheap next to the
     // corruption it prevents.
-    val ids = deleted.select(col("vec_id").cast("long").as("nid")).cache()
-    val nDel = ids.count()
-    val nDistinct = ids.distinct().count()
+    val ids = deleted.select(col("vec_id").cast("long").as("nid"))
+      .localCheckpoint(eager = true)
+    // one aggregate answers the row-shaped audits (total + distinct)
+    // AND the fingerprint — previously three separate jobs
+    val audit = deleted.agg(count(lit(1)),
+      countDistinct(col("vec_id")),
+      expr("bit_xor(xxhash64(vec_id, embedding))")).head()
+    val nDel = audit.getLong(0)
+    val nDistinct = audit.getLong(1)
     require(nDistinct == nDel,
       s"delete set contains ${nDel - nDistinct} duplicate vec_ids")
     val nStored = ids.join(spark.read.parquet(s"$dir/codes").select("nid"),
@@ -177,17 +210,14 @@ object VectorIndex {
       require(nAlready == 0,
         s"$nAlready of $nDel vec_ids are already tombstoned (double delete)")
     }
-    val (dn, dsum) = fingerprint(deleted)
+    val dn = nDel
+    val dsum = if (audit.isNullAt(2)) 0L else audit.getLong(2)
     ids.repartition(1).write.mode("append").parquet(s"$dir/tombstones")
-    ids.unpersist()
-    Seq((meta.getAs[Long]("n_vectors") - dn,
-        meta.getAs[Long]("checksum") ^ dsum,
-        meta.getAs[Int]("dim"), meta.getAs[Int]("n_cells"),
-        meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
-        meta.getAs[Int]("format_version")))
-      .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
-        "format_version")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeVMeta(spark, dir, meta.getAs[Long]("n_vectors") - dn,
+      meta.getAs[Long]("checksum") ^ dsum,
+      meta.getAs[Int]("dim"), meta.getAs[Int]("n_cells"),
+      meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
+      None, meta.getAs[Int]("format_version"))
     }
   }
 
@@ -216,7 +246,7 @@ object VectorIndex {
     // compactFiltered's staged survivors (the only copy of its
     // affected pairs) before the fail-loud guard ever fired. The two
     // variants also use distinct staging paths (belt and braces).
-    requireUnfiltered(spark.read.parquet(s"$dir/meta").head(), dir,
+    requireUnfiltered(readVMeta(spark, dir), dir,
       "compact")
     val staging = s"$dir/codes_staging"
     sweepPlainStaging(spark, dir, staging)
@@ -278,7 +308,7 @@ object VectorIndex {
     graft.util.StoreLease.withLease(spark, dir, "compactFiles") {
     graft.util.IngestMarker.requireAbsent(spark, dir, "compactFiles")
     require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
-    requireUnfiltered(spark.read.parquet(s"$dir/meta").head(), dir,
+    requireUnfiltered(readVMeta(spark, dir), dir,
       "compactFiles")
     val staging = s"$dir/codes_staging"
     sweepPlainStaging(spark, dir, staging)
@@ -319,7 +349,7 @@ object VectorIndex {
     // rebuild's delete of a healthy store.
     val metaOpt =
       if (graft.util.IngestMarker.present(spark, dir)) None
-      else try Some(spark.read.parquet(s"$dir/meta").head())
+      else try Some(readVMeta(spark, dir))
       catch { case scala.util.control.NonFatal(_) => None }
     val valid = metaOpt.exists { meta =>
       val shapeOk = try {
@@ -353,7 +383,7 @@ object VectorIndex {
     graft.util.StoreLease.withLease(spark, dir, "append") {
     import spark.implicits._
     val ix = load(spark, dir) // marker-checked at the gateway
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readVMeta(spark, dir)
     requireUnfiltered(meta, dir, "append")
     val (bn, bsum) = fingerprint(batch)
     // Crash contract: the codes append and the meta commit are two
@@ -370,14 +400,11 @@ object VectorIndex {
     Similarity.ivfPqEncode(batch, ix.coarse, ix.books)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
-    Seq((meta.getAs[Long]("n_vectors") + bn,
-        meta.getAs[Long]("checksum") ^ bsum,
-        meta.getAs[Int]("dim"), meta.getAs[Int]("n_cells"),
-        meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
-        meta.getAs[Int]("format_version")))
-      .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
-        "format_version")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeVMeta(spark, dir, meta.getAs[Long]("n_vectors") + bn,
+      meta.getAs[Long]("checksum") ^ bsum,
+      meta.getAs[Int]("dim"), meta.getAs[Int]("n_cells"),
+      meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
+      None, meta.getAs[Int]("format_version"))
     graft.util.IngestMarker.clear(spark, dir)
     }
   }
@@ -434,10 +461,8 @@ object VectorIndex {
     (coarseRows.toSeq ++ bookRows)
       .toDF("level", "sub", "code", "vals")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/codebooks")
-    Seq((n, sum, coarse(0).length, nCells, m, kCodes, filterCol, 1))
-      .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
-        "filter_col", "format_version")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeVMeta(spark, dir, n, sum, coarse(0).length, nCells, m, kCodes,
+      Some(filterCol), 1)
     }
   }
 
@@ -447,7 +472,7 @@ object VectorIndex {
     // same failure separation as [[ensure]]
     val metaOpt =
       if (graft.util.IngestMarker.present(spark, dir)) None
-      else try Some(spark.read.parquet(s"$dir/meta").head())
+      else try Some(readVMeta(spark, dir))
       catch { case scala.util.control.NonFatal(_) => None }
     val valid = metaOpt.exists { meta =>
       val shapeOk = try {
@@ -516,11 +541,17 @@ object VectorIndex {
     graft.util.StoreLease.withLease(spark, dir, "deleteFiltered") {
     import spark.implicits._
     graft.util.IngestMarker.requireAbsent(spark, dir, "deleteFiltered")
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readVMeta(spark, dir)
     requireFiltered(meta, dir, filterCol, "deleteFiltered")
-    val ids = deleted.select(col("vec_id").cast("long").as("nid")).cache()
-    val nDel = ids.count()
-    require(ids.distinct().count() == nDel,
+    val ids = deleted.select(col("vec_id").cast("long").as("nid"))
+      .localCheckpoint(eager = true)
+    // one aggregate for audits + fingerprint (see [[delete]]); the
+    // filtered fingerprint hashes the filter column too
+    val audit = deleted.agg(count(lit(1)),
+      countDistinct(col("vec_id")),
+      expr(s"bit_xor(xxhash64(vec_id, embedding, $filterCol))")).head()
+    val nDel = audit.getLong(0)
+    require(audit.getLong(1) == nDel,
       s"delete set contains duplicate vec_ids")
     val nStored = ids.join(spark.read.parquet(s"$dir/codes").select("nid"),
       Seq("nid"), "left_semi").count()
@@ -533,17 +564,14 @@ object VectorIndex {
       require(nAlready == 0,
         s"$nAlready of $nDel vec_ids are already tombstoned (double delete)")
     }
-    val (dn, dsum) = fingerprint(deleted, Seq(filterCol))
+    val dn = nDel
+    val dsum = if (audit.isNullAt(2)) 0L else audit.getLong(2)
     ids.repartition(1).write.mode("append").parquet(s"$dir/tombstones")
-    ids.unpersist()
-    Seq((meta.getAs[Long]("n_vectors") - dn,
-        meta.getAs[Long]("checksum") ^ dsum,
-        meta.getAs[Int]("dim"), meta.getAs[Int]("n_cells"),
-        meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
-        filterCol, meta.getAs[Int]("format_version")))
-      .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
-        "filter_col", "format_version")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeVMeta(spark, dir, meta.getAs[Long]("n_vectors") - dn,
+      meta.getAs[Long]("checksum") ^ dsum,
+      meta.getAs[Int]("dim"), meta.getAs[Int]("n_cells"),
+      meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
+      Some(filterCol), meta.getAs[Int]("format_version"))
     }
   }
 
@@ -583,7 +611,7 @@ object VectorIndex {
     // Layout check BEFORE the recovery sweep (see [[compact]]): a
     // filtered compact pointed at a plain store must fail loud before
     // it can delete a crashed plain compact's staged survivors.
-    requireFiltered(spark.read.parquet(s"$dir/meta").head(), dir,
+    requireFiltered(readVMeta(spark, dir), dir,
       filterCol, "compactFiltered")
     // distinct from the plain variant's codes_staging: even a caller
     // bypassing the guard can never sweep the other variant's stage
@@ -639,7 +667,7 @@ object VectorIndex {
     graft.util.IngestMarker.requireAbsent(spark, dir,
       "compactFilesFiltered")
     require(maxFiles >= 1, s"maxFiles must be >= 1: $maxFiles")
-    requireFiltered(spark.read.parquet(s"$dir/meta").head(), dir,
+    requireFiltered(readVMeta(spark, dir), dir,
       filterCol, "compactFilesFiltered")
     sweepFilteredStaging(spark, dir, filterCol, s"$dir/codes_staging")
     val staging = s"$dir/codes_staging_filtered"
@@ -687,7 +715,7 @@ object VectorIndex {
     graft.util.StoreLease.withLease(spark, dir, "appendFiltered") {
     import spark.implicits._
     val ix = load(spark, dir) // marker-checked at the gateway
-    val meta = spark.read.parquet(s"$dir/meta").head()
+    val meta = readVMeta(spark, dir)
     requireFiltered(meta, dir, filterCol, "appendFiltered")
     val (bn, bsum) = fingerprint(batch, Seq(filterCol))
     // same crash contract as [[append]]
@@ -698,14 +726,11 @@ object VectorIndex {
       .repartition(col(filterCol), col("cell"))
       .write.mode("append").partitionBy(filterCol, "cell")
       .parquet(s"$dir/codes")
-    Seq((meta.getAs[Long]("n_vectors") + bn,
-        meta.getAs[Long]("checksum") ^ bsum,
-        meta.getAs[Int]("dim"), meta.getAs[Int]("n_cells"),
-        meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
-        filterCol, meta.getAs[Int]("format_version")))
-      .toDF("n_vectors", "checksum", "dim", "n_cells", "m", "k_codes",
-        "filter_col", "format_version")
-      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeVMeta(spark, dir, meta.getAs[Long]("n_vectors") + bn,
+      meta.getAs[Long]("checksum") ^ bsum,
+      meta.getAs[Int]("dim"), meta.getAs[Int]("n_cells"),
+      meta.getAs[Int]("m"), meta.getAs[Int]("k_codes"),
+      Some(filterCol), meta.getAs[Int]("format_version"))
     graft.util.IngestMarker.clear(spark, dir)
     }
   }
