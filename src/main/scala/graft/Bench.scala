@@ -20,6 +20,18 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // v2 file-output commit: task outputs move to the destination at
+      // task commit, so job commit skips the second sequential rename
+      // pass over every partition directory — the store lifecycles
+      // write dozens of small partitioned file-sets per query, and the
+      // rename pass serializes on the driver at any scale (guide §6's
+      // commit-cost point; object-store deployments would use a
+      // manifest committer for the same reason). Crash-safety contract
+      // is unchanged for these queries: every store write already sits
+      // behind an ingest marker / stage-and-swap (a half-committed
+      // task set fails loud and rebuilds), and bench/verify outputs
+      // are whole-directory overwrites.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the session before timing anything: scheduler, codegen,

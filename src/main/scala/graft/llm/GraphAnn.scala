@@ -503,10 +503,24 @@ object GraphAnn {
     val emb = corpus.select(col("vec_id").as("nid"), col("embedding").as("nv"))
     val edges = graph.select(col("src"), col("dst"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    // Candidate dedup rides the ranking window instead of a separate
+    // `.distinct()`: duplicates of one (qid, nid) candidate carry an
+    // IDENTICAL (sim, nid) sort key, so under w's total order they are
+    // ADJACENT — drop rows equal to their predecessor, then rank. The
+    // lag and the row_number share w's partitioning and ordering, so
+    // the whole round pays ONE exchange where distinct + window paid
+    // two (the round structure and the kept beam are unchanged).
     def score(cands: DataFrame): DataFrame = cands
       .join(emb, "nid").join(q, "qid")
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", round(Similarity.cosine(col("qv"), col("nv")), 6))
+      // nid equality alone identifies a duplicate: sim is a
+      // deterministic function of (qid, nid), so equal-nid rows in a
+      // qid partition are exact copies and sort adjacent (nid is the
+      // tiebreak) — and unlike a sim comparison this is NaN-safe
+      .withColumn("__dup", coalesce(
+        lag(col("nid"), 1).over(w) === col("nid"), lit(false)))
+      .filter(!col("__dup"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= beam)
       .select(col("qid"), col("nid"), col("sim"))
@@ -518,7 +532,6 @@ object GraphAnn {
       val expanded = beamDf.select(col("qid"), col("nid").as("src"))
         .join(edges, "src").select(col("qid"), col("dst").as("nid"))
         .unionByName(beamDf.select(col("qid"), col("nid")))
-        .distinct()
       // localCheckpoint per round: the beam is |Q|·beam rows — pinning
       // it keeps every round's plan two joins deep instead of r·2
       beamDf = score(expanded).localCheckpoint(eager = true)
@@ -562,11 +575,18 @@ object GraphAnn {
     val edges = graph.select(col("src"), col("dst"))
     val wA = Window.partitionBy("qid")
       .orderBy(col("ascore").desc, col("nid").asc)
+    // same window-riding candidate dedup as [[beamSearch]]'s score():
+    // duplicate (qid, nid) rows carry identical (ascore, nid) keys, so
+    // they sort adjacent — one exchange per round, not distinct + window
     def scoreAdc(cands: DataFrame): DataFrame = cands
       .join(codes, "nid").join(q.select("qid", "qt", "qnorm"), "qid")
       .filter(col("qid") =!= col("nid"))
       .withColumn("ascore", lookup(col("qt"), col("codes")) /
         (col("qnorm") * sqrt(col("recon_norm_sq"))))
+      // nid-only dup predicate, as in [[beamSearch]] (NaN-safe)
+      .withColumn("__dup", coalesce(
+        lag(col("nid"), 1).over(wA) === col("nid"), lit(false)))
+      .filter(!col("__dup"))
       .withColumn("rank", row_number().over(wA))
       .filter(col("rank") <= beam)
       .select(col("qid"), col("nid"), col("ascore"))
@@ -578,7 +598,6 @@ object GraphAnn {
       val expanded = beamDf.select(col("qid"), col("nid").as("src"))
         .join(edges, "src").select(col("qid"), col("dst").as("nid"))
         .unionByName(beamDf.select(col("qid"), col("nid")))
-        .distinct()
       beamDf = scoreAdc(expanded).localCheckpoint(eager = true)
       r += 1
     }
