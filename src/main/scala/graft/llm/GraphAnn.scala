@@ -153,6 +153,25 @@ object GraphAnn {
     }
   }
 
+  /** Collapse exact (src, dst) duplicates and keep each src's top-`cap`
+    * by (sim desc, dst asc) in ONE exchange. Everywhere this is used,
+    * duplicates of a pair carry the SAME sim — round-6 cosine is a
+    * deterministic, direction-independent function of the two immutable
+    * vectors (the dot loop and na·nb are commutative bit-for-bit) — so
+    * a `groupBy(src, dst).max(sim)` was pure dedup paying its own
+    * exchange; under the ranking window's (sim desc, dst asc) order the
+    * duplicates sort ADJACENT, and a lag-based drop dedups inside the
+    * same partitioning (the beamSearch move applied to the build). */
+  private def dedupTopM(df: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
+    df.withColumn("__dup", coalesce(
+        lag(col("dst"), 1).over(w) === col("dst"), lit(false)))
+      .filter(!col("__dup"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cap)
+      .select(col("src"), col("dst"), col("sim"))
+  }
+
   /** One NN-descent round (the WWW 2011 local join, batch form): the
     * candidate set is the current graph plus neighbors-of-neighbors
     * over the M-capped UNDIRECTED relation — capping before the
@@ -163,11 +182,9 @@ object GraphAnn {
     * worse. Returns (src, dst, sim), out-degree ≤ M. */
   def nnDescentRound(knn: DataFrame, corpus: DataFrame, m: Int): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
-    val und = knn.unionByName(
-        knn.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
-      .groupBy("src", "dst").agg(max(col("sim")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= m)
+    val und = dedupTopM(knn.unionByName(
+        knn.select(col("dst").as("src"), col("src").as("dst"), col("sim"))),
+        m)
       .select(col("src"), col("dst"))
     val hop2 = und.as("e1")
       .join(und.select(col("src").as("mid"), col("dst").as("dst2")),
@@ -224,11 +241,7 @@ object GraphAnn {
         .filter(col("rank") <= m)
         .select(col("src"), col("dst"), col("sim"))
     }
-    var knn = cellTopM(0).unionByName(cellTopM(1))
-      .groupBy("src", "dst").agg(max(col("sim")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= m)
-      .select(col("src"), col("dst"), col("sim"))
+    var knn = dedupTopM(cellTopM(0).unionByName(cellTopM(1)), m)
       // per-round pin: O(1) plan depth and lineage across rounds (the
       // pageRank/distributedClusters contract)
       .localCheckpoint(eager = true)
@@ -237,12 +250,9 @@ object GraphAnn {
       knn = nnDescentRound(knn, corpus, m).localCheckpoint(eager = true)
       r += 1
     }
-    knn.unionByName(
-        knn.select(col("dst").as("src"), col("src").as("dst"), col("sim")))
-      .groupBy("src", "dst").agg(max(col("sim")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 2 * m)
-      .select(col("src"), col("dst"), col("sim"))
+    dedupTopM(knn.unionByName(
+      knn.select(col("dst").as("src"), col("src").as("dst"), col("sim"))),
+      2 * m)
   }
 
   private def fingerprint(corpus: DataFrame): (Long, Long) = {
@@ -412,12 +422,8 @@ object GraphAnn {
       .select(col("src"), col("dst"), col("sim"))
     val affected = toDead.select("src").distinct()
     val w = Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)
-    val repaired = live.join(affected, Seq("src"), "left_semi")
-      .unionByName(bridges)
-      .groupBy("src", "dst").agg(max(col("sim")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 2 * m)
-      .select(col("src"), col("dst"), col("sim"))
+    val repaired = dedupTopM(live.join(affected, Seq("src"), "left_semi")
+      .unionByName(bridges), 2 * m)
     val untouched = live.join(affected, Seq("src"), "left_anti")
     untouched.unionByName(repaired)
       .write.mode("overwrite").parquet(s"$dir/edges_staging")
@@ -698,12 +704,10 @@ object GraphAnn {
     // `rewritten` IS that relation (untouched rows are src-disjoint),
     // so the checkpoint replaces a full-table rescan with a bounded
     // batch-local materialization
-    val rewritten = graph.join(affectedSrc, Seq("src"), "left_semi")
-      .unionByName(outE).unionByName(backE).unionByName(viaShared)
-      .groupBy("src", "dst").agg(max(col("sim")).as("sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 2 * m)
-      .select(col("src"), col("dst"), col("sim"))
+    val rewritten = dedupTopM(
+      graph.join(affectedSrc, Seq("src"), "left_semi")
+        .unionByName(outE).unionByName(backE).unionByName(viaShared),
+      2 * m)
       .localCheckpoint(eager = true)
     val untouched = graph.join(affectedSrc, Seq("src"), "left_anti")
     // stage-and-swap like compact; a crash before the meta write below

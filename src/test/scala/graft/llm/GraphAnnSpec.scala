@@ -55,6 +55,55 @@ class GraphAnnSpec extends SparkSpec {
     c.unpersist()
   }
 
+  test("beam candidate dedup rides the ranking window: output equals a " +
+      "distinct-based reference walk and holds no (qid, nid) duplicates") {
+    // multi-path fixture: duplicates are GUARANTEED — every expansion of
+    // a dense 8-anchor graph reaches the same neighbor via several beam
+    // nodes, so the per-round lag-dedup (which replaced the pre-score
+    // distinct()) is exercised on every round
+    val c = corpus(240).cache()
+    val g = GraphAnn.buildNeighborGraph(c, m = 8).localCheckpoint(true)
+    val queries = c.filter(col("vec_id") < 12)
+    val res = GraphAnn.beamSearch(queries, g, c, k = 5, beam = 8,
+      rounds = 3, entries = 4).cache()
+    // no duplicate (qid, nid) survives ranking
+    assert(res.groupBy("qid", "nid").count()
+      .filter(col("count") > 1).count() == 0)
+    // reference walk: the SAME round structure with an explicit
+    // distinct() + window pair per round (the pre-r18 shape)
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val emb = c.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val edges = g.select("src", "dst")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)
+    def score(cands: DataFrame): DataFrame = cands
+      .join(emb, "nid").join(q, "qid")
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim", round(Similarity.cosine(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 8)
+      .select(col("qid"), col("nid"), col("sim"))
+    val entryIds = c.filter(col("vec_id") >= Similarity.ProbePanelSize)
+      .orderBy(col("vec_id")).limit(4)
+      .select("vec_id").collect().map(_.getLong(0))
+    var ref = score(q.select(col("qid"),
+      explode(typedLit(entryIds.toSeq)).as("nid")))
+      .localCheckpoint(true)
+    (0 until 3).foreach { _ =>
+      ref = score(ref.select(col("qid"), col("nid").as("src"))
+        .join(edges, "src").select(col("qid"), col("dst").as("nid"))
+        .unionByName(ref.select("qid", "nid"))
+        .distinct()).localCheckpoint(true)
+    }
+    val refTop = ref.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    assert(res.exceptAll(refTop).count() == 0 &&
+      refTop.exceptAll(res).count() == 0,
+      "window-riding dedup diverged from the distinct-based reference")
+    res.unpersist(); c.unpersist()
+  }
+
   test("ensure builds once, reloads after, and rebuilds on corpus change") {
     graft.util.Fs.rmRecursive(new java.io.File(base))
     val c = corpus(300).cache()
