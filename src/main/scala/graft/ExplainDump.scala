@@ -33,10 +33,20 @@ object ExplainDump {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN_BENCH=1 explains the BENCH form (the timed
+    // store-op variant) — for the lifecycle queries the Verify form's
+    // final frame is a gate aggregate over a checkpoint, while the
+    // bench form returns the actual probe/search operator whose plan
+    // the optimization record talks about
+    val useBench = sys.env.get("SPARK_GRAFT_EXPLAIN_BENCH").contains("1")
     names.foreach { name =>
       println(s"\n================ $name ================")
       try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
+        val fn =
+          if (useBench) SparkEntry.benchQueries.getOrElse(name,
+            SparkEntry.queries(name))
+          else SparkEntry.queries(name)
+        val df = fn(spark, sfDir)
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       } catch {
